@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Backed by the engine's query registry
+(cassandra_cql_streaming_db_migrator_spark.queries): every implemented
+operator family from SURVEY.md §2 is a named query paired with a DuckDB
+oracle; entries without an oracle (non-SQL-expressible ops) get the driver's
+rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cassandra_cql_streaming_db_migrator_spark.queries import all_queries
+from cassandra_cql_streaming_db_migrator_spark.session import tune_existing
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full spec-driven migration pipeline (pushdown
+    filter + MVEL filter chain + calculated column + column mapping) on
+    sf0.001 lineitem."""
+    tune_existing(spark)
+    return all_queries()["migrate_pipeline"].fn(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, q in all_queries().items():
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        def make(fn):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                tune_existing(spark)
+                return fn(spark, sf_dir)
+
+            return run
+
+        out[name] = make(q.fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}

@@ -1,0 +1,298 @@
+"""Reference-parity queries (SURVEY §2.1-2.4, §2.10).
+
+One named query per operator family the reference actually executes, each
+mapped onto the fixture tables per FIXTURES.md §2 and paired with a DuckDB
+oracle.  Citations are to /root/reference source (file:line).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..metrics import conservation_stats
+from ..operators.anti_join import if_not_exists_filter
+from ..operators.compute import hash_bucket_column
+from ..operators.filters import apply_filter_chain, memory_filter, pushdown_filter
+from ..operators.limits import top_k
+from ..operators.project import column_mapping
+from ..operators.counter import counter_merge
+from ..operators.ttl import ttl_preserving_columns
+from ..pipeline import build_table_plan
+from ..plans.spec import FilterDef, TableMigration
+from ..sources.parquet import load_table
+from . import QueryDef
+
+# ---------------------------------------------------------------------------
+# S1/S2 — paged scan with explicit projection (DefaultMigratorPlugin.java:
+# 180-220; CassandraSchemaUtil.java:101-107).  Paging == input splits;
+# the projection reaches the parquet scan as ReadSchema (column pruning).
+
+
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+
+
+_SCAN_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+FROM lineitem
+"""
+
+# ---------------------------------------------------------------------------
+# S4/F1 — pushdown WHERE, passed through verbatim (DMP:207-210).  The
+# reference's example predicate shape (key equality + IN + range,
+# migration-config.example.yaml:78) is valid Spark SQL as-is.
+
+_PUSHDOWN_WHERE = (
+    "o_custkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89) AND o_totalprice >= 1000.0"
+)
+
+
+def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pushdown_filter(load_table(spark, sf_dir, "orders"), _PUSHDOWN_WHERE)
+
+
+_FILTER_PUSHDOWN_SQL = f"SELECT * FROM orders WHERE {_PUSHDOWN_WHERE}"
+
+# ---------------------------------------------------------------------------
+# F2/F3 — in-memory MVEL filter chain (FieldValueFilter.java:35-89; chain
+# loop MigrateTableTask.java:446-451).  MVEL text straight from the example
+# config's style (migration-config.example.yaml:95), translated by plans.mvel.
+
+
+def filter_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    df = apply_filter_chain(
+        df,
+        [
+            FilterDef("row.l_discount >= 0.03 && row.l_discount < 0.07"),
+            FilterDef("row.l_quantity < 30"),
+        ],
+    )
+    return df.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+_FILTER_MEMORY_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_discount >= 0.03 AND l_discount < 0.07 AND l_quantity < 30
+"""
+
+# ---------------------------------------------------------------------------
+# S5/O1/O5 — read limit (DMP:211-214) made deterministic with a total order
+# (the reference inherits CQL clustering order; parquet has none, so an
+# unordered LIMIT is not a well-defined query).
+
+
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "orders")
+    return top_k(df, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 100)
+
+
+_LIMIT_TOPK_SQL = """
+SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+# ---------------------------------------------------------------------------
+# P3 — calculated column: the shipped hash-bucket example
+# (migration-config.example.yaml:105-120): Java String.hashCode -> abs -> %32
+# as a small int.  JVM-exact, computed in Catalyst higher-order functions.
+
+
+def computed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey", "c_name", hash_bucket_column("c_name", 32).alias("c_name_bucket")
+    )
+
+
+_COMPUTED_COLUMN_SQL = """
+WITH h AS (
+  SELECT c_custkey, c_name,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(c_name, ''),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 4294967296
+         ) AS hraw
+  FROM customer
+)
+SELECT c_custkey, c_name,
+       CAST(abs(CASE WHEN hraw >= 2147483648 THEN hraw - 4294967296 ELSE hraw END) % 32
+            AS INTEGER) AS c_name_bucket
+FROM h
+"""
+
+# ---------------------------------------------------------------------------
+# P1/P2 — column mapping by name, PK first, with drop-and-warn for
+# underivable target columns (DMP:239-274).  Target here lacks c_acctbal
+# (per FIXTURES.md §2 'schema validation' role) -> it is simply not written.
+
+_CUSTOMER_TARGET = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("c_loyalty_tier", T.StringType()),  # underivable -> dropped+warned
+    ]
+)
+
+
+def column_mapping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "customer")
+    mapped, result = column_mapping(df, _CUSTOMER_TARGET, ["c_custkey"])
+    assert result.dropped_columns == ["c_loyalty_tier"], result
+    return mapped
+
+
+_COLUMN_MAPPING_SQL = "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer"
+
+# ---------------------------------------------------------------------------
+# J1/K2/F4 — insert-if-not-exists as a left-anti join on the full PK
+# (the completed form of IfNotExistFilter.java:49-96; LWT semantics
+# DMP:276-292).  Target pre-seeded with the even half of the keys
+# (FIXTURES.md §2).  rowsMigrated parity: survivors == applied writes.
+
+
+def anti_join_if_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    seeded_target = orders.filter(F.expr("o_orderkey % 2 = 0"))
+    return if_not_exists_filter(orders, seeded_target, ["o_orderkey"])
+
+
+_ANTI_JOIN_SQL = """
+SELECT o.* FROM orders o
+ANTI JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0) t
+USING (o_orderkey)
+"""
+
+# ---------------------------------------------------------------------------
+# K3/A1 — counter-table additive merge: keyed SUM with NULL-skip
+# (DMP:309-311,426-432).  DECIMAL sum => associative, partitioning-proof.
+
+
+def counter_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return counter_merge(events, ["user_id", "event_type"], ["value"])
+
+
+_COUNTER_MERGE_SQL = """
+SELECT user_id, event_type,
+       sum(CAST(value AS DECIMAL(28,10))) AS value,
+       count(*) AS merged_row_count
+FROM events GROUP BY user_id, event_type
+"""
+
+# ---------------------------------------------------------------------------
+# S3/K4 — TTL probe + TTL-preserving arithmetic (DMP:192-203,360-365).
+# Parquet has no TTL, so the probe column is synthesized deterministically
+# (row_ttl_value = event_id % source_ttl), exactly the role the connector's
+# ttl(col) plays in production.  src TTL 86400, tgt TTL 172800 per
+# FIXTURES.md §2.
+
+
+def ttl_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    probed = events.withColumn("row_ttl_value", (F.col("event_id") % 86400).cast("int"))
+    out = ttl_preserving_columns(probed, 86400, 172800)
+    return out.select("event_id", "row_ttl_value", "target_ttl")
+
+
+_TTL_SQL = """
+SELECT event_id,
+       CAST(event_id % 86400 AS INTEGER) AS row_ttl_value,
+       CAST(172800 - (86400 - CAST(event_id % 86400 AS INTEGER)) AS INTEGER) AS target_ttl
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# K5/A2 — dry-run conservation stats: rows_read = rows_passed + rows_filtered
+# (simulation default TableMigrationDefinition.java:40-48; counters
+# MigrateTableTask.java:89-92, report DbMigrator.java:101-106).
+
+
+def dry_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    passed = memory_filter(df, "row.l_discount >= 0.03 && row.l_discount < 0.07")
+    return conservation_stats(df, passed)
+
+
+_DRY_RUN_SQL = """
+SELECT (SELECT count(*) FROM lineitem) AS rows_read,
+       (SELECT count(*) FROM lineitem WHERE l_discount >= 0.03 AND l_discount < 0.07) AS rows_passed,
+       (SELECT count(*) FROM lineitem)
+         - (SELECT count(*) FROM lineitem WHERE l_discount >= 0.03 AND l_discount < 0.07)
+         AS rows_filtered
+"""
+
+# ---------------------------------------------------------------------------
+# Flagship: a whole table-migration pipeline through the spec layer —
+# pushdown WHERE + MVEL filter chain + calculated column + column mapping,
+# composed exactly as MigrateTableTask.run does (SURVEY §3.2), as ONE
+# declarative lineage.
+
+_LINEITEM_TARGET = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("part_bucket", T.LongType()),
+    ]
+)
+
+
+def migrate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = TableMigration(
+        table_name="lineitem",
+        target_table_name="lineitem_v2",
+        key_columns=["l_orderkey", "l_linenumber"],
+        where_clause="l_quantity >= 5",
+        filters=[FilterDef("row.l_discount >= 0.02 && row.l_discount <= 0.08")],
+        calculated_columns={"part_bucket": "abs(row.l_partkey * 2654435761) % 64"},
+        continue_on_row_error=False,
+        simulate_only=True,
+    )
+    source = load_table(spark, sf_dir, "lineitem")
+    target = spark.createDataFrame([], _LINEITEM_TARGET)
+    plan, warnings = build_table_plan(spec, source, target)
+    assert not warnings, warnings
+    return plan
+
+
+_MIGRATE_PIPELINE_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       abs(l_partkey * 2654435761) % 64 AS part_bucket
+FROM lineitem
+WHERE l_quantity >= 5 AND l_discount >= 0.02 AND l_discount <= 0.08
+"""
+
+
+QUERIES = [
+    QueryDef("scan_project", scan_project, _SCAN_PROJECT_SQL,
+             "S1/S2 paged scan + explicit projection (DMP:180-220)"),
+    QueryDef("filter_pushdown", filter_pushdown, _FILTER_PUSHDOWN_SQL,
+             "S4/F1 pushdown whereClause passthrough (DMP:207-210)"),
+    QueryDef("filter_memory", filter_memory, _FILTER_MEMORY_SQL,
+             "F2/F3 MVEL row-set filter chain (FVF:35-89, MTT:446-451)"),
+    QueryDef("limit_topk", limit_topk, _LIMIT_TOPK_SQL,
+             "S5/O1/O5 deterministic read limit (DMP:211-214)"),
+    QueryDef("computed_column", computed_column, _COMPUTED_COLUMN_SQL,
+             "P3 calculated column, JVM hashCode bucket (YAML:105-120)"),
+    QueryDef("column_mapping", column_mapping_q, _COLUMN_MAPPING_SQL,
+             "P1/P2 name-matched mapping, PK-first, drop+warn (DMP:239-274)"),
+    QueryDef("anti_join_if_not_exists", anti_join_if_not_exists, _ANTI_JOIN_SQL,
+             "J1/K2/F4 left-anti PK existence filter (INEF:49-96, DMP:276-292)"),
+    QueryDef("counter_merge", counter_merge_q, _COUNTER_MERGE_SQL,
+             "K3/A1 counter additive merge w/ NULL-skip (DMP:309-311,426-432)"),
+    QueryDef("ttl_arithmetic", ttl_arithmetic, _TTL_SQL,
+             "S3/K4 TTL probe + age-preserving arithmetic (DMP:192-203,360-365)"),
+    QueryDef("dry_run_stats", dry_run_stats, _DRY_RUN_SQL,
+             "K5/A2 simulation-mode conservation counters (TMD:40-48)"),
+    QueryDef("migrate_pipeline", migrate_pipeline, _MIGRATE_PIPELINE_SQL,
+             "flagship: full spec-driven migration lineage (SURVEY §3.2)"),
+]

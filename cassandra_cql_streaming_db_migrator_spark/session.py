@@ -1,0 +1,78 @@
+"""SparkSession factory.
+
+The reference opens two CqlSession connections with hardcoded tuning
+(CassandraConnectionAdapter.java:184-234: LOCAL_ONE, protocol V4, page size
+3000).  Our analog is one SparkSession whose defaults are tuned for the
+target environment; the connection-level knobs of the reference (page size,
+timeouts) map to connector/read options, not session state.
+
+Scale notes (100 TB target):
+  - AQE on: runtime coalescing, skew-join splitting, dynamic join strategy.
+  - shuffle.partitions is a default only — AQE coalesces; on a real cluster
+    this should be ~2-3x total cores.
+  - ANSI mode off: the engine follows the reference's permissive expression
+    semantics (MVEL arithmetic wraps/coerces rather than raising,
+    DefaultMigratorPlugin.java:367-387) and keeps parity with the DuckDB
+    oracle for overflow-free integer folds.
+  - Session timezone pinned UTC so timestamp semantics are stable across
+    driver, executors, and the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_session(
+    app_name: str = "cassandra_cql_streaming_db_migrator_spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for the test/bench
+    environment; on a real cluster pass ``None`` via spark-submit and let the
+    cluster manager decide.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_existing(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable conf to a session we did not build
+    (the driver passes its own SparkSession to ``entry``/``queries``)."""
+    for k, v in (
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a started session — keep going
+    return spark

@@ -1,0 +1,82 @@
+"""Sinks (SURVEY §2.2).
+
+Reference sinks are per-row CQL statements: upsert UPDATE
+(DefaultMigratorPlugin.java:294-325), LWT conditional INSERT (DMP:276-292),
+counter increment (DMP:309-311), all optionally simulated (dry-run skips only
+the final execute, DMP:393-401 — the DEFAULT, TableMigrationDefinition.java:
+40-48).  Spark-native equivalents:
+
+  * upsert      -> key-merge in ``foreachBatch`` / overwrite-by-key parquet
+                   (against Cassandra: connector appends ARE upserts);
+  * LWT insert  -> anti-join (operators.anti_join) + plain append;
+  * counter     -> operators.counter_merge + additive merge here;
+  * dry run     -> full plan execution with observe() counters, no write;
+  * row errors  -> validity-split into ok + quarantine side output
+                   (continueOnRowError, MigrateTableTask.java:496-517 — Spark
+                   cannot drop individual failed writes mid-task, so the
+                   split happens *before* the sink).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MigrationStats:
+    """The reference's conservation counters (MigrateTableTask.java:89-92,
+    DbMigrator.java:91-106): rows_read = rows_passed_filter + rows_filtered;
+    rows_migrated counts applied writes only (DMP:399-400)."""
+
+    rows_read: int = 0
+    rows_passed_filter: int = 0
+    rows_filtered: int = 0
+    rows_migrated: int = 0
+    rows_failed: int = 0
+
+
+def noop_sink(df: DataFrame) -> int:
+    """K5 dry run: execute the full plan (every value materialized, like the
+    reference binding each row into the prepared statement) without writing.
+    Returns the row count that *would* have been written."""
+    return df.count()
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "append") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def upsert_parquet(batch: DataFrame, target_path: str, key_columns: list[str]) -> None:
+    """K1 upsert for the parquet fixture sink: new rows win over existing on
+    PK (Cassandra UPDATE-upsert semantics).  Implemented as
+    anti-join(existing, new) ∪ new then atomic overwrite.
+
+    Scale note: for a real lakehouse target this is MERGE INTO on
+    Delta/Iceberg (copy-on-write handled by the table format); the connector
+    path needs no merge at all because Cassandra writes are last-write-wins
+    upserts.  This file-overwrite variant exists for the self-contained test
+    environment.
+    """
+    spark = batch.sparkSession
+    try:
+        existing = spark.read.parquet(target_path)
+    except Exception:
+        batch.write.mode("overwrite").parquet(target_path)
+        return
+    survivors = existing.join(batch.select(*key_columns), on=key_columns, how="left_anti")
+    merged = survivors.unionByName(batch, allowMissingColumns=False)
+    # write to temp then swap would be the production shape; local: cache
+    merged = merged.localCheckpoint()  # cut lineage before overwriting input
+    merged.write.mode("overwrite").parquet(target_path)
+
+
+def quarantine_split(df: DataFrame, validity: Column) -> tuple[DataFrame, DataFrame]:
+    """T5 continueOnRowError: rows failing ``validity`` go to the quarantine
+    side output and are counted as rows_failed; the rest proceed.  One pass,
+    two filters — Catalyst shares the scan via exchange reuse."""
+    ok = df.filter(validity)
+    failed = df.filter(~F.coalesce(validity, F.lit(False)))
+    return ok, failed
