@@ -1,3 +1,308 @@
+"""Spark-native relational extensions (SURVEY §2.5 J2, §2.6 A4, §2.7 O5-O7).
+
+The reference implements none of these (single-table pipelines only); they
+are the capability superset the engine exposes because migration +
+enrichment generalizes to full relational analytics.  Numeric discipline per
+queries/__init__ (decimal sums, stable averages, total orders on limits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import decimal_sum, grouped, rollup_agg, stable_avg
+from ..operators.joins import broadcast_dim_join, semi_join
+from ..operators.setops import except_distinct, intersect, union_distinct
+from ..operators.windows import running_agg, top_k_per_group
+from ..sources.parquet import load_table
 from . import QueryDef
 
-QUERIES: list[QueryDef] = []
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary: the canonical wide-agg benchmark shape
+# (groupBy 2 cols, many aggs) — map-side partial agg, one shuffle of states.
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return grouped(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02")),
+        ["l_returnflag", "l_linestatus"],
+        [
+            decimal_sum("l_quantity", "sum_qty"),
+            decimal_sum("l_extendedprice", "sum_base_price"),
+            decimal_sum(disc_price, "sum_disc_price"),
+            decimal_sum(charge, "sum_charge"),
+            stable_avg("l_quantity", "avg_qty"),
+            stable_avg("l_extendedprice", "avg_price"),
+            stable_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join chain: customer -> nation -> region.  The fact
+# side never shuffles; both dims ride to every task.
+
+
+def join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    enriched = broadcast_dim_join(
+        customer, nation, on=customer.c_nationkey == nation.n_nationkey
+    )
+    enriched = broadcast_dim_join(enriched, region, on=enriched.n_regionkey == region.r_regionkey)
+    return grouped(
+        enriched,
+        ["r_name"],
+        [F.count(F.lit(1)).alias("n_custs"), decimal_sum("c_acctbal", "sum_acctbal")],
+    )
+
+
+_JOIN_ENRICH_SQL = """
+SELECT r_name, count(*) AS n_custs,
+       sum(CAST(c_acctbal AS DECIMAL(28,10))) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+# ---------------------------------------------------------------------------
+# Fact-fact join: orders x lineitem revenue per priority.  AQE decides the
+# physical join and splits skew; revenue in exact decimal.
+
+
+def join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return grouped(
+        joined,
+        ["o_orderpriority"],
+        [
+            decimal_sum(revenue, "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+        ],
+    )
+
+
+_JOIN_LARGE_SQL = """
+SELECT o_orderpriority,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
+# Semi join (EXISTS): customers having at least one open order.
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    with_open = semi_join(customer, open_orders, on=customer.c_custkey == open_orders.o_custkey)
+    return grouped(with_open, ["c_mktsegment"], [F.count(F.lit(1)).alias("n_custs")])
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_mktsegment, count(*) AS n_custs
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_mktsegment
+"""
+
+# ---------------------------------------------------------------------------
+# Window: top-3 orders per customer (WindowGroupLimit keeps the shuffle to
+# k rows per group), and a running sum within each order.
+
+
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    top = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return top.select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures, so the sort
+    # must be total for the running frame to be well-defined: extra keys
+    # break ties, and the summed column is among them so fully-tied rows
+    # contribute identical running values under any permutation.
+    li = load_table(spark, sf_dir, "lineitem")
+    order = [
+        F.col("l_linenumber").asc(),
+        F.col("l_quantity").asc(),
+        F.col("l_extendedprice").asc(),
+        F.col("l_partkey").asc(),
+        F.col("l_suppkey").asc(),
+    ]
+    out = running_agg(
+        li,
+        ["l_orderkey"],
+        order,
+        F.sum(F.col("l_quantity").cast("decimal(28,10)")),
+        "running_qty",
+    )
+    return out.select("l_orderkey", "l_linenumber", "running_qty")
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT l_orderkey, l_linenumber,
+       sum(CAST(l_quantity AS DECIMAL(28,10)))
+         OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+FROM lineitem
+"""
+
+# ---------------------------------------------------------------------------
+# ROLLUP with grouping indicators.
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [decimal_sum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows")],
+    )
+
+
+_AGG_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty,
+       count(*) AS n_rows,
+       CAST(grouping(l_returnflag) AS INTEGER) AS grouping_l_returnflag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS grouping_l_linestatus
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+# ---------------------------------------------------------------------------
+# Exact distinct aggregation (Catalyst expands to a two-phase plan).
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return grouped(
+        orders,
+        ["o_orderstatus"],
+        [
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        ],
+    )
+
+
+_DISTINCT_AGG_SQL = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_custs,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+# ---------------------------------------------------------------------------
+# Set ops in SQL (distinct) semantics.
+
+
+def _custkeys(spark, sf_dir, status):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == status)
+        .select("o_custkey")
+    )
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return except_distinct(_custkeys(spark, sf_dir, "O"), _custkeys(spark, sf_dir, "F"))
+
+
+_SET_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return union_distinct(_custkeys(spark, sf_dir, "O"), _custkeys(spark, sf_dir, "P"))
+
+
+_SET_UNION_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return intersect(_custkeys(spark, sf_dir, "O"), _custkeys(spark, sf_dir, "F"))
+
+
+_SET_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+QUERIES = [
+    QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_SQL,
+             "A4: TPC-H Q1-shape wide aggregate"),
+    QueryDef("join_enrich", join_enrich, _JOIN_ENRICH_SQL,
+             "J2: broadcast dimension join chain"),
+    QueryDef("join_large", join_large, _JOIN_LARGE_SQL,
+             "J2: fact-fact equi-join + distinct agg"),
+    QueryDef("join_semi", join_semi, _JOIN_SEMI_SQL, "J2: left-semi EXISTS"),
+    QueryDef("window_topk", window_topk, _WINDOW_TOPK_SQL,
+             "O7: top-k per group via row_number"),
+    QueryDef("window_running", window_running, _WINDOW_RUNNING_SQL,
+             "O7: running frame aggregate"),
+    QueryDef("agg_rollup", agg_rollup, _AGG_ROLLUP_SQL,
+             "A4: ROLLUP + grouping indicators"),
+    QueryDef("distinct_agg", distinct_agg, _DISTINCT_AGG_SQL,
+             "A4: exact multi-distinct aggregation"),
+    QueryDef("set_except", set_except, _SET_EXCEPT_SQL, "O6: EXCEPT"),
+    QueryDef("set_union", set_union, _SET_UNION_SQL, "O6: UNION distinct"),
+    QueryDef("set_intersect", set_intersect, _SET_INTERSECT_SQL, "O6: INTERSECT"),
+]
