@@ -1,3 +1,346 @@
+"""LLM-data-pipeline queries (SURVEY §7.2.6, BASELINE.json north star):
+dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), similarity search
+over embeddings, text analysis, multimodal column plumbing.
+
+Oracle parity strategy: every hash/signature is pure int64 arithmetic
+(functions.hashing) and every similarity score is a sequential double fold —
+both reproduce bit-for-bit in DuckDB (verified), so even the MinHash LSH
+candidate set is oracle-checked exactly.  Oracle SQL is *generated* from the
+same frozen constants the Spark operators use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_P, MINHASH_PERMS, SIMHASH_MOD, poly_hash_sql
+from ..operators.dedup import exact_dedup, minhash_lsh_pairs, simhash_column
+from ..operators.multimodal import attach_payload
+from ..operators.similarity import cosine, cosine_topk, lsh_ann_topk
+from ..operators.textops import (
+    BPE_TOKEN_PATTERN,
+    EN_STOPWORDS,
+    doc_fingerprint,
+    lang_id_heuristic,
+    ngram_jaccard_pairs,
+    text_stats,
+)
+from ..sources.parquet import load_table
 from . import QueryDef
 
-QUERIES: list[QueryDef] = []
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content, deterministic winner (min doc_id).
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "n_dups")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text
+"""
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidate pairs, exactly oracle-checked: the DuckDB
+# side brute-forces all pairs and applies the same band-collision predicate
+# to the same integer signatures.
+
+_BANDS = 4
+_ROWS_PER_BAND = len(MINHASH_PERMS) // _BANDS
+_EST_THRESHOLD = 0.5
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", shingle_len=5, bands=_BANDS)
+    return pairs.filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+
+
+def _minhash_sql() -> str:
+    ph = poly_hash_sql("s")
+    sig_items = ", ".join(
+        f"list_min(list_transform(hh, h -> ({a}*h+{b}) % {MINHASH_P}))" for a, b in MINHASH_PERMS
+    )
+    band_conds = []
+    for b in range(_BANDS):
+        slots = range(b * _ROWS_PER_BAND + 1, (b + 1) * _ROWS_PER_BAND + 1)  # 1-based
+        band_conds.append("(" + " AND ".join(f"s1.sg[{j}] = s2.sg[{j}]" for j in slots) + ")")
+    n = len(MINHASH_PERMS)
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+                    i -> substr(text, CAST(i AS INTEGER), 5))),
+      s -> {ph}) AS hh
+  FROM documents),
+sig AS (SELECT doc_id, [{sig_items}] AS sg FROM sh)
+SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2,
+       CAST(len(list_filter(range(1, {n + 1}),
+                j -> s1.sg[CAST(j AS INTEGER)] = s2.sg[CAST(j AS INTEGER)])) AS DOUBLE)/{n}.0
+         AS est_jaccard
+FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+WHERE ({" OR ".join(band_conds)})
+  AND CAST(len(list_filter(range(1, {n + 1}),
+           j -> s1.sg[CAST(j AS INTEGER)] = s2.sg[CAST(j AS INTEGER)])) AS DOUBLE)/{n}.0
+      >= {_EST_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (53-bit, integer-exact cross-engine).
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_column(F.col("text")).alias("simhash"))
+
+
+_SIMHASH_SQL = f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> {poly_hash_sql("t", SIMHASH_MOD)}) AS hh
+  FROM documents)
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0, 53), k ->
+    CASE WHEN list_sum(list_transform(hh, h ->
+           CASE WHEN (h // CAST(power(2, k) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)) AS BIGINT) AS simhash
+FROM th
+"""
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard within blocks (lang x length bucket): the verify
+# stage that LSH candidates would feed at scale.
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_blk", (F.col("n_chars") / 100).cast("long")
+    )
+    return ngram_jaccard_pairs(docs, ["lang", "len_blk"], threshold=0.7, n=3)
+
+
+_NGRAM_JACCARD_SQL = """
+WITH g AS (
+  SELECT doc_id, lang, n_chars // 100 AS len_blk,
+    list_distinct(list_transform(range(1, greatest(length(text)-2, 1)+1),
+                  i -> substr(text, CAST(i AS INTEGER), 3))) AS grams
+  FROM documents)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+FROM g a JOIN g b ON a.lang = b.lang AND a.len_blk = b.len_blk AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
+"""
+
+# ---------------------------------------------------------------------------
+# Text stats / quality features.
+
+
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_measured,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens,
+       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS unique_ratio
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Corpus rollup per language.
+
+
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(28,10)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_LANG_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       round(CAST(sum(CAST(n_chars AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# BPE-ish pre-tokenizer counts per source.
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe")
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_bpe").alias("bpe_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (stopword density).
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_heuristic(load_table(spark, sf_dir, "documents"))
+
+
+_STOPLIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_LANG_ID_SQL = f"""
+SELECT doc_id,
+       round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOPLIST}))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS en_stop_ratio,
+       CASE WHEN round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOPLIST}))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Whole-document polynomial fingerprint.
+
+
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, {poly_hash_sql("text")} AS fingerprint FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k (the baseline/oracle)
+# and LSH-bucketed ANN (the scale path; approximate -> rows-only check).
+
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len({x})+1), "
+    "i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))), (a, b) -> a + b)"
+)
+
+
+def _dot_sql(x: str, y: str) -> str:
+    return _DOT.format(x=x, y=y)
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return cosine_topk(emb, query, k=20)
+
+
+_EMBEDDING_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       {_dot_sql("embedding", "qv")}
+         / (sqrt({_dot_sql("embedding", "embedding")}) * sqrt({_dot_sql("qv", "qv")})) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id ASC LIMIT 20
+"""
+
+
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return lsh_ann_topk(emb, query, k=20, n_bits=6)
+
+
+def embedding_label_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar embedding pairs per label block — the embedding
+    near-dup operator shaped to emit evidence even when no pair crosses a
+    dedup threshold (fixture embeddings are near-orthogonal)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("v1"))
+    b = emb.select("label", F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("v2"))
+    pairs = a.join(b, on="label").filter(F.col("vec_id_1") < F.col("vec_id_2"))
+    scored = pairs.select("label", "vec_id_1", "vec_id_2", cosine(F.col("v1"), F.col("v2")).alias("cosine"))
+    w = Window.partitionBy("label").orderBy(
+        F.col("cosine").desc(), F.col("vec_id_1").asc(), F.col("vec_id_2").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+_EMBEDDING_PAIRS_SQL = f"""
+WITH p AS (
+  SELECT a.label, a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         {_dot_sql("a.embedding", "b.embedding")}
+           / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+              * sqrt({_dot_sql("b.embedding", "b.embedding")})) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT label, vec_id_1, vec_id_2, cosine, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY cosine DESC, vec_id_1, vec_id_2) AS rn
+  FROM p) WHERE rn <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload + metadata, content digest.
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256_hex"),
+    )
+
+
+# (DuckDB 1.0's sha256 takes VARCHAR only; hashing the VARCHAR hashes its
+# utf-8 bytes, which is exactly Spark's sha2(encode(text,'utf-8'), 256).)
+_MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       sha256(text) AS sha256_hex
+FROM documents
+"""
+
+
+QUERIES = [
+    QueryDef("dedup_exact", dedup_exact, _DEDUP_EXACT_SQL,
+             "exact content dedup (hash-groupBy, min-id winner)"),
+    QueryDef("minhash_pairs", minhash_pairs, _minhash_sql(),
+             "MinHash+LSH near-dup candidates, integer-exact oracle"),
+    QueryDef("simhash_fingerprint", simhash_fingerprint, _SIMHASH_SQL,
+             "53-bit SimHash fingerprints"),
+    QueryDef("ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL,
+             "blocked exact 3-gram Jaccard pairs"),
+    QueryDef("text_stats", text_stats_q, _TEXT_STATS_SQL,
+             "per-doc token/quality stats"),
+    QueryDef("lang_stats", lang_stats, _LANG_STATS_SQL, "per-language corpus rollup"),
+    QueryDef("token_count_bpe", token_count_bpe, _TOKEN_COUNT_SQL,
+             "BPE-ish regex pre-tokenizer counts"),
+    QueryDef("lang_id", lang_id, _LANG_ID_SQL, "stopword-density language ID"),
+    QueryDef("doc_fingerprint", doc_fingerprint_q, _DOC_FINGERPRINT_SQL,
+             "whole-doc polynomial fingerprint"),
+    QueryDef("embedding_topk", embedding_topk, _EMBEDDING_TOPK_SQL,
+             "brute-force cosine top-k (bit-exact doubles)"),
+    QueryDef("embedding_ann_lsh", embedding_ann_lsh, None,
+             "hyperplane-LSH approximate top-k (scale path; rows-only)"),
+    QueryDef("embedding_label_top_pairs", embedding_label_top_pairs, _EMBEDDING_PAIRS_SQL,
+             "top-3 cosine pairs per label block"),
+    QueryDef("multimodal_meta", multimodal_meta, _MULTIMODAL_META_SQL,
+             "binary payload column + digest plumbing"),
+]
