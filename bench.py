@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full plan
+execution, no collect-to-driver), timed wall-clock.  A warmup query runs
+first so JVM/codegen startup is not billed to the first entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cassandra_cql_streaming_db_migrator_spark.queries import all_queries
+from cassandra_cql_streaming_db_migrator_spark.session import build_session
+
+
+def run_query_to_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = build_session(app_name="bench")
+
+    queries = {n: q for n, q in all_queries().items() if q.bench}
+
+    # warmup: JVM, codegen, parquet footer caches
+    run_query_to_noop(all_queries()["scan_project"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, q in queries.items():
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        run_query_to_noop(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

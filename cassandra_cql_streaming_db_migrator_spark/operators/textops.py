@@ -76,18 +76,43 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within the same block.
-    jaccard = |A ∩ B| / |A ∪ B| over distinct n-gram sets."""
-    grams = char_ngrams(F.col(text_col), n)
+    jaccard = |A ∩ B| / |A ∪ B| over distinct *hashed* n-gram sets.
+
+    Engineering for the pair explosion (the expensive part):
+      * grams are hashed to int64 before the join — array_intersect over
+        longs is several times cheaper than over strings, and the oracle
+        applies the same hash so semantics stay exactly comparable;
+      * the gram arrays are materialized through the block-join shuffle
+        (computed once per doc, not once per pair);
+      * size prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs
+        whose size ratio is below the threshold skip the intersect
+        entirely — an implication of the threshold, not a semantic change.
+    """
+    grams = F.array_distinct(
+        F.transform(char_ngrams(F.col(text_col), n), lambda g: poly_hash(g))
+    )
     base = df.select(*block_cols, F.col(id_col), grams.alias("__grams"))
     a = base.select(
-        *block_cols, F.col(id_col).alias("id_1"), F.col("__grams").alias("g1")
+        *block_cols,
+        F.col(id_col).alias("id_1"),
+        F.col("__grams").alias("g1"),
+        F.size("__grams").alias("s1"),
     )
     b = base.select(
-        *block_cols, F.col(id_col).alias("id_2"), F.col("__grams").alias("g2")
+        *block_cols,
+        F.col(id_col).alias("id_2"),
+        F.col("__grams").alias("g2"),
+        F.size("__grams").alias("s2"),
     )
-    joined = a.join(b, on=block_cols).filter(F.col("id_1") < F.col("id_2"))
+    joined = (
+        a.join(b, on=block_cols)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(
+            F.least("s1", "s2").cast("double") / F.greatest("s1", "s2") >= F.lit(threshold)
+        )
+    )
     inter = F.size(F.array_intersect("g1", "g2"))
-    union = F.size(F.array_union("g1", "g2"))
+    union = F.col("s1") + F.col("s2") - inter
     scored = joined.select(
         F.col("id_1").alias(f"{id_col}_1"),
         F.col("id_2").alias(f"{id_col}_2"),

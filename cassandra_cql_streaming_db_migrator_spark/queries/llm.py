@@ -15,9 +15,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_P, MINHASH_PERMS, SIMHASH_MOD, poly_hash_sql
-from ..operators.dedup import exact_dedup, minhash_lsh_pairs, simhash_column
+from ..operators.dedup import (
+    exact_dedup,
+    fuzzy_dedup_pairs,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+)
 from ..operators.multimodal import attach_payload
-from ..operators.similarity import cosine, cosine_topk, lsh_ann_topk
+from ..operators.similarity import _dot, cosine, cosine_topk, lsh_ann_topk
 from ..operators.textops import (
     BPE_TOKEN_PATTERN,
     EN_STOPWORDS,
@@ -90,12 +95,68 @@ WHERE ({" OR ".join(band_conds)})
 
 
 # ---------------------------------------------------------------------------
+# Production-shaped fuzzy dedup: LSH candidates -> exact Jaccard verify.
+# Exact-verification work is bounded by the candidate count instead of the
+# block pair count — the architecture that survives 100 TB.
+
+
+def fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_dedup_pairs(docs, "text", "doc_id")
+
+
+def _fuzzy_dedup_sql() -> str:
+    ph = poly_hash_sql("s")
+    sig_items = ", ".join(
+        f"list_min(list_transform(hh, h -> ({a}*h+{b}) % {MINHASH_P}))" for a, b in MINHASH_PERMS
+    )
+    band_conds = []
+    for b in range(_BANDS):
+        slots = range(b * _ROWS_PER_BAND + 1, (b + 1) * _ROWS_PER_BAND + 1)
+        band_conds.append("(" + " AND ".join(f"s1.sg[{j}] = s2.sg[{j}]" for j in slots) + ")")
+    n = len(MINHASH_PERMS)
+    est = (
+        f"CAST(len(list_filter(range(1, {n + 1}), "
+        f"j -> s1.sg[CAST(j AS INTEGER)] = s2.sg[CAST(j AS INTEGER)])) AS DOUBLE)/{n}.0"
+    )
+    jac = (
+        "CAST(len(list_intersect(g1.grams, g2.grams)) AS DOUBLE) "
+        "/ (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams)))"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+                    i -> substr(text, CAST(i AS INTEGER), 5))),
+      s -> {ph}) AS hh
+  FROM documents),
+sig AS (SELECT doc_id, [{sig_items}] AS sg FROM sh),
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      list_distinct(list_transform(range(1, greatest(length(text)-2, 1)+1),
+                    i -> substr(text, CAST(i AS INTEGER), 3))),
+      s -> {ph})) AS grams
+  FROM documents),
+cand AS (
+  SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2, {est} AS est_jaccard
+  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+  WHERE ({" OR ".join(band_conds)}) AND {est} >= {_EST_THRESHOLD})
+SELECT doc_id_1, doc_id_2, est_jaccard, {jac} AS jaccard
+FROM cand
+JOIN g g1 ON doc_id_1 = g1.doc_id
+JOIN g g2 ON doc_id_2 = g2.doc_id
+WHERE {jac} >= 0.7
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints (53-bit, integer-exact cross-engine).
 
 
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash_column(F.col("text")).alias("simhash"))
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
 _SIMHASH_SQL = f"""
@@ -123,18 +184,20 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, ["lang", "len_blk"], threshold=0.7, n=3)
 
 
-_NGRAM_JACCARD_SQL = """
+_NGRAM_JACCARD_SQL = f"""
 WITH g AS (
   SELECT doc_id, lang, n_chars // 100 AS len_blk,
-    list_distinct(list_transform(range(1, greatest(length(text)-2, 1)+1),
-                  i -> substr(text, CAST(i AS INTEGER), 3))) AS grams
+    list_distinct(list_transform(
+      list_distinct(list_transform(range(1, greatest(length(text)-2, 1)+1),
+                    i -> substr(text, CAST(i AS INTEGER), 3))),
+      s -> {poly_hash_sql("s")})) AS grams
   FROM documents)
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
        CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-         / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+         / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
 FROM g a JOIN g b ON a.lang = b.lang AND a.len_blk = b.len_blk AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
+        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
 """
 
 # ---------------------------------------------------------------------------
@@ -272,10 +335,31 @@ def embedding_label_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup operator shaped to emit evidence even when no pair crosses a
     dedup threshold (fixture embeddings are near-orthogonal)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select("label", F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("v1"))
-    b = emb.select("label", F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("v2"))
+    # Precompute each vector's norm once before the pair join (norms would
+    # otherwise be folded into the per-pair expression and recomputed
+    # O(pairs) times instead of O(rows)).
+    normed = emb.select(
+        "label", "vec_id", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm")
+    )
+    a = normed.select(
+        "label",
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("v1"),
+        F.col("norm").alias("n1"),
+    )
+    b = normed.select(
+        "label",
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("v2"),
+        F.col("norm").alias("n2"),
+    )
     pairs = a.join(b, on="label").filter(F.col("vec_id_1") < F.col("vec_id_2"))
-    scored = pairs.select("label", "vec_id_1", "vec_id_2", cosine(F.col("v1"), F.col("v2")).alias("cosine"))
+    scored = pairs.select(
+        "label",
+        "vec_id_1",
+        "vec_id_2",
+        (_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cosine"),
+    )
     w = Window.partitionBy("label").orderBy(
         F.col("cosine").desc(), F.col("vec_id_1").asc(), F.col("vec_id_2").asc()
     )
@@ -325,8 +409,11 @@ QUERIES = [
              "MinHash+LSH near-dup candidates, integer-exact oracle"),
     QueryDef("simhash_fingerprint", simhash_fingerprint, _SIMHASH_SQL,
              "53-bit SimHash fingerprints"),
+    QueryDef("fuzzy_dedup", fuzzy_dedup, _fuzzy_dedup_sql(),
+             "LSH candidates -> exact Jaccard verify (scale-path dedup)"),
     QueryDef("ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL,
-             "blocked exact 3-gram Jaccard pairs"),
+             "blocked exact 3-gram Jaccard pairs (exact baseline; "
+             "quadratic in block size, excluded from bench)", bench=False),
     QueryDef("text_stats", text_stats_q, _TEXT_STATS_SQL,
              "per-doc token/quality stats"),
     QueryDef("lang_stats", lang_stats, _LANG_STATS_SQL, "per-language corpus rollup"),

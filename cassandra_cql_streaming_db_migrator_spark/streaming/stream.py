@@ -1,0 +1,113 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The reference "streams" only in the bounded pull-based sense: driver paging
+(T1, MigrateTableTask.java:315-331), inter-page throttling (T2, TMD:87-91),
+batch accumulation (T3, MTT:299-347) and a parallel write pool (T4,
+MTT:463-520).  Structured Streaming subsumes all four: microbatch triggers
+are pages, trigger intervals / source rate options are throttling,
+``foreachBatch`` is the batch unit, task parallelism is the write pool.
+
+On top, the engine exposes what the reference lacks (T8): event-time
+tumbling/sliding windows, watermarks, and streaming dedup over the
+``events`` fixture.
+
+Determinism notes for the test/oracle environment:
+  * ``availableNow`` + memory sink drives a bounded stream to completion
+    synchronously.
+  * aggregations run in **complete** output mode: with availableNow the
+    whole input lands in one microbatch, so an append-mode watermark would
+    never advance past the final window and would emit nothing.  Complete
+    mode emits every window exactly once — and makes the result comparable
+    to a batch oracle.
+  * production streams (kafka/rate) would use append mode + watermark; the
+    operators are identical, only sink/trigger wiring differs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _as_stream_dir(path: str) -> str:
+    """FileStreamSource wants a directory; the fixture is a single parquet
+    file.  Expose it through a temp directory symlink (no data copy)."""
+    if os.path.isdir(path):
+        return path
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(path, os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a bounded file stream.  Schema comes from a
+    batch probe (streams need explicit schemas); the TIMESTAMP(NANOS)
+    column arrives as long and is truncated to micros exactly like the
+    batch reader (sources.parquet.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
+    for name, dtype in stream.dtypes:
+        if name == "ts" and dtype == "bigint":
+            stream = stream.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return stream
+
+
+def tumbling_window_agg(
+    events: DataFrame, window_duration: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Event-time tumbling window aggregate (counts + exact decimal sum).
+    ``watermark`` enables late-data bounds in append-mode production use."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window_duration), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup_counts(events: DataFrame) -> DataFrame:
+    """Stateful exact dedup on event_id, then per-type counts — the
+    streaming form of the engine's exact-dedup operator."""
+    # (exact countDistinct is unsupported on streams — a second-level
+    # distinct would be another Deduplicate; keep one stateful op per query)
+    return (
+        events.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+        )
+    )
+
+
+def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a bounded streaming aggregate to completion (availableNow) into
+    a memory sink and return the result as a batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+    return agg.sparkSession.table(name)

@@ -1,0 +1,50 @@
+"""Oracle-parity tests: every registry query vs its DuckDB oracle at
+sf0.001 — the same comparison the driver's correctness gate performs
+(row count + schema + order-insensitive exact values)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cassandra_cql_streaming_db_migrator_spark.queries import all_queries
+from cassandra_cql_streaming_db_migrator_spark.sources.parquet import TABLES
+from tools.check_correctness import rowset
+
+from conftest import SF_DIR
+
+_QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, oracle):
+    q = _QUERIES[name]
+    sdf = q.fn(spark, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = [[row[c] for c in scols] for row in sdf.collect()]
+
+    if q.oracle is None:
+        assert len(srows) >= 0  # rows-only contract: must run and be stable
+        again = [[row[c] for c in scols] for row in q.fn(spark, sf_dir).collect()]
+        assert rowset(srows) == rowset(again), "rows-only query must be deterministic"
+        return
+
+    cur = oracle.execute(q.oracle)
+    ocols_raw = [d[0] for d in cur.description]
+    orows_raw = cur.fetchall()
+    order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+    ocols = [ocols_raw[i] for i in order]
+    orows = [[r[i] for i in order] for r in orows_raw]
+
+    assert scols == ocols
+    assert len(srows) == len(orows)
+    assert rowset(srows) == rowset(orows)

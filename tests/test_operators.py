@@ -1,0 +1,135 @@
+"""Operator-level tests (SURVEY §2, §7.4 watch list)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cassandra_cql_streaming_db_migrator_spark.operators.anti_join import if_not_exists_filter
+from cassandra_cql_streaming_db_migrator_spark.operators.compute import (
+    hash_bucket_column,
+    java_string_hashcode,
+)
+from cassandra_cql_streaming_db_migrator_spark.operators.counter import counter_merge
+from cassandra_cql_streaming_db_migrator_spark.operators.dedup import exact_dedup
+from cassandra_cql_streaming_db_migrator_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from cassandra_cql_streaming_db_migrator_spark.operators.ttl import ttl_preserving_columns
+from cassandra_cql_streaming_db_migrator_spark.sinks.sinks import quarantine_split, upsert_parquet
+from cassandra_cql_streaming_db_migrator_spark.sources.parquet import load_table
+
+
+def java_hashcode(s: str) -> int:
+    """Reference implementation of JVM String.hashCode (wrapping int32)."""
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+class TestComputedColumns:
+    def test_hashcode_jvm_exact(self, spark):
+        # DefaultMigratorPlugin.java example (YAML:105-120) requires JVM
+        # String.hashCode semantics, including negative hashes.
+        samples = ["", "a", "Customer#000000001", "polygenelubricants", "Aa", "BB"]
+        df = spark.createDataFrame([Row(s=x) for x in samples])
+        got = {r.s: r.h for r in df.select("s", java_string_hashcode("s").alias("h")).collect()}
+        for s in samples:
+            assert got[s] == java_hashcode(s), s
+
+    def test_hash_bucket_range(self, spark, sf_dir):
+        df = load_table(spark, sf_dir, "customer")
+        buckets = df.select(hash_bucket_column("c_name", 32).alias("b"))
+        mn, mx = buckets.agg(F.min("b"), F.max("b")).first()
+        assert 0 <= mn and mx <= 31
+
+
+class TestCounterMerge:
+    def test_null_increments_skipped(self, spark):
+        # DMP:426-432 — NULL must never contribute to a counter
+        df = spark.createDataFrame(
+            [Row(k=1, v=1.5), Row(k=1, v=None), Row(k=2, v=None)],
+            schema="k long, v double",
+        )
+        out = {r.k: (r.v, r.merged_row_count) for r in counter_merge(df, ["k"], ["v"]).collect()}
+        assert float(out[1][0]) == 1.5 and out[1][1] == 2
+        assert out[2][0] is None and out[2][1] == 1  # all-NULL group sums to NULL
+
+    def test_merge_is_partitioning_invariant(self, spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        a = counter_merge(events, ["user_id"], ["value"]).collect()
+        b = counter_merge(events.repartition(7), ["user_id"], ["value"]).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # decimal => exact
+
+
+class TestTtl:
+    def test_age_preserving_arithmetic(self, spark):
+        # DMP:360-365: target_ttl = tgtTTL - (srcTTL - rowTtl)
+        df = spark.createDataFrame([Row(row_ttl_value=86000), Row(row_ttl_value=100)])
+        out = ttl_preserving_columns(df, 86400, 172800).collect()
+        assert out[0].target_ttl == 172800 - (86400 - 86000)
+        # negative (expired-under-new-TTL) surfaced, not clamped (SURVEY §7.4)
+        out2 = ttl_preserving_columns(df, 86400, 200).collect()
+        assert out2[1].target_ttl == 200 - (86400 - 100) < 0
+
+
+class TestAntiJoin:
+    def test_survivors_are_applied_writes(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        seeded = orders.filter("o_orderkey % 2 = 0")
+        out = if_not_exists_filter(orders, seeded, ["o_orderkey"])
+        assert out.count() == orders.count() - seeded.count()
+        assert out.filter("o_orderkey % 2 = 0").count() == 0
+
+
+class TestQuarantine:
+    def test_split_covers_all_rows(self, spark):
+        df = spark.createDataFrame(
+            [Row(k=1, v=1), Row(k=None, v=2), Row(k=3, v=None)], "k long, v long"
+        )
+        ok, failed = quarantine_split(df, F.col("k").isNotNull())
+        assert ok.count() == 2 and failed.count() == 1
+
+
+class TestUpsert:
+    def test_new_rows_win_on_pk(self, spark, tmp_path):
+        target = str(tmp_path / "t.parquet")
+        spark.createDataFrame([Row(k=1, v="old"), Row(k=2, v="keep")]).write.parquet(target)
+        batch = spark.createDataFrame([Row(k=1, v="new"), Row(k=3, v="ins")])
+        upsert_parquet(batch, target, ["k"])
+        got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+        assert got == {1: "new", 2: "keep", 3: "ins"}
+
+    def test_creates_when_missing(self, spark, tmp_path):
+        target = str(tmp_path / "fresh.parquet")
+        batch = spark.createDataFrame([Row(k=1, v="a")])
+        upsert_parquet(batch, target, ["k"])
+        assert not os.path.exists(target) or spark.read.parquet(target).count() == 1
+
+
+class TestDedup:
+    def test_exact_dedup_min_id_winner(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=5, text="x"), Row(doc_id=2, text="x"), Row(doc_id=9, text="y")]
+        )
+        out = {r.doc_id: r.n_dups for r in exact_dedup(df, "text", "doc_id").collect()}
+        assert out == {2: 2, 9: 1}
+
+
+class TestSimilarity:
+    def test_self_similarity_first(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter("vec_id = 7")
+        top = cosine_topk(emb, q, k=3).collect()
+        assert top[0].vec_id == 7 and abs(top[0].cosine - 1.0) < 1e-12
+
+    def test_ann_subset_of_corpus_and_sorted(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter("vec_id = 7")
+        got = lsh_ann_topk(emb, q, k=10, n_bits=4).collect()
+        assert len(got) >= 1
+        cosines = [r.cosine for r in got]
+        assert cosines == sorted(cosines, reverse=True)
+        # the query's own bucket contains the query itself
+        assert got[0].vec_id == 7

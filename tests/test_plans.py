@@ -1,0 +1,113 @@
+"""Spec / validation / MVEL-translation unit tests (SURVEY §1.2, §2.8, §3.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import types as T
+
+from cassandra_cql_streaming_db_migrator_spark.plans.mvel import referenced_columns, translate_mvel
+from cassandra_cql_streaming_db_migrator_spark.plans.spec import load_spec
+from cassandra_cql_streaming_db_migrator_spark.plans.validate import (
+    SchemaValidationError,
+    validate_migration_schema,
+)
+
+
+class TestMvel:
+    def test_row_refs_and_boolean_ops(self):
+        # migration-config.example.yaml:95 style
+        assert (
+            translate_mvel("row.clust_key_col_2 >= 3000 && row.clust_key_col_2 < 10000")
+            == "clust_key_col_2 >= 3000 AND clust_key_col_2 < 10000"
+        )
+
+    def test_or_not_null_literals(self):
+        assert translate_mvel("row.a == null || !row.b") == "a == NULL OR NOT b"
+
+    def test_string_methods_chained(self):
+        assert (
+            translate_mvel("row.s.trim().toUpperCase().startsWith('AB')")
+            == "startswith(upper(trim(s)), 'AB')"
+        )
+
+    def test_referenced_columns(self):
+        # CassandraSchemaUtil.java:58-65 regex parity
+        assert referenced_columns("row.a > 1 && row.b < row.a") == ["a", "b"]
+
+
+class TestSpec:
+    def test_yaml_camel_case_parity(self):
+        spec = load_spec(
+            """
+tables:
+  - tableName: lineitem
+    targetTableName: lineitem_v2
+    whereClause: "l_quantity >= 5"
+    maxReadRowCount: 100
+    continueOnRowError: true
+"""
+        )
+        t = spec.tables[0]
+        assert t.target == "lineitem_v2"
+        assert t.max_read_row_count == 100
+        assert t.simulate_only is True  # TMD:40-48 default
+
+    def test_continue_on_row_error_mandatory(self):
+        # MigrateTableTask.java:168-169
+        with pytest.raises(ValueError, match="continue_on_row_error"):
+            load_spec({"tables": [{"tableName": "x"}]})
+
+    def test_lwt_on_counter_rejected(self):
+        # TMD:112-114
+        with pytest.raises(ValueError, match="not.*supported"):
+            load_spec(
+                {
+                    "tables": [
+                        {
+                            "tableName": "x",
+                            "continueOnRowError": True,
+                            "insertOnlyIfNotExist": True,
+                            "counterColumns": ["c"],
+                        }
+                    ]
+                }
+            )
+
+
+class TestValidate:
+    src = T.StructType([T.StructField("pk", T.LongType()), T.StructField("a", T.LongType())])
+
+    def test_pk_missing_is_error(self):
+        # DMP:249-254
+        tgt = T.StructType([T.StructField("pk2", T.LongType())])
+        with pytest.raises(SchemaValidationError):
+            validate_migration_schema(self.src, tgt, ["pk2"])
+
+    def test_pk_from_calculated_ok(self):
+        tgt = T.StructType([T.StructField("pk2", T.LongType())])
+        res = validate_migration_schema(self.src, tgt, ["pk2"], {"pk2": "pk * 2"})
+        assert res.write_columns == ["pk2"]
+
+    def test_non_pk_dropped_with_warning(self):
+        # DMP:256-269
+        tgt = T.StructType(
+            [T.StructField("pk", T.LongType()), T.StructField("extra", T.LongType())]
+        )
+        res = validate_migration_schema(self.src, tgt, ["pk"])
+        assert res.dropped_columns == ["extra"]
+        assert len(res.warnings) == 1
+
+    def test_calculated_must_exist_in_target(self):
+        # DMP:154-158
+        tgt = T.StructType([T.StructField("pk", T.LongType())])
+        with pytest.raises(SchemaValidationError, match="calculated"):
+            validate_migration_schema(self.src, tgt, ["pk"], {"ghost": "1"})
+
+    def test_pk_first_ordering(self):
+        # DMP:239-274 LinkedHashSet ordering
+        tgt = T.StructType(
+            [T.StructField("a", T.LongType()), T.StructField("pk", T.LongType())]
+        )
+        res = validate_migration_schema(self.src, tgt, ["pk"])
+        assert res.write_columns == ["pk", "a"]
