@@ -51,6 +51,63 @@ def test_write_cap_exact(spark, sf_dir):
     assert res.rows_migrated == 37
 
 
+def test_error_policy_continue_counts_failed(spark, sf_dir):
+    """T5: invalid rows (NULL PK) are quarantined and counted, not written."""
+    from pyspark.sql import Row
+
+    from cassandra_cql_streaming_db_migrator_spark.plans.spec import TableMigration, PipelineSpec
+
+    src = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=None, v="bad"), Row(k=3, v="c")], "k long, v string"
+    )
+    spec = PipelineSpec(
+        tables=[TableMigration(table_name="t", key_columns=["k"], continue_on_row_error=True)]
+    )
+    [res] = run_pipeline(spark, spec, {"t": src})
+    assert res.rows_failed == 1
+    assert res.rows_migrated == 2
+    assert res.rows_read == 3
+    assert res.rows_read == res.rows_passed_filter + res.rows_filtered + res.rows_failed
+
+
+def test_error_policy_failfast_aborts(spark, sf_dir):
+    """T5: continue_on_row_error=False aborts the table on any invalid row
+    (MigrateTableTask.java:496-517 fail-fast parity)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from cassandra_cql_streaming_db_migrator_spark.plans.spec import TableMigration, PipelineSpec
+
+    src = spark.createDataFrame([Row(k=None, v="bad")], "k long, v string")
+    spec = PipelineSpec(
+        tables=[TableMigration(table_name="t", key_columns=["k"], continue_on_row_error=False)]
+    )
+    with pytest.raises(RuntimeError, match="fail validity"):
+        run_pipeline(spark, spec, {"t": src})
+
+
+def test_thread_pool_scheduling(spark, sf_dir):
+    """T7: thread_count > 1 runs table tasks concurrently; results keep
+    declared order (DbMigrator.java:78-80)."""
+    spec = load_spec(
+        {
+            "threadCount": 3,
+            "tables": [
+                {"tableName": n, "keyColumns": [k], "continueOnRowError": False}
+                for n, k in [
+                    ("region", "r_regionkey"),
+                    ("nation", "n_nationkey"),
+                    ("customer", "c_custkey"),
+                ]
+            ],
+        }
+    )
+    tables = load_tables(spark, sf_dir)
+    results = run_pipeline(spark, spec, tables)
+    assert [r.table for r in results] == ["region", "nation", "customer"]
+    assert [r.rows_migrated for r in results] == [5, 25, 150]
+
+
 def test_ordered_multi_table_and_plan_all_then_run(spark, sf_dir):
     """Tables run in declared order (O3/T7); plans built before any runs."""
     spec = load_spec(
