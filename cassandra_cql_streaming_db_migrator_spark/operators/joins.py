@@ -17,7 +17,7 @@ Scale doctrine:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,3 +39,117 @@ def colocated(df: DataFrame, key_columns: list[str], partitions: int | None = No
     """Hash-partition on the join/agg key so several downstream wide ops on
     the same key share one exchange (bucketing's runtime cousin)."""
     return df.repartition(partitions, *key_columns) if partitions else df.repartition(*key_columns)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` on the same keys (``backward``; ``forward``
+    flips to earliest with ``right_ts >= left_ts``).  Ties at equal
+    timestamps are inclusive (the right row at exactly left_ts matches).
+
+    Implemented as union + ordered window, NOT join-then-rank: tag both
+    sides, sort each key group by event time with right rows first at ties,
+    and carry the last non-null right payload forward.  One shuffle on
+    ``keys``, zero candidate-pair blow-up — a join+filter+row_number plan
+    materializes |left|x|right-per-key| intermediate pairs, which at 100 TB
+    is the difference between a linear pass and an explosion.
+
+    Left rows with no matching right row get NULL payload (left-outer
+    semantics).  If several right rows share (keys, right_ts), which one
+    wins is tie-ambiguous — pass payload columns that are themselves
+    ordered (e.g. the right timestamp) or pre-dedup the right side.
+    """
+    left_extra = [c for c in left.columns if c not in keys and c != left_ts]
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_extra],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
+        *[F.col(c) for c in payload_cols],
+    )
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__side").asc()]
+    elif direction == "forward":
+        order = [F.col("__t").desc(), F.col("__side").asc()]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        *keys,
+        "__t",
+        "__side",
+        *left_extra,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *keys, F.col("__t").alias(left_ts), *left_extra, *payload_cols
+    )
+
+
+def interval_join_broadcast(
+    fact: DataFrame,
+    intervals: DataFrame,
+    point,
+    lo,
+    hi,
+    how: str = "inner",
+) -> DataFrame:
+    """Containment join ``lo <= point < hi`` with a broadcast small side.
+    Spark plans non-equi joins as nested-loop; broadcasting the interval
+    table makes that a per-row scan of an in-memory list — the right call
+    whenever the interval set fits in an executor (tiers, calendars,
+    buckets).  For interval tables too big to broadcast use
+    ``interval_join_bucketed``."""
+    cond = (fact[point] >= intervals[lo]) & (fact[point] < intervals[hi])
+    return fact.join(F.broadcast(intervals), on=cond, how=how)
+
+
+def interval_join_bucketed(
+    fact: DataFrame,
+    intervals: DataFrame,
+    point: str,
+    lo: str,
+    hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Containment join for LARGE interval tables: explode each interval
+    into the coarse buckets it covers, equi-join fact rows on their single
+    bucket, then apply the exact range predicate.  Turns the nested-loop
+    into a hash join whose cost is |fact| + sum(interval spans / width);
+    a point matches an interval in exactly one bucket (its own), so no
+    post-join dedup is needed.  Choose ``bucket_width`` ~ median interval
+    length: too small explodes the interval side, too large degrades the
+    bucket-local filter toward brute force."""
+    fb = fact.withColumn("__bucket", F.floor(F.col(point) / F.lit(bucket_width)))
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(bucket_width)),
+                F.floor(F.col(hi) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    joined = fb.join(ib, on="__bucket")
+    return joined.filter(
+        (F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi))
+    ).drop("__bucket")

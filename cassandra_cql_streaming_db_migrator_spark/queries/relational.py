@@ -11,10 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.aggregates import decimal_sum, grouped, rollup_agg, stable_avg
-from ..operators.joins import broadcast_dim_join, semi_join
+from ..operators.aggregates import cube_agg, decimal_sum, grouped, rollup_agg, stable_avg
+from ..operators.joins import (
+    asof_join,
+    broadcast_dim_join,
+    interval_join_broadcast,
+    semi_join,
+)
 from ..operators.setops import except_distinct, intersect, union_distinct
-from ..operators.windows import running_agg, top_k_per_group
+from ..operators.windows import lag_lead, running_agg, top_k_per_group
 from ..sources.parquet import load_table
 from . import QueryDef
 
@@ -286,6 +291,123 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+# ---------------------------------------------------------------------------
+# CUBE: every grouping-set combination in one pass (Expand + single shuffle).
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [decimal_sum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n_orders")],
+    )
+
+
+_AGG_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       sum(CAST(o_totalprice AS DECIMAL(28,10))) AS sum_price,
+       count(*) AS n_orders,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS grouping_o_orderstatus,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS grouping_o_orderpriority
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+# ---------------------------------------------------------------------------
+# Analytic lag/lead: previous/next event value per user, total order by
+# (ts, event_id) so the offsets are well-defined.
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = lag_lead(
+        events,
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        "value",
+    )
+    return out.select("user_id", "event_id", "value", "value_lag", "value_lead")
+
+
+_WINDOW_LAG_LEAD_SQL = """
+SELECT user_id, event_id, value,
+       lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag,
+       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lead
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# As-of join: for every click, the most recent error by the same user at or
+# before it (union + ordered window — one shuffle, no candidate-pair
+# blow-up; see operators.joins.asof_join).
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("last_err_ts")
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="last_err_ts",
+        payload_cols=["last_err_ts"],
+    )
+    return out.select("user_id", "event_id", "ts", "last_err_ts")
+
+
+_JOIN_ASOF_SQL = """
+WITH u AS (
+  SELECT user_id, ts, event_id, CAST(NULL AS TIMESTAMP) AS err_ts, 1 AS side
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, NULL, ts, 0 FROM events WHERE event_type = 'error'
+), w AS (
+  SELECT user_id, event_id, ts, side,
+         max(err_ts) OVER (PARTITION BY user_id ORDER BY ts, side
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_err_ts
+  FROM u)
+SELECT user_id, event_id, ts, last_err_ts FROM w WHERE side = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Interval containment join: events binned into value tiers via a broadcast
+# nested-loop against the (tiny) tier table.
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 300.0),
+         ("extreme", 300.0, 1e12)],
+        "tier string, lo double, hi double",
+    )
+    joined = interval_join_broadcast(events, tiers, "value", "lo", "hi")
+    return grouped(
+        joined,
+        ["tier"],
+        [F.count(F.lit(1)).alias("n_events"), decimal_sum("value", "sum_value")],
+    )
+
+
+_JOIN_RANGE_SQL = """
+SELECT tier, count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(28,10))) AS sum_value
+FROM events
+JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 300.0),
+             ('extreme', 300.0, 1e12)) AS t(tier, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY tier
+"""
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_SQL,
              "A4: TPC-H Q1-shape wide aggregate"),
@@ -302,6 +424,14 @@ QUERIES = [
              "A4: ROLLUP + grouping indicators"),
     QueryDef("distinct_agg", distinct_agg, _DISTINCT_AGG_SQL,
              "A4: exact multi-distinct aggregation"),
+    QueryDef("agg_cube", agg_cube, _AGG_CUBE_SQL,
+             "A4: CUBE + grouping indicators"),
+    QueryDef("window_lag_lead", window_lag_lead, _WINDOW_LAG_LEAD_SQL,
+             "O7: analytic lag/lead offsets"),
+    QueryDef("join_asof", join_asof, _JOIN_ASOF_SQL,
+             "J2: as-of join via union + ordered window"),
+    QueryDef("join_range", join_range, _JOIN_RANGE_SQL,
+             "J2: interval containment join (broadcast NLJ)"),
     QueryDef("set_except", set_except, _SET_EXCEPT_SQL, "O6: EXCEPT"),
     QueryDef("set_union", set_union, _SET_UNION_SQL, "O6: UNION distinct"),
     QueryDef("set_intersect", set_intersect, _SET_INTERSECT_SQL, "O6: INTERSECT"),

@@ -133,3 +133,64 @@ class TestSimilarity:
         assert cosines == sorted(cosines, reverse=True)
         # the query's own bucket contains the query itself
         assert got[0].vec_id == 7
+
+
+class TestAsofAndIntervalJoins:
+    """J2 gap-fill: as-of (union+window) and interval containment joins."""
+
+    def test_asof_backward_picks_latest_at_or_before(self, spark):
+        left = spark.createDataFrame(
+            [Row(k=1, t=10, lid="a"), Row(k=1, t=20, lid="b"), Row(k=2, t=5, lid="c")],
+            "k long, t long, lid string",
+        )
+        right = spark.createDataFrame(
+            [Row(k=1, rt=10, rv="x10"), Row(k=1, rt=15, rv="x15"), Row(k=2, rt=9, rv="y9")],
+            "k long, rt long, rv string",
+        )
+        from cassandra_cql_streaming_db_migrator_spark.operators.joins import asof_join
+
+        out = {
+            r["lid"]: r["rv"]
+            for r in asof_join(
+                left, right, ["k"], "t", "rt", ["rv"]
+            ).collect()
+        }
+        # t=10 matches rt=10 (inclusive tie), t=20 matches rt=15, t=5 has no
+        # prior right row -> NULL (left-outer semantics)
+        assert out == {"a": "x10", "b": "x15", "c": None}
+
+    def test_asof_forward_picks_earliest_at_or_after(self, spark):
+        left = spark.createDataFrame([Row(k=1, t=12, lid="a")], "k long, t long, lid string")
+        right = spark.createDataFrame(
+            [Row(k=1, rt=10, rv="past"), Row(k=1, rt=12, rv="now"), Row(k=1, rt=30, rv="later")],
+            "k long, rt long, rv string",
+        )
+        from cassandra_cql_streaming_db_migrator_spark.operators.joins import asof_join
+
+        [r] = asof_join(left, right, ["k"], "t", "rt", ["rv"], direction="forward").collect()
+        assert r["rv"] == "now"
+
+    def test_interval_bucketed_equals_broadcast(self, spark):
+        """The bucketed strategy must produce exactly the broadcast NLJ
+        result for any bucket width (points match in their own bucket only)."""
+        from cassandra_cql_streaming_db_migrator_spark.operators.joins import (
+            interval_join_broadcast,
+            interval_join_bucketed,
+        )
+
+        points = spark.range(0, 200).select(F.col("id").cast("double").alias("v"))
+        ivs = spark.createDataFrame(
+            [Row(name="n1", lo=0.0, hi=37.0), Row(name="n2", lo=36.0, hi=120.0),
+             Row(name="n3", lo=150.0, hi=151.0)],
+            "name string, lo double, hi double",
+        )
+        base = sorted(
+            (r["v"], r["name"])
+            for r in interval_join_broadcast(points, ivs, "v", "lo", "hi").collect()
+        )
+        for width in (1.0, 10.0, 1000.0):
+            got = sorted(
+                (r["v"], r["name"])
+                for r in interval_join_bucketed(points, ivs, "v", "lo", "hi", width).collect()
+            )
+            assert got == base, f"bucket width {width} diverged"
