@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ..streaming.stream import (
     read_events_stream,
     run_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    stateful_user_stats,
     streaming_dedup_counts,
     tumbling_window_agg,
 )
@@ -49,10 +52,77 @@ FROM deduped WHERE rn = 1 GROUP BY event_type
 """
 
 
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(session_window_agg(events, "10 minutes"))
+
+
+# Batch sessionization: a new session starts when the gap to the previous
+# event is >= 10 min (each event's window is [ts, ts+gap), so a gap of
+# exactly 10 min does NOT merge); session_end = last ts + gap.
+_STREAM_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '10 minutes' AS session_end,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(28,10))) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(sliding_window_agg(events, "1 hour", "30 minutes"))
+
+
+# Each event falls into the two 30-min-aligned 1-hour windows covering it.
+_STREAM_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT u.ws AS window_start, event_type, value
+  FROM events,
+       UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+         AS u(ws)
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(28,10))) AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
+def stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(stateful_user_stats(events), output_mode="update")
+
+
+_STREAM_STATEFUL_SQL = """
+SELECT user_id, count(*) AS n_events, max(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = [
     QueryDef("stream_tumbling_agg", stream_tumbling_agg, _STREAM_TUMBLING_SQL,
              "T8: event-time tumbling window agg via Structured Streaming",
              bench=False),
     QueryDef("stream_dedup", stream_dedup, _STREAM_DEDUP_SQL,
              "T8: stateful streaming dedup + counts", bench=False),
+    QueryDef("stream_session_window", stream_session_window, _STREAM_SESSION_SQL,
+             "T8: event-time session windows (gap merge)", bench=False),
+    QueryDef("stream_sliding_agg", stream_sliding_agg, _STREAM_SLIDING_SQL,
+             "T8: overlapping sliding windows", bench=False),
+    QueryDef("stream_stateful_stats", stream_stateful_stats, _STREAM_STATEFUL_SQL,
+             "T8: custom stateful op via applyInPandasWithState", bench=False),
 ]

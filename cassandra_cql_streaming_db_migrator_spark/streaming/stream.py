@@ -95,6 +95,89 @@ def streaming_dedup_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Event-time session windows: per key, events closer than ``gap`` merge
+    into one session (a new session starts when ts - prev_ts >= gap, since
+    each event's window is [ts, ts+gap)).  State is per (key, open session)
+    and merges on overlap — the streaming form of sessionization that a
+    batch engine needs a lag+cumsum window cascade to express."""
+    keys = keys or ["user_id"]
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+        )
+        .select(
+            *keys,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping event-time windows (each event lands in
+    duration/slide windows).  ``watermark`` bounds state retention and
+    drops late rows in append-mode production streams."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window_duration, slide), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the escape
+    hatch for per-key streaming logic Spark's built-ins can't express
+    (reference plugin API analog, IMigratorPlugin.java:22-40, in streaming
+    form).  Keeps (n_events, max_value) per user in explicit GroupState;
+    Arrow moves each key's rows as pandas batches, never row-at-a-time."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, max_value double"
+    state_schema = "n long, mx double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a bounded streaming aggregate to completion (availableNow) into
     a memory sink and return the result as a batch DataFrame."""

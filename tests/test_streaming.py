@@ -52,3 +52,112 @@ def test_watermark_accepted_on_stream(spark, sf_dir):
     agg = tumbling_window_agg(read_events_stream(spark, sf_dir), "1 hour", watermark="30 minutes")
     out = run_to_memory(agg)
     assert out.count() > 0
+
+
+def test_session_and_sliding_and_stateful_equal_batch(spark, sf_dir):
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        session_window_agg,
+        sliding_window_agg,
+        stateful_user_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+
+    sess_stream = run_to_memory(session_window_agg(read_events_stream(spark, sf_dir)))
+    sess_batch = (
+        events.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert _as_sorted_tuples(sess_stream.collect()) == _as_sorted_tuples(sess_batch.collect())
+
+    slide_stream = run_to_memory(sliding_window_agg(read_events_stream(spark, sf_dir)))
+    assert slide_stream.count() > 0
+
+    stateful = run_to_memory(
+        stateful_user_stats(read_events_stream(spark, sf_dir)), output_mode="update"
+    )
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value")
+    )
+    assert _as_sorted_tuples(stateful.collect()) == _as_sorted_tuples(batch.collect())
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
+    """Append-mode watermark semantics, end to end: a row arriving in a
+    later microbatch, older than the advanced watermark, is dropped from an
+    already-closed window.  Watermark propagation lags one microbatch (it is
+    computed from batch N's data and becomes operative in batch N+1), so the
+    late row arrives two batches after the event that seals its window."""
+    import os
+    import uuid as _uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    schema = "ts timestamp, v long"
+
+    def write_batch(name, stamps, vals, mtime):
+        tbl = pa.table(
+            {"ts": pd.to_datetime(stamps).astype("datetime64[us]"), "v": vals}
+        )
+        path = str(src / name)
+        pq.write_table(tbl, path)
+        # FileStreamSource orders by modification time — make it explicit
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: three rows in the 10:00 window + one at 12:00 that moves the
+    # watermark (10 min delay) to 11:50, sealing the 10:00-11:00 window
+    write_batch(
+        "b1.parquet",
+        ["2024-01-01 10:00:30", "2024-01-01 10:05:00",
+         "2024-01-01 10:20:00", "2024-01-01 12:00:00"],
+        [1, 1, 1, 1],
+        1_000_000_000,
+    )
+    # batch 2: watermark from batch 1 (11:50) becomes operative
+    write_batch("b2.parquet", ["2024-01-01 13:00:00"], [1], 1_000_000_010)
+    # batch 3: a LATE row for the sealed 10:00 window + one at 14:00
+    write_batch(
+        "b3.parquet", ["2024-01-01 10:01:00", "2024-01-01 14:00:00"], [100, 1],
+        1_000_000_020,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    name = f"wm_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    rows = {r["ws"].isoformat(): r["n"] for r in spark.table(name).collect()}
+    # the 10:00 window emitted exactly once, WITHOUT the late batch-3 row
+    assert rows.get("2024-01-01T10:00:00") == 3
+    # the 12:00 window sealed once the watermark passed 13:00
+    assert rows.get("2024-01-01T12:00:00") == 1
+    # windows not yet past the final watermark (13:50) never emit in append
+    assert "2024-01-01T13:00:00" not in rows
+    assert "2024-01-01T14:00:00" not in rows
