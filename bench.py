@@ -38,8 +38,18 @@ def main() -> int:
 
     queries = {n: q for n, q in all_queries().items() if q.bench}
 
-    # warmup: JVM, codegen, parquet footer caches
+    # warmup: JVM, codegen, parquet footer caches — and the Python worker
+    # pool (Arrow-kernel queries pay a one-time per-executor interpreter +
+    # numpy import cost that is process startup, not query work)
     run_query_to_noop(all_queries()["scan_project"].fn(spark, sf_dir))
+    from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.sources.parquet import load_table
+
+    run_query_to_noop(
+        simhash_fingerprints(load_table(spark, sf_dir, "documents").limit(3000))
+    )
 
     timings: dict[str, float] = {}
     for name, q in queries.items():

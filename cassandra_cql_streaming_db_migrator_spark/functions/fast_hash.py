@@ -1,0 +1,162 @@
+"""Arrow-vectorized twins of the Catalyst HOF hash kernels (functions.hashing).
+
+The HOF implementations in operators/dedup.py are pure-JVM and
+oracle-exact, but Spark evaluates higher-order-function lambdas
+interpreted, not codegen'd — a 16-permutation minhash fold or a 53-bit
+simhash vote loop pays that interpreter cost per element.  These kernels
+compute the SAME integers (same moduli, same folds, bit-for-bit) in numpy
+over whole Arrow batches: one C-speed pass per batch instead of an
+interpreted expression tree per element.
+
+Everything here is per-row pure (no cross-row state), so the operators
+stay partitioning-invariant and distribute like any map: at 100 TB the
+kernel cost scales linearly and shuffles are unchanged — only the
+signature-computation stage gets cheaper.
+
+Exactness notes (all arithmetic stays inside int64):
+  * codepoints via utf-32-le == Spark ``ascii()`` / DuckDB ``ascii()``
+    codepoint semantics;
+  * shingle hash: h = fold(31*h + cp) mod 1e9+7; max cp 0x10FFFF,
+    31*h < 2^35 — fits int64 via 5-wide dot product < 2^53;
+  * minhash: (a*h + b) mod (2^31-1), a*h < 2^61;
+  * simhash token hash: fold mod 2^53-111, 31*h < 2^58.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import MINHASH_P, MINHASH_PERMS, POLY_MOD, SIMHASH_MOD
+
+
+def _codepoints(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+
+
+def _poly_fold(codes: np.ndarray, mod: int) -> int:
+    h = 0
+    for c in codes.tolist():
+        h = (h * 31 + c) % mod
+    return h
+
+
+def _segmented_positions(counts: np.ndarray) -> np.ndarray:
+    """[0..counts[0]), [0..counts[1]), ... concatenated (vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    idx = np.arange(total, dtype=np.int64)
+    seg = np.searchsorted(ends, idx, side="right")
+    starts = ends - counts
+    return idx - starts[seg]
+
+
+def shingle_hash_sets(
+    texts: list[str], shingle_len: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct shingle hashes for every doc in one vectorized pass.
+
+    Returns (doc_idx, hashes) sorted by (doc, hash): the distinct
+    ``poly_hash`` values of each doc's character shingles, replicating
+    dedup.shingle_hashes exactly (docs shorter than ``shingle_len``
+    contribute the hash of the whole text — 0 for empty).
+    """
+    n_docs = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n_docs)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    codes = _codepoints("".join(texts))
+
+    doc_parts: list[np.ndarray] = []
+    hash_parts: list[np.ndarray] = []
+
+    long_mask = lens >= shingle_len
+    if long_mask.any():
+        counts = np.where(long_mask, lens - shingle_len + 1, 0)
+        win_starts = np.repeat(offsets[:-1], counts) + _segmented_positions(counts)
+        windows = np.lib.stride_tricks.sliding_window_view(codes, shingle_len)[
+            win_starts
+        ]
+        pows = np.array(
+            [31 ** (shingle_len - 1 - j) for j in range(shingle_len)], dtype=np.int64
+        )
+        hash_parts.append((windows @ pows) % POLY_MOD)
+        doc_parts.append(np.repeat(np.arange(n_docs, dtype=np.int64), counts))
+
+    short_docs = np.nonzero(~long_mask)[0]
+    if short_docs.size:
+        doc_parts.append(short_docs)
+        hash_parts.append(
+            np.fromiter(
+                (
+                    _poly_fold(codes[offsets[d] : offsets[d + 1]], POLY_MOD)
+                    for d in short_docs.tolist()
+                ),
+                dtype=np.int64,
+                count=short_docs.size,
+            )
+        )
+
+    doc_idx = np.concatenate(doc_parts) if doc_parts else np.empty(0, dtype=np.int64)
+    hashes = np.concatenate(hash_parts) if hash_parts else np.empty(0, dtype=np.int64)
+    # distinct per doc: POLY hashes < 2^30, doc index < 2^33 here -> pack
+    combined = np.unique((doc_idx << np.int64(31)) | hashes)
+    return combined >> np.int64(31), combined & np.int64((1 << 31) - 1)
+
+
+def minhash_signatures(texts: list[str], shingle_len: int) -> np.ndarray:
+    """(n_docs, 16) int64 minhash signatures — same integers as
+    dedup.minhash_signature over dedup.shingle_hashes."""
+    n_docs = len(texts)
+    doc_idx, hashes = shingle_hash_sets(texts, shingle_len)
+    starts = np.searchsorted(doc_idx, np.arange(n_docs, dtype=np.int64))
+    sigs = np.empty((n_docs, len(MINHASH_PERMS)), dtype=np.int64)
+    for j, (a, b) in enumerate(MINHASH_PERMS):
+        vals = (a * hashes + b) % MINHASH_P
+        # every doc has >= 1 shingle hash (short docs hash the whole text),
+        # so reduceat segments are never empty
+        sigs[:, j] = np.minimum.reduceat(vals, starts) if vals.size else MINHASH_P
+    return sigs
+
+
+def ngram_hash_lists(texts: list[str], n: int) -> list[np.ndarray]:
+    """Per-doc distinct n-gram hash arrays (fuzzy-dedup gram sets)."""
+    doc_idx, hashes = shingle_hash_sets(texts, n)
+    bounds = np.searchsorted(doc_idx, np.arange(len(texts) + 1, dtype=np.int64))
+    return [hashes[bounds[i] : bounds[i + 1]] for i in range(len(texts))]
+
+
+def simhash_values(texts: list[str], token_sep: str = " ") -> np.ndarray:
+    """int64 simhash per doc — same integers as dedup.simhash_column
+    (split on ``token_sep`` keeping empties, poly-fold each token mod
+    2^53-111, majority vote per bit over 53 bits)."""
+    n_docs = len(texts)
+    token_lists = [t.split(token_sep) for t in texts]
+    n_tokens = np.fromiter(
+        (len(tl) for tl in token_lists), dtype=np.int64, count=n_docs
+    )
+    all_tokens = [tok for tl in token_lists for tok in tl]
+    if not all_tokens:
+        return np.zeros(n_docs, dtype=np.int64)
+
+    tok_lens = np.fromiter((len(t) for t in all_tokens), dtype=np.int64)
+    max_len = int(tok_lens.max()) if tok_lens.size else 0
+    codes = _codepoints("".join(all_tokens))
+    tok_offsets = np.concatenate([[0], np.cumsum(tok_lens)])
+
+    # column-wise fold: h = (h*31 + cp) % MOD for tokens still in range
+    h = np.zeros(len(all_tokens), dtype=np.int64)
+    for j in range(max_len):
+        active = tok_lens > j
+        if not active.any():
+            break
+        cp = codes[tok_offsets[:-1][active] + j]
+        h[active] = (h[active] * 31 + cp) % SIMHASH_MOD
+
+    # ±1 votes per bit, summed per doc; bit set iff vote sum positive
+    bits = (h[:, None] >> np.arange(53, dtype=np.int64)[None, :]) & np.int64(1)
+    votes = (bits * 2 - 1).astype(np.int64)
+    doc_starts = np.concatenate([[0], np.cumsum(n_tokens)])[:-1]
+    doc_votes = np.add.reduceat(votes, doc_starts, axis=0)
+    weights = np.int64(1) << np.arange(53, dtype=np.int64)
+    return ((doc_votes > 0) * weights[None, :]).sum(axis=1)

@@ -194,3 +194,52 @@ class TestAsofAndIntervalJoins:
                 for r in interval_join_bucketed(points, ivs, "v", "lo", "hi", width).collect()
             )
             assert got == base, f"bucket width {width} diverged"
+
+
+class TestArrowHofParity:
+    """The numpy Arrow kernels must produce bit-identical integers to the
+    pure-Catalyst HOF twins (same folds, same moduli)."""
+
+    def test_minhash_signatures_identical(self, spark, sf_dir):
+        from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+            minhash_signature_df,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = sorted((r["doc_id"], tuple(r["sig"])) for r in
+                   minhash_signature_df(docs, "text", "doc_id", engine="arrow").collect())
+        h = sorted((r["doc_id"], tuple(r["sig"])) for r in
+                   minhash_signature_df(docs, "text", "doc_id", engine="hof").collect())
+        assert a == h
+
+    def test_simhash_identical(self, spark, sf_dir):
+        from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+            simhash_fingerprints,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = sorted(tuple(r) for r in simhash_fingerprints(docs, engine="arrow").collect())
+        h = sorted(tuple(r) for r in simhash_fingerprints(docs, engine="hof").collect())
+        assert a == h
+
+    def test_edge_strings(self, spark):
+        """Empty docs, docs shorter than the shingle, multi-space tokens,
+        non-ascii codepoints — both engines must agree everywhere."""
+        from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+            minhash_signature_df,
+            simhash_fingerprints,
+        )
+
+        df = spark.createDataFrame(
+            [(0, ""), (1, "ab"), (2, "abcd"), (3, "exactly"), (4, "a  b   c"),
+             (5, "héllo wörld ünïcode"), (6, " lead and trail "), (7, "aaaaaaa")],
+            "doc_id long, text string",
+        )
+        a = sorted((r["doc_id"], tuple(r["sig"])) for r in
+                   minhash_signature_df(df, "text", "doc_id", engine="arrow").collect())
+        h = sorted((r["doc_id"], tuple(r["sig"])) for r in
+                   minhash_signature_df(df, "text", "doc_id", engine="hof").collect())
+        assert a == h
+        sa = sorted(tuple(r) for r in simhash_fingerprints(df, engine="arrow").collect())
+        sh = sorted(tuple(r) for r in simhash_fingerprints(df, engine="hof").collect())
+        assert sa == sh
