@@ -42,15 +42,49 @@ def cosine_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Exact top-k by cosine against a single query vector (one-row DF).
-    Broadcast the query; TakeOrderedAndProject keeps the scan single-pass.
-    Ties broken by id for determinism."""
-    q = F.broadcast(query.select(F.col(vec_col).alias("__query_vec")))
-    scored = embeddings.crossJoin(q).select(
-        F.col(id_col),
-        cosine(F.col(vec_col), F.col("__query_vec")).alias("cosine"),
+    Ties broken by id for determinism; TakeOrderedAndProject keeps the
+    scan single-pass either way.
+
+    ``arrow``: the query vector is a search *parameter*, not data — pull
+    it to the driver once and score each Arrow batch with the sequential
+    dimension fold (bit-identical to the HOF/SQL fold, C speed).
+    ``hof``: broadcast cross-join + Catalyst fold, zero Python."""
+    if engine == "hof":
+        q = F.broadcast(query.select(F.col(vec_col).alias("__query_vec")))
+        scored = embeddings.crossJoin(q).select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__query_vec")).alias("cosine"),
+        )
+        return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    [qrow] = query.select(F.col(vec_col)).limit(1).collect()
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qnorm_sq = 0.0
+    for d in range(qv.shape[0]):
+        qnorm_sq = qnorm_sq + qv[d] * qv[d]
+
+    schema = StructType(
+        [embeddings.schema[id_col], StructField("cosine", DoubleType(), True)]
     )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = _seq_fold_dots(mat, np.broadcast_to(qv, mat.shape))
+            norms = _seq_fold_dots(mat, mat)
+            cos = dots / (np.sqrt(norms) * np.sqrt(qnorm_sq))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cosine": cos})
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(score, schema)
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -62,8 +96,13 @@ _LCG_M = 2_147_483_648
 
 
 def _plane_component(b: int, i: Column) -> Column:
-    """Frozen pseudo-random weight in [-1, 1): ((A*(b*4096+i)+C) mod M) / M*2 - 1."""
-    seed = (F.lit(_LCG_A) * (F.lit(b * 4096) + i) + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    """Frozen pseudo-random weight in [-1, 1): ((A*(b*4096+i)+C) mod M) / M*2 - 1.
+    All integer arithmetic in long: A*(b*4096+i) reaches ~2^45, and int32
+    literals would silently wrap under non-ANSI semantics."""
+    seed = (
+        F.lit(_LCG_A).cast("long") * (F.lit(b * 4096).cast("long") + i.cast("long"))
+        + F.lit(_LCG_C).cast("long")
+    ) % F.lit(_LCG_M).cast("long")
     return seed.cast("double") / F.lit(float(_LCG_M)) * 2.0 - 1.0
 
 
@@ -83,6 +122,61 @@ def bucket_id(vec: Column, n_bits: int = 8) -> Column:
     return out
 
 
+def _plane_matrix(dim: int, n_bits: int):
+    """The frozen LCG hyperplanes as an (n_bits, dim) float64 matrix —
+    exactly _plane_component's integers and float ops."""
+    import numpy as np
+
+    i = np.arange(dim, dtype=np.int64)
+    rows = [
+        ((_LCG_A * (b * 4096 + i) + _LCG_C) % _LCG_M).astype(np.float64)
+        / _LCG_M
+        * 2.0
+        - 1.0
+        for b in range(n_bits)
+    ]
+    return np.stack(rows)
+
+
+def with_bucket_ids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    out_col: str = "__bucket",
+    engine: str = "arrow",
+) -> DataFrame:
+    """Append the LSH bucket id column.  ``arrow`` computes all bit
+    projections in one numpy pass per batch using the same sequential
+    dimension fold as the HOF twin (bit-identical signs); ``hof`` is the
+    pure-Catalyst expression."""
+    if engine == "hof":
+        return df.withColumn(out_col, bucket_id(F.col(vec_col), n_bits))
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField(out_col, LongType(), False)])
+
+    def assign(batches):
+        planes = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None or planes.shape[1] != mat.shape[1]:
+                planes = _plane_matrix(mat.shape[1], n_bits)
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(n_bits):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for d in range(mat.shape[1]):
+                    acc = acc + mat[:, d] * planes[b, d]
+                bucket |= (acc > 0).astype(np.int64) << b
+            yield pdf.assign(**{out_col: bucket})
+
+    return df.mapInPandas(assign, schema)
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -90,15 +184,15 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 8,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket.
     Recall is tunable via n_bits (fewer bits -> bigger buckets -> higher
     recall, more compute)."""
-    bucketed = embeddings.withColumn("__bucket", bucket_id(F.col(vec_col), n_bits))
+    bucketed = with_bucket_ids(embeddings, vec_col, n_bits, engine=engine)
     q = F.broadcast(
-        query.select(
-            F.col(vec_col).alias("__query_vec"),
-            bucket_id(F.col(vec_col), n_bits).alias("__qbucket"),
+        with_bucket_ids(query, vec_col, n_bits, engine=engine).select(
+            F.col(vec_col).alias("__query_vec"), F.col("__bucket").alias("__qbucket")
         )
     )
     candidates = bucketed.join(q, bucketed["__bucket"] == q["__qbucket"])
@@ -106,6 +200,122 @@ def lsh_ann_topk(
         F.col(id_col), cosine(F.col(vec_col), F.col("__query_vec")).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _seq_fold_dots(mat_a, mat_b):
+    """Pairwise dot products as the SAME sequential left-fold the HOF/SQL
+    versions use — a python loop over dimensions, vectorized across rows:
+    ((0 + x0*y0) + x1*y1) + ... per element.  numpy BLAS dot would change
+    the summation order and therefore the low-order bits, breaking
+    cross-engine hash parity; this keeps every intermediate IEEE-identical
+    while still running at C speed across the whole pair batch."""
+    import numpy as np
+
+    acc = np.zeros(mat_a.shape[0], dtype=np.float64)
+    for d in range(mat_a.shape[1]):
+        acc = acc + mat_a[:, d] * mat_b[:, d]
+    return acc
+
+
+def block_top_pairs(
+    embeddings: DataFrame,
+    block_col: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    engine: str = "arrow",
+) -> DataFrame:
+    """Top-k most-similar pairs within each block, ranked by
+    (cosine desc, id_1, id_2).  Output: block, id_1, id_2, cosine, rn.
+
+    ``arrow`` (default): one applyInPandas per block — enumerate the
+    block's pairs with triu indices, sequential-fold dots (bit-identical
+    to the HOF/SQL fold), top-k inside the kernel.  The pair matrix never
+    leaves the executor: no pair-shuffle, no window over O(n^2) rows.
+    ``hof``: pure-Catalyst self-join + fold + row_number twin.
+
+    Within-block pairwise is O(n^2/block) by design — the block column IS
+    the scale control (labels here; LSH buckets at 100 TB)."""
+    if engine == "hof":
+        normed = embeddings.select(
+            F.col(block_col),
+            F.col(id_col),
+            F.col(vec_col),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__norm"),
+        )
+        a = normed.select(
+            F.col(block_col),
+            F.col(id_col).alias("id_1"),
+            F.col(vec_col).alias("v1"),
+            F.col("__norm").alias("n1"),
+        )
+        b = normed.select(
+            F.col(block_col),
+            F.col(id_col).alias("id_2"),
+            F.col(vec_col).alias("v2"),
+            F.col("__norm").alias("n2"),
+        )
+        pairs = a.join(b, on=block_col).filter(F.col("id_1") < F.col("id_2"))
+        scored = pairs.select(
+            F.col(block_col),
+            F.col("id_1").alias(f"{id_col}_1"),
+            F.col("id_2").alias(f"{id_col}_2"),
+            (_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias(
+                "cosine"
+            ),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(block_col).orderBy(
+            F.col("cosine").desc(),
+            F.col(f"{id_col}_1").asc(),
+            F.col(f"{id_col}_2").asc(),
+        )
+        return scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= k
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            embeddings.schema[block_col],
+            StructField(f"{id_col}_1", embeddings.schema[id_col].dataType, True),
+            StructField(f"{id_col}_2", embeddings.schema[id_col].dataType, True),
+            StructField("cosine", DoubleType(), True),
+            StructField("rn", IntegerType(), False),
+        ]
+    )
+
+    def topk_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {c.name: pd.Series(dtype="object") for c in schema.fields}
+            )
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt(_seq_fold_dots(mat, mat))
+        i, j = np.triu_indices(n, 1)
+        cos = _seq_fold_dots(mat[i], mat[j]) / (norms[i] * norms[j])
+        # rank by (cosine desc, id_1, id_2); ids sorted so i<j => id_i<id_j
+        rank = np.lexsort((ids[j], ids[i], -cos))[:k]
+        return pd.DataFrame(
+            {
+                block_col: pdf[block_col].iloc[0],
+                f"{id_col}_1": ids[i[rank]],
+                f"{id_col}_2": ids[j[rank]],
+                "cosine": cos[rank],
+                "rn": np.arange(1, len(rank) + 1, dtype=np.int32),
+            }
+        )
+
+    return embeddings.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(
+        topk_pairs, schema
+    )
 
 
 def cosine_pairs(

@@ -22,7 +22,7 @@ from ..operators.dedup import (
     simhash_fingerprints,
 )
 from ..operators.multimodal import attach_payload
-from ..operators.similarity import _dot, cosine, cosine_topk, lsh_ann_topk
+from ..operators.similarity import block_top_pairs, cosine_topk, lsh_ann_topk
 from ..operators.textops import (
     BPE_TOKEN_PATTERN,
     EN_STOPWORDS,
@@ -333,37 +333,14 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_label_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most-similar embedding pairs per label block — the embedding
     near-dup operator shaped to emit evidence even when no pair crosses a
-    dedup threshold (fixture embeddings are near-orthogonal)."""
+    dedup threshold (fixture embeddings are near-orthogonal).  Pairwise
+    scoring + top-k run inside one applyInPandas kernel per block
+    (operators.similarity.block_top_pairs): the O(n^2) pair matrix never
+    leaves the executor."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # Precompute each vector's norm once before the pair join (norms would
-    # otherwise be folded into the per-pair expression and recomputed
-    # O(pairs) times instead of O(rows)).
-    normed = emb.select(
-        "label", "vec_id", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm")
+    return block_top_pairs(emb, "label", k=3).select(
+        "label", "vec_id_1", "vec_id_2", "cosine", "rn"
     )
-    a = normed.select(
-        "label",
-        F.col("vec_id").alias("vec_id_1"),
-        F.col("embedding").alias("v1"),
-        F.col("norm").alias("n1"),
-    )
-    b = normed.select(
-        "label",
-        F.col("vec_id").alias("vec_id_2"),
-        F.col("embedding").alias("v2"),
-        F.col("norm").alias("n2"),
-    )
-    pairs = a.join(b, on="label").filter(F.col("vec_id_1") < F.col("vec_id_2"))
-    scored = pairs.select(
-        "label",
-        "vec_id_1",
-        "vec_id_2",
-        (_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cosine"),
-    )
-    w = Window.partitionBy("label").orderBy(
-        F.col("cosine").desc(), F.col("vec_id_1").asc(), F.col("vec_id_2").asc()
-    )
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
 
 
 _EMBEDDING_PAIRS_SQL = f"""

@@ -384,10 +384,11 @@ SELECT user_id, event_id, ts, last_err_ts FROM w WHERE side = 1
 
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
-        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 300.0),
-         ("extreme", 300.0, 1e12)],
-        "tier string, lo double, hi double",
+    # JVM-side literal table (createDataFrame would round-trip a Python RDD)
+    tiers = spark.sql(
+        "SELECT tier, CAST(lo AS DOUBLE) lo, CAST(hi AS DOUBLE) hi FROM VALUES "
+        "('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 300.0), "
+        "('extreme', 300.0, 1e12) AS t(tier, lo, hi)"
     )
     joined = interval_join_broadcast(events, tiers, "value", "lo", "hi")
     return grouped(

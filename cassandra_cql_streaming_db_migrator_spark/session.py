@@ -55,6 +55,16 @@ def build_session(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if master.startswith("local"):
+        # Local profile: the fixtures are single small parquet files, which
+        # Spark's default 4 MB open-cost floor would split 3 ways at most —
+        # leaving 29 of 32 cores idle on every scan.  Lower the floors so
+        # local scans parallelize.  Cluster profile keeps Spark defaults:
+        # at 100 TB files exceed these floors and maxPartitionBytes=128m
+        # is the right task granularity.
+        builder = builder.config("spark.sql.files.maxPartitionBytes", "4m").config(
+            "spark.sql.files.openCostInBytes", "524288"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -65,12 +75,21 @@ def build_session(
 def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable conf to a session we did not build
     (the driver passes its own SparkSession to ``entry``/``queries``)."""
+    is_local = spark.sparkContext.master.startswith("local")
     for k, v in (
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        *(
+            (
+                ("spark.sql.files.maxPartitionBytes", "4m"),
+                ("spark.sql.files.openCostInBytes", "524288"),
+            )
+            if is_local
+            else ()
+        ),
     ):
         try:
             spark.conf.set(k, v)

@@ -243,3 +243,36 @@ class TestArrowHofParity:
         sa = sorted(tuple(r) for r in simhash_fingerprints(df, engine="arrow").collect())
         sh = sorted(tuple(r) for r in simhash_fingerprints(df, engine="hof").collect())
         assert sa == sh
+
+
+def test_block_top_pairs_arrow_equals_hof(spark, sf_dir):
+    """The applyInPandas pair kernel must reproduce the Catalyst fold
+    bit-for-bit (sequential-fold dot, same ranking)."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+        block_top_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(tuple(r) for r in block_top_pairs(emb, "label", 3, engine="arrow").collect())
+    h = sorted(tuple(r) for r in block_top_pairs(emb, "label", 3, engine="hof").collect())
+    assert a == h
+
+
+def test_similarity_arrow_equals_hof(spark, sf_dir):
+    """Vectorized cosine scoring and LSH bucketing reproduce the Catalyst
+    folds bit-for-bit."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+        cosine_topk,
+        with_bucket_ids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    a = [tuple(r) for r in cosine_topk(emb, q, 20, engine="arrow").collect()]
+    h = [tuple(r) for r in cosine_topk(emb, q, 20, engine="hof").collect()]
+    assert a == h
+    ba = sorted((r["vec_id"], r["__bucket"]) for r in
+                with_bucket_ids(emb, n_bits=6, engine="arrow").collect())
+    bh = sorted((r["vec_id"], r["__bucket"]) for r in
+                with_bucket_ids(emb, n_bits=6, engine="hof").collect())
+    assert ba == bh
