@@ -153,10 +153,13 @@ def simhash_values(texts: list[str], token_sep: str = " ") -> np.ndarray:
         cp = codes[tok_offsets[:-1][active] + j]
         h[active] = (h[active] * 31 + cp) % SIMHASH_MOD
 
-    # ±1 votes per bit, summed per doc; bit set iff vote sum positive
-    bits = (h[:, None] >> np.arange(53, dtype=np.int64)[None, :]) & np.int64(1)
-    votes = (bits * 2 - 1).astype(np.int64)
+    # ±1 votes per bit, summed per doc; bit set iff vote sum positive.
+    # One pass per bit over the flat token-hash array: sum(votes) > 0
+    # <=> 2*ones > n_tokens, avoiding a (tokens x 53) vote matrix whose
+    # memory traffic costs ~60x the arithmetic.
     doc_starts = np.concatenate([[0], np.cumsum(n_tokens)])[:-1]
-    doc_votes = np.add.reduceat(votes, doc_starts, axis=0)
-    weights = np.int64(1) << np.arange(53, dtype=np.int64)
-    return ((doc_votes > 0) * weights[None, :]).sum(axis=1)
+    out = np.zeros(n_docs, dtype=np.int64)
+    for k in range(53):
+        ones = np.add.reduceat((h >> np.int64(k)) & np.int64(1), doc_starts)
+        out |= (2 * ones > n_tokens).astype(np.int64) << np.int64(k)
+    return out

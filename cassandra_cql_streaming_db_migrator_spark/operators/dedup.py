@@ -122,7 +122,12 @@ def minhash_lsh_pairs(
     """
     n_perms = len(MINHASH_PERMS)
     rows_per_band = n_perms // bands
-    signed = minhash_signature_df(df, text_col, id_col, shingle_len, engine)
+    # The signature table feeds BOTH sides of the bucket self-join; without
+    # a persist each branch re-executes the whole signature pipeline
+    # (scan + shuffle + kernel, twice).  Signatures are id + 16 longs
+    # (~150 B/doc — ~150 GB per 10^9 docs, MEMORY_AND_DISK spills fine),
+    # vastly smaller than recomputing from the corpus.
+    signed = minhash_signature_df(df, text_col, id_col, shingle_len, engine).persist()
 
     band_sigs = [
         F.concat_ws(
@@ -209,6 +214,9 @@ def fuzzy_dedup_pairs(
             .repartition(F.col(id_col))
             .mapInPandas(compute, gschema)
         )
+    # joined against both pair sides below — persist for the same reason
+    # the minhash signatures are persisted
+    gram_sets = gram_sets.persist()
     joined = (
         candidates.join(
             gram_sets.select(F.col("__gid"), F.col("__g").alias("g1")),
