@@ -21,8 +21,13 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash_fingerprints,
 )
-from ..operators.multimodal import attach_payload
-from ..operators.similarity import block_top_pairs, cosine_topk, lsh_ann_topk
+from ..operators.multimodal import attach_payload, extract_features, fake_decoder
+from ..operators.similarity import (
+    block_top_pairs,
+    cosine_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from ..operators.textops import (
     BPE_TOKEN_PATTERN,
     EN_STOPWORDS,
@@ -330,6 +335,43 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, query, k=20, n_bits=6)
 
 
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return ivf_ann_topk(emb, query, k=20, n_cells=16, n_probe=2)
+
+
+_EMBEDDING_IVF_SQL = f"""
+WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+     acos AS (
+       SELECT e.vec_id, e.embedding, c.c_id,
+              {_dot_sql("e.embedding", "c.cv")}
+                / (sqrt({_dot_sql("e.embedding", "e.embedding")})
+                   * sqrt({_dot_sql("c.cv", "c.cv")})) AS ccos
+       FROM embeddings e CROSS JOIN cent c),
+     assign AS (
+       SELECT vec_id, embedding, c_id AS cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, c_id) AS rn
+         FROM acos) WHERE rn = 1),
+     probe AS (
+       SELECT c_id AS cell FROM (
+         SELECT c.c_id,
+                row_number() OVER (ORDER BY
+                  {_dot_sql("q.qv", "c.cv")}
+                    / (sqrt({_dot_sql("q.qv", "q.qv")})
+                       * sqrt({_dot_sql("c.cv", "c.cv")})) DESC, c.c_id) AS rn
+         FROM cent c CROSS JOIN q) WHERE rn <= 2)
+SELECT a.vec_id, a.cell,
+       {_dot_sql("a.embedding", "q.qv")}
+         / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+            * sqrt({_dot_sql("q.qv", "q.qv")})) AS cosine
+FROM assign a JOIN probe USING (cell) CROSS JOIN q
+ORDER BY cosine DESC, a.vec_id ASC LIMIT 20
+"""
+
+
 def embedding_label_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most-similar embedding pairs per label block — the embedding
     near-dup operator shaped to emit evidence even when no pair crosses a
@@ -379,6 +421,30 @@ FROM documents
 """
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal feature-extraction stage: binary payload ->
+    Arrow-batched mapInPandas decode (deterministic fake decoder standing
+    in for PIL/ffmpeg, operators.multimodal) -> typed feature columns.
+    The oracle recomputes the byte-level features in SQL (fixture text is
+    ASCII, so utf-8 bytes == codepoints)."""
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs, decoder=fake_decoder)
+
+
+_MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(text) = 0 THEN -1
+                 ELSE ascii(substring(text, 1, 1)) END AS INTEGER) AS first_byte,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                list_transform(string_split(text, ''),
+                                               c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> a + b) AS byte_sum,
+       TRUE AS feature_ok
+FROM documents
+"""
+
+
 QUERIES = [
     QueryDef("dedup_exact", dedup_exact, _DEDUP_EXACT_SQL,
              "exact content dedup (hash-groupBy, min-id winner)"),
@@ -401,6 +467,10 @@ QUERIES = [
              "whole-doc polynomial fingerprint"),
     QueryDef("embedding_topk", embedding_topk, _EMBEDDING_TOPK_SQL,
              "brute-force cosine top-k (bit-exact doubles)"),
+    QueryDef("embedding_ann_ivf", embedding_ann_ivf, _EMBEDDING_IVF_SQL,
+             "ANN via IVF coarse quantizer (probe nearest cells)"),
+    QueryDef("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_SQL,
+             "Arrow-batched binary payload feature extraction"),
     QueryDef("embedding_ann_lsh", embedding_ann_lsh, None,
              "hyperplane-LSH approximate top-k (scale path; rows-only)"),
     QueryDef("embedding_label_top_pairs", embedding_label_top_pairs, _EMBEDDING_PAIRS_SQL,

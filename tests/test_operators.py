@@ -276,3 +276,21 @@ def test_similarity_arrow_equals_hof(spark, sf_dir):
     bh = sorted((r["vec_id"], r["__bucket"]) for r in
                 with_bucket_ids(emb, n_bits=6, engine="hof").collect())
     assert ba == bh
+
+
+def test_ivf_ann_candidates_from_probed_cells_only(spark, sf_dir):
+    """IVF results carry their cell id; every returned cell must be one of
+    the query's n_probe nearest centroids, and results sort by cosine."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+        ivf_ann_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    rows = ivf_ann_topk(emb, q, 20, n_cells=8, n_probe=2).collect()
+    assert 0 < len(rows) <= 20
+    assert len({r["cell"] for r in rows}) <= 2
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    # the query vector itself is its own best match
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-12
