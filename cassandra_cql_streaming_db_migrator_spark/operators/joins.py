@@ -105,6 +105,38 @@ def asof_join(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key_columns: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-splitting equi-join: hot keys on the skewed side are spread
+    over ``salt`` sub-keys; the other side is replicated ``salt`` times so
+    every sub-key still finds its matches.  Result is row-identical to the
+    plain join (a unit test asserts it) — only the shuffle distribution
+    changes: a key holding 30% of the table becomes ``salt`` partitions of
+    3.75% each.
+
+    AQE's skew-join handles sort-merge skew automatically; explicit
+    salting remains the tool when AQE can't help (skewed hash aggregates
+    feeding a join, skew in a bucketed/colocated plan, or a replicated
+    dimension too big to broadcast but cheap to duplicate ``salt`` times).
+
+    The salt is a deterministic hash of the skewed side's row (not
+    rand()), so retried tasks re-derive the same salt — nondeterministic
+    salts break exactly-once semantics under task retry at scale."""
+    salted_l = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt))
+    )
+    salted_r = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_l.join(salted_r, on=[*key_columns, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def interval_join_broadcast(
     fact: DataFrame,
     intervals: DataFrame,

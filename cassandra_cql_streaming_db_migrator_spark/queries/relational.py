@@ -378,6 +378,62 @@ SELECT user_id, event_id, ts, last_err_ts FROM w WHERE side = 1
 """
 
 # ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (the general form of rollup/cube): status-only,
+# priority-only, and grand-total groups in one Expand + single shuffle.
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               sum(CAST(o_totalprice AS DECIMAL(28,10))) AS sum_price,
+               count(*) AS n_orders,
+               CAST(grouping(o_orderstatus) AS INT) AS grouping_o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS grouping_o_orderpriority
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       sum(CAST(o_totalprice AS DECIMAL(28,10))) AS sum_price,
+       count(*) AS n_orders,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS grouping_o_orderstatus,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS grouping_o_orderpriority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (Spark `percentile` == SQL
+# percentile_cont: h = (n-1)p linear interpolation in double).
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return grouped(
+        orders,
+        ["o_orderstatus"],
+        [
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        ],
+    )
+
+
+_AGG_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+# ---------------------------------------------------------------------------
 # Interval containment join: events binned into value tiers via a broadcast
 # nested-loop against the (tiny) tier table.
 
@@ -427,6 +483,10 @@ QUERIES = [
              "A4: exact multi-distinct aggregation"),
     QueryDef("agg_cube", agg_cube, _AGG_CUBE_SQL,
              "A4: CUBE + grouping indicators"),
+    QueryDef("agg_grouping_sets", agg_grouping_sets, _AGG_GROUPING_SETS_SQL,
+             "A4: explicit GROUPING SETS"),
+    QueryDef("agg_percentiles", agg_percentiles, _AGG_PERCENTILES_SQL,
+             "A4: exact interpolated percentiles"),
     QueryDef("window_lag_lead", window_lag_lead, _WINDOW_LAG_LEAD_SQL,
              "O7: analytic lag/lead offsets"),
     QueryDef("join_asof", join_asof, _JOIN_ASOF_SQL,

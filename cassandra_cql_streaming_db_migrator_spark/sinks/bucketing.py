@@ -1,0 +1,54 @@
+"""Bucketed-table sink: the storage-level answer to repeated shuffles.
+
+The reference migrates between tables whose physical layout (partition
+key) the database manages (CassandraSchemaUtil.java:112-138).  Spark's
+analog for analytic workloads is bucketing: ``bucketBy(n, keys)`` +
+``sortBy`` writes data pre-hash-partitioned and pre-sorted on the join/agg
+key.  Every later equi-join or aggregate on those keys skips its exchange
+(and with sortBy, its sort) entirely — tests assert the joined plan has
+ZERO Exchange operators.
+
+At 100 TB this is the difference between shuffling the fact table once
+per query and never: bucket the big tables on their PK at ingest, and
+every migration anti-join, counter merge, and enrichment join on that key
+becomes a zipped per-bucket merge.  Pick bucket counts so one bucket of
+the biggest table fits an executor (e.g. 100 TB / 4096 buckets ~ 25 GB —
+at the upper bound; 8192+ for headroom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key_columns: list[str],
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table."""
+    # One shuffle to align tasks with buckets (repartition and bucketBy use
+    # the same murmur3 hash): each bucket then gets exactly one file, which
+    # is what lets later scans trust the sortBy metadata and skip their
+    # sort — Spark re-sorts any bucket split across files.
+    aligned = df.repartition(n_buckets, *[df[c] for c in key_columns])
+    writer = aligned.write.mode(mode).format(fmt).bucketBy(n_buckets, *key_columns)
+    if sort:
+        writer = writer.sortBy(*key_columns)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read back with bucketing metadata intact (spark.table preserves the
+    output partitioning; a raw parquet path read would not).
+
+    The exchange elimination is always on; to ALSO skip the per-bucket
+    sort on sorted tables, set
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` — off by
+    default since SPARK-28595, and only honored when every bucket is one
+    file (which write_bucketed's repartition alignment guarantees)."""
+    return spark.table(table)
