@@ -11,12 +11,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..streaming.stream import (
     read_events_stream,
     run_to_memory,
     session_window_agg,
     sliding_window_agg,
     stateful_user_stats,
+    stream_stream_interval_join,
     streaming_dedup_counts,
     tumbling_window_agg,
 )
@@ -113,7 +116,38 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("r_ts"))
+    )
+    joined = stream_stream_interval_join(clicks, errors, interval="60 minutes",
+                                         watermark="2 hours")
+    return run_to_memory(
+        joined.select("user_id", "event_id", "ts", F.col("r_ts").alias("err_ts")),
+        output_mode="append",
+    )
+
+
+# bounded streams fully processed => the inner interval join equals batch
+_STREAM_STREAM_JOIN_SQL = """
+SELECT c.user_id, c.event_id, c.ts, e.ts AS err_ts
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND e.ts BETWEEN c.ts - INTERVAL '60 minutes' AND c.ts
+"""
+
+
 QUERIES = [
+    QueryDef("stream_stream_join", stream_stream_join, _STREAM_STREAM_JOIN_SQL,
+             "T8: watermark-bounded stream-stream interval join", bench=False),
     QueryDef("stream_tumbling_agg", stream_tumbling_agg, _STREAM_TUMBLING_SQL,
              "T8: event-time tumbling window agg via Structured Streaming",
              bench=False),

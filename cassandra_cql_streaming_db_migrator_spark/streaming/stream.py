@@ -178,6 +178,30 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    interval: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join bounded by key equality + an event-time
+    interval (right row at or up to ``interval`` before the left row).
+    Both sides carry watermarks — that is what lets Spark BOUND the join
+    state: a buffered right row can be dropped once the left watermark
+    passes its ts + interval.  An unbounded-interval stream-stream join
+    would hold both streams' full history in state forever."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"{key} = __rkey AND {right_ts} BETWEEN {left_ts} - interval {interval} "
+        f"AND {left_ts}"
+    )
+    return l.join(r.withColumnRenamed(key, "__rkey"), cond, "inner").drop("__rkey")
+
+
 def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a bounded streaming aggregate to completion (availableNow) into
     a memory sink and return the result as a batch DataFrame."""
