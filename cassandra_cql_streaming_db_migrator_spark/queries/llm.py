@@ -31,9 +31,11 @@ from ..operators.similarity import (
 from ..operators.textops import (
     BPE_TOKEN_PATTERN,
     EN_STOPWORDS,
+    bpe_token_count,
     doc_fingerprint,
     lang_id_heuristic,
     ngram_jaccard_pairs,
+    stopword_ratio,
     text_stats,
 )
 from ..sources.parquet import load_table
@@ -300,6 +302,59 @@ SELECT doc_id, {poly_hash_sql("text")} AS fingerprint FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# Composed training-data prep: quality gate -> language gate -> exact dedup
+# -> token accounting, one lineage.  The shape of a real corpus-prep job:
+# enrichment is one narrow pass, dedup is the only wide op (1 shuffle on
+# text), and the winner join-back rides the same key.
+
+
+def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        F.size(tokens).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens), 6
+        ).alias("unique_ratio"),
+        stopword_ratio(F.col("text"), EN_STOPWORDS).alias("en_stop_ratio"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+    filtered = enriched.filter(
+        (F.col("n_tokens") >= 16)
+        & (F.col("unique_ratio") >= 0.3)
+        & (F.col("en_stop_ratio") >= 0.05)
+    )
+    winners = filtered.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+    final = filtered.join(winners.select("doc_id", "n_dups"), "doc_id")
+    return final.select("doc_id", "n_tokens", "bpe_tokens", "en_stop_ratio", "n_dups")
+
+
+_LLM_PREP_SQL = f"""
+WITH enriched AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS unique_ratio,
+         round(CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t IN ({_STOPLIST}))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS en_stop_ratio,
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INTEGER)
+           AS bpe_tokens
+  FROM documents),
+filtered AS (
+  SELECT * FROM enriched
+  WHERE n_tokens >= 16 AND unique_ratio >= 0.3 AND en_stop_ratio >= 0.05),
+winners AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM filtered GROUP BY text)
+SELECT f.doc_id, f.n_tokens, f.bpe_tokens, f.en_stop_ratio, w.n_dups
+FROM filtered f JOIN winners w ON f.doc_id = w.doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # Similarity search: exact brute-force cosine top-k (the baseline/oracle)
 # and LSH-bucketed ANN (the scale path; approximate -> rows-only check).
 
@@ -457,6 +512,8 @@ QUERIES = [
     QueryDef("ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL,
              "blocked exact 3-gram Jaccard pairs (exact baseline; "
              "quadratic in block size, excluded from bench)", bench=False),
+    QueryDef("llm_prep_pipeline", llm_prep_pipeline, _LLM_PREP_SQL,
+             "composed corpus prep: quality + lang gate -> dedup -> tokens"),
     QueryDef("text_stats", text_stats_q, _TEXT_STATS_SQL,
              "per-doc token/quality stats"),
     QueryDef("lang_stats", lang_stats, _LANG_STATS_SQL, "per-language corpus rollup"),
