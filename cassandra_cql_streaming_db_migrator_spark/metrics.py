@@ -21,6 +21,62 @@ def observed(df: DataFrame, name: str = "migration") -> tuple[DataFrame, Observa
     return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
 
 
+class StatusReporter:
+    """T6 analog of the reference's periodic status print
+    (MigrateTableTask.java:375-413: rows + deltas + read/write time split,
+    every printStatusEveryXSeconds).  For Structured Streaming queries the
+    per-microbatch progress event carries the same facts — rows in, rows
+    per second, batch duration — so one listener replaces the reference's
+    timer thread + counter snapshot dance.
+
+    Use: ``rep = StatusReporter.attach(spark, sink=print)``; detach with
+    ``rep.detach(spark)``.  ``sink`` receives one formatted line per
+    microbatch; ``rep.lines`` keeps them for tests/inspection."""
+
+    def __init__(self, sink=None):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self.lines: list[str] = []
+        reporter = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                reporter._emit(f"[{event.name or event.id}] started")
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                line = (
+                    f"[{p.name or p.id}] batch={p.batchId} "
+                    f"rows={p.numInputRows} "
+                    f"rows/s={p.processedRowsPerSecond or 0.0:.0f} "
+                    f"batch_ms={p.batchDuration}"
+                )
+                reporter._emit(line)
+
+            def onQueryTerminated(self, event):
+                reporter._emit(f"[{event.id}] terminated")
+
+            def onQueryIdle(self, event):
+                pass
+
+        self._listener = _Listener()
+        self._sink = sink
+
+    def _emit(self, line: str) -> None:
+        self.lines.append(line)
+        if self._sink is not None:
+            self._sink(line)
+
+    @classmethod
+    def attach(cls, spark, sink=None) -> "StatusReporter":
+        rep = cls(sink=sink)
+        spark.streams.addListener(rep._listener)
+        return rep
+
+    def detach(self, spark) -> None:
+        spark.streams.removeListener(self._listener)
+
+
 def conservation_stats(
     read_df: DataFrame, passed_df: DataFrame
 ) -> DataFrame:

@@ -161,3 +161,28 @@ def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
     # windows not yet past the final watermark (13:50) never emit in append
     assert "2024-01-01T13:00:00" not in rows
     assert "2024-01-01T14:00:00" not in rows
+
+
+def test_status_reporter_emits_progress_lines(spark, sf_dir):
+    """T6: the streaming listener reports per-batch rows and throughput,
+    the reference's periodic status print reborn as progress events."""
+    import time
+
+    from cassandra_cql_streaming_db_migrator_spark.metrics import StatusReporter
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        run_to_memory,
+        tumbling_window_agg,
+    )
+
+    rep = StatusReporter.attach(spark)
+    try:
+        run_to_memory(tumbling_window_agg(read_events_stream(spark, sf_dir), "1 hour"))
+        # listener events are delivered asynchronously
+        deadline = time.time() + 10
+        while time.time() < deadline and not any("rows=" in l for l in rep.lines):
+            time.sleep(0.2)
+    finally:
+        rep.detach(spark)
+    progress = [l for l in rep.lines if "rows=" in l]
+    assert progress, rep.lines
+    assert any("rows=1000" in l for l in progress)  # sf0.001 events
