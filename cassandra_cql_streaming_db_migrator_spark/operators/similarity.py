@@ -318,6 +318,58 @@ def block_top_pairs(
     )
 
 
+def block_near_dup_pairs(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: within each block, pairs with
+    cosine >= threshold.  Same applyInPandas kernel as block_top_pairs
+    (sequential-fold dots, O(n^2) bounded by the block) but thresholded
+    instead of ranked — the dedup-decision form.  At scale the block column
+    is an LSH bucket or IVF cell; labels on the fixtures."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            embeddings.schema[block_col],
+            StructField(f"{id_col}_1", embeddings.schema[id_col].dataType, True),
+            StructField(f"{id_col}_2", embeddings.schema[id_col].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({c.name: pd.Series(dtype="object") for c in schema.fields})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt(_seq_fold_dots(mat, mat))
+        i, j = np.triu_indices(n, 1)
+        cos = _seq_fold_dots(mat[i], mat[j]) / (norms[i] * norms[j])
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                block_col: pdf[block_col].iloc[0],
+                f"{id_col}_1": ids[i[keep]],
+                f"{id_col}_2": ids[j[keep]],
+                "cosine": cos[keep],
+            }
+        )
+
+    return (
+        embeddings.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(pairs, schema)
+    )
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     query: DataFrame,

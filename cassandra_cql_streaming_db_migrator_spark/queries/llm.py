@@ -23,6 +23,7 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import attach_payload, extract_features, fake_decoder
 from ..operators.similarity import (
+    block_near_dup_pairs,
     block_top_pairs,
     cosine_topk,
     ivf_ann_topk,
@@ -440,6 +441,25 @@ def embedding_label_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: within-label pairs above a cosine
+    threshold (the dedup decision, vs the top-pairs evidence query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return block_near_dup_pairs(emb, "label", threshold=0.35)
+
+
+_EMBEDDING_NEAR_DUP_SQL = f"""
+SELECT a.label, a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       {_dot_sql("a.embedding", "b.embedding")}
+         / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+            * sqrt({_dot_sql("b.embedding", "b.embedding")})) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_dot_sql("a.embedding", "b.embedding")}
+        / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+           * sqrt({_dot_sql("b.embedding", "b.embedding")})) >= 0.35
+"""
+
+
 _EMBEDDING_PAIRS_SQL = f"""
 WITH p AS (
   SELECT a.label, a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
@@ -530,6 +550,8 @@ QUERIES = [
              "Arrow-batched binary payload feature extraction"),
     QueryDef("embedding_ann_lsh", embedding_ann_lsh, None,
              "hyperplane-LSH approximate top-k (scale path; rows-only)"),
+    QueryDef("embedding_near_dup", embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL,
+             "embedding-cosine near-dup pairs above threshold"),
     QueryDef("embedding_label_top_pairs", embedding_label_top_pairs, _EMBEDDING_PAIRS_SQL,
              "top-3 cosine pairs per label block"),
     QueryDef("multimodal_meta", multimodal_meta, _MULTIMODAL_META_SQL,
