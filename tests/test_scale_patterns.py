@@ -88,3 +88,43 @@ def test_salted_left_join_keeps_unmatched(spark):
         (r["k"], r["w"]) for r in salted_join(left, right, ["k"], salt=3, how="left").collect()
     )
     assert out == [(1, "x"), (2, None), (3, None)]
+
+
+def test_dim_join_broadcasts_fact_never_shuffles(spark, sf_dir):
+    """Plan-shape lock: the dimension-join chain broadcasts both dims and
+    the only exchange left is the final aggregation's."""
+    from cassandra_cql_streaming_db_migrator_spark.queries.relational import join_enrich
+
+    plan = _plan_of(join_enrich(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_anti_join_broadcasts_target_keys(spark, sf_dir):
+    """IF-NOT-EXISTS anti-join: target PK set rides to every task instead
+    of shuffling the source (IfNotExistFilter done right)."""
+    from cassandra_cql_streaming_db_migrator_spark.queries.reference import (
+        anti_join_if_not_exists,
+    )
+
+    plan = _plan_of(anti_join_if_not_exists(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert not re.search(r"\n\(\d+\) Exchange", plan), plan
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned parquet + a partition-column filter: the scan
+    must show PartitionFilters and touch only the matching directory — at
+    100 TB, partition pruning is the difference between scanning one day
+    and scanning a decade."""
+    out = str(tmp_path / "events_by_type")
+    events = load_table(spark, sf_dir, "events")
+    events.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan_of(back)
+    assert re.search(r"PartitionFilters: \[.*event_type.*\]", plan), plan
+    assert back.count() == events.filter(F.col("event_type") == "click").count()
+    # physically: only the click directory is listed once the filter prunes
+    import glob
+    assert glob.glob(f"{out}/event_type=click/*.parquet")
