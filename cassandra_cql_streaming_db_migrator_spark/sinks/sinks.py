@@ -73,6 +73,46 @@ def upsert_parquet(batch: DataFrame, target_path: str, key_columns: list[str]) -
     merged.write.mode("overwrite").parquet(target_path)
 
 
+def upsert_parquet_partitioned(
+    batch: DataFrame,
+    target_path: str,
+    key_columns: list[str],
+    partition_col: str,
+) -> None:
+    """Partition-scoped K1 upsert: merge cost proportional to the
+    partitions the batch touches, not the table size.
+
+    ``upsert_parquet`` rewrites the whole target per batch — fine for the
+    test fixtures, unacceptable at 100 TB.  Here the target is Hive-
+    partitioned on ``partition_col``; each batch (1) lists its distinct
+    partition values (metadata-scale collect), (2) reads ONLY those
+    partitions back (partition pruning does the work), (3) merges
+    new-rows-win-on-PK, and (4) rewrites just those directories via
+    dynamic partitionOverwriteMode — untouched partitions are never read
+    or written.  This is the copy-on-write MERGE pattern of Delta/Iceberg
+    expressed on plain parquet; choose the partition column so hot keys
+    cluster (ingest date, tenant).
+    """
+    spark = batch.sparkSession
+    try:
+        existing = spark.read.parquet(target_path)
+    except Exception:
+        batch.write.partitionBy(partition_col).mode("overwrite").parquet(target_path)
+        return
+    parts = [r[0] for r in batch.select(partition_col).distinct().collect()]
+    affected = existing.filter(F.col(partition_col).isin(parts))
+    survivors = affected.join(
+        batch.select(*key_columns), on=key_columns, how="left_anti"
+    )
+    merged = survivors.unionByName(batch, allowMissingColumns=False).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.partitionBy(partition_col).mode("overwrite").parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def quarantine_split(df: DataFrame, validity: Column) -> tuple[DataFrame, DataFrame]:
     """T5 continueOnRowError: rows failing ``validity`` go to the quarantine
     side output and are counted as rows_failed; the rest proceed.  One pass,

@@ -128,3 +128,48 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
     # physically: only the click directory is listed once the filter prunes
     import glob
     assert glob.glob(f"{out}/event_type=click/*.parquet")
+
+
+def test_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """Copy-on-write merge scoped to the batch's partitions: untouched
+    partition directories keep their files byte-for-byte."""
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from cassandra_cql_streaming_db_migrator_spark.sinks.sinks import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "target")
+    base = spark.createDataFrame(
+        [Row(k=1, d="d1", v="old1"), Row(k=2, d="d2", v="old2"), Row(k=3, d="d3", v="old3")],
+        "k long, d string, v string",
+    )
+    upsert_parquet_partitioned(base, path, ["k"], "d")
+
+    untouched_before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/d=d1/*.parquet")
+    }
+    assert untouched_before
+
+    # batch updates k=2 (d2) and inserts k=9 (d2)
+    batch = spark.createDataFrame(
+        [Row(k=2, d="d2", v="new2"), Row(k=9, d="d2", v="new9")],
+        "k long, d string, v string",
+    )
+    upsert_parquet_partitioned(batch, path, ["k"], "d")
+
+    result = {r["k"]: (r["d"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert result == {
+        1: ("d1", "old1"),
+        2: ("d2", "new2"),
+        3: ("d3", "old3"),
+        9: ("d2", "new9"),
+    }
+    # d1 files untouched byte-for-byte (same files, same mtimes)
+    untouched_after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/d=d1/*.parquet")
+    }
+    assert untouched_after == untouched_before
