@@ -39,8 +39,17 @@ def apply_filter_chain(df: DataFrame, filters: list) -> DataFrame:
     """F3 — ordered filter chain (TableMigrationDefinition.java:100-105,
     MigrateTableTask.java:446-451).  Catalyst folds consecutive filters into
     one predicate; declared order is preserved semantically (pure predicates
-    commute, IRowSetFilter.java:33-37's ordering contract is vacuous here)."""
+    commute, IRowSetFilter.java:33-37's ordering contract is vacuous here).
+
+    ``language: python`` entries are plugin references (registered name or
+    module:function — plans.plugins), the IRowSetFilter custom-class
+    analog: the callable takes and returns a DataFrame."""
+    from ..plans.plugins import resolve
+
     for flt in filters:
+        if getattr(flt, "language", None) == "python":
+            df = resolve(flt.expression, kind="filter")(df)
+            continue
         sql = flt.to_sql() if hasattr(flt, "to_sql") else str(flt)
         df = df.filter(F.expr(sql))
     return df

@@ -30,13 +30,16 @@ except ImportError:  # pragma: no cover - yaml ships with the image
 class FilterDef:
     """One row-set filter in the chain (TableDataFilterDefinition.java).
 
-    ``expression`` is MVEL text (translated via plans.mvel) or Spark SQL.
-    ``max_rows_batch_size`` is accepted for config parity; Spark has no
-    batch-size coupling (MigrateTableTask.java:183-203 is obsolete here).
+    ``expression`` is MVEL text (translated via plans.mvel), Spark SQL, or
+    — with ``language: python`` — a plugin reference (registered name or
+    ``module:function``, plans.plugins; the IRowSetFilter custom-class
+    analog).  ``max_rows_batch_size`` is accepted for config parity; Spark
+    has no batch-size coupling (MigrateTableTask.java:183-203 is obsolete
+    here).
     """
 
     expression: str
-    language: str = "mvel"  # "mvel" | "sql"
+    language: str = "mvel"  # "mvel" | "sql" | "python"
     max_rows_batch_size: int | None = None
 
     def to_sql(self) -> str:
@@ -125,6 +128,7 @@ _TMD_KEYS = {
     "sourceDefaultTTL": "source_default_ttl",
     "targetDefaultTTL": "target_default_ttl",
     "insertOnlyIfNotExist": "insert_only_if_not_exist",
+    "dataFilters": "filters",
     "counterColumns": "counter_columns",
     "continueOnRowError": "continue_on_row_error",
     "pageSize": "page_size",
