@@ -73,6 +73,46 @@ def upsert_parquet(batch: DataFrame, target_path: str, key_columns: list[str]) -
     merged.write.mode("overwrite").parquet(target_path)
 
 
+def counter_merge_parquet(
+    batch: DataFrame,
+    target_path: str,
+    key_columns: list[str],
+    counter_columns: list[str],
+) -> None:
+    """K3 counter sink for the parquet target: per-PK additive merge into
+    stored state (the reference's ``SET c = c + :c``, DMP:309-311).
+
+    The batch is pre-aggregated to one delta row per key
+    (operators.counter.counter_merge), then full-outer-merged with the
+    existing table: existing + delta where both exist, pass-through where
+    only one side exists.  NULL deltas never bound (DMP:426-432) falls out
+    of ``sum`` skipping NULLs and coalesce treating a missing side as 0
+    contribution.  Against Cassandra the connector's counter write does
+    the merge server-side and none of this code runs."""
+    from ..operators.counter import counter_merge
+
+    deltas = counter_merge(batch, key_columns, counter_columns).drop(
+        "merged_row_count"
+    )
+    spark = batch.sparkSession
+    try:
+        existing = spark.read.parquet(target_path)
+    except Exception:
+        deltas.write.mode("overwrite").parquet(target_path)
+        return
+    d = deltas
+    for c in counter_columns:
+        d = d.withColumnRenamed(c, f"__delta_{c}")
+    merged = existing.join(d, on=key_columns, how="full_outer")
+    for c in counter_columns:
+        merged = merged.withColumn(
+            c,
+            F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"__delta_{c}"), F.lit(0)),
+        ).drop(f"__delta_{c}")
+    merged = merged.localCheckpoint()  # cut lineage before overwriting input
+    merged.write.mode("overwrite").parquet(target_path)
+
+
 def upsert_parquet_partitioned(
     batch: DataFrame,
     target_path: str,

@@ -29,7 +29,7 @@ from ..operators.compute import with_computed_columns
 from ..operators.filters import apply_filter_chain, pushdown_filter
 from ..operators.ttl import ttl_preserving_columns
 from ..plans.spec import TableMigration
-from ..sinks.sinks import upsert_parquet
+from ..sinks.sinks import counter_merge_parquet, upsert_parquet
 
 
 def apply_migration_transform(stream: DataFrame, spec: TableMigration) -> DataFrame:
@@ -65,7 +65,13 @@ def migrate_stream_to_parquet(
         if spec.simulate_only:
             batch.count()  # K5: execute fully, write nothing
             return
-        upsert_parquet(batch, target_path, spec.key_columns)
+        if spec.counter_columns:
+            # K3: counter tables merge additively, microbatch by microbatch
+            counter_merge_parquet(
+                batch, target_path, spec.key_columns, spec.counter_columns
+            )
+        else:
+            upsert_parquet(batch, target_path, spec.key_columns)
 
     writer = (
         transformed.writeStream.foreachBatch(sink_batch)

@@ -294,3 +294,55 @@ def test_ivf_ann_candidates_from_probed_cells_only(spark, sf_dir):
     assert cosines == sorted(cosines, reverse=True)
     # the query vector itself is its own best match
     assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-12
+
+
+class TestCounterMergeSink:
+    """K3 sink semantics: stored state accumulates across merges."""
+
+    def test_merges_accumulate_and_new_keys_appear(self, spark, tmp_path):
+        from cassandra_cql_streaming_db_migrator_spark.sinks.sinks import (
+            counter_merge_parquet,
+        )
+
+        path = str(tmp_path / "counters")
+        b1 = spark.createDataFrame(
+            [Row(k=1, hits=10), Row(k=1, hits=5), Row(k=2, hits=1)], "k long, hits long"
+        )
+        counter_merge_parquet(b1, path, ["k"], ["hits"])
+        b2 = spark.createDataFrame(
+            [Row(k=1, hits=2), Row(k=3, hits=7), Row(k=2, hits=None)], "k long, hits long"
+        )
+        counter_merge_parquet(b2, path, ["k"], ["hits"])
+        got = {r["k"]: r["hits"] for r in spark.read.parquet(path).collect()}
+        # k=1: 15+2; k=2: 1 + NULL-increment-skipped; k=3 new
+        assert got == {1: 17, 2: 1, 3: 7}
+
+    def test_streaming_migration_of_counter_table(self, spark, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cassandra_cql_streaming_db_migrator_spark.plans.spec import TableMigration
+        from cassandra_cql_streaming_db_migrator_spark.streaming.migrate import (
+            migrate_stream_to_parquet,
+        )
+
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        pq.write_table(pa.table({"k": [1, 1, 2], "hits": [3, 4, 5]}), str(src / "a.parquet"))
+        pq.write_table(pa.table({"k": [1, 2], "hits": [10, 20]}), str(src / "b.parquet"))
+        stream = spark.readStream.schema("k long, hits long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src))
+        spec = TableMigration(
+            table_name="counters",
+            key_columns=["k"],
+            counter_columns=["hits"],
+            simulate_only=False,
+            continue_on_row_error=True,
+        )
+        target = str(tmp_path / "target")
+        migrate_stream_to_parquet(stream, spec, target,
+                                  checkpoint_dir=str(tmp_path / "ckpt"))
+        got = {r["k"]: r["hits"] for r in spark.read.parquet(target).collect()}
+        assert got == {1: 17, 2: 25}
