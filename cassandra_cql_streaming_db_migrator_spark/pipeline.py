@@ -76,6 +76,13 @@ class TablePlan:
     read_obs: Observation
     passed_obs: Observation
     warnings: list[str]
+    # recount fallbacks: an Observation breaks when its observed node runs
+    # in MORE than one action (the quarantine count + the sink are two),
+    # which Spark tolerates for file sources but asserts on for local
+    # relations.  The fallback recounts — an extra scan on a rare path
+    # beats losing the stats contract.
+    read_df: DataFrame | None = None
+    passed_df: DataFrame | None = None
 
 
 def _default_validity(spec: TableMigration) -> F.Column | None:
@@ -117,6 +124,7 @@ def _build(
         df = pushdown_filter(df, spec.where_clause)  # S4
 
     read_obs = Observation(f"read_{spec.table_name}")
+    read_df = df
     if observed:
         df = df.observe(read_obs, F.count(F.lit(1)).alias("rows"))
 
@@ -153,10 +161,13 @@ def _build(
         df = df.limit(spec.max_write_row_count)  # K6, exact (no overshoot race)
 
     passed_obs = Observation(f"passed_{spec.table_name}")
+    passed_df = df
     if observed:
         df = df.observe(passed_obs, F.count(F.lit(1)).alias("rows"))
 
-    return TablePlan(spec, df, quarantine, read_obs, passed_obs, warnings)
+    return TablePlan(
+        spec, df, quarantine, read_obs, passed_obs, warnings, read_df, passed_df
+    )
 
 
 def _run_one(plan: TablePlan, sink) -> TableRunResult:
@@ -173,15 +184,24 @@ def _run_one(plan: TablePlan, sink) -> TableRunResult:
                 "and continue_on_row_error=false"
             )
 
+    def _obs_rows(obs: Observation, fallback_df: DataFrame | None, default: int) -> int:
+        try:
+            vals = obs.get
+            if vals:
+                return int(vals["rows"])
+        except Exception:
+            pass  # observed node ran in >1 action (see TablePlan) — recount
+        return fallback_df.count() if fallback_df is not None else default
+
     if simulated:
         migrated = noop_sink(plan.df)  # K5: full execution, no write
     else:
         migrated = sink(plan.df, spec)
         if migrated is None:
-            migrated = int(plan.passed_obs.get["rows"])
+            migrated = _obs_rows(plan.passed_obs, plan.passed_df, 0)
 
-    rows_read = int(plan.read_obs.get["rows"]) if plan.read_obs.get else migrated
-    passed = int(plan.passed_obs.get["rows"]) if plan.passed_obs.get else migrated
+    rows_read = _obs_rows(plan.read_obs, plan.read_df, migrated)
+    passed = _obs_rows(plan.passed_obs, plan.passed_df, migrated)
     return TableRunResult(
         table=spec.table_name,
         target=spec.target,
