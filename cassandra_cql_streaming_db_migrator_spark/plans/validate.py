@@ -78,3 +78,44 @@ def validate_migration_schema(
                 "calculated columns - it will not be written"
             )
     return result
+
+
+# CQL types the reference's migrator supports (CassandraSchemaUtil.java:
+# 165-211); everything else raises "column has not supported type by the
+# migrator" (CSU:153-157).  Spark equivalents of the SUPPORTED set:
+_REFERENCE_SUPPORTED_TYPES = (
+    T.ByteType,      # tinyint
+    T.ShortType,     # smallint
+    T.IntegerType,   # int
+    T.LongType,      # bigint / counter
+    T.DecimalType,   # decimal
+    T.DoubleType,    # double
+    T.FloatType,     # float
+    T.BooleanType,   # boolean
+    T.StringType,    # varchar/text/ascii/uuid-as-string
+)
+
+
+def strict_type_check(schema: T.StructType, table_name: str = "") -> None:
+    """§1.3 strict mode: reproduce the reference's unsupported-type
+    rejection for parity testing.  The engine itself handles every Spark
+    type (timestamps, binary, nested structs — see the typed roundtrip
+    test); this check exists so a migration validated here is guaranteed
+    to also run on the reference.  Container types pass when their
+    element/key/value types do (list/set/map support, CSU:170-179)."""
+
+    def ok(dt: T.DataType) -> bool:
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return ok(dt.keyType) and ok(dt.valueType)
+        return isinstance(dt, _REFERENCE_SUPPORTED_TYPES)
+
+    bad = [f"{f.name} ({f.dataType.simpleString()})" for f in schema.fields if not ok(f.dataType)]
+    if bad:
+        raise SchemaValidationError(
+            f"table {table_name or '<schema>'}: column(s) have types the "
+            f"reference migrator does not support: {', '.join(bad)} "
+            "(CassandraSchemaUtil.java:153-157); disable strict_types to "
+            "migrate them with this engine"
+        )

@@ -111,3 +111,42 @@ class TestValidate:
         )
         res = validate_migration_schema(self.src, tgt, ["pk"])
         assert res.write_columns == ["pk", "a"]
+
+
+class TestStrictTypeMode:
+    """§1.3: strict mode reproduces the reference's unsupported-type
+    rejection (CassandraSchemaUtil.java:153-157)."""
+
+    def test_supported_types_pass_including_containers(self):
+        from pyspark.sql import types as T
+
+        from cassandra_cql_streaming_db_migrator_spark.plans.validate import strict_type_check
+
+        schema = T.StructType(
+            [
+                T.StructField("a", T.IntegerType()),
+                T.StructField("b", T.ArrayType(T.StringType())),
+                T.StructField("c", T.MapType(T.StringType(), T.DoubleType())),
+                T.StructField("d", T.DecimalType(10, 2)),
+            ]
+        )
+        strict_type_check(schema)  # no raise
+
+    def test_reference_rejected_types_raise(self):
+        import pytest
+        from pyspark.sql import types as T
+
+        from cassandra_cql_streaming_db_migrator_spark.plans.validate import (
+            SchemaValidationError,
+            strict_type_check,
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("ok", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        with pytest.raises(SchemaValidationError, match="ts.*payload|payload.*ts|not support"):
+            strict_type_check(schema, "events")
