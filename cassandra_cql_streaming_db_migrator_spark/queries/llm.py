@@ -391,6 +391,41 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, query, k=20, n_bits=6)
 
 
+def _lsh_proj_sql(x: str, b: int) -> str:
+    """Plane-b projection as SQL: the same LCG weights and sequential fold
+    as operators.similarity (_plane_component / _seq_fold_dots)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({x})+1), "
+        f"i -> CAST({x}[i] AS DOUBLE) * "
+        f"(CAST((1103515245 * ({b * 4096} + i - 1) + 12345) % 2147483648 AS DOUBLE) "
+        f"/ 2147483648.0 * 2.0 - 1.0))), (a, v) -> a + v)"
+    )
+
+
+def _lsh_bucket_sql(x: str, n_bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_lsh_proj_sql(x, b)} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+
+
+# The full LSH search is SQL-expressible because the hyperplanes are a
+# frozen LCG formula, not stored state — so even the "approximate" path
+# gets an exact oracle (bucket ids AND cosines hash-checked).
+_EMBEDDING_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({_lsh_bucket_sql("embedding", 6)}) AS bucket
+  FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       {_dot_sql("b.embedding", "q.qv")}
+         / (sqrt({_dot_sql("b.embedding", "b.embedding")})
+            * sqrt({_dot_sql("q.qv", "q.qv")})) AS cosine
+FROM b, q WHERE b.bucket = q.qbucket
+ORDER BY cosine DESC, b.vec_id ASC LIMIT 20
+"""
+
+
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
@@ -548,7 +583,7 @@ QUERIES = [
              "ANN via IVF coarse quantizer (probe nearest cells)"),
     QueryDef("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_SQL,
              "Arrow-batched binary payload feature extraction"),
-    QueryDef("embedding_ann_lsh", embedding_ann_lsh, None,
+    QueryDef("embedding_ann_lsh", embedding_ann_lsh, _EMBEDDING_LSH_SQL,
              "hyperplane-LSH approximate top-k (scale path; rows-only)"),
     QueryDef("embedding_near_dup", embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL,
              "embedding-cosine near-dup pairs above threshold"),
