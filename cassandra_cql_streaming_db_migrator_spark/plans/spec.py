@@ -162,11 +162,48 @@ def _parse_table(d: dict[str, Any]) -> TableMigration:
                     max_rows_batch_size=f.get("maxRowsBatchSize") or f.get("max_rows_batch_size"),
                 )
             )
+
+    # The reference's exact filter spelling (migration-config.example.yaml:
+    # 52-57, 93-96): dataFilterDefinitions with a filterClass + filterOptions.
+    for f in d.pop("dataFilterDefinitions", d.pop("data_filter_definitions", [])) or []:
+        cls = f.get("filterClass", "")
+        opts = f.get("filterOptions", {}) or {}
+        if cls.endswith("FieldValueFilter") or "mvelRule" in opts:
+            filters.append(
+                FilterDef(
+                    expression=opts["mvelRule"],
+                    language="mvel",
+                    max_rows_batch_size=f.get("maxRowsBatchSize"),
+                )
+            )
+        elif cls.endswith("IfNotExistFilter"):
+            # the in-memory existence filter IS the anti-join (J1/F4)
+            d["insert_only_if_not_exist"] = True
+        else:
+            raise ValueError(
+                f"unknown filterClass {cls!r}: port the Java filter to a "
+                "python plugin and reference it as language: python"
+            )
+
     calc = d.pop("calculatedColumns", None) or d.pop("calculated_columns", {}) or {}
     # reference nests calculatedColumns under migratorPlugin.options (DMP:43-63)
     plugin = d.pop("migratorPlugin", None) or d.pop("migrator_plugin", None)
     if plugin and isinstance(plugin, dict):
         calc = {**(plugin.get("options", {}).get("calculatedColumns", {}) or {}), **calc}
+
+    # ... and the exact reference spelling (YAML:105-120): a LIST of
+    # {columnName, mvelExpression} under migratorPluginDefinition.migratorOptions
+    mpd = d.pop("migratorPluginDefinition", None) or d.pop("migrator_plugin_definition", None)
+    if mpd and isinstance(mpd, dict):
+        cls = mpd.get("migratorPluginClass", "")
+        if cls and not cls.endswith("DefaultMigratorPlugin"):
+            raise ValueError(
+                f"unknown migratorPluginClass {cls!r}: port the Java plugin "
+                "to a python transform (plans.plugins.register_transform)"
+            )
+        for cc in (mpd.get("migratorOptions", {}) or {}).get("calculatedColumns", []) or []:
+            calc = {**calc, cc["columnName"]: cc["mvelExpression"]}
+
     return TableMigration(filters=filters, calculated_columns=dict(calc), **d)
 
 

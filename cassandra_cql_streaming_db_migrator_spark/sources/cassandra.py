@@ -35,11 +35,15 @@ def connection_options(db: dict[str, Any]) -> dict[str, str]:
     username, password, keyspaceName.
     """
     opts: dict[str, str] = {}
-    if db.get("contactPoints"):
-        pts = db["contactPoints"]
+    # contactNodes is the reference's spelling (DBDefinition /
+    # migration-config.example.yaml:12); host:port strings keep their port
+    pts = db.get("contactPoints") or db.get("contactNodes")
+    if pts:
         opts["spark.cassandra.connection.host"] = (
             ",".join(pts) if isinstance(pts, (list, tuple)) else str(pts)
         )
+    if db.get("contactNodesDatacenterName") and not db.get("localDatacenter"):
+        opts["spark.cassandra.connection.localDC"] = str(db["contactNodesDatacenterName"])
     if db.get("port"):
         opts["spark.cassandra.connection.port"] = str(db["port"])
     if db.get("localDatacenter"):

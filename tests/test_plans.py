@@ -150,3 +150,52 @@ class TestStrictTypeMode:
         )
         with pytest.raises(SchemaValidationError, match="ts.*payload|payload.*ts|not support"):
             strict_type_check(schema, "events")
+
+
+class TestReferenceExampleConfigParity:
+    """load_spec must parse the reference's SHIPPED example config verbatim
+    (config/migration-config.example.yaml) — the strongest config-portability
+    statement: a reference user's YAML is our YAML."""
+
+    def test_verbatim_reference_example_parses(self):
+        from cassandra_cql_streaming_db_migrator_spark.plans.spec import load_spec
+
+        spec = load_spec("/root/reference/config/migration-config.example.yaml")
+        assert spec.thread_count == 1
+        assert spec.print_status_every_x_seconds == 10
+        assert spec.source.get("keyspaceName")
+        t1, t2, t3, t4, t5 = spec.tables
+
+        assert (t1.table_name, t1.simulate_only, t1.continue_on_row_error) == (
+            "my_source_table_1", False, True)
+
+        assert t2.target_table_name == "my_source_table_2_clone"
+        assert t2.page_size == 5000 and t2.continue_on_row_error is False
+
+        assert t3.where_clause.startswith("part_key_col_1='abcd'")
+        assert t3.max_write_row_count == 2000 and t3.simulate_only is True
+
+        [flt] = t4.filters
+        assert flt.language == "mvel"
+        assert "clust_key_col_2 >= 3000" in flt.expression
+        # the MVEL rule translates to runnable Spark SQL
+        assert "AND" in flt.to_sql()
+
+        assert t5.insert_only_if_not_exist is True
+        assert "hashCode" in t5.calculated_columns["my_col_hash"]
+
+    def test_unknown_plugin_classes_fail_at_plan_time(self):
+        import pytest
+
+        from cassandra_cql_streaming_db_migrator_spark.plans.spec import load_spec
+
+        with pytest.raises(ValueError, match="unknown filterClass"):
+            load_spec(
+                """
+tables:
+  - tableName: t
+    continueOnRowError: true
+    dataFilterDefinitions:
+      - filterClass: com.example.MyCustomFilter
+"""
+            )
