@@ -338,6 +338,43 @@ FROM events
 """
 
 # ---------------------------------------------------------------------------
+# Analytic window-function family: rank/distribution/frame-edge functions in
+# one pass over one window definition (one shuffle on the partition key).
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_totalprice").over(w).alias("min_price_so_far"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+_WINDOW_ANALYTICS_SQL = """
+SELECT o_orderstatus, o_orderkey, o_totalprice,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(o_totalprice) OVER w AS min_price_so_far,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+# ---------------------------------------------------------------------------
 # As-of join: for every click, the most recent error by the same user at or
 # before it (union + ordered window — one shuffle, no candidate-pair
 # blow-up; see operators.joins.asof_join).
@@ -434,6 +471,45 @@ FROM orders GROUP BY o_orderstatus
 """
 
 # ---------------------------------------------------------------------------
+# Hypertable-style time rollup: one pass produces hourly AND daily buckets
+# via GROUPING SETS over truncated timestamps (Expand + single shuffle),
+# the batch form of a continuous aggregate / materialized rollup.
+
+
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucketed = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_day"),
+        "event_type",
+        "value",
+    )
+    bucketed.createOrReplaceTempView("events_buckets")
+    return spark.sql(
+        """
+        SELECT bucket_hour, bucket_day, event_type,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(28,10))) AS sum_value,
+               CAST(grouping(bucket_hour) AS INT) AS grouping_bucket_hour
+        FROM events_buckets
+        GROUP BY GROUPING SETS ((bucket_hour, event_type), (bucket_day, event_type))
+        """
+    )
+
+
+_TIME_ROLLUP_SQL = """
+SELECT bucket_hour, bucket_day, event_type,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(28,10))) AS sum_value,
+       CAST(grouping(bucket_hour) AS INTEGER) AS grouping_bucket_hour
+FROM (SELECT date_trunc('hour', ts) AS bucket_hour,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+             event_type, value
+      FROM events)
+GROUP BY GROUPING SETS ((bucket_hour, event_type), (bucket_day, event_type))
+"""
+
+# ---------------------------------------------------------------------------
 # Interval containment join: events binned into value tiers via a broadcast
 # nested-loop against the (tiny) tier table.
 
@@ -489,6 +565,10 @@ QUERIES = [
              "A4: exact interpolated percentiles"),
     QueryDef("window_lag_lead", window_lag_lead, _WINDOW_LAG_LEAD_SQL,
              "O7: analytic lag/lead offsets"),
+    QueryDef("window_analytics", window_analytics, _WINDOW_ANALYTICS_SQL,
+             "O7: ntile/percent_rank/cume_dist/rank family"),
+    QueryDef("time_bucket_rollup", time_bucket_rollup, _TIME_ROLLUP_SQL,
+             "A4/T8: multi-granularity time-bucket rollup"),
     QueryDef("join_asof", join_asof, _JOIN_ASOF_SQL,
              "J2: as-of join via union + ordered window"),
     QueryDef("join_range", join_range, _JOIN_RANGE_SQL,
