@@ -541,6 +541,103 @@ GROUP BY tier
 """
 
 
+# ---------------------------------------------------------------------------
+# PIVOT: long -> wide aggregation (explicit value list so the output schema
+# is static — dynamic pivots need a values scan first).
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+               ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .agg(decimal_sum("o_totalprice", "s"))
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        F.col("1-URGENT").alias("urgent"),
+        F.col("2-HIGH").alias("high"),
+        F.col("3-MEDIUM").alias("medium"),
+        F.col("4-NOT SPECIFIED").alias("not_specified"),
+        F.col("5-LOW").alias("low"),
+    )
+
+
+_AGG_PIVOT_SQL = """
+SELECT o_orderstatus,
+       sum(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS urgent,
+       sum(CASE WHEN o_orderpriority = '2-HIGH'
+                THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS high,
+       sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS medium,
+       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS not_specified,
+       sum(CASE WHEN o_orderpriority = '5-LOW'
+                THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS low
+FROM orders GROUP BY o_orderstatus
+"""
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery — Catalyst decorrelates into a join+agg plan;
+# the user writes the intent, the optimizer picks the dataflow.
+
+
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "price > 2 * customer's avg" with the avg's division multiplied
+    # through (price*n > 2*sum): a float avg's low bits depend on
+    # summation order, and a threshold predicate would flip boundary rows
+    # between engines — decimal sum * count is exact on both.
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_corr o
+        WHERE CAST(o_totalprice AS DECIMAL(28,10))
+                * (SELECT count(*) FROM orders_corr i
+                   WHERE i.o_custkey = o.o_custkey)
+              > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(28,10)))
+                     FROM orders_corr i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+_CORRELATED_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(28,10))
+        * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(28,10)))
+             FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+# ---------------------------------------------------------------------------
+# JSON extraction from the semi-structured props column.
+
+
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return grouped(
+        events.select("event_type", k.alias("k_val")),
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k_val").alias("sum_k"),
+            F.max("k_val").alias("max_k"),
+        ],
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_SQL,
              "A4: TPC-H Q1-shape wide aggregate"),
@@ -569,6 +666,12 @@ QUERIES = [
              "O7: ntile/percent_rank/cume_dist/rank family"),
     QueryDef("time_bucket_rollup", time_bucket_rollup, _TIME_ROLLUP_SQL,
              "A4/T8: multi-granularity time-bucket rollup"),
+    QueryDef("agg_pivot", agg_pivot, _AGG_PIVOT_SQL,
+             "A4: long->wide PIVOT aggregation"),
+    QueryDef("correlated_subquery", correlated_subquery, _CORRELATED_SQL,
+             "J2/A4: correlated scalar subquery (Catalyst decorrelation)"),
+    QueryDef("json_extract", json_extract_agg, _JSON_EXTRACT_SQL,
+             "semi-structured JSON column extraction + agg"),
     QueryDef("join_asof", join_asof, _JOIN_ASOF_SQL,
              "J2: as-of join via union + ordered window"),
     QueryDef("join_range", join_range, _JOIN_RANGE_SQL,
