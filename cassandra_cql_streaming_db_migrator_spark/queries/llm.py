@@ -303,6 +303,32 @@ SELECT doc_id, {poly_hash_sql("text")} AS fingerprint FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# Generator/lateral operator (Generate in Spark plans): explode the token
+# array and aggregate — the long-form shape of corpus vocabulary stats.
+
+
+def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+_TOKEN_FREQUENCY_SQL = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+# ---------------------------------------------------------------------------
 # Composed training-data prep: quality gate -> language gate -> exact dedup
 # -> token accounting, one lineage.  The shape of a real corpus-prep job:
 # enrichment is one narrow pass, dedup is the only wide op (1 shuffle on
@@ -567,6 +593,8 @@ QUERIES = [
     QueryDef("ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL,
              "blocked exact 3-gram Jaccard pairs (exact baseline; "
              "quadratic in block size, excluded from bench)", bench=False),
+    QueryDef("token_frequency", token_frequency, _TOKEN_FREQUENCY_SQL,
+             "generator op: explode tokens -> vocabulary top-k"),
     QueryDef("llm_prep_pipeline", llm_prep_pipeline, _LLM_PREP_SQL,
              "composed corpus prep: quality + lang gate -> dedup -> tokens"),
     QueryDef("text_stats", text_stats_q, _TEXT_STATS_SQL,
