@@ -71,3 +71,42 @@ def test_connection_options_parity():
     assert opts["spark.cassandra.connection.port"] == "9042"
     assert opts["spark.cassandra.connection.localDC"] == "dc1"
     assert opts["spark.cassandra.auth.username"] == "u"
+
+
+def test_multibatch_stream_upsert_last_batch_wins(spark, tmp_path):
+    """Two ordered microbatches writing the same PK: the later batch's value
+    must survive in the upsert target (K1 last-write-wins across batches)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_cql_streaming_db_migrator_spark.plans.spec import TableMigration
+    from cassandra_cql_streaming_db_migrator_spark.streaming.migrate import (
+        migrate_stream_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def wb(name, ks, vs, mtime):
+        p = str(src / name)
+        pq.write_table(pa.table({"k": ks, "v": vs}), p)
+        os.utime(p, (mtime, mtime))
+
+    wb("b1.parquet", [1, 2], ["one_v1", "two_v1"], 1_000_000_000)
+    wb("b2.parquet", [2, 3], ["two_v2", "three_v1"], 1_000_000_010)
+
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    spec = TableMigration(
+        table_name="t", key_columns=["k"], simulate_only=False,
+        continue_on_row_error=True,
+    )
+    target = str(tmp_path / "target")
+    migrate_stream_to_parquet(stream, spec, target, checkpoint_dir=str(tmp_path / "ck"))
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "one_v1", 2: "two_v2", 3: "three_v1"}
