@@ -64,6 +64,87 @@ def fake_decoder(payload: bytes) -> dict:
     }
 
 
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize (PIL.Image.resize):
+    truncates/tiles the byte stream to width*height bytes.  Same signature
+    and contract (binary in -> binary out) as the real thing."""
+    target = max(width * height, 1)
+    if not payload:
+        return bytes(target)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_payloads(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Binary -> binary media transform (the resize stage): narrow
+    mapInPandas, output schema = (id, payload, width, height).  The real
+    decoder/encoder slots into ``resizer``; this environment injects the
+    deterministic fake (decode_stub explains why)."""
+    rs = resizer or (lambda p, w, h: decode_stub(p))  # force explicit choice
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    payload_col: [rs(p, width, height) for p in pdf[payload_col]],
+                }
+            )
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, {payload_col} binary, width int, height int"
+    )
+
+
+def fake_frame_sampler(payload: bytes, every_n: int) -> list[bytes]:
+    """Deterministic stand-in for video frame sampling (pyav keyframe
+    iteration): chunks the byte stream into 16-byte 'frames' and keeps
+    every n-th."""
+    frames = [payload[i : i + 16] for i in range(0, len(payload), 16)]
+    return frames[::every_n] if frames else []
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 4,
+    sampler: Callable[[bytes, int], list[bytes]] | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """1-row-in -> N-frame-rows-out media transform (the frame-sample
+    stage): a Python-side generator inside mapInPandas — each video row
+    explodes into (id, frame_idx, frame) rows.  Row-multiplying transforms
+    must happen HERE, not driver-side: the output cardinality is data-
+    dependent and the explode stays partition-local (no shuffle)."""
+    fs = sampler or (lambda p, n: decode_stub(p))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            frames: list = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                for j, fr in enumerate(fs(p, every_n)):
+                    ids.append(i)
+                    idxs.append(j)
+                    frames.append(fr)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, frame_idx int, frame binary"
+    )
+
+
 def extract_features(
     df: DataFrame,
     decoder: Callable[[bytes], dict] = decode_stub,
