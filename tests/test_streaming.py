@@ -186,3 +186,66 @@ def test_status_reporter_emits_progress_lines(spark, sf_dir):
     progress = [l for l in rep.lines if "rows=" in l]
     assert progress, rep.lines
     assert any("rows=1000" in l for l in progress)  # sf0.001 events
+
+
+def test_bounded_dedup_catches_near_dups_and_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate arriving while the
+    original is inside the watermark window is dropped; after the state
+    evicts, the same key passes again (bounded-state contract)."""
+    import os
+    import uuid as _uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        streaming_dedup_bounded,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def wb(name, stamps, keys, mtime):
+        p = str(src / name)
+        pq.write_table(
+            pa.table({"ts": pd.to_datetime(stamps).astype("datetime64[us]"), "k": keys}),
+            p,
+        )
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: k=1 at 10:00 (original) + k=9 at 10:01
+    wb("b1.parquet", ["2024-01-01 10:00:00", "2024-01-01 10:01:00"], [1, 9], 1e9)
+    # batch 2: duplicate k=1 at 10:02 (inside 10-min window -> dropped),
+    # plus a 12:00 row that pushes the watermark to 11:50 (evicts k=1 state)
+    wb("b2.parquet", ["2024-01-01 10:02:00", "2024-01-01 12:00:00"], [1, 7], 1e9 + 10)
+    # batch 3: watermark 11:50 now operative; state for k=1 (expiry 10:10)
+    # evicts during this batch
+    wb("b3.parquet", ["2024-01-01 12:30:00"], [5], 1e9 + 20)
+    # batch 4: k=1 state is gone -> the same key passes again
+    wb("b4.parquet", ["2024-01-01 12:35:00"], [1], 1e9 + 30)
+
+    deduped = streaming_dedup_bounded(
+        spark.readStream.schema("ts timestamp, k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        ["k"],
+    )
+    name = f"bd_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = sorted((r["k"], r["ts"].isoformat()) for r in spark.table(name).collect())
+    ks = [k for k, _ in got]
+    # k=1 appears TWICE: the 10:00 original and the 12:35 re-pass after
+    # eviction; the 10:02 duplicate was caught
+    assert ks.count(1) == 2, got
+    times_k1 = sorted(t for k, t in got if k == 1)
+    assert times_k1 == ["2024-01-01T10:00:00", "2024-01-01T12:35:00"]
+    assert ks.count(9) == 1 and ks.count(7) == 1 and ks.count(5) == 1
