@@ -59,6 +59,10 @@ def main() -> int:
     for name, q in queries.items():
         best = float("inf")
         for _ in range(reps):
+            # queries that persist() shared intermediates would otherwise
+            # hand rep 2 a warm CacheManager hit (and leak entries across
+            # the run) — every rep measures a cold plan
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             run_query_to_noop(df)

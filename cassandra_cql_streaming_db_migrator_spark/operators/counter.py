@@ -58,9 +58,11 @@ def counter_merge(
     if not salt or salt <= 1:
         return df.groupBy(*key_columns).agg(*aggs)
 
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
-    )
+    # Salt from the input partition, not a content hash: a hot key whose
+    # rows are IDENTICAL (constant delta — the canonical counter workload)
+    # would all hash to one sub-key and defeat the spread.  Partition ids
+    # are stable under task retry for the same input splits.
+    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt)))
     partial = salted.groupBy(*key_columns, "__salt").agg(*aggs)
     final_aggs = [F.sum(F.col(c)).alias(c) for c in counter_columns]
     final_aggs.append(F.sum("merged_row_count").alias("merged_row_count"))

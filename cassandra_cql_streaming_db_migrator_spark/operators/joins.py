@@ -63,24 +63,30 @@ def asof_join(
     is the difference between a linear pass and an explosion.
 
     Left rows with no matching right row get NULL payload (left-outer
-    semantics).  If several right rows share (keys, right_ts), which one
+    semantics).  The fill unit is the right ROW, not individual payload
+    values: payload columns ride inside one struct that is non-null for
+    every right row, so a matching right row whose payload value is
+    legitimately NULL yields NULL — not an older row's value carried
+    forward.  If several right rows share (keys, right_ts), which one
     wins is tie-ambiguous — pass payload columns that are themselves
     ordered (e.g. the right timestamp) or pre-dedup the right side.
     """
     left_extra = [c for c in left.columns if c not in keys and c != left_ts]
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
+    payload_type = right.select(payload_struct.alias("__p")).schema["__p"].dataType
     l = left.select(
         *keys,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_extra],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+        F.lit(None).cast(payload_type).alias("__p"),
     )
     r = right.select(
         *keys,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
-        *[F.col(c) for c in payload_cols],
+        payload_struct.alias("__p"),
     )
     if direction == "backward":
         order = [F.col("__t").asc(), F.col("__side").asc()]
@@ -98,10 +104,13 @@ def asof_join(
         "__t",
         "__side",
         *left_extra,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
     return filled.filter(F.col("__side") == 1).select(
-        *keys, F.col("__t").alias(left_ts), *left_extra, *payload_cols
+        *keys,
+        F.col("__t").alias(left_ts),
+        *left_extra,
+        *[F.col("__p").getField(c).alias(c) for c in payload_cols],
     )
 
 
@@ -124,11 +133,23 @@ def salted_join(
     feeding a join, skew in a bucketed/colocated plan, or a replicated
     dimension too big to broadcast but cheap to duplicate ``salt`` times).
 
-    The salt is a deterministic hash of the skewed side's row (not
-    rand()), so retried tasks re-derive the same salt — nondeterministic
-    salts break exactly-once semantics under task retry at scale."""
+    Only join types where the replicated side never emits unmatched rows
+    are allowed (inner/left/left_semi/left_anti): a right/full outer join
+    would emit each unmatched ``other`` row once PER REPLICA.
+
+    The salt derives from the skewed side's input partition (not rand():
+    retried tasks re-derive the same salt from the same split; not a
+    content hash: a hot key with IDENTICAL rows — the canonical skew —
+    would hash to one sub-key and defeat the spread)."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched rows of "
+            "the replicated side; use the plain join for right/full outer"
+        )
     salted_l = skewed.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt))
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(salt))
     )
     salted_r = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

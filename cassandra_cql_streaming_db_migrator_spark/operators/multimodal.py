@@ -101,9 +101,17 @@ def resize_payloads(
             out["height"] = height
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(
-        run, schema=f"{id_col} long, {payload_col} binary, width int, height int"
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField(payload_col, BinaryType(), True),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
     )
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
 def fake_frame_sampler(payload: bytes, every_n: int) -> list[bytes]:
@@ -140,9 +148,16 @@ def sample_frames(
                     frames.append(fr)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
-    return df.select(id_col, payload_col).mapInPandas(
-        run, schema=f"{id_col} long, frame_idx int, frame binary"
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
     )
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
 def extract_features(

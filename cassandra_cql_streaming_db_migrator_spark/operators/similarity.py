@@ -64,8 +64,14 @@ def cosine_topk(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    [qrow] = query.select(F.col(vec_col)).limit(1).collect()
-    qv = np.asarray(qrow[0], dtype=np.float64)
+    qrows = query.select(F.col(vec_col)).limit(1).collect()
+    schema_empty = StructType(
+        [embeddings.schema[id_col], StructField("cosine", DoubleType(), True)]
+    )
+    if not qrows:
+        # HOF twin's cross-join yields empty here — match it
+        return embeddings.sparkSession.createDataFrame([], schema_empty)
+    qv = np.asarray(qrows[0][0], dtype=np.float64)
     qnorm_sq = 0.0
     for d in range(qv.shape[0]):
         qnorm_sq = qnorm_sq + qv[d] * qv[d]
@@ -404,11 +410,21 @@ def ivf_ann_topk(
         .orderBy(id_col)
         .collect()
     )
+    if not cent_rows:
+        raise ValueError(
+            f"ivf_ann_topk: no centroid rows with {id_col} < {n_cells}; "
+            "pass an explicit centroid table for non-contiguous id spaces"
+        )
+    # cell ids are the centroids' ACTUAL ids — argmax gives a position,
+    # which only equals the id when ids are contiguous from 0
+    cent_ids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
     cents = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
     cnorms = np.sqrt(_seq_fold_dots(cents, cents))
 
-    [qrow] = query.select(F.col(vec_col)).limit(1).collect()
-    qv = np.asarray(qrow[0], dtype=np.float64)
+    qrows = query.select(F.col(vec_col)).limit(1).collect()
+    if not qrows:
+        raise ValueError("ivf_ann_topk: query DataFrame matched no rows")
+    qv = np.asarray(qrows[0][0], dtype=np.float64)
     qnorm = np.sqrt(_seq_fold_dots(qv[None, :], qv[None, :]))[0]
 
     qcos = _seq_fold_dots(np.broadcast_to(qv, cents.shape), cents) / (qnorm * cnorms)
@@ -445,7 +461,7 @@ def ivf_ann_topk(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy()[keep],
-                    "cell": cell[keep].astype(np.int64),
+                    "cell": cent_ids[cell[keep]],
                     "cosine": cos,
                 }
             )

@@ -169,6 +169,11 @@ def _parse_table(d: dict[str, Any]) -> TableMigration:
         cls = f.get("filterClass", "")
         opts = f.get("filterOptions", {}) or {}
         if cls.endswith("FieldValueFilter") or "mvelRule" in opts:
+            if "mvelRule" not in opts:
+                raise ValueError(
+                    f"filterClass {cls!r} requires filterOptions.mvelRule "
+                    "(FieldValueFilter.java:52-64)"
+                )
             filters.append(
                 FilterDef(
                     expression=opts["mvelRule"],

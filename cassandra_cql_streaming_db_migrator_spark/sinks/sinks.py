@@ -21,8 +21,26 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _read_target_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """None iff the target genuinely does not exist yet.  Any OTHER read
+    failure (permissions, corrupt files, filesystem hiccup) must propagate:
+    a merge sink that mistakes a transient error for 'first write' would
+    OVERWRITE accumulated state with one batch — silent data loss."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis so a missing path surfaces here
+        return df
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 @dataclass
@@ -61,9 +79,8 @@ def upsert_parquet(batch: DataFrame, target_path: str, key_columns: list[str]) -
     environment.
     """
     spark = batch.sparkSession
-    try:
-        existing = spark.read.parquet(target_path)
-    except Exception:
+    existing = _read_target_if_exists(spark, target_path)
+    if existing is None:
         batch.write.mode("overwrite").parquet(target_path)
         return
     survivors = existing.join(batch.select(*key_columns), on=key_columns, how="left_anti")
@@ -95,9 +112,8 @@ def counter_merge_parquet(
         "merged_row_count"
     )
     spark = batch.sparkSession
-    try:
-        existing = spark.read.parquet(target_path)
-    except Exception:
+    existing = _read_target_if_exists(spark, target_path)
+    if existing is None:
         deltas.write.mode("overwrite").parquet(target_path)
         return
     d = deltas
@@ -134,9 +150,8 @@ def upsert_parquet_partitioned(
     cluster (ingest date, tenant).
     """
     spark = batch.sparkSession
-    try:
-        existing = spark.read.parquet(target_path)
-    except Exception:
+    existing = _read_target_if_exists(spark, target_path)
+    if existing is None:
         batch.write.partitionBy(partition_col).mode("overwrite").parquet(target_path)
         return
     parts = [r[0] for r in batch.select(partition_col).distinct().collect()]

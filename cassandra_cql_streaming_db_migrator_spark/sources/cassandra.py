@@ -28,6 +28,21 @@ class ConnectorUnavailable(RuntimeError):
     pass
 
 
+def _looks_like_missing_connector(e: Exception) -> bool:
+    """Only the signatures a missing DataSource registration actually
+    produces — a broad 'data source' substring would relabel genuine
+    connector errors (option validation, missing tables) as a classpath
+    problem and send the operator down the wrong debugging path."""
+    msg = str(e)
+    return (
+        "ClassNotFound" in msg
+        or "DATA_SOURCE_NOT_FOUND" in msg
+        or "Failed to find the data source" in msg
+        or "Failed to find data source" in msg
+    )
+
+
+
 def connection_options(db: dict[str, Any]) -> dict[str, str]:
     """Map the reference's DBDefinition fields onto connector options.
 
@@ -83,7 +98,7 @@ def load_cql_table(
     try:
         return table_reader(spark, db, table, ttl_probe_column).load()
     except Exception as e:  # ClassNotFound / DataSource not found
-        if "Failed to find" in str(e) or "ClassNotFound" in str(e) or "data source" in str(e).lower():
+        if _looks_like_missing_connector(e):
             raise ConnectorUnavailable(
                 "spark-cassandra-connector is not on the classpath; add "
                 "com.datastax.spark:spark-cassandra-connector to spark.jars.packages"
@@ -115,7 +130,7 @@ def write_cql_table(
     try:
         writer.save()
     except Exception as e:
-        if "Failed to find" in str(e) or "ClassNotFound" in str(e) or "data source" in str(e).lower():
+        if _looks_like_missing_connector(e):
             raise ConnectorUnavailable(
                 "spark-cassandra-connector is not on the classpath"
             ) from e
