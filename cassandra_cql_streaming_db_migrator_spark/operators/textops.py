@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import POLY_MOD, poly_hash
+from ..functions.hashing import poly_hash
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
 BPE_TOKEN_PATTERN = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"
