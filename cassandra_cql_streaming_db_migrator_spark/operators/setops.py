@@ -27,3 +27,13 @@ def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     """SQL EXCEPT (distinct) — DataFrame.subtract has exactly these
     semantics (distinct rows of a not present in b)."""
     return a.subtract(b)
+
+
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Multiset INTERSECT ALL (duplicate-preserving)."""
+    return a.intersectAll(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Multiset EXCEPT ALL (subtracts per-row multiplicities)."""
+    return a.exceptAll(b)

@@ -18,7 +18,13 @@ from ..operators.joins import (
     interval_join_broadcast,
     semi_join,
 )
-from ..operators.setops import except_distinct, intersect, union_distinct
+from ..operators.setops import (
+    except_all,
+    except_distinct,
+    intersect,
+    intersect_all,
+    union_distinct,
+)
 from ..operators.windows import lag_lead, running_agg, top_k_per_group
 from ..sources.parquet import load_table
 from . import QueryDef
@@ -277,6 +283,28 @@ _SET_UNION_SQL = """
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 UNION
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return except_all(_custkeys(spark, sf_dir, "O"), _custkeys(spark, sf_dir, "F"))
+
+
+_SET_EXCEPT_ALL_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return intersect_all(_custkeys(spark, sf_dir, "O"), _custkeys(spark, sf_dir, "F"))
+
+
+_SET_INTERSECT_ALL_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
@@ -679,4 +707,8 @@ QUERIES = [
     QueryDef("set_except", set_except, _SET_EXCEPT_SQL, "O6: EXCEPT"),
     QueryDef("set_union", set_union, _SET_UNION_SQL, "O6: UNION distinct"),
     QueryDef("set_intersect", set_intersect, _SET_INTERSECT_SQL, "O6: INTERSECT"),
+    QueryDef("set_except_all", set_except_all, _SET_EXCEPT_ALL_SQL,
+             "O6: multiset EXCEPT ALL"),
+    QueryDef("set_intersect_all", set_intersect_all, _SET_INTERSECT_ALL_SQL,
+             "O6: multiset INTERSECT ALL"),
 ]
