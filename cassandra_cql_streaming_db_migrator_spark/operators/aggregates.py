@@ -9,6 +9,24 @@ what makes a 100 TB groupBy feasible.
 ``decimal_sum`` is the cross-engine determinism primitive: double sums are
 order-dependent (partitioning-dependent!), decimal sums are exact and
 associative.  Any aggregate a correctness gate will hash must use it.
+
+Output-boundary rule (round-2 fix): the SUM itself stays DECIMAL(28,10) so
+partial aggregation is exact and associative, but the *emitted* column is
+``CAST(round(sum, s) AS DOUBLE)`` — raw DECIMAL materializes differently
+across engines (scale/trailing-zero/Decimal-vs-float at the client
+boundary) and fails value hashing even when the numbers are equal.
+
+The order of operations is load-bearing (measured against DuckDB):
+  * round IN DECIMAL SPACE, then convert once.  ``round(CAST(x AS DOUBLE))``
+    rounds in float space, where the two engines' round() implementations
+    disagree on large magnitudes (observed at ~3.8e9).
+  * Spark's decimal round/scale-down cast is HALF_UP; DuckDB's ``round()``
+    is too, but DuckDB's ``CAST`` to a smaller scale TRUNCATES — the oracle
+    must spell it ``CAST(round(sum(...), s) AS DOUBLE)``.
+  * the final decimal->double is exact on both engines iff the scaled
+    integer < 2^53, i.e. |value| < 9e15 / 10^s.  Scale 2 (the default)
+    holds to |sum| ~ 9e13 — far beyond any fixture grand total; use scale
+    6 only for provably small magnitudes (per-key sums, averages).
 """
 
 from __future__ import annotations
@@ -19,7 +37,17 @@ from pyspark.sql import functions as F
 EXACT_DECIMAL = "decimal(28,10)"
 
 
-def decimal_sum(col: Column | str, alias: str) -> Column:
+def decimal_sum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Exact decimal sum, canonicalized to DOUBLE at the output boundary:
+    round in decimal space (HALF_UP), then one exact decimal->double.
+    Oracle twin: ``CAST(round(sum(CAST(x AS DECIMAL(28,10))), 2) AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(EXACT_DECIMAL)), scale).cast("double").alias(alias)
+
+
+def decimal_sum_exact(col: Column | str, alias: str) -> Column:
+    """Raw DECIMAL(28,10) sum — for internal merges (counter sinks) where the
+    value keeps flowing; do NOT emit this from a hashed query boundary."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(EXACT_DECIMAL)).alias(alias)
 

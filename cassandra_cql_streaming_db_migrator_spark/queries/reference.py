@@ -177,12 +177,15 @@ USING (o_orderkey)
 
 def counter_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return counter_merge(events, ["user_id", "event_type"], ["value"])
+    merged = counter_merge(events, ["user_id", "event_type"], ["value"])
+    # The sink consumes the exact DECIMAL delta; the hashed query boundary
+    # emits the canonical DOUBLE form (see operators.aggregates docstring).
+    return merged.withColumn("value", F.round(F.col("value"), 6).cast("double"))
 
 
 _COUNTER_MERGE_SQL = """
 SELECT user_id, event_type,
-       sum(CAST(value AS DECIMAL(28,10))) AS value,
+       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE) AS value,
        count(*) AS merged_row_count
 FROM events GROUP BY user_id, event_type
 """

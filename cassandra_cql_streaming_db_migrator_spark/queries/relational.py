@@ -56,10 +56,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_qty,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_price,
        round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_disc,
@@ -91,7 +91,7 @@ def join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JOIN_ENRICH_SQL = """
 SELECT r_name, count(*) AS n_custs,
-       sum(CAST(c_acctbal AS DECIMAL(28,10))) AS sum_acctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -121,7 +121,7 @@ def join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JOIN_LARGE_SQL = """
 SELECT o_orderpriority,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
        count(DISTINCT o_orderkey) AS n_orders,
        count(*) AS n_items
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -192,15 +192,20 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(28,10)")),
         "running_qty",
     )
-    return out.select("l_orderkey", "l_linenumber", "running_qty")
+    # Canonical DOUBLE at the output boundary (exact decimal inside the frame).
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("running_qty"), 6).cast("double").alias("running_qty"),
+    )
 
 
 _WINDOW_RUNNING_SQL = """
 SELECT l_orderkey, l_linenumber,
-       sum(CAST(l_quantity AS DECIMAL(28,10)))
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10)))
          OVER (PARTITION BY l_orderkey
                ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS running_qty
 FROM lineitem
 """
 
@@ -219,7 +224,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty,
        count(*) AS n_rows,
        CAST(grouping(l_returnflag) AS INTEGER) AS grouping_l_returnflag,
        CAST(grouping(l_linestatus) AS INTEGER) AS grouping_l_linestatus
@@ -334,7 +339,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
-       sum(CAST(o_totalprice AS DECIMAL(28,10))) AS sum_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_price,
        count(*) AS n_orders,
        CAST(grouping(o_orderstatus) AS INTEGER) AS grouping_o_orderstatus,
        CAST(grouping(o_orderpriority) AS INTEGER) AS grouping_o_orderpriority
@@ -452,7 +457,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               sum(CAST(o_totalprice AS DECIMAL(28,10))) AS sum_price,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE)
+                 AS sum_price,
                count(*) AS n_orders,
                CAST(grouping(o_orderstatus) AS INT) AS grouping_o_orderstatus,
                CAST(grouping(o_orderpriority) AS INT) AS grouping_o_orderpriority
@@ -464,7 +470,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority,
-       sum(CAST(o_totalprice AS DECIMAL(28,10))) AS sum_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_price,
        count(*) AS n_orders,
        CAST(grouping(o_orderstatus) AS INTEGER) AS grouping_o_orderstatus,
        CAST(grouping(o_orderpriority) AS INTEGER) AS grouping_o_orderpriority
@@ -517,7 +523,8 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT bucket_hour, bucket_day, event_type,
                count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(28,10))) AS sum_value,
+               CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
+                 AS sum_value,
                CAST(grouping(bucket_hour) AS INT) AS grouping_bucket_hour
         FROM events_buckets
         GROUP BY GROUPING SETS ((bucket_hour, event_type), (bucket_day, event_type))
@@ -528,7 +535,7 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TIME_ROLLUP_SQL = """
 SELECT bucket_hour, bucket_day, event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(28,10))) AS sum_value,
+       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value,
        CAST(grouping(bucket_hour) AS INTEGER) AS grouping_bucket_hour
 FROM (SELECT date_trunc('hour', ts) AS bucket_hour,
              CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
@@ -560,7 +567,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JOIN_RANGE_SQL = """
 SELECT tier, count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(28,10))) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
 FROM events
 JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 300.0),
              ('extreme', 300.0, 1e12)) AS t(tier, lo, hi)
@@ -594,16 +601,16 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_PIVOT_SQL = """
 SELECT o_orderstatus,
-       sum(CASE WHEN o_orderpriority = '1-URGENT'
-                THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS urgent,
-       sum(CASE WHEN o_orderpriority = '2-HIGH'
-                THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS high,
-       sum(CASE WHEN o_orderpriority = '3-MEDIUM'
-                THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS medium,
-       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
-                THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS not_specified,
-       sum(CASE WHEN o_orderpriority = '5-LOW'
-                THEN CAST(o_totalprice AS DECIMAL(28,10)) END) AS low
+       CAST(round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(o_totalprice AS DECIMAL(28,10)) END), 2) AS DOUBLE) AS urgent,
+       CAST(round(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                THEN CAST(o_totalprice AS DECIMAL(28,10)) END), 2) AS DOUBLE) AS high,
+       CAST(round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                THEN CAST(o_totalprice AS DECIMAL(28,10)) END), 2) AS DOUBLE) AS medium,
+       CAST(round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                THEN CAST(o_totalprice AS DECIMAL(28,10)) END), 2) AS DOUBLE) AS not_specified,
+       CAST(round(sum(CASE WHEN o_orderpriority = '5-LOW'
+                THEN CAST(o_totalprice AS DECIMAL(28,10)) END), 2) AS DOUBLE) AS low
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -660,7 +667,7 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_EXTRACT_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """

@@ -26,22 +26,30 @@ from ..streaming.stream import (
 from . import QueryDef
 
 
+def _canon_sum(df: DataFrame) -> DataFrame:
+    """Canonical DOUBLE form for the exact decimal sum at the hashed query
+    boundary (same rule as operators.aggregates.decimal_sum)."""
+    if "sum_value" in df.columns:
+        df = df.withColumn("sum_value", F.round(F.col("sum_value"), 6).cast("double"))
+    return df
+
+
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
-    return run_to_memory(tumbling_window_agg(events, "1 hour"))
+    return _canon_sum(run_to_memory(tumbling_window_agg(events, "1 hour")))
 
 
 _STREAM_TUMBLING_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(28,10))) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
-    return run_to_memory(streaming_dedup_counts(events))
+    return _canon_sum(run_to_memory(streaming_dedup_counts(events)))
 
 
 _STREAM_DEDUP_SQL = """
@@ -50,14 +58,14 @@ WITH deduped AS (
          row_number() OVER (PARTITION BY event_id ORDER BY event_id) AS rn
   FROM events)
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(28,10))) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE) AS sum_value
 FROM deduped WHERE rn = 1 GROUP BY event_type
 """
 
 
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
-    return run_to_memory(session_window_agg(events, "10 minutes"))
+    return _canon_sum(run_to_memory(session_window_agg(events, "10 minutes")))
 
 
 # Batch sessionization: a new session starts when the gap to the previous
@@ -80,14 +88,14 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL '10 minutes' AS session_end,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(28,10))) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE) AS sum_value
 FROM sess GROUP BY user_id, sid
 """
 
 
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
-    return run_to_memory(sliding_window_agg(events, "1 hour", "30 minutes"))
+    return _canon_sum(run_to_memory(sliding_window_agg(events, "1 hour", "30 minutes")))
 
 
 # Each event falls into the two 30-min-aligned 1-hour windows covering it.
@@ -100,7 +108,7 @@ WITH expanded AS (
          AS u(ws)
 )
 SELECT window_start, event_type, count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(28,10))) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE) AS sum_value
 FROM expanded GROUP BY 1, 2
 """
 

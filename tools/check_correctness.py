@@ -24,8 +24,11 @@ from cassandra_cql_streaming_db_migrator_spark.sources.parquet import TABLES
 
 
 def canon(v):
+    # STRICT on purpose: no Decimal.normalize() — the driver's hasher sees
+    # raw representations, so trailing-zero/scale differences must FAIL here
+    # too (round-1 lesson: normalize() masked 12 driver hash_match failures).
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        return ("dec", str(v))
     if isinstance(v, float):
         return ("f", repr(v))
     if isinstance(v, bool):
