@@ -223,6 +223,45 @@ def _seq_fold_dots(mat_a, mat_b):
     return acc
 
 
+# Pair-expanded kernel buffers hold at most this many float64 elements
+# (~64 MB each): the bound that keeps a pathologically hot block (millions
+# of rows under one label at 100x scale) from materializing O(b^2) pairs in
+# one pandas frame and OOMing the executor.
+_PAIR_ELEM_BUDGET = 8_000_000
+
+
+def _iter_pair_chunks(n: int, dim: int, elem_budget: int):
+    """Yield (i_idx, j_idx) index-array chunks that together cover every
+    i<j pair of an n-row block, each chunk capped so the pair-expanded
+    (pairs x dim) matrices stay within ``elem_budget`` elements.  Chunking
+    only regroups the pair enumeration — per-pair arithmetic and the global
+    selection order are unchanged, so results are bit-identical to the
+    unchunked kernel (tested with a deliberately skewed block).
+
+    ``elem_budget`` is resolved DRIVER-side (module constant) and captured
+    by value in the kernel closure: Python workers re-import this module,
+    so a worker-side read of the global would ignore any override."""
+    import numpy as np
+
+    budget = max(1, elem_budget // max(dim, 1))
+    buf_i, buf_j, filled = [], [], 0
+    for r in range(n - 1):
+        remaining = n - 1 - r
+        start = r + 1
+        while remaining:
+            take = min(remaining, budget - filled)
+            buf_i.append(np.full(take, r, dtype=np.int64))
+            buf_j.append(np.arange(start, start + take, dtype=np.int64))
+            filled += take
+            start += take
+            remaining -= take
+            if filled == budget:
+                yield np.concatenate(buf_i), np.concatenate(buf_j)
+                buf_i, buf_j, filled = [], [], 0
+    if filled:
+        yield np.concatenate(buf_i), np.concatenate(buf_j)
+
+
 def block_top_pairs(
     embeddings: DataFrame,
     block_col: str,
@@ -240,8 +279,11 @@ def block_top_pairs(
     leaves the executor: no pair-shuffle, no window over O(n^2) rows.
     ``hof``: pure-Catalyst self-join + fold + row_number twin.
 
-    Within-block pairwise is O(n^2/block) by design — the block column IS
-    the scale control (labels here; LSH buckets at 100 TB)."""
+    Within-block pairwise is O(n^2/block) COMPUTE by design — the block
+    column IS the scale control (labels here; LSH buckets at 100 TB) — but
+    MEMORY is bounded regardless: pairs are enumerated in _PAIR_ELEM_BUDGET
+    chunks with a running top-k merge, so a hot block degrades to slow, not
+    to an executor OOM."""
     if engine == "hof":
         normed = embeddings.select(
             F.col(block_col),
@@ -285,6 +327,8 @@ def block_top_pairs(
     import pandas as pd
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
+    elem_budget = _PAIR_ELEM_BUDGET  # captured by value into the kernel
+
     schema = StructType(
         [
             embeddings.schema[block_col],
@@ -305,17 +349,26 @@ def block_top_pairs(
         ids = pdf[id_col].to_numpy()[order]
         mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
         norms = np.sqrt(_seq_fold_dots(mat, mat))
-        i, j = np.triu_indices(n, 1)
-        cos = _seq_fold_dots(mat[i], mat[j]) / (norms[i] * norms[j])
-        # rank by (cosine desc, id_1, id_2); ids sorted so i<j => id_i<id_j
-        rank = np.lexsort((ids[j], ids[i], -cos))[:k]
+        # bounded-memory running top-k over pair chunks: selecting by the
+        # total order (cosine desc, id_1, id_2) is associative under merge,
+        # so the result equals one global sort over all O(n^2) pairs
+        # (ids sorted above, so i<j => id_i<id_j)
+        bi = bj = bcos = None
+        for i, j in _iter_pair_chunks(n, mat.shape[1], elem_budget):
+            cos = _seq_fold_dots(mat[i], mat[j]) / (norms[i] * norms[j])
+            if bi is not None:
+                i = np.concatenate([bi, i])
+                j = np.concatenate([bj, j])
+                cos = np.concatenate([bcos, cos])
+            rank = np.lexsort((ids[j], ids[i], -cos))[:k]
+            bi, bj, bcos = i[rank], j[rank], cos[rank]
         return pd.DataFrame(
             {
                 block_col: pdf[block_col].iloc[0],
-                f"{id_col}_1": ids[i[rank]],
-                f"{id_col}_2": ids[j[rank]],
-                "cosine": cos[rank],
-                "rn": np.arange(1, len(rank) + 1, dtype=np.int32),
+                f"{id_col}_1": ids[bi],
+                f"{id_col}_2": ids[bj],
+                "cosine": bcos,
+                "rn": np.arange(1, len(bi) + 1, dtype=np.int32),
             }
         )
 
@@ -333,12 +386,16 @@ def block_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: within each block, pairs with
     cosine >= threshold.  Same applyInPandas kernel as block_top_pairs
-    (sequential-fold dots, O(n^2) bounded by the block) but thresholded
-    instead of ranked — the dedup-decision form.  At scale the block column
-    is an LSH bucket or IVF cell; labels on the fixtures."""
+    (sequential-fold dots, O(n^2) compute bounded by the block, memory
+    bounded by _PAIR_ELEM_BUDGET chunking — only threshold survivors
+    accumulate) but thresholded instead of ranked — the dedup-decision
+    form.  At scale the block column is an LSH bucket or IVF cell; labels
+    on the fixtures."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
+
+    elem_budget = _PAIR_ELEM_BUDGET  # captured by value into the kernel
 
     schema = StructType(
         [
@@ -357,15 +414,25 @@ def block_near_dup_pairs(
         ids = pdf[id_col].to_numpy()[order]
         mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
         norms = np.sqrt(_seq_fold_dots(mat, mat))
-        i, j = np.triu_indices(n, 1)
-        cos = _seq_fold_dots(mat[i], mat[j]) / (norms[i] * norms[j])
-        keep = cos >= threshold
+        # bounded-memory: only threshold survivors accumulate (the actual
+        # result set); the O(n^2) pair expansion never exists at once
+        out_1, out_2, out_cos = [], [], []
+        for i, j in _iter_pair_chunks(n, mat.shape[1], elem_budget):
+            cos = _seq_fold_dots(mat[i], mat[j]) / (norms[i] * norms[j])
+            keep = cos >= threshold
+            if keep.any():
+                out_1.append(ids[i[keep]])
+                out_2.append(ids[j[keep]])
+                out_cos.append(cos[keep])
+        empty = np.array([], dtype=ids.dtype)
         return pd.DataFrame(
             {
                 block_col: pdf[block_col].iloc[0],
-                f"{id_col}_1": ids[i[keep]],
-                f"{id_col}_2": ids[j[keep]],
-                "cosine": cos[keep],
+                f"{id_col}_1": np.concatenate(out_1) if out_1 else empty,
+                f"{id_col}_2": np.concatenate(out_2) if out_2 else empty,
+                "cosine": np.concatenate(out_cos)
+                if out_cos
+                else np.array([], dtype=np.float64),
             }
         )
 

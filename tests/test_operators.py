@@ -258,6 +258,36 @@ def test_block_top_pairs_arrow_equals_hof(spark, sf_dir):
     assert a == h
 
 
+def test_block_pair_kernels_chunked_skewed_block(spark, sf_dir, monkeypatch):
+    """A deliberately skewed block (every row under ONE label) forced through
+    a tiny pair-chunk budget must produce results identical to the
+    effectively-unchunked kernel — the bounded-memory path is a pure
+    regrouping of the pair enumeration, not an approximation."""
+    from cassandra_cql_streaming_db_migrator_spark.operators import similarity
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .limit(120)
+        .withColumn("label", F.lit(0))
+    )
+
+    big = [tuple(r) for r in similarity.block_top_pairs(emb, "label", 5).collect()]
+    big_nd = sorted(
+        tuple(r)
+        for r in similarity.block_near_dup_pairs(emb, "label", 0.3).collect()
+    )
+    # 120 rows -> 7140 pairs; budget of 500 elements (dim 64 -> 7 pairs per
+    # chunk) forces ~1000 flush/merge cycles through the running top-k
+    monkeypatch.setattr(similarity, "_PAIR_ELEM_BUDGET", 500)
+    small = [tuple(r) for r in similarity.block_top_pairs(emb, "label", 5).collect()]
+    small_nd = sorted(
+        tuple(r)
+        for r in similarity.block_near_dup_pairs(emb, "label", 0.3).collect()
+    )
+    assert big == small
+    assert big_nd == small_nd and len(big_nd) > 0
+
+
 def test_similarity_arrow_equals_hof(spark, sf_dir):
     """Vectorized cosine scoring and LSH bucketing reproduce the Catalyst
     folds bit-for-bit."""
