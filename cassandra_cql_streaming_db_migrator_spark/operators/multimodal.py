@@ -3,11 +3,13 @@ columns with typed metadata.
 
 The Spark-side plumbing is real — binary payload column, typed metadata
 struct, Arrow-batched ``mapInPandas`` feature extraction with an explicit
-output schema and bounded batch sizes.  The *decode* step (PIL/ffmpeg-class
-work) is stubbed: those libraries are not in this container, so
-``decode_stub`` raises NotImplementedError and tests/queries inject
-``fake_decoder`` — a deterministic byte-level featurizer with the same
-signature — keeping schema, partitioning, and batch shape under test.
+output schema and bounded batch sizes.  The *decode* step is real too for
+the container-friendly formats: ``decode_media`` parses binary PGM (P5)
+images and RIFF/WAVE 8-bit PCM audio with pure-Python header parsing and
+pixel/sample statistics, and ``pgm_resize`` is a real nearest-neighbor
+image resample.  Compressed codecs (JPEG/MP3/H.264) would slot into the
+same ``decoder``/``resizer`` callables via PIL/ffmpeg where available;
+``fake_decoder``/``fake_resizer`` remain as deterministic test doubles.
 
 Scale notes: payloads ride the DataFrame as binary; feature extraction is a
 narrow map (no shuffle), so it scales with executors.  Keep
@@ -17,6 +19,8 @@ megabytes (memory per Arrow batch = rows x payload size).
 
 from __future__ import annotations
 
+import struct
+
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -24,8 +28,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FEATURE_SCHEMA = (
-    "doc_id long, n_bytes long, first_byte int, byte_sum long, feature_ok boolean"
+FEATURE_SCHEMA_FIELDS = (
+    "n_bytes long, first_byte int, byte_sum long, feature_ok boolean"
+)
+
+MEDIA_FEATURE_FIELDS = (
+    "media_kind string, width int, height int, sample_rate int, "
+    "n_units long, unit_min int, unit_max int, unit_sum long, "
+    "unit_mean double, feature_ok boolean"
 )
 
 
@@ -43,14 +53,174 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes) -> dict:
-    """Placeholder for the real media decode (PIL.Image.open /
-    soundfile.read / pyav frame sampling).  Decode libraries are not
-    available in this environment."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "container; inject a decoder via extract_features(decoder=...)"
+def attach_media_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_units: int = 256,
+) -> DataFrame:
+    """Deterministic REAL-format media ingest over the fixtures: each doc's
+    utf-8 text bytes, tiled to ``n_units``, become the pixel/sample data of
+    a real file — even ids a 16x16 binary PGM, odd ids an 8 kHz 8-bit WAV.
+    The payload is a fully valid file ``decode_media`` (or any external
+    tool) can parse; construction happens in a narrow Arrow map, exactly
+    where a real object-store fetch would sit."""
+    side = max(1, int(n_units ** 0.5))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                if raw:
+                    reps = (n_units // len(raw)) + 1
+                    units = (raw * reps)[:n_units]
+                else:
+                    units = b""
+                if int(i) % 2 == 0:
+                    w = side if units else 0
+                    h = (len(units) // w) if w else 0
+                    payloads.append(make_pgm(units[: w * h], w, h))
+                else:
+                    payloads.append(make_wav(units))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[id_col], StructField("payload", BinaryType(), True)]
     )
+    payloads = df.select(id_col, text_col).mapInPandas(build, schema=schema)
+    return payloads.withColumn(
+        "media_meta",
+        F.struct(
+            F.when(F.col(id_col) % 2 == 0, F.lit("image/x-portable-graymap"))
+            .otherwise(F.lit("audio/wav"))
+            .alias("content_type"),
+            F.octet_length(F.col("payload")).alias("n_bytes"),
+        ),
+    )
+
+
+# --- real media formats (pure Python, no codec libraries needed) ----------
+
+
+def make_pgm(pixels: bytes, width: int, height: int) -> bytes:
+    """Binary PGM (P5): ASCII header + raw 8-bit grayscale pixels."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    return b"P5\n%d %d\n255\n" % (width, height) + pixels
+
+
+def make_wav(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE, mono 8-bit unsigned PCM."""
+    n = len(samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", n)
+        + samples
+    )
+
+
+def _pgm_parse(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Parse a binary PGM header: magic P5, then three whitespace-separated
+    ints (width height maxval, '#' comments allowed), one whitespace byte,
+    then width*height raw pixels.  None on any malformation."""
+    if payload[:2] != b"P5":
+        return None
+    pos, vals = 2, []
+    while len(vals) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        else:
+            return None
+    if len(vals) < 3 or pos >= len(payload) or not payload[pos : pos + 1].isspace():
+        return None
+    w, h, maxval = vals
+    if w < 0 or h < 0 or not 0 < maxval < 256:
+        return None
+    data = payload[pos + 1 : pos + 1 + w * h]
+    if len(data) < w * h:
+        return None
+    return w, h, maxval, data
+
+
+def _wav_parse(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Walk RIFF chunks for fmt + data; accept mono/stereo 8-bit PCM.
+    Returns (channels, sample_rate, bits, data) or None."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 8:  # uncompressed 8-bit PCM only
+        return None
+    return channels, sample_rate, bits, data
+
+
+def _unit_stats(units: bytes) -> dict:
+    n = len(units)
+    if n == 0:
+        return {
+            "n_units": 0, "unit_min": None, "unit_max": None,
+            "unit_sum": None, "unit_mean": None,
+        }
+    s = int(sum(units))
+    return {
+        "n_units": n, "unit_min": min(units), "unit_max": max(units),
+        "unit_sum": s, "unit_mean": s / n,
+    }
+
+
+def decode_media(payload: bytes) -> dict:
+    """Real media decode for the formats this container can handle without
+    codec libraries: binary PGM images (pixel stats + dimensions) and
+    RIFF/WAVE 8-bit PCM audio (sample stats + rate).  Unknown or corrupt
+    payloads come back feature_ok=False instead of raising — at 100 TB a
+    bad object must quarantine, not kill the stage."""
+    payload = bytes(payload or b"")
+    base = {
+        "media_kind": "unknown", "width": None, "height": None,
+        "sample_rate": None, "feature_ok": False, **_unit_stats(b""),
+    }
+    pgm = _pgm_parse(payload)
+    if pgm is not None:
+        w, h, _, data = pgm
+        return {**base, "media_kind": "pgm", "width": w, "height": h,
+                "feature_ok": True, **_unit_stats(data)}
+    wav = _wav_parse(payload)
+    if wav is not None:
+        _, rate, _, data = wav
+        return {**base, "media_kind": "wav", "sample_rate": rate,
+                "feature_ok": True, **_unit_stats(data)}
+    return base
 
 
 def fake_decoder(payload: bytes) -> dict:
@@ -75,6 +245,28 @@ def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
     return (payload * reps)[:target]
 
 
+def pgm_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize for binary PGM: nearest-neighbor resample to
+    (width, height), re-emitted as PGM.  src pixel for dst (x,y) is
+    (x*src_w//width, y*src_h//height) — pure integer arithmetic, so the
+    result is deterministic everywhere.  Non-PGM payloads raise (route
+    other formats to their own resizer)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("pgm_resize: target dimensions must be positive")
+    parsed = _pgm_parse(bytes(payload or b""))
+    if parsed is None:
+        raise ValueError("pgm_resize: payload is not a parseable binary PGM")
+    src_w, src_h, _, data = parsed
+    if src_w == 0 or src_h == 0:  # degenerate source -> black target
+        return make_pgm(bytes(width * height), width, height)
+    out = bytearray(width * height)
+    for y in range(height):
+        row = (y * src_h // height) * src_w
+        for x in range(width):
+            out[y * width + x] = data[row + (x * src_w // width)]
+    return make_pgm(bytes(out), width, height)
+
+
 def resize_payloads(
     df: DataFrame,
     width: int,
@@ -84,10 +276,10 @@ def resize_payloads(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Binary -> binary media transform (the resize stage): narrow
-    mapInPandas, output schema = (id, payload, width, height).  The real
-    decoder/encoder slots into ``resizer``; this environment injects the
-    deterministic fake (decode_stub explains why)."""
-    rs = resizer or (lambda p, w, h: decode_stub(p))  # force explicit choice
+    mapInPandas, output schema = (id, payload, width, height).  Defaults to
+    the real PGM nearest-neighbor resample; compressed formats inject their
+    own ``resizer`` (PIL-class work)."""
+    rs = resizer or pgm_resize
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -133,8 +325,11 @@ def sample_frames(
     stage): a Python-side generator inside mapInPandas — each video row
     explodes into (id, frame_idx, frame) rows.  Row-multiplying transforms
     must happen HERE, not driver-side: the output cardinality is data-
-    dependent and the explode stays partition-local (no shuffle)."""
-    fs = sampler or (lambda p, n: decode_stub(p))
+    dependent and the explode stays partition-local (no shuffle).  No
+    simple uncompressed video container exists, so the default sampler is
+    the deterministic byte-chunking fake; a pyav keyframe iterator slots
+    into ``sampler`` unchanged."""
+    fs = sampler or fake_frame_sampler
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -160,24 +355,51 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
-def extract_features(
+def _feature_mapper(
     df: DataFrame,
-    decoder: Callable[[bytes], dict] = decode_stub,
-    id_col: str = "doc_id",
-    payload_col: str = "payload",
+    decoder: Callable[[bytes], dict],
+    id_col: str,
+    payload_col: str,
+    field_ddl: str,
 ) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payload column.
+    """Shared Arrow-batched decode stage: id column (name AND type taken
+    from the input schema — nothing hardcoded) + the decoder's feature
+    dict, with an explicit output schema."""
+    from pyspark.sql.types import StructType
 
-    ``mapInPandas`` so the decoder sees contiguous batches (vectorized
-    pre/post-processing around the per-item decode), with an explicit
-    output schema — the real shape of an image-embedding or frame-sampling
-    stage."""
+    feat_struct = StructType.fromDDL(field_ddl)
+    schema = StructType([df.schema[id_col], *feat_struct.fields])
+    cols = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decoder(p) for p in pdf[payload_col]]
-            out = pd.DataFrame(feats)
+            out = pd.DataFrame([decoder(p) for p in pdf[payload_col]])
             out.insert(0, id_col, pdf[id_col].values)
-            yield out[["doc_id", "n_bytes", "first_byte", "byte_sum", "feature_ok"]]
+            yield out[cols]
 
-    return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def extract_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], dict] = fake_decoder,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched byte-level feature extraction (n_bytes/first_byte/
+    byte_sum shape).  ``mapInPandas`` so the decoder sees contiguous
+    batches, with an explicit output schema."""
+    return _feature_mapper(df, decoder, id_col, payload_col, FEATURE_SCHEMA_FIELDS)
+
+
+def extract_media_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], dict] = decode_media,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Real media feature extraction: parse each binary payload with
+    ``decode_media`` (PGM/WAV headers + pixel/sample statistics) into typed
+    feature columns — the image-embedding/audio-feature stage shape with an
+    actual decoder in the slot."""
+    return _feature_mapper(df, decoder, id_col, payload_col, MEDIA_FEATURE_FIELDS)

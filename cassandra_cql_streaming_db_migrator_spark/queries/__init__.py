@@ -50,6 +50,9 @@ DRIVER_ROTATED_OUT = [
     "agg_percentiles",    # A4 green r01
     "lang_stats",         # green r01; aggregate view of lang_id (kept)
     "token_frequency",    # green r01; token coverage kept via token_count_bpe
+    # new in round 2, after the cap was already fully claimed by the
+    # round-1 backlog; strictly locally-verified until a slot frees up
+    "multimodal_resize",
 ]
 
 

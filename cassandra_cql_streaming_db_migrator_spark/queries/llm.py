@@ -21,7 +21,12 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     simhash_fingerprints,
 )
-from ..operators.multimodal import attach_payload, extract_features, fake_decoder
+from ..operators.multimodal import (
+    attach_media_payload,
+    attach_payload,
+    extract_media_features,
+    resize_payloads,
+)
 from ..operators.similarity import (
     block_near_dup_pairs,
     block_top_pairs,
@@ -558,26 +563,76 @@ FROM documents
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full multimodal feature-extraction stage: binary payload ->
-    Arrow-batched mapInPandas decode (deterministic fake decoder standing
-    in for PIL/ffmpeg, operators.multimodal) -> typed feature columns.
-    The oracle recomputes the byte-level features in SQL (fixture text is
-    ASCII, so utf-8 bytes == codepoints)."""
-    docs = attach_payload(load_table(spark, sf_dir, "documents"))
-    return extract_features(docs, decoder=fake_decoder)
+    """The full multimodal feature-extraction stage with a REAL decoder:
+    each doc's text bytes become a genuinely valid media file (even ids a
+    16x16 binary PGM, odd ids an 8 kHz 8-bit WAV; operators.multimodal.
+    attach_media_payload), then decode_media parses headers and computes
+    pixel/sample statistics in an Arrow-batched mapInPandas.  The oracle
+    rebuilds the 256 tiled data units from the ASCII text in SQL and
+    recomputes every statistic."""
+    docs = attach_media_payload(load_table(spark, sf_dir, "documents"))
+    return extract_media_features(docs)
 
 
 _MULTIMODAL_FEATURES_SQL = """
+WITH u AS (
+  SELECT doc_id, length(text) AS tlen,
+         CASE WHEN length(text) > 0 THEN
+           list_transform(range(256), i ->
+             CAST(ascii(substring(text,
+                                  CAST(i % length(text) AS INTEGER) + 1, 1))
+                  AS BIGINT))
+         ELSE CAST([] AS BIGINT[]) END AS units
+  FROM documents
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN length(text) = 0 THEN -1
-                 ELSE ascii(substring(text, 1, 1)) END AS INTEGER) AS first_byte,
-       list_reduce(list_prepend(CAST(0 AS BIGINT),
-                                list_transform(string_split(text, ''),
-                                               c -> CAST(ascii(c) AS BIGINT))),
-                   (a, b) -> a + b) AS byte_sum,
+       CASE WHEN doc_id % 2 = 0 THEN 'pgm' ELSE 'wav' END AS media_kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN
+              CASE WHEN tlen > 0 THEN 16 ELSE 0 END END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN
+              CASE WHEN tlen > 0 THEN 16 ELSE 0 END END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN tlen > 0 THEN 256 ELSE 0 END AS BIGINT) AS n_units,
+       CAST(list_aggregate(units, 'min') AS INTEGER) AS unit_min,
+       CAST(list_aggregate(units, 'max') AS INTEGER) AS unit_max,
+       CAST(list_aggregate(units, 'sum') AS BIGINT) AS unit_sum,
+       CAST(list_aggregate(units, 'sum') AS DOUBLE) / 256 AS unit_mean,
        TRUE AS feature_ok
-FROM documents
+FROM u
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize end-to-end: 16x16 PGMs (even doc ids) resampled to
+    8x8 by pgm_resize (nearest-neighbor, integer arithmetic), then decoded
+    again — the oracle recomputes the resample in SQL by indexing the tiled
+    unit list at (2y*16 + 2x)."""
+    docs = attach_media_payload(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 2 == 0
+    )
+    small = resize_payloads(docs, 8, 8)
+    return extract_media_features(small).select(
+        "doc_id", "media_kind", "width", "height", "n_units", "unit_sum"
+    )
+
+
+_MULTIMODAL_RESIZE_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         list_transform(range(256), i ->
+           CAST(ascii(substring(text,
+                                CAST(i % length(text) AS INTEGER) + 1, 1))
+                AS BIGINT)) AS units
+  FROM documents WHERE doc_id % 2 = 0 AND length(text) > 0
+)
+SELECT doc_id, 'pgm' AS media_kind,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(64 AS BIGINT) AS n_units,
+       CAST(list_aggregate(
+              list_transform(range(64), p ->
+                units[CAST((p // 8) * 2 * 16 + (p % 8) * 2 AS INTEGER) + 1]),
+              'sum') AS BIGINT) AS unit_sum
+FROM u
 """
 
 
@@ -619,4 +674,7 @@ QUERIES = [
              "top-3 cosine pairs per label block"),
     QueryDef("multimodal_meta", multimodal_meta, _MULTIMODAL_META_SQL,
              "binary payload column + digest plumbing"),
+    QueryDef("multimodal_resize", multimodal_resize, _MULTIMODAL_RESIZE_SQL,
+             "real PGM nearest-neighbor resize, decoded and re-verified",
+             bench=False),
 ]
