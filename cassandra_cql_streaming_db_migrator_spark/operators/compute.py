@@ -37,21 +37,32 @@ def register_transform(name: str, fn: Callable[[DataFrame], Column]) -> None:
 def java_string_hashcode(col: Column | str) -> Column:
     """Java ``String.hashCode`` semantics, JVM-side and vectorized.
 
-    hashCode folds ``h = 31*h + char`` in wrapping int32 arithmetic.  We fold
-    in int64 and reduce mod 2^32 each step (keeps the accumulator bounded, no
-    overflow under ANSI), then map the final value into signed int32 range —
-    bit-identical to the JVM result for any string.
+    hashCode folds ``h = 31*h + unit`` over UTF-16 CODE UNITS in wrapping
+    int32 arithmetic.  ``split('')`` yields code POINTS, so supplementary-
+    plane characters (emoji etc.) must fold as their surrogate PAIR —
+    hi = 0xD800 + ((cp-0x10000) >> 10), lo = 0xDC00 + ((cp-0x10000) & 0x3FF)
+    — two fold steps, exactly what the JVM sees.  We fold in int64 and
+    reduce mod 2^32 each step (bounded accumulator, no ANSI overflow), then
+    map into signed int32 range — bit-identical to the JVM result for ANY
+    string (property-tested over ASCII/BMP/supplementary inputs).
 
     Runs entirely in Catalyst higher-order functions (aggregate over the
     char array) — no Python, scales with codegen.
     """
     c = F.col(col) if isinstance(col, str) else col
     chars = F.filter(F.split(c, ""), lambda x: x != F.lit(""))
-    folded = F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(4294967296),
-    )
+
+    def step(acc: Column, ch: Column) -> Column:
+        cp = F.ascii(ch).cast("long")
+        one = (acc * F.lit(31) + cp) % F.lit(4294967296)
+        off = cp - F.lit(0x10000)
+        hi = F.lit(0xD800) + F.shiftright(off, 10)
+        lo = F.lit(0xDC00) + off.bitwiseAND(F.lit(0x3FF))
+        # (acc*31 + hi)*31 + lo <= 2^32*31*31 + small — well inside int64
+        two = ((acc * F.lit(31) + hi) * F.lit(31) + lo) % F.lit(4294967296)
+        return F.when(cp > F.lit(0xFFFF), two).otherwise(one)
+
+    folded = F.aggregate(chars, F.lit(0).cast("long"), step)
     # map [0, 2^32) -> signed int32 two's-complement value
     return F.when(folded >= F.lit(2147483648), folded - F.lit(4294967296)).otherwise(folded)
 

@@ -21,22 +21,56 @@ from cassandra_cql_streaming_db_migrator_spark.sources.parquet import load_table
 
 
 def java_hashcode(s: str) -> int:
-    """Reference implementation of JVM String.hashCode (wrapping int32)."""
+    """Reference implementation of JVM String.hashCode: folds UTF-16 CODE
+    UNITS (surrogate pairs count as two units) in wrapping int32."""
     h = 0
-    for ch in s:
-        h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+    units = s.encode("utf-16-be")
+    for i in range(0, len(units), 2):
+        h = (h * 31 + int.from_bytes(units[i : i + 2], "big")) & 0xFFFFFFFF
     return h - 0x100000000 if h >= 0x80000000 else h
 
 
 class TestComputedColumns:
     def test_hashcode_jvm_exact(self, spark):
         # DefaultMigratorPlugin.java example (YAML:105-120) requires JVM
-        # String.hashCode semantics, including negative hashes.
-        samples = ["", "a", "Customer#000000001", "polygenelubricants", "Aa", "BB"]
+        # String.hashCode semantics, including negative hashes and UTF-16
+        # surrogate-pair folding for supplementary-plane characters.
+        samples = [
+            "", "a", "Customer#000000001", "polygenelubricants", "Aa", "BB",
+            "héllo wörld",          # BMP non-ASCII
+            "中文字符",               # BMP CJK
+            "\U0001F600",           # supplementary: emoji alone
+            "a\U0001F600b",         # surrogate pair mid-string
+            "\U0001D11E music",     # supplementary: musical G clef
+            "\U0001F600\U0001F680", # consecutive pairs
+        ]
         df = spark.createDataFrame([Row(s=x) for x in samples])
         got = {r.s: r.h for r in df.select("s", java_string_hashcode("s").alias("h")).collect()}
         for s in samples:
             assert got[s] == java_hashcode(s), s
+
+    def test_hashcode_property_random_all_planes(self, spark):
+        # property test: 200 seeded random strings drawn from ASCII, BMP and
+        # supplementary planes (surrogate-pair folding) in ONE Spark pass
+        import random
+
+        rng = random.Random(20260813)
+        pools = [
+            lambda: chr(rng.randrange(0x20, 0x7F)),          # ASCII
+            lambda: chr(rng.randrange(0xA0, 0xD7FF)),        # BMP
+            lambda: chr(rng.randrange(0x10000, 0x10FFFF)),   # supplementary
+        ]
+        samples = [
+            "".join(rng.choice(pools)() for _ in range(rng.randrange(0, 24)))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(samples)])
+        got = {
+            r.i: r.h
+            for r in df.select("i", java_string_hashcode("s").alias("h")).collect()
+        }
+        for i, s in enumerate(samples):
+            assert got[i] == java_hashcode(s), repr(s)
 
     def test_hash_bucket_range(self, spark, sf_dir):
         df = load_table(spark, sf_dir, "customer")
