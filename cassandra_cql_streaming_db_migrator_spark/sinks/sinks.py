@@ -19,10 +19,29 @@ the final execute, DMP:393-401 — the DEFAULT, TableMigrationDefinition.java:
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def detect_partition_column(target_path: str) -> str | None:
+    """Hive-style partition column of an existing parquet target, or None.
+    Local-filesystem directory probe (`col=value` subdirectories) — against
+    a catalog-backed table the partitioning comes from table metadata
+    instead."""
+    try:
+        entries = os.listdir(target_path)
+    except OSError:
+        return None
+    cols = {
+        e.split("=", 1)[0]
+        for e in entries
+        if "=" in e and os.path.isdir(os.path.join(target_path, e))
+    }
+    return cols.pop() if len(cols) == 1 else None
 
 
 def _read_target_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
@@ -69,8 +88,14 @@ def write_parquet(df: DataFrame, path: str, mode: str = "append") -> None:
 
 def upsert_parquet(batch: DataFrame, target_path: str, key_columns: list[str]) -> None:
     """K1 upsert for the parquet fixture sink: new rows win over existing on
-    PK (Cassandra UPDATE-upsert semantics).  Implemented as
-    anti-join(existing, new) ∪ new then atomic overwrite.
+    PK (Cassandra UPDATE-upsert semantics).
+
+    When the existing target is Hive-partitioned and the batch carries the
+    partition column, the merge AUTOMATICALLY routes to the partition-scoped
+    path (``upsert_parquet_partitioned``): merge cost proportional to the
+    touched partitions, untouched partition files never read or rewritten —
+    the only acceptable default at 100 TB.  The whole-table rewrite below is
+    reserved for unpartitioned fixture targets.
 
     Scale note: for a real lakehouse target this is MERGE INTO on
     Delta/Iceberg (copy-on-write handled by the table format); the connector
@@ -78,6 +103,10 @@ def upsert_parquet(batch: DataFrame, target_path: str, key_columns: list[str]) -
     upserts.  This file-overwrite variant exists for the self-contained test
     environment.
     """
+    part_col = detect_partition_column(target_path)
+    if part_col is not None and part_col in batch.columns:
+        upsert_parquet_partitioned(batch, target_path, key_columns, part_col)
+        return
     spark = batch.sparkSession
     existing = _read_target_if_exists(spark, target_path)
     if existing is None:
@@ -90,11 +119,26 @@ def upsert_parquet(batch: DataFrame, target_path: str, key_columns: list[str]) -
     merged.write.mode("overwrite").parquet(target_path)
 
 
+def _epoch_marker_path(target_path: str) -> str:
+    return target_path.rstrip("/") + ".__last_epoch"
+
+
+def last_applied_epoch(target_path: str) -> int | None:
+    """Highest microbatch epoch already merged into a counter target, or
+    None if no fenced batch has committed yet."""
+    try:
+        with open(_epoch_marker_path(target_path)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
 def counter_merge_parquet(
     batch: DataFrame,
     target_path: str,
     key_columns: list[str],
     counter_columns: list[str],
+    epoch_id: int | None = None,
 ) -> None:
     """K3 counter sink for the parquet target: per-PK additive merge into
     stored state (the reference's ``SET c = c + :c``, DMP:309-311).
@@ -105,7 +149,22 @@ def counter_merge_parquet(
     only one side exists.  NULL deltas never bound (DMP:426-432) falls out
     of ``sum`` skipping NULLs and coalesce treating a missing side as 0
     contribution.  Against Cassandra the connector's counter write does
-    the merge server-side and none of this code runs."""
+    the merge server-side and none of this code runs.
+
+    Replay fencing: unlike the upsert sink, an additive merge is NOT
+    idempotent — a foreachBatch replay after a crash between sink and
+    checkpoint commit would double-count.  Pass the foreachBatch
+    ``epoch_id`` and the sink records the last applied epoch in a marker
+    file next to the target (written atomically AFTER the data commit) and
+    skips any epoch <= the marker.  A crash in the sliver between data
+    write and marker write still replays once (at-least-once there);
+    closing that window entirely needs an atomic data+epoch commit, i.e. a
+    transactional table format (Delta/Iceberg txn log) — documented, not
+    faked, here."""
+    if epoch_id is not None:
+        last = last_applied_epoch(target_path)
+        if last is not None and epoch_id <= last:
+            return  # replayed microbatch: deltas already merged
     from ..operators.counter import counter_merge
 
     deltas = counter_merge(batch, key_columns, counter_columns).drop(
@@ -115,18 +174,25 @@ def counter_merge_parquet(
     existing = _read_target_if_exists(spark, target_path)
     if existing is None:
         deltas.write.mode("overwrite").parquet(target_path)
-        return
-    d = deltas
-    for c in counter_columns:
-        d = d.withColumnRenamed(c, f"__delta_{c}")
-    merged = existing.join(d, on=key_columns, how="full_outer")
-    for c in counter_columns:
-        merged = merged.withColumn(
-            c,
-            F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"__delta_{c}"), F.lit(0)),
-        ).drop(f"__delta_{c}")
-    merged = merged.localCheckpoint()  # cut lineage before overwriting input
-    merged.write.mode("overwrite").parquet(target_path)
+    else:
+        d = deltas
+        for c in counter_columns:
+            d = d.withColumnRenamed(c, f"__delta_{c}")
+        merged = existing.join(d, on=key_columns, how="full_outer")
+        for c in counter_columns:
+            merged = merged.withColumn(
+                c,
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"__delta_{c}"), F.lit(0)),
+            ).drop(f"__delta_{c}")
+        merged = merged.localCheckpoint()  # cut lineage before overwriting input
+        merged.write.mode("overwrite").parquet(target_path)
+    if epoch_id is not None:
+        marker = _epoch_marker_path(target_path)
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(epoch_id))
+        os.replace(tmp, marker)  # atomic on POSIX
 
 
 def upsert_parquet_partitioned(

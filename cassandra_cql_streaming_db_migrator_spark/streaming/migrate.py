@@ -9,9 +9,13 @@ The reference's whole executor — paged reads (T1), inter-page throttling
     pauseMillisBetweenPages (source-side rate limiting / backpressure);
   * ``foreachBatch`` upsert-by-PK == the per-row UPDATE pool, minus the
     row-at-a-time RPCs;
-  * checkpointing gives restartable exactly-once-per-batch delivery, which
-    the reference simply does not have (a crashed migration restarts from
-    zero or overwrites).
+  * checkpointing makes a crashed migration restartable from the last
+    committed microbatch (the reference restarts from zero or overwrites).
+    Delivery is effectively-once for the UPSERT path (replayed batches
+    re-merge the same rows idempotently) and epoch-fenced for the COUNTER
+    path (sinks.counter_merge_parquet records the last applied epoch and
+    skips replays; only a crash inside the data-write/marker-write sliver
+    still replays once — see its docstring).
 
 The same table-migration spec (plans.spec.TableMigration) drives the
 transform, so batch and streaming migrations share one definition — the
@@ -66,9 +70,14 @@ def migrate_stream_to_parquet(
             batch.count()  # K5: execute fully, write nothing
             return
         if spec.counter_columns:
-            # K3: counter tables merge additively, microbatch by microbatch
+            # K3: counter tables merge additively, microbatch by microbatch,
+            # epoch-fenced so a foreachBatch replay cannot double-count
             counter_merge_parquet(
-                batch, target_path, spec.key_columns, spec.counter_columns
+                batch,
+                target_path,
+                spec.key_columns,
+                spec.counter_columns,
+                epoch_id=epoch_id,
             )
         else:
             upsert_parquet(batch, target_path, spec.key_columns)

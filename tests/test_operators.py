@@ -141,6 +141,61 @@ class TestUpsert:
         upsert_parquet(batch, target, ["k"])
         assert not os.path.exists(target) or spark.read.parquet(target).count() == 1
 
+    def test_partitioned_target_autoroutes_and_preserves_untouched_files(
+        self, spark, tmp_path
+    ):
+        """A partitioned target must default to the partition-scoped merge:
+        files of partitions the batch does not touch stay BYTE-IDENTICAL
+        (never read, never rewritten)."""
+        import glob
+        import hashlib
+
+        target = str(tmp_path / "part.parquet")
+        seed = spark.createDataFrame(
+            [Row(k=1, v="a", day="d1"), Row(k=2, v="b", day="d2"),
+             Row(k=3, v="c", day="d2")]
+        )
+        seed.write.partitionBy("day").parquet(target)
+
+        def snapshot(part):
+            out = {}
+            for p in sorted(glob.glob(f"{target}/day={part}/*")):
+                with open(p, "rb") as fh:
+                    out[os.path.basename(p)] = hashlib.md5(fh.read()).hexdigest()
+            return out
+
+        untouched_before = snapshot("d2")
+        batch = spark.createDataFrame([Row(k=1, v="NEW", day="d1"),
+                                       Row(k=9, v="ins", day="d1")])
+        upsert_parquet(batch, target, ["k"])  # plain entry point, no hint
+        assert snapshot("d2") == untouched_before  # same names, same bytes
+        got = {r.k: (r.v, r.day) for r in spark.read.parquet(target).collect()}
+        assert got == {1: ("NEW", "d1"), 9: ("ins", "d1"),
+                       2: ("b", "d2"), 3: ("c", "d2")}
+
+
+class TestCounterSinkReplayFence:
+    def test_replayed_epoch_is_skipped(self, spark, tmp_path):
+        from cassandra_cql_streaming_db_migrator_spark.sinks.sinks import (
+            counter_merge_parquet,
+            last_applied_epoch,
+        )
+
+        target = str(tmp_path / "counters.parquet")
+        batch = spark.createDataFrame([Row(k=1, n=5), Row(k=1, n=5), Row(k=2, n=1)])
+        counter_merge_parquet(batch, target, ["k"], ["n"], epoch_id=0)
+        counter_merge_parquet(batch, target, ["k"], ["n"], epoch_id=0)  # replay
+        got = {r.k: r.n for r in spark.read.parquet(target).collect()}
+        assert got == {1: 10, 2: 1}  # applied exactly once
+        assert last_applied_epoch(target) == 0
+        counter_merge_parquet(batch, target, ["k"], ["n"], epoch_id=1)  # new epoch
+        got = {r.k: r.n for r in spark.read.parquet(target).collect()}
+        assert got == {1: 20, 2: 2}
+        # unfenced calls (no epoch) keep the reference's at-least-once shape
+        counter_merge_parquet(batch, target, ["k"], ["n"])
+        got = {r.k: r.n for r in spark.read.parquet(target).collect()}
+        assert got == {1: 30, 2: 3}
+
 
 class TestDedup:
     def test_exact_dedup_min_id_winner(self, spark):
