@@ -21,6 +21,40 @@ def observed(df: DataFrame, name: str = "migration") -> tuple[DataFrame, Observa
     return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
 
 
+class LatencyHistogram:
+    """A3: sliding-window latency histogram, the Spark-side analog of the
+    reference's pageFetchMillis/writeBatchTookMillis recorders
+    (MigrateTableTask.java:111-151 — sliding-window reservoirs snapshotted
+    into the status line at MTT:317-319, 527-529).  Keeps the last
+    ``window`` observations; quantiles use the nearest-rank method."""
+
+    def __init__(self, window: int = 128):
+        from collections import deque
+
+        self._obs = deque(maxlen=window)
+
+    def record(self, millis: float) -> None:
+        self._obs.append(float(millis))
+
+    def __len__(self) -> int:
+        return len(self._obs)
+
+    def quantile(self, q: float) -> float | None:
+        if not self._obs:
+            return None
+        ordered = sorted(self._obs)
+        idx = min(len(ordered) - 1, max(0, int(q * len(ordered))))
+        return ordered[idx]
+
+    def summary(self) -> str:
+        if not self._obs:
+            return "n=0"
+        return (
+            f"n={len(self._obs)} p50={self.quantile(0.5):.0f} "
+            f"p95={self.quantile(0.95):.0f} max={max(self._obs):.0f}"
+        )
+
+
 class StatusReporter:
     """T6 analog of the reference's periodic status print
     (MigrateTableTask.java:375-413: rows + deltas + read/write time split,
@@ -29,14 +63,22 @@ class StatusReporter:
     per second, batch duration — so one listener replaces the reference's
     timer thread + counter snapshot dance.
 
+    A3 latency split (MTT:111-151): ``durationMs`` on each progress event
+    already separates source-side fetch (``latestOffset`` + ``getBatch`` ≈
+    pageFetchMillis) from batch execution incl. the sink (``addBatch`` ≈
+    writeBatchTookMillis); both feed sliding-window histograms
+    (``read_latency`` / ``write_latency``) surfaced in every status line.
+
     Use: ``rep = StatusReporter.attach(spark, sink=print)``; detach with
     ``rep.detach(spark)``.  ``sink`` receives one formatted line per
     microbatch; ``rep.lines`` keeps them for tests/inspection."""
 
-    def __init__(self, sink=None):
+    def __init__(self, sink=None, histogram_window: int = 128):
         from pyspark.sql.streaming import StreamingQueryListener
 
         self.lines: list[str] = []
+        self.read_latency = LatencyHistogram(histogram_window)
+        self.write_latency = LatencyHistogram(histogram_window)
         reporter = self
 
         class _Listener(StreamingQueryListener):
@@ -45,11 +87,18 @@ class StatusReporter:
 
             def onQueryProgress(self, event):
                 p = event.progress
+                d = p.durationMs or {}
+                fetch_ms = d.get("latestOffset", 0) + d.get("getBatch", 0)
+                write_ms = d.get("addBatch", 0)
+                reporter.read_latency.record(fetch_ms)
+                reporter.write_latency.record(write_ms)
                 line = (
                     f"[{p.name or p.id}] batch={p.batchId} "
                     f"rows={p.numInputRows} "
                     f"rows/s={p.processedRowsPerSecond or 0.0:.0f} "
-                    f"batch_ms={p.batchDuration}"
+                    f"batch_ms={p.batchDuration} "
+                    f"fetch_ms={fetch_ms} [{reporter.read_latency.summary()}] "
+                    f"write_ms={write_ms} [{reporter.write_latency.summary()}]"
                 )
                 reporter._emit(line)
 
@@ -68,8 +117,8 @@ class StatusReporter:
             self._sink(line)
 
     @classmethod
-    def attach(cls, spark, sink=None) -> "StatusReporter":
-        rep = cls(sink=sink)
+    def attach(cls, spark, sink=None, histogram_window: int = 128) -> "StatusReporter":
+        rep = cls(sink=sink, histogram_window=histogram_window)
         spark.streams.addListener(rep._listener)
         return rep
 

@@ -186,6 +186,15 @@ def test_status_reporter_emits_progress_lines(spark, sf_dir):
     progress = [l for l in rep.lines if "rows=" in l]
     assert progress, rep.lines
     assert any("rows=1000" in l for l in progress)  # sf0.001 events
+    # A3: the read/write latency split rides every status line and the
+    # sliding-window histograms actually accumulated observations
+    assert all("fetch_ms=" in l and "write_ms=" in l for l in progress)
+    assert len(rep.read_latency) == len(progress)
+    assert len(rep.write_latency) == len(progress)
+    assert rep.write_latency.quantile(0.5) is not None
+    assert "p50=" in rep.write_latency.summary()
+    # a real microbatch spent nonzero time executing/writing
+    assert max(rep.write_latency._obs) > 0
 
 
 def test_bounded_dedup_catches_near_dups_and_evicts_state(spark, tmp_path):
