@@ -69,6 +69,37 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Migrate-throughput gate (BASELINE.md: sustained migration throughput
+    # must exceed 1e5 rows/s): a REAL scan -> filter chain -> computed
+    # column -> upsert-to-parquet migration of lineitem, timed end to end
+    # including the sink write, reported as rows/s so the >= 1e5 bar is
+    # machine-checked from BENCH_r{N} every round.
+    import shutil
+    import tempfile
+
+    from cassandra_cql_streaming_db_migrator_spark.queries.reference import (
+        migrate_pipeline,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.sinks.sinks import upsert_parquet
+
+    migrate_dir = tempfile.mkdtemp(prefix="bench_migrate_")
+    try:
+        best_rate = 0.0
+        rows = None
+        for _ in range(reps):
+            target = os.path.join(migrate_dir, "lineitem_v2.parquet")
+            shutil.rmtree(target, ignore_errors=True)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            plan = migrate_pipeline(spark, sf_dir)
+            upsert_parquet(plan, target, ["l_orderkey", "l_linenumber"])
+            elapsed = time.perf_counter() - t0
+            if rows is None:
+                rows = spark.read.parquet(target).count()
+            best_rate = max(best_rate, rows / elapsed)
+    finally:
+        shutil.rmtree(migrate_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -78,6 +109,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "migrate_rows_per_sec": round(best_rate),
+                "migrate_rows": rows,
+                "migrate_gate_1e5_rows_per_sec": best_rate >= 1e5,
             }
         )
     )

@@ -123,6 +123,13 @@ def _build(
     if spec.where_clause:
         df = pushdown_filter(df, spec.where_clause)  # S4
 
+    # S5 read limit sits HERE, directly on the read+WHERE — the reference
+    # appends "limit N" to the CQL read itself (DefaultMigratorPlugin.java:
+    # 211-214), so it caps rows READ, before the in-memory filter chain /
+    # computed columns / quarantine ever see them.  A spec using
+    # maxReadRowCount must select the same row set on both engines.
+    df = read_limit(df, spec.max_read_row_count)
+
     read_obs = Observation(f"read_{spec.table_name}")
     read_df = df
     if observed:
@@ -156,7 +163,6 @@ def _build(
     if validity is not None and not spec.counter_columns:
         df, quarantine = quarantine_split(df, validity)  # T5
 
-    df = read_limit(df, spec.max_read_row_count)  # S5
     if spec.max_write_row_count and spec.max_write_row_count > 0:
         df = df.limit(spec.max_write_row_count)  # K6, exact (no overshoot race)
 

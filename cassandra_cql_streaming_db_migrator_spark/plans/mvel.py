@@ -47,13 +47,31 @@ _METHOD_MAP = {
     "contains": "contains",
     "startsWith": "startswith",
     "endsWith": "endswith",
+    "replace": "replace",  # Java String.replace is literal, like SQL replace
 }
+
+# Methods whose JVM semantics need more than a function rename: Java
+# substring/indexOf are 0-based (SQL is 1-based, instr returns 0 when
+# absent == Java's -1 after the shift) and equalsIgnoreCase folds case on
+# both sides.  Each formatter receives (receiver, [args]).
+_METHOD_SPECIAL = {
+    "substring": lambda r, a: (
+        f"substring({r}, ({a[0]}) + 1)"
+        if len(a) == 1
+        else f"substring({r}, ({a[0]}) + 1, ({a[1]}) - ({a[0]}))"
+    ),
+    "indexOf": lambda r, a: f"(instr({r}, {a[0]}) - 1)",
+    "equalsIgnoreCase": lambda r, a: f"(lower({r}) = lower({a[0]}))",
+}
+
 # receiver is an identifier or an already-translated call like lower(s) /
 # upper(trim(s)) — parens nested up to two levels (deeper chains belong in a
 # registered Python transform, like the reference's procedural MVEL blocks)
 _RECV = r"[A-Za-z_][A-Za-z0-9_]*(?:\((?:[^()]|\([^()]*\))*\))?"
 _METHOD_RE = re.compile(
-    rf"({_RECV})\.(" + "|".join(_METHOD_MAP) + r")\(([^()]*)\)"
+    rf"({_RECV})\.("
+    + "|".join(list(_METHOD_MAP) + list(_METHOD_SPECIAL))
+    + r")\(([^()]*)\)"
 )
 
 
@@ -76,6 +94,9 @@ def translate_mvel(mvel: str) -> str:
 
     def method_sub(m: re.Match) -> str:
         recv, meth, args = m.group(1), m.group(2), m.group(3)
+        if meth in _METHOD_SPECIAL:
+            arg_list = [a.strip() for a in args.split(",") if a.strip()]
+            return _METHOD_SPECIAL[meth](recv, arg_list)
         fn = _METHOD_MAP[meth]
         return f"{fn}({recv}, {args})" if args.strip() else f"{fn}({recv})"
 

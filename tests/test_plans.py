@@ -35,6 +35,47 @@ class TestMvel:
         # CassandraSchemaUtil.java:58-65 regex parity
         assert referenced_columns("row.a > 1 && row.b < row.a") == ["a", "b"]
 
+    def test_substring_is_zero_based_like_java(self):
+        assert translate_mvel("row.s.substring(3)") == "substring(s, (3) + 1)"
+        assert (
+            translate_mvel("row.s.substring(2, 5)")
+            == "substring(s, (2) + 1, (5) - (2))"
+        )
+
+    def test_index_of_shifts_to_java_semantics(self):
+        # Java: 0-based, -1 when absent; instr: 1-based, 0 when absent
+        assert translate_mvel("row.s.indexOf('x')") == "(instr(s, 'x') - 1)"
+
+    def test_replace_is_literal(self):
+        assert (
+            translate_mvel("row.s.replace('a', 'b')") == "replace(s, 'a', 'b')"
+        )
+
+    def test_equals_ignore_case_folds_both_sides(self):
+        assert (
+            translate_mvel("row.s.equalsIgnoreCase('AbC')")
+            == "(lower(s) = lower('AbC'))"
+        )
+
+    def test_new_methods_execute_with_java_semantics(self, spark):
+        # end-to-end: the translated SQL must agree with the JVM behavior
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame([Row(s="Hello World")])
+        [r] = df.selectExpr(
+            f"{translate_mvel('row.s.substring(6)')} AS sub1",
+            f"{translate_mvel('row.s.substring(0, 5)')} AS sub2",
+            f"{translate_mvel(chr(39).join(['row.s.indexOf(', 'World', ')']))} AS idx",
+            f"{translate_mvel(chr(39).join(['row.s.indexOf(', 'zzz', ')']))} AS idx_absent",
+            f"{translate_mvel('row.s.replace(' + chr(39) + 'l' + chr(39) + ', ' + chr(39) + 'L' + chr(39) + ')')} AS repl",
+            f"{translate_mvel('row.s.equalsIgnoreCase(' + chr(39) + 'hello world' + chr(39) + ')')} AS eqic",
+        ).collect()
+        # "Hello World".substring(6) == "World", .substring(0,5) == "Hello"
+        assert (r.sub1, r.sub2) == ("World", "Hello")
+        assert (r.idx, r.idx_absent) == (6, -1)
+        assert r.repl == "HeLLo WorLd"
+        assert r.eqic is True
+
 
 class TestSpec:
     def test_yaml_camel_case_parity(self):
