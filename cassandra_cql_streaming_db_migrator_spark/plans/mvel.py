@@ -14,12 +14,19 @@ of what the reference's shipped examples use.  This module translates the
         -> clust_key_col_2 >= 3000 AND clust_key_col_2 < 10000
 
 Procedural MVEL (multi-statement blocks, e.g. the hashCode bucket example at
-migration-config.example.yaml:112-120) is out of scope for textual
-translation — those rules are registered as named Python transforms
-(see plans.spec: ``computed_columns`` accepts either an expression string or
-a ``python:<registry-name>`` reference), mirroring the reference's plugin
-escape hatch (IMigratorPlugin / reflective class loading,
-TableDataMigratorPluginDefinition.java:32-53).
+migration-config.example.yaml:112-120) is translated by
+``translate_mvel_block``: local variable declarations, (compound)
+assignments, ``if``/``else`` blocks over assignments, and a final
+``return`` fold into ONE Spark SQL expression by sequential substitution —
+each variable reference is replaced by the SQL text that currently defines
+it, and an ``if`` merges its branch environments with a conditional.  The
+result stays declarative (whole-stage codegen), which is the Spark-first
+answer to the reference's row-at-a-time MVEL interpreter.
+
+Blocks beyond this subset (loops, method calls with side effects, early
+returns) still go through the registry escape hatch (see plans.spec:
+``computed_columns`` accepts ``python:<registry-name>``), mirroring the
+reference's plugin loading (TableDataMigratorPluginDefinition.java:32-53).
 """
 
 from __future__ import annotations
@@ -54,6 +61,23 @@ _METHOD_MAP = {
 # substring/indexOf are 0-based (SQL is 1-based, instr returns 0 when
 # absent == Java's -1 after the shift) and equalsIgnoreCase folds case on
 # both sides.  Each formatter receives (receiver, [args]).
+def _java_hashcode_sql(recv: str) -> str:
+    """``String.hashCode`` as Spark SQL text — the same UTF-16 code-unit
+    fold as :func:`operators.compute.java_string_hashcode` (31*h + unit in
+    wrapping int32, supplementary codepoints folded as their surrogate
+    pair), expressed with SQL higher-order functions so procedural MVEL
+    blocks stay inside whole-stage codegen."""
+    unit = "CAST(ascii(ch) AS BIGINT)"
+    folded = (
+        f"aggregate(filter(split({recv}, ''), x -> x != ''), CAST(0 AS BIGINT), "
+        f"(acc, ch) -> IF(ascii(ch) > 65535, "
+        f"((acc * 31 + (55296 + shiftright({unit} - 65536, 10))) * 31"
+        f" + (56320 + (({unit} - 65536) & 1023))) % 4294967296, "
+        f"(acc * 31 + {unit}) % 4294967296))"
+    )
+    return f"IF({folded} >= 2147483648, {folded} - 4294967296, {folded})"
+
+
 _METHOD_SPECIAL = {
     "substring": lambda r, a: (
         f"substring({r}, ({a[0]}) + 1)"
@@ -62,7 +86,20 @@ _METHOD_SPECIAL = {
     ),
     "indexOf": lambda r, a: f"(instr({r}, {a[0]}) - 1)",
     "equalsIgnoreCase": lambda r, a: f"(lower({r}) = lower({a[0]}))",
+    "hashCode": lambda r, a: _java_hashcode_sql(r),
 }
+
+# java.lang.Math statics seen in MVEL expressions -> SQL functions.  Plain
+# textual call-site rewrites (``Math`` is not a value receiver).
+_MATH_STATICS = [
+    ("Math.abs(", "abs("),
+    ("Math.max(", "greatest("),
+    ("Math.min(", "least("),
+    ("Math.floor(", "floor("),
+    ("Math.ceil(", "ceil("),
+    ("Math.pow(", "power("),
+    ("Math.sqrt(", "sqrt("),
+]
 
 # receiver is an identifier or an already-translated call like lower(s) /
 # upper(trim(s)) — parens nested up to two levels (deeper chains belong in a
@@ -88,9 +125,21 @@ def referenced_columns(mvel: str) -> list[str]:
 
 
 def translate_mvel(mvel: str) -> str:
-    """Translate declarative MVEL (comparisons, boolean ops, arithmetic,
-    string methods) into an equivalent Spark SQL expression string."""
+    """Translate MVEL into an equivalent Spark SQL expression string.
+
+    Declarative expressions (comparisons, boolean ops, arithmetic, string
+    methods) translate token-wise; multi-statement procedural blocks are
+    dispatched to :func:`translate_mvel_block`.
+    """
+    if _looks_procedural(mvel):
+        return translate_mvel_block(mvel)
+    return _translate_expr(mvel)
+
+
+def _translate_expr(mvel: str) -> str:
     out = _ROW_REF.sub(r"\1", mvel)
+    for java, sql in _MATH_STATICS:
+        out = out.replace(java, sql)
 
     def method_sub(m: re.Match) -> str:
         recv, meth, args = m.group(1), m.group(2), m.group(3)
@@ -108,3 +157,201 @@ def translate_mvel(mvel: str) -> str:
     for pat, repl in _REPLACEMENTS:
         out = pat.sub(repl, out)
     return re.sub(r"\s+", " ", out).strip()
+
+
+# ---------------------------------------------------------------------------
+# Procedural blocks (migration-config.example.yaml:112-120 shape)
+# ---------------------------------------------------------------------------
+
+_JAVA_TYPES = {
+    "short": "SMALLINT",
+    "int": "INT",
+    "long": "BIGINT",
+    "byte": "TINYINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "String": "STRING",
+}
+_TYPE_ALT = "|".join(_JAVA_TYPES)
+_DECL_RE = re.compile(
+    rf"^(?:{_TYPE_ALT}|var)\s+([A-Za-z_]\w*)\s*=\s*(.+)$", re.S
+)
+_COMPOUND_RE = re.compile(r"^([A-Za-z_]\w*)\s*([+\-*/%])=\s*(.+)$", re.S)
+_ASSIGN_RE = re.compile(r"^([A-Za-z_]\w*)\s*=\s*(.+)$", re.S)
+_RETURN_RE = re.compile(r"^return\s+(.+)$", re.S)
+_CAST_RE = re.compile(rf"^\(\s*({_TYPE_ALT})\s*\)\s*(.+)$", re.S)
+
+
+def _looks_procedural(mvel: str) -> bool:
+    return ";" in mvel
+
+
+class MvelTranslationError(ValueError):
+    """Block uses MVEL outside the translated subset — register the rule as a
+    ``python:<name>`` transform instead (the reference's plugin escape
+    hatch)."""
+
+
+def _parse_block(s: str, i: int) -> tuple[list, int]:
+    """Parse statements until end-of-string or ``}``.  Nodes are
+    ``("stmt", text)`` or ``("if", cond, then_nodes, else_nodes)``."""
+    nodes: list = []
+    n = len(s)
+    while i < n:
+        while i < n and s[i].isspace():
+            i += 1
+        if i >= n or s[i] == "}":
+            break
+        if re.match(r"if\s*\(", s[i:]):
+            node, i = _parse_if(s, i)
+            nodes.append(node)
+        else:
+            k, depth = i, 0
+            while k < n and (s[k] != ";" or depth):
+                if s[k] in "([{":
+                    depth += 1
+                elif s[k] in ")]}":
+                    depth -= 1
+                k += 1
+            stmt = s[i:k].strip()
+            if stmt:
+                nodes.append(("stmt", stmt))
+            i = k + 1
+    return nodes, i
+
+
+def _parse_body(s: str, i: int) -> tuple[list, int]:
+    """A braced block, a nested ``if``, or one braceless statement."""
+    n = len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    if i < n and s[i] == "{":
+        nodes, j = _parse_block(s, i + 1)
+        if j >= n or s[j] != "}":
+            raise MvelTranslationError("unbalanced '{' in MVEL block")
+        return nodes, j + 1
+    if re.match(r"if\s*\(", s[i:]):
+        node, j = _parse_if(s, i)
+        return [node], j
+    k, depth = i, 0
+    while k < n and (s[k] != ";" or depth):
+        if s[k] in "([{":
+            depth += 1
+        elif s[k] in ")]}":
+            depth -= 1
+        k += 1
+    return [("stmt", s[i:k].strip())], k + 1
+
+
+def _parse_if(s: str, i: int) -> tuple[tuple, int]:
+    n = len(s)
+    j = s.index("(", i)
+    depth, k = 1, j + 1
+    while k < n and depth:
+        if s[k] == "(":
+            depth += 1
+        elif s[k] == ")":
+            depth -= 1
+        k += 1
+    if depth:
+        raise MvelTranslationError("unbalanced '(' in if condition")
+    cond = s[j + 1 : k - 1]
+    then_nodes, m = _parse_body(s, k)
+    mm = m
+    while mm < n and s[mm].isspace():
+        mm += 1
+    else_nodes: list = []
+    if re.match(r"else\b", s[mm:] if mm < n else ""):
+        else_nodes, m = _parse_body(s, mm + len("else"))
+    return ("if", cond, then_nodes, else_nodes), m
+
+
+def _eval_expr(expr: str, env: dict[str, str]) -> str:
+    expr = expr.strip()
+    m = _CAST_RE.match(expr)
+    cast_to = None
+    if m:
+        cast_to = _JAVA_TYPES[m.group(1)]
+        expr = m.group(2)
+    out = _translate_expr(expr)
+    if env:
+        pat = re.compile(r"\b(" + "|".join(map(re.escape, env)) + r")\b")
+        out = pat.sub(lambda mm: "(" + env[mm.group(1)] + ")", out)
+    return f"CAST({out} AS {cast_to})" if cast_to else out
+
+
+def _exec_nodes(nodes: list, env: dict[str, str]) -> str | None:
+    """Fold statements into ``env``; return the SQL of a ``return`` if one is
+    reached on every path through ``nodes``, else None."""
+    for idx, node in enumerate(nodes):
+        if node[0] == "stmt":
+            text = node[1]
+            m = _RETURN_RE.match(text)
+            if m:
+                return _eval_expr(m.group(1), env)
+            m = _DECL_RE.match(text)
+            if m:
+                env[m.group(1)] = _eval_expr(m.group(2), env)
+                continue
+            m = _COMPOUND_RE.match(text)
+            if m:
+                var, op, rhs = m.groups()
+                if var not in env:
+                    raise MvelTranslationError(f"assignment to undeclared variable {var!r}")
+                env[var] = f"({env[var]}) {op} ({_eval_expr(rhs, env)})"
+                continue
+            m = _ASSIGN_RE.match(text)
+            if m:
+                if m.group(1) not in env:
+                    raise MvelTranslationError(
+                        f"assignment to undeclared variable {m.group(1)!r}"
+                    )
+                env[m.group(1)] = _eval_expr(m.group(2), env)
+                continue
+            raise MvelTranslationError(f"unsupported MVEL statement: {text!r}")
+        _, cond, then_nodes, else_nodes = node
+        cond_sql = _eval_expr(cond, env)
+        env_t, env_e = dict(env), dict(env)
+        ret_t = _exec_nodes(then_nodes, env_t)
+        ret_e = _exec_nodes(else_nodes, env_e) if else_nodes else None
+        if ret_t is not None and ret_e is not None:
+            return f"IF({cond_sql}, {ret_t}, {ret_e})"
+        if ret_t is not None or ret_e is not None:
+            # guard style: one branch returns, the other path falls through to
+            # the remaining statements
+            fall_env = env_e if ret_t is not None else env_t
+            rest = _exec_nodes(nodes[idx + 1 :], fall_env)
+            if rest is None:
+                raise MvelTranslationError(
+                    "branch returns but fall-through path never does"
+                )
+            if ret_t is not None:
+                return f"IF({cond_sql}, {ret_t}, {rest})"
+            return f"IF({cond_sql}, {rest}, {ret_e})"
+        # pure-assignment branches: merge with a conditional per changed var
+        for var in set(env_t) | set(env_e):
+            t, e = env_t.get(var), env_e.get(var)
+            if t is None or e is None:
+                continue  # declared inside one branch only — scope ends there
+            if t != e:
+                env[var] = f"IF({cond_sql}, {t}, {e})"
+    return None
+
+
+def translate_mvel_block(mvel: str) -> str:
+    """Translate a procedural MVEL block (declarations, assignments,
+    ``if``/``else``, trailing ``return``) into one Spark SQL expression by
+    sequential substitution.  The shipped hashCode-bucket example
+    (migration-config.example.yaml:112-120) translates to a pure Catalyst
+    higher-order-function expression — no Python in the row path.
+
+    Substitution duplicates a variable's defining text at every reference, so
+    deeply chained blocks grow the expression; blocks past this subset
+    (loops, side effects) raise :class:`MvelTranslationError` and belong in
+    the ``python:<name>`` registry."""
+    nodes, _ = _parse_block(mvel, 0)
+    result = _exec_nodes(nodes, {})
+    if result is None:
+        raise MvelTranslationError("procedural MVEL block has no return on every path")
+    return result

@@ -240,3 +240,93 @@ tables:
       - filterClass: com.example.MyCustomFilter
 """
             )
+
+
+class TestProceduralMvel:
+    """translate_mvel_block — the shipped hashCode-bucket example
+    (migration-config.example.yaml:112-120) and the statement subset around
+    it fold into single Catalyst expressions."""
+
+    SHIPPED = """
+            int hash = row.my_col.hashCode();
+            if (hash < 0) {
+              hash *= -1;
+            }
+            hash %= 32;
+            return (short) hash;"""
+
+    @staticmethod
+    def _jvm_hash(s: str) -> int:
+        h = 0
+        b = s.encode("utf-16-be")
+        for i in range(0, len(b), 2):
+            h = (h * 31 + int.from_bytes(b[i : i + 2], "big")) & 0xFFFFFFFF
+        return h - 0x100000000 if h >= 0x80000000 else h
+
+    def test_shipped_example_matches_jvm_bucketing(self, spark):
+        sql = translate_mvel(self.SHIPPED)
+        rows = ["", "a", "Hello World", "Ármin útja", "naïve café", "😀🚀 mix"]
+        df = spark.createDataFrame([(s,) for s in rows], "my_col string")
+        got = [r[0] for r in df.selectExpr(f"{sql} AS b").collect()]
+        want = [abs(self._jvm_hash(s)) % 32 for s in rows]
+        assert got == want
+        # SMALLINT per the (short) cast
+        assert df.selectExpr(f"{sql} AS b").schema["b"].dataType == T.ShortType()
+
+    def test_if_else_assignment_merge(self, spark):
+        block = """
+            var tier = 'low';
+            if (row.v >= 100) { tier = 'high'; } else if (row.v >= 10) { tier = 'mid'; }
+            return tier;"""
+        df = spark.createDataFrame([(5,), (50,), (500,)], "v int")
+        got = [r[0] for r in df.selectExpr(f"{translate_mvel(block)} AS t").collect()]
+        assert got == ["low", "mid", "high"]
+
+    def test_guard_style_early_return(self, spark):
+        block = """
+            if (row.v < 0) { return 0; }
+            return row.v * 2;"""
+        df = spark.createDataFrame([(-3,), (4,)], "v int")
+        got = [r[0] for r in df.selectExpr(f"{translate_mvel(block)} AS t").collect()]
+        assert got == [0, 8]
+
+    def test_both_branch_return_and_braceless_if(self, spark):
+        block = "if (row.v % 2 == 0) return 'even'; else return 'odd';"
+        df = spark.createDataFrame([(2,), (3,)], "v int")
+        got = [r[0] for r in df.selectExpr(f"{translate_mvel(block)} AS t").collect()]
+        assert got == ["even", "odd"]
+
+    def test_compound_ops_and_math_statics(self, spark):
+        block = """
+            long acc = row.v;
+            acc += 10;
+            acc *= 3;
+            acc -= Math.abs(row.w);
+            return Math.max(acc, 0);"""
+        df = spark.createDataFrame([(1, -5), (0, 100)], "v int, w int")
+        got = [r[0] for r in df.selectExpr(f"{translate_mvel(block)} AS t").collect()]
+        assert got == [(1 + 10) * 3 - 5, 0]
+
+    def test_unsupported_constructs_raise(self):
+        from cassandra_cql_streaming_db_migrator_spark.plans.mvel import MvelTranslationError
+
+        with pytest.raises(MvelTranslationError):
+            translate_mvel("int x = 1;")  # no return on any path
+        with pytest.raises(MvelTranslationError):
+            translate_mvel("y = 2; return y;")  # undeclared assignment
+        with pytest.raises(MvelTranslationError):
+            translate_mvel("for (i : row.xs) { s += i; } return s;")
+
+    def test_with_computed_columns_integration(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.compute import (
+            hash_bucket_column,
+            with_computed_columns,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("alpha",), ("βeta",), ("😀",)], "my_col string"
+        )
+        out = with_computed_columns(df, {"my_col_hash": self.SHIPPED})
+        chk = out.withColumn("ref", hash_bucket_column("my_col").cast("smallint"))
+        assert chk.filter(F.col("my_col_hash") != F.col("ref")).count() == 0
