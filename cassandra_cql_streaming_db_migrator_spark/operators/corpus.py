@@ -1,0 +1,203 @@
+"""Training-corpus governance operators: decontamination, deterministic
+splits / domain mixing, text normalization + PII redaction + quality
+gating, and context-window sequence packing.
+
+These extend the reference's migration surface (its pipeline is the
+scan -> filter -> transform -> sink dataflow, MigrateTableTask.java:281-367)
+with the operations a large-scale LLM training-data pipeline needs on top.
+Everything here is pure Catalyst (built-in functions + higher-order
+functions) — no Python in the row path — and every hash is the
+cross-engine-reproducible polynomial fold from ``functions.hashing``, so
+each operator is oracle-checkable bit-for-bit against DuckDB.
+
+Scale design (100 TB):
+  * decontamination joins the corpus's exploded n-grams against the
+    benchmark n-gram set; the benchmark side is orders of magnitude smaller
+    and is broadcast, so the corpus never shuffles;
+  * splits / mixing are per-row hash arithmetic — narrow, no shuffle;
+  * governance metrics are per-row projections — narrow, no shuffle;
+  * sequence packing orders within an explicit partition column (never a
+    global sort): one shuffle on the partition key, then a window — at
+    1000 executors each packs its partitions independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import poly_hash
+
+# ---------------------------------------------------------------------------
+# Decontamination (benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """All word ``n``-grams of a whitespace-tokenized text as an array of
+    strings (empty when the text has fewer than ``n`` words)."""
+    words = F.split(text, " ")
+    k = F.size(words) - F.lit(n)
+    grams = F.transform(
+        F.sequence(F.lit(0), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), F.lit(n))),
+    )
+    # sequence(0, k) counts DOWN when k < 0 — guard short texts explicitly
+    return F.when(k >= 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_len: int = 8,
+) -> DataFrame:
+    """Docs in ``corpus`` sharing at least one word ``ngram_len``-gram with
+    ``benchmark`` — the standard eval-contamination sweep (the training-set
+    side of an n-gram decontamination pass).
+
+    Returns (id_col, n_shared_ngrams) for contaminated docs only.  The
+    benchmark gram set is DISTINCT'd then broadcast: eval suites are tiny
+    next to a 100 TB corpus, so the corpus side never shuffles for the
+    join; the only exchange is the final per-doc count aggregation over
+    matched grams (a vanishing fraction of the corpus).
+    """
+    grams = word_ngrams(F.col(text_col), ngram_len)
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram")).distinct()
+    )
+    hits = corpus_grams.join(F.broadcast(bench_grams), "gram")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_ngrams")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic split + domain mixing
+# ---------------------------------------------------------------------------
+
+
+def split_column(id_col: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
+    """Deterministic train/val/test assignment: polynomial hash of the id
+    rendered as a string, bucketed mod 100.  Pure per-row arithmetic —
+    reproducible across engines, runs, and cluster sizes (no RNG, no
+    ordering dependence)."""
+    bucket = poly_hash(id_col.cast("string")) % F.lit(100)
+    return (
+        F.when(bucket < F.lit(train_pct), F.lit("train"))
+        .when(bucket < F.lit(train_pct + val_pct), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def domain_mix_keep(
+    id_col: Column, domain_col: Column, rates: dict[str, float], default_rate: float = 1.0
+) -> Column:
+    """Deterministic per-domain downsampling: keep a row iff
+    ``hash(id # domain) mod 10000 < rate(domain) * 10000``.  This is how a
+    mixture recipe (e.g. upweight curated sources, downweight crawl) is
+    applied reproducibly at any scale — same keep-set on every run."""
+    h = poly_hash(F.concat(id_col.cast("string"), F.lit("#mix"), domain_col))
+    rate = F.lit(default_rate)
+    for dom, r in rates.items():
+        rate = F.when(domain_col == F.lit(dom), F.lit(r)).otherwise(rate)
+    return (h % F.lit(10000)) < (rate * F.lit(10000)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Normalization + PII redaction + quality gate (Gopher-style heuristics)
+# ---------------------------------------------------------------------------
+
+# Conservative ASCII patterns valid in both Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+IPV4_PATTERN = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form: lowercase, whitespace runs squashed, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace e-mail addresses and IPv4 literals with typed placeholders.
+    Redaction-by-pattern is per-row and Catalyst-native; swapping in a
+    heavier NER pass would be an Arrow ``mapInPandas`` stage with the same
+    signature."""
+    out = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, IPV4_PATTERN, "<IP>")
+
+
+def quality_metrics(norm_text: Column) -> list[Column]:
+    """Gopher-style repetition/shape heuristics over a normalized text:
+    word count, mean word length, fraction of distinct words (low ->
+    boilerplate repetition), symbol ratio.  All exact integer/ratio
+    arithmetic so the quality gate reproduces bit-for-bit anywhere."""
+    words = F.split(norm_text, " ")
+    n_words = F.size(words)
+    n_unique = F.size(F.array_distinct(words))
+    # mean word length from character counts (excludes the separators)
+    n_word_chars = F.length(norm_text) - (n_words - F.lit(1))
+    symbols = F.length(F.regexp_replace(norm_text, "[a-z0-9 ]", ""))
+    return [
+        n_words.alias("n_words"),
+        F.round(n_word_chars.cast("double") / n_words, 6).alias("mean_word_len"),
+        F.round(n_unique.cast("double") / n_words, 6).alias("frac_unique_words"),
+        F.round(symbols.cast("double") / F.length(norm_text), 6).alias("symbol_ratio"),
+    ]
+
+
+def quality_keep(n_words: Column, mean_word_len: Column, frac_unique: Column, symbol_ratio: Column) -> Column:
+    """The gate itself — thresholds in the spirit of the Gopher rules
+    (document length, mean word length window, repetition, symbol load)."""
+    return (
+        (n_words >= F.lit(8))
+        & (n_words <= F.lit(100000))
+        & (mean_word_len >= F.lit(2.0))
+        & (mean_word_len <= F.lit(12.0))
+        & (frac_unique >= F.lit(0.2))
+        & (symbol_ratio <= F.lit(0.3))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (context-window chunk assignment)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count: Column,
+    part_col: Column,
+    order_col: str,
+    budget: int = 512,
+) -> DataFrame:
+    """Assign documents to context-window chunks of ``budget`` tokens:
+    within each pack partition, documents are taken in ``order_col`` order
+    and a document starts in the chunk its running token offset falls in
+    (``floor(preceding_tokens / budget)``) — the streaming concatenate-and-
+    slice packing LLM trainers use, where a document may straddle a chunk
+    boundary.
+
+    Scale: the window is PARTITIONED — one shuffle on ``part_col``, then a
+    per-partition sort; there is deliberately no global ordering, because a
+    100 TB pack must parallelize per partition.  Returns per-chunk totals.
+    """
+    w = Window.partitionBy("pack_part").orderBy(order_col)
+    toks = df.select(
+        part_col.alias("pack_part"), F.col(order_col), token_count.alias("n_tokens")
+    )
+    offs = toks.withColumn(
+        "chunk_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ).cast("long"),
+    )
+    return offs.groupBy("pack_part", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )

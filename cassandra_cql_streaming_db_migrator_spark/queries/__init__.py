@@ -53,14 +53,21 @@ DRIVER_ROTATED_OUT = [
     # new in round 2, after the cap was already fully claimed by the
     # round-1 backlog; strictly locally-verified until a slot frees up
     "multimodal_resize",
+    # rotated in round 2 to give the corpus-governance family (queries/
+    # corpus.py) driver rows; each was green in r01 and keeps a driver-
+    # checked family representative in the head
+    "join_semi",           # J2 green r01; family keeps enrich/large/asof/range
+    "ngram_jaccard",       # dedup green r01 (the excluded-from-bench exact baseline)
+    "text_stats",          # green r01; quality stats superseded by text_governance
+    "correlated_subquery", # A4 green r01; family keeps rollup/cube/gsets/pivot
 ]
 
 
 def all_queries() -> dict[str, QueryDef]:
-    from . import llm, reference, relational, streaming
+    from . import corpus, llm, reference, relational, streaming
 
     out: dict[str, QueryDef] = {}
-    for mod in (reference, relational, llm, streaming):
+    for mod in (reference, relational, llm, streaming, corpus):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")

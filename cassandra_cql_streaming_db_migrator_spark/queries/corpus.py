@@ -1,0 +1,240 @@
+"""Corpus-governance queries: decontamination, deterministic split/mixing,
+normalization + PII redaction + quality gate, sequence packing.
+
+Oracle parity notes (see queries/__init__ for the general rules):
+  * all hashes are the polynomial fold from functions.hashing (proven
+    bit-reproducible in DuckDB);
+  * regex semantics used (character classes, bounded repeats, ``\\b``,
+    ``\\s``) behave identically in Java regex and RE2 for ASCII input;
+  * DuckDB casts DOUBLE->BIGINT by rounding while Spark truncates — every
+    such cast here is over an exactly-representable value (rate tables use
+    1/2^k steps), where the two agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import poly_hash_sql
+from ..operators.corpus import (
+    decontaminate,
+    domain_mix_keep,
+    normalize_text,
+    pack_sequences,
+    quality_keep,
+    quality_metrics,
+    redact_pii,
+    split_column,
+)
+from ..operators.textops import BPE_TOKEN_PATTERN
+from ..sources.parquet import load_table
+from . import QueryDef
+
+# ---------------------------------------------------------------------------
+# Decontamination: training docs sharing an 8-gram with the benchmark slice
+# (doc_id % 20 == 0 stands in for the eval suite).
+
+_NGRAM_LEN = 8
+
+
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench, ngram_len=_NGRAM_LEN)
+
+
+_DECONTAMINATE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(len(ws) - {_NGRAM_LEN - 1}),
+             i -> array_to_string(
+                    array_slice(ws, CAST(i + 1 AS INTEGER),
+                                CAST(i + {_NGRAM_LEN} AS INTEGER)), ' ')
+         ))) AS gram
+  FROM w WHERE len(ws) >= {_NGRAM_LEN}
+),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+c AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+SELECT c.doc_id, count(*) AS n_shared_ngrams
+FROM c JOIN b USING (gram)
+GROUP BY c.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Deterministic split + domain mixing — per-row hash arithmetic, no shuffle.
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+_MIX_DEFAULT = 0.75
+
+
+def split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        split_column(F.col("doc_id")).alias("split"),
+        domain_mix_keep(
+            F.col("doc_id"), F.col("source"), _MIX_RATES, _MIX_DEFAULT
+        ).alias("kept"),
+    )
+
+
+def _split_sample_sql() -> str:
+    ph = poly_hash_sql("CAST(doc_id AS VARCHAR)")
+    ph2 = poly_hash_sql("CAST(doc_id AS VARCHAR) || '#mix' || source")
+    rate = "CASE source " + " ".join(
+        f"WHEN '{dom}' THEN {r}" for dom, r in _MIX_RATES.items()
+    ) + f" ELSE {_MIX_DEFAULT} END"
+    return f"""
+SELECT doc_id, source,
+       CASE WHEN {ph} % 100 < 80 THEN 'train'
+            WHEN {ph} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       ({ph2} % 10000) < CAST(({rate}) * 10000 AS BIGINT) AS kept
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Normalization + PII redaction + quality gate.  Deterministic PII is
+# embedded first (email + IPv4 derived from doc_id) so the redaction is
+# provably active, then normalize -> metrics -> keep flag.
+
+_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_IPV4_SQL = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def text_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text2",
+        F.concat(
+            F.lit("Contact user"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 "),
+            F.col("text"),
+        ),
+    )
+    norm = normalize_text(redact_pii(F.col("text2")))
+    out = seeded.select("doc_id", norm.alias("norm_text")).select(
+        "doc_id", "norm_text", *quality_metrics(F.col("norm_text"))
+    )
+    return out.withColumn(
+        "keep",
+        quality_keep(
+            F.col("n_words"),
+            F.col("mean_word_len"),
+            F.col("frac_unique_words"),
+            F.col("symbol_ratio"),
+        ),
+    )
+
+
+_TEXT_GOVERNANCE_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         'Contact user' || CAST(doc_id % 100 AS VARCHAR)
+           || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.0.1 ' || text AS text2
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(
+             regexp_replace(regexp_replace(text2, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                            '{_IPV4_SQL}', '<IP>', 'g')),
+             '\\s+', ' ', 'g')) AS norm_text
+  FROM s
+),
+m AS (
+  SELECT doc_id, norm_text,
+         len(string_split(norm_text, ' ')) AS n_words,
+         round(CAST(length(norm_text) - (len(string_split(norm_text, ' ')) - 1)
+                    AS DOUBLE) / len(string_split(norm_text, ' ')), 6) AS mean_word_len,
+         round(CAST(len(list_distinct(string_split(norm_text, ' ')))
+                    AS DOUBLE) / len(string_split(norm_text, ' ')), 6) AS frac_unique_words,
+         round(CAST(length(regexp_replace(norm_text, '[a-z0-9 ]', '', 'g'))
+                    AS DOUBLE) / length(norm_text), 6) AS symbol_ratio
+  FROM r
+)
+SELECT doc_id, norm_text, CAST(n_words AS INTEGER) AS n_words,
+       mean_word_len, frac_unique_words, symbol_ratio,
+       (n_words >= 8 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND frac_unique_words >= 0.2 AND symbol_ratio <= 0.3) AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: per-partition running token offsets -> chunk ids.
+
+_PACK_BUDGET = 512
+_PACK_PARTS = 16
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs,
+        token_count=F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_PATTERN)),
+        part_col=F.col("doc_id") % _PACK_PARTS,
+        order_col="doc_id",
+        budget=_PACK_BUDGET,
+    )
+
+
+_SEQUENCE_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id % {_PACK_PARTS} AS pack_part, doc_id,
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT pack_part, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY pack_part ORDER BY doc_id)
+           - n_tokens AS off
+  FROM t
+)
+SELECT pack_part, CAST(off // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
+       count(*) AS n_docs, sum(n_tokens) AS chunk_tokens
+FROM o
+GROUP BY pack_part, chunk_id
+"""
+
+
+QUERIES = [
+    QueryDef(
+        "decontaminate",
+        decontaminate_q,
+        _DECONTAMINATE_SQL,
+        "benchmark n-gram contamination sweep (broadcast benchmark grams)",
+    ),
+    QueryDef(
+        "split_sample",
+        split_sample,
+        _split_sample_sql(),
+        "deterministic train/val/test split + per-domain mixture sampling",
+    ),
+    QueryDef(
+        "text_governance",
+        text_governance,
+        _TEXT_GOVERNANCE_SQL,
+        "normalize -> PII redaction -> Gopher-style quality gate",
+    ),
+    QueryDef(
+        "sequence_pack",
+        sequence_pack,
+        _SEQUENCE_PACK_SQL,
+        "context-window sequence packing (partitioned running offsets)",
+    ),
+]

@@ -1,0 +1,133 @@
+"""Corpus-governance operators (operators/corpus.py): decontamination,
+deterministic split/mixing, normalize+redact+quality, sequence packing."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+    decontaminate,
+    domain_mix_keep,
+    normalize_text,
+    pack_sequences,
+    quality_keep,
+    quality_metrics,
+    redact_pii,
+    split_column,
+    word_ngrams,
+)
+
+
+class TestWordNgrams:
+    def test_basic_and_short_text_guard(self, spark):
+        df = spark.createDataFrame(
+            [("a b c d",), ("a b",), ("",)], "text string"
+        )
+        got = [r[0] for r in df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()]
+        assert got[0] == ["a b c", "b c d"]
+        assert got[1] == []  # fewer words than n -> empty, not a descending sequence
+        assert got[2] == []
+
+
+class TestDecontaminate:
+    def test_overlap_counts_distinct_grams(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),   # shares 'the quick brown'
+                (2, "totally unrelated words here"),
+                (3, "the quick brown fox sleeps"),  # shares 2 benchmark grams
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox runs far")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["n_shared_ngrams"]
+            for r in decontaminate(corpus, bench, ngram_len=3).collect()
+        }
+        # doc 1: 'the quick brown', 'quick brown fox' -> 2; doc 3 same 2
+        assert out == {1: 2, 3: 2}
+
+
+class TestSplitAndMix:
+    def test_split_deterministic_and_complete(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+        out = df.select("doc_id", split_column(F.col("doc_id")).alias("s"))
+        counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        # hash-uniform-ish: train ~80%
+        assert 700 < counts["train"] < 900
+        # rerun identical (pure function of id)
+        again = {r["doc_id"]: r["s"] for r in out.collect()}
+        assert all(again[r["doc_id"]] == r["s"] for r in out.collect())
+
+    def test_domain_mix_rates(self, spark):
+        rows = [(i, "keep_all" if i % 2 == 0 else "drop_all") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        kept = df.select(
+            "source",
+            domain_mix_keep(
+                F.col("doc_id"), F.col("source"), {"keep_all": 1.0, "drop_all": 0.0}
+            ).alias("k"),
+        )
+        agg = {r["source"]: r["n"] for r in kept.filter("k").groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert agg == {"keep_all": 200}
+
+
+class TestGovernance:
+    def test_redact_and_normalize(self, spark):
+        df = spark.createDataFrame(
+            [("Mail Bob.Smith+x@corp.example.org  or  10.1.2.3   now",)],
+            "text string",
+        )
+        got = df.select(
+            normalize_text(redact_pii(F.col("text"))).alias("t")
+        ).collect()[0]["t"]
+        assert got == "mail <email> or <ip> now"
+
+    def test_quality_gate(self, spark):
+        good = "the sturdy cargo ship crossed the narrow channel before dawn light"
+        bad = "spam spam spam spam spam spam spam spam spam spam"
+        df = spark.createDataFrame([(1, good), (2, bad)], "doc_id long, text string")
+        m = df.select("doc_id", *quality_metrics(F.col("text")))
+        out = m.withColumn(
+            "keep",
+            quality_keep(
+                F.col("n_words"), F.col("mean_word_len"),
+                F.col("frac_unique_words"), F.col("symbol_ratio"),
+            ),
+        )
+        got = {r["doc_id"]: r["keep"] for r in out.collect()}
+        assert got[1] is True
+        assert got[2] is False  # frac_unique_words = 0.1 < 0.2
+
+
+class TestSequencePack:
+    def test_chunk_assignment_with_straddle(self, spark):
+        # one partition, budget 10; token counts 4,4,4 -> third doc STARTS at
+        # offset 8 (chunk 0) and straddles into chunk 1: chunk0 has 3 docs.
+        df = spark.createDataFrame(
+            [(1, 4), (2, 4), (3, 4), (4, 4)], "doc_id long, toks int"
+        )
+        out = pack_sequences(
+            df, F.col("toks"), F.lit(0), "doc_id", budget=10
+        ).collect()
+        by_chunk = {r["chunk_id"]: (r["n_docs"], r["chunk_tokens"]) for r in out}
+        assert by_chunk == {0: (3, 12), 1: (1, 4)}
+
+    def test_partitions_pack_independently(self, spark):
+        df = spark.createDataFrame(
+            [(i, 100) for i in range(8)], "doc_id long, toks int"
+        )
+        out = pack_sequences(
+            df, F.col("toks"), F.col("doc_id") % 2, "doc_id", budget=200
+        ).collect()
+        # each partition: 4 docs of 100 -> chunks 0 (2 docs) and 1 (2 docs)
+        assert len(out) == 4
+        assert all(r["n_docs"] == 2 and r["chunk_tokens"] == 200 for r in out)
