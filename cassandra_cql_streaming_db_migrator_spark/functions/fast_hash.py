@@ -163,3 +163,69 @@ def simhash_values(texts: list[str], token_sep: str = " ") -> np.ndarray:
         ones = np.add.reduceat((h >> np.int64(k)) & np.int64(1), doc_starts)
         out |= (2 * ones > n_tokens).astype(np.int64) << np.int64(k)
     return out
+
+
+def _column_fold_hashes(tokens: list[str], base: int, mod: int) -> np.ndarray:
+    """Poly-fold every token (h = base*h + codepoint mod ``mod``) in one
+    column-wise vectorized pass — j-th iteration folds the j-th character of
+    every still-active token (the simhash_values pattern)."""
+    if not tokens:
+        return np.empty(0, dtype=np.int64)
+    tok_lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
+    codes = _codepoints("".join(tokens))
+    tok_offsets = np.concatenate([[0], np.cumsum(tok_lens)])
+    h = np.zeros(len(tokens), dtype=np.int64)
+    for j in range(int(tok_lens.max()) if tok_lens.size else 0):
+        active = tok_lens > j
+        if not active.any():
+            break
+        cp = codes[tok_offsets[:-1][active] + j]
+        h[active] = (h[active] * base + cp) % mod
+    return h
+
+
+# Second, independent word-hash function for the 61-bit gram keys: a gram
+# key collides only when a pair of word sequences collides under BOTH folds
+# (~2^-61 per pair), so keying joins on int64 instead of long strings is
+# sound at corpus scale.
+_WORD_BASE2 = 131
+_GRAM_BASE1, _GRAM_BASE2 = 31, 137
+
+
+def word_ngram_keys(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT word n-gram keys for the whole batch.
+
+    Splits each text on single spaces (string_split semantics, empties
+    kept), hashes every word under two independent poly folds, then folds
+    length-``n`` windows of word hashes into (h1 mod 1e9+7, h2 mod 2^31-1)
+    packed as ``h1 * 2^31 + h2``.  Returns (doc_idx, keys) with per-doc
+    duplicates removed.  Docs with fewer than ``n`` words contribute
+    nothing.  All arithmetic stays inside int64: h1 < 2^30, so the packed
+    key is < 2^61; fold steps are base*h + v with h < mod — max
+    137 * 2^31 < 2^39."""
+    token_lists = [t.split(" ") for t in texts]
+    n_words = np.fromiter(
+        (len(tl) for tl in token_lists), dtype=np.int64, count=len(texts)
+    )
+    flat = [tok for tl in token_lists for tok in tl]
+    wh1 = _column_fold_hashes(flat, 31, POLY_MOD)
+    wh2 = _column_fold_hashes(flat, _WORD_BASE2, MINHASH_P)
+
+    counts = np.maximum(n_words - n + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    word_offsets = np.concatenate([[0], np.cumsum(n_words)])[:-1]
+    win_starts = np.repeat(word_offsets, counts) + _segmented_positions(counts)
+    g1 = np.zeros(total, dtype=np.int64)
+    g2 = np.zeros(total, dtype=np.int64)
+    for j in range(n):
+        g1 = (g1 * _GRAM_BASE1 + wh1[win_starts + j]) % POLY_MOD
+        g2 = (g2 * _GRAM_BASE2 + wh2[win_starts + j]) % MINHASH_P
+    keys = g1 * np.int64(2**31) + g2
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+
+    order = np.lexsort((keys, doc_idx))
+    d, k = doc_idx[order], keys[order]
+    keep = np.concatenate([[True], (d[1:] != d[:-1]) | (k[1:] != k[:-1])])
+    return d[keep], k[keep]

@@ -46,6 +46,34 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.when(k >= 0, grams).otherwise(F.array().cast("array<string>"))
 
 
+def _gram_key_frame(
+    df: DataFrame, text_col: str, id_col: str, ngram_len: int
+) -> DataFrame:
+    """(id, gram_key) with per-doc duplicates removed — the Arrow kernel
+    twin of ``explode(array_distinct(word_ngrams(...)))`` keyed by the
+    61-bit double poly hash instead of the gram string (functions.
+    fast_hash.word_ngram_keys).  Per-row pure: distributes like any map,
+    no shuffle, and the downstream join moves int64 keys instead of
+    ~8-word strings."""
+    import pandas as pd
+
+    from ..functions.fast_hash import word_ngram_keys
+
+    def kernel(batches):
+        for pdf in batches:
+            doc_idx, keys = word_ngram_keys(pdf[text_col].tolist(), ngram_len)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[doc_idx],
+                    "gram_key": keys,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, gram_key long"
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -57,19 +85,43 @@ def decontaminate(
     ``benchmark`` — the standard eval-contamination sweep (the training-set
     side of an n-gram decontamination pass).
 
-    Returns (id_col, n_shared_ngrams) for contaminated docs only.  The
-    benchmark gram set is DISTINCT'd then broadcast: eval suites are tiny
-    next to a 100 TB corpus, so the corpus side never shuffles for the
-    join; the only exchange is the final per-doc count aggregation over
-    matched grams (a vanishing fraction of the corpus).
+    Returns (id_col, n_shared_ngrams) for contaminated docs only.  Gram
+    sets come from the Arrow kernel as packed 61-bit hash keys (false
+    positive ~2^-61 per gram pair; the string-keyed oracle independently
+    confirms no collision at test scales).  The benchmark key set is
+    DISTINCT'd then broadcast: eval suites are tiny next to a 100 TB
+    corpus, so the corpus side never shuffles for the join; the only
+    exchange is the final per-doc count aggregation over matched grams (a
+    vanishing fraction of the corpus).
     """
+    corpus_keys = _gram_key_frame(corpus, text_col, id_col, ngram_len)
+    bench_keys = (
+        _gram_key_frame(benchmark, text_col, id_col, ngram_len)
+        .select("gram_key")
+        .distinct()
+    )
+    hits = corpus_keys.join(F.broadcast(bench_keys), "gram_key")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_ngrams")
+    )
+
+
+def decontaminate_catalyst(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_len: int = 8,
+) -> DataFrame:
+    """Pure-Catalyst reference implementation joining on gram STRINGS —
+    same result as :func:`decontaminate` (modulo the ~2^-61 collision
+    probability); kept for cross-checking the kernel and for callers who
+    need exact string semantics."""
     grams = word_ngrams(F.col(text_col), ngram_len)
     corpus_grams = corpus.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
     )
-    bench_grams = (
-        benchmark.select(F.explode(grams).alias("gram")).distinct()
-    )
+    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
     hits = corpus_grams.join(F.broadcast(bench_grams), "gram")
     return hits.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shared_ngrams")

@@ -54,6 +54,25 @@ class TestDecontaminate:
         # doc 1: 'the quick brown', 'quick brown fox' -> 2; doc 3 same 2
         assert out == {1: 2, 3: 2}
 
+    def test_arrow_kernel_matches_catalyst(self, spark, sf_dir):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            decontaminate_catalyst,
+        )
+        from cassandra_cql_streaming_db_migrator_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 20 == 0)
+        corpus = docs.filter(F.col("doc_id") % 20 != 0)
+        fast = {
+            r["doc_id"]: r["n_shared_ngrams"]
+            for r in decontaminate(corpus, bench).collect()
+        }
+        exact = {
+            r["doc_id"]: r["n_shared_ngrams"]
+            for r in decontaminate_catalyst(corpus, bench).collect()
+        }
+        assert fast == exact
+
 
 class TestSplitAndMix:
     def test_split_deterministic_and_complete(self, spark):
