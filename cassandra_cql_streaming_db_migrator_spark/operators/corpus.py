@@ -253,3 +253,59 @@ def pack_sequences(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("chunk_tokens"),
     )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    token_count: Column,
+    part_col: Column,
+    order_col: str,
+    budget: int = 512,
+) -> DataFrame:
+    """First-fit-decreasing bin packing per pack partition: docs sorted by
+    token count (desc, id tiebreak) each go to the FIRST chunk with room;
+    a doc larger than ``budget`` gets its own chunk.  Unlike
+    :func:`pack_sequences` nothing straddles a boundary — this is the
+    padding-free variant for trainers that can't split documents.
+
+    Per-partition imperative logic -> ``applyInPandas`` (Arrow-batched);
+    same shuffle shape as pack_sequences (one exchange on the partition
+    key).  FFD is O(n log n + n * chunks) per partition — partitions are
+    caller-bounded (the part_col contract), so the kernel never sees more
+    rows than one partition's worth.  Non-SQL-expressible by design
+    (stateful greedy loop), so it is pytest-verified rather than
+    oracle-paired; the window-based pack_sequences is the driver-checked
+    family representative."""
+    import pandas as pd
+
+    toks = df.select(
+        part_col.alias("pack_part"), F.col(order_col), token_count.alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", order_col], ascending=[False, True]
+        )
+        chunk_ids: list[int] = []
+        room: list[int] = []  # remaining tokens per chunk
+        assigned = []
+        for t in pdf["n_tokens"].tolist():
+            for c, r in enumerate(room):
+                if t <= r:
+                    room[c] = r - t
+                    assigned.append(c)
+                    break
+            else:
+                room.append(max(budget - t, 0))
+                assigned.append(len(room) - 1)
+        pdf = pdf.assign(chunk_id=assigned)
+        out = (
+            pdf.groupby("chunk_id", as_index=False)
+            .agg(n_docs=("chunk_id", "size"), chunk_tokens=("n_tokens", "sum"))
+        )
+        out.insert(0, "pack_part", pdf["pack_part"].iloc[0])
+        return out
+
+    return toks.groupBy("pack_part").applyInPandas(
+        pack, schema="pack_part long, chunk_id long, n_docs long, chunk_tokens long"
+    )

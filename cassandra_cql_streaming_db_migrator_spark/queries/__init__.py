@@ -60,6 +60,9 @@ DRIVER_ROTATED_OUT = [
     "ngram_jaccard",       # dedup green r01 (the excluded-from-bench exact baseline)
     "text_stats",          # green r01; quality stats superseded by text_governance
     "correlated_subquery", # A4 green r01; family keeps rollup/cube/gsets/pivot
+    # similarity family already holds 5 head slots (topk/ivf/lsh/near_dup/
+    # label_top_pairs); the quantization stats query starts tail-listed
+    "embedding_quantize",
 ]
 
 

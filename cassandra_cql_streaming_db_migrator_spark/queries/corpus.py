@@ -212,6 +212,42 @@ GROUP BY pack_part, chunk_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization stats — the compression pass before an ANN
+# index stores the corpus.  Per-row pure; oracle reproduces the sequential
+# double fold exactly via list_reduce.
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+_ERR = "(x - round(x / scale) * scale)"
+_EMBEDDING_QUANTIZE_SQL = f"""
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+  FROM d
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       round(list_aggregate(
+               list_transform(e, x -> abs{_ERR}), 'max'), 9) AS max_abs_err,
+       round(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list_transform(e, x -> {_ERR} * {_ERR})),
+               (a, b) -> a + b) / len(e), 9) AS mse
+FROM s
+"""
+
+
 QUERIES = [
     QueryDef(
         "decontaminate",
@@ -236,5 +272,11 @@ QUERIES = [
         sequence_pack,
         _SEQUENCE_PACK_SQL,
         "context-window sequence packing (partitioned running offsets)",
+    ),
+    QueryDef(
+        "embedding_quantize",
+        embedding_quantize,
+        _EMBEDDING_QUANTIZE_SQL,
+        "symmetric int8 embedding quantization error stats",
     ),
 ]

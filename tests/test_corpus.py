@@ -150,3 +150,35 @@ class TestSequencePack:
         # each partition: 4 docs of 100 -> chunks 0 (2 docs) and 1 (2 docs)
         assert len(out) == 4
         assert all(r["n_docs"] == 2 and r["chunk_tokens"] == 200 for r in out)
+
+
+class TestSequencePackFFD:
+    def test_no_chunk_exceeds_budget(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            pack_sequences_ffd,
+        )
+        rows = [(i, (i * 37) % 200 + 1) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, toks int")
+        out = pack_sequences_ffd(
+            df, F.col("toks"), F.col("doc_id") % 4, "doc_id", budget=256
+        ).collect()
+        assert all(r["chunk_tokens"] <= 256 for r in out)
+        assert sum(r["chunk_tokens"] for r in out) == sum(t for _, t in rows)
+
+    def test_oversize_doc_gets_own_chunk_and_ffd_packs_tighter(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            pack_sequences_ffd,
+        )
+        df = spark.createDataFrame(
+            [(1, 300), (2, 60), (3, 50), (4, 40), (5, 50)],
+            "doc_id long, toks int",
+        )
+        out = pack_sequences_ffd(
+            df, F.col("toks"), F.lit(0), "doc_id", budget=100
+        ).collect()
+        oversize = [r for r in out if r["chunk_tokens"] == 300]
+        assert len(oversize) == 1 and oversize[0]["n_docs"] == 1
+        # remaining 200 tokens fit in exactly two 100-token chunks (FFD:
+        # 60+40, 50+50) — greedy-in-id-order would have needed three
+        rest = sorted(r["chunk_tokens"] for r in out if r["chunk_tokens"] != 300)
+        assert rest == [100, 100]
