@@ -188,8 +188,16 @@ def _column_fold_hashes(tokens: list[str], base: int, mod: int) -> np.ndarray:
 # key collides only when a pair of word sequences collides under BOTH folds
 # (~2^-61 per pair), so keying joins on int64 instead of long strings is
 # sound at corpus scale.
+#
+# The gram-fold bases must DIFFER from the word-fold bases: poly hashes
+# concatenate (h('ab') == h('a')*31 + h('b') mod p), so a gram fold with
+# the same base as the word fold makes ('x','','ab') and ('x','a','b')
+# collide STRUCTURALLY whenever an empty token's hash is 0.  With base_g
+# != base_w the same pair collides only if h('a')*(base_g - base_w) == 0
+# mod p — never, p prime.  1000003 * (1e9+6) < 2^60 keeps the step in
+# int64.
 _WORD_BASE2 = 131
-_GRAM_BASE1, _GRAM_BASE2 = 31, 137
+_GRAM_BASE1, _GRAM_BASE2 = 1_000_003, 137
 
 
 def word_ngram_keys(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -202,8 +210,10 @@ def word_ngram_keys(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
     duplicates removed.  Docs with fewer than ``n`` words contribute
     nothing.  All arithmetic stays inside int64: h1 < 2^30, so the packed
     key is < 2^61; fold steps are base*h + v with h < mod — max
-    137 * 2^31 < 2^39."""
-    token_lists = [t.split(" ") for t in texts]
+    1000003 * (1e9+6) < 2^60."""
+    # null/NaN text contributes no grams — matching the Catalyst twin,
+    # where split(NULL) propagates NULL and the guard yields an empty array
+    token_lists = [t.split(" ") if isinstance(t, str) else [] for t in texts]
     n_words = np.fromiter(
         (len(tl) for tl in token_lists), dtype=np.int64, count=len(texts)
     )

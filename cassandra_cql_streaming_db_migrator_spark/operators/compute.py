@@ -63,8 +63,9 @@ def java_string_hashcode(col: Column | str) -> Column:
         return F.when(cp > F.lit(0xFFFF), two).otherwise(one)
 
     folded = F.aggregate(chars, F.lit(0).cast("long"), step)
-    # map [0, 2^32) -> signed int32 two's-complement value
-    return F.when(folded >= F.lit(2147483648), folded - F.lit(4294967296)).otherwise(folded)
+    # map [0, 2^32) -> signed int32 two's-complement value, branch-free so
+    # the interpreted fold is evaluated exactly once
+    return (folded + F.lit(2147483648)) % F.lit(4294967296) - F.lit(2147483648)
 
 
 def hash_bucket_column(col: Column | str, buckets: int = 32) -> Column:

@@ -75,7 +75,9 @@ def _java_hashcode_sql(recv: str) -> str:
         f" + (56320 + (({unit} - 65536) & 1023))) % 4294967296, "
         f"(acc * 31 + {unit}) % 4294967296))"
     )
-    return f"IF({folded} >= 2147483648, {folded} - 4294967296, {folded})"
+    # branch-free signed-int32 mapping so the interpreted fold is written
+    # (and evaluated) exactly once
+    return f"(({folded} + 2147483648) % 4294967296 - 2147483648)"
 
 
 _METHOD_SPECIAL = {
@@ -124,6 +126,29 @@ def referenced_columns(mvel: str) -> list[str]:
     return seen
 
 
+# String literals are masked to opaque tokens before ANY parsing or
+# rewriting (statement splitting, keyword replacement, variable
+# substitution), then restored at the very end — so a ';' or 'true' or a
+# variable-looking word inside a quoted string is never touched.
+_LITERAL_RE = re.compile(r"'[^']*'|\"[^\"]*\"")
+
+
+def _mask_literals(s: str) -> tuple[str, list[str]]:
+    lits: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"__lit{len(lits) - 1}__"
+
+    return _LITERAL_RE.sub(repl, s), lits
+
+
+def _restore_literals(s: str, lits: list[str]) -> str:
+    for i, lit in enumerate(lits):
+        s = s.replace(f"__lit{i}__", lit)
+    return s
+
+
 def translate_mvel(mvel: str) -> str:
     """Translate MVEL into an equivalent Spark SQL expression string.
 
@@ -131,9 +156,10 @@ def translate_mvel(mvel: str) -> str:
     methods) translate token-wise; multi-statement procedural blocks are
     dispatched to :func:`translate_mvel_block`.
     """
-    if _looks_procedural(mvel):
-        return translate_mvel_block(mvel)
-    return _translate_expr(mvel)
+    masked, lits = _mask_literals(mvel)
+    if _looks_procedural(masked):
+        return _restore_literals(_translate_block_masked(masked), lits)
+    return _restore_literals(_translate_expr(masked), lits)
 
 
 def _translate_expr(mvel: str) -> str:
@@ -174,13 +200,63 @@ _JAVA_TYPES = {
     "String": "STRING",
 }
 _TYPE_ALT = "|".join(_JAVA_TYPES)
+_INTEGRAL_TYPES = {"int", "long", "short", "byte"}
 _DECL_RE = re.compile(
-    rf"^(?:{_TYPE_ALT}|var)\s+([A-Za-z_]\w*)\s*=\s*(.+)$", re.S
+    rf"^({_TYPE_ALT}|var)\s+([A-Za-z_]\w*)\s*=\s*(.+)$", re.S
 )
 _COMPOUND_RE = re.compile(r"^([A-Za-z_]\w*)\s*([+\-*/%])=\s*(.+)$", re.S)
 _ASSIGN_RE = re.compile(r"^([A-Za-z_]\w*)\s*=\s*(.+)$", re.S)
 _RETURN_RE = re.compile(r"^return\s+(.+)$", re.S)
 _CAST_RE = re.compile(rf"^\(\s*({_TYPE_ALT})\s*\)\s*(.+)$", re.S)
+
+
+def _split_primary(s: str) -> tuple[str, str]:
+    """Split ``s`` into its leading primary expression (what a Java cast
+    binds to: optional unary minus + identifier with call/method chains, a
+    parenthesized group, or a numeric literal) and the remainder."""
+    i, n = 0, len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    start = i
+    if i < n and s[i] == "-":
+        i += 1
+        while i < n and s[i].isspace():
+            i += 1
+    if i < n and s[i] == "(":
+        depth = 1
+        i += 1
+        while i < n and depth:
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+            i += 1
+    elif i < n and (s[i].isalpha() or s[i] == "_"):
+        while i < n and (s[i].isalnum() or s[i] == "_"):
+            i += 1
+        while i < n:
+            if s[i] == ".":
+                j = i + 1
+                while j < n and (s[j].isalnum() or s[j] == "_"):
+                    j += 1
+                if j == i + 1:
+                    break
+                i = j
+            elif s[i] == "(":
+                depth = 1
+                i += 1
+                while i < n and depth:
+                    if s[i] == "(":
+                        depth += 1
+                    elif s[i] == ")":
+                        depth -= 1
+                    i += 1
+            else:
+                break
+    elif i < n and s[i].isdigit():
+        while i < n and (s[i].isdigit() or s[i] == "."):
+            i += 1
+    return s[start:i], s[i:]
 
 
 def _looks_procedural(mvel: str) -> bool:
@@ -268,22 +344,48 @@ def _parse_if(s: str, i: int) -> tuple[tuple, int]:
 
 
 def _eval_expr(expr: str, env: dict[str, str]) -> str:
+    """Translate one (literal-masked) expression against the variable
+    environment.  Variable references are swapped for opaque placeholder
+    tokens BEFORE translation and expanded to their defining SQL AFTER it,
+    so a definition's text (which may contain lambdas, literals, or words
+    that look like other variables) is never re-scanned by any rewrite."""
     expr = expr.strip()
     m = _CAST_RE.match(expr)
-    cast_to = None
+    prefix = suffix = ""
     if m:
-        cast_to = _JAVA_TYPES[m.group(1)]
-        expr = m.group(2)
-    out = _translate_expr(expr)
+        # a Java cast binds to the adjacent primary, not the whole rest:
+        # (int) d + 1  ==  CAST(d AS INT) + 1
+        primary, rest = _split_primary(m.group(2))
+        if not primary:
+            raise MvelTranslationError(f"cast with no operand: {expr!r}")
+        prefix, suffix = "CAST(", f" AS {_JAVA_TYPES[m.group(1)]})"
+        expr, tail = primary, rest
+    else:
+        tail = ""
+    out = _eval_translated(expr, env)
+    out = f"{prefix}{out}{suffix}" if prefix else out
+    if tail.strip():
+        out = f"{out} {_eval_translated(tail.strip(), env)}"
+    return out
+
+
+def _eval_translated(expr: str, env: dict[str, str]) -> str:
     if env:
         pat = re.compile(r"\b(" + "|".join(map(re.escape, env)) + r")\b")
-        out = pat.sub(lambda mm: "(" + env[mm.group(1)] + ")", out)
-    return f"CAST({out} AS {cast_to})" if cast_to else out
+        expr = pat.sub(lambda mm: f"__var_{mm.group(1)}__", expr)
+    out = _translate_expr(expr)
+    for name, text in env.items():
+        out = out.replace(f"__var_{name}__", f"({text})")
+    return out
 
 
-def _exec_nodes(nodes: list, env: dict[str, str]) -> str | None:
+def _exec_nodes(
+    nodes: list, env: dict[str, str], types: dict[str, str]
+) -> str | None:
     """Fold statements into ``env``; return the SQL of a ``return`` if one is
-    reached on every path through ``nodes``, else None."""
+    reached on every path through ``nodes``, else None.  ``types`` tracks
+    declared Java types so integral ``/=`` translates to SQL ``div``
+    (truncating integer division, Java semantics) instead of ``/``."""
     for idx, node in enumerate(nodes):
         if node[0] == "stmt":
             text = node[1]
@@ -292,13 +394,16 @@ def _exec_nodes(nodes: list, env: dict[str, str]) -> str | None:
                 return _eval_expr(m.group(1), env)
             m = _DECL_RE.match(text)
             if m:
-                env[m.group(1)] = _eval_expr(m.group(2), env)
+                types[m.group(2)] = m.group(1)
+                env[m.group(2)] = _eval_expr(m.group(3), env)
                 continue
             m = _COMPOUND_RE.match(text)
             if m:
                 var, op, rhs = m.groups()
                 if var not in env:
                     raise MvelTranslationError(f"assignment to undeclared variable {var!r}")
+                if op == "/" and types.get(var) in _INTEGRAL_TYPES:
+                    op = "div"
                 env[var] = f"({env[var]}) {op} ({_eval_expr(rhs, env)})"
                 continue
             m = _ASSIGN_RE.match(text)
@@ -313,15 +418,17 @@ def _exec_nodes(nodes: list, env: dict[str, str]) -> str | None:
         _, cond, then_nodes, else_nodes = node
         cond_sql = _eval_expr(cond, env)
         env_t, env_e = dict(env), dict(env)
-        ret_t = _exec_nodes(then_nodes, env_t)
-        ret_e = _exec_nodes(else_nodes, env_e) if else_nodes else None
+        types_t, types_e = dict(types), dict(types)
+        ret_t = _exec_nodes(then_nodes, env_t, types_t)
+        ret_e = _exec_nodes(else_nodes, env_e, types_e) if else_nodes else None
         if ret_t is not None and ret_e is not None:
             return f"IF({cond_sql}, {ret_t}, {ret_e})"
         if ret_t is not None or ret_e is not None:
             # guard style: one branch returns, the other path falls through to
             # the remaining statements
             fall_env = env_e if ret_t is not None else env_t
-            rest = _exec_nodes(nodes[idx + 1 :], fall_env)
+            fall_types = types_e if ret_t is not None else types_t
+            rest = _exec_nodes(nodes[idx + 1 :], fall_env, fall_types)
             if rest is None:
                 raise MvelTranslationError(
                     "branch returns but fall-through path never does"
@@ -339,6 +446,14 @@ def _exec_nodes(nodes: list, env: dict[str, str]) -> str | None:
     return None
 
 
+def _translate_block_masked(masked: str) -> str:
+    nodes, _ = _parse_block(masked, 0)
+    result = _exec_nodes(nodes, {}, {})
+    if result is None:
+        raise MvelTranslationError("procedural MVEL block has no return on every path")
+    return result
+
+
 def translate_mvel_block(mvel: str) -> str:
     """Translate a procedural MVEL block (declarations, assignments,
     ``if``/``else``, trailing ``return``) into one Spark SQL expression by
@@ -350,8 +465,5 @@ def translate_mvel_block(mvel: str) -> str:
     deeply chained blocks grow the expression; blocks past this subset
     (loops, side effects) raise :class:`MvelTranslationError` and belong in
     the ``python:<name>`` registry."""
-    nodes, _ = _parse_block(mvel, 0)
-    result = _exec_nodes(nodes, {})
-    if result is None:
-        raise MvelTranslationError("procedural MVEL block has no return on every path")
-    return result
+    masked, lits = _mask_literals(mvel)
+    return _restore_literals(_translate_block_masked(masked), lits)

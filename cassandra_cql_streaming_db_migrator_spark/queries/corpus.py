@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import poly_hash_sql
 from ..operators.corpus import (
+    EMAIL_PATTERN,
+    IPV4_PATTERN,
     decontaminate,
     domain_mix_keep,
     normalize_text,
@@ -106,8 +108,10 @@ FROM documents
 # embedded first (email + IPv4 derived from doc_id) so the redaction is
 # provably active, then normalize -> metrics -> keep flag.
 
-_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
-_IPV4_SQL = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+# Single source of truth: the oracle interpolates the SAME pattern strings
+# the Spark operator compiles, so editing one cannot silently break parity.
+_EMAIL_SQL = EMAIL_PATTERN
+_IPV4_SQL = IPV4_PATTERN
 
 
 def text_governance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,6 +62,15 @@ def _options(errors: str) -> dict[str, str]:
     }
 
 
+def _non_blank(raw: DataFrame) -> DataFrame:
+    # from_json/from_csv yield a NULL struct (not a corrupt record) for
+    # empty input, which would fabricate an all-null "good" row per blank
+    # line — drop blank/whitespace-only lines (and JSON's bare `null`)
+    # before parsing
+    v = F.trim(F.col("value"))
+    return raw.filter((v != "") & (v != "null"))
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -69,7 +78,7 @@ def read_jsonl(
     errors: str = "quarantine",
 ) -> DataFrame:
     """Newline-delimited JSON with a mandatory explicit schema."""
-    raw = spark.read.text(path)
+    raw = _non_blank(spark.read.text(path))
     parsed = F.from_json(F.col("value"), _struct_schema(schema), _options(errors))
     return _parse_frame(raw, parsed, schema, errors)
 
@@ -91,7 +100,7 @@ def read_csv(
     With ``header=True`` the header line is removed by VALUE (a line equal
     to the sep-joined field names) — per-file position is meaningless after
     splitting, and a typed data row can't collide with the header text."""
-    raw = spark.read.text(path)
+    raw = _non_blank(spark.read.text(path))
     if header:
         header_line = sep.join(f.name for f in schema.fields)
         raw = raw.filter(F.col("value") != F.lit(header_line))

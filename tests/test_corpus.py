@@ -182,3 +182,29 @@ class TestSequencePackFFD:
         # 60+40, 50+50) — greedy-in-id-order would have needed three
         rest = sorted(r["chunk_tokens"] for r in out if r["chunk_tokens"] != 300)
         assert rest == [100, 100]
+
+
+class TestReviewRegressions:
+    def test_null_text_skipped_not_crashed(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, None)],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox runs")], "doc_id long, text string"
+        )
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            decontaminate_catalyst,
+        )
+        fast = sorted(map(tuple, decontaminate(corpus, bench, ngram_len=3).collect()))
+        exact = sorted(map(tuple, decontaminate_catalyst(corpus, bench, ngram_len=3).collect()))
+        assert fast == exact == [(1, 2)]
+
+    def test_empty_token_gram_structural_collision_gone(self):
+        # poly concat property: with gram base == word base, ('x','','ab')
+        # and ('x','a','b') collide on fold 1; distinct bases break it
+        from cassandra_cql_streaming_db_migrator_spark.functions.fast_hash import (
+            word_ngram_keys,
+        )
+        d, k = word_ngram_keys(["x  ab", "x a b"], 3)  # double space -> empty token
+        assert set(k[d == 0]).isdisjoint(set(k[d == 1]))

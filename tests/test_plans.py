@@ -330,3 +330,55 @@ class TestProceduralMvel:
         out = with_computed_columns(df, {"my_col_hash": self.SHIPPED})
         chk = out.withColumn("ref", hash_bucket_column("my_col").cast("smallint"))
         assert chk.filter(F.col("my_col_hash") != F.col("ref")).count() == 0
+
+
+class TestProceduralMvelRobustness:
+    """Regressions from the round-2 review: literal masking, lambda-variable
+    collision, cast precedence, integral division, quote-aware splitting."""
+
+    def test_user_var_colliding_with_template_lambda_vars(self, spark):
+        # x / acc / ch are the hashCode template's lambda variables
+        block = "int x = row.a; int h = row.s.hashCode(); return h + x;"
+        df = spark.createDataFrame([(5, "Hi")], "a int, s string")
+        got = df.selectExpr(f"{translate_mvel(block)} AS t").collect()[0]["t"]
+        h = (ord("H") * 31 + ord("i")) % 2**32  # JVM "Hi".hashCode()
+        assert got == h + 5
+
+    def test_string_literal_containing_variable_name(self, spark):
+        block = "var v = 1; if (row.b > 0) { return 'v is here'; } return 'no v'; "
+        df = spark.createDataFrame([(1,), (-1,)], "b int")
+        got = [r[0] for r in df.selectExpr(f"{translate_mvel(block)} AS t").collect()]
+        assert got == ["v is here", "no v"]
+
+    def test_semicolon_inside_declarative_literal(self):
+        assert translate_mvel("row.status == 'a;b'") == "status == 'a;b'"
+
+    def test_keyword_inside_literal_untouched(self):
+        assert translate_mvel("row.s == 'true && null'") == "s == 'true && null'"
+
+    def test_integral_compound_division(self, spark):
+        block = "long acc2 = row.v; acc2 /= 2; return acc2;"
+        df = spark.createDataFrame([(5,), (-5,)], "v long")
+        got = [r[0] for r in df.selectExpr(f"{translate_mvel(block)} AS t").collect()]
+        assert got == [2, -2]  # Java truncating division, not 2.5
+
+    def test_double_compound_division_stays_fractional(self, spark):
+        block = "double d = row.v; d /= 2; return d;"
+        df = spark.createDataFrame([(5,)], "v long")
+        got = df.selectExpr(f"{translate_mvel(block)} AS t").collect()[0]["t"]
+        assert got == 2.5
+
+    def test_cast_binds_to_primary_not_whole_expression(self, spark):
+        block = "return (int) row.d + 1;"
+        df = spark.createDataFrame([(-0.5,)], "d double")
+        got = df.selectExpr(f"{translate_mvel(block)} AS t").collect()[0]["t"]
+        assert got == 1  # ((int) -0.5) + 1 = 0 + 1, not CAST(0.5 AS INT) = 0
+
+    def test_cast_binds_over_method_chain(self, spark):
+        block = "return (long) row.s.hashCode() % 32;"
+        df = spark.createDataFrame([("abc",)], "s string")
+        got = df.selectExpr(f"{translate_mvel(block)} AS t").collect()[0]["t"]
+        java_h = 0
+        for c in "abc":
+            java_h = (java_h * 31 + ord(c)) & 0xFFFFFFFF
+        assert got == java_h % 32

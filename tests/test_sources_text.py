@@ -85,3 +85,20 @@ class TestCsv:
     def test_unknown_error_mode_rejected(self, spark, tmp_path):
         with pytest.raises(ValueError):
             read_csv(spark, str(tmp_path), SCHEMA, errors="ignore")
+
+
+class TestBlankLines:
+    def test_blank_lines_do_not_fabricate_rows(self, spark, tmp_path):
+        p = tmp_path / "gaps.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "alpha", "lang": "en"}\n'
+            "\n"
+            "   \n"
+            "null\n"
+            '{"doc_id": 2, "text": "beta", "lang": "de"}\n'
+        )
+        df = read_jsonl(spark, str(p), SCHEMA)
+        assert df.count() == 2
+        assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+        dropped = read_jsonl(spark, str(p), SCHEMA, errors="drop")
+        assert dropped.count() == 2
