@@ -115,4 +115,28 @@ def schema_for_table(spark: SparkSession, sf_dir: str, name: str) -> T.StructTyp
     return spark.read.parquet(table_path(sf_dir, name)).schema
 
 
-__all__ = ["read_jsonl", "read_csv", "schema_for_table", "load_table"]
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    errors: str = "quarantine",
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl`: a Structured Streaming text
+    source (new files per microbatch — the continuous-ingestion shape of a
+    training-data drop directory) parsed with the same from_json +
+    quarantine policy.  Identical parse semantics to the batch reader, so
+    a pipeline validated in batch can be pointed at a live directory
+    unchanged (trigger/availableNow and sink choice stay with the
+    caller)."""
+    raw = _non_blank(spark.readStream.text(path))
+    parsed = F.from_json(F.col("value"), _struct_schema(schema), _options(errors))
+    return _parse_frame(raw, parsed, schema, errors)
+
+
+__all__ = [
+    "read_jsonl",
+    "read_jsonl_stream",
+    "read_csv",
+    "schema_for_table",
+    "load_table",
+]

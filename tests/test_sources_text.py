@@ -102,3 +102,34 @@ class TestBlankLines:
         assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 0
         dropped = read_jsonl(spark, str(p), SCHEMA, errors="drop")
         assert dropped.count() == 2
+
+
+class TestJsonlStream:
+    def test_streaming_reader_matches_batch(self, spark, tmp_path):
+        src = tmp_path / "drop"
+        src.mkdir()
+        (src / "a.jsonl").write_text(
+            '{"doc_id": 1, "text": "alpha", "lang": "en"}\n'
+            "{broken}\n"
+            '{"doc_id": 2, "text": "beta", "lang": "de"}\n'
+        )
+        from cassandra_cql_streaming_db_migrator_spark.sources.text import (
+            read_jsonl_stream,
+        )
+
+        stream = read_jsonl_stream(spark, str(src), SCHEMA)
+        assert stream.isStreaming
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("jsonl_stream_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("SELECT * FROM jsonl_stream_test").collect()
+        assert len(got) == 3
+        good = [r for r in got if r["_corrupt_record"] is None]
+        bad = [r for r in got if r["_corrupt_record"] is not None]
+        assert {r["doc_id"] for r in good} == {1, 2}
+        assert len(bad) == 1
