@@ -96,3 +96,42 @@ def test_kernels_are_batch_invariant():
     assert np.array_equal(
         simhash_values(texts), np.concatenate([simhash_values([t]) for t in texts])
     )
+
+
+def _ref_word_ngram_keys(text, n):
+    from cassandra_cql_streaming_db_migrator_spark.functions.fast_hash import (
+        _GRAM_BASE1,
+        _GRAM_BASE2,
+        _WORD_BASE2,
+    )
+
+    if not isinstance(text, str):
+        return set()
+    words = text.split(" ")
+    out = set()
+    for i in range(len(words) - n + 1):
+        g1 = g2 = 0
+        for w in words[i : i + n]:
+            h1 = _poly(w, POLY_MOD)
+            h2 = 0
+            for ch in w:
+                h2 = (h2 * _WORD_BASE2 + ord(ch)) % MINHASH_P
+            g1 = (g1 * _GRAM_BASE1 + h1) % POLY_MOD
+            g2 = (g2 * _GRAM_BASE2 + h2) % MINHASH_P
+        out.add(g1 * 2**31 + g2)
+    return out
+
+
+@settings(max_examples=120, deadline=None)
+@given(texts_strategy, st.sampled_from([2, 3]))
+def test_word_ngram_keys_match_reference(texts, n):
+    from cassandra_cql_streaming_db_migrator_spark.functions.fast_hash import (
+        word_ngram_keys,
+    )
+
+    doc_idx, keys = word_ngram_keys(texts, n)
+    got = {i: set() for i in range(len(texts))}
+    for d, k in zip(doc_idx.tolist(), keys.tolist()):
+        got[d].add(k)
+    want = {i: _ref_word_ngram_keys(t, n) for i, t in enumerate(texts)}
+    assert got == want
