@@ -228,7 +228,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
-_ERR = "(x - round(x / scale) * scale)"
+# rounding is floor(x + 0.5) on purpose: floor is the same exact IEEE op in
+# DuckDB, Catalyst and numpy, while round() semantics differ across the
+# three — see operators.similarity.quantize_embeddings
+_ERR = "(x - floor(x / scale + 0.5) * scale)"
 _EMBEDDING_QUANTIZE_SQL = f"""
 WITH d AS (
   SELECT vec_id,
@@ -241,13 +244,13 @@ s AS (
   FROM d
 )
 SELECT vec_id,
-       round(scale, 9) AS scale,
-       round(list_aggregate(
-               list_transform(e, x -> abs{_ERR}), 'max'), 9) AS max_abs_err,
-       round(list_reduce(
-               list_prepend(CAST(0 AS DOUBLE),
-                            list_transform(e, x -> {_ERR} * {_ERR})),
-               (a, b) -> a + b) / len(e), 9) AS mse
+       scale,
+       list_aggregate(
+           list_transform(e, x -> abs{_ERR}), 'max') AS max_abs_err,
+       list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(e, x -> {_ERR} * {_ERR})),
+           (a, b) -> a + b) / len(e) AS mse
 FROM s
 """
 

@@ -208,3 +208,19 @@ class TestReviewRegressions:
         )
         d, k = word_ngram_keys(["x  ab", "x a b"], 3)  # double space -> empty token
         assert set(k[d == 0]).isdisjoint(set(k[d == 1]))
+
+
+class TestQuantize:
+    def test_kernel_matches_catalyst_bitwise(self, spark, sf_dir):
+        from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+            quantize_embeddings,
+            quantize_embeddings_catalyst,
+        )
+        from cassandra_cql_streaming_db_migrator_spark.sources.parquet import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        fast = {r["vec_id"]: (r["scale"], r["max_abs_err"], r["mse"])
+                for r in quantize_embeddings(emb).collect()}
+        slow = {r["vec_id"]: (r["scale"], r["max_abs_err"], r["mse"])
+                for r in quantize_embeddings_catalyst(emb).collect()}
+        assert fast == slow  # exact double equality, no tolerance
