@@ -69,8 +69,9 @@ def _gram_key_frame(
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        kernel, schema=f"{id_col} long, gram_key long"
+        kernel, schema=f"{id_col} {id_type}, gram_key long"
     )
 
 

@@ -580,6 +580,11 @@ def quantize_embeddings(
     double op applied in the same order — the MSE fold runs dimension-
     sequentially — so outputs need no rounding at the boundary.
 
+    Zero vectors quantize against a substitute scale of 1.0 (q = err = 0,
+    reported scale stays 0) — division by a zero scale would otherwise
+    produce NaN here but LONG-coerced zeros in Catalyst, breaking parity.
+    NULL embeddings yield NULL stats, like the Catalyst twin.
+
     Reports (scale, max_abs_err, mse) rather than the int8 array so the
     result is scalar-hashable."""
     import pandas as pd
@@ -588,24 +593,28 @@ def quantize_embeddings(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            scale = np.abs(vecs).max(axis=1) / 127.0
-            q = np.floor(vecs / scale[:, None] + 0.5)
-            err = vecs - q * scale[:, None]
-            mse = np.zeros(len(vecs))
-            for j in range(vecs.shape[1]):  # dimension-sequential fold
-                mse = mse + err[:, j] * err[:, j]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "scale": scale,
-                    "max_abs_err": np.abs(err).max(axis=1),
-                    "mse": mse / vecs.shape[1],
-                }
-            )
+            valid = pdf[vec_col].notna()
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            for c in ("scale", "max_abs_err", "mse"):
+                out[c] = pd.array([None] * len(pdf), dtype="Float64")
+            if valid.any():
+                vecs = np.stack(pdf.loc[valid, vec_col].to_numpy()).astype(np.float64)
+                scale = np.abs(vecs).max(axis=1) / 127.0
+                safe = np.where(scale == 0.0, 1.0, scale)
+                q = np.floor(vecs / safe[:, None] + 0.5)
+                err = vecs - q * safe[:, None]
+                mse = np.zeros(len(vecs))
+                for j in range(vecs.shape[1]):  # dimension-sequential fold
+                    mse = mse + err[:, j] * err[:, j]
+                out.loc[valid, "scale"] = scale
+                out.loc[valid, "max_abs_err"] = np.abs(err).max(axis=1)
+                out.loc[valid, "mse"] = mse / vecs.shape[1]
+            yield out
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        kernel, schema=f"{id_col} long, scale double, max_abs_err double, mse double"
+        kernel,
+        schema=f"{id_col} {id_type}, scale double, max_abs_err double, mse double",
     )
 
 
@@ -617,9 +626,10 @@ def quantize_embeddings_catalyst(
     interpreted HOF path is ~10x slower on wide vectors."""
     e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+    safe = F.when(scale == F.lit(0.0), F.lit(1.0)).otherwise(scale)
 
     def err(x: Column) -> Column:
-        return x - F.floor(x / scale + F.lit(0.5)) * scale
+        return x - F.floor(x / safe + F.lit(0.5)) * safe
 
     mse = F.aggregate(
         e, F.lit(0.0), lambda a, x: a + err(x) * err(x)

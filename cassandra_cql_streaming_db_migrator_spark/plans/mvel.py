@@ -130,7 +130,8 @@ def referenced_columns(mvel: str) -> list[str]:
 # rewriting (statement splitting, keyword replacement, variable
 # substitution), then restored at the very end — so a ';' or 'true' or a
 # variable-looking word inside a quoted string is never touched.
-_LITERAL_RE = re.compile(r"'[^']*'|\"[^\"]*\"")
+# backslash escapes ('it\'s', "a\"b") stay inside the literal
+_LITERAL_RE = re.compile(r"'(?:\\.|[^'\\])*'|\"(?:\\.|[^\"\\])*\"")
 
 
 def _mask_literals(s: str) -> tuple[str, list[str]]:
@@ -144,9 +145,9 @@ def _mask_literals(s: str) -> tuple[str, list[str]]:
 
 
 def _restore_literals(s: str, lits: list[str]) -> str:
-    for i, lit in enumerate(lits):
-        s = s.replace(f"__lit{i}__", lit)
-    return s
+    # single regex pass: re.sub never re-scans replacement text, so a
+    # literal whose CONTENT looks like a later placeholder is left alone
+    return re.sub(r"__lit(\d+)__", lambda m: lits[int(m.group(1))], s)
 
 
 def translate_mvel(mvel: str) -> str:
@@ -254,8 +255,8 @@ def _split_primary(s: str) -> tuple[str, str]:
             else:
                 break
     elif i < n and s[i].isdigit():
-        while i < n and (s[i].isdigit() or s[i] == "."):
-            i += 1
+        m = re.match(r"0[xX][0-9a-fA-F]+|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", s[i:])
+        i += m.end()
     return s[start:i], s[i:]
 
 
@@ -379,6 +380,18 @@ def _eval_translated(expr: str, env: dict[str, str]) -> str:
     return out
 
 
+def _typed(sql: str, java_type: str) -> str:
+    """Enforce an INTEGRAL declared type on a declaration/assignment value
+    — Java's ``int x = a / 2`` truncates, SQL's ``/`` is double division,
+    so the stored value is cast back to the declared type.  This matches
+    Java for direct quotients; a division buried in a LARGER int
+    expression (e.g. ``(a/2)*2``) still follows SQL double semantics
+    inside — that nesting belongs in a ``python:<name>`` transform."""
+    if java_type in _INTEGRAL_TYPES:
+        return f"CAST({sql} AS {_JAVA_TYPES[java_type]})"
+    return sql
+
+
 def _exec_nodes(
     nodes: list, env: dict[str, str], types: dict[str, str]
 ) -> str | None:
@@ -395,7 +408,7 @@ def _exec_nodes(
             m = _DECL_RE.match(text)
             if m:
                 types[m.group(2)] = m.group(1)
-                env[m.group(2)] = _eval_expr(m.group(3), env)
+                env[m.group(2)] = _typed(_eval_expr(m.group(3), env), m.group(1))
                 continue
             m = _COMPOUND_RE.match(text)
             if m:
@@ -412,7 +425,9 @@ def _exec_nodes(
                     raise MvelTranslationError(
                         f"assignment to undeclared variable {m.group(1)!r}"
                     )
-                env[m.group(1)] = _eval_expr(m.group(2), env)
+                env[m.group(1)] = _typed(
+                    _eval_expr(m.group(2), env), types.get(m.group(1), "var")
+                )
                 continue
             raise MvelTranslationError(f"unsupported MVEL statement: {text!r}")
         _, cond, then_nodes, else_nodes = node

@@ -231,7 +231,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounding is floor(x + 0.5) on purpose: floor is the same exact IEEE op in
 # DuckDB, Catalyst and numpy, while round() semantics differ across the
 # three — see operators.similarity.quantize_embeddings
-_ERR = "(x - floor(x / scale + 0.5) * scale)"
+_ERR = "(x - floor(x / safe + 0.5) * safe)"
 _EMBEDDING_QUANTIZE_SQL = f"""
 WITH d AS (
   SELECT vec_id,
@@ -239,9 +239,13 @@ WITH d AS (
   FROM embeddings
 ),
 s AS (
-  SELECT vec_id, e,
-         list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
-  FROM d
+  SELECT vec_id, e, scale,
+         CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END AS safe
+  FROM (
+    SELECT vec_id, e,
+           list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+    FROM d
+  )
 )
 SELECT vec_id,
        scale,

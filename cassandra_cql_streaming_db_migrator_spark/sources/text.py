@@ -62,13 +62,17 @@ def _options(errors: str) -> dict[str, str]:
     }
 
 
-def _non_blank(raw: DataFrame) -> DataFrame:
+def _non_blank(raw: DataFrame, json: bool) -> DataFrame:
     # from_json/from_csv yield a NULL struct (not a corrupt record) for
     # empty input, which would fabricate an all-null "good" row per blank
-    # line — drop blank/whitespace-only lines (and JSON's bare `null`)
-    # before parsing
-    v = F.trim(F.col("value"))
-    return raw.filter((v != "") & (v != "null"))
+    # line — drop them before parsing.  The stricter JSON rules
+    # (whitespace-only lines, bare `null` — both parse to nothing) must
+    # NOT apply to CSV, where '   ' or 'null' is a legitimate single-
+    # column value; CSV drops only truly empty lines.
+    if json:
+        v = F.trim(F.col("value"))
+        return raw.filter((v != "") & (v != "null"))
+    return raw.filter(F.col("value") != "")
 
 
 def read_jsonl(
@@ -78,7 +82,7 @@ def read_jsonl(
     errors: str = "quarantine",
 ) -> DataFrame:
     """Newline-delimited JSON with a mandatory explicit schema."""
-    raw = _non_blank(spark.read.text(path))
+    raw = _non_blank(spark.read.text(path), json=True)
     parsed = F.from_json(F.col("value"), _struct_schema(schema), _options(errors))
     return _parse_frame(raw, parsed, schema, errors)
 
@@ -100,7 +104,7 @@ def read_csv(
     With ``header=True`` the header line is removed by VALUE (a line equal
     to the sep-joined field names) — per-file position is meaningless after
     splitting, and a typed data row can't collide with the header text."""
-    raw = _non_blank(spark.read.text(path))
+    raw = _non_blank(spark.read.text(path), json=False)
     if header:
         header_line = sep.join(f.name for f in schema.fields)
         raw = raw.filter(F.col("value") != F.lit(header_line))
@@ -128,7 +132,7 @@ def read_jsonl_stream(
     a pipeline validated in batch can be pointed at a live directory
     unchanged (trigger/availableNow and sink choice stay with the
     caller)."""
-    raw = _non_blank(spark.readStream.text(path))
+    raw = _non_blank(spark.readStream.text(path), json=True)
     parsed = F.from_json(F.col("value"), _struct_schema(schema), _options(errors))
     return _parse_frame(raw, parsed, schema, errors)
 

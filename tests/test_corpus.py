@@ -224,3 +224,39 @@ class TestQuantize:
         slow = {r["vec_id"]: (r["scale"], r["max_abs_err"], r["mse"])
                 for r in quantize_embeddings_catalyst(emb).collect()}
         assert fast == slow  # exact double equality, no tolerance
+
+    def test_null_and_zero_vectors_match_catalyst(self, spark):
+        from pyspark.sql import types as T
+        from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+            quantize_embeddings,
+            quantize_embeddings_catalyst,
+        )
+
+        schema = T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ])
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25]), (2, None), (3, [0.0, 0.0, 0.0])], schema
+        )
+        fast = {r["vec_id"]: (r["scale"], r["max_abs_err"], r["mse"])
+                for r in quantize_embeddings(df).collect()}
+        slow = {r["vec_id"]: (r["scale"], r["max_abs_err"], r["mse"])
+                for r in quantize_embeddings_catalyst(df).collect()}
+        assert fast == slow
+        assert fast[2] == (None, None, None)
+        assert fast[3] == (0.0, 0.0, 0.0)
+
+    def test_string_id_column_supported(self, spark):
+        from pyspark.sql import types as T
+        from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        schema = T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ])
+        df = spark.createDataFrame([("a", [1.0, 2.0])], schema)
+        out = quantize_embeddings(df, id_col="name").collect()
+        assert out[0]["name"] == "a"

@@ -382,3 +382,31 @@ class TestProceduralMvelRobustness:
         for c in "abc":
             java_h = (java_h * 31 + ord(c)) & 0xFFFFFFFF
         assert got == java_h % 32
+
+
+class TestProceduralMvelRobustness2:
+    def test_escaped_quote_inside_literal(self):
+        out = translate_mvel(r"row.s == 'it\'s; ok'")
+        assert out == r"s == 'it\'s; ok'"
+
+    def test_literal_looking_like_placeholder(self):
+        out = translate_mvel("row.a == '__lit1__' && row.b == 'x'")
+        assert out == "a == '__lit1__' AND b == 'x'"
+
+    def test_plain_assignment_integer_division(self, spark):
+        block = "int x = row.a; x = x / 2; return x;"
+        df = spark.createDataFrame([(5,), (-5,)], "a int")
+        got = [r[0] for r in df.selectExpr(f"{translate_mvel(block)} AS t").collect()]
+        assert got == [2, -2]
+
+    def test_declaration_integer_division(self, spark):
+        block = "int x = row.a / 2; return x;"
+        df = spark.createDataFrame([(7,)], "a int")
+        got = df.selectExpr(f"{translate_mvel(block)} AS t").collect()[0]["t"]
+        assert got == 3
+
+    def test_cast_of_exponent_literal(self, spark):
+        block = "return (double) 1e3 + row.a;"
+        df = spark.createDataFrame([(1,)], "a int")
+        got = df.selectExpr(f"{translate_mvel(block)} AS t").collect()[0]["t"]
+        assert got == 1001.0

@@ -133,3 +133,13 @@ class TestJsonlStream:
         bad = [r for r in got if r["_corrupt_record"] is not None]
         assert {r["doc_id"] for r in good} == {1, 2}
         assert len(bad) == 1
+
+    def test_csv_null_and_whitespace_values_survive(self, spark, tmp_path):
+        one_col = T.StructType([T.StructField("text", T.StringType())])
+        p = tmp_path / "vals.csv"
+        p.write_text("text\nnull\n   \nalpha\n\n")
+        df = read_csv(spark, str(p), one_col)
+        got = sorted(r["text"] for r in df.collect())
+        # 'null' and whitespace-only lines are DATA in CSV; only the truly
+        # empty line is dropped
+        assert got == ["   ", "alpha", "null"]
