@@ -180,3 +180,35 @@ def test_container_and_exotic_types_roundtrip(spark, tmp_path):
     assert rows[1]["price"] == "12.3456"
     assert rows[1]["id_uuid"].endswith("174000")
     assert rows[2]["yr"] == 2025
+
+
+class TestCompaction:
+    def test_compacts_many_small_files_preserving_data(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from cassandra_cql_streaming_db_migrator_spark.sinks.maintenance import (
+            compact_parquet_dir,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+        df.repartition(20).write.parquet(path)
+
+        before = df.agg(F.sum("id"), F.sum("v")).collect()[0]
+        stats = compact_parquet_dir(spark, path, target_file_bytes=10**9)
+        assert stats.compacted and stats.files_before == 20 and stats.files_after == 1
+
+        back = spark.read.parquet(path)
+        after = back.agg(F.sum("id"), F.sum("v")).collect()[0]
+        assert tuple(before) == tuple(after)
+        assert back.count() == 10000
+
+    def test_noop_when_already_compact(self, spark, tmp_path):
+        from cassandra_cql_streaming_db_migrator_spark.sinks.maintenance import (
+            compact_parquet_dir,
+        )
+
+        path = str(tmp_path / "t2")
+        spark.range(0, 100).coalesce(1).write.parquet(path)
+        stats = compact_parquet_dir(spark, path, target_file_bytes=10**9)
+        assert not stats.compacted and stats.files_after == 1

@@ -1,0 +1,82 @@
+"""Physical-plan audit over every benched query — the machine-checkable
+version of SCALE_NOTES.md's audit table.
+
+For each query: number of shuffle Exchanges, broadcast exchanges, whether
+any parquet scan carries pushed filters, and whether the plan contains a
+Python stage (Arrow mapInPandas/applyInPandas vs pure JVM).  Flags
+anti-patterns: CartesianProduct, row-at-a-time PythonUDF (BatchEvalPython)
+in a non-Arrow plan, and shuffle counts above a per-query allowance.
+
+Usage:  python tools/plan_audit.py [sf_dir]   (default sf0.001 — plans,
+not data, are being audited; scans stay lazy)
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cassandra_cql_streaming_db_migrator_spark.queries import all_queries
+from cassandra_cql_streaming_db_migrator_spark.session import build_session
+
+# Queries where >2 shuffles are inherent to the semantics (documented in
+# SCALE_NOTES.md) — anything else exceeding the allowance is flagged.
+SHUFFLE_ALLOWANCE: dict[str, int] = {
+    "fuzzy_dedup": 4,
+    "minhash_pairs": 3,
+    "llm_prep_pipeline": 3,
+    "embedding_near_dup": 3,
+    "embedding_label_top_pairs": 3,
+    "embedding_ann_lsh": 3,
+    "embedding_ann_ivf": 3,
+    "set_intersect_all": 3,
+    "set_except_all": 3,
+    "correlated_subquery": 3,
+    "join_range": 3,
+    "stream_stream_join": 3,
+}
+DEFAULT_ALLOWANCE = 2
+
+
+def audit(sf_dir: str) -> int:
+    spark = build_session(app_name="plan-audit")
+    failures = 0
+    for name, q in all_queries().items():
+        if not q.bench:
+            continue
+        df = q.fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        shuffles = len(re.findall(r"\n\(\d+\) Exchange", plan))
+        bcasts = len(re.findall(r"BroadcastExchange", plan))
+        pushed = bool(re.search(r"PushedFilters: \[(?!\])", plan))
+        arrow = "InPandas" in plan
+        row_udf = "BatchEvalPython" in plan
+        cartesian = "CartesianProduct" in plan and "BroadcastNestedLoopJoin" not in plan
+        problems = []
+        if cartesian:
+            problems.append("CartesianProduct")
+        if row_udf:
+            problems.append("row-at-a-time PythonUDF")
+        if shuffles > SHUFFLE_ALLOWANCE.get(name, DEFAULT_ALLOWANCE):
+            problems.append(f"{shuffles} shuffles > allowance")
+        engine = "arrow" if arrow else "jvm"
+        status = "FLAG " + ",".join(problems) if problems else "ok"
+        print(
+            f"{name:28s} shuffles={shuffles} bcast={bcasts} "
+            f"pushdown={'y' if pushed else '-'} {engine:5s} {status}"
+        )
+        failures += bool(problems)
+    print(f"audit: {'FAIL' if failures else 'ok'} ({failures} flagged)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(audit(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
