@@ -163,8 +163,58 @@ def translate_mvel(mvel: str) -> str:
     return _restore_literals(_translate_expr(masked), lits)
 
 
+def _rewrite_ternaries(s: str) -> str:
+    """MVEL/Java ``cond ? a : b`` -> ``IF(cond, a, b)``, right-associative,
+    nesting via recursion (including inside parenthesized groups).  Runs on
+    literal-masked text, so '?'/':' inside strings are never seen."""
+    # rewrite inside parenthesized groups first
+    parts: list[str] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "(":
+            depth, j = 1, i + 1
+            while j < len(s) and depth:
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                j += 1
+            parts.append("(" + _rewrite_ternaries(s[i + 1 : j - 1]) + ")")
+            i = j
+        else:
+            parts.append(s[i])
+            i += 1
+    s = "".join(parts)
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "?" and depth == 0:
+            nest = 0
+            d2 = 0
+            for j in range(i + 1, len(s)):
+                c2 = s[j]
+                if c2 in "([":
+                    d2 += 1
+                elif c2 in ")]":
+                    d2 -= 1
+                elif c2 == "?" and d2 == 0:
+                    nest += 1
+                elif c2 == ":" and d2 == 0:
+                    if nest == 0:
+                        cond = s[:i].strip()
+                        then = _rewrite_ternaries(s[i + 1 : j].strip())
+                        other = _rewrite_ternaries(s[j + 1 :].strip())
+                        return f"IF({cond}, {then}, {other})"
+                    nest -= 1
+            raise MvelTranslationError(f"ternary '?' without matching ':': {s!r}")
+    return s
+
+
 def _translate_expr(mvel: str) -> str:
-    out = _ROW_REF.sub(r"\1", mvel)
+    out = _rewrite_ternaries(_ROW_REF.sub(r"\1", mvel))
     for java, sql in _MATH_STATICS:
         out = out.replace(java, sql)
 

@@ -410,3 +410,29 @@ class TestProceduralMvelRobustness2:
         df = spark.createDataFrame([(1,)], "a int")
         got = df.selectExpr(f"{translate_mvel(block)} AS t").collect()[0]["t"]
         assert got == 1001.0
+
+
+class TestMvelTernary:
+    def test_simple_ternary(self, spark):
+        df = spark.createDataFrame([(5,), (-5,)], "a int")
+        sql = translate_mvel("row.a > 0 ? 'pos' : 'neg'")
+        got = [r[0] for r in df.selectExpr(f"{sql} AS t").collect()]
+        assert got == ["pos", "neg"]
+
+    def test_nested_and_parenthesized_ternary(self, spark):
+        df = spark.createDataFrame([(95,), (55,), (10,)], "a int")
+        sql = translate_mvel("row.a >= 90 ? 'A' : row.a >= 50 ? 'B' : 'C'")
+        got = [r[0] for r in df.selectExpr(f"{sql} AS t").collect()]
+        assert got == ["A", "B", "C"]
+        sql2 = translate_mvel("1 + (row.a >= 50 ? 10 : 20)")
+        got2 = [r[0] for r in df.selectExpr(f"{sql2} AS t").collect()]
+        assert got2 == [11, 11, 21]
+
+    def test_ternary_in_block(self, spark):
+        block = "var tier = row.a > 0 ? 'p' : 'n'; return tier;"
+        df = spark.createDataFrame([(1,), (-1,)], "a int")
+        got = [r[0] for r in df.selectExpr(f"{translate_mvel(block)} AS t").collect()]
+        assert got == ["p", "n"]
+
+    def test_question_mark_inside_literal_ignored(self):
+        assert translate_mvel("row.s == 'what?'") == "s == 'what?'"
