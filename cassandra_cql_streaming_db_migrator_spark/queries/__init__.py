@@ -63,6 +63,9 @@ DRIVER_ROTATED_OUT = [
     # similarity family already holds 5 head slots (topk/ivf/lsh/near_dup/
     # label_top_pairs); the quantization stats query starts tail-listed
     "embedding_quantize",
+    # streaming family already holds 6 head slots; the stream governance
+    # composition starts tail-listed
+    "stream_quality_gate",
 ]
 
 

@@ -153,6 +153,61 @@ FROM events c JOIN events e
 """
 
 
+
+
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus governance applied on the ingest stream: per-row normalize +
+    Gopher-style quality gate (stateless, identical code to the batch
+    text_governance operators), aggregated to per-language keep rates in
+    complete mode.  A document drop directory can be quality-gated as it
+    lands, before anything downstream sees it."""
+    from ..operators.corpus import normalize_text, quality_keep, quality_metrics
+    from ..streaming.stream import read_documents_stream
+
+    docs = read_documents_stream(spark, sf_dir)
+    m = docs.select("lang", normalize_text(F.col("text")).alias("norm")).select(
+        "lang", *quality_metrics(F.col("norm"))
+    )
+    flagged = m.withColumn(
+        "keep",
+        quality_keep(
+            F.col("n_words"), F.col("mean_word_len"),
+            F.col("frac_unique_words"), F.col("symbol_ratio"),
+        ),
+    )
+    agg = flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+    )
+    return run_to_memory(agg)
+
+
+_STREAM_QUALITY_GATE_SQL = """
+WITH r AS (
+  SELECT lang,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+m AS (
+  SELECT lang,
+         len(string_split(norm, ' ')) AS n_words,
+         round(CAST(length(norm) - (len(string_split(norm, ' ')) - 1)
+                    AS DOUBLE) / len(string_split(norm, ' ')), 6) AS mean_word_len,
+         round(CAST(len(list_distinct(string_split(norm, ' ')))
+                    AS DOUBLE) / len(string_split(norm, ' ')), 6) AS frac_unique_words,
+         round(CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))
+                    AS DOUBLE) / length(norm), 6) AS symbol_ratio
+  FROM r
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN n_words >= 8 AND n_words <= 100000
+                 AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                 AND frac_unique_words >= 0.2 AND symbol_ratio <= 0.3
+            THEN 1 ELSE 0 END) AS n_keep
+FROM m GROUP BY lang
+"""
+
+
 QUERIES = [
     QueryDef("stream_stream_join", stream_stream_join, _STREAM_STREAM_JOIN_SQL,
              "T8: watermark-bounded stream-stream interval join", bench=False),
@@ -167,4 +222,7 @@ QUERIES = [
              "T8: overlapping sliding windows", bench=False),
     QueryDef("stream_stateful_stats", stream_stateful_stats, _STREAM_STATEFUL_SQL,
              "T8: custom stateful op via applyInPandasWithState", bench=False),
+    QueryDef("stream_quality_gate", stream_quality_gate, _STREAM_QUALITY_GATE_SQL,
+             "corpus governance on the ingest stream (per-lang keep rates)",
+             bench=False),
 ]

@@ -238,3 +238,11 @@ def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
     finally:
         query.stop()
     return agg.sparkSession.table(name)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents fixture as a bounded file stream (the live-corpus
+    ingestion shape: new document drops arriving per microbatch)."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(_as_stream_dir(path))
