@@ -213,8 +213,99 @@ def _rewrite_ternaries(s: str) -> str:
     return s
 
 
+# boundaries with lower precedence than '+': a +-chain never crosses these
+_SEGMENT_RE = re.compile(r"(==|!=|<=|>=|<(?!=)|>(?!=)|&&|\|\||,)")
+
+
+def _rewrite_string_concat(s: str) -> str:
+    """Java's ``+`` CONCATENATES when an operand is a string — rewrite a
+    top-level ``+``-chain to ``concat(...)`` when at least one operand is a
+    string literal (masked ``__litN__`` token).  Purely-numeric chains and
+    chains whose stringness is not textually evident (two column refs) stay
+    arithmetic — that case needs an explicit ``concat`` in the config."""
+    # recurse into parenthesized groups first
+    parts: list[str] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "(":
+            depth, j = 1, i + 1
+            while j < len(s) and depth:
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                j += 1
+            parts.append("(" + _rewrite_string_concat(s[i + 1 : j - 1]) + ")")
+            i = j
+        else:
+            parts.append(s[i])
+            i += 1
+    s = "".join(parts)
+
+    # split into segments at comparison/boolean/comma boundaries (depth 0
+    # only — parens were already consumed above, but a rewritten group may
+    # reintroduce them, so guard anyway)
+    out_segments: list[str] = []
+    for segment in _split_depth0(s):
+        if segment in ("==", "!=", "<=", ">=", "<", ">", "&&", "||", ","):
+            out_segments.append(segment)
+            continue
+        ops = _split_plus_chain(segment)
+        if len(ops) > 1 and any(re.fullmatch(r"__lit\d+__", o.strip()) for o in ops):
+            out_segments.append("concat(" + ", ".join(o.strip() for o in ops) + ")")
+        else:
+            out_segments.append(segment)
+    return "".join(out_segments)
+
+
+def _split_depth0(s: str) -> list[str]:
+    """Split on _SEGMENT_RE matches at paren depth 0, keeping delimiters."""
+    out: list[str] = []
+    depth = 0
+    last = 0
+    i = 0
+    while i < len(s):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _SEGMENT_RE.match(s, i)
+            if m:
+                out.append(s[last : i])
+                out.append(m.group(0))
+                i = m.end()
+                last = i
+                continue
+        i += 1
+    out.append(s[last:])
+    return out
+
+
+def _split_plus_chain(segment: str) -> list[str]:
+    """Split a segment on top-level binary '+' (not '+=' or unary)."""
+    ops: list[str] = []
+    depth = 0
+    last = 0
+    for i, ch in enumerate(segment):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "+" and depth == 0:
+            prev = segment[:i].rstrip()
+            nxt = segment[i + 1 : i + 2]
+            # binary only: something non-operator before, and not '+='
+            if prev and prev[-1] not in "+-*/%=<>&|," and nxt != "=":
+                ops.append(segment[last:i])
+                last = i + 1
+    ops.append(segment[last:])
+    return ops
+
+
 def _translate_expr(mvel: str) -> str:
     out = _rewrite_ternaries(_ROW_REF.sub(r"\1", mvel))
+    out = _rewrite_string_concat(out)
     for java, sql in _MATH_STATICS:
         out = out.replace(java, sql)
 

@@ -436,3 +436,29 @@ class TestMvelTernary:
 
     def test_question_mark_inside_literal_ignored(self):
         assert translate_mvel("row.s == 'what?'") == "s == 'what?'"
+
+
+class TestMvelStringConcat:
+    def test_plus_with_string_literal_concatenates(self, spark):
+        df = spark.createDataFrame([(7, "x")], "k int, s string")
+        sql = translate_mvel("'id-' + row.k")
+        assert df.selectExpr(f"{sql} AS t").collect()[0]["t"] == "id-7"
+        sql2 = translate_mvel("row.s + '-' + row.k")
+        assert df.selectExpr(f"{sql2} AS t").collect()[0]["t"] == "x-7"
+
+    def test_numeric_plus_untouched(self, spark):
+        df = spark.createDataFrame([(7,)], "k int")
+        sql = translate_mvel("row.k + 1")
+        got = df.selectExpr(f"{sql} AS t").collect()[0]["t"]
+        assert got == 8 and sql == "k + 1"
+
+    def test_concat_respects_comparison_boundaries(self, spark):
+        df = spark.createDataFrame([(7, "x")], "k int, s string")
+        sql = translate_mvel("row.s + '!' == 'x!' && row.k + 1 > 7")
+        assert df.selectExpr(f"{sql} AS t").collect()[0]["t"] is True
+
+    def test_concat_in_block_and_ternary(self, spark):
+        block = "var tag = 'k=' + row.k; return row.k > 0 ? tag : 'none';"
+        df = spark.createDataFrame([(3,), (-3,)], "k int")
+        got = [r[0] for r in df.selectExpr(f"{translate_mvel(block)} AS t").collect()]
+        assert got == ["k=3", "none"]
