@@ -107,10 +107,15 @@ _MATH_STATICS = [
 # upper(trim(s)) — parens nested up to two levels (deeper chains belong in a
 # registered Python transform, like the reference's procedural MVEL blocks)
 _RECV = r"[A-Za-z_][A-Za-z0-9_]*(?:\((?:[^()]|\([^()]*\))*\))?"
+# args may contain calls with parens nested up to two levels (a rewritten
+# ternary like IF(a, b, c) appears here); the fixpoint loop in
+# _translate_expr re-scans, so an inner untranslated chain inside the args
+# still resolves on a later pass
+_ARGS = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
 _METHOD_RE = re.compile(
     rf"({_RECV})\.("
     + "|".join(list(_METHOD_MAP) + list(_METHOD_SPECIAL))
-    + r")\(([^()]*)\)"
+    + rf")\(({_ARGS})\)"
 )
 
 
@@ -163,28 +168,67 @@ def translate_mvel(mvel: str) -> str:
     return _restore_literals(_translate_expr(masked), lits)
 
 
-def _rewrite_ternaries(s: str) -> str:
-    """MVEL/Java ``cond ? a : b`` -> ``IF(cond, a, b)``, right-associative,
-    nesting via recursion (including inside parenthesized groups).  Runs on
-    literal-masked text, so '?'/':' inside strings are never seen."""
-    # rewrite inside parenthesized groups first
+def _rewrite_in_groups(s: str, fn) -> str:
+    """Apply ``fn`` to the contents of every parenthesized and bracketed
+    group (the callers then rewrite the depth-0 text themselves).  Raises
+    on an unclosed group instead of silently truncating/fabricating."""
+    pairs = {"(": ")", "[": "]"}
     parts: list[str] = []
     i = 0
     while i < len(s):
-        if s[i] == "(":
+        ch = s[i]
+        if ch in pairs:
+            close = pairs[ch]
             depth, j = 1, i + 1
             while j < len(s) and depth:
-                if s[j] == "(":
+                if s[j] == ch:
                     depth += 1
-                elif s[j] == ")":
+                elif s[j] == close:
                     depth -= 1
                 j += 1
-            parts.append("(" + _rewrite_ternaries(s[i + 1 : j - 1]) + ")")
+            if depth:
+                raise MvelTranslationError(
+                    f"unbalanced {ch!r} in MVEL expression: {s!r}"
+                )
+            parts.append(ch + fn(s[i + 1 : j - 1]) + close)
             i = j
         else:
-            parts.append(s[i])
+            parts.append(ch)
             i += 1
-    s = "".join(parts)
+    return "".join(parts)
+
+
+def _split_commas(s: str) -> list[str]:
+    """Split on ',' at paren/bracket depth 0."""
+    out: list[str] = []
+    depth = 0
+    last = 0
+    for i, ch in enumerate(s):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[last:i])
+            last = i + 1
+    out.append(s[last:])
+    return out
+
+
+def _rewrite_ternaries(s: str) -> str:
+    """MVEL/Java ``cond ? a : b`` -> ``IF(cond, a, b)``, right-associative,
+    nesting via recursion (including inside parenthesized and bracketed
+    groups).  Runs on literal-masked text, so '?'/':' inside strings are
+    never seen.  A ternary never crosses a top-level ',' — each function
+    argument rewrites independently."""
+    s = _rewrite_in_groups(s, _rewrite_ternaries)
+    segs = _split_commas(s)
+    if len(segs) > 1:
+        return ",".join(_rewrite_ternary_segment(seg) for seg in segs)
+    return _rewrite_ternary_segment(s)
+
+
+def _rewrite_ternary_segment(s: str) -> str:
     depth = 0
     for i, ch in enumerate(s):
         if ch in "([":
@@ -217,41 +261,77 @@ def _rewrite_ternaries(s: str) -> str:
 _SEGMENT_RE = re.compile(r"(==|!=|<=|>=|<(?!=)|>(?!=)|&&|\|\||,)")
 
 
+# method chains whose result is a string — evidence that a '+'-chain
+# containing them concatenates (length()/indexOf()/hashCode() return ints,
+# so a chain over those stays arithmetic)
+_STRING_RETURNING = {
+    "trim",
+    "toUpperCase",
+    "toLowerCase",
+    "substring",
+    "replace",
+    "concat",
+    "toString",
+}
+
+
+def _is_stringy(op: str) -> bool:
+    """Stringness of a ``+`` operand is textually evident: a masked string
+    literal, the same wrapped in parens, a string-returning method chain on
+    a literal, or an already-rewritten ``concat(...)`` group."""
+    t = op.strip()
+    while t.startswith("(") and t.endswith(")"):
+        depth = 0
+        whole = True
+        for i, ch in enumerate(t):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(t) - 1:
+                    whole = False
+                    break
+        if not whole:
+            break
+        t = t[1:-1].strip()
+    if re.fullmatch(r"__lit\d+__", t):
+        return True
+    if re.fullmatch(r"concat\s*\(.*\)", t, flags=re.S):
+        return True
+    if re.fullmatch(r"CAST\s*\(.*\bAS\s+STRING\s*\)", t, flags=re.S | re.I):
+        return True
+    # a string-returning JVM method chain is evidence regardless of the
+    # receiver (trim/toUpperCase/... only exist on strings)
+    m = re.fullmatch(
+        r"(?:__lit\d+__|[A-Za-z_]\w*)"
+        r"((?:\s*\.\s*[A-Za-z_]\w*\s*\((?:[^()]|\([^()]*\))*\))+)",
+        t,
+    )
+    if m:
+        meths = re.findall(r"\.\s*([A-Za-z_]\w*)\s*\(", m.group(1))
+        return all(name in _STRING_RETURNING for name in meths)
+    return False
+
+
 def _rewrite_string_concat(s: str) -> str:
     """Java's ``+`` CONCATENATES when an operand is a string — rewrite a
-    top-level ``+``-chain to ``concat(...)`` when at least one operand is a
-    string literal (masked ``__litN__`` token).  Purely-numeric chains and
-    chains whose stringness is not textually evident (two column refs) stay
-    arithmetic — that case needs an explicit ``concat`` in the config."""
-    # recurse into parenthesized groups first
-    parts: list[str] = []
-    i = 0
-    while i < len(s):
-        if s[i] == "(":
-            depth, j = 1, i + 1
-            while j < len(s) and depth:
-                if s[j] == "(":
-                    depth += 1
-                elif s[j] == ")":
-                    depth -= 1
-                j += 1
-            parts.append("(" + _rewrite_string_concat(s[i + 1 : j - 1]) + ")")
-            i = j
-        else:
-            parts.append(s[i])
-            i += 1
-    s = "".join(parts)
+    top-level ``+``-chain to ``concat(...)`` when at least one operand's
+    stringness is textually evident (see :func:`_is_stringy`).
+    Purely-numeric chains and chains whose stringness is not evident from
+    the text (two column refs) stay arithmetic — that case needs an
+    explicit ``concat`` in the config."""
+    s = _rewrite_in_groups(s, _rewrite_string_concat)
 
-    # split into segments at comparison/boolean/comma boundaries (depth 0
-    # only — parens were already consumed above, but a rewritten group may
-    # reintroduce them, so guard anyway)
+    # split into segments at comparison/boolean/comma boundaries; the
+    # depth-0 guard in _split_depth0 keeps delimiters inside already
+    # rewritten groups (e.g. 'IF(a, b, c) && d') from splitting
     out_segments: list[str] = []
     for segment in _split_depth0(s):
         if segment in ("==", "!=", "<=", ">=", "<", ">", "&&", "||", ","):
             out_segments.append(segment)
             continue
         ops = _split_plus_chain(segment)
-        if len(ops) > 1 and any(re.fullmatch(r"__lit\d+__", o.strip()) for o in ops):
+        if len(ops) > 1 and any(_is_stringy(o) for o in ops):
             out_segments.append("concat(" + ", ".join(o.strip() for o in ops) + ")")
         else:
             out_segments.append(segment)
@@ -265,9 +345,9 @@ def _split_depth0(s: str) -> list[str]:
     last = 0
     i = 0
     while i < len(s):
-        if s[i] == "(":
+        if s[i] in "([":
             depth += 1
-        elif s[i] == ")":
+        elif s[i] in ")]":
             depth -= 1
         elif depth == 0:
             m = _SEGMENT_RE.match(s, i)
@@ -282,29 +362,56 @@ def _split_depth0(s: str) -> list[str]:
     return out
 
 
+# a number ending in e/E right before a sign: the '+' is a scientific
+# exponent (1e+6), not an operator.  The lookbehind keeps identifiers that
+# merely END in a digit+e (x1e) from matching.
+_EXPONENT_TAIL_RE = re.compile(r"(?<![\w.])\d+(?:\.\d+)?[eE]$")
+
+
 def _split_plus_chain(segment: str) -> list[str]:
-    """Split a segment on top-level binary '+' (not '+=' or unary)."""
+    """Split a segment on top-level binary '+' (not '+=', unary, or the
+    sign of a scientific-notation exponent)."""
     ops: list[str] = []
     depth = 0
     last = 0
     for i, ch in enumerate(segment):
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif ch == "+" and depth == 0:
             prev = segment[:i].rstrip()
             nxt = segment[i + 1 : i + 2]
             # binary only: something non-operator before, and not '+='
-            if prev and prev[-1] not in "+-*/%=<>&|," and nxt != "=":
-                ops.append(segment[last:i])
-                last = i + 1
+            if not prev or prev[-1] in "+-*/%=<>&|," or nxt == "=":
+                continue
+            if _EXPONENT_TAIL_RE.search(prev) and re.match(
+                r"\s*\d", segment[i + 1 :]
+            ):
+                continue
+            ops.append(segment[last:i])
+            last = i + 1
     ops.append(segment[last:])
     return ops
 
 
+def _rewrite_casts(s: str) -> str:
+    """Java ``(type) primary`` -> ``CAST(primary AS T)`` anywhere in the
+    expression.  Type names are Java keywords, so a parenthesized type
+    token is unambiguous.  Rewrites the tail first so stacked casts
+    (``(int)(long) x``) bind inside-out."""
+    m = _ANY_CAST_RE.search(s)
+    if not m:
+        return s
+    tail = _rewrite_casts(s[m.end() :])
+    primary, rest = _split_primary(tail)
+    if not primary:
+        raise MvelTranslationError(f"cast with no operand: {s!r}")
+    return f"{s[:m.start()]}CAST({primary} AS {_JAVA_TYPES[m.group(1)]}){rest}"
+
+
 def _translate_expr(mvel: str) -> str:
-    out = _rewrite_ternaries(_ROW_REF.sub(r"\1", mvel))
+    out = _rewrite_ternaries(_rewrite_casts(_ROW_REF.sub(r"\1", mvel)))
     out = _rewrite_string_concat(out)
     for java, sql in _MATH_STATICS:
         out = out.replace(java, sql)
@@ -312,7 +419,7 @@ def _translate_expr(mvel: str) -> str:
     def method_sub(m: re.Match) -> str:
         recv, meth, args = m.group(1), m.group(2), m.group(3)
         if meth in _METHOD_SPECIAL:
-            arg_list = [a.strip() for a in args.split(",") if a.strip()]
+            arg_list = [a.strip() for a in _split_commas(args) if a.strip()]
             return _METHOD_SPECIAL[meth](recv, arg_list)
         fn = _METHOD_MAP[meth]
         return f"{fn}({recv}, {args})" if args.strip() else f"{fn}({recv})"
@@ -349,7 +456,7 @@ _DECL_RE = re.compile(
 _COMPOUND_RE = re.compile(r"^([A-Za-z_]\w*)\s*([+\-*/%])=\s*(.+)$", re.S)
 _ASSIGN_RE = re.compile(r"^([A-Za-z_]\w*)\s*=\s*(.+)$", re.S)
 _RETURN_RE = re.compile(r"^return\s+(.+)$", re.S)
-_CAST_RE = re.compile(rf"^\(\s*({_TYPE_ALT})\s*\)\s*(.+)$", re.S)
+_ANY_CAST_RE = re.compile(rf"\(\s*({_TYPE_ALT})\s*\)\s*")
 
 
 def _split_primary(s: str) -> tuple[str, str]:
@@ -491,24 +598,10 @@ def _eval_expr(expr: str, env: dict[str, str]) -> str:
     tokens BEFORE translation and expanded to their defining SQL AFTER it,
     so a definition's text (which may contain lambdas, literals, or words
     that look like other variables) is never re-scanned by any rewrite."""
-    expr = expr.strip()
-    m = _CAST_RE.match(expr)
-    prefix = suffix = ""
-    if m:
-        # a Java cast binds to the adjacent primary, not the whole rest:
-        # (int) d + 1  ==  CAST(d AS INT) + 1
-        primary, rest = _split_primary(m.group(2))
-        if not primary:
-            raise MvelTranslationError(f"cast with no operand: {expr!r}")
-        prefix, suffix = "CAST(", f" AS {_JAVA_TYPES[m.group(1)]})"
-        expr, tail = primary, rest
-    else:
-        tail = ""
-    out = _eval_translated(expr, env)
-    out = f"{prefix}{out}{suffix}" if prefix else out
-    if tail.strip():
-        out = f"{out} {_eval_translated(tail.strip(), env)}"
-    return out
+    # casts (leading or embedded) are handled inside _translate_expr's
+    # _rewrite_casts pass — a Java cast binds to the adjacent primary:
+    # (int) d + 1  ==  CAST(d AS INT) + 1
+    return _eval_translated(expr.strip(), env)
 
 
 def _eval_translated(expr: str, env: dict[str, str]) -> str:

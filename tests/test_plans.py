@@ -462,3 +462,58 @@ class TestMvelStringConcat:
         df = spark.createDataFrame([(3,), (-3,)], "k int")
         got = [r[0] for r in df.selectExpr(f"{translate_mvel(block)} AS t").collect()]
         assert got == ["k=3", "none"]
+
+
+class TestMvelRewriteBoundaries:
+    """Regression tests for the round-2 review findings on the ternary /
+    concat / cast rewrite passes."""
+
+    def test_ternary_as_non_first_function_argument(self):
+        # a ternary never swallows preceding arguments into its condition
+        sql = translate_mvel("Math.max(row.x, row.y > 0 ? row.y : 0)")
+        assert sql == "greatest(x,IF(y > 0, y, 0))"
+
+    def test_ternary_in_method_argument_translates_method(self, spark):
+        sql = translate_mvel("row.s.substring(0, row.k > 2 ? 2 : row.k)")
+        df = spark.createDataFrame([("hello", 3), ("hello", 1)], "s string, k int")
+        got = [r[0] for r in df.selectExpr(f"{sql} AS t").collect()]
+        assert got == ["he", "h"]
+
+    def test_ternary_inside_brackets(self):
+        assert translate_mvel("row.m[row.f ? 0 : 1]") == "m[IF(f, 0, 1)]"
+
+    def test_scientific_exponent_plus_is_not_an_operator(self):
+        sql = translate_mvel("row.a * 1e+6 + ' suffix'")
+        assert sql == "concat(a * 1e+6, ' suffix')"
+        # identifiers merely ending in <digit>e do not trigger the guard
+        assert translate_mvel("row.x1e + 6") == "x1e + 6"
+
+    def test_parenthesized_and_method_chain_stringness(self, spark):
+        df = spark.createDataFrame([(7,)], "k int")
+        for mvel, want in [
+            ("('id-') + row.k", "id-7"),
+            ("'a '.trim() + row.k", "a7"),
+        ]:
+            sql = translate_mvel(mvel)
+            assert df.selectExpr(f"{sql} AS t").collect()[0]["t"] == want
+        # int-returning method chains stay arithmetic
+        assert translate_mvel("row.s.length() + row.k") == "length(s) + k"
+
+    def test_cast_headed_concat_in_block(self, spark):
+        block = "var x = (long) row.d + '-s'; return x;"
+        df = spark.createDataFrame([(2.9,)], "d double")
+        got = df.selectExpr(f"{translate_mvel(block)} AS t").collect()[0]["t"]
+        assert got == "2-s"
+
+    def test_cast_in_bare_expression_and_stacked_casts(self, spark):
+        assert translate_mvel("(int) row.d + 1") == "CAST(d AS INT) + 1"
+        assert translate_mvel("(int)(long) row.x") == "CAST(CAST(x AS BIGINT) AS INT)"
+        sql = translate_mvel("(String) row.k + '!'")
+        df = spark.createDataFrame([(7,)], "k int")
+        assert df.selectExpr(f"{sql} AS t").collect()[0]["t"] == "7!"
+
+    def test_unbalanced_paren_raises_at_plan_time(self):
+        from cassandra_cql_streaming_db_migrator_spark.plans.mvel import MvelTranslationError
+
+        with pytest.raises(MvelTranslationError):
+            translate_mvel("(row.a ? 1 : 2")
