@@ -310,3 +310,62 @@ def pack_sequences_ffd(
     return toks.groupBy("pack_part").applyInPandas(
         pack, schema="pack_part long, chunk_id long, n_docs long, chunk_tokens long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture derivation and corpus shape analytics
+# ---------------------------------------------------------------------------
+
+
+def mixture_weights(
+    df: DataFrame, domain_col: str = "source", size_col: str = "n_chars"
+) -> DataFrame:
+    """Derive a temperature-scaled sampling mixture over domains: weight
+    proportional to ``size ** 0.5`` (alpha = 0.5 upweights small curated
+    domains relative to proportional sampling, the standard multi-source
+    LM recipe).  The complement of :func:`domain_mix_keep`, which *applies*
+    a given rate table.
+
+    Exactness: sqrt is IEEE correctly-rounded (identical on every engine),
+    and the raw weight is floor-quantized to an integer at 1e-6 resolution
+    so the normalizing sum is exact integer arithmetic — the final weight is
+    a single int/int division.  The all-rows window runs on the aggregated
+    frame, which is domain-cardinality (metadata) scale.
+    """
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).cast("bigint").alias("sum_size"),
+    )
+    w_raw = F.floor(F.sqrt(F.col("sum_size").cast("double")) * F.lit(1000000.0)).cast(
+        "bigint"
+    )
+    per = per.withColumn("__w", w_raw)
+    total = F.sum("__w").over(Window.partitionBy())
+    return per.select(
+        F.col(domain_col),
+        F.col("n_docs"),
+        F.col("sum_size"),
+        F.round(F.col("__w").cast("double") / total, 6).alias("weight"),
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    size_col: str = "n_chars",
+    bucket_width: int = 100,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Fixed-width length histogram with a clamped overflow bucket — the
+    corpus-shape profile used to pick truncation/packing budgets.  Pure
+    integer arithmetic (exact in every engine); one hash aggregate whose
+    key cardinality is ``n_buckets``, so partial aggregation collapses it
+    map-side."""
+    bucket = F.least(
+        F.floor(F.col(size_col) / F.lit(bucket_width)), F.lit(n_buckets - 1)
+    ).cast("int")
+    return df.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(size_col).cast("bigint").alias("min_size"),
+        F.max(size_col).cast("bigint").alias("max_size"),
+        F.sum(size_col).cast("bigint").alias("sum_size"),
+    )

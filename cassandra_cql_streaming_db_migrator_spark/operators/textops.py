@@ -9,7 +9,7 @@ on purpose (O(n^2) at 100 TB is not an operator, it is an outage).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import poly_hash
@@ -124,3 +124,196 @@ def ngram_jaccard_pairs(
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic whole-document polynomial fingerprint (mod 1e9+7)."""
     return df.select(F.col(id_col), poly_hash(F.col(text_col)).alias("fingerprint"))
+
+
+def _word_bigrams(text_col: str) -> Column:
+    """Adjacent word pairs as strings, built by zipping the token array with
+    itself shifted by one — a single codegen'd Generate, no per-doc window
+    shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.arrays_zip(
+        F.slice(toks, 1, n).alias("w1"), F.slice(toks, 2, n).alias("w2")
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition quality signals in the style of the Gopher corpus filters
+    (Rae et al. 2021, §A1.1): fraction of tokens taken by the most frequent
+    word, fraction of bigram occurrences taken by the most frequent bigram,
+    and the fraction of bigram occurrences that are duplicates.  High values
+    flag boilerplate/spam documents for removal before training.
+
+    These are per-document functions, so the scale shape is an Arrow
+    ``mapInPandas`` kernel: narrow, zero shuffles, embarrassingly parallel —
+    exploding tokens through groupBy shuffles (the Catalyst twin below) would
+    shuffle every token instance at 100 TB.  Fractions round via
+    ``floor(x * 1e6 + 0.5) / 1e6`` — floor is the same exact IEEE op in
+    Python, Catalyst and DuckDB, while ``round()`` semantics differ.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_tokens bigint, top_word_frac double, "
+        "top_bigram_frac double, dup_bigram_frac double"
+    )
+
+    def kernel(batches):
+        import math
+        from collections import Counter
+
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col],
+                "n_tokens": [],
+                "top_word_frac": [],
+                "top_bigram_frac": [],
+                "dup_bigram_frac": [],
+            }
+            for text in pdf[text_col]:
+                toks = ("" if text is None else text).split(" ")
+                n = len(toks)
+                wc = Counter(toks)
+                top_w = max(wc.values())
+                out["n_tokens"].append(n)
+                out["top_word_frac"].append(
+                    math.floor(top_w / n * 1000000.0 + 0.5) / 1000000.0
+                )
+                if n > 1:
+                    bc = Counter(zip(toks, toks[1:]))
+                    n_bg = n - 1
+                    top_bg = max(bc.values())
+                    dup_bg = sum(v for v in bc.values() if v > 1)
+                    out["top_bigram_frac"].append(
+                        math.floor(top_bg / n_bg * 1000000.0 + 0.5) / 1000000.0
+                    )
+                    out["dup_bigram_frac"].append(
+                        math.floor(dup_bg / n_bg * 1000000.0 + 0.5) / 1000000.0
+                    )
+                else:
+                    out["top_bigram_frac"].append(0.0)
+                    out["dup_bigram_frac"].append(0.0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def repetition_signals_catalyst(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pure-Catalyst twin of :func:`repetition_signals` (explode -> two-level
+    hash aggregation), kept as the cross-engine verification path: identical
+    output bit-for-bit, but it shuffles exploded token rows, so the Arrow
+    kernel is the production path."""
+
+    def _frac6(num: Column, den: Column) -> Column:
+        return F.floor(num.cast("double") / den * 1000000.0 + F.lit(0.5)) / 1000000.0
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    )
+    wc = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    words = wc.groupBy(id_col).agg(
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+        F.max("__c").alias("__top_w"),
+    )
+    bigrams = df.select(
+        F.col(id_col), F.explode(_word_bigrams(text_col)).alias("__p")
+    ).select(F.col(id_col), F.concat_ws(" ", "__p.w1", "__p.w2").alias("__bg"))
+    bc = bigrams.groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("__c"))
+    bstats = bc.groupBy(id_col).agg(
+        F.sum("__c").alias("__n_bg"),
+        F.max("__c").alias("__top_bg"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(F.lit(0))).alias(
+            "__dup_bg"
+        ),
+    )
+    out = words.join(bstats, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        _frac6(F.col("__top_w"), F.col("n_tokens")).alias("top_word_frac"),
+        F.when(F.col("__n_bg") > 0, _frac6(F.col("__top_bg"), F.col("__n_bg")))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(F.col("__n_bg") > 0, _frac6(F.col("__dup_bg"), F.col("__n_bg")))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document term frequencies ``(id, term, tf)`` via a narrow Arrow
+    kernel — term counting is a per-document function, so aggregating inside
+    the row (Counter per doc) emits ~unique-terms rows per doc with ZERO
+    shuffles, where explode -> groupBy(id, term) would shuffle every token
+    instance of the corpus."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, __tok string, __tf bigint"
+
+    def kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids: list = []
+            terms: list = []
+            tfs: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                c = Counter(("" if text is None else text).split(" "))
+                c.pop("", None)
+                for term, tf in c.items():
+                    ids.append(doc_id)
+                    terms.append(term)
+                    tfs.append(tf)
+            yield pd.DataFrame({id_col: ids, "__tok": terms, "__tf": tfs})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf.
+
+    The idf factor is the smoothed linear ratio ``N / (df + 1)`` rather than
+    its logarithm: the ranking it induces per document is identical (log is
+    monotone) and the score stays a single exact-integer division, which
+    keeps the oracle comparison bit-deterministic across engines (libm log
+    implementations may differ in the last ulp).
+
+    Plan shape at scale: tf comes from the narrow :func:`term_frequencies`
+    kernel (no shuffle); df is one hash aggregate over tf's already
+    per-doc-deduplicated output; the tf<->df join shuffles on the term —
+    vocabulary-sized, which AQE will broadcast when small; top-k is one
+    row_number window per document.  Only genuinely cross-document steps
+    shuffle.
+    """
+    tf = term_frequencies(df, text_col=text_col, id_col=id_col)
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))  # 1 row, broadcast
+    scored = (
+        tf.join(dfreq, "__tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__score",
+            (F.col("__tf").cast("double") * F.col("__n")) / (F.col("__df") + F.lit(1)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__score").desc(), F.col("__tok").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("__tok").alias("term"),
+            F.round("__score", 6).alias("tfidf"),
+            F.col("term_rank").cast("int").alias("term_rank"),
+        )
+    )

@@ -66,6 +66,13 @@ DRIVER_ROTATED_OUT = [
     # streaming family already holds 6 head slots; the stream governance
     # composition starts tail-listed
     "stream_quality_gate",
+    # round-2 late additions: text-analysis and governance families already
+    # hold head slots, so these start tail-listed (strict local checks +
+    # pytest every round, like the rest of the tail)
+    "repetition_stats",
+    "tfidf_terms",
+    "mixture_weights",
+    "length_histogram",
 ]
 
 

@@ -22,6 +22,8 @@ from ..operators.corpus import (
     IPV4_PATTERN,
     decontaminate,
     domain_mix_keep,
+    length_histogram,
+    mixture_weights,
     normalize_text,
     pack_sequences,
     quality_keep,
@@ -259,6 +261,42 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Mixture derivation (the recipe-producing complement of split_sample's
+# domain_mix_keep) and corpus length profile.
+
+
+def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+_MIXTURE_WEIGHTS_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_size,
+         CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, sum_size,
+       round(CAST(w AS DOUBLE) / sum(w) OVER (), 6) AS weight
+FROM per
+"""
+
+
+def length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+_LENGTH_HISTOGRAM_SQL = """
+SELECT CAST(least(floor(n_chars / 100), 19) AS INTEGER) AS bucket,
+       count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_size,
+       CAST(max(n_chars) AS BIGINT) AS max_size,
+       CAST(sum(n_chars) AS BIGINT) AS sum_size
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = [
     QueryDef(
         "decontaminate",
@@ -289,5 +327,17 @@ QUERIES = [
         embedding_quantize,
         _EMBEDDING_QUANTIZE_SQL,
         "symmetric int8 embedding quantization error stats",
+    ),
+    QueryDef(
+        "mixture_weights",
+        mixture_weights_q,
+        _MIXTURE_WEIGHTS_SQL,
+        "temperature-scaled (alpha=0.5) domain sampling weights",
+    ),
+    QueryDef(
+        "length_histogram",
+        length_histogram_q,
+        _LENGTH_HISTOGRAM_SQL,
+        "corpus length profile: fixed-width histogram with overflow bucket",
     ),
 ]

@@ -41,8 +41,10 @@ from ..operators.textops import (
     doc_fingerprint,
     lang_id_heuristic,
     ngram_jaccard_pairs,
+    repetition_signals,
     stopword_ratio,
     text_stats,
+    tfidf_top_terms,
 )
 from ..sources.parquet import load_table
 from . import QueryDef
@@ -636,6 +638,66 @@ FROM u
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality signals.
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+wc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_w
+           FROM wc GROUP BY doc_id),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(len(ws) - 1),
+                  i -> ws[CAST(i + 1 AS INTEGER)] || ' ' || ws[CAST(i + 2 AS INTEGER)])) AS bg
+       FROM w),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+bstats AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg
+           FROM bc GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens,
+       floor(CAST(s.top_w AS DOUBLE) / s.n_tokens * 1000000.0 + 0.5)
+           / 1000000.0 AS top_word_frac,
+       CASE WHEN b.n_bg > 0
+            THEN floor(CAST(b.top_bg AS DOUBLE) / b.n_bg * 1000000.0 + 0.5)
+                 / 1000000.0
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN b.n_bg > 0
+            THEN floor(CAST(b.dup_bg AS DOUBLE) / b.n_bg * 1000000.0 + 0.5)
+                 / 1000000.0
+            ELSE 0.0 END AS dup_bigram_frac
+FROM wstats s LEFT JOIN bstats b USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# TF-IDF characteristic terms (linear smoothed idf — see operator docstring).
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+_TFIDF_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+s AS (SELECT t.doc_id, t.tok,
+             (CAST(t.tf AS DOUBLE) * (SELECT count(*) FROM documents)) / (d.df + 1) AS score
+      FROM tf t JOIN dfq d USING (tok)),
+r AS (SELECT doc_id, tok, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS term_rank
+      FROM s)
+SELECT doc_id, tok AS term, round(score, 6) AS tfidf,
+       CAST(term_rank AS INTEGER) AS term_rank
+FROM r WHERE term_rank <= 3
+"""
+
+
 QUERIES = [
     QueryDef("dedup_exact", dedup_exact, _DEDUP_EXACT_SQL,
              "exact content dedup (hash-groupBy, min-id winner)"),
@@ -677,4 +739,10 @@ QUERIES = [
     QueryDef("multimodal_resize", multimodal_resize, _MULTIMODAL_RESIZE_SQL,
              "real PGM nearest-neighbor resize, decoded and re-verified",
              bench=False),
+    QueryDef("repetition_stats", repetition_stats, _REPETITION_SQL,
+             "Gopher-style repetition filters: top-word / top-bigram / "
+             "dup-bigram fractions"),
+    QueryDef("tfidf_terms", tfidf_terms, _TFIDF_SQL,
+             "top-3 characteristic terms per doc by tf-idf (linear "
+             "smoothed idf, rank-equivalent to log)"),
 ]

@@ -260,3 +260,82 @@ class TestQuantize:
         df = spark.createDataFrame([("a", [1.0, 2.0])], schema)
         out = quantize_embeddings(df, id_col="name").collect()
         assert out[0]["name"] == "a"
+
+
+class TestMixtureAndHistogram:
+    def test_mixture_weights_sqrt_scaling(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import mixture_weights
+
+        # curated is 1/100th the size of crawl -> sqrt scaling gives it
+        # 1/10th the weight (not 1/100th as proportional sampling would)
+        df = spark.sql(
+            "SELECT * FROM VALUES ('crawl', 1000000), ('curated', 10000) "
+            "AS t(source, n_chars)"
+        )
+        rows = {r["source"]: r for r in mixture_weights(df).collect()}
+        assert abs(rows["crawl"]["weight"] + rows["curated"]["weight"] - 1.0) < 1e-6
+        ratio = rows["curated"]["weight"] / rows["crawl"]["weight"]
+        assert abs(ratio - 0.1) < 1e-3
+        assert rows["crawl"]["sum_size"] == 1000000 and rows["crawl"]["n_docs"] == 1
+
+    def test_length_histogram_buckets_and_overflow_clamp(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import length_histogram
+
+        df = spark.sql(
+            "SELECT * FROM VALUES (0), (99), (100), (250), (5000) AS t(n_chars)"
+        )
+        rows = {r["bucket"]: r for r in length_histogram(df).collect()}
+        assert rows[0]["n_docs"] == 2 and rows[0]["min_size"] == 0 and rows[0]["max_size"] == 99
+        assert rows[1]["n_docs"] == 1
+        assert rows[2]["n_docs"] == 1
+        assert rows[19]["n_docs"] == 1 and rows[19]["sum_size"] == 5000  # clamped
+
+
+class TestRepetitionAndTfidf:
+    def test_repetition_signals_known_doc(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.textops import repetition_signals
+
+        df = spark.sql(
+            "SELECT * FROM VALUES (1, 'a b a b c'), (2, 'solo') AS t(doc_id, text)"
+        )
+        rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        r1 = rows[1]
+        # tokens: a,b,a,b,c -> top word 'a' (or 'b') = 2/5
+        assert r1["n_tokens"] == 5 and abs(r1["top_word_frac"] - 0.4) < 1e-9
+        # bigrams: 'a b','b a','a b','b c' -> top 'a b' 2/4; dups 2/4
+        assert abs(r1["top_bigram_frac"] - 0.5) < 1e-9
+        assert abs(r1["dup_bigram_frac"] - 0.5) < 1e-9
+        # single-token doc: no bigrams, fractions defined as 0
+        r2 = rows[2]
+        assert r2["n_tokens"] == 1 and r2["top_bigram_frac"] == 0.0
+        assert r2["dup_bigram_frac"] == 0.0
+
+    def test_repetition_kernel_matches_catalyst_twin(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+            repetition_signals,
+            repetition_signals_catalyst,
+        )
+
+        df = spark.sql(
+            "SELECT * FROM VALUES "
+            "(1, 'a b a b c'), (2, 'solo'), (3, 'x x x x'), (4, 'p q r s p q') "
+            "AS t(doc_id, text)"
+        )
+        fast = {tuple(r) for r in repetition_signals(df).collect()}
+        slow = {tuple(r) for r in repetition_signals_catalyst(df).collect()}
+        assert fast == slow
+
+    def test_tfidf_ranks_distinctive_terms_first(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.textops import tfidf_top_terms
+
+        # 'rare' appears only in doc 1; 'common' in all three docs
+        df = spark.sql(
+            "SELECT * FROM VALUES "
+            "(1, 'common rare rare'), (2, 'common x'), (3, 'common y') "
+            "AS t(doc_id, text)"
+        )
+        out = tfidf_top_terms(df, k=2).collect()
+        top = {r["doc_id"]: r["term"] for r in out if r["term_rank"] == 1}
+        assert top[1] == "rare"
+        ranks = [r["term_rank"] for r in out if r["doc_id"] == 1]
+        assert sorted(ranks) == [1, 2]

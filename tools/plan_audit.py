@@ -39,6 +39,9 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     "correlated_subquery": 3,
     "join_range": 3,
     "stream_stream_join": 3,
+    # semantic floor: df aggregate on term + tf<->df join on term + per-doc
+    # top-k window (tf itself is a narrow Arrow kernel, no shuffle)
+    "tfidf_terms": 3,
 }
 DEFAULT_ALLOWANCE = 2
 
