@@ -277,6 +277,95 @@ def term_frequencies(
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
+def doc_trigram_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-trigram counts ``(id, tri, cnt)`` via a narrow
+    Arrow kernel (zero shuffles, like :func:`term_frequencies`).  Documents
+    shorter than 3 characters produce no rows.  Counting is by codepoint,
+    which matches character-based ``substr`` semantics in SQL engines for
+    the ASCII fixtures."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, __tri string, __cnt bigint"
+
+    def kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids: list = []
+            tris: list = []
+            cnts: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = "" if text is None else text
+                c = Counter(t[i : i + 3] for i in range(len(t) - 2))
+                for tri, cnt in c.items():
+                    ids.append(doc_id)
+                    tris.append(tri)
+                    cnts.append(cnt)
+            yield pd.DataFrame({id_col: ids, "__tri": tris, "__cnt": cnts})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def trigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """In-corpus character-trigram LM fluency score: train trigram
+    statistics over the whole corpus, then score each document by the mean
+    conditional probability ``P(c3 | c1 c2) = C(tri) / sum_z C(c1 c2 z)``
+    of its trigram instances.  Low scores flag documents whose character
+    sequences are atypical for the corpus (mojibake, binary spill, foreign
+    scripts) — the classic model-based quality filter built from corpus
+    statistics alone.
+
+    The score is an arithmetic mean of probabilities (not log-perplexity):
+    rank-equivalent for filtering, and every per-instance probability is a
+    single exact-integer division, so the oracle comparison stays
+    bit-deterministic (no libm log).  Mean = decimal-cast sum / count, the
+    repo-wide summation discipline.
+
+    Plan shape at scale: per-doc trigram counts are a narrow kernel; the
+    model tables are character-vocabulary-bounded (``|charset|^3``) however
+    large the corpus, so they hash-aggregate small and BROADCAST back to
+    the per-doc frame; only the two model aggregates and the final per-doc
+    aggregate shuffle.
+    """
+    # both the model derivation and the scoring join consume this frame —
+    # persist so the Arrow kernel runs once (two plan branches re-execute
+    # the upstream otherwise)
+    doc_tris = doc_trigram_counts(df, text_col=text_col, id_col=id_col).persist()
+    c3 = doc_tris.groupBy("__tri").agg(F.sum("__cnt").alias("__c3"))
+    # aggregate the prefix table straight off the persisted per-doc frame
+    # (deriving it from c3 would recompute the c3 aggregate in a second
+    # plan branch)
+    c2 = doc_tris.groupBy(F.substring("__tri", 1, 2).alias("__pre")).agg(
+        F.sum("__cnt").alias("__c2")
+    )
+    # both model tables are charset-bounded: broadcast the prefix table
+    model = c3.join(
+        F.broadcast(c2), F.substring(c3["__tri"], 1, 2) == c2["__pre"], "inner"
+    ).select("__tri", (F.col("__c3").cast("double") / F.col("__c2")).alias("__p"))
+    scored = doc_tris.join(F.broadcast(model), "__tri")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__cnt").cast("bigint").alias("n_trigrams"),
+            F.sum(
+                (F.col("__cnt").cast("double") * F.col("__p")).cast("decimal(28,10)")
+            ).alias("__psum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_trigrams"),
+            F.round(
+                F.col("__psum").cast("double") / F.col("n_trigrams"), 6
+            ).alias("mean_tri_prob"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -73,6 +73,7 @@ DRIVER_ROTATED_OUT = [
     "tfidf_terms",
     "mixture_weights",
     "length_histogram",
+    "trigram_lm",
 ]
 
 

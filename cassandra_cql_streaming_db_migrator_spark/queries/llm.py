@@ -45,6 +45,7 @@ from ..operators.textops import (
     stopword_ratio,
     text_stats,
     tfidf_top_terms,
+    trigram_lm_score,
 )
 from ..sources.parquet import load_table
 from . import QueryDef
@@ -698,6 +699,35 @@ FROM r WHERE term_rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-statistics LM fluency score (trigram model trained on the corpus).
+
+
+def trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+_TRIGRAM_LM_SQL = """
+WITH inst AS (
+  SELECT doc_id, tri, count(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(length(text) - 2),
+               i -> substr(text, CAST(i + 1 AS INTEGER), 3))) AS tri
+    FROM documents)
+  GROUP BY doc_id, tri
+),
+c3 AS (SELECT tri, sum(cnt) AS c3 FROM inst GROUP BY tri),
+c2 AS (SELECT substr(tri, 1, 2) AS pre, sum(c3) AS c2 FROM c3 GROUP BY 1),
+model AS (SELECT tri, CAST(c3 AS DOUBLE) / c2 AS p
+          FROM c3 JOIN c2 ON substr(c3.tri, 1, 2) = c2.pre),
+s AS (SELECT i.doc_id, i.cnt, m.p FROM inst i JOIN model m USING (tri))
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+       round(CAST(sum(CAST(CAST(cnt AS DOUBLE) * p AS DECIMAL(28,10))) AS DOUBLE)
+             / CAST(sum(cnt) AS BIGINT), 6) AS mean_tri_prob
+FROM s GROUP BY doc_id
+"""
+
+
 QUERIES = [
     QueryDef("dedup_exact", dedup_exact, _DEDUP_EXACT_SQL,
              "exact content dedup (hash-groupBy, min-id winner)"),
@@ -745,4 +775,7 @@ QUERIES = [
     QueryDef("tfidf_terms", tfidf_terms, _TFIDF_SQL,
              "top-3 characteristic terms per doc by tf-idf (linear "
              "smoothed idf, rank-equivalent to log)"),
+    QueryDef("trigram_lm", trigram_lm, _TRIGRAM_LM_SQL,
+             "corpus-trained char-trigram LM fluency score per doc "
+             "(mean conditional probability)"),
 ]

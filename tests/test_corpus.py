@@ -339,3 +339,41 @@ class TestRepetitionAndTfidf:
         assert top[1] == "rare"
         ranks = [r["term_rank"] for r in out if r["doc_id"] == 1]
         assert sorted(ranks) == [1, 2]
+
+
+class TestTrigramLM:
+    def test_matches_independent_reference(self, spark):
+        import math
+        from collections import Counter
+        from cassandra_cql_streaming_db_migrator_spark.operators.textops import trigram_lm_score
+
+        # doc 4 shares the common 'the'/'he '/'e ?' prefixes but continues
+        # them atypically ('e z' where the corpus has 'e c'/'e d')
+        texts = {1: "the cat sat", 2: "the cat ran", 3: "the dog sat", 4: "the zog zat"}
+        df = spark.sql(
+            "SELECT * FROM VALUES "
+            + ", ".join(f"({k}, '{v}')" for k, v in texts.items())
+            + " AS t(doc_id, text)"
+        )
+        # independent reference model
+        c3: Counter = Counter()
+        for t in texts.values():
+            c3.update(t[i : i + 3] for i in range(len(t) - 2))
+        c2: Counter = Counter()
+        for tri, n in c3.items():
+            c2[tri[:2]] += n
+        expect = {}
+        for k, t in texts.items():
+            tris = [t[i : i + 3] for i in range(len(t) - 2)]
+            s = sum(c3[x] / c2[x[:2]] for x in tris)
+            expect[k] = (len(tris), round(s / len(tris), 6))
+        got = {
+            r["doc_id"]: (r["n_trigrams"], r["mean_tri_prob"])
+            for r in trigram_lm_score(df).collect()
+        }
+        assert got.keys() == expect.keys()
+        for k in expect:
+            assert got[k][0] == expect[k][0]
+            assert math.isclose(got[k][1], expect[k][1], abs_tol=2e-6)
+        # the corpus-atypical doc scores strictly below the typical docs
+        assert got[4][1] < min(got[k][1] for k in (1, 2, 3))

@@ -42,6 +42,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # semantic floor: df aggregate on term + tf<->df join on term + per-doc
     # top-k window (tf itself is a narrow Arrow kernel, no shuffle)
     "tfidf_terms": 3,
+    # semantic floor: trigram-count aggregate + prefix-count aggregate +
+    # final per-doc aggregate (model tables broadcast; per-doc counts are
+    # a narrow Arrow kernel, no shuffle)
+    "trigram_lm": 3,
 }
 DEFAULT_ALLOWANCE = 2
 
