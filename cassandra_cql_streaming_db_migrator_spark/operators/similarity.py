@@ -640,3 +640,93 @@ def quantize_embeddings_catalyst(
         F.array_max(F.transform(e, lambda x: F.abs(err(x)))).alias("max_abs_err"),
         mse.alias("mse"),
     )
+
+
+def label_centroid_stats(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid and cluster-tightness stats — the k-means-style
+    primitive (assignment step's complement) over an embedding corpus:
+    ``n_vecs``, the centroid's L2 norm, and the mean squared distance of
+    members to their centroid (inertia / n).
+
+    Exactness discipline: row order across a shuffle is nondeterministic,
+    so every cross-row sum is made associative by floor-quantizing the
+    addend to an integer at 1e-10 resolution (``floor(x * 1e10 + 0.5)``)
+    and summing as DECIMAL(38,0).  A plain ``CAST(x AS DECIMAL(28,10))``
+    would NOT be engine-portable here: float32 embedding values are dyadic
+    rationals whose decimal expansions terminate in a 5, producing exact
+    half-way ties at the cast that Spark (HALF_UP) and other engines
+    (half-even) break differently — integers cannot tie.  Per-member
+    squared distance is the dimension-sequential fold
+    (:func:`_seq_fold_dots` over the member-centroid difference); division
+    orders are fixed and identical in the SQL oracle.
+
+    Plan shape at scale: posexplode -> groupBy(label, dim) hash-aggregates
+    partially map-side, so the shuffle carries ~labels x dims x mappers
+    rows, not the corpus; the centroid table is label-cardinality-bounded
+    and BROADCASTS back to members; distances run in a narrow Arrow
+    kernel; the final per-label aggregate partial-aggregates again.  Three
+    metadata-light shuffles total, none proportional to corpus bytes.
+    """
+    import pandas as pd
+
+    valid = df.where(F.col(vec_col).isNotNull())
+    dims = valid.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("__pos", "__val")
+    )
+    per_dim = dims.groupBy(label_col, "__pos").agg(
+        F.sum(
+            F.floor(F.col("__val").cast("double") * F.lit(1e10) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    cent_arr = (
+        per_dim.select(
+            F.col(label_col),
+            F.col("__pos"),
+            (F.col("__s").cast("double") / F.col("__n") / F.lit(1e10)).alias("__c"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__c"))),
+                lambda s: s["__c"],
+            ).alias("__cent")
+        )
+        # consumed by both the distance join and the final projection —
+        # persist so the per-dim aggregation runs once
+        .persist()
+    )
+    label_type = df.schema[label_col].dataType.simpleString()
+
+    def sqdist_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cm = np.stack(pdf["__cent"].to_numpy()).astype(np.float64)
+            diff = mat - cm
+            yield pd.DataFrame(
+                {label_col: pdf[label_col], "__sq": _seq_fold_dots(diff, diff)}
+            )
+
+    sq = valid.select(label_col, vec_col).join(
+        F.broadcast(cent_arr), label_col
+    ).mapInPandas(sqdist_kernel, schema=f"{label_col} {label_type}, __sq double")
+    stats = sq.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.floor(F.col("__sq") * F.lit(1e10) + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("__ss"),
+    )
+    return stats.join(F.broadcast(cent_arr), label_col).select(
+        F.col(label_col),
+        F.col("n_vecs"),
+        F.sqrt(_dot(F.col("__cent"), F.col("__cent"))).alias("centroid_norm"),
+        (F.col("__ss").cast("double") / F.col("n_vecs") / F.lit(1e10)).alias(
+            "mean_sq_dist"
+        ),
+    )

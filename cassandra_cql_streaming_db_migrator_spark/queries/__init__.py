@@ -74,6 +74,7 @@ DRIVER_ROTATED_OUT = [
     "mixture_weights",
     "length_histogram",
     "trigram_lm",
+    "embedding_centroids",
 ]
 
 

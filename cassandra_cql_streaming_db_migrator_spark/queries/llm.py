@@ -32,6 +32,7 @@ from ..operators.similarity import (
     block_top_pairs,
     cosine_topk,
     ivf_ann_topk,
+    label_centroid_stats,
     lsh_ann_topk,
 )
 from ..operators.textops import (
@@ -700,6 +701,57 @@ FROM r WHERE term_rank <= 3
 
 
 # ---------------------------------------------------------------------------
+# Per-label centroid / cluster-tightness stats (k-means-style primitive).
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_stats(emb)
+
+
+_EMBEDDING_CENTROIDS_SQL = """
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+dims AS (
+  SELECT label,
+         unnest(list_transform(range(len(e)),
+             i -> {'pos': i, 'val': e[CAST(i + 1 AS INTEGER)]})) AS u
+  FROM v
+),
+per_dim AS (
+  SELECT label, u.pos AS pos,
+         CAST(sum(CAST(floor(u.val * 1e10 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+             / count(*) / 1e10 AS c
+  FROM dims GROUP BY label, u.pos
+),
+cent AS (
+  SELECT label, list(c ORDER BY pos) AS carr FROM per_dim GROUP BY label
+),
+sq AS (
+  SELECT v.label,
+         list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(len(e)),
+                     i -> (e[CAST(i + 1 AS INTEGER)] - carr[CAST(i + 1 AS INTEGER)])
+                        * (e[CAST(i + 1 AS INTEGER)] - carr[CAST(i + 1 AS INTEGER)]))),
+             (a, b) -> a + b) AS sqd
+  FROM v JOIN cent USING (label)
+),
+stats AS (
+  SELECT label, count(*) AS n_vecs,
+         CAST(sum(CAST(floor(sqd * 1e10 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS ss
+  FROM sq GROUP BY label
+)
+SELECT s.label, s.n_vecs,
+       sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(carr, x -> x * x)), (a, b) -> a + b)) AS centroid_norm,
+       s.ss / s.n_vecs / 1e10 AS mean_sq_dist
+FROM stats s JOIN cent USING (label)
+"""
+
+# ---------------------------------------------------------------------------
 # Corpus-statistics LM fluency score (trigram model trained on the corpus).
 
 
@@ -778,4 +830,7 @@ QUERIES = [
     QueryDef("trigram_lm", trigram_lm, _TRIGRAM_LM_SQL,
              "corpus-trained char-trigram LM fluency score per doc "
              "(mean conditional probability)"),
+    QueryDef("embedding_centroids", embedding_centroids, _EMBEDDING_CENTROIDS_SQL,
+             "per-label centroid norm + inertia (k-means-style cluster "
+             "tightness stats)"),
 ]

@@ -377,3 +377,52 @@ class TestTrigramLM:
             assert math.isclose(got[k][1], expect[k][1], abs_tol=2e-6)
         # the corpus-atypical doc scores strictly below the typical docs
         assert got[4][1] < min(got[k][1] for k in (1, 2, 3))
+
+
+class TestLabelCentroids:
+    def test_matches_independent_reference(self, spark):
+        import math
+        import numpy as np
+        from pyspark.sql import types as T
+        from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+            label_centroid_stats,
+        )
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (i, [float(np.float32(x)) for x in rng.normal(size=4)], i % 2)
+            for i in range(20)
+        ]
+        schema = T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ])
+        df = spark.createDataFrame(rows, schema)
+        got = {r["label"]: r for r in label_centroid_stats(df).collect()}
+        for lab in (0, 1):
+            members = np.array([v for _, v, l in rows if l == lab], dtype=np.float64)
+            cent = np.floor(members * 1e10 + 0.5).sum(axis=0) / len(members) / 1e10
+            sq = ((members - cent) ** 2).sum(axis=1)
+            mean_sq = np.floor(sq * 1e10 + 0.5).sum() / len(members) / 1e10
+            r = got[lab]
+            assert r["n_vecs"] == len(members)
+            assert math.isclose(r["centroid_norm"], float(np.sqrt((cent * cent).sum())), rel_tol=1e-9)
+            assert math.isclose(r["mean_sq_dist"], float(mean_sq), rel_tol=1e-9)
+
+    def test_null_embedding_excluded(self, spark):
+        from pyspark.sql import types as T
+        from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+            label_centroid_stats,
+        )
+
+        schema = T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ])
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0), (2, None, 0), (3, [0.0, 1.0], 0)], schema
+        )
+        r = label_centroid_stats(df).collect()[0]
+        assert r["n_vecs"] == 2

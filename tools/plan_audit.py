@@ -46,6 +46,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # final per-doc aggregate (model tables broadcast; per-doc counts are
     # a narrow Arrow kernel, no shuffle)
     "trigram_lm": 3,
+    # semantic floor: per-(label, dim) centroid aggregate + centroid
+    # array assembly + per-label distance aggregate (centroid table
+    # persisted and broadcast; distances in a narrow Arrow kernel)
+    "embedding_centroids": 3,
 }
 DEFAULT_ALLOWANCE = 2
 
