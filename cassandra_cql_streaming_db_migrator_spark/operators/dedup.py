@@ -326,3 +326,67 @@ def simhash_fingerprints(
         .repartition(F.col(id_col))
         .mapInPandas(compute, schema)
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str, id_b: str, id_col: str = "doc_id", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the step that
+    turns pairwise dedup output into actionable clusters (component id =
+    min member id, the canonical-document convention; everything else in a
+    component is a removal candidate).
+
+    Pregel-style min-label propagation: each node repeatedly takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds, and near-dup components are small and
+    dense (every member shares shingles), so diameters are tiny.  The
+    driver loop's per-round convergence check is a ``count`` (a
+    metadata-scale action, not a data collect); each round is one
+    edge<->label join plus one aggregate, both partitioned on the node id.
+    Each round's labels are ``localCheckpoint``-ed — the standard iterative
+    -algorithm discipline: lineage (and therefore the final plan) stays
+    bounded instead of nesting every prior round.  Raises if ``max_iter``
+    rounds don't converge rather than returning partial components.
+    """
+    und = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = edges.join(labels, edges["b"] == labels["node"]).select(
+            edges["a"].alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(nbr_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "node")
+            .where(F.col("new") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds"
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("comp_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("component_id"),
+        F.col("comp_size"),
+    )

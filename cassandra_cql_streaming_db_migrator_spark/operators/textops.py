@@ -290,21 +290,69 @@ def doc_trigram_counts(
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, __tri string, __cnt bigint"
 
+    import numpy as np
+
     def kernel(batches):
         from collections import Counter
 
         for pdf in batches:
-            ids: list = []
-            tris: list = []
-            cnts: list = []
+            # ASCII docs (the common case): byte windows == codepoint
+            # windows, so count packed 24-bit codes with np.unique and
+            # decode the trigram strings in ONE vectorized pass per batch —
+            # no per-trigram Python objects
+            doc_ids: list = []
+            code_chunks: list = []
+            count_chunks: list = []
+            ids_slow: list = []
+            tris_slow: list = []
+            cnts_slow: list = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 t = "" if text is None else text
-                c = Counter(t[i : i + 3] for i in range(len(t) - 2))
-                for tri, cnt in c.items():
-                    ids.append(doc_id)
-                    tris.append(tri)
-                    cnts.append(cnt)
-            yield pd.DataFrame({id_col: ids, "__tri": tris, "__cnt": cnts})
+                b = t.encode("utf-8")
+                if len(b) == len(t):
+                    if len(b) < 3:
+                        continue
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+                    codes = arr[:-2] * 65536 + arr[1:-1] * 256 + arr[2:]
+                    uniq, counts = np.unique(codes, return_counts=True)
+                    doc_ids.append((doc_id, len(uniq)))
+                    code_chunks.append(uniq)
+                    count_chunks.append(counts)
+                else:
+                    c = Counter(t[i : i + 3] for i in range(len(t) - 2))
+                    for tri, cnt in c.items():
+                        ids_slow.append(doc_id)
+                        tris_slow.append(tri)
+                        cnts_slow.append(cnt)
+            frames = []
+            if code_chunks:
+                codes = np.concatenate(code_chunks)
+                tri_bytes = np.column_stack(
+                    [codes >> 16, (codes >> 8) & 255, codes & 255]
+                ).astype(np.uint8)
+                tris = np.char.decode(
+                    np.ascontiguousarray(tri_bytes).view("S3").ravel(), "ascii"
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.repeat(
+                                np.array([d for d, _ in doc_ids]),
+                                np.array([n for _, n in doc_ids]),
+                            ),
+                            "__tri": tris,
+                            "__cnt": np.concatenate(count_chunks),
+                        }
+                    )
+                )
+            if ids_slow:
+                frames.append(
+                    pd.DataFrame(
+                        {id_col: ids_slow, "__tri": tris_slow, "__cnt": cnts_slow}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 

@@ -7,6 +7,13 @@ for oracle parity (values must hash-match bit-for-bit):
   * SUMs over doubles are order-dependent across engines -> cast the per-row
     value to DECIMAL (exact, associative) before summing, in BOTH the Spark
     code and the oracle SQL;
+  * EXCEPTION: when the summed values can be dyadic rationals with few
+    fractional bits (float32 embeddings, halves/quarters), a fractional
+    DECIMAL(p,s) cast is NOT portable — a dyadic's decimal expansion
+    terminates in a 5, so the cast hits exact half-way ties that Spark
+    (HALF_UP) and other engines (half-even) break differently.  Quantize to
+    an INTEGER instead: floor(x * 1e10 + 0.5), sum as DECIMAL(38,0), divide
+    back — integers cannot tie (see label_centroid_stats);
   * per-row double arithmetic (products, divisions) is deterministic given
     identical operands -> safe un-rounded;
   * averages = decimal sum cast to double / count, rounded;
@@ -75,6 +82,7 @@ DRIVER_ROTATED_OUT = [
     "length_histogram",
     "trigram_lm",
     "embedding_centroids",
+    "dedup_components",
 ]
 
 

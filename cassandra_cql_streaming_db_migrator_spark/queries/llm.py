@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_P, MINHASH_PERMS, SIMHASH_MOD, poly_hash_sql
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     fuzzy_dedup_pairs,
     minhash_lsh_pairs,
@@ -165,6 +166,39 @@ FROM cand
 JOIN g g1 ON doc_id_1 = g1.doc_id
 JOIN g g2 ON doc_id_2 = g2.doc_id
 WHERE {jac} >= 0.7
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: fuzzy pairs -> connected components (canonical = min id).
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = fuzzy_dedup_pairs(docs, "text", "doc_id")
+    return connected_components(pairs, "doc_id_1", "doc_id_2")
+
+
+def _dedup_components_sql() -> str:
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT doc_id_1, doc_id_2 FROM ({_fuzzy_dedup_sql()})
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM p
+  UNION
+  SELECT doc_id_2, doc_id_1 FROM p
+),
+reach AS (
+  SELECT a AS node, a AS peer FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+),
+comp AS (SELECT node, min(peer) AS component_id FROM reach GROUP BY node),
+sizes AS (SELECT component_id, count(*) AS comp_size
+          FROM comp GROUP BY component_id)
+SELECT c.node AS doc_id, c.component_id, s.comp_size
+FROM comp c JOIN sizes s USING (component_id)
 """
 
 
@@ -833,4 +867,7 @@ QUERIES = [
     QueryDef("embedding_centroids", embedding_centroids, _EMBEDDING_CENTROIDS_SQL,
              "per-label centroid norm + inertia (k-means-style cluster "
              "tightness stats)"),
+    QueryDef("dedup_components", dedup_components, _dedup_components_sql(),
+             "near-dup pairs -> connected components (min-label "
+             "propagation; canonical doc = min id)"),
 ]

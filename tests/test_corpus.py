@@ -426,3 +426,31 @@ class TestLabelCentroids:
         )
         r = label_centroid_stats(df).collect()[0]
         assert r["n_vecs"] == 2
+
+
+class TestConnectedComponents:
+    def test_chain_and_separate_pair(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+            connected_components,
+        )
+
+        # chain 1-2-3-4 (diameter 3, needs multiple propagation rounds)
+        # plus the separate pair 10-11
+        df = spark.sql(
+            "SELECT * FROM VALUES (1,2),(2,3),(3,4),(10,11) AS t(doc_id_1, doc_id_2)"
+        )
+        rows = {r["doc_id"]: r for r in connected_components(df, "doc_id_1", "doc_id_2").collect()}
+        assert {k: v["component_id"] for k, v in rows.items()} == {
+            1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+        }
+        assert rows[4]["comp_size"] == 4 and rows[11]["comp_size"] == 2
+
+    def test_non_convergence_raises(self, spark):
+        import pytest
+        from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+            connected_components,
+        )
+
+        df = spark.sql("SELECT * FROM VALUES (1,2),(2,3),(3,4) AS t(doc_id_1, doc_id_2)")
+        with pytest.raises(RuntimeError, match="no convergence"):
+            connected_components(df, "doc_id_1", "doc_id_2", max_iter=1)
