@@ -359,11 +359,13 @@ def length_histogram(
     corpus-shape profile used to pick truncation/packing budgets.  Pure
     integer arithmetic (exact in every engine); one hash aggregate whose
     key cardinality is ``n_buckets``, so partial aggregation collapses it
-    map-side."""
+    map-side.  NULL sizes are excluded — ``least(NULL, hi)`` would
+    otherwise silently file unknown-length docs under the overflow
+    bucket."""
     bucket = F.least(
         F.floor(F.col(size_col) / F.lit(bucket_width)), F.lit(n_buckets - 1)
     ).cast("int")
-    return df.groupBy(bucket.alias("bucket")).agg(
+    return df.where(F.col(size_col).isNotNull()).groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min(size_col).cast("bigint").alias("min_size"),
         F.max(size_col).cast("bigint").alias("max_size"),

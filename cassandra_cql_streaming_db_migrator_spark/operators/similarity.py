@@ -671,7 +671,10 @@ def label_centroid_stats(
     """
     import pandas as pd
 
-    valid = df.where(F.col(vec_col).isNotNull())
+    # NULL and empty vectors are excluded (degenerate members); dimensions
+    # are expected uniform within a label — the embedding-corpus contract —
+    # and ragged input fails fast in the kernel's np.stack
+    valid = df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
     dims = valid.select(
         F.col(label_col), F.posexplode(F.col(vec_col)).alias("__pos", "__val")
     )

@@ -152,6 +152,8 @@ def repetition_signals(
     shuffle every token instance at 100 TB.  Fractions round via
     ``floor(x * 1e6 + 0.5) / 1e6`` — floor is the same exact IEEE op in
     Python, Catalyst and DuckDB, while ``round()`` semantics differ.
+    NULL-text documents are dropped, matching the explode semantics of the
+    Catalyst twin and the SQL oracle.
     """
     import pandas as pd
 
@@ -174,7 +176,7 @@ def repetition_signals(
                 "dup_bigram_frac": [],
             }
             for text in pdf[text_col]:
-                toks = ("" if text is None else text).split(" ")
+                toks = text.split(" ")
                 n = len(toks)
                 wc = Counter(toks)
                 top_w = max(wc.values())
@@ -198,7 +200,11 @@ def repetition_signals(
                     out["dup_bigram_frac"].append(0.0)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+    return (
+        df.select(id_col, text_col)
+        .where(F.col(text_col).isNotNull())
+        .mapInPandas(kernel, schema=schema)
+    )
 
 
 def repetition_signals_catalyst(
@@ -309,7 +315,10 @@ def doc_trigram_counts(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 t = "" if text is None else text
                 b = t.encode("utf-8")
-                if len(b) == len(t):
+                # the numpy 'S3' view drops trailing NUL bytes, so any
+                # text containing \x00 (binary spill — what trigram_lm
+                # exists to flag) must take the exact slow path
+                if len(b) == len(t) and b"\x00" not in b:
                     if len(b) < 3:
                         continue
                     arr = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
@@ -371,8 +380,11 @@ def trigram_lm_score(
     The score is an arithmetic mean of probabilities (not log-perplexity):
     rank-equivalent for filtering, and every per-instance probability is a
     single exact-integer division, so the oracle comparison stays
-    bit-deterministic (no libm log).  Mean = decimal-cast sum / count, the
-    repo-wide summation discipline.
+    bit-deterministic (no libm log).  The cross-row sum floor-quantizes
+    each addend to an integer at 1e-10 resolution before a DECIMAL(38,0)
+    sum: ``cnt * p`` is a dyadic double whenever the prefix count is a
+    power of two, and fractional decimal casts of dyadics hit half-way
+    ties that engines round differently (see queries/__init__).
 
     Plan shape at scale: per-doc trigram counts are a narrow kernel; the
     model tables are character-vocabulary-bounded (``|charset|^3``) however
@@ -401,14 +413,17 @@ def trigram_lm_score(
         .agg(
             F.sum("__cnt").cast("bigint").alias("n_trigrams"),
             F.sum(
-                (F.col("__cnt").cast("double") * F.col("__p")).cast("decimal(28,10)")
+                F.floor(
+                    (F.col("__cnt").cast("double") * F.col("__p")) * F.lit(1e10)
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)")
             ).alias("__psum"),
         )
         .select(
             F.col(id_col),
             F.col("n_trigrams"),
             F.round(
-                F.col("__psum").cast("double") / F.col("n_trigrams"), 6
+                F.col("__psum").cast("double") / F.col("n_trigrams") / F.lit(1e10), 6
             ).alias("mean_tri_prob"),
         )
     )

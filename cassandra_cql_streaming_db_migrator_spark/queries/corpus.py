@@ -293,7 +293,7 @@ SELECT CAST(least(floor(n_chars / 100), 19) AS INTEGER) AS bucket,
        CAST(min(n_chars) AS BIGINT) AS min_size,
        CAST(max(n_chars) AS BIGINT) AS max_size,
        CAST(sum(n_chars) AS BIGINT) AS sum_size
-FROM documents GROUP BY 1
+FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
 """
 
 

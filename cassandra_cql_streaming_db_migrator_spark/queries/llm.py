@@ -746,7 +746,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMBEDDING_CENTROIDS_SQL = """
 WITH v AS (
   SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
 ),
 dims AS (
   SELECT label,
@@ -808,8 +808,9 @@ model AS (SELECT tri, CAST(c3 AS DOUBLE) / c2 AS p
           FROM c3 JOIN c2 ON substr(c3.tri, 1, 2) = c2.pre),
 s AS (SELECT i.doc_id, i.cnt, m.p FROM inst i JOIN model m USING (tri))
 SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
-       round(CAST(sum(CAST(CAST(cnt AS DOUBLE) * p AS DECIMAL(28,10))) AS DOUBLE)
-             / CAST(sum(cnt) AS BIGINT), 6) AS mean_tri_prob
+       round(CAST(sum(CAST(floor((CAST(cnt AS DOUBLE) * p) * 1e10 + 0.5)
+                          AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(sum(cnt) AS BIGINT) / 1e10, 6) AS mean_tri_prob
 FROM s GROUP BY doc_id
 """
 

@@ -454,3 +454,63 @@ class TestConnectedComponents:
         df = spark.sql("SELECT * FROM VALUES (1,2),(2,3),(3,4) AS t(doc_id_1, doc_id_2)")
         with pytest.raises(RuntimeError, match="no convergence"):
             connected_components(df, "doc_id_1", "doc_id_2", max_iter=1)
+
+
+class TestReviewRegressions2:
+    """Round-2 late review findings: NULL/degenerate-input parity between
+    kernels, Catalyst twins, and the SQL oracles."""
+
+    def test_repetition_null_text_dropped_like_twin(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+            repetition_signals,
+            repetition_signals_catalyst,
+        )
+
+        df = spark.sql(
+            "SELECT * FROM VALUES (1, 'a b a'), (2, CAST(NULL AS STRING)) "
+            "AS t(doc_id, text)"
+        )
+        fast = {tuple(r) for r in repetition_signals(df).collect()}
+        slow = {tuple(r) for r in repetition_signals_catalyst(df).collect()}
+        assert fast == slow
+        assert {r[0] for r in fast} == {1}
+
+    def test_trigram_kernel_nul_bytes_take_exact_path(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+            doc_trigram_counts,
+        )
+
+        df = spark.sql(
+            "SELECT 1 AS doc_id, concat('ab', chr(0), 'ab') AS text"
+        )
+        got = {r["__tri"]: r["__cnt"] for r in doc_trigram_counts(df).collect()}
+        # trigrams of 'ab\x00ab': 'ab\x00', 'b\x00a', '\x00ab' — NULs intact
+        assert got == {"ab\x00": 1, "b\x00a": 1, "\x00ab": 1}
+
+    def test_centroids_empty_vector_excluded(self, spark):
+        from pyspark.sql import types as T
+        from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+            label_centroid_stats,
+        )
+
+        schema = T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ])
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0), (2, [], 0), (3, [0.0, 1.0], 0)], schema
+        )
+        r = label_centroid_stats(df).collect()[0]
+        assert r["n_vecs"] == 2
+
+    def test_length_histogram_null_sizes_excluded(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            length_histogram,
+        )
+
+        df = spark.sql(
+            "SELECT * FROM VALUES (50), (CAST(NULL AS BIGINT)) AS t(n_chars)"
+        )
+        rows = {r["bucket"]: r["n_docs"] for r in length_histogram(df).collect()}
+        assert rows == {0: 1}  # NULL neither in bucket 19 nor anywhere else
