@@ -361,9 +361,11 @@ def length_histogram(
     key cardinality is ``n_buckets``, so partial aggregation collapses it
     map-side.  NULL sizes are excluded — ``least(NULL, hi)`` would
     otherwise silently file unknown-length docs under the overflow
-    bucket."""
+    bucket — and negative (corrupt) sizes clamp to bucket 0, keeping the
+    documented ``[0, n_buckets)`` key range."""
     bucket = F.least(
-        F.floor(F.col(size_col) / F.lit(bucket_width)), F.lit(n_buckets - 1)
+        F.greatest(F.floor(F.col(size_col) / F.lit(bucket_width)), F.lit(0)),
+        F.lit(n_buckets - 1),
     ).cast("int")
     return df.where(F.col(size_col).isNotNull()).groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_docs"),

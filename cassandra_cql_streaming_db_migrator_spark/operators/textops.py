@@ -126,17 +126,6 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return df.select(F.col(id_col), poly_hash(F.col(text_col)).alias("fingerprint"))
 
 
-def _word_bigrams(text_col: str) -> Column:
-    """Adjacent word pairs as strings, built by zipping the token array with
-    itself shifted by one — a single codegen'd Generate, no per-doc window
-    shuffle."""
-    toks = F.split(F.col(text_col), " ")
-    n = F.greatest(F.size(toks) - 1, F.lit(0))
-    return F.arrays_zip(
-        F.slice(toks, 1, n).alias("w1"), F.slice(toks, 2, n).alias("w2")
-    )
-
-
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -226,9 +215,11 @@ def repetition_signals_catalyst(
         F.sum("__c").cast("bigint").alias("n_tokens"),
         F.max("__c").alias("__top_w"),
     )
+    from .corpus import word_ngrams
+
     bigrams = df.select(
-        F.col(id_col), F.explode(_word_bigrams(text_col)).alias("__p")
-    ).select(F.col(id_col), F.concat_ws(" ", "__p.w1", "__p.w2").alias("__bg"))
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("__bg")
+    )
     bc = bigrams.groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("__c"))
     bstats = bc.groupBy(id_col).agg(
         F.sum("__c").alias("__n_bg"),
@@ -447,7 +438,9 @@ def tfidf_top_terms(
     row_number window per document.  Only genuinely cross-document steps
     shuffle.
     """
-    tf = term_frequencies(df, text_col=text_col, id_col=id_col)
+    # tf feeds two plan branches (the dfreq aggregate and the tf<->df join)
+    # — persist so the Arrow term-counting kernel runs once per action
+    tf = term_frequencies(df, text_col=text_col, id_col=id_col).persist()
     dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))  # 1 row, broadcast
     scored = (

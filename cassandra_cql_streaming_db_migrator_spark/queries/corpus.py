@@ -288,7 +288,7 @@ def length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LENGTH_HISTOGRAM_SQL = """
-SELECT CAST(least(floor(n_chars / 100), 19) AS INTEGER) AS bucket,
+SELECT CAST(least(greatest(floor(n_chars / 100), 0), 19) AS INTEGER) AS bucket,
        count(*) AS n_docs,
        CAST(min(n_chars) AS BIGINT) AS min_size,
        CAST(max(n_chars) AS BIGINT) AS max_size,

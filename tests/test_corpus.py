@@ -514,3 +514,12 @@ class TestReviewRegressions2:
         )
         rows = {r["bucket"]: r["n_docs"] for r in length_histogram(df).collect()}
         assert rows == {0: 1}  # NULL neither in bucket 19 nor anywhere else
+
+    def test_length_histogram_negative_sizes_clamp_to_bucket_zero(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            length_histogram,
+        )
+
+        df = spark.sql("SELECT * FROM VALUES (-50), (250) AS t(n_chars)")
+        rows = {r["bucket"]: r["n_docs"] for r in length_histogram(df).collect()}
+        assert rows == {0: 1, 2: 1}  # no bucket ids below 0
