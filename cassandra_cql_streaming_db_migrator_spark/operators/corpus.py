@@ -373,3 +373,52 @@ def length_histogram(
         F.max(size_col).cast("bigint").alias("max_size"),
         F.sum(size_col).cast("bigint").alias("sum_size"),
     )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "#sample",
+) -> DataFrame:
+    """Deterministic ``k``-per-stratum sample: rank rows within each stratum
+    by a salted polynomial hash of the id (id as tiebreaker — a total order)
+    and keep the first ``k``.  The distributed analog of per-stratum
+    reservoir sampling, but reproducible across runs, engines, and cluster
+    sizes: no RNG state, no ordering dependence, and changing ``salt`` draws
+    an independent sample.
+
+    Plan shape at scale: one shuffle on the stratum key, then a per-stratum
+    window sort.  The sort is spill-safe and AQE splits skewed strata; rows
+    beyond rank ``k`` are discarded by the immediately following filter, so
+    nothing past the window materializes downstream.
+    """
+    h = poly_hash(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn(
+        "sample_rank", F.row_number().over(w).cast("int")
+    ).where(F.col("sample_rank") <= F.lit(k))
+
+
+def leakage_between(
+    probe: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_len: int = 8,
+) -> DataFrame:
+    """Docs in ``probe`` sharing at least one word ``ngram_len``-gram with
+    ``reference`` — the train/test *split-leakage* sweep.  Same contract as
+    :func:`decontaminate`, but both sides are corpus-scale (a training split
+    is not a tiny eval suite), so the distinct reference key set
+    shuffle-joins on the 61-bit gram key instead of broadcasting; partial
+    aggregation collapses the distinct map-side before the exchange."""
+    probe_keys = _gram_key_frame(probe, text_col, id_col, ngram_len)
+    ref_keys = (
+        _gram_key_frame(reference, text_col, id_col, ngram_len)
+        .select("gram_key")
+        .distinct()
+    )
+    hits = probe_keys.join(ref_keys, "gram_key")
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_ngrams"))

@@ -22,7 +22,7 @@ Scale design (100 TB of documents):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -389,4 +389,39 @@ def connected_components(
         F.col("node").alias(id_col),
         F.col("label").alias("component_id"),
         F.col("comp_size"),
+    )
+
+
+def canonical_per_component(
+    components: DataFrame,
+    docs: DataFrame,
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick the document to KEEP from each near-duplicate component: the one
+    with the largest ``order_col`` (id ascending as tiebreaker) — the
+    curation convention that retains the most complete variant rather than
+    an arbitrary min-id member.  Everything else in the component is the
+    removal list.
+
+    Plan shape at scale: ``components`` holds only near-duplicate members (a
+    small fraction of the corpus), so the join against the doc attributes is
+    a semi-join-sized exchange, and the per-component window sorts groups of
+    ``comp_size`` rows — bounded by the dedup clustering itself.
+    """
+    joined = components.join(
+        docs.select(F.col(id_col), F.col(order_col)), id_col
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            F.col("component_id"),
+            F.col("comp_size"),
+            F.col(id_col).alias("canonical_id"),
+            F.col(order_col).cast("bigint").alias("canonical_size"),
+        )
     )

@@ -22,6 +22,7 @@ from ..operators.corpus import (
     IPV4_PATTERN,
     decontaminate,
     domain_mix_keep,
+    leakage_between,
     length_histogram,
     mixture_weights,
     normalize_text,
@@ -29,6 +30,7 @@ from ..operators.corpus import (
     quality_keep,
     quality_metrics,
     redact_pii,
+    sample_per_group,
     split_column,
 )
 from ..operators.textops import BPE_TOKEN_PATTERN
@@ -297,6 +299,75 @@ FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic per-stratum sampling and train/test split-leakage.
+
+_SAMPLE_K = 25
+_LEAK_NGRAM_LEN = 5
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_per_group(docs, ["source"], _SAMPLE_K).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    ph = poly_hash_sql("CAST(doc_id AS VARCHAR) || '#sample'")
+    return f"""
+WITH h AS (SELECT doc_id, source, {ph} AS hv FROM documents),
+r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+              AS INTEGER) AS sample_rank
+  FROM h
+)
+SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= {_SAMPLE_K}
+"""
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "split", split_column(F.col("doc_id"))
+    )
+    return leakage_between(
+        docs.where(F.col("split") == "test"),
+        docs.where(F.col("split") == "train"),
+        ngram_len=_LEAK_NGRAM_LEN,
+    )
+
+
+def _split_leakage_sql() -> str:
+    ph = poly_hash_sql("CAST(doc_id AS VARCHAR)")
+    n = _LEAK_NGRAM_LEN
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN {ph} % 100 < 80 THEN 'train'
+              WHEN {ph} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+w AS (SELECT doc_id, split, string_split(text, ' ') AS ws FROM s),
+g AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(
+             range(len(ws) - {n - 1}),
+             i -> array_to_string(
+                    array_slice(ws, CAST(i + 1 AS INTEGER),
+                                CAST(i + {n} AS INTEGER)), ' ')
+         ))) AS gram
+  FROM w WHERE len(ws) >= {n}
+),
+b AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+c AS (SELECT doc_id, gram FROM g WHERE split = 'test')
+SELECT c.doc_id, count(*) AS n_shared_ngrams
+FROM c JOIN b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
 QUERIES = [
     QueryDef(
         "decontaminate",
@@ -339,5 +410,17 @@ QUERIES = [
         length_histogram_q,
         _LENGTH_HISTOGRAM_SQL,
         "corpus length profile: fixed-width histogram with overflow bucket",
+    ),
+    QueryDef(
+        "stratified_sample",
+        stratified_sample,
+        _stratified_sample_sql(),
+        "deterministic k-per-stratum sample by salted id hash",
+    ),
+    QueryDef(
+        "split_leakage",
+        split_leakage,
+        _split_leakage_sql(),
+        "train/test split n-gram leakage sweep (shuffle-joined gram keys)",
     ),
 ]
