@@ -45,9 +45,13 @@ def _as_stream_dir(path: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a bounded file stream.  Schema comes from a
-    batch probe (streams need explicit schemas); the TIMESTAMP(NANOS)
-    column arrives as long and is truncated to micros exactly like the
-    batch reader (sources.parquet.load_table)."""
+    batch probe (streams need explicit schemas).  The fixture's ts column
+    has shipped as TIMESTAMP(NANOS) (arrives as long under nanosAsLong)
+    and as TIMESTAMP(MICROS) without UTC adjustment (arrives as
+    TIMESTAMP_NTZ); normalize either to TIMESTAMP_LTZ because event-time
+    watermarks require it (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  The
+    session timezone is pinned to UTC (session.py), so the NTZ->LTZ cast
+    preserves wall-clock values exactly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -55,6 +59,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, dtype in stream.dtypes:
         if name == "ts" and dtype == "bigint":
             stream = stream.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        elif name == "ts" and dtype == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
