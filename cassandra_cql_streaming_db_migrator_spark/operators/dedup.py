@@ -354,27 +354,36 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Round 0 folded into initialization: label(v) = min(v, neighbors(v)).
+    # The symmetric edge list contains every node on the `a` side, so one
+    # aggregation both enumerates the node set and applies the first
+    # propagation — two fewer driver-loop jobs than init-to-self + round.
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__mb"))
+        .select("node", F.least(F.col("node"), F.col("__mb")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = edges.join(labels, edges["b"] == labels["node"]).select(
             edges["a"].alias("node"), F.col("label")
         )
+        # Lazy checkpoint: the convergence check below is the materializing
+        # action, so each round runs ONE job, not a checkpoint job + a
+        # count job.  Subsequent rounds read the materialized blocks.
         new_labels = (
             labels.unionByName(nbr_min)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # Full count (no limit-1 short-circuit): every partition of
+        # new_labels must compute so the lazy checkpoint materializes
+        # completely before the next round reads it.
         changed = (
             new_labels.withColumnRenamed("label", "new")
             .join(labels, "node")
             .where(F.col("new") != F.col("label"))
-            .limit(1)
             .count()
         )
         labels = new_labels
