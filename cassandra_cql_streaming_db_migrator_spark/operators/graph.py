@@ -1,0 +1,133 @@
+"""Iterative graph analytics on DataFrames: fixed-point PageRank.
+
+Companion to ``operators.dedup.connected_components`` (the other iterative
+operator): where CC propagates min-labels to convergence, PageRank runs a
+FIXED number of damped power-iteration rounds — the shape of any
+importance/centrality score over an entity graph extracted from relational
+data (here: the customer<->supplier trade graph implied by orders x
+lineitem).
+
+Determinism across engines is the hard part: textbook PageRank sums floats,
+and float sums are partitioning-order-dependent.  This implementation is
+exact integer arithmetic end to end:
+
+  * ranks are fixed-point integers at SCALE = 10^12 (total mass ~= SCALE);
+  * a node's per-edge contribution is ``rank DIV outdeg`` (integer floor
+    division — identical in Spark's DIV and DuckDB's //);
+  * damping 0.85 is applied as ``(85 * s) DIV 100`` — integer, exact;
+  * sums of contributions are int64 (bounded by total mass ~1e12, and
+    85 * 1e12 << 2^63), and integer addition is associative — the result is
+    bit-identical on ANY partitioning and any engine.
+
+Floor division leaks a little mass per round (< outdeg + 1 units of 1e-12
+per node) — irrelevant for ranking and a price worth paying for a
+cross-engine-hashable iterative algorithm.
+
+Scale shape per round: one shuffle join (edges x ranks on src) + one
+aggregate by dst — the minimum for message passing.  The edge list is
+hash-partitioned once and reused; with few fixed rounds the unrolled plan
+stays shallow (for tens of rounds, localCheckpoint per round like
+connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000  # 10^12 fixed-point units of rank mass
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Damped PageRank over a directed edge list, ``iterations`` rounds of
+    exact fixed-point arithmetic.  Every node must have outdegree >= 1
+    (callers with dangling nodes should symmetrize or add self-loops —
+    the trade-graph caller symmetrizes).  Returns ``node, rank_fp`` with
+    rank_fp in units of 1/PR_SCALE.
+    """
+    # Iterative-lineage discipline (same as connected_components): each
+    # round references `ranks` twice (message source + degree carry), so an
+    # unrolled plan DOUBLES the ranks subtree per iteration — 3 rounds of
+    # that measured 80 shuffles in the physical plan.  localCheckpoint the
+    # edge list once and the ranks each round: every round's plan is then
+    # one join + one aggregate over materialized blocks.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("__n"))
+    # metadata-scale broadcast: one row (node count) rides to every task
+    ranks = (
+        deg.crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("src").alias("node"),
+            "outdeg",
+            F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV __n").alias("rank_fp"),
+            F.col("__n"),
+        )
+        .localCheckpoint()
+    )
+    base = F.expr(
+        f"CAST({100 - damping_pct} AS BIGINT) * (CAST({PR_SCALE} AS BIGINT) DIV __n) DIV 100"
+    )
+    for _ in range(iterations):
+        msgs = e.join(ranks, e["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_fp DIV outdeg").alias("contrib"),
+        )
+        # every node receives messages (callers guarantee in-edges via
+        # symmetrization), so an inner join back onto the degree table is
+        # total — no coalesce-to-base needed
+        sums = msgs.groupBy("node").agg(F.sum("contrib").alias("__s"))
+        ranks = (
+            ranks.drop("rank_fp")
+            .join(sums, "node")
+            .select(
+                "node",
+                "outdeg",
+                (base + F.expr(f"CAST({damping_pct} AS BIGINT) * __s DIV 100")).alias(
+                    "rank_fp"
+                ),
+                "__n",
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", "rank_fp")
+
+
+def pagerank_sql(
+    edges_cte: str, iterations: int = 3, damping_pct: int = 85
+) -> str:
+    """The identical fixed-point iteration, unrolled as DuckDB CTEs.
+    ``edges_cte`` must define relation ``e(src, dst)``."""
+    steps = [
+        f"""deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+n AS (SELECT count(*) AS nn FROM deg),
+r0 AS (SELECT src AS node, outdeg,
+              CAST({PR_SCALE} AS BIGINT) // nn AS rank_fp, nn
+       FROM deg, n)"""
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT d.src AS node, d.outdeg,
+         CAST({100 - damping_pct} AS BIGINT) * (CAST({PR_SCALE} AS BIGINT) // s.nn) // 100
+           + CAST({damping_pct} AS BIGINT) * s.s // 100 AS rank_fp,
+         s.nn
+  FROM deg d JOIN (
+    SELECT e.dst AS node, sum(r.rank_fp // r.outdeg) AS s, max(r.nn) AS nn
+    FROM e JOIN {prev} r ON e.src = r.node
+    GROUP BY e.dst
+  ) s ON d.src = s.node)"""
+        )
+        prev = f"r{i}"
+    return (
+        f"WITH {edges_cte},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT node, rank_fp FROM {prev}"
+    )

@@ -1,0 +1,113 @@
+"""Distinct-count sketches (KMV) — approximate analytics the reference's
+single-pass migrator shape cannot express (its only aggregate is the counter
+merge, DefaultMigratorPlugin.java:309-311); first-class here because corpus
+governance at 100 TB needs cardinality estimates without a full distinct.
+
+Why KMV (k-minimum-values) and not HyperLogLog: engine built-ins
+(``approx_count_distinct``, DuckDB's HLL) are implementation-defined and can
+never hash-match across engines.  KMV with an explicit affine hash is fully
+deterministic: the estimate is a pure function of the k smallest hash values,
+so the Spark plan and the ANSI-SQL oracle agree bit-for-bit while still being
+a genuine sublinear-memory sketch (state per group = k int64s, vs the full
+key set for exact distinct).
+
+Scale shape: one distinct on (group, key) — the same shuffle exact distinct
+would pay — then a per-group top-k window over the *distinct* keys.  The win
+at 100 TB is the output/state side: a group with 10^9 distinct keys carries
+64 values, not 10^9, into the final aggregate, and the sketch is mergeable
+(union of k-min sets -> k-min of union), which is what lets per-partition /
+per-day sketches roll up without re-scanning the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_P
+
+# Frozen affine-hash parameters (same family as MINHASH_PERMS; a < 2^31 so
+# a*key stays under 2^62 for key < 2^31).  key -> (a*key + b) mod (2^31-1)
+# is a bijection on [0, 2^31-1), so hashing distinct keys yields distinct
+# hashes — the k-th minimum is collision-free by construction.
+KMV_A = 1103515245
+KMV_B = 12345
+
+
+def kmv_hash(col) -> "F.Column":
+    """Affine int64 hash to (0, 1]-normalizable range [0, MINHASH_P)."""
+    return (F.col(col).cast("long") * F.lit(KMV_A) + F.lit(KMV_B)) % F.lit(MINHASH_P)
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group distinct-count estimate from the k minimum hash values.
+
+    Estimator: with u_k = (k-th smallest hash)/P the k-th order statistic of
+    uniform draws, D ≈ (k-1)/u_k.  Groups with fewer than k distinct keys
+    are exact (the sketch saw every key).  Emits the exact count too so the
+    estimate's error is inspectable; both are deterministic cross-engine
+    (integer hash; one double division per group).
+    """
+    distinct = (
+        df.select(group_col, key_col)
+        .distinct()
+        .withColumn("__h", kmv_hash(key_col))
+    )
+    w_topk = Window.partitionBy(group_col).orderBy("__h")
+    w_all = Window.partitionBy(group_col)
+    ranked = distinct.withColumn("__rn", F.row_number().over(w_topk)).withColumn(
+        "__exact", F.count(F.lit(1)).over(w_all)
+    )
+    return (
+        ranked.where(F.col("__rn") <= k)
+        .groupBy(group_col)
+        .agg(
+            F.max("__exact").alias("exact_distinct"),
+            F.count(F.lit(1)).alias("__n_min"),
+            F.max("__h").alias("__kth"),
+        )
+        .select(
+            group_col,
+            "exact_distinct",
+            F.when(F.col("__n_min") < k, F.col("__n_min").cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(float(k - 1)) / (F.col("__kth").cast("double") / F.lit(float(MINHASH_P))),
+                    4,
+                )
+            )
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_distinct_sql(
+    table: str, group_col: str, key_col: str, k: int = 64
+) -> str:
+    """The identical estimator as DuckDB SQL (oracle twin)."""
+    return f"""
+WITH d AS (
+  SELECT DISTINCT {group_col}, {key_col} FROM {table}
+),
+h AS (
+  SELECT {group_col},
+         (CAST({key_col} AS BIGINT) * {KMV_A} + {KMV_B}) % {MINHASH_P} AS hh
+  FROM d
+),
+r AS (
+  SELECT {group_col}, hh,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY hh) AS rn,
+         count(*) OVER (PARTITION BY {group_col}) AS exact_cnt
+  FROM h
+)
+SELECT {group_col},
+       max(exact_cnt) AS exact_distinct,
+       CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+            ELSE round({float(k - 1)} / (CAST(max(hh) AS DOUBLE) / {float(MINHASH_P)}), 4)
+       END AS est_distinct
+FROM r
+WHERE rn <= {k}
+GROUP BY {group_col}
+"""

@@ -1,0 +1,97 @@
+"""Temporal / CDC table construction (SCD type-2 history).
+
+The reference migrates *current-state* tables (one row per PK,
+MigrateTableTask.java's read->transform->upsert loop).  A migration-adjacent
+capability it lacks — and the standard warehouse pattern for "what did this
+row look like on date X" — is the slowly-changing-dimension type-2 history:
+collapse an event/change feed into validity intervals per key, with each
+interval carrying the attribute value, its [valid_from, valid_to) bounds and
+an is-current flag.
+
+Shape: run-length encoding over time.  A "run" starts whenever the tracked
+attribute differs from its predecessor (lag over the per-key time order);
+the running count of run-starts is a per-key group id; one aggregate per
+(key, run) yields the interval, and valid_to is the next interval's
+valid_from (lead).  Two window passes + one aggregate over the SAME per-key
+hash partitioning — Catalyst reuses the exchange, so the whole build is one
+shuffle of the feed, which is the floor for any per-key history.
+
+Determinism: the time order carries an id tiebreaker, so equal timestamps
+produce a stable run assignment on any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_scd2(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse a change feed into SCD2 validity intervals per key.
+
+    Returns one row per (key, attribute run): ``key, attr, valid_from,
+    valid_to (NULL on the open interval), n_events, is_current``.
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    runs = (
+        df.select(key_col, ts_col, attr_col, tiebreak_col)
+        .withColumn("__prev", F.lag(attr_col).over(w))
+        .withColumn(
+            "__start",
+            F.when(
+                F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)), 1
+            ).otherwise(0),
+        )
+        .withColumn("__run", F.sum("__start").over(w))
+    )
+    # attr is constant within a run by construction; min() (not first())
+    # keeps the aggregate order-insensitive on any partitioning.
+    intervals = runs.groupBy(key_col, "__run").agg(
+        F.min(attr_col).alias(attr_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_next = Window.partitionBy(key_col).orderBy("__run")
+    return (
+        intervals.withColumn("valid_to", F.lead("valid_from").over(w_next))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key_col, attr_col, "valid_from", "valid_to", "n_events", "is_current")
+    )
+
+
+def build_scd2_sql(
+    table: str, key_col: str, ts_col: str, attr_col: str, tiebreak_col: str
+) -> str:
+    """The identical interval build as DuckDB SQL (oracle twin)."""
+    return f"""
+WITH runs AS (
+  SELECT {key_col}, {ts_col}, {attr_col}, {tiebreak_col},
+         CASE WHEN lag({attr_col}) OVER w IS NULL
+                   OR lag({attr_col}) OVER w <> {attr_col} THEN 1 ELSE 0 END AS st
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col})
+),
+grp AS (
+  SELECT *, sum(st) OVER (PARTITION BY {key_col}
+                          ORDER BY {ts_col}, {tiebreak_col}) AS run
+  FROM runs
+),
+iv AS (
+  SELECT {key_col}, run, min({attr_col}) AS {attr_col},
+         min({ts_col}) AS valid_from, count(*) AS n_events
+  FROM grp GROUP BY {key_col}, run
+)
+SELECT {key_col}, {attr_col}, valid_from,
+       lead(valid_from) OVER (PARTITION BY {key_col} ORDER BY run) AS valid_to,
+       n_events,
+       lead(valid_from) OVER (PARTITION BY {key_col} ORDER BY run) IS NULL
+         AS is_current
+FROM iv
+"""

@@ -83,14 +83,21 @@ DRIVER_ROTATED_OUT = [
     "trigram_lm",
     "embedding_centroids",
     "dedup_components",
+    # rotated in round 2 (second batch) to give the analytics family
+    # (queries/analytics.py: kmv_distinct, scd2_history, pagerank_trade)
+    # driver rows; each of these three was green in r01 and keeps a
+    # driver-checked family representative in the head
+    "simhash_fingerprint",  # dedup family keeps dedup_exact/minhash/fuzzy
+    "doc_fingerprint",      # text family keeps lang_id/token_count_bpe
+    "embedding_topk",       # similarity family keeps ivf/lsh/near_dup/pairs
 ]
 
 
 def all_queries() -> dict[str, QueryDef]:
-    from . import corpus, llm, reference, relational, streaming
+    from . import analytics, corpus, llm, reference, relational, streaming
 
     out: dict[str, QueryDef] = {}
-    for mod in (reference, relational, llm, streaming, corpus):
+    for mod in (reference, relational, llm, streaming, corpus, analytics):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")

@@ -1,0 +1,114 @@
+"""Advanced analytics queries: sketches, temporal history, graph centrality,
+deterministic sampling.
+
+These extend the migration surface with the warehouse/pipeline analytics a
+user of the reference would otherwise bolt on downstream (the reference has
+no aggregate beyond the counter merge, DefaultMigratorPlugin.java:309-311).
+Numeric discipline per queries/__init__: integer or fixed-point arithmetic
+wherever a sum crosses partitions, total orders on every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank_fixed_point, pagerank_sql
+from ..operators.sketches import kmv_distinct, kmv_distinct_sql
+from ..operators.temporal import build_scd2, build_scd2_sql
+from ..sources.parquet import load_table
+from . import QueryDef
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch: distinct customers per order priority, estimated from
+# 64 minimum hash values next to the exact count.
+
+
+def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
+
+
+_KMV_SQL = kmv_distinct_sql("orders", "o_orderpriority", "o_custkey", k=64)
+
+# ---------------------------------------------------------------------------
+# SCD2 history: collapse the event feed into per-user validity intervals of
+# the event_type attribute (run-length encoding over event time).
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return build_scd2(
+        events, key_col="user_id", ts_col="ts", attr_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
+_SCD2_SQL = build_scd2_sql("events", "user_id", "ts", "event_type", "event_id")
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer<->supplier trade graph (orders x lineitem,
+# symmetrized so every node has out- and in-edges).  Node encoding keeps the
+# two key spaces disjoint: customer c -> 2c, supplier s -> 2s+1.
+
+
+def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iterations=3)
+    return (
+        pr.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_kind"),
+            F.expr("node DIV 2").alias("entity_key"),
+            "rank_fp",
+        )
+        .orderBy(F.col("rank_fp").desc(), F.col("entity_key").asc(), "node_kind")
+        .limit(20)
+    )
+
+
+_PAGERANK_EDGES_CTE = """raw AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT c AS src, s AS dst FROM raw
+  UNION ALL
+  SELECT s AS src, c AS dst FROM raw
+)"""
+
+_PAGERANK_SQL = f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_kind,
+       node // 2 AS entity_key, rank_fp
+FROM ({pagerank_sql(_PAGERANK_EDGES_CTE, iterations=3)})
+ORDER BY rank_fp DESC, entity_key ASC, node_kind
+LIMIT 20
+"""
+
+QUERIES = [
+    QueryDef(
+        "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
+        "KMV k-minimum-values distinct-count sketch (deterministic, mergeable)",
+    ),
+    QueryDef(
+        "scd2_history", scd2_history, _SCD2_SQL,
+        "SCD type-2 validity intervals from a change feed (one shuffle)",
+    ),
+    QueryDef(
+        "pagerank_trade", pagerank_trade, _PAGERANK_SQL,
+        "fixed-point PageRank over the trade graph (exact integer iteration)",
+    ),
+]

@@ -1,0 +1,183 @@
+"""Unit tests for the analytics operators: KMV sketch, SCD2 history,
+fixed-point PageRank (queries/analytics.py pairs them with SQL oracles;
+these tests check the operator-level contracts directly)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cassandra_cql_streaming_db_migrator_spark.functions.hashing import MINHASH_P
+from cassandra_cql_streaming_db_migrator_spark.operators.graph import (
+    PR_SCALE,
+    pagerank_fixed_point,
+)
+from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+    KMV_A,
+    KMV_B,
+    kmv_distinct,
+)
+from cassandra_cql_streaming_db_migrator_spark.operators.temporal import build_scd2
+
+
+# ---------------------------------------------------------------------------
+# KMV
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", k=i % 10) for i in range(100)]
+    )
+    out = kmv_distinct(df, "g", "k", k=64).collect()
+    assert len(out) == 1
+    assert out[0].exact_distinct == 10
+    # fewer than k distinct keys -> the sketch saw them all, estimate exact
+    assert out[0].est_distinct == 10.0
+
+
+def test_kmv_estimate_above_k(spark):
+    n = 5000
+    df = spark.createDataFrame([Row(g="a", k=i) for i in range(n)])
+    out = kmv_distinct(df, "g", "k", k=64).collect()[0]
+    assert out.exact_distinct == n
+    # KMV with k=64 has ~1/sqrt(62) ~= 13% std error; allow 4 sigma
+    assert out.est_distinct == pytest.approx(n, rel=0.5)
+    assert out.est_distinct != n  # genuinely estimated, not exact-counted
+
+
+def test_kmv_partitioning_invariant(spark):
+    df = spark.createDataFrame([Row(g=str(i % 3), k=i * 7 % 997) for i in range(3000)])
+    a = {r.g: r.est_distinct for r in kmv_distinct(df, "g", "k").collect()}
+    b = {
+        r.g: r.est_distinct
+        for r in kmv_distinct(df.repartition(7, "k"), "g", "k").collect()
+    }
+    assert a == b
+
+
+def test_kmv_mergeability_property():
+    """Union of k-min sets -> k-min of union: the sketch of a union equals
+    the merge of the sketches (what makes per-partition rollup sound)."""
+    k = 8
+    keys_a = list(range(0, 500, 3))
+    keys_b = list(range(1, 500, 7))
+    h = lambda x: (KMV_A * x + KMV_B) % MINHASH_P
+    mins = lambda ks: sorted({h(x) for x in ks})[:k]
+    merged = sorted(set(mins(keys_a)) | set(mins(keys_b)))[:k]
+    direct = mins(set(keys_a) | set(keys_b))
+    assert merged == direct
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+
+
+def test_scd2_runs_and_intervals(spark):
+    rows = [
+        # user 1: A A B A -> three intervals
+        Row(uid=1, ts=1, attr="A", eid=1),
+        Row(uid=1, ts=2, attr="A", eid=2),
+        Row(uid=1, ts=3, attr="B", eid=3),
+        Row(uid=1, ts=4, attr="A", eid=4),
+        # user 2: single run
+        Row(uid=2, ts=1, attr="X", eid=5),
+        Row(uid=2, ts=9, attr="X", eid=6),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.uid, r.valid_from): r
+        for r in build_scd2(df, "uid", "ts", "attr", "eid").collect()
+    }
+    assert len(out) == 4
+    r1 = out[(1, 1)]
+    assert (r1.attr, r1.valid_to, r1.n_events, r1.is_current) == ("A", 3, 2, False)
+    r2 = out[(1, 3)]
+    assert (r2.attr, r2.valid_to, r2.is_current) == ("B", 4, False)
+    r3 = out[(1, 4)]
+    assert (r3.attr, r3.valid_to, r3.is_current) == ("A", None, True)
+    r4 = out[(2, 1)]
+    assert (r4.n_events, r4.is_current) == (2, True)
+
+
+def test_scd2_equal_ts_tiebreak(spark):
+    # same timestamp: the tiebreak column orders the runs deterministically
+    rows = [
+        Row(uid=1, ts=5, attr="B", eid=2),
+        Row(uid=1, ts=5, attr="A", eid=1),
+    ]
+    out = sorted(
+        build_scd2(spark.createDataFrame(rows), "uid", "ts", "attr", "eid").collect(),
+        key=lambda r: not r.is_current,
+    )
+    # eid=1 (A) comes first, so B is the current interval
+    assert out[0].attr == "B" and out[0].is_current
+    assert out[1].attr == "A" and not out[1].is_current
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """The whole history build must reuse one hash partitioning on the key:
+    exactly one (non-broadcast) exchange in the physical plan."""
+    from cassandra_cql_streaming_db_migrator_spark.sources.parquet import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    plan = (
+        build_scd2(events, "user_id", "ts", "event_type", "event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+
+
+def _pr_dict(spark, edge_list, iterations=3):
+    e = spark.createDataFrame([Row(src=a, dst=b) for a, b in edge_list])
+    return {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(e, iterations=iterations).collect()
+    }
+
+
+def test_pagerank_symmetric_pair(spark):
+    # two nodes, one symmetric edge: ranks stay equal at mass/2 (minus
+    # floor-division dust), every iteration
+    ranks = _pr_dict(spark, [(1, 2), (2, 1)])
+    assert ranks[1] == ranks[2]
+    assert ranks[1] == pytest.approx(PR_SCALE / 2, rel=1e-9)
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # star graph (symmetrized): the hub collects mass from every leaf
+    edges = []
+    for leaf in range(2, 7):
+        edges += [(1, leaf), (leaf, 1)]
+    ranks = _pr_dict(spark, edges)
+    assert all(ranks[1] > ranks[leaf] for leaf in range(2, 7))
+    leaf_ranks = {ranks[leaf] for leaf in range(2, 7)}
+    assert len(leaf_ranks) == 1  # symmetry preserved exactly
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = [(i, (i * 3) % 11 + 100) for i in range(50)]
+    sym = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame([Row(src=a, dst=b) for a, b in sym])
+    a = {r.node: r.rank_fp for r in pagerank_fixed_point(e).collect()}
+    b = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(e.repartition(13, "dst")).collect()
+    }
+    assert a == b  # exact integer arithmetic: bit-identical on any layout
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    ranks = _pr_dict(spark, [(1, 2), (2, 1), (2, 3), (3, 2)])
+    total = sum(ranks.values())
+    # floor division can only LOSE mass, and at most a few units per
+    # node-round — never create it
+    assert total <= PR_SCALE
+    assert total == pytest.approx(PR_SCALE, rel=1e-6)
