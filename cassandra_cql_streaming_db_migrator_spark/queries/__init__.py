@@ -84,12 +84,13 @@ DRIVER_ROTATED_OUT = [
     "embedding_centroids",
     "dedup_components",
     # rotated in round 2 (second batch) to give the analytics family
-    # (queries/analytics.py: kmv_distinct, scd2_history, pagerank_trade)
-    # driver rows; each of these three was green in r01 and keeps a
-    # driver-checked family representative in the head
+    # (queries/analytics.py: kmv_distinct, scd2_history, pagerank_trade,
+    # time_gap_fill) driver rows; each of these four was green in r01 and
+    # keeps a driver-checked family representative in the head
     "simhash_fingerprint",  # dedup family keeps dedup_exact/minhash/fuzzy
     "doc_fingerprint",      # text family keeps lang_id/token_count_bpe
     "embedding_topk",       # similarity family keeps ivf/lsh/near_dup/pairs
+    "token_count_bpe",      # text family keeps lang_id in the head
 ]
 
 

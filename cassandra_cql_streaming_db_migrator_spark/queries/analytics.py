@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.graph import pagerank_fixed_point, pagerank_sql
 from ..operators.sketches import kmv_distinct, kmv_distinct_sql
 from ..operators.temporal import build_scd2, build_scd2_sql
+from ..operators.timeseries import gap_fill_locf, gap_fill_locf_sql
 from ..sources.parquet import load_table
 from . import QueryDef
 
@@ -98,6 +99,24 @@ ORDER BY rank_fp DESC, entity_key ASC, node_kind
 LIMIT 20
 """
 
+# ---------------------------------------------------------------------------
+# Time-series regularization: dense 6-hour grid per user, last observation
+# carried forward into empty buckets.
+
+
+def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return gap_fill_locf(
+        events, key_col="user_id", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", step_seconds=21600,
+    )
+
+
+_GAP_FILL_SQL = gap_fill_locf_sql(
+    "events", "user_id", "ts", "value", "event_id", step_seconds=21600
+)
+
+
 QUERIES = [
     QueryDef(
         "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
@@ -110,5 +129,9 @@ QUERIES = [
     QueryDef(
         "pagerank_trade", pagerank_trade, _PAGERANK_SQL,
         "fixed-point PageRank over the trade graph (exact integer iteration)",
+    ),
+    QueryDef(
+        "time_gap_fill", time_gap_fill, _GAP_FILL_SQL,
+        "dense per-key time grid with LOCF gap filling (hypertable resample)",
     ),
 ]

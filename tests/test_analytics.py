@@ -181,3 +181,61 @@ def test_pagerank_mass_approximately_conserved(spark):
     # node-round — never create it
     assert total <= PR_SCALE
     assert total == pytest.approx(PR_SCALE, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Gap fill / LOCF
+
+
+def test_gap_fill_locf_fills_and_flags(spark):
+    from datetime import datetime
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.timeseries import (
+        gap_fill_locf,
+    )
+
+    rows = [
+        # key 1: observations in buckets 0 and 3 (1-hour step) -> 4 grid
+        # rows, buckets 1-2 are LOCF-filled gaps
+        Row(k=1, ts=datetime(2024, 1, 1, 0, 10), v=10.0, eid=1),
+        Row(k=1, ts=datetime(2024, 1, 1, 0, 50), v=11.0, eid=2),
+        Row(k=1, ts=datetime(2024, 1, 1, 3, 5), v=40.0, eid=3),
+        # key 2: single bucket
+        Row(k=2, ts=datetime(2024, 1, 1, 5, 0), v=7.0, eid=4),
+    ]
+    out = {
+        (r.k, r.bucket_ts.hour): r
+        for r in gap_fill_locf(
+            spark.createDataFrame(rows), "k", "ts", "v", "eid", step_seconds=3600
+        ).collect()
+    }
+    assert len(out) == 5
+    # bucket 0: two observations, last by (ts, eid) wins
+    assert (out[(1, 0)].value_locf, out[(1, 0)].n_obs, out[(1, 0)].is_gap) == (
+        11.0, 2, False,
+    )
+    # buckets 1, 2: gaps carrying 11.0 forward
+    for h in (1, 2):
+        assert (out[(1, h)].value_locf, out[(1, h)].n_obs, out[(1, h)].is_gap) == (
+            11.0, 0, True,
+        )
+    assert (out[(1, 3)].value_locf, out[(1, 3)].is_gap) == (40.0, False)
+    assert (out[(2, 5)].value_locf, out[(2, 5)].is_gap) == (7.0, False)
+
+
+def test_gap_fill_equal_ts_tiebreak(spark):
+    from datetime import datetime
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.timeseries import (
+        gap_fill_locf,
+    )
+
+    rows = [
+        Row(k=1, ts=datetime(2024, 1, 1, 0, 0), v=1.0, eid=2),
+        Row(k=1, ts=datetime(2024, 1, 1, 0, 0), v=2.0, eid=1),
+    ]
+    out = gap_fill_locf(
+        spark.createDataFrame(rows), "k", "ts", "v", "eid", step_seconds=3600
+    ).collect()
+    assert len(out) == 1
+    assert out[0].value_locf == 1.0  # eid=2 is the later observation
