@@ -1,0 +1,296 @@
+"""Event analytics: sessionization, funnels, cohort retention, rolling
+time-range windows.
+
+The product-analytics layer over an event feed — the batch twins of the
+streaming surface (streaming/stream.py).  ``sessionize`` in particular
+implements exactly the semantics of Spark's streaming ``session_window``
+(each event opens a [ts, ts+gap) window; overlapping windows merge; the
+session ends gap after its last event), so a pipeline can run the SAME
+sessionization logic incrementally on the live stream and in batch over
+the backfill — tests assert the two operators agree row-for-row.
+
+Scale shapes:
+  * sessionize / rolling window: one shuffle (hash partition by key), then
+    ordered within partition — the floor for per-key sequence logic.
+  * funnel: two chained window stages over the SAME per-key partitioning
+    (step-2 "after step-1" needs step-1's time first) — Catalyst reuses
+    the exchange, then one aggregate.
+  * retention: first-seen per key (aggregate) joined back to the feed —
+    the join is key-partitioned both sides; cohort matrix is
+    metadata-scale output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .aggregates import decimal_sum
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    value_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions with streaming ``session_window`` semantics:
+    a new session starts when an event arrives >= gap after the previous
+    event's time; ``session_end`` is last event time + gap.  Returns
+    ``key, session_start, session_end, n_events[, sum_value]``."""
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap = F.lit(gap_seconds)
+    breaks = (
+        df.withColumn("__prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    - F.unix_micros(F.col("__prev").cast("timestamp"))
+                    >= gap * F.lit(1_000_000)
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__sess", F.sum("__new").over(w))
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.timestamp_micros(
+            F.unix_micros(F.max(ts_col).cast("timestamp")) + gap * F.lit(1_000_000)
+        ).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(decimal_sum(value_col, "sum_value"))
+    return (
+        breaks.groupBy(key_col, "__sess")
+        .agg(*aggs)
+        .select(key_col, "session_start", "session_end", "n_events",
+                *(["sum_value"] if value_col is not None else []))
+    )
+
+
+def sessionize_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    value_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> str:
+    """The identical sessionization as DuckDB SQL (oracle twin)."""
+    tie = f", {tiebreak_col}" if tiebreak_col else ""
+    gap_us = gap_seconds * 1_000_000
+    val = (
+        f",\n       CAST(round(sum(CAST({value_col} AS DECIMAL(28,10))), 2) AS DOUBLE)"
+        " AS sum_value"
+        if value_col
+        else ""
+    )
+    return f"""
+WITH b AS (
+  SELECT {key_col}, {ts_col}, {f'{value_col},' if value_col else ''}{f'{tiebreak_col},' if tiebreak_col else ''}
+         CASE WHEN lag({ts_col}) OVER w IS NULL
+                   OR epoch_us({ts_col}) - epoch_us(lag({ts_col}) OVER w)
+                      >= {gap_us} THEN 1 ELSE 0 END AS st
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}{tie})
+),
+s AS (
+  SELECT *, sum(st) OVER (PARTITION BY {key_col} ORDER BY {ts_col}{tie}) AS sess
+  FROM b
+)
+SELECT {key_col}, min({ts_col}) AS session_start,
+       make_timestamp(CAST(epoch_us(max({ts_col})) AS BIGINT) + {gap_us})
+         AS session_end,
+       count(*) AS n_events{val}
+FROM s GROUP BY {key_col}, sess
+"""
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel: a key reaches step i when an event of ``steps[i]``
+    occurs strictly after its step-(i-1) time (first qualifying occurrence
+    counts).  Returns one row per step: ``step_idx, step_name, n_keys``
+    — n_keys monotonically non-increasing down the funnel."""
+    w = Window.partitionBy(key_col)
+    cur = df.select(key_col, ts_col, step_col)
+    prev_time = None
+    time_cols = []
+    for i, step in enumerate(steps):
+        col = f"__t{i}"
+        cond = F.col(step_col) == step
+        if prev_time is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_time))
+        cur = cur.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_time = col
+        time_cols.append(col)
+    per_key = cur.groupBy(key_col).agg(
+        *[F.min(c).alias(c) for c in time_cols]
+    )
+    counts = per_key.agg(
+        *[
+            F.count(F.col(c)).alias(f"__n{i}")
+            for i, c in enumerate(time_cols)
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(i).alias("step_idx"),
+            F.lit(step).alias("step_name"),
+            F.col(f"__n{i}").alias("n_keys"),
+        )
+        for i, step in enumerate(steps)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.step_idx", "s.step_name", "s.n_keys"
+    )
+
+
+def funnel_sql(
+    table: str, key_col: str, ts_col: str, step_col: str, steps: list[str]
+) -> str:
+    """The identical funnel as DuckDB SQL (oracle twin) — chained window
+    stages, then one aggregate, then unpivot via UNION ALL."""
+    stages = [f"SELECT {key_col}, {ts_col}, {step_col} FROM {table}"]
+    for i, step in enumerate(steps):
+        cond = f"{step_col} = '{step}'"
+        if i > 0:
+            cond += f" AND {ts_col} > t{i - 1}"
+        stages.append(
+            f"SELECT *, min(CASE WHEN {cond} THEN {ts_col} END) "
+            f"OVER (PARTITION BY {key_col}) AS t{i} FROM s{i}"
+        )
+    ctes = ",\n".join(
+        f"s{i + 1} AS ({q})" for i, q in enumerate(stages[1:])
+    )
+    agg_cols = ", ".join(
+        f"count(DISTINCT CASE WHEN t{i} IS NOT NULL THEN {key_col} END) AS n{i}"
+        for i in range(len(steps))
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step_idx, '{s}' AS step_name, n{i} AS n_keys FROM agg"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+WITH s0 AS ({stages[0]}),
+{ctes},
+agg AS (SELECT {agg_cols} FROM s{len(steps)})
+{unions}
+"""
+
+
+def cohort_retention(
+    df: DataFrame, key_col: str, ts_col: str, period_seconds: int = 604_800
+) -> DataFrame:
+    """Cohort x activity-period retention counts: cohort = the period of a
+    key's first event; one row per (cohort_period, period_offset) with the
+    number of distinct keys from that cohort active in that period."""
+    period = F.lit(period_seconds)
+    bucket = lambda c: (F.unix_timestamp(c) / period).cast("long")  # noqa: E731
+    # One per-key aggregate carries BOTH the first-seen time and the set of
+    # active periods (collect_set is bounded by timeline/period — e.g. 520
+    # entries for a decade of weeks — not by event volume), so the whole
+    # matrix costs two shuffles: the per-key aggregate and the final
+    # metadata-scale (cohort, offset) aggregate.
+    per_key = df.groupBy(key_col).agg(
+        bucket(F.min(ts_col)).alias("__c"),
+        F.collect_set(bucket(F.col(ts_col))).alias("__ps"),
+    )
+    return (
+        per_key.select(
+            F.timestamp_seconds(F.col("__c") * period).alias("cohort_period"),
+            F.explode("__ps").alias("__p"),
+            F.col("__c"),
+        )
+        .select(
+            "cohort_period", (F.col("__p") - F.col("__c")).alias("period_offset")
+        )
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+def cohort_retention_sql(
+    table: str, key_col: str, ts_col: str, period_seconds: int = 604_800
+) -> str:
+    p = period_seconds
+    b = lambda e: f"CAST(floor(epoch({e}) / {p}) AS BIGINT)"  # noqa: E731
+    return f"""
+WITH first_seen AS (
+  SELECT {key_col}, min({ts_col}) AS first_ts FROM {table} GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT {key_col}, {b(ts_col)} AS p FROM {table}
+)
+SELECT CAST(to_timestamp(({b('f.first_ts')}) * {p}) AS TIMESTAMP)
+         AS cohort_period,
+       a.p - {b('f.first_ts')} AS period_offset,
+       count(*) AS n_keys
+FROM active a JOIN first_seen f USING ({key_col})
+GROUP BY 1, 2
+"""
+
+
+def rolling_time_window(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 604_800,
+) -> DataFrame:
+    """Per-event trailing time-RANGE aggregate: for every event, the count
+    and exact decimal sum of the key's events in the preceding
+    ``window_seconds`` (inclusive of now).  RANGE (not ROWS): the frame is
+    defined by event-time distance, so it is insensitive to how many ties
+    or how dense the feed is — ordered on epoch MICROseconds on both
+    engines so boundary rows agree exactly."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return df.select(
+        key_col,
+        F.col(ts_col),
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(28,10)")).over(w), 2
+        )
+        .cast("double")
+        .alias("rolling_sum"),
+    )
+
+
+def rolling_time_window_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 604_800,
+) -> str:
+    us = window_seconds * 1_000_000
+    return f"""
+SELECT {key_col}, {ts_col},
+       count(*) OVER w AS rolling_n,
+       CAST(round(sum(CAST({value_col} AS DECIMAL(28,10))) OVER w, 2) AS DOUBLE)
+         AS rolling_sum
+FROM {table}
+WINDOW w AS (PARTITION BY {key_col} ORDER BY epoch_us({ts_col})
+             RANGE BETWEEN {us} PRECEDING AND CURRENT ROW)
+"""

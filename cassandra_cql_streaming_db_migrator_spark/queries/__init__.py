@@ -91,6 +91,13 @@ DRIVER_ROTATED_OUT = [
     "doc_fingerprint",      # text family keeps lang_id/token_count_bpe
     "embedding_topk",       # similarity family keeps ivf/lsh/near_dup/pairs
     "token_count_bpe",      # text family keeps lang_id in the head
+    # round-2 event-analytics family: born after the head filled; strictly
+    # locally-verified (check_correctness both scales + pytest) until a
+    # future round rotates them in
+    "sessionize_events",
+    "funnel_events",
+    "retention_cohorts",
+    "rolling_7d",
 ]
 
 

@@ -13,6 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.events import (
+    cohort_retention,
+    cohort_retention_sql,
+    funnel,
+    funnel_sql,
+    rolling_time_window,
+    rolling_time_window_sql,
+    sessionize,
+    sessionize_sql,
+)
 from ..operators.graph import pagerank_fixed_point, pagerank_sql
 from ..operators.sketches import kmv_distinct, kmv_distinct_sql
 from ..operators.temporal import build_scd2, build_scd2_sql
@@ -117,6 +127,50 @@ _GAP_FILL_SQL = gap_fill_locf_sql(
 )
 
 
+# ---------------------------------------------------------------------------
+# Event analytics: sessionization (streaming session_window's batch twin),
+# ordered funnel, weekly cohort retention, trailing 7-day RANGE window.
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(
+        events, key_col="user_id", ts_col="ts", gap_seconds=600,
+        value_col="value", tiebreak_col="event_id",
+    )
+
+
+_SESSIONIZE_SQL = sessionize_sql(
+    "events", "user_id", "ts", 600, value_col="value", tiebreak_col="event_id"
+)
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return funnel(events, "user_id", "ts", "event_type", _FUNNEL_STEPS)
+
+
+_FUNNEL_SQL = funnel_sql("events", "user_id", "ts", "event_type", _FUNNEL_STEPS)
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events, "user_id", "ts")
+
+
+_RETENTION_SQL = cohort_retention_sql("events", "user_id", "ts")
+
+
+def rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return rolling_time_window(events, "user_id", "ts", "value")
+
+
+_ROLLING_SQL = rolling_time_window_sql("events", "user_id", "ts", "value")
+
+
 QUERIES = [
     QueryDef(
         "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
@@ -133,5 +187,21 @@ QUERIES = [
     QueryDef(
         "time_gap_fill", time_gap_fill, _GAP_FILL_SQL,
         "dense per-key time grid with LOCF gap filling (hypertable resample)",
+    ),
+    QueryDef(
+        "sessionize_events", sessionize_events, _SESSIONIZE_SQL,
+        "batch sessionization with streaming session_window semantics",
+    ),
+    QueryDef(
+        "funnel_events", funnel_events, _FUNNEL_SQL,
+        "ordered multi-step funnel (chained window stages, one shuffle)",
+    ),
+    QueryDef(
+        "retention_cohorts", retention_cohorts, _RETENTION_SQL,
+        "weekly cohort x activity-period retention matrix",
+    ),
+    QueryDef(
+        "rolling_7d", rolling_7d, _ROLLING_SQL,
+        "trailing 7-day time-RANGE window (count + exact decimal sum)",
     ),
 ]
