@@ -1,0 +1,195 @@
+"""Randomized differential tests for the analytics/event operators.
+
+Each test packs MANY independently-generated random cases into ONE Spark
+job (one case per key / group), then compares every case against a direct
+pure-Python reference implementation — Spark-free, loop-based, obviously
+correct.  Seeded: failures reproduce.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from pyspark.sql import Row
+
+from cassandra_cql_streaming_db_migrator_spark.functions.hashing import MINHASH_P
+from cassandra_cql_streaming_db_migrator_spark.operators.events import (
+    rolling_time_window,
+    sessionize,
+)
+from cassandra_cql_streaming_db_migrator_spark.operators.graph import (
+    PR_SCALE,
+    pagerank_fixed_point,
+)
+from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+    KMV_A,
+    KMV_B,
+    kmv_distinct,
+)
+from cassandra_cql_streaming_db_migrator_spark.operators.temporal import build_scd2
+
+T0 = datetime(2024, 1, 1)
+
+
+def test_kmv_matches_reference_many_groups(spark):
+    rng = random.Random(7)
+    k = 16
+    rows, expected = [], {}
+    for g in range(30):
+        keys = {rng.randrange(0, 1_000_000) for _ in range(rng.randrange(1, 400))}
+        for key in keys:
+            rows.append(Row(g=str(g), key=key))
+        hs = sorted((KMV_A * x + KMV_B) % MINHASH_P for x in keys)
+        if len(keys) < k:
+            est = float(len(keys))
+        else:
+            est = round((k - 1) / (hs[k - 1] / MINHASH_P), 4)
+        expected[str(g)] = (len(keys), est)
+    out = {
+        r.g: (r.exact_distinct, r.est_distinct)
+        for r in kmv_distinct(spark.createDataFrame(rows), "g", "key", k=k).collect()
+    }
+    assert out == expected
+
+
+def _ref_sessionize(events, gap_s):
+    """events: sorted [(ts, eid, v)] for one key -> [(start, end, n, sum)]"""
+    sessions = []
+    for ts, eid, v in events:
+        if sessions and (ts - sessions[-1][1][-1][0]).total_seconds() < gap_s:
+            sessions[-1][1].append((ts, v))
+        else:
+            sessions.append([ts, [(ts, v)]])
+    out = []
+    for start, members in sessions:
+        last = members[-1][0]
+        out.append(
+            (
+                start,
+                last + timedelta(seconds=gap_s),
+                len(members),
+                round(sum(m[1] for m in members), 2),
+            )
+        )
+    return out
+
+
+def test_sessionize_matches_reference_many_keys(spark):
+    rng = random.Random(11)
+    gap_s = 600
+    rows, expected = [], {}
+    eid = 0
+    for key in range(40):
+        n = rng.randrange(1, 30)
+        ts_list = sorted(
+            T0 + timedelta(seconds=rng.randrange(0, 86_400)) for _ in range(n)
+        )
+        events = []
+        for ts in ts_list:
+            eid += 1
+            v = round(rng.uniform(0, 100), 2)
+            events.append((ts, eid, v))
+            rows.append(Row(k=key, ts=ts, v=v, eid=eid))
+        expected[key] = sorted(_ref_sessionize(events, gap_s))
+    got: dict[int, list] = {}
+    res = sessionize(
+        spark.createDataFrame(rows), "k", "ts", gap_s, value_col="v",
+        tiebreak_col="eid",
+    ).collect()
+    for r in res:
+        got.setdefault(r.k, []).append(
+            (r.session_start, r.session_end, r.n_events, r.sum_value)
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == expected
+
+
+def _ref_scd2(events):
+    """events: sorted [(ts, eid, attr)] -> [(attr, from, to, n, current)]"""
+    runs = []
+    for ts, _eid, attr in events:
+        if runs and runs[-1][0] == attr:
+            runs[-1][2] += 1
+        else:
+            runs.append([attr, ts, 1])
+    out = []
+    for i, (attr, start, n) in enumerate(runs):
+        nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+        out.append((attr, start, nxt, n, nxt is None))
+    return out
+
+
+def test_scd2_matches_reference_many_keys(spark):
+    rng = random.Random(13)
+    rows, expected = [], {}
+    eid = 0
+    for key in range(40):
+        n = rng.randrange(1, 25)
+        events = []
+        t = T0
+        for _ in range(n):
+            t = t + timedelta(seconds=rng.randrange(1, 10_000))
+            eid += 1
+            events.append((t, eid, rng.choice("ABC")))
+            rows.append(Row(k=key, ts=events[-1][0], attr=events[-1][2], eid=eid))
+        expected[key] = sorted(_ref_scd2(events))
+    got: dict[int, list] = {}
+    for r in build_scd2(spark.createDataFrame(rows), "k", "ts", "attr", "eid").collect():
+        got.setdefault(r.k, []).append(
+            (r.attr, r.valid_from, r.valid_to, r.n_events, r.is_current)
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == expected
+
+
+def test_rolling_window_matches_reference_many_keys(spark):
+    rng = random.Random(17)
+    win_s = 3600
+    rows, cases = [], {}
+    for key in range(30):
+        n = rng.randrange(1, 25)
+        ts_list = sorted(
+            {T0 + timedelta(seconds=rng.randrange(0, 20_000)) for _ in range(n)}
+        )
+        evs = [(ts, round(rng.uniform(0, 10), 2)) for ts in ts_list]
+        cases[key] = evs
+        rows.extend(Row(k=key, ts=ts, v=v) for ts, v in evs)
+    out = {
+        (r.k, r.ts): (r.rolling_n, r.rolling_sum)
+        for r in rolling_time_window(
+            spark.createDataFrame(rows), "k", "ts", "v", window_seconds=win_s
+        ).collect()
+    }
+    for key, evs in cases.items():
+        for ts, _v in evs:
+            in_win = [
+                w
+                for t2, w in evs
+                if timedelta(0) <= ts - t2 <= timedelta(seconds=win_s)
+            ]
+            assert out[(key, ts)] == (len(in_win), round(sum(in_win), 2))
+
+
+def test_pagerank_matches_integer_reference(spark):
+    rng = random.Random(19)
+    edges = {(rng.randrange(0, 30), rng.randrange(0, 30)) for _ in range(120)}
+    edges = {(a, b) for a, b in edges if a != b}
+    sym = sorted(edges | {(b, a) for a, b in edges})
+    # pure-Python replica of the exact fixed-point iteration
+    nodes = sorted({a for a, _ in sym})
+    outdeg = {n: sum(1 for a, _ in sym if a == n) for n in nodes}
+    nn = len(nodes)
+    r = {n: PR_SCALE // nn for n in nodes}
+    for _ in range(3):
+        s = {n: 0 for n in nodes}
+        for a, b in sym:
+            s[b] += r[a] // outdeg[a]
+        r = {n: 15 * (PR_SCALE // nn) // 100 + 85 * s[n] // 100 for n in nodes}
+    got = {
+        row.node: row.rank_fp
+        for row in pagerank_fixed_point(
+            spark.createDataFrame([Row(src=a, dst=b) for a, b in sym])
+        ).collect()
+    }
+    assert got == r
