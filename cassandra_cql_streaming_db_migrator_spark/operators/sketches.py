@@ -83,6 +83,60 @@ def kmv_distinct(
     )
 
 
+def sampled_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    rate: float = 0.1,
+) -> DataFrame:
+    """Approximate per-group quantiles from a DETERMINISTIC hash sample.
+
+    Exact percentiles cost a per-group sort of every row — the thing that
+    does not survive 100 TB.  The scale path: keep rows whose hashed id
+    falls under ``rate`` (a pure function of the data — no RNG, stable
+    under repartitioning, pushes down as a narrow filter before any
+    shuffle), then take EXACT interpolated percentiles of the sample.
+    Unlike t-digest/KLL built-ins the result is reproducible cross-engine,
+    which is what lets the oracle hash it.  Sample row count is emitted so
+    consumers can judge the estimate (error ~ O(1/sqrt(n_sample)) per
+    quantile).
+    """
+    thresh = int(rate * MINHASH_P)
+    sampled = df.where(kmv_hash(id_col) < F.lit(thresh))
+    aggs = [F.count(F.lit(1)).alias("n_sample")]
+    for q in quantiles:
+        tag = str(q).replace("0.", "p")
+        aggs.append(
+            F.round(F.expr(f"percentile({value_col}, {q!r})"), 6).alias(tag)
+        )
+    return sampled.groupBy(group_col).agg(*aggs)
+
+
+def sampled_quantiles_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    rate: float = 0.1,
+) -> str:
+    """Oracle twin: DuckDB quantile_cont uses the same (n-1)p linear
+    interpolation as Spark's percentile()."""
+    thresh = int(rate * MINHASH_P)
+    cols = ", ".join(
+        f"round(quantile_cont({value_col}, {q}), 6) AS {str(q).replace('0.', 'p')}"
+        for q in quantiles
+    )
+    return f"""
+SELECT {group_col}, count(*) AS n_sample, {cols}
+FROM {table}
+WHERE (CAST({id_col} AS BIGINT) * {KMV_A} + {KMV_B}) % {MINHASH_P} < {thresh}
+GROUP BY {group_col}
+"""
+
+
 def kmv_distinct_sql(
     table: str, group_col: str, key_col: str, k: int = 64
 ) -> str:

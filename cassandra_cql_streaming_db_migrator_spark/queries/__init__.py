@@ -98,6 +98,7 @@ DRIVER_ROTATED_OUT = [
     "funnel_events",
     "retention_cohorts",
     "rolling_7d",
+    "quantiles_sampled",
 ]
 
 

@@ -24,7 +24,12 @@ from ..operators.events import (
     sessionize_sql,
 )
 from ..operators.graph import pagerank_fixed_point, pagerank_sql
-from ..operators.sketches import kmv_distinct, kmv_distinct_sql
+from ..operators.sketches import (
+    kmv_distinct,
+    kmv_distinct_sql,
+    sampled_quantiles,
+    sampled_quantiles_sql,
+)
 from ..operators.temporal import build_scd2, build_scd2_sql
 from ..operators.timeseries import gap_fill_locf, gap_fill_locf_sql
 from ..sources.parquet import load_table
@@ -41,6 +46,21 @@ def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KMV_SQL = kmv_distinct_sql("orders", "o_orderpriority", "o_custkey", k=64)
+
+
+def quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of agg_percentiles: same metric/groups, but exact
+    interpolation over a deterministic 20% hash sample instead of a full
+    per-group sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return sampled_quantiles(
+        orders, "o_orderstatus", "o_totalprice", "o_orderkey", rate=0.2
+    )
+
+
+_QUANTILES_SAMPLED_SQL = sampled_quantiles_sql(
+    "orders", "o_orderstatus", "o_totalprice", "o_orderkey", rate=0.2
+)
 
 # ---------------------------------------------------------------------------
 # SCD2 history: collapse the event feed into per-user validity intervals of
@@ -203,5 +223,9 @@ QUERIES = [
     QueryDef(
         "rolling_7d", rolling_7d, _ROLLING_SQL,
         "trailing 7-day time-RANGE window (count + exact decimal sum)",
+    ),
+    QueryDef(
+        "quantiles_sampled", quantiles_sampled, _QUANTILES_SAMPLED_SQL,
+        "quantiles over a deterministic hash sample (the no-full-sort path)",
     ),
 ]

@@ -239,3 +239,25 @@ def test_gap_fill_equal_ts_tiebreak(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].value_locf == 1.0  # eid=2 is the later observation
+
+
+# ---------------------------------------------------------------------------
+# Sampled quantiles
+
+
+def test_sampled_quantiles_deterministic_and_close(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+        sampled_quantiles,
+    )
+
+    rows = [Row(g="a", v=float(i), i=i) for i in range(10_000)]
+    df = spark.createDataFrame(rows)
+    out = sampled_quantiles(df, "g", "v", "i", rate=0.2).collect()[0]
+    # deterministic under repartitioning
+    out2 = sampled_quantiles(df.repartition(17, "i"), "g", "v", "i", rate=0.2).collect()[0]
+    assert out == out2
+    # affine-hash sample of a uniform id space lands near the target rate
+    assert out.n_sample == pytest.approx(2000, rel=0.1)
+    # sampled p50 approximates exact p50 -- uniform values, ~2000 samples
+    assert out.p5 == pytest.approx(4999.5, rel=0.05)
+    assert out.p9 == pytest.approx(8999.1, rel=0.05)
