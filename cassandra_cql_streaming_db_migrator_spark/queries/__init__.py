@@ -99,6 +99,7 @@ DRIVER_ROTATED_OUT = [
     "retention_cohorts",
     "rolling_7d",
     "quantiles_sampled",
+    "stream_kmv",
 ]
 
 

@@ -155,6 +155,61 @@ FROM events c JOIN events e
 
 
 
+def stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality sketch: distinct users per event type from
+    O(k) state per type.  The stateful kernel emits the raw integer
+    sketch; the estimate is derived here batch-side with the exact same
+    formula/rounding as the batch kmv_distinct operator."""
+    from ..functions.hashing import MINHASH_P
+    from ..streaming.stream import streaming_kmv_state
+
+    k = 64
+    events = read_events_stream(spark, sf_dir)
+    sketch = run_to_memory(
+        streaming_kmv_state(events, "event_type", "user_id", k=k),
+        output_mode="update",
+    )
+    return sketch.select(
+        "event_type",
+        "n_min",
+        F.when(F.col("n_min") < k, F.col("n_min").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                / (F.col("kth_min").cast("double") / F.lit(float(MINHASH_P))),
+                4,
+            )
+        )
+        .alias("est_distinct"),
+    )
+
+
+def _stream_kmv_sql() -> str:
+    from ..functions.hashing import MINHASH_P
+    from ..operators.sketches import KMV_A, KMV_B
+
+    k = 64
+    return f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         (CAST(user_id AS BIGINT) * {KMV_A} + {KMV_B}) % {MINHASH_P} AS hh
+  FROM d
+),
+r AS (
+  SELECT event_type, hh,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+  FROM h
+)
+SELECT event_type, count(*) AS n_min,
+       CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+            ELSE round({float(k - 1)} / (CAST(max(hh) AS DOUBLE) / {float(MINHASH_P)}), 4)
+       END AS est_distinct
+FROM r WHERE rn <= {k}
+GROUP BY event_type
+"""
+
+
 def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus governance applied on the ingest stream: per-row normalize +
     Gopher-style quality gate (stateless, identical code to the batch
@@ -224,5 +279,8 @@ QUERIES = [
              "T8: custom stateful op via applyInPandasWithState", bench=False),
     QueryDef("stream_quality_gate", stream_quality_gate, _STREAM_QUALITY_GATE_SQL,
              "corpus governance on the ingest stream (per-lang keep rates)",
+             bench=False),
+    QueryDef("stream_kmv", stream_kmv, _stream_kmv_sql(),
+             "T8: streaming KMV cardinality sketch (O(k) state per group)",
              bench=False),
 ]

@@ -184,6 +184,52 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_kmv_state(
+    events: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """Streaming KMV distinct-count sketch: per group, GroupState holds the
+    k minimum affine-hash values ever seen — O(k) state per key forever,
+    the streaming cardinality answer that doesn't grow with the stream
+    (a streaming ``dropDuplicates`` for exact distinct holds every key).
+    Mergeability (k-min of union = k-min of merged sets) is exactly why
+    per-microbatch updates fold into the same state the batch sketch
+    would compute.  Emits the raw integer sketch (``n_min``, ``kth_min``);
+    the caller derives the estimate batch-side with the shared rounding
+    discipline (operators.sketches.kmv_distinct)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    from ..functions.hashing import MINHASH_P
+    from ..operators.sketches import KMV_A, KMV_B
+
+    out_schema = f"{group_col} string, n_min long, kth_min long"
+    state_schema = "mins array<bigint>"
+
+    def update(key, pdf_iter, state: GroupState):
+        mins = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            hs = (
+                pdf[key_col].to_numpy().astype("int64") * KMV_A + KMV_B
+            ) % MINHASH_P
+            mins.update(int(h) for h in hs)
+            if len(mins) > k:
+                mins = set(sorted(mins)[:k])
+        ordered = sorted(mins)
+        state.update((ordered,))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_min": [len(ordered)],
+                "kth_min": [ordered[-1] if ordered else None],
+            }
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_dedup_bounded(
     events: DataFrame,
     key_columns: list[str],

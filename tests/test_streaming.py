@@ -258,3 +258,54 @@ def test_bounded_dedup_catches_near_dups_and_evicts_state(spark, tmp_path):
     times_k1 = sorted(t for k, t in got if k == 1)
     assert times_k1 == ["2024-01-01T10:00:00", "2024-01-01T12:35:00"]
     assert ks.count(9) == 1 and ks.count(7) == 1 and ks.count(5) == 1
+
+
+def test_stream_kmv_merges_across_microbatches(spark, tmp_path):
+    """The k-min state must fold batch after batch into exactly the sketch
+    a single batch pass would compute (mergeability), while holding at
+    most k values per group."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_cql_streaming_db_migrator_spark.functions.hashing import MINHASH_P
+    from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+        KMV_A,
+        KMV_B,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        run_to_memory,
+        streaming_kmv_state,
+    )
+
+    src = tmp_path / "kmv_stream"
+    src.mkdir()
+    keys_b1 = list(range(0, 300))
+    keys_b2 = list(range(150, 500))  # overlaps b1: dedup across batches
+    for name, keys, mtime in (
+        ("b1.parquet", keys_b1, 1_000_000_000),
+        ("b2.parquet", keys_b2, 1_000_000_010),
+    ):
+        path = str(src / name)
+        pq.write_table(
+            pa.table({"g": ["x"] * len(keys), "key": pd.array(keys, "int64")}),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("g string, key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        streaming_kmv_state(stream, "g", "key", k=16), output_mode="update"
+    ).collect()
+    # one update per microbatch; the final state has the most minima seen
+    final = sorted(out, key=lambda r: (r.n_min, -r.kth_min))[-1]
+    assert final.n_min <= 16  # state stays bounded
+    all_keys = set(keys_b1) | set(keys_b2)
+    ref = sorted((KMV_A * x + KMV_B) % MINHASH_P for x in all_keys)[:16]
+    assert (final.n_min, final.kth_min) == (len(ref), ref[-1])
