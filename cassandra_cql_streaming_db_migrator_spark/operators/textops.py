@@ -274,85 +274,65 @@ def term_frequencies(
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
+def pack_trigram(tri: str) -> int:
+    """The kernel's 21-bit-per-codepoint packing of a 3-char string —
+    codepoints max out at 0x10FFFF < 2^21, so any trigram (including NULs
+    and astral-plane characters) fits a single int64 injectively."""
+    return (ord(tri[0]) << 42) | (ord(tri[1]) << 21) | ord(tri[2])
+
+
 def doc_trigram_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document character-trigram counts ``(id, tri, cnt)`` via a narrow
     Arrow kernel (zero shuffles, like :func:`term_frequencies`).  Documents
-    shorter than 3 characters produce no rows.  Counting is by codepoint,
-    which matches character-based ``substr`` semantics in SQL engines for
-    the ASCII fixtures."""
+    shorter than 3 characters produce no rows.
+
+    ``__tri`` is NOT a string: trigrams stay packed as int64 (21 bits per
+    codepoint, :func:`pack_trigram`) end to end.  The column is internal to
+    the LM — keeping it integer skips string materialization in the kernel
+    and makes every downstream hash (model aggregates, broadcast join)
+    an int64 hash instead of a string hash.  Counting is by codepoint, so
+    NUL bytes and non-ASCII take the same vectorized path (ASCII decodes
+    via a zero-copy byte view; otherwise ord() feeds the same packing).
+    """
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {id_type}, __tri string, __cnt bigint"
+    schema = f"{id_col} {id_type}, __tri bigint, __cnt bigint"
 
     import numpy as np
 
     def kernel(batches):
-        from collections import Counter
-
         for pdf in batches:
-            # ASCII docs (the common case): byte windows == codepoint
-            # windows, so count packed 24-bit codes with np.unique and
-            # decode the trigram strings in ONE vectorized pass per batch —
-            # no per-trigram Python objects
             doc_ids: list = []
             code_chunks: list = []
             count_chunks: list = []
-            ids_slow: list = []
-            tris_slow: list = []
-            cnts_slow: list = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 t = "" if text is None else text
+                if len(t) < 3:
+                    continue
                 b = t.encode("utf-8")
-                # the numpy 'S3' view drops trailing NUL bytes, so any
-                # text containing \x00 (binary spill — what trigram_lm
-                # exists to flag) must take the exact slow path
-                if len(b) == len(t) and b"\x00" not in b:
-                    if len(b) < 3:
-                        continue
-                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
-                    codes = arr[:-2] * 65536 + arr[1:-1] * 256 + arr[2:]
-                    uniq, counts = np.unique(codes, return_counts=True)
-                    doc_ids.append((doc_id, len(uniq)))
-                    code_chunks.append(uniq)
-                    count_chunks.append(counts)
+                if len(b) == len(t):  # pure ASCII: bytes ARE codepoints
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
                 else:
-                    c = Counter(t[i : i + 3] for i in range(len(t) - 2))
-                    for tri, cnt in c.items():
-                        ids_slow.append(doc_id)
-                        tris_slow.append(tri)
-                        cnts_slow.append(cnt)
-            frames = []
-            if code_chunks:
-                codes = np.concatenate(code_chunks)
-                tri_bytes = np.column_stack(
-                    [codes >> 16, (codes >> 8) & 255, codes & 255]
-                ).astype(np.uint8)
-                tris = np.char.decode(
-                    np.ascontiguousarray(tri_bytes).view("S3").ravel(), "ascii"
+                    arr = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+                codes = (arr[:-2] << 42) | (arr[1:-1] << 21) | arr[2:]
+                uniq, counts = np.unique(codes, return_counts=True)
+                doc_ids.append((doc_id, len(uniq)))
+                code_chunks.append(uniq)
+                count_chunks.append(counts)
+            if doc_ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(
+                            np.array([d for d, _ in doc_ids]),
+                            np.array([n for _, n in doc_ids]),
+                        ),
+                        "__tri": np.concatenate(code_chunks),
+                        "__cnt": np.concatenate(count_chunks),
+                    }
                 )
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            id_col: np.repeat(
-                                np.array([d for d, _ in doc_ids]),
-                                np.array([n for _, n in doc_ids]),
-                            ),
-                            "__tri": tris,
-                            "__cnt": np.concatenate(count_chunks),
-                        }
-                    )
-                )
-            if ids_slow:
-                frames.append(
-                    pd.DataFrame(
-                        {id_col: ids_slow, "__tri": tris_slow, "__cnt": cnts_slow}
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
@@ -390,13 +370,13 @@ def trigram_lm_score(
     c3 = doc_tris.groupBy("__tri").agg(F.sum("__cnt").alias("__c3"))
     # aggregate the prefix table straight off the persisted per-doc frame
     # (deriving it from c3 would recompute the c3 aggregate in a second
-    # plan branch)
-    c2 = doc_tris.groupBy(F.substring("__tri", 1, 2).alias("__pre")).agg(
+    # plan branch); the prefix of a packed trigram is an integer shift
+    c2 = doc_tris.groupBy(F.shiftright("__tri", 21).alias("__pre")).agg(
         F.sum("__cnt").alias("__c2")
     )
     # both model tables are charset-bounded: broadcast the prefix table
     model = c3.join(
-        F.broadcast(c2), F.substring(c3["__tri"], 1, 2) == c2["__pre"], "inner"
+        F.broadcast(c2), F.shiftright(c3["__tri"], 21) == c2["__pre"], "inner"
     ).select("__tri", (F.col("__c3").cast("double") / F.col("__c2")).alias("__p"))
     scored = doc_tris.join(F.broadcast(model), "__tri")
     return (

@@ -475,9 +475,10 @@ class TestReviewRegressions2:
         assert fast == slow
         assert {r[0] for r in fast} == {1}
 
-    def test_trigram_kernel_nul_bytes_take_exact_path(self, spark):
+    def test_trigram_kernel_nul_bytes_counted_exactly(self, spark):
         from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
             doc_trigram_counts,
+            pack_trigram,
         )
 
         df = spark.sql(
@@ -485,7 +486,26 @@ class TestReviewRegressions2:
         )
         got = {r["__tri"]: r["__cnt"] for r in doc_trigram_counts(df).collect()}
         # trigrams of 'ab\x00ab': 'ab\x00', 'b\x00a', '\x00ab' — NULs intact
-        assert got == {"ab\x00": 1, "b\x00a": 1, "\x00ab": 1}
+        assert got == {
+            pack_trigram("ab\x00"): 1,
+            pack_trigram("b\x00a"): 1,
+            pack_trigram("\x00ab"): 1,
+        }
+
+    def test_trigram_kernel_non_ascii_packing(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+            doc_trigram_counts,
+            pack_trigram,
+        )
+
+        # multi-byte codepoints (incl. astral plane) pack by ord(), not by
+        # UTF-8 bytes: 'héé😀' has trigrams 'héé' and 'éé😀'
+        df = spark.sql("SELECT 1 AS doc_id, 'héé\U0001F600' AS text")
+        got = {r["__tri"]: r["__cnt"] for r in doc_trigram_counts(df).collect()}
+        assert got == {
+            pack_trigram("héé"): 1,
+            pack_trigram("éé\U0001F600"): 1,
+        }
 
     def test_centroids_empty_vector_excluded(self, spark):
         from pyspark.sql import types as T
