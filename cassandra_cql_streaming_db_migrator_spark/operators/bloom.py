@@ -1,0 +1,83 @@
+"""Bloom-filter semi-join: the runtime-filter pattern, as an explicit
+operator.
+
+At 100 TB the expensive part of ``fact SEMI JOIN dim`` is shuffling the
+fact side.  When dim's keys fit a bloom filter (16 KB covers ~10^4 keys at
+~1% FP; size scales linearly), the filter broadcasts to every fact task
+and prunes non-matching rows BEFORE the shuffle — the same idea as Spark's
+AQE runtime bloom filters, but explicit, deterministic, and applicable
+when the planner would not inject one (e.g. the dim side is a computed
+subset).  False positives pass the bloom but are removed by the exact
+semi-join that follows, so the RESULT is exactly the semi-join — the bloom
+only changes how many rows reach the shuffle.  Catalyst keeps the bloom
+test + filter inside whole-stage codegen (array literal + bit arithmetic,
+no UDF).
+
+The dim-side key collect is metadata-scale by contract (the bloom itself
+is proof: if the keys overflow the driver, the bitmap is saturated and
+useless — size ``m_bits`` for the dim cardinality, or don't bloom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_P, MINHASH_PERMS
+
+
+def _positions(key: int, m_bits: int, n_hashes: int) -> list[int]:
+    return [
+        ((a * key + b) % MINHASH_P) % m_bits
+        for a, b in MINHASH_PERMS[:n_hashes]
+    ]
+
+
+def build_bloom(
+    keys: list[int], m_bits: int = 65_536, n_hashes: int = 3
+) -> list[int]:
+    """Bitmap as int64 words (m_bits/64 of them), driver-side."""
+    words = [0] * (m_bits // 64)
+    for k in keys:
+        for p in _positions(int(k), m_bits, n_hashes):
+            words[p // 64] |= 1 << (p % 64)
+    # int64 literals are signed: wrap bit-63 words to two's complement
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_test(col: Column, words: list[int], m_bits: int, n_hashes: int) -> Column:
+    """Membership test as a pure Catalyst expression over the broadcast
+    bitmap literal: AND over n_hashes bit probes."""
+    # force LONG elements: lit() of a small Python int makes IntegerType,
+    # and getbit on INT words rejects positions >= 32
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    test = F.lit(True)
+    for a, b in MINHASH_PERMS[:n_hashes]:
+        p = ((F.lit(a) * col + F.lit(b)) % F.lit(MINHASH_P)) % F.lit(m_bits)
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        # getbit reads two's-complement bit positions, so bit 63 of a
+        # negative word tests correctly; it also takes a COLUMN position
+        # (shiftright's numBits must be a Python literal)
+        test = test & (F.call_function("getbit", word, (p % 64).cast("int")) == 1)
+    return test
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 65_536,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """``fact SEMI JOIN dim`` with a bloom pre-filter on the fact side.
+    Result rows are exactly the semi-join's; the bloom prunes fact rows
+    before any shuffle/broadcast machinery sees them."""
+    keys = [r[0] for r in dim.select(dim_key).distinct().collect()]
+    words = build_bloom(keys, m_bits, n_hashes)
+    pruned = fact.where(bloom_test(F.col(fact_key), words, m_bits, n_hashes))
+    return pruned.join(
+        dim.select(F.col(dim_key).alias("__bk")).distinct(),
+        pruned[fact_key] == F.col("__bk"),
+        "left_semi",
+    )

@@ -100,6 +100,7 @@ DRIVER_ROTATED_OUT = [
     "rolling_7d",
     "quantiles_sampled",
     "stream_kmv",
+    "bloom_join",
 ]
 
 

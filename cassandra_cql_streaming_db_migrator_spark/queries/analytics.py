@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.aggregates import decimal_sum
+from ..operators.bloom import bloom_semi_join
 from ..operators.events import (
     cohort_retention,
     cohort_retention_sql,
@@ -191,6 +193,35 @@ def rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_SQL = rolling_time_window_sql("events", "user_id", "ts", "value")
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join: revenue from lineitems of high-value orders.  The
+# bloom prunes the fact scan before the shuffle; the exact semi-join removes
+# false positives, so the result is bit-identical to the plain semi-join
+# the oracle runs.
+
+
+def bloom_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = orders.where(F.col("o_totalprice") > 450_000)
+    matched = bloom_semi_join(li, dim, "l_orderkey", "o_orderkey")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        decimal_sum(revenue, "revenue"),
+    )
+
+
+_BLOOM_JOIN_SQL = """
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = [
     QueryDef(
         "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
@@ -227,5 +258,9 @@ QUERIES = [
     QueryDef(
         "quantiles_sampled", quantiles_sampled, _QUANTILES_SAMPLED_SQL,
         "quantiles over a deterministic hash sample (the no-full-sort path)",
+    ),
+    QueryDef(
+        "bloom_join", bloom_join_revenue, _BLOOM_JOIN_SQL,
+        "bloom-filter semi-join (runtime-filter pattern, exact result)",
     ),
 ]

@@ -261,3 +261,45 @@ def test_sampled_quantiles_deterministic_and_close(spark):
     # sampled p50 approximates exact p50 -- uniform values, ~2000 samples
     assert out.p5 == pytest.approx(4999.5, rel=0.05)
     assert out.p9 == pytest.approx(8999.1, rel=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join
+
+
+def test_bloom_no_false_negatives_and_exact_result(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.bloom import (
+        bloom_semi_join,
+        bloom_test,
+        build_bloom,
+    )
+
+    fact = spark.createDataFrame([Row(k=i, v=i * 2) for i in range(5000)])
+    dim = spark.createDataFrame([Row(dk=i) for i in range(0, 5000, 97)])
+    got = sorted(
+        r.k for r in bloom_semi_join(fact, dim, "k", "dk", m_bits=4096).collect()
+    )
+    assert got == list(range(0, 5000, 97))  # exactly the semi-join
+
+    # every dim key passes the bloom (no false negatives, by construction)
+    keys = list(range(0, 5000, 97))
+    words = build_bloom(keys, 4096, 3)
+    passed = fact.where(bloom_test(F.col("k"), words, 4096, 3)).count()
+    assert passed >= len(keys)
+    # and the bloom genuinely prunes (4096 bits, 52 keys -> low FP rate)
+    assert passed < 500
+
+
+def test_bloom_bit63_words_survive_sign_wrap(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.bloom import (
+        bloom_test,
+        build_bloom,
+    )
+
+    # find keys whose probes hit bit 63 of some word -> negative literals
+    m = 256
+    keys = list(range(2000))
+    words = build_bloom(keys, m, 3)
+    assert any(w < 0 for w in words)  # the case under test is exercised
+    df = spark.createDataFrame([Row(k=k) for k in keys])
+    assert df.where(bloom_test(F.col("k"), words, m, 3)).count() == len(keys)
