@@ -349,6 +349,79 @@ def mixture_weights(
     )
 
 
+def rebalance_to_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "#rebal",
+) -> DataFrame:
+    """Resample the corpus to the temperature-scaled mixture that
+    :func:`mixture_weights` derives — the APPLY step of domain rebalancing:
+    compute per-domain quotas hitting the target proportions at the largest
+    feasible total, then keep each domain's first ``quota`` docs in salted-
+    hash order (deterministic, repartition-stable, same discipline as
+    :func:`sample_per_group`).
+
+    All quota arithmetic is exact integers: weights are the floor-quantized
+    ``floor(sqrt(sum_size) * 1e6)`` integers, the feasible total is
+    ``T = min_d(n_d * W // w_d)`` (the largest T with every
+    ``quota_d = T * w_d // W <= n_d``), so Spark and the oracle cannot
+    disagree.  ``n_d * W`` must fit int64 — holds to petabyte corpora
+    (n_d ~ 1e9 docs, W ~ 1e12) and is asserted nowhere hot.
+
+    Returns one row per domain: original count, quota, kept count, and the
+    kept docs' total size (which pins the EXACT selected set, not just its
+    cardinality), plus target and achieved proportions.
+
+    Plan shape: the stats frame is domain-cardinality (metadata) scale —
+    its windows are free; quotas broadcast back; the corpus pays one
+    shuffle (per-domain hash-rank window) and one final aggregate.
+    """
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).cast("bigint").alias("sum_size"),
+    )
+    # column names are case-INsensitive to the analyzer: __w and __W would
+    # resolve to the same attribute, silently collapsing the global sum
+    w_all = Window.partitionBy()
+    per = (
+        per.withColumn(
+            "__w",
+            F.floor(F.sqrt(F.col("sum_size").cast("double")) * F.lit(1e6)).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("__wsum", F.sum("__w").over(w_all))
+        .withColumn("__t", F.min(F.expr("n_docs * __wsum DIV __w")).over(w_all))
+        .withColumn("quota", F.expr("__t * __w DIV __wsum"))
+    )
+    h = poly_hash(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w_rank = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w_rank))
+    kept = ranked.join(
+        F.broadcast(per.select(domain_col, "quota")), domain_col
+    ).where(F.col("__rn") <= F.col("quota"))
+    kept_stats = kept.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(size_col).cast("bigint").alias("kept_size"),
+    )
+    out = per.join(kept_stats, domain_col, "left").withColumn(
+        "__ksum", F.sum("n_kept").over(w_all)
+    )
+    return out.select(
+        domain_col,
+        "n_docs",
+        "quota",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_size", F.lit(0)).alias("kept_size"),
+        F.round(F.col("__w").cast("double") / F.col("__wsum"), 6).alias("target_w"),
+        F.round(F.col("n_kept").cast("double") / F.col("__ksum"), 6).alias(
+            "achieved_w"
+        ),
+    )
+
+
 def length_histogram(
     df: DataFrame,
     size_col: str = "n_chars",

@@ -101,6 +101,7 @@ DRIVER_ROTATED_OUT = [
     "quantiles_sampled",
     "stream_kmv",
     "bloom_join",
+    "mixture_rebalance",
 ]
 
 

@@ -29,6 +29,7 @@ from ..operators.corpus import (
     pack_sequences,
     quality_keep,
     quality_metrics,
+    rebalance_to_mixture,
     redact_pii,
     sample_per_group,
     split_column,
@@ -368,7 +369,55 @@ GROUP BY c.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Mixture rebalance: APPLY the temperature-scaled mixture (mixture_weights
+# derives it) — exact-integer quotas at the largest feasible total, docs
+# kept in salted-hash order.
+
+
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return rebalance_to_mixture(docs)
+
+
+def _mixture_rebalance_sql() -> str:
+    h = poly_hash_sql("CAST(doc_id AS VARCHAR) || '#rebal'")
+    return f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_size,
+         CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT *, sum(w) OVER () AS tw FROM per),
+fea AS (SELECT *, min(n_docs * tw // w) OVER () AS t FROM tot),
+q AS (SELECT *, t * w // tw AS quota FROM fea),
+ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+  FROM documents
+),
+kept AS (
+  SELECT r.source, count(*) AS n_kept, CAST(sum(r.n_chars) AS BIGINT) AS kept_size
+  FROM ranked r JOIN q ON r.source = q.source
+  WHERE r.rn <= q.quota GROUP BY r.source
+)
+SELECT q.source, q.n_docs, q.quota,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_size, 0) AS kept_size,
+       round(CAST(q.w AS DOUBLE) / q.tw, 6) AS target_w,
+       round(CAST(k.n_kept AS DOUBLE) / (sum(k.n_kept) OVER ()), 6)
+         AS achieved_w
+FROM q LEFT JOIN kept k ON q.source = k.source
+"""
+
+
 QUERIES = [
+    QueryDef(
+        "mixture_rebalance", mixture_rebalance, _mixture_rebalance_sql(),
+        "apply the derived domain mixture: exact-integer quotas + hash-order keep",
+    ),
     QueryDef(
         "decontaminate",
         decontaminate_q,

@@ -543,3 +543,42 @@ class TestReviewRegressions2:
         df = spark.sql("SELECT * FROM VALUES (-50), (250) AS t(n_chars)")
         rows = {r["bucket"]: r["n_docs"] for r in length_histogram(df).collect()}
         assert rows == {0: 1, 2: 1}  # no bucket ids below 0
+
+
+class TestMixtureRebalance:
+    def _fixture(self, spark):
+        from pyspark.sql import Row
+
+        rows = []
+        # heavily skewed domains: 400 / 100 / 20 docs of different sizes
+        for d, n, size in (("big", 400, 100), ("mid", 100, 400), ("tiny", 20, 900)):
+            for i in range(n):
+                rows.append(Row(doc_id=len(rows), source=d, n_chars=size))
+        return spark.createDataFrame(rows)
+
+    def test_quotas_feasible_and_proportional(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            rebalance_to_mixture,
+        )
+
+        out = {r.source: r for r in rebalance_to_mixture(self._fixture(spark)).collect()}
+        for r in out.values():
+            assert r.quota <= r.n_docs          # never oversamples a domain
+            assert r.n_kept == r.quota          # the filter hit the quota exactly
+        # sqrt scaling: equal sum_size (big=40000, mid=40000, tiny=18000)
+        # -> big and mid get equal targets, tiny proportionally fewer
+        assert out["big"].target_w == out["mid"].target_w
+        assert out["tiny"].target_w < out["big"].target_w
+        # the binding constraint is mid (100 docs at weight ~0.36)
+        for r in out.values():
+            assert abs(r.achieved_w - r.target_w) < 0.02
+
+    def test_rebalance_repartition_invariant(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            rebalance_to_mixture,
+        )
+
+        df = self._fixture(spark)
+        a = sorted(map(tuple, rebalance_to_mixture(df).collect()))
+        b = sorted(map(tuple, rebalance_to_mixture(df.repartition(13, "doc_id")).collect()))
+        assert a == b

@@ -50,6 +50,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # array assembly + per-label distance aggregate (centroid table
     # persisted and broadcast; distances in a narrow Arrow kernel)
     "embedding_centroids": 3,
+    # the CORPUS shuffles once (per-domain rank window; the kept-stats
+    # aggregate reuses that partitioning).  The other exchanges are on the
+    # domain-stats frame — domain-cardinality (metadata) rows moving
+    # through SinglePartition global windows and the quota join
+    "mixture_rebalance": 5,
 }
 DEFAULT_ALLOWANCE = 2
 
