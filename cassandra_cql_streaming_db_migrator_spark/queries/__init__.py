@@ -102,6 +102,7 @@ DRIVER_ROTATED_OUT = [
     "stream_kmv",
     "bloom_join",
     "mixture_rebalance",
+    "snapshot_diff",
 ]
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregates import decimal_sum
 from ..operators.bloom import bloom_semi_join
+from ..operators.diff import snapshot_diff
 from ..operators.events import (
     cohort_retention,
     cohort_retention_sql,
@@ -222,6 +223,74 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff: migration verification.  The "target" is the orders table
+# with deterministic simulated drift (1/97 keys dropped, 1/31 prices
+# nudged, 1/151 keys re-inserted under a shifted key) so the diff's output
+# is a pure function of the fixture.
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    drifted = orders.where(F.col("o_orderkey") % 97 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 31 == 5, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 151 == 11).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    tgt = drifted.unionByName(inserts)
+    d = snapshot_diff(orders, tgt, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH tgt AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 31 = 5 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 3
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 151 = 11
+),
+j AS (
+  SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         s.o_orderkey IS NOT NULL AS in_s,
+         t.o_orderkey IS NOT NULL AS in_t,
+         list_sort(list_filter([
+           CASE WHEN NOT (s.o_custkey IS NOT DISTINCT FROM t.o_custkey)
+                THEN 'o_custkey' END,
+           CASE WHEN NOT (s.o_orderstatus IS NOT DISTINCT FROM t.o_orderstatus)
+                THEN 'o_orderstatus' END,
+           CASE WHEN NOT (s.o_totalprice IS NOT DISTINCT FROM t.o_totalprice)
+                THEN 'o_totalprice' END,
+           CASE WHEN NOT (s.o_orderdate IS NOT DISTINCT FROM t.o_orderdate)
+                THEN 'o_orderdate' END,
+           CASE WHEN NOT (s.o_orderpriority IS NOT DISTINCT FROM t.o_orderpriority)
+                THEN 'o_orderpriority' END
+         ], x -> x IS NOT NULL)) AS cc
+  FROM orders s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_s THEN 'insert'
+            WHEN NOT in_t THEN 'delete'
+            WHEN len(cc) > 0 THEN 'update' END AS change_type,
+       CASE WHEN in_s AND in_t THEN array_to_string(cc, ',') ELSE '' END
+         AS changed_cols
+FROM j
+WHERE (NOT in_s) OR (NOT in_t) OR len(cc) > 0
+"""
+
+
 QUERIES = [
     QueryDef(
         "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
@@ -262,5 +331,9 @@ QUERIES = [
     QueryDef(
         "bloom_join", bloom_join_revenue, _BLOOM_JOIN_SQL,
         "bloom-filter semi-join (runtime-filter pattern, exact result)",
+    ),
+    QueryDef(
+        "snapshot_diff", snapshot_diff_orders, _SNAPSHOT_DIFF_SQL,
+        "migration verification: classify insert/update/delete drift per key",
     ),
 ]

@@ -303,3 +303,43 @@ def test_bloom_bit63_words_survive_sign_wrap(spark):
     assert any(w < 0 for w in words)  # the case under test is exercised
     df = spark.createDataFrame([Row(k=k) for k in keys])
     assert df.where(bloom_test(F.col("k"), words, m, 3)).count() == len(keys)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff
+
+
+def test_snapshot_diff_classification(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.diff import snapshot_diff
+
+    src = spark.createDataFrame(
+        [Row(pk=1, a="x", b=1.0), Row(pk=2, a="y", b=2.0), Row(pk=3, a="z", b=3.0),
+         Row(pk=4, a=None, b=4.0)]
+    )
+    tgt = spark.createDataFrame(
+        [
+            Row(pk=1, a="x", b=1.0),        # identical -> dropped
+            Row(pk=2, a="y2", b=2.5),       # update, both columns
+            Row(pk=4, a="now-set", b=4.0),  # update: NULL -> value must show
+            Row(pk=5, a="new", b=5.0),      # insert
+        ]                                   # pk=3 -> delete
+    )
+    out = {r.pk: (r.change_type, list(r.changed_cols))
+           for r in snapshot_diff(src, tgt, ["pk"]).collect()}
+    assert out == {
+        2: ("update", ["a", "b"]),
+        3: ("delete", []),
+        4: ("update", ["a"]),
+        5: ("insert", []),
+    }
+
+
+def test_snapshot_diff_all_null_payload_rows(spark):
+    # a row whose every compared column is NULL must still classify by
+    # presence (the __in flags, not payload nullness)
+    from cassandra_cql_streaming_db_migrator_spark.operators.diff import snapshot_diff
+
+    src = spark.createDataFrame([(1, None)], "pk long, a string")
+    tgt = spark.createDataFrame([(2, None)], "pk long, a string")
+    out = {r.pk: r.change_type for r in snapshot_diff(src, tgt, ["pk"]).collect()}
+    assert out == {1: "delete", 2: "insert"}
