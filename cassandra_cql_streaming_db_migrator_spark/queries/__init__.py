@@ -103,6 +103,7 @@ DRIVER_ROTATED_OUT = [
     "bloom_join",
     "mixture_rebalance",
     "snapshot_diff",
+    "pit_enrich",
 ]
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.aggregates import decimal_sum
 from ..operators.bloom import bloom_semi_join
 from ..operators.diff import snapshot_diff
+from ..operators.joins import asof_join
 from ..operators.events import (
     cohort_retention,
     cohort_retention_sql,
@@ -291,6 +292,75 @@ WHERE (NOT in_s) OR (NOT in_t) OR len(cc) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time enrichment: the warehouse "dimension as of transaction
+# time" query, composed from two engine operators.  Signup events define a
+# per-user tier history (build_scd2); each purchase is enriched with the
+# tier valid AT ITS TIME via the as-of join — correct because SCD2
+# intervals partition time per key, so the latest valid_from <= ts IS the
+# active interval.  Purchases before any signup get NULL (left-outer).
+
+
+def pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    signups = events.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("tier"),
+    )
+    hist = build_scd2(
+        signups, key_col="user_id", ts_col="ts", attr_col="tier",
+        tiebreak_col="event_id",
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        hist.select("user_id", "valid_from", "tier"),
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        payload_cols=["tier"],
+    ).select("event_id", "user_id", "ts", "value", F.col("tier").cast("long").alias("tier"))
+
+
+_PIT_ENRICH_SQL = """
+WITH sg AS (
+  SELECT user_id, ts, event_id, CAST(floor(value / 25) AS BIGINT) AS tier
+  FROM events WHERE event_type = 'signup'
+),
+runs AS (
+  SELECT user_id, ts, tier, event_id,
+         CASE WHEN lag(tier) OVER w IS NULL
+                   OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS st
+  FROM sg
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grp AS (
+  SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+  FROM runs
+),
+hist AS (
+  SELECT user_id, min(tier) AS tier, min(ts) AS valid_from
+  FROM grp GROUP BY user_id, run
+),
+unioned AS (
+  SELECT user_id, ts, 1 AS side, event_id, value, CAST(NULL AS BIGINT) AS tier
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, valid_from, 0, NULL, NULL, tier FROM hist
+),
+filled AS (
+  SELECT *, last_value(CASE WHEN side = 0 THEN tier END IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, side
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_tier
+  FROM unioned
+)
+SELECT event_id, user_id, ts, value, cur_tier AS tier
+FROM filled WHERE side = 1
+"""
+
+
 QUERIES = [
     QueryDef(
         "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
@@ -335,5 +405,9 @@ QUERIES = [
     QueryDef(
         "snapshot_diff", snapshot_diff_orders, _SNAPSHOT_DIFF_SQL,
         "migration verification: classify insert/update/delete drift per key",
+    ),
+    QueryDef(
+        "pit_enrich", pit_enrich, _PIT_ENRICH_SQL,
+        "point-in-time enrichment: SCD2 history + as-of join composition",
     ),
 ]

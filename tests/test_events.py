@@ -150,3 +150,32 @@ def test_rolling_time_window_boundaries(spark):
     # RANGE frame is inclusive at the trailing edge: t=30 is exactly 60m
     # before t=90 and stays in the frame
     assert out[_ts(90)] == (2, 6.0)
+
+
+def test_pit_enrich_respects_validity_intervals(spark):
+    """Point-in-time semantics: each fact sees the dimension value whose
+    SCD2 interval covers ITS timestamp — not the latest one."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.joins import asof_join
+    from cassandra_cql_streaming_db_migrator_spark.operators.temporal import (
+        build_scd2,
+    )
+
+    changes = spark.createDataFrame(
+        [Row(k=1, ts=10, eid=1, tier=1), Row(k=1, ts=20, eid=2, tier=2)]
+    )
+    hist = build_scd2(changes, "k", "ts", "tier", "eid")
+    facts = spark.createDataFrame(
+        [Row(k=1, ts=5, fid=100),   # before any interval -> NULL
+         Row(k=1, ts=10, fid=101),  # at the boundary -> tier 1 (inclusive)
+         Row(k=1, ts=15, fid=102),  # inside interval 1
+         Row(k=1, ts=25, fid=103)]  # open current interval -> tier 2
+    )
+    out = {
+        r.fid: r.tier
+        for r in asof_join(
+            facts, hist.select("k", "valid_from", "tier"),
+            keys=["k"], left_ts="ts", right_ts="valid_from",
+            payload_cols=["tier"],
+        ).collect()
+    }
+    assert out == {100: None, 101: 1, 102: 1, 103: 2}
