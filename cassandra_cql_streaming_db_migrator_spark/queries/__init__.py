@@ -104,6 +104,8 @@ DRIVER_ROTATED_OUT = [
     "mixture_rebalance",
     "snapshot_diff",
     "pit_enrich",
+    "agg_corr",
+    "stream_funnel",
 ]
 
 

@@ -225,6 +225,65 @@ GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Correlation / regression from exact decimal moments.  Engine-builtin
+# corr()/regr_slope() accumulate floating-point state in partition order —
+# never cross-engine-hashable.  Exact decimal sums of (x, y, xy, x2, y2)
+# ARE associative; the closed-form combination is then a fixed sequence of
+# double ops, identical on both engines.
+
+
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x)).alias("__sx"),
+        F.sum(dec(y)).alias("__sy"),
+        F.sum(dec(x * x)).alias("__sxx"),
+        F.sum(dec(y * y)).alias("__syy"),
+        F.sum(dec(x * y)).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("__sxx").cast("double"),
+        F.col("__syy").cast("double"),
+        F.col("__sxy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(cov_n / var_x, 6).alias("slope"),
+        F.round((sy - (cov_n / var_x) * sx) / n, 6).alias("intercept"),
+    )
+
+
+_AGG_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS corr_qty_price,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # Snapshot diff: migration verification.  The "target" is the orders table
 # with deterministic simulated drift (1/97 keys dropped, 1/31 prices
 # nudged, 1/151 keys re-inserted under a shifted key) so the diff's output
@@ -409,5 +468,9 @@ QUERIES = [
     QueryDef(
         "pit_enrich", pit_enrich, _PIT_ENRICH_SQL,
         "point-in-time enrichment: SCD2 history + as-of join composition",
+    ),
+    QueryDef(
+        "agg_corr", agg_corr, _AGG_CORR_SQL,
+        "correlation/regression from exact decimal moments (one shuffle)",
     ),
 ]

@@ -155,6 +155,44 @@ FROM events c JOIN events e
 
 
 
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP funnel on the live stream: per-user step machine in GroupState
+    (O(steps) state).  On the bounded in-order fixture the result equals
+    the batch funnel, so the oracle is the identical funnel SQL."""
+    from ..streaming.stream import streaming_funnel_state
+
+    events = read_events_stream(spark, sf_dir)
+    per_user = run_to_memory(
+        streaming_funnel_state(events, "user_id", "ts", "event_type",
+                               _FUNNEL_STEPS),
+        output_mode="update",
+    )
+    # updates are monotone per key -> the max is the final state
+    final = per_user.groupBy("user_id").agg(F.max("reached").alias("reached"))
+    rows = [
+        F.struct(
+            F.lit(i).alias("step_idx"),
+            F.lit(s).alias("step_name"),
+            F.sum((F.col("reached") > i).cast("long")).alias("n_keys"),
+        )
+        for i, s in enumerate(_FUNNEL_STEPS)
+    ]
+    return (
+        final.agg(F.array(*rows).alias("__a"))
+        .select(F.explode("__a").alias("s"))
+        .select("s.step_idx", "s.step_name", "s.n_keys")
+    )
+
+
+def _stream_funnel_sql() -> str:
+    from ..operators.events import funnel_sql
+
+    return funnel_sql("events", "user_id", "ts", "event_type", _FUNNEL_STEPS)
+
+
 def stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cardinality sketch: distinct users per event type from
     O(k) state per type.  The stateful kernel emits the raw integer
@@ -282,5 +320,8 @@ QUERIES = [
              bench=False),
     QueryDef("stream_kmv", stream_kmv, _stream_kmv_sql(),
              "T8: streaming KMV cardinality sketch (O(k) state per group)",
+             bench=False),
+    QueryDef("stream_funnel", stream_funnel, _stream_funnel_sql(),
+             "T8: CEP funnel step machine in GroupState (O(steps) state)",
              bench=False),
 ]

@@ -230,6 +230,65 @@ def streaming_kmv_state(
     )
 
 
+def streaming_funnel_state(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Streaming funnel (CEP step machine): GroupState holds the first
+    qualifying event time per funnel step; each microbatch is processed in
+    event-time order and can only ADVANCE the machine (state is one int64
+    per step — O(steps), forever).  Step i matches the first event of its
+    type strictly after step i-1's matched time.
+
+    Ordering contract: matches happen in ARRIVAL order across microbatches
+    (standard CEP semantics) — an event arriving after a later-ts event of
+    the same batch is still seen in ts order (per-batch sort), but a
+    cross-batch straggler cannot rewrite an already-matched step.  On a
+    bounded in-order source (availableNow over a file drop) the result
+    equals the batch funnel exactly — the oracle runs that SQL.
+
+    Emits ``key, reached`` (number of steps matched so far); monotone
+    non-decreasing across updates, so the latest update per key wins.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    out_schema = f"{key_col} long, reached integer"
+    state_schema = ", ".join(f"t{i} long" for i in range(len(steps)))
+    n_steps = len(steps)
+
+    def update(key, pdf_iter, state: GroupState):
+        t = list(state.get) if state.exists else [None] * n_steps
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            batch = pd.concat(pdfs).sort_values([ts_col])
+            for ts, etype in zip(batch[ts_col], batch[step_col]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                for i, s in enumerate(steps):
+                    if (
+                        t[i] is None
+                        and etype == s
+                        and (i == 0 or (t[i - 1] is not None and us > t[i - 1]))
+                    ):
+                        t[i] = us
+                        break
+        state.update(tuple(t))
+        reached = 0
+        for v in t:
+            if v is None:
+                break
+            reached += 1
+        yield pd.DataFrame({key_col: [key[0]], "reached": [reached]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_dedup_bounded(
     events: DataFrame,
     key_columns: list[str],

@@ -309,3 +309,50 @@ def test_stream_kmv_merges_across_microbatches(spark, tmp_path):
     all_keys = set(keys_b1) | set(keys_b2)
     ref = sorted((KMV_A * x + KMV_B) % MINHASH_P for x in all_keys)[:16]
     assert (final.n_min, final.kth_min) == (len(ref), ref[-1])
+
+
+def test_stream_funnel_state_advances_across_microbatches(spark, tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        run_to_memory,
+        streaming_funnel_state,
+    )
+
+    src = tmp_path / "funnel_stream"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        ts, et = zip(*rows)
+        path = str(src / name)
+        pq.write_table(
+            pa.table({
+                "user_id": pd.array([1] * len(rows), "int64"),
+                "ts": pd.to_datetime(list(ts)).astype("datetime64[us]"),
+                "event_type": list(et),
+            }),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: signup then click; batch 2: purchase -> full funnel
+    write("b1.parquet",
+          [("2024-01-01 10:00", "signup"), ("2024-01-01 10:05", "click")],
+          1_000_000_000)
+    write("b2.parquet", [("2024-01-01 10:10", "purchase")], 1_000_000_010)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        streaming_funnel_state(stream, "user_id", "ts", "event_type",
+                               ["signup", "click", "purchase"]),
+        output_mode="update",
+    ).collect()
+    per_batch = sorted(r.reached for r in out)
+    assert per_batch == [2, 3]  # state carried: 2 after b1, 3 after b2
