@@ -1,0 +1,200 @@
+"""Deterministic Lloyd k-means over an embedding corpus.
+
+The iterative-ML member of the operator family (connected components and
+PageRank are the graph members): assignment + centroid update for a fixed
+number of rounds, engineered so the result is BIT-IDENTICAL across
+engines and partitionings — which is what lets a SQL oracle hash-check an
+ML training loop:
+
+  * init: the first ``k`` vectors by id (deterministic, training-free —
+    same convention as the IVF coarse quantizer, similarity.py);
+  * distances: dimension-SEQUENTIAL fold of (x_i - c_i)^2 in double
+    (Catalyst ``aggregate``/``zip_with`` — the proven-bit-equal twin of
+    DuckDB's ``list_sum``/``list_transform``); no BLAS reduction, whose
+    reassociation would change low bits;
+  * assignment: argmin with ties to the LOWEST cluster id (first position
+    of the array minimum);
+  * update: per-(cluster, dim) means via the integer-quantization rule
+    (floor(x*1e10 + 0.5) summed as DECIMAL(38,0)) — cross-row double sums
+    are order-dependent, integer sums are not (see label_centroid_stats);
+  * empty clusters keep their previous centroid (both engines).
+
+Centroids live on the DRIVER between rounds (k x dim doubles — metadata
+scale, same contract as the IVF centroid collect) and re-enter the plan
+as a constant-folded nested-array literal, so each round is ONE scan +
+one posexplode aggregate of the corpus; no iterative lineage growth, no
+checkpoints.  The collect is the round barrier a synchronous Lloyd step
+semantically requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q = 1e10  # per-element quantization for centroid sums
+QI = 1e6  # inertia quantization
+
+
+def _sq_dist(vec, cent):
+    """Sequential-fold squared L2 distance between two double arrays."""
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(valid: DataFrame, cents: list[list[float]], vec_col: str) -> DataFrame:
+    c_lit = F.lit(cents).cast("array<array<double>>")
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dists = F.transform(c_lit, lambda c: _sq_dist(vec, c))
+    return valid.withColumn("__d", dists).withColumn(
+        # first position of the min -> ties break to the lowest cluster id
+        "__cid",
+        (F.array_position(F.col("__d"), F.array_min("__d")) - 1).cast("int"),
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Returns per-cluster stats after ``iterations`` Lloyd rounds:
+    ``cluster_id, n_vecs, inertia`` (sum of squared distances to the
+    final centroids, quantized at 1e-6)."""
+    valid = df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    init = (
+        valid.where(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .collect()
+    )
+    cents = [r[0] for r in init]
+    for _ in range(iterations):
+        assigned = _assign(valid, cents, vec_col)
+        per_dim = (
+            assigned.select(
+                "__cid", F.posexplode(F.col(vec_col)).alias("__pos", "__val")
+            )
+            .groupBy("__cid", "__pos")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("__val").cast("double") * F.lit(Q) + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "__cid",
+                "__pos",
+                (F.col("__s").cast("double") / F.col("__n") / F.lit(Q)).alias(
+                    "__c"
+                ),
+            )
+        )
+        new = {}
+        for r in per_dim.collect():  # k x dim rows — metadata scale
+            # index access: Row blocks attribute lookup of __-prefixed names
+            new.setdefault(r["__cid"], {})[r["__pos"]] = r["__c"]
+        cents = [
+            [new[c][i] for i in range(len(cents[c]))] if c in new else cents[c]
+            for c in range(k)
+        ]
+    final = _assign(valid, cents, vec_col)
+    return (
+        final.select(
+            F.col("__cid").alias("cluster_id"),
+            F.element_at(F.col("__d"), F.col("__cid") + 1).alias("__dist"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("__dist") * F.lit(QI) + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(QI),
+                4,
+            ).alias("inertia"),
+        )
+    )
+
+
+def kmeans_lloyd_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """The identical Lloyd rounds unrolled as DuckDB CTEs (oracle twin)."""
+    parts = [
+        f"""v AS (
+  SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS e
+  FROM {table}
+  WHERE {vec_col} IS NOT NULL AND len({vec_col}) > 0
+),
+c0 AS (SELECT {id_col} AS cid, e AS c FROM v WHERE {id_col} < {k})"""
+    ]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        parts.append(
+            f"""d{it} AS (
+  SELECT v.{id_col} AS vid, v.e, p.cid,
+         list_sum(list_transform(generate_series(1, len(v.e)),
+                  i -> (v.e[i] - p.c[i]) * (v.e[i] - p.c[i]))) AS d
+  FROM v, {prev} p
+),
+a{it} AS (
+  SELECT vid, e, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+        FROM d{it})
+  WHERE rn = 1
+),
+m{it} AS (
+  SELECT cid, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM a{it}
+),
+s{it} AS (
+  SELECT cid, dim,
+         CAST(sum(CAST(floor(val * 1e10 + 0.5) AS HUGEINT)) AS DOUBLE)
+           / count(*) / 1e10 AS cv
+  FROM m{it} GROUP BY cid, dim
+),
+c{it} AS (
+  SELECT p.cid, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN
+       (SELECT cid, list(cv ORDER BY dim) AS c FROM s{it} GROUP BY cid) n
+    ON p.cid = n.cid
+)"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f"""df_ AS (
+  SELECT v.{id_col} AS vid, p.cid,
+         list_sum(list_transform(generate_series(1, len(v.e)),
+                  i -> (v.e[i] - p.c[i]) * (v.e[i] - p.c[i]))) AS d
+  FROM v, {prev} p
+),
+af_ AS (
+  SELECT vid, cid, d
+  FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+        FROM df_)
+  WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT cid AS cluster_id, count(*) AS n_vecs,
+       round(CAST(sum(CAST(floor(d * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+             / 1000000.0, 4) AS inertia
+FROM af_ GROUP BY cid"""
+    )

@@ -106,6 +106,7 @@ DRIVER_ROTATED_OUT = [
     "pit_enrich",
     "agg_corr",
     "stream_funnel",
+    "kmeans_embeddings",
 ]
 
 

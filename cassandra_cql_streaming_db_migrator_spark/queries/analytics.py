@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregates import decimal_sum
 from ..operators.bloom import bloom_semi_join
+from ..operators.clustering import kmeans_lloyd, kmeans_lloyd_sql
 from ..operators.diff import snapshot_diff
 from ..operators.joins import asof_join
 from ..operators.events import (
@@ -420,6 +421,15 @@ FROM filled WHERE side = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic Lloyd k-means over the embedding corpus (operator docstring
+# in operators/clustering.py has the full parity story).
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = [
     QueryDef(
         "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
@@ -472,5 +482,9 @@ QUERIES = [
     QueryDef(
         "agg_corr", agg_corr, _AGG_CORR_SQL,
         "correlation/regression from exact decimal moments (one shuffle)",
+    ),
+    QueryDef(
+        "kmeans_embeddings", kmeans_embeddings, kmeans_lloyd_sql(),
+        "deterministic Lloyd k-means (bit-identical iterative ML)",
     ),
 ]

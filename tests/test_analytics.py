@@ -343,3 +343,63 @@ def test_snapshot_diff_all_null_payload_rows(spark):
     tgt = spark.createDataFrame([(2, None)], "pk long, a string")
     out = {r.pk: r.change_type for r in snapshot_diff(src, tgt, ["pk"]).collect()}
     assert out == {1: "delete", 2: "insert"}
+
+
+# ---------------------------------------------------------------------------
+# K-means
+
+
+def _km_fixture(spark):
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    # two tight blobs around (±1, ±1, ...) in 8 dims
+    for i in range(200):
+        center = 1.0 if i % 2 == 0 else -1.0
+        rows.append(
+            Row(
+                vec_id=i,
+                embedding=[center + rng.uniform(-0.1, 0.1) for _ in range(8)],
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_kmeans_partitioning_invariant(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    df = _km_fixture(spark)
+    a = sorted(map(tuple, kmeans_lloyd(df, k=4, iterations=2).collect()))
+    b = sorted(
+        map(tuple, kmeans_lloyd(df.repartition(11, "vec_id"), k=4, iterations=2).collect())
+    )
+    assert a == b  # bit-identical across layouts
+
+
+def test_kmeans_inertia_decreases_with_iterations(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    df = _km_fixture(spark)
+    inertia = lambda it: sum(
+        r.inertia for r in kmeans_lloyd(df, k=4, iterations=it).collect()
+    )
+    assert inertia(2) <= inertia(0) + 1e-9  # Lloyd monotonicity
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    # vec 0 and vec 1 identical -> with k=2, every vector ties to the
+    # lower cluster id and cluster 1 is empty from round 1 on; the
+    # operator must not crash and must report all mass in cluster 0
+    rows = [Row(vec_id=i, embedding=[1.0, 2.0]) for i in range(10)]
+    out = {r.cluster_id: r.n_vecs for r in kmeans_lloyd(
+        spark.createDataFrame(rows), k=2, iterations=2).collect()}
+    assert out == {0: 10}
