@@ -91,6 +91,8 @@ DRIVER_ROTATED_OUT = [
     "doc_fingerprint",      # text family keeps lang_id/token_count_bpe
     "embedding_topk",       # similarity family keeps ivf/lsh/near_dup/pairs
     "token_count_bpe",      # text family keeps lang_id in the head
+    "window_topk",          # O5/O7 green r01; family keeps window_running
+    "embedding_ann_ivf",    # green r01; family keeps lsh/near_dup/pairs
     # round-2 event-analytics family: born after the head filled; strictly
     # locally-verified (check_correctness both scales + pytest) until a
     # future round rotates them in
