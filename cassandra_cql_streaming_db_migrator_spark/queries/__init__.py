@@ -109,6 +109,7 @@ DRIVER_ROTATED_OUT = [
     "agg_corr",
     "stream_funnel",
     "kmeans_embeddings",
+    "stream_scd2",
 ]
 
 

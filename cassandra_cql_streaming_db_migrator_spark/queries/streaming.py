@@ -193,6 +193,42 @@ def _stream_funnel_sql() -> str:
     return funnel_sql("events", "user_id", "ts", "event_type", _FUNNEL_STEPS)
 
 
+def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live SCD2 history maintenance; on the bounded in-order fixture the
+    last emission per user equals the batch build_scd2, so the oracle is
+    the batch SQL."""
+    from ..streaming.stream import streaming_scd2_state
+
+    events = read_events_stream(spark, sf_dir)
+    hist = run_to_memory(
+        streaming_scd2_state(events, "user_id", "ts", "event_type"),
+        output_mode="update",
+    )
+    from pyspark.sql import Window
+
+    # max-rev filter via a window, not a self-join: joining a memory-sink
+    # view with its own aggregate trips conflicting-reference resolution
+    w = Window.partitionBy("user_id")
+    return (
+        hist.withColumn("__mx", F.max("rev").over(w))
+        .where(F.col("rev") == F.col("__mx"))
+        .select(
+            "user_id",
+            "event_type",
+            F.timestamp_micros(F.col("valid_from")).alias("valid_from"),
+            F.timestamp_micros(F.col("valid_to")).alias("valid_to"),
+            "n_events",
+            "is_current",
+        )
+    )
+
+
+def _stream_scd2_sql() -> str:
+    from ..operators.temporal import build_scd2_sql
+
+    return build_scd2_sql("events", "user_id", "ts", "event_type", "event_id")
+
+
 def stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cardinality sketch: distinct users per event type from
     O(k) state per type.  The stateful kernel emits the raw integer
@@ -323,5 +359,8 @@ QUERIES = [
              bench=False),
     QueryDef("stream_funnel", stream_funnel, _stream_funnel_sql(),
              "T8: CEP funnel step machine in GroupState (O(steps) state)",
+             bench=False),
+    QueryDef("stream_scd2", stream_scd2, _stream_scd2_sql(),
+             "T8: live SCD2 history maintenance (O(runs) state per key)",
              bench=False),
 ]

@@ -289,6 +289,75 @@ def streaming_funnel_state(
     )
 
 
+def streaming_scd2_state(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+) -> DataFrame:
+    """Live SCD2 maintenance: the streaming twin of
+    ``operators.temporal.build_scd2``.  GroupState holds the key's run
+    list — (attr, valid_from, n_events) per run — and each microbatch
+    merges its events in event-time order: extend the open run when the
+    attribute repeats, close it and open a new one when it changes.
+    State is O(runs), not O(events) — the streaming analog of the history
+    table itself, which is exactly what this operator maintains.
+
+    Arrival-order contract (same as the CEP funnel): in-batch events are
+    processed in ts order, a cross-batch straggler older than the open
+    run's start cannot rewrite closed history.  On a bounded in-order
+    source the final emission per key equals the batch build_scd2 —
+    each update carries a monotone ``rev`` so the caller keeps the last.
+
+    Emits the key's FULL interval list per update: ``key, attr,
+    valid_from/valid_to (epoch micros), n_events, is_current, rev``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, {attr_col} string, valid_from long, valid_to long, "
+        "n_events long, is_current boolean, rev long"
+    )
+    state_schema = "rev long, attrs array<string>, froms array<long>, ns array<long>"
+
+    def update(key, pdf_iter, state: GroupState):
+        rev, attrs, froms, ns = (
+            state.get if state.exists else (0, [], [], [])
+        )
+        attrs, froms, ns = list(attrs), list(froms), list(ns)
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            batch = pd.concat(pdfs).sort_values([ts_col])
+            for ts, attr in zip(batch[ts_col], batch[attr_col]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if attrs and attrs[-1] == attr:
+                    ns[-1] += 1
+                else:
+                    attrs.append(attr)
+                    froms.append(us)
+                    ns.append(1)
+        rev += 1
+        state.update((rev, attrs, froms, ns))
+        n = len(attrs)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * n,
+                attr_col: attrs,
+                "valid_from": froms,
+                "valid_to": froms[1:] + [None],
+                "n_events": ns,
+                "is_current": [False] * (n - 1) + [True] if n else [],
+                "rev": [rev] * n,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_dedup_bounded(
     events: DataFrame,
     key_columns: list[str],

@@ -356,3 +356,56 @@ def test_stream_funnel_state_advances_across_microbatches(spark, tmp_path):
     ).collect()
     per_batch = sorted(r.reached for r in out)
     assert per_batch == [2, 3]  # state carried: 2 after b1, 3 after b2
+
+
+def test_stream_scd2_extends_history_across_microbatches(spark, tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        run_to_memory,
+        streaming_scd2_state,
+    )
+
+    src = tmp_path / "scd2_stream"
+    src.mkdir()
+
+    def write(name, rows, mtime):
+        ts, et = zip(*rows)
+        path = str(src / name)
+        pq.write_table(
+            pa.table({
+                "user_id": pd.array([1] * len(rows), "int64"),
+                "ts": pd.to_datetime(list(ts)).astype("datetime64[us]"),
+                "event_type": list(et),
+            }),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+
+    # batch 1 opens run A; batch 2 extends A then flips to B: the A run
+    # must CLOSE at B's start and keep its cross-batch event count
+    write("b1.parquet", [("2024-01-01 10:00", "A")], 1_000_000_000)
+    write("b2.parquet",
+          [("2024-01-01 10:05", "A"), ("2024-01-01 10:10", "B")],
+          1_000_000_010)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        streaming_scd2_state(stream, "user_id", "ts", "event_type"),
+        output_mode="update",
+    ).collect()
+    final = sorted(
+        [r for r in out if r.rev == max(x.rev for x in out)],
+        key=lambda r: r.valid_from,
+    )
+    assert [(r.event_type, r.n_events, r.is_current) for r in final] == [
+        ("A", 2, False), ("B", 1, True),
+    ]
+    assert final[0].valid_to == final[1].valid_from
