@@ -349,9 +349,14 @@ def connected_components(
     rounds don't converge rather than returning partial components.
     """
     und = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # hash-partition on the loop's join key before the checkpoint: the
+    # checkpoint preserves outputPartitioning, so each round's edge<->label
+    # join moves only the label table — the edge list never re-shuffles
+    # (same discipline as operators.graph.pagerank_fixed_point)
     edges = (
         und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .repartition(F.col("b"))
         .localCheckpoint()
     )
     # Round 0 folded into initialization: label(v) = min(v, neighbors(v)).
