@@ -281,6 +281,87 @@ def pack_trigram(tri: str) -> int:
     return (ord(tri[0]) << 42) | (ord(tri[1]) << 21) | ord(tri[2])
 
 
+def build_inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Inverted-index construction: one row per term with its document
+    frequency, total term frequency, and the top-``max_postings`` posting
+    entries ranked by (tf desc, doc asc) — the search-index build step
+    over a large corpus, as an engine operator.
+
+    Shape: per-doc term counts from the narrow :func:`term_frequencies`
+    Arrow kernel (corpus never shuffles token instances — the kernel
+    aggregates inside the row); ONE shuffle on the term for the ranking
+    window; the final aggregate reuses that partitioning.  ``doc_freq``/
+    ``total_tf`` come from full-partition windows BEFORE the posting cap,
+    so capping bounds output width without corrupting the statistics.
+    Postings serialize as ``doc:tf`` strings in rank order — flat,
+    hashable, and the shape a posting-list consumer shards on.
+    """
+    tf = term_frequencies(df, text_col=text_col, id_col=id_col)
+    w_rank = Window.partitionBy("__tok").orderBy(
+        F.col("__tf").desc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy("__tok")
+    ranked = (
+        tf.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__df", F.count(F.lit(1)).over(w_all))
+        .withColumn("__ttf", F.sum("__tf").over(w_all))
+    )
+    return (
+        ranked.where(F.col("__rn") <= max_postings)
+        .groupBy(F.col("__tok").alias("term"))
+        .agg(
+            F.max("__df").alias("doc_freq"),
+            F.max("__ttf").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn", id_col, "__tf"))
+                    ),
+                    lambda s: F.concat_ws(":", s[id_col], s["__tf"]),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("doc_freq") >= min_df)
+    )
+
+
+def build_inverted_index_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_postings: int = 20,
+) -> str:
+    """The identical index build as DuckDB SQL (oracle twin)."""
+    return f"""
+WITH tf AS (
+  SELECT {id_col}, t AS tok, count(*) AS tf
+  FROM {table}, unnest(string_split({text_col}, ' ')) AS u(t)
+  WHERE t <> ''
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY tok ORDER BY tf DESC, {id_col}) AS rn,
+         count(*) OVER (PARTITION BY tok) AS dfreq,
+         sum(tf) OVER (PARTITION BY tok) AS ttf
+  FROM tf
+)
+SELECT tok AS term, max(dfreq) AS doc_freq, CAST(max(ttf) AS BIGINT) AS total_tf,
+       string_agg({id_col} || ':' || tf, ',' ORDER BY rn) AS postings
+FROM r WHERE rn <= {max_postings}
+GROUP BY tok
+HAVING max(dfreq) >= {min_df}
+"""
+
+
 def doc_trigram_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

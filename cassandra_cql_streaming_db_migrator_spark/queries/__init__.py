@@ -110,6 +110,7 @@ DRIVER_ROTATED_OUT = [
     "stream_funnel",
     "kmeans_embeddings",
     "stream_scd2",
+    "inverted_index",
 ]
 
 

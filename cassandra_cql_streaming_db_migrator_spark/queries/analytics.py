@@ -36,6 +36,7 @@ from ..operators.sketches import (
     sampled_quantiles_sql,
 )
 from ..operators.temporal import build_scd2, build_scd2_sql
+from ..operators.textops import build_inverted_index, build_inverted_index_sql
 from ..operators.timeseries import gap_fill_locf, gap_fill_locf_sql
 from ..sources.parquet import load_table
 from . import QueryDef
@@ -430,6 +431,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
 
 
+# ---------------------------------------------------------------------------
+# Inverted index over the document corpus (search-index build).
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_inverted_index(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = [
     QueryDef(
         "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
@@ -486,5 +495,9 @@ QUERIES = [
     QueryDef(
         "kmeans_embeddings", kmeans_embeddings, kmeans_lloyd_sql(),
         "deterministic Lloyd k-means (bit-identical iterative ML)",
+    ),
+    QueryDef(
+        "inverted_index", inverted_index, build_inverted_index_sql(),
+        "inverted-index build: capped posting lists, one term shuffle",
     ),
 ]

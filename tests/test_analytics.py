@@ -403,3 +403,48 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     out = {r.cluster_id: r.n_vecs for r in kmeans_lloyd(
         spark.createDataFrame(rows), k=2, iterations=2).collect()}
     assert out == {0: 10}
+
+
+# ---------------------------------------------------------------------------
+# Inverted index
+
+
+def test_inverted_index_postings_capped_stats_uncapped(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+        build_inverted_index,
+    )
+
+    rows = [
+        Row(doc_id=1, text="x x x common"),
+        Row(doc_id=2, text="x x common"),
+        Row(doc_id=3, text="x common"),
+        Row(doc_id=4, text="rare"),
+    ]
+    out = {
+        r.term: r
+        for r in build_inverted_index(
+            spark.createDataFrame(rows), min_df=1, max_postings=2
+        ).collect()
+    }
+    x = out["x"]
+    # stats cover ALL docs even though postings are capped at 2
+    assert (x.doc_freq, x.total_tf) == (3, 6)
+    # rank by tf desc, doc asc
+    assert x.postings == "1:3,2:2"
+    assert out["common"].postings == "1:1,2:1"
+    assert out["rare"].doc_freq == 1
+
+
+def test_inverted_index_min_df_filters(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+        build_inverted_index,
+    )
+
+    rows = [Row(doc_id=1, text="a b"), Row(doc_id=2, text="a")]
+    terms = {
+        r.term
+        for r in build_inverted_index(
+            spark.createDataFrame(rows), min_df=2
+        ).collect()
+    }
+    assert terms == {"a"}
