@@ -26,9 +26,19 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MINHASH_P, MINHASH_PERMS
 
 
+def _wrap64(x: int) -> int:
+    """Python's arbitrary-precision product wrapped to signed int64 — the
+    value Spark's non-ANSI long arithmetic produces."""
+    return ((x + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+
 def _positions(key: int, m_bits: int, n_hashes: int) -> list[int]:
+    # mirror the Column expression exactly: int64-wrapped product, then
+    # POSITIVE modulo twice (Python % with a positive modulus is already
+    # pmod) — sign- and wrap-consistent for EVERY int64 key, not just the
+    # small non-negative ones
     return [
-        ((a * key + b) % MINHASH_P) % m_bits
+        (_wrap64(a * key + b) % MINHASH_P) % m_bits
         for a, b in MINHASH_PERMS[:n_hashes]
     ]
 
@@ -56,7 +66,12 @@ def bloom_test(col: Column, words: list[int], m_bits: int, n_hashes: int) -> Col
     arr = F.lit(words).cast("array<long>")
     test = F.lit(True)
     for a, b in MINHASH_PERMS[:n_hashes]:
-        p = ((F.lit(a) * col + F.lit(b)) % F.lit(MINHASH_P)) % F.lit(m_bits)
+        # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+        # key (or an int64-wrapped product) would probe a negative index
+        p = F.pmod(
+            F.pmod(F.lit(a) * col.cast("long") + F.lit(b), F.lit(MINHASH_P)),
+            F.lit(m_bits),
+        )
         word = F.element_at(arr, (p / 64).cast("int") + 1)
         # getbit reads two's-complement bit positions, so bit 63 of a
         # negative word tests correctly; it also takes a COLUMN position
@@ -76,7 +91,11 @@ def bloom_semi_join(
     """``fact SEMI JOIN dim`` with a bloom pre-filter on the fact side.
     Result rows are exactly the semi-join's; the bloom prunes fact rows
     before any shuffle/broadcast machinery sees them."""
-    keys = [r[0] for r in dim.select(dim_key).distinct().collect()]
+    # NULL keys never join (SQL equality), so they need no bloom bits —
+    # and int(None) would crash the build
+    keys = [
+        r[0] for r in dim.select(dim_key).distinct().collect() if r[0] is not None
+    ]
     words = build_bloom(keys, m_bits, n_hashes)
     pruned = fact.where(bloom_test(F.col(fact_key), words, m_bits, n_hashes))
     return pruned.join(

@@ -67,13 +67,18 @@ def kmeans_lloyd(
     ``cluster_id, n_vecs, inertia`` (sum of squared distances to the
     final centroids, quantized at 1e-6)."""
     valid = df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    # seed with the first k VALID vectors by id (not `id < k`: ids need
+    # not be 0-based dense, and an invalid vector among the low ids must
+    # not shrink the seed set); cluster ids are seed POSITIONS 0..k-1 —
+    # dense on both engines regardless of the id space
     init = (
-        valid.where(F.col(id_col) < k)
-        .orderBy(id_col)
+        valid.orderBy(id_col)
+        .limit(k)
         .select(F.transform(F.col(vec_col), lambda x: x.cast("double")))
         .collect()
     )
     cents = [r[0] for r in init]
+    k = len(cents)  # fewer than k valid vectors -> fewer clusters
     for _ in range(iterations):
         assigned = _assign(valid, cents, vec_col)
         per_dim = (
@@ -141,7 +146,10 @@ def kmeans_lloyd_sql(
   FROM {table}
   WHERE {vec_col} IS NOT NULL AND len({vec_col}) > 0
 ),
-c0 AS (SELECT {id_col} AS cid, e AS c FROM v WHERE {id_col} < {k})"""
+c0 AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid, e AS c
+  FROM (SELECT {id_col}, e FROM v ORDER BY {id_col} LIMIT {k})
+)"""
     ]
     prev = "c0"
     for it in range(1, iterations + 1):

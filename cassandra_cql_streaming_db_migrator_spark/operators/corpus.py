@@ -367,8 +367,10 @@ def rebalance_to_mixture(
     ``floor(sqrt(sum_size) * 1e6)`` integers, the feasible total is
     ``T = min_d(n_d * W // w_d)`` (the largest T with every
     ``quota_d = T * w_d // W <= n_d``), so Spark and the oracle cannot
-    disagree.  ``n_d * W`` must fit int64 — holds to petabyte corpora
-    (n_d ~ 1e9 docs, W ~ 1e12) and is asserted nowhere hot.
+    disagree.  The products run in 128-bit arithmetic (DECIMAL(38,0) on
+    Spark, HUGEINT in the oracle): ``n_d * W`` exceeds int64 already at
+    ~1e9 docs x multi-domain petabyte weights, and 38 digits cover any
+    physical corpus.
 
     Returns one row per domain: original count, quota, kept count, and the
     kept docs' total size (which pins the EXACT selected set, not just its
@@ -393,8 +395,18 @@ def rebalance_to_mixture(
             ),
         )
         .withColumn("__wsum", F.sum("__w").over(w_all))
-        .withColumn("__t", F.min(F.expr("n_docs * __wsum DIV __w")).over(w_all))
-        .withColumn("quota", F.expr("__t * __w DIV __wsum"))
+        # 128-bit products (DECIMAL(38,0) here, HUGEINT in the oracle):
+        # n_docs * W overflows int64 well below petabyte corpora
+        .withColumn(
+            "__t",
+            F.min(
+                F.expr("CAST(n_docs AS DECIMAL(38,0)) * __wsum DIV __w")
+            ).over(w_all),
+        )
+        .withColumn(
+            "quota",
+            F.expr("CAST(__t * __w DIV __wsum AS BIGINT)"),
+        )
     )
     h = poly_hash(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     w_rank = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())

@@ -201,7 +201,9 @@ def cohort_retention(
     key's first event; one row per (cohort_period, period_offset) with the
     number of distinct keys from that cohort active in that period."""
     period = F.lit(period_seconds)
-    bucket = lambda c: (F.unix_timestamp(c) / period).cast("long")  # noqa: E731
+    # floor, not cast-truncate: truncation rounds toward zero, which
+    # disagrees with the oracle's floor() for pre-1970 timestamps
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / period).cast("long")  # noqa: E731
     # One per-key aggregate carries BOTH the first-seen time and the set of
     # active periods (collect_set is bounded by timeline/period — e.g. 520
     # entries for a decade of weeks — not by event volume), so the whole

@@ -30,6 +30,13 @@ from ..functions.hashing import MINHASH_P
 # a*key stays under 2^62 for key < 2^31).  key -> (a*key + b) mod (2^31-1)
 # is a bijection on [0, 2^31-1), so hashing distinct keys yields distinct
 # hashes — the k-th minimum is collision-free by construction.
+#
+# DOMAIN CONTRACT (shared by the batch hash, the streaming kernel's numpy
+# twin, and the SQL oracles): keys must be non-negative and < 2^31.
+# Outside it the three implementations diverge — int64 products wrap at
+# different points and %'s sign convention differs (Spark/DuckDB follow
+# the dividend, Python/numpy the divisor).  Map wider/negative id spaces
+# through a narrowing hash first.
 KMV_A = 1103515245
 KMV_B = 12345
 

@@ -43,10 +43,18 @@ def build_scd2(
     runs = (
         df.select(key_col, ts_col, attr_col, tiebreak_col)
         .withColumn("__prev", F.lag(attr_col).over(w))
+        .withColumn("__first", F.row_number().over(w) == 1)
         .withColumn(
             "__start",
+            # null-SAFE change test: a value->NULL transition must start a
+            # new run (a NULLed-out attribute is drift, not a continuation
+            # — the silent-migration bug class), and NULL->NULL must NOT.
+            # __prev alone can't flag the first row once NULL attrs are
+            # legal, hence the explicit row_number test.
             F.when(
-                F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)), 1
+                F.col("__first")
+                | ~F.col("__prev").eqNullSafe(F.col(attr_col)),
+                1,
             ).otherwise(0),
         )
         .withColumn("__run", F.sum("__start").over(w))
@@ -73,8 +81,9 @@ def build_scd2_sql(
     return f"""
 WITH runs AS (
   SELECT {key_col}, {ts_col}, {attr_col}, {tiebreak_col},
-         CASE WHEN lag({attr_col}) OVER w IS NULL
-                   OR lag({attr_col}) OVER w <> {attr_col} THEN 1 ELSE 0 END AS st
+         CASE WHEN row_number() OVER w = 1
+                   OR lag({attr_col}) OVER w IS DISTINCT FROM {attr_col}
+              THEN 1 ELSE 0 END AS st
   FROM {table}
   WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col})
 ),

@@ -391,8 +391,8 @@ WITH per AS (
   FROM documents GROUP BY source
 ),
 tot AS (SELECT *, sum(w) OVER () AS tw FROM per),
-fea AS (SELECT *, min(n_docs * tw // w) OVER () AS t FROM tot),
-q AS (SELECT *, t * w // tw AS quota FROM fea),
+fea AS (SELECT *, min(CAST(n_docs AS HUGEINT) * tw // w) OVER () AS t FROM tot),
+q AS (SELECT *, CAST(t * w // tw AS BIGINT) AS quota FROM fea),
 ranked AS (
   SELECT source, n_chars,
          row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn

@@ -167,7 +167,7 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     per_user = run_to_memory(
         streaming_funnel_state(events, "user_id", "ts", "event_type",
-                               _FUNNEL_STEPS),
+                               _FUNNEL_STEPS, tiebreak_col="event_id"),
         output_mode="update",
     )
     # updates are monotone per key -> the max is the final state
@@ -201,7 +201,8 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir)
     hist = run_to_memory(
-        streaming_scd2_state(events, "user_id", "ts", "event_type"),
+        streaming_scd2_state(events, "user_id", "ts", "event_type",
+                             tiebreak_col="event_id"),
         output_mode="update",
     )
     from pyspark.sql import Window
@@ -239,9 +240,17 @@ def stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 64
     events = read_events_stream(spark, sf_dir)
+    from pyspark.sql import Window
+
     sketch = run_to_memory(
         streaming_kmv_state(events, "event_type", "user_id", k=k),
         output_mode="update",
+    )
+    # one row per (group, microbatch) lands in the sink: keep only each
+    # group's final revision (same discipline as stream_scd2)
+    w = Window.partitionBy("event_type")
+    sketch = sketch.withColumn("__mx", F.max("rev").over(w)).where(
+        F.col("rev") == F.col("__mx")
     )
     return sketch.select(
         "event_type",

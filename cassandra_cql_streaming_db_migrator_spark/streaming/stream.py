@@ -203,11 +203,13 @@ def streaming_kmv_state(
     from ..functions.hashing import MINHASH_P
     from ..operators.sketches import KMV_A, KMV_B
 
-    out_schema = f"{group_col} string, n_min long, kth_min long"
-    state_schema = "mins array<bigint>"
+    out_schema = f"{group_col} string, n_min long, kth_min long, rev long"
+    state_schema = "rev long, mins array<bigint>"
 
     def update(key, pdf_iter, state: GroupState):
-        mins = set(state.get[0]) if state.exists else set()
+        rev, mins = (
+            (state.get[0], set(state.get[1])) if state.exists else (0, set())
+        )
         for pdf in pdf_iter:
             hs = (
                 pdf[key_col].to_numpy().astype("int64") * KMV_A + KMV_B
@@ -216,12 +218,14 @@ def streaming_kmv_state(
             if len(mins) > k:
                 mins = set(sorted(mins)[:k])
         ordered = sorted(mins)
-        state.update((ordered,))
+        rev += 1
+        state.update((rev, ordered))
         yield pd.DataFrame(
             {
                 group_col: [key[0]],
                 "n_min": [len(ordered)],
                 "kth_min": [ordered[-1] if ordered else None],
+                "rev": [rev],
             }
         )
 
@@ -236,6 +240,7 @@ def streaming_funnel_state(
     ts_col: str,
     step_col: str,
     steps: list[str],
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Streaming funnel (CEP step machine): GroupState holds the first
     qualifying event time per funnel step; each microbatch is processed in
@@ -265,7 +270,8 @@ def streaming_funnel_state(
         t = list(state.get) if state.exists else [None] * n_steps
         pdfs = [p for p in pdf_iter if len(p)]
         if pdfs:
-            batch = pd.concat(pdfs).sort_values([ts_col])
+            order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            batch = pd.concat(pdfs).sort_values(order)
             for ts, etype in zip(batch[ts_col], batch[step_col]):
                 us = int(pd.Timestamp(ts).value // 1000)
                 for i, s in enumerate(steps):
@@ -294,6 +300,7 @@ def streaming_scd2_state(
     key_col: str,
     ts_col: str,
     attr_col: str,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Live SCD2 maintenance: the streaming twin of
     ``operators.temporal.build_scd2``.  GroupState holds the key's run
@@ -329,7 +336,12 @@ def streaming_scd2_state(
         attrs, froms, ns = list(attrs), list(froms), list(ns)
         pdfs = [p for p in pdf_iter if len(p)]
         if pdfs:
-            batch = pd.concat(pdfs).sort_values([ts_col])
+            # (ts, tiebreak) total order: equal timestamps with different
+            # attrs would otherwise split runs nondeterministically
+            # (pandas' default sort is unstable) and diverge from the
+            # batch build_scd2 oracle, which tiebreaks explicitly
+            order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+            batch = pd.concat(pdfs).sort_values(order)
             for ts, attr in zip(batch[ts_col], batch[attr_col]):
                 us = int(pd.Timestamp(ts).value // 1000)
                 if attrs and attrs[-1] == attr:

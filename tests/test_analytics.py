@@ -448,3 +448,63 @@ def test_inverted_index_min_df_filters(spark):
         ).collect()
     }
     assert terms == {"a"}
+
+
+# ---------------------------------------------------------------------------
+# Review regressions (round-2 self-review findings)
+
+
+def test_scd2_null_attribute_transitions(spark):
+    """value->NULL starts a new run (a NULLed-out attribute is drift, not
+    a continuation), NULL->NULL does not, NULL->value closes the NULL run."""
+    rows = [(1, 1, "A", 1), (1, 2, None, 2), (1, 3, None, 3), (1, 4, "A", 4)]
+    df = spark.createDataFrame(rows, "uid long, ts long, attr string, eid long")
+    out = sorted(
+        build_scd2(df, "uid", "ts", "attr", "eid").collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [(r.attr, r.valid_from, r.valid_to, r.n_events) for r in out] == [
+        ("A", 1, 2, 1),
+        (None, 2, 4, 2),
+        ("A", 4, None, 1),
+    ]
+
+
+def test_bloom_negative_and_wrapping_keys(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.bloom import (
+        bloom_test,
+        build_bloom,
+    )
+
+    # negative keys and keys whose a*key product wraps int64
+    keys = [-5, -1, 0, 7, 2**33 + 11, 2**62 // 1103515245 + 99]
+    words = build_bloom(keys, 4096, 3)
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    # no false negatives even where products wrap / dividends go negative
+    assert df.where(bloom_test(F.col("k"), words, 4096, 3)).count() == len(keys)
+
+
+def test_bloom_null_dim_keys_skipped(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.bloom import (
+        bloom_semi_join,
+    )
+
+    fact = spark.createDataFrame([(1,), (2,)], "k long")
+    dim = spark.createDataFrame([(1,), (None,)], "dk long")
+    got = [r.k for r in bloom_semi_join(fact, dim, "k", "dk", m_bits=256).collect()]
+    assert got == [1]
+
+
+def test_kmeans_non_dense_ids(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    # ids start at 1000 and one low-id vector is invalid: seeding must
+    # take the first k VALID vectors by id, clusters labeled 0..k-1
+    rows = [Row(vec_id=1000, embedding=None)] + [
+        Row(vec_id=1001 + i, embedding=[float(i % 2), 1.0]) for i in range(20)
+    ]
+    out = {r.cluster_id for r in kmeans_lloyd(
+        spark.createDataFrame(rows), k=2, iterations=1).collect()}
+    assert out == {0, 1}
