@@ -304,7 +304,8 @@ def test_stream_kmv_merges_across_microbatches(spark, tmp_path):
         streaming_kmv_state(stream, "g", "key", k=16), output_mode="update"
     ).collect()
     # one update per microbatch; the final state has the most minima seen
-    final = sorted(out, key=lambda r: (r.n_min, -r.kth_min))[-1]
+    assert sorted(r.rev for r in out) == [1, 2]  # one update per microbatch
+    final = max(out, key=lambda r: r.rev)
     assert final.n_min <= 16  # state stays bounded
     all_keys = set(keys_b1) | set(keys_b2)
     ref = sorted((KMV_A * x + KMV_B) % MINHASH_P for x in all_keys)[:16]
