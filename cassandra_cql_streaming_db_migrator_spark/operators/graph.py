@@ -140,5 +140,5 @@ r0 AS (SELECT src AS node, outdeg,
     return (
         f"WITH {edges_cte},\n"
         + ",\n".join(steps)
-        + f"\nSELECT node, rank_fp FROM {prev}"
+        + f"\nSELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM {prev}"
     )

@@ -215,7 +215,7 @@ o AS (
   FROM t
 )
 SELECT pack_part, CAST(off // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
-       count(*) AS n_docs, sum(n_tokens) AS chunk_tokens
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
 FROM o
 GROUP BY pack_part, chunk_id
 """

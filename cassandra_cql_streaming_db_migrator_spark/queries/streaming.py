@@ -338,10 +338,10 @@ m AS (
   FROM r
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN n_words >= 8 AND n_words <= 100000
+       CAST(sum(CASE WHEN n_words >= 8 AND n_words <= 100000
                  AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
                  AND frac_unique_words >= 0.2 AND symbol_ratio <= 0.3
-            THEN 1 ELSE 0 END) AS n_keep
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
 FROM m GROUP BY lang
 """
 

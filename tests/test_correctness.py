@@ -48,3 +48,22 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle):
     assert scols == ocols
     assert len(srows) == len(orows)
     assert rowset(srows) == rowset(orows)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_oracle_schema_has_no_hugeint(name, oracle):
+    """Driver-hasher guard: DuckDB widens sum(BIGINT) to HUGEINT (int128),
+    which the round driver's value hasher represents differently from
+    Spark's int64 even when every value is identical (round-2 lesson:
+    sequence_pack / pagerank_trade hash-fails).  Any oracle emitting an
+    int128 column must CAST it to BIGINT explicitly."""
+    q = _QUERIES[name]
+    if q.oracle is None:
+        pytest.skip("rows-only query, no oracle schema")
+    types = [str(t).upper() for t in oracle.sql(q.oracle).types]
+    banned = {"HUGEINT", "UHUGEINT", "INT128"}
+    offending = [t for t in types if t in banned]
+    assert not offending, (
+        f"oracle for {name} emits int128 column(s) {offending}; "
+        "CAST the aggregate to BIGINT in the oracle SQL"
+    )
