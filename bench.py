@@ -2,9 +2,12 @@
 """Benchmark runner (driver contract).
 
 Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE SHORT
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+"n_queries": N, "queries": {worst-5 name: sec}, "migrate_rows_per_sec": R,
+...}.  The full per-query map (min over reps + spread across reps) is
+written to ``bench_detail.json`` next to this file — the round driver
+captures only a ~2 KB stdout tail, so the printed line must stay small.
 
 Each query is forced end-to-end with a noop-format write (full plan
 execution, no collect-to-driver), timed wall-clock.  A warmup query runs
@@ -56,8 +59,9 @@ def main() -> int:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, q in queries.items():
-        best = float("inf")
+        rep_times: list[float] = []
         for _ in range(reps):
             # queries that persist() shared intermediates would otherwise
             # hand rep 2 a warm CacheManager hit (and leak entries across
@@ -66,8 +70,9 @@ def main() -> int:
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             run_query_to_noop(df)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            rep_times.append(time.perf_counter() - t0)
+        timings[name] = round(min(rep_times), 3)
+        spreads[name] = round(max(rep_times) - min(rep_times), 3)
 
     # Migrate-throughput gate (BASELINE.md: sustained migration throughput
     # must exceed 1e5 rows/s): a REAL scan -> filter chain -> computed
@@ -101,17 +106,42 @@ def main() -> int:
         shutil.rmtree(migrate_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+
+    # Full per-query data goes to a sidecar file: the round driver captures
+    # only a ~2 KB stdout tail, and round 2's single ever-growing JSON line
+    # outgrew it (BENCH_r02.json "parsed": null).  The printed line stays
+    # short and stable-size; bench_detail.json carries the whole map.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "queries": timings,
+        "spread": spreads,
+        "migrate_rows_per_sec": round(best_rate),
+        "migrate_rows": rows,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries": worst,  # worst 5 only; full map in bench_detail.json
+                "max_spread_sec": max(spreads.values()) if spreads else 0.0,
                 "migrate_rows_per_sec": round(best_rate),
-                "migrate_rows": rows,
                 "migrate_gate_1e5_rows_per_sec": best_rate >= 1e5,
+                "detail": "bench_detail.json",
             }
         )
     )
