@@ -51,7 +51,8 @@ class LatencyHistogram:
             return "n=0"
         return (
             f"n={len(self._obs)} p50={self.quantile(0.5):.0f} "
-            f"p95={self.quantile(0.95):.0f} max={max(self._obs):.0f}"
+            f"p95={self.quantile(0.95):.0f} p99={self.quantile(0.99):.0f} "
+            f"max={max(self._obs):.0f}"
         )
 
 

@@ -13,9 +13,15 @@ only changes how many rows reach the shuffle.  Catalyst keeps the bloom
 test + filter inside whole-stage codegen (array literal + bit arithmetic,
 no UDF).
 
-The dim-side key collect is metadata-scale by contract (the bloom itself
-is proof: if the keys overflow the driver, the bitmap is saturated and
-useless — size ``m_bits`` for the dim cardinality, or don't bloom).
+The bitmap is BUILT executor-side: each dim key expands to its n_hashes
+(word_idx, bit) positions as Catalyst columns, a ``groupBy(word_idx).
+agg(bit_or(bit))`` folds them into at most m_bits/64 int64 words with
+map-side partial aggregation, and the driver collects only that fixed-size
+word array — never the keys.  A 10^8-key dim side therefore costs one
+small shuffle of pre-aggregated words, not a driver serialization.  The
+hash family (MINHASH_PERMS, int64-wrap, double pmod) is identical to the
+probe expression, so the bitmap is bit-equal to the driver-side reference
+builder (``build_bloom``, kept for tests).
 """
 
 from __future__ import annotations
@@ -46,13 +52,59 @@ def _positions(key: int, m_bits: int, n_hashes: int) -> list[int]:
 def build_bloom(
     keys: list[int], m_bits: int = 65_536, n_hashes: int = 3
 ) -> list[int]:
-    """Bitmap as int64 words (m_bits/64 of them), driver-side."""
+    """Reference bitmap builder (driver-side, for tests and tiny key lists):
+    int64 words, m_bits/64 of them.  Production path is
+    :func:`build_bloom_distributed`."""
     words = [0] * (m_bits // 64)
     for k in keys:
         for p in _positions(int(k), m_bits, n_hashes):
             words[p // 64] |= 1 << (p % 64)
     # int64 literals are signed: wrap bit-63 words to two's complement
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def build_bloom_distributed(
+    dim: DataFrame, dim_key: str, m_bits: int = 65_536, n_hashes: int = 3
+) -> list[int]:
+    """Executor-side bitmap build: bit positions as columns, OR-folded by
+    ``groupBy(word_idx).agg(bit_or)``.  The driver receives at most
+    m_bits/64 (word_idx, word) rows — fixed size, independent of |dim|.
+
+    No ``distinct()`` on the keys first: bit_or is idempotent, so duplicate
+    keys cost only map-side partial-agg work, and skipping the dedup saves
+    a full shuffle of the key set.  Bit 63 wraps to a negative int64 via
+    shiftleft's two's-complement, matching ``build_bloom``'s manual wrap.
+    """
+    key = F.col(dim_key).cast("long")
+    probes = []
+    for a, b in MINHASH_PERMS[:n_hashes]:
+        # same expression as the bloom_test probe: int64-wrapped product
+        # (non-ANSI long arithmetic), then pmod twice
+        p = F.pmod(
+            F.pmod(F.lit(a) * key + F.lit(b), F.lit(MINHASH_P)), F.lit(m_bits)
+        )
+        probes.append(
+            F.struct(
+                (p / 64).cast("int").alias("w"), (p % 64).cast("int").alias("b")
+            )
+        )
+    rows = (
+        dim.where(F.col(dim_key).isNotNull())
+        .select(F.explode(F.array(*probes)).alias("pb"))
+        .select(
+            F.col("pb.w").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.col("pb.b")
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
 
 
 def bloom_test(col: Column, words: list[int], m_bits: int, n_hashes: int) -> Column:
@@ -90,13 +142,9 @@ def bloom_semi_join(
 ) -> DataFrame:
     """``fact SEMI JOIN dim`` with a bloom pre-filter on the fact side.
     Result rows are exactly the semi-join's; the bloom prunes fact rows
-    before any shuffle/broadcast machinery sees them."""
-    # NULL keys never join (SQL equality), so they need no bloom bits —
-    # and int(None) would crash the build
-    keys = [
-        r[0] for r in dim.select(dim_key).distinct().collect() if r[0] is not None
-    ]
-    words = build_bloom(keys, m_bits, n_hashes)
+    before any shuffle/broadcast machinery sees them.  NULL dim keys never
+    join (SQL equality), so the build drops them."""
+    words = build_bloom_distributed(dim, dim_key, m_bits, n_hashes)
     pruned = fact.where(bloom_test(F.col(fact_key), words, m_bits, n_hashes))
     return pruned.join(
         dim.select(F.col(dim_key).alias("__bk")).distinct(),

@@ -38,44 +38,140 @@ class QueryDef:
     bench: bool = True  # include in bench.py headline set
 
 
-# The round driver verifies the FIRST 50 registry entries only (measured:
-# CORRECTNESS_r01.json is exactly positions 0-49 of the round-1 ordering, all
-# 60 oracle-paired).  With 60 queries, 10 therefore never get a driver row.
-# Rotation policy: queries that (a) already hold a fully-green driver row
-# from a prior round and (b) whose operator family keeps another driver-
-# checked representative are listed here and sort to the tail.  Every one of
-# these is still verified every round by tools/check_correctness.py (strict
-# value-exact, both scales) and the pytest suite.
-DRIVER_ROTATED_OUT = [
-    "set_union",          # O6 green r01; family kept via set_except
-    "set_intersect",      # O6 green r01
-    "set_except_all",     # O6 green r01
-    "set_intersect_all",  # O6 green r01
-    "window_lag_lead",    # O7 green r01; family kept via window_topk/running
-    "window_analytics",   # O7 green r01
-    "distinct_agg",       # A4 green r01; family kept via rollup/cube/gsets
-    "agg_percentiles",    # A4 green r01
-    "lang_stats",         # green r01; aggregate view of lang_id (kept)
-    "token_frequency",    # green r01; token coverage kept via token_count_bpe
-    # new in round 2, after the cap was already fully claimed by the
-    # round-1 backlog; strictly locally-verified until a slot frees up
+# --------------------------------------------------------------------------
+# Driver-gate rotation.
+#
+# The round driver verifies only the FIRST 50 registry entries per round
+# (measured: CORRECTNESS_r01.json is exactly positions 0-49 of the round-1
+# ordering).  With >50 registered queries, which 50 get a driver row is a
+# policy decision; the policy here is:
+#
+#   1. every query that has never earned a fully-green driver row
+#      (rows+schema+hash all true) MUST be in the head — enforced by an
+#      assertion in all_queries() using DRIVER_HISTORY below, so newly
+#      added queries are head-listed by construction;
+#   2. remaining slots go to veterans chosen for operator-family coverage
+#      across SURVEY.md §2 (one representative per family where possible);
+#   3. every tail query is still verified every round by
+#      tools/check_correctness.py (strict value-exact, sf0.001 + sf0.01)
+#      and the pytest suite — the tail is rotation, not exemption.
+#
+# DRIVER_HISTORY is the per-query audit trail, transcribed from the
+# driver's CORRECTNESS_r{N}.json each round ("green" = rows+schema+hash all
+# true; "fail" = at least one false; absent = not in that round's head).
+DRIVER_HISTORY: dict[str, dict[str, str]] = {
+    "scan_project": {"r01": "green", "r02": "green"},
+    "filter_pushdown": {"r01": "green", "r02": "green"},
+    "filter_memory": {"r01": "green", "r02": "green"},
+    "limit_topk": {"r01": "green", "r02": "green"},
+    "computed_column": {"r01": "green", "r02": "green"},
+    "column_mapping": {"r01": "green", "r02": "green"},
+    "anti_join_if_not_exists": {"r01": "green", "r02": "green"},
+    "counter_merge": {"r01": "fail", "r02": "green"},
+    "ttl_arithmetic": {"r01": "green", "r02": "green"},
+    "dry_run_stats": {"r01": "green", "r02": "green"},
+    "migrate_pipeline": {"r01": "green", "r02": "green"},
+    "q1_pricing_summary": {"r01": "fail", "r02": "green"},
+    "join_enrich": {"r01": "fail", "r02": "green"},
+    "join_large": {"r01": "fail", "r02": "green"},
+    "window_running": {"r01": "fail", "r02": "green"},
+    "agg_rollup": {"r01": "fail", "r02": "green"},
+    "agg_cube": {"r01": "fail", "r02": "green"},
+    "agg_grouping_sets": {"r01": "fail", "r02": "green"},
+    "time_bucket_rollup": {"r01": "fail", "r02": "green"},
+    "agg_pivot": {"r01": "fail", "r02": "green"},
+    "json_extract": {"r01": "fail", "r02": "green"},
+    "join_asof": {"r01": "green", "r02": "green"},
+    "join_range": {"r01": "fail", "r02": "green"},
+    "set_except": {"r01": "green", "r02": "green"},
+    "dedup_exact": {"r01": "green", "r02": "green"},
+    "minhash_pairs": {"r01": "green", "r02": "green"},
+    "fuzzy_dedup": {"r01": "green", "r02": "green"},
+    "llm_prep_pipeline": {"r01": "green", "r02": "green"},
+    "lang_id": {"r01": "green", "r02": "green"},
+    "multimodal_features": {"r01": "green", "r02": "green"},
+    "embedding_ann_lsh": {"r02": "green"},
+    "embedding_near_dup": {"r02": "green"},
+    "embedding_label_top_pairs": {"r02": "green"},
+    "multimodal_meta": {"r02": "green"},
+    "stream_stream_join": {"r02": "green"},
+    "stream_tumbling_agg": {"r02": "green"},
+    "stream_dedup": {"r02": "green"},
+    "stream_session_window": {"r02": "green"},
+    "stream_sliding_agg": {"r02": "green"},
+    "stream_stateful_stats": {"r02": "green"},
+    "decontaminate": {"r02": "green"},
+    "split_sample": {"r02": "green"},
+    "text_governance": {"r02": "green"},
+    "sequence_pack": {"r02": "fail"},  # HUGEINT oracle col; cast fixed in r03
+    "stratified_sample": {"r02": "green"},
+    "split_leakage": {"r02": "green"},
+    "kmv_distinct": {"r02": "green"},
+    "scd2_history": {"r02": "green"},
+    "pagerank_trade": {"r02": "fail"},  # HUGEINT oracle col; cast fixed in r03
+    "time_gap_fill": {"r02": "green"},
+    "set_union": {"r01": "green"},
+    "set_intersect": {"r01": "green"},
+    "set_except_all": {"r01": "green"},
+    "set_intersect_all": {"r01": "green"},
+    "window_lag_lead": {"r01": "green"},
+    "window_analytics": {"r01": "green"},
+    "distinct_agg": {"r01": "green"},
+    "agg_percentiles": {"r01": "green"},
+    "lang_stats": {"r01": "green"},
+    "token_frequency": {"r01": "green"},
+    "multimodal_resize": {},
+    "join_semi": {"r01": "green"},
+    "ngram_jaccard": {"r01": "green"},
+    "text_stats": {"r01": "green"},
+    "correlated_subquery": {"r01": "green"},
+    "embedding_quantize": {},
+    "stream_quality_gate": {},
+    "repetition_stats": {},
+    "tfidf_terms": {},
+    "mixture_weights": {},
+    "length_histogram": {},
+    "trigram_lm": {},
+    "embedding_centroids": {},
+    "dedup_components": {},
+    "simhash_fingerprint": {"r01": "green"},
+    "doc_fingerprint": {"r01": "green"},
+    "embedding_topk": {"r01": "green"},
+    "token_count_bpe": {"r01": "green"},
+    "window_topk": {"r01": "green"},
+    "embedding_ann_ivf": {"r01": "green"},
+    "sessionize_events": {},
+    "funnel_events": {},
+    "retention_cohorts": {},
+    "rolling_7d": {},
+    "quantiles_sampled": {},
+    "stream_kmv": {},
+    "bloom_join": {},
+    "mixture_rebalance": {},
+    "snapshot_diff": {},
+    "pit_enrich": {},
+    "agg_corr": {},
+    "stream_funnel": {},
+    "kmeans_embeddings": {},
+    "stream_scd2": {},
+    "inverted_index": {},
+}
+
+DRIVER_HEAD_CAP = 50
+
+# Round-3 head: the 27 queries without a green driver row (25 never checked
+# + the 2 round-2 HUGEINT hash-fails, re-submitted after the oracle cast
+# fix), then veterans keeping one driver-checked representative per
+# SURVEY.md §2 operator family.  New queries added this round must be
+# inserted here (rule 1 above), displacing veterans.
+DRIVER_HEAD = [
+    # -- re-submissions after the round-2 HUGEINT oracle fix
+    "sequence_pack",
+    "pagerank_trade",
+    # -- never driver-checked until now (round-2 additions)
     "multimodal_resize",
-    # rotated in round 2 to give the corpus-governance family (queries/
-    # corpus.py) driver rows; each was green in r01 and keeps a driver-
-    # checked family representative in the head
-    "join_semi",           # J2 green r01; family keeps enrich/large/asof/range
-    "ngram_jaccard",       # dedup green r01 (the excluded-from-bench exact baseline)
-    "text_stats",          # green r01; quality stats superseded by text_governance
-    "correlated_subquery", # A4 green r01; family keeps rollup/cube/gsets/pivot
-    # similarity family already holds 5 head slots (topk/ivf/lsh/near_dup/
-    # label_top_pairs); the quantization stats query starts tail-listed
     "embedding_quantize",
-    # streaming family already holds 6 head slots; the stream governance
-    # composition starts tail-listed
     "stream_quality_gate",
-    # round-2 late additions: text-analysis and governance families already
-    # hold head slots, so these start tail-listed (strict local checks +
-    # pytest every round, like the rest of the tail)
     "repetition_stats",
     "tfidf_terms",
     "mixture_weights",
@@ -83,19 +179,6 @@ DRIVER_ROTATED_OUT = [
     "trigram_lm",
     "embedding_centroids",
     "dedup_components",
-    # rotated in round 2 (second batch) to give the analytics family
-    # (queries/analytics.py: kmv_distinct, scd2_history, pagerank_trade,
-    # time_gap_fill) driver rows; each of these four was green in r01 and
-    # keeps a driver-checked family representative in the head
-    "simhash_fingerprint",  # dedup family keeps dedup_exact/minhash/fuzzy
-    "doc_fingerprint",      # text family keeps lang_id/token_count_bpe
-    "embedding_topk",       # similarity family keeps ivf/lsh/near_dup/pairs
-    "token_count_bpe",      # text family keeps lang_id in the head
-    "window_topk",          # O5/O7 green r01; family keeps window_running
-    "embedding_ann_ivf",    # green r01; family keeps lsh/near_dup/pairs
-    # round-2 event-analytics family: born after the head filled; strictly
-    # locally-verified (check_correctness both scales + pytest) until a
-    # future round rotates them in
     "sessionize_events",
     "funnel_events",
     "retention_cohorts",
@@ -111,21 +194,71 @@ DRIVER_ROTATED_OUT = [
     "kmeans_embeddings",
     "stream_scd2",
     "inverted_index",
+    # -- veterans, one per §2 family (all green r01 and/or r02)
+    "scan_project",            # S1/S2 scan + projection
+    "filter_pushdown",         # S4/F1 pushdown predicates
+    "filter_memory",           # F2/F3/O4 MVEL filter chain
+    "limit_topk",              # S5/O1/O5 limits + top-k
+    "computed_column",         # P3 computed columns (hashCode parity)
+    "column_mapping",          # P1/P2 mapping + drop
+    "anti_join_if_not_exists", # S7/K2/J1/F4 existence anti-join
+    "counter_merge",           # K3/A1 counter merge
+    "ttl_arithmetic",          # S3/K4 TTL surface
+    "dry_run_stats",           # K5/A2 simulation stats
+    "migrate_pipeline",        # S6/P4 end-to-end migrate transform
+    "q1_pricing_summary",      # A4 flagship aggregate
+    "join_enrich",             # J2 broadcast join
+    "join_asof",               # J2 as-of join (custom operator)
+    "window_running",          # O7 window functions
+    "set_except",              # O6 set ops
+    "time_bucket_rollup",      # A4 time-bucketed rollup
+    "dedup_exact",             # LLM-pipeline exact dedup
+    "minhash_pairs",           # LLM-pipeline MinHash LSH
+    "fuzzy_dedup",             # LLM-pipeline LSH->verify composition
+    "embedding_near_dup",      # similarity family
+    "stream_tumbling_agg",     # T8 streaming
+    "scd2_history",            # temporal/CDC family
 ]
 
 
 def all_queries() -> dict[str, QueryDef]:
     from . import analytics, corpus, llm, reference, relational, streaming
 
-    out: dict[str, QueryDef] = {}
+    reg: dict[str, QueryDef] = {}
     for mod in (reference, relational, llm, streaming, corpus, analytics):
         for q in mod.QUERIES:
-            if q.name in out:
+            if q.name in reg:
                 raise ValueError(f"duplicate query name {q.name}")
-            out[q.name] = q
-    missing = [n for n in DRIVER_ROTATED_OUT if n not in out]
+            reg[q.name] = q
+
+    missing = [n for n in DRIVER_HEAD if n not in reg]
     if missing:
-        raise ValueError(f"DRIVER_ROTATED_OUT names not registered: {missing}")
-    tail = {n: out.pop(n) for n in DRIVER_ROTATED_OUT}
-    out.update(tail)
+        raise ValueError(f"DRIVER_HEAD names not registered: {missing}")
+    if len(DRIVER_HEAD) != len(set(DRIVER_HEAD)):
+        raise ValueError("DRIVER_HEAD contains duplicates")
+    if len(DRIVER_HEAD) > DRIVER_HEAD_CAP:
+        raise ValueError(
+            f"DRIVER_HEAD has {len(DRIVER_HEAD)} entries; cap is "
+            f"{DRIVER_HEAD_CAP} (the driver checks only the first "
+            f"{DRIVER_HEAD_CAP})"
+        )
+    # Policy rule 1: a query with no green driver row yet must be head-listed
+    # so the next driver round witnesses it.
+    head = set(DRIVER_HEAD)
+    unwitnessed = [
+        n
+        for n in reg
+        if n not in head
+        and not any(
+            v == "green" for v in DRIVER_HISTORY.get(n, {}).values()
+        )
+    ]
+    if unwitnessed:
+        raise ValueError(
+            "queries without a green driver row must be in DRIVER_HEAD: "
+            f"{unwitnessed}"
+        )
+
+    out = {n: reg.pop(n) for n in DRIVER_HEAD}
+    out.update(reg)  # tail keeps registration order
     return out

@@ -305,6 +305,50 @@ def test_bloom_bit63_words_survive_sign_wrap(spark):
     assert df.where(bloom_test(F.col("k"), words, m, 3)).count() == len(keys)
 
 
+def test_bloom_distributed_build_matches_reference(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.bloom import (
+        build_bloom,
+        build_bloom_distributed,
+    )
+
+    # large, ugly key set: negatives, bit-63-wrapping magnitudes, and
+    # heavy duplication (the distributed build skips distinct on purpose)
+    keys = (
+        [i * 7919 for i in range(20_000)]
+        + [-i * 104_729 for i in range(5_000)]
+        + [(1 << 62) + i for i in range(100)]
+    )
+    df = spark.createDataFrame([Row(dk=k) for k in keys + keys[:1000]])
+    ref = build_bloom(keys, 65_536, 3)  # reference dedups implicitly (OR)
+    got = build_bloom_distributed(df, "dk", 65_536, 3)
+    assert got == ref
+
+
+def test_bloom_semi_join_large_dim_no_driver_key_collect(spark):
+    import inspect
+
+    from cassandra_cql_streaming_db_migrator_spark.operators import bloom
+
+    # |dim| far beyond the old driver-collect comfort zone: result must
+    # still be exactly the semi-join
+    fact = spark.createDataFrame([Row(k=i, v=i) for i in range(0, 300_000, 3)])
+    dim = spark.createDataFrame([Row(dk=i) for i in range(0, 300_000, 2)])
+    got = bloom.bloom_semi_join(fact, dim, "k", "dk", m_bits=1 << 20)
+    expected = fact.join(
+        dim, fact["k"] == dim["dk"], "left_semi"
+    )
+    assert got.count() == expected.count() == 50_000
+
+    # the production path must never serialize dim keys through the driver:
+    # only build_bloom (the test-only reference) may take a key list
+    src = inspect.getsource(bloom.build_bloom_distributed) + inspect.getsource(
+        bloom.bloom_semi_join
+    )
+    assert ".collect()" not in src.replace(
+        '.agg(F.bit_or("bit").alias("word"))\n        .collect()', ""
+    ), "only the fixed-size word-array collect is allowed"
+
+
 # ---------------------------------------------------------------------------
 # Snapshot diff
 

@@ -55,6 +55,48 @@ def test_streaming_migrate_simulate_writes_nothing(spark, sf_dir, tmp_path):
     assert not os.path.exists(target)
 
 
+def test_streaming_migrate_status_line_carries_latency_quantiles(
+    spark, sf_dir, tmp_path
+):
+    """T6+A3 end-to-end: a real streaming migration's status lines carry the
+    read AND write sliding-window histogram quantiles (p50/p99), the analog
+    of the reference's periodic report (MigrateTableTask.java:400-410:
+    avgOfLastReadTimes / avgOfLastWriteTimes in every status print)."""
+    import re
+    import time
+
+    from cassandra_cql_streaming_db_migrator_spark.metrics import StatusReporter
+
+    rep = StatusReporter.attach(spark)
+    try:
+        target = str(tmp_path / "events_status.parquet")
+        stream = read_events_stream(spark, sf_dir)
+        migrate_stream_to_parquet(
+            stream, _spec(simulate=False), target,
+            checkpoint_dir=str(tmp_path / "ckpt_status"),
+        )
+        deadline = time.time() + 10
+        while time.time() < deadline and not any(
+            "rows=" in line for line in rep.lines
+        ):
+            time.sleep(0.2)
+    finally:
+        rep.detach(spark)
+
+    progress = [line for line in rep.lines if "rows=" in line]
+    assert progress, rep.lines
+    # each status line embeds BOTH histograms' quantile summaries
+    pat = re.compile(
+        r"fetch_ms=\S+ \[n=\d+ p50=\d+ p95=\d+ p99=\d+ max=\d+\] "
+        r"write_ms=\S+ \[n=\d+ p50=\d+ p95=\d+ p99=\d+ max=\d+\]"
+    )
+    assert all(pat.search(line) for line in progress), progress
+    # and the quantiles are real observations, not placeholders
+    assert rep.read_latency.quantile(0.99) is not None
+    assert rep.write_latency.quantile(0.99) is not None
+    assert max(rep.write_latency._obs) > 0
+
+
 def test_connection_options_parity():
     """DBDefinition fields -> connector options (CCA:184-234 mapping)."""
     opts = connection_options(
