@@ -7,6 +7,7 @@ import io
 import re
 from contextlib import redirect_stdout
 
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from cassandra_cql_streaming_db_migrator_spark.operators.joins import salted_join
@@ -173,3 +174,106 @@ def test_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
         f: os.path.getmtime(f) for f in glob.glob(f"{path}/d=d1/*.parquet")
     }
     assert untouched_after == untouched_before
+
+
+# ---------------------------------------------------------------------------
+# Iterative operators under skew: power-law graph with a hub node
+
+
+def _power_law_edges(spark, n_nodes: int = 2000, hub_frac: int = 10):
+    """Deterministic power-law-ish directed graph: every node i >= 2 emits
+    one edge; every hub_frac-th node points at hub node 1 (so the hub holds
+    ~10% of raw edges and a far larger share after symmetrization), the
+    rest chain to i // 2 (tree backbone, diameter ~log2 n)."""
+    rows = [
+        Row(src=i, dst=1 if i % hub_frac == 0 else max(1, i // 2))
+        for i in range(2, n_nodes + 1)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_pagerank_bit_stable_under_skewed_partitioning(spark):
+    """The fixed-point contract, stress-tested: a hub node receiving ~10%
+    of all messages must produce BIT-IDENTICAL ranks whether the edges
+    arrive in 1 partition or 32 — integer arithmetic is associative, so
+    partitioning (and therefore skew-induced ordering) cannot leak into
+    the result."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    e = _power_law_edges(spark)
+    # symmetrize like the production caller: every node gets in- and
+    # out-edges, the pagerank_fixed_point precondition
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def run(df):
+        got = pagerank_fixed_point(df, iterations=4).collect()
+        return sorted((r.node, r.rank_fp) for r in got)
+
+    r1 = run(und.repartition(1))
+    r32 = run(und.repartition(32))
+    assert r1 == r32
+    # the hub actually dominates (skew is real, not accidental)
+    top = max(r1, key=lambda t: t[1])
+    assert top[0] == 1
+
+
+def test_pagerank_plan_depth_bounded_across_iterations(spark):
+    """Lineage discipline under iteration: the checkpoint-per-round loop
+    must keep the FINAL plan's size and shuffle count constant as rounds
+    grow — an unrolled plan would double per round and die at tens of
+    rounds on a real cluster."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    e = _power_law_edges(spark, n_nodes=500)
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    plans = {}
+    for its in (2, 8):
+        plan = _plan_of(pagerank_fixed_point(und, iterations=its))
+        plans[its] = plan
+    for its, plan in plans.items():
+        # the returned frame reads the round's checkpointed blocks: no
+        # Exchange may survive into the final plan, however many rounds ran
+        assert not re.search(r"\n\(\d+\) Exchange", plan), (its, plan)
+    assert len(plans[8].splitlines()) == len(plans[2].splitlines())
+
+
+def test_connected_components_skewed_hub_converges_bit_stable(spark):
+    """Min-label propagation over a hub-star + chain graph: bounded round
+    count (max_iter is a hard cap, so convergence within it IS the round
+    -count assertion), bit-stable labels under 1 vs 32 partitions, and the
+    hub component resolves to the minimum member id."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # hub star: ~200 spokes on node 1; plus disjoint 8-node chains whose
+    # diameter (not the hub) drives the round count
+    rows = [Row(a=1, b=i) for i in range(2, 200)]
+    base = 10_000
+    for c in range(20):
+        start = base + 9 * c
+        rows += [Row(a=start + j, b=start + j + 1) for j in range(8)]
+    pairs = spark.createDataFrame(rows)
+
+    def run(df):
+        got = connected_components(df, "a", "b", max_iter=12).collect()
+        return sorted((r.doc_id, r.component_id, r.comp_size) for r in got)
+
+    r1 = run(pairs.repartition(1))
+    r32 = run(pairs.repartition(32))
+    assert r1 == r32
+    by_comp = {}
+    for node, comp, size in r1:
+        by_comp.setdefault(comp, []).append((node, size))
+    # hub component: all 199 star members labeled with min id 1
+    assert len(by_comp[1]) == 199
+    assert all(size == 199 for _, size in by_comp[1])
+    # each chain is its own component of 9, labeled by its min node
+    for c in range(20):
+        start = base + 9 * c
+        assert len(by_comp[start]) == 9
