@@ -375,7 +375,8 @@ def doc_trigram_counts(
     and makes every downstream hash (model aggregates, broadcast join)
     an int64 hash instead of a string hash.  Counting is by codepoint, so
     NUL bytes and non-ASCII take the same vectorized path (ASCII decodes
-    via a zero-copy byte view; otherwise ord() feeds the same packing).
+    via a zero-copy byte view; everything else via UTF-32-LE code units,
+    which are the codepoints — no per-character Python either way).
     """
     import pandas as pd
 
@@ -397,7 +398,12 @@ def doc_trigram_counts(
                 if len(b) == len(t):  # pure ASCII: bytes ARE codepoints
                     arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
                 else:
-                    arr = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+                    # full-codepoint path, still vectorized: UTF-32-LE code
+                    # units ARE the codepoints, so C-side encode + zero-copy
+                    # frombuffer replaces the old per-character ord() loop
+                    arr = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
                 codes = (arr[:-2] << 42) | (arr[1:-1] << 21) | arr[2:]
                 uniq, counts = np.unique(codes, return_counts=True)
                 doc_ids.append((doc_id, len(uniq)))

@@ -378,6 +378,53 @@ class TestTrigramLM:
         # the corpus-atypical doc scores strictly below the typical docs
         assert got[4][1] < min(got[k][1] for k in (1, 2, 3))
 
+    def test_non_ascii_corpus_matches_reference_vectorized(self, spark):
+        """The full LM on a non-ASCII corpus slice (CJK, combining accents,
+        astral emoji) must match the independent per-codepoint reference —
+        and the kernel may not fall back to per-character Python (the old
+        map(ord) path) to get there."""
+        import inspect
+        import math
+        import re as _re
+        from collections import Counter
+
+        from cassandra_cql_streaming_db_migrator_spark.operators import textops
+
+        texts = {
+            1: "das Ubermass: schone Worter uber Mass und Masse".replace(
+                "o", "ö"
+            ).replace("U", "Ü"),
+            2: "日本語の文字列で三文字組を数える",
+            3: "日本語の文字列で頻度を数える",
+            4: "mix: 日本語 and ascii and 😀😀😀 emoji",
+        }
+        df = spark.createDataFrame(
+            [(k, v) for k, v in texts.items()], "doc_id long, text string"
+        )
+        c3: Counter = Counter()
+        for t in texts.values():
+            c3.update(t[i : i + 3] for i in range(len(t) - 2))
+        c2: Counter = Counter()
+        for tri, n in c3.items():
+            c2[tri[:2]] += n
+        expect = {}
+        for k, t in texts.items():
+            tris = [t[i : i + 3] for i in range(len(t) - 2)]
+            s = sum(c3[x] / c2[x[:2]] for x in tris)
+            expect[k] = (len(tris), round(s / len(tris), 6))
+        got = {
+            r["doc_id"]: (r["n_trigrams"], r["mean_tri_prob"])
+            for r in textops.trigram_lm_score(df).collect()
+        }
+        assert got.keys() == expect.keys()
+        for k in expect:
+            assert got[k][0] == expect[k][0]
+            assert math.isclose(got[k][1], expect[k][1], abs_tol=2e-6)
+
+        # vectorization guard: no per-character Python in the kernel
+        src = inspect.getsource(textops.doc_trigram_counts)
+        assert not _re.search(r"map\(ord|fromiter", src), src
+
 
 class TestLabelCentroids:
     def test_matches_independent_reference(self, spark):
