@@ -27,23 +27,40 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MINHASH_P
 
 # Frozen affine-hash parameters (same family as MINHASH_PERMS; a < 2^31 so
-# a*key stays under 2^62 for key < 2^31).  key -> (a*key + b) mod (2^31-1)
-# is a bijection on [0, 2^31-1), so hashing distinct keys yields distinct
-# hashes — the k-th minimum is collision-free by construction.
+# a*key' stays under 2^62 for the narrowed key' < 2^31).  key' -> (a*key'
+# + b) mod (2^31-1) is a bijection on [0, 2^31-1), so hashing distinct
+# in-range keys yields distinct hashes — the k-th minimum is collision-free
+# by construction.
 #
-# DOMAIN CONTRACT (shared by the batch hash, the streaming kernel's numpy
-# twin, and the SQL oracles): keys must be non-negative and < 2^31.
-# Outside it the three implementations diverge — int64 products wrap at
-# different points and %'s sign convention differs (Spark/DuckDB follow
-# the dividend, Python/numpy the divisor).  Map wider/negative id spaces
-# through a narrowing hash first.
+# DOMAIN: any int64 key.  The hash narrows first — key' = pmod(key, P) —
+# which is the identity on [0, 2^31-1) (the fixture id spaces) and gives
+# negative or >= 2^31 keys one well-defined value that all three
+# implementations agree on: Spark pmod, DuckDB's (k % P + P) % P, and
+# numpy's divisor-sign %.  Without the narrowing the three diverge (int64
+# products wrap at different points; bare %'s sign follows the dividend in
+# Spark/DuckDB but the divisor in numpy) — see kmv_hash_sql for the oracle
+# expression.  NULL keys hash to NULL and are filtered before any top-k
+# window (Spark orders NULLS FIRST, DuckDB NULLS LAST — a NULL that
+# reached the window would silently shift the k-th minimum on one side
+# only).
 KMV_A = 1103515245
 KMV_B = 12345
 
 
 def kmv_hash(col) -> "F.Column":
-    """Affine int64 hash to (0, 1]-normalizable range [0, MINHASH_P)."""
-    return (F.col(col).cast("long") * F.lit(KMV_A) + F.lit(KMV_B)) % F.lit(MINHASH_P)
+    """Affine int64 hash to (0, 1]-normalizable range [0, MINHASH_P);
+    total on int64 via the narrowing pmod (see module constants)."""
+    narrowed = F.pmod(F.col(col).cast("long"), F.lit(MINHASH_P))
+    return (narrowed * F.lit(KMV_A) + F.lit(KMV_B)) % F.lit(MINHASH_P)
+
+
+def kmv_hash_sql(key_expr: str) -> str:
+    """The identical total hash as ANSI SQL (DuckDB oracle twin)."""
+    p = MINHASH_P
+    return (
+        f"(((CAST({key_expr} AS BIGINT) % {p} + {p}) % {p})"
+        f" * {KMV_A} + {KMV_B}) % {p}"
+    )
 
 
 def kmv_distinct(
@@ -59,6 +76,7 @@ def kmv_distinct(
     """
     distinct = (
         df.select(group_col, key_col)
+        .where(F.col(key_col).isNotNull())
         .distinct()
         .withColumn("__h", kmv_hash(key_col))
     )
@@ -139,7 +157,7 @@ def sampled_quantiles_sql(
     return f"""
 SELECT {group_col}, count(*) AS n_sample, {cols}
 FROM {table}
-WHERE (CAST({id_col} AS BIGINT) * {KMV_A} + {KMV_B}) % {MINHASH_P} < {thresh}
+WHERE {kmv_hash_sql(id_col)} < {thresh}
 GROUP BY {group_col}
 """
 
@@ -151,10 +169,10 @@ def kmv_distinct_sql(
     return f"""
 WITH d AS (
   SELECT DISTINCT {group_col}, {key_col} FROM {table}
+  WHERE {key_col} IS NOT NULL
 ),
 h AS (
-  SELECT {group_col},
-         (CAST({key_col} AS BIGINT) * {KMV_A} + {KMV_B}) % {MINHASH_P} AS hh
+  SELECT {group_col}, {kmv_hash_sql(key_col)} AS hh
   FROM d
 ),
 r AS (

@@ -269,14 +269,14 @@ def stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_kmv_sql() -> str:
     from ..functions.hashing import MINHASH_P
-    from ..operators.sketches import KMV_A, KMV_B
+    from ..operators.sketches import kmv_hash_sql
 
     k = 64
     return f"""
-WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+           WHERE user_id IS NOT NULL),
 h AS (
-  SELECT event_type,
-         (CAST(user_id AS BIGINT) * {KMV_A} + {KMV_B}) % {MINHASH_P} AS hh
+  SELECT event_type, {kmv_hash_sql("user_id")} AS hh
   FROM d
 ),
 r AS (

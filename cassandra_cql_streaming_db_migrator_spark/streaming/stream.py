@@ -211,9 +211,11 @@ def streaming_kmv_state(
             (state.get[0], set(state.get[1])) if state.exists else (0, set())
         )
         for pdf in pdf_iter:
-            hs = (
-                pdf[key_col].to_numpy().astype("int64") * KMV_A + KMV_B
-            ) % MINHASH_P
+            # same total hash as operators.sketches.kmv_hash: narrow with
+            # % P first (numpy's % already follows the divisor sign, i.e.
+            # pmod), drop NULL keys before they can poison the k-min set
+            keys = pdf[key_col].dropna().to_numpy().astype("int64")
+            hs = ((keys % MINHASH_P) * KMV_A + KMV_B) % MINHASH_P
             mins.update(int(h) for h in hs)
             if len(mins) > k:
                 mins = set(sorted(mins)[:k])

@@ -69,6 +69,58 @@ def test_kmv_mergeability_property():
     assert merged == direct
 
 
+def test_kmv_arbitrary_key_space_matches_oracle(spark):
+    """The hash is total on int64 (narrowing pmod) and NULL keys are
+    filtered, so batch Spark, the DuckDB oracle, and the streaming numpy
+    twin agree on negative keys, keys >= 2^31, and NULLs — the round-2
+    advisory's divergence classes."""
+    import duckdb
+    import numpy as np
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+        kmv_distinct_sql,
+    )
+
+    keys = (
+        [int(i) for i in range(50)]
+        + [-7 * i for i in range(1, 40)]
+        + [(1 << 33) + 11 * i for i in range(40)]
+        + [(1 << 62) + i for i in range(20)]
+        + [None] * 5
+    )
+    rows = [Row(g="a" if i % 2 else "b", k=key) for i, key in enumerate(keys)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {
+        r.g: (r.exact_distinct, r.est_distinct)
+        for r in kmv_distinct(df, "g", "k", k=16).collect()
+    }
+
+    con = duckdb.connect()
+    # NOT toPandas(): NULLs would coerce the int64 keys to float64 and
+    # collapse the >= 2^53 block before DuckDB ever saw it
+    con.execute("CREATE TABLE t (g VARCHAR, k BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(r.g, r.k) for r in rows]
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(kmv_distinct_sql("t", "g", "k", k=16)).fetchall()
+    }
+    assert got == want
+
+    # streaming numpy twin of the hash on the same ugly keys
+    arr = np.array([key for key in keys if key is not None], dtype=np.int64)
+    np_h = ((arr % MINHASH_P) * KMV_A + KMV_B) % MINHASH_P
+    spark_h = (
+        spark.createDataFrame([(int(v),) for v in arr], "k long")
+        .selectExpr(
+            f"(pmod(k, {MINHASH_P}) * {KMV_A} + {KMV_B}) % {MINHASH_P} AS h"
+        )
+        .collect()
+    )
+    assert [r.h for r in spark_h] == [int(x) for x in np_h]
+
+
 # ---------------------------------------------------------------------------
 # SCD2
 
