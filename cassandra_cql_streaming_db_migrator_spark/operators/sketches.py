@@ -190,3 +190,76 @@ FROM r
 WHERE rn <= {k}
 GROUP BY {group_col}
 """
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    rate: float = 0.1,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Robust per-group statistics: clip values into the [p_lo, p_hi]
+    interval estimated from the deterministic hash sample, then count the
+    clips and take the exact decimal sum of the winsorized values — the
+    outlier-robust aggregate a metrics/feature pipeline runs instead of a
+    raw mean.
+
+    Scale shape: the percentile bounds come from :func:`sampled_quantiles`
+    (narrow filter -> small exact percentile, no full-data sort); the
+    bounds table is one row per group, broadcast back onto the feed — the
+    big side never shuffles for the join and aggregates with map-side
+    partials.  Deterministic end to end: hash sample + decimal sum.
+    """
+    from .aggregates import decimal_sum
+
+    tag_lo, tag_hi = (str(q).replace("0.", "p") for q in (lo, hi))
+    bounds = sampled_quantiles(
+        df, group_col, value_col, id_col, quantiles=(lo, hi), rate=rate
+    ).select(group_col, tag_lo, tag_hi)
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col(tag_lo)), F.col(tag_hi))
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((v < F.col(tag_lo)).cast("long")).alias("n_clipped_low"),
+            F.sum((v > F.col(tag_hi)).cast("long")).alias("n_clipped_high"),
+            decimal_sum(clipped, "winsorized_sum"),
+        )
+    )
+
+
+def winsorized_stats_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    rate: float = 0.1,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> str:
+    """The identical winsorization as DuckDB SQL (oracle twin)."""
+    tag_lo, tag_hi = (str(q).replace("0.", "p") for q in (lo, hi))
+    bounds = sampled_quantiles_sql(
+        table, group_col, value_col, id_col, quantiles=(lo, hi), rate=rate
+    )
+    return f"""
+WITH s AS ({bounds}),
+j AS (
+  SELECT t.{group_col} AS g, t.{value_col} AS v, s.{tag_lo}, s.{tag_hi}
+  FROM {table} t JOIN s ON t.{group_col} = s.{group_col}
+)
+SELECT g AS {group_col}, count(*) AS n,
+       CAST(sum(CASE WHEN v < {tag_lo} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN v > {tag_hi} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(round(sum(CAST(least(greatest(v, {tag_lo}), {tag_hi})
+                           AS DECIMAL(28,10))), 2) AS DOUBLE) AS winsorized_sum
+FROM j
+GROUP BY g
+"""

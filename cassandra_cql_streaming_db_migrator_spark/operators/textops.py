@@ -529,3 +529,51 @@ def tfidf_top_terms(
             F.col("term_rank").cast("int").alias("term_rank"),
         )
     )
+
+
+def word_bigram_topk(df: DataFrame, text_col: str = "text", k: int = 25) -> DataFrame:
+    """Corpus-wide top-k word bigrams with counts — the n-gram census a
+    corpus report runs (boilerplate detection, collocation mining, the
+    repeated-template smell test before training).
+
+    All-Catalyst: split -> adjacent-pair zip_with -> explode stays narrow
+    (token instances never shuffle); ONE shuffle for the count aggregate
+    (map-side partials collapse the per-partition bigram space first); the
+    top-k is TakeOrderedAndProject, never a full sort.  The LIMIT carries a
+    total order (count desc, bigram asc) per the oracle-parity rules.
+    """
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
+def word_bigram_topk_sql(
+    table: str = "documents", text_col: str = "text", k: int = 25
+) -> str:
+    """The identical census as DuckDB SQL (oracle twin).  1-based list
+    indexing: i ranges over [1, len-1], pairing arr[i] with arr[i+1] —
+    exactly the Spark slice/zip_with pairs."""
+    return f"""
+WITH ws AS (
+  SELECT string_split({text_col}, ' ') AS arr FROM {table}
+),
+p AS (
+  SELECT arr[i] || ' ' || arr[i + 1] AS bigram
+  FROM ws, unnest(range(1, len(arr))) AS t(i)
+)
+SELECT bigram, count(*) AS n
+FROM p
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {k}
+"""

@@ -133,3 +133,83 @@ SELECT g.{key_col}, g.bucket_ts,
 FROM grid g LEFT JOIN obs o
   ON g.{key_col} = o.{key_col} AND g.bucket_ts = o.bucket_ts
 """
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_seconds: int = 21_600,
+) -> DataFrame:
+    """Open/high/low/close + volume per (key, time bucket) — the canonical
+    downsample for a numeric event feed (market bars, sensor rollups,
+    metric compaction before retention).
+
+    Shape: ONE pure hash aggregate (one shuffle, map-side partials, no
+    sort): open/close are ``min_by``/``max_by`` over a zero-padded
+    "(us, tiebreak)" string key — the same total-order encoding
+    :func:`gap_fill_locf` uses — so there is no per-bucket row_number
+    sort.  Determinism: (ts, tiebreak) is unique per key, making
+    min_by/max_by total-ordered; high/low/volume are order-insensitive.
+    Values are rounded at 6 (per-row round of a double — deterministic
+    given identical input bits).
+    """
+    bus = bucket_seconds * 1_000_000
+    base = df.select(
+        key_col,
+        F.col(value_col).alias("__v"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.format_string(
+            "%020d#%020d",
+            F.unix_micros(F.col(ts_col).cast("timestamp")),
+            F.col(tiebreak_col),
+        ).alias("__ord"),
+    ).withColumn("__bucket", F.expr(f"__us DIV {bus}"))
+    return (
+        base.groupBy(key_col, "__bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("min_by(__v, __ord)"), 6).alias("open"),
+            F.round(F.max("__v"), 6).alias("high"),
+            F.round(F.min("__v"), 6).alias("low"),
+            F.round(F.expr("max_by(__v, __ord)"), 6).alias("close"),
+        )
+        .select(
+            key_col,
+            F.col("__bucket").alias("bucket_id"),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+
+
+def ohlc_downsample_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_seconds: int = 21_600,
+) -> str:
+    """The identical downsample as DuckDB SQL (oracle twin)."""
+    bus = bucket_seconds * 1_000_000
+    return f"""
+WITH b AS (
+  SELECT {key_col}, {value_col} AS v,
+         epoch_us({ts_col}) // {bus} AS bucket_id,
+         printf('%020d#%020d', epoch_us({ts_col}), {tiebreak_col}) AS ord_key
+  FROM {table}
+)
+SELECT {key_col}, bucket_id, count(*) AS n_events,
+       round(arg_min(v, ord_key), 6) AS open,
+       round(max(v), 6) AS high,
+       round(min(v), 6) AS low,
+       round(arg_max(v, ord_key), 6) AS close
+FROM b
+GROUP BY {key_col}, bucket_id
+"""

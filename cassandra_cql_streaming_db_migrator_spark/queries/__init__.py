@@ -155,6 +155,15 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "kmeans_embeddings": {},
     "stream_scd2": {},
     "inverted_index": {},
+    # new in round 3 (head-listed by rule 1)
+    "pii_stats": {},
+    "ngram_topk": {},
+    "trade_degree_stats": {},
+    "ohlc_downsample": {},
+    "winsorize_values": {},
+    "stream_ohlc": {},
+    "q3_shipping_priority": {},
+    "dedup_canonical": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -194,30 +203,37 @@ DRIVER_HEAD = [
     "kmeans_embeddings",
     "stream_scd2",
     "inverted_index",
+    # -- new in round 3 (rule 1: no driver row yet)
+    "pii_stats",
+    "ngram_topk",
+    "trade_degree_stats",
+    "ohlc_downsample",
+    "winsorize_values",
+    "stream_ohlc",
+    "q3_shipping_priority",
+    "dedup_canonical",
     # -- veterans, one per §2 family (all green r01 and/or r02)
     "scan_project",            # S1/S2 scan + projection
     "filter_pushdown",         # S4/F1 pushdown predicates
     "filter_memory",           # F2/F3/O4 MVEL filter chain
-    "limit_topk",              # S5/O1/O5 limits + top-k
     "computed_column",         # P3 computed columns (hashCode parity)
-    "column_mapping",          # P1/P2 mapping + drop
     "anti_join_if_not_exists", # S7/K2/J1/F4 existence anti-join
     "counter_merge",           # K3/A1 counter merge
     "ttl_arithmetic",          # S3/K4 TTL surface
-    "dry_run_stats",           # K5/A2 simulation stats
     "migrate_pipeline",        # S6/P4 end-to-end migrate transform
     "q1_pricing_summary",      # A4 flagship aggregate
-    "join_enrich",             # J2 broadcast join
     "join_asof",               # J2 as-of join (custom operator)
-    "window_running",          # O7 window functions
-    "set_except",              # O6 set ops
-    "time_bucket_rollup",      # A4 time-bucketed rollup
     "dedup_exact",             # LLM-pipeline exact dedup
     "minhash_pairs",           # LLM-pipeline MinHash LSH
     "fuzzy_dedup",             # LLM-pipeline LSH->verify composition
     "embedding_near_dup",      # similarity family
-    "stream_tumbling_agg",     # T8 streaming
     "scd2_history",            # temporal/CDC family
+    # (limit_topk, column_mapping, dry_run_stats, set_except,
+    #  time_bucket_rollup, join_enrich, window_running,
+    #  stream_tumbling_agg rotated out for the round-3 additions — each
+    #  holds a green driver row and is strict-locally checked every round;
+    #  J2 keeps join_asof + q3_shipping_priority, O7 keeps the r01-green
+    #  window family, T8 keeps stream_ohlc in the head)
 ]
 
 

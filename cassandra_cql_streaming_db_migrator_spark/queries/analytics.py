@@ -34,10 +34,17 @@ from ..operators.sketches import (
     kmv_distinct_sql,
     sampled_quantiles,
     sampled_quantiles_sql,
+    winsorized_stats,
+    winsorized_stats_sql,
 )
 from ..operators.temporal import build_scd2, build_scd2_sql
 from ..operators.textops import build_inverted_index, build_inverted_index_sql
-from ..operators.timeseries import gap_fill_locf, gap_fill_locf_sql
+from ..operators.timeseries import (
+    gap_fill_locf,
+    gap_fill_locf_sql,
+    ohlc_downsample,
+    ohlc_downsample_sql,
+)
 from ..sources.parquet import load_table
 from . import QueryDef
 
@@ -439,10 +446,90 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_inverted_index(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# Trade-graph degree distribution: the graph-shape report that sizes any
+# iterative algorithm (skew, hub nodes, expected rounds) before running it.
+
+
+def trade_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy(
+        F.when(F.col("src") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_kind"),
+        "degree",
+    ).agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_DEGREE_STATS_SQL = f"""
+WITH {_PAGERANK_EDGES_CTE},
+d AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_kind,
+       degree, count(*) AS n_nodes
+FROM d
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling of the event feed: 6-hour bars per event type.
+
+
+def ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return ohlc_downsample(
+        events, key_col="event_type", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", bucket_seconds=21_600,
+    )
+
+
+_OHLC_SQL = ohlc_downsample_sql(
+    "events", "event_type", "ts", "value", "event_id", bucket_seconds=21_600
+)
+
+# ---------------------------------------------------------------------------
+# Winsorized value statistics per event type: clip at the hash-sampled
+# p01/p99, count the clips, exact decimal sum of the clipped values.
+
+
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return winsorized_stats(
+        events, group_col="event_type", value_col="value", id_col="event_id"
+    )
+
+
+_WINSORIZE_SQL = winsorized_stats_sql("events", "event_type", "value", "event_id")
+
+
 QUERIES = [
     QueryDef(
         "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
         "KMV k-minimum-values distinct-count sketch (deterministic, mergeable)",
+    ),
+    QueryDef(
+        "trade_degree_stats", trade_degree_stats, _DEGREE_STATS_SQL,
+        "trade-graph degree distribution (graph-shape / skew report)",
+    ),
+    QueryDef(
+        "ohlc_downsample", ohlc_events, _OHLC_SQL,
+        "OHLC time-bucket bars per event type (one-shuffle downsample)",
+    ),
+    QueryDef(
+        "winsorize_values", winsorize_values, _WINSORIZE_SQL,
+        "winsorized per-group stats: clip at sampled p01/p99, decimal sum",
     ),
     QueryDef(
         "scd2_history", scd2_history, _SCD2_SQL,

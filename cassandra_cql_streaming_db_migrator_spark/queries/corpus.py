@@ -413,7 +413,80 @@ FROM q LEFT JOIN kept k ON q.source = k.source
 """
 
 
+# ---------------------------------------------------------------------------
+# PII incidence report: per-source counts of documents carrying emails /
+# IPv4 addresses and the total match count — the audit a privacy review
+# runs BEFORE redaction (text_governance is the redaction itself).
+# Deterministic PII is embedded on doc_id-derived subsets (every 3rd doc an
+# email, every 5th an IP) so the counting is provably exercised.
+
+
+def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text2",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("mail user"),
+                    (F.col("doc_id") % 100).cast("string"),
+                    F.lit("@example.com "),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit("from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0.1 "),
+                ),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ),
+    )
+    n_email = F.regexp_count(F.col("text2"), F.lit(EMAIL_PATTERN))
+    n_ip = F.regexp_count(F.col("text2"), F.lit(IPV4_PATTERN))
+    return seeded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((n_email > 0).cast("long")).alias("n_email_docs"),
+        F.sum((n_ip > 0).cast("long")).alias("n_ip_docs"),
+        F.sum(n_email + n_ip).alias("n_pii_matches"),
+    )
+
+
+_PII_STATS_SQL = f"""
+WITH s AS (
+  SELECT source,
+         (CASE WHEN doc_id % 3 = 0
+               THEN 'mail user' || CAST(doc_id % 100 AS VARCHAR)
+                    || '@example.com ' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN 'from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.1 ' ELSE '' END)
+         || text AS text2
+  FROM documents
+),
+m AS (
+  SELECT source,
+         len(regexp_extract_all(text2, '{_EMAIL_SQL}')) AS ne,
+         len(regexp_extract_all(text2, '{_IPV4_SQL}')) AS ni
+  FROM s
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+       CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
+       CAST(sum(ne + ni) AS BIGINT) AS n_pii_matches
+FROM m
+GROUP BY source
+"""
+
+
 QUERIES = [
+    QueryDef(
+        "pii_stats", pii_stats, _PII_STATS_SQL,
+        "per-source PII incidence audit (emails / IPv4, match counts)",
+    ),
     QueryDef(
         "mixture_rebalance", mixture_rebalance, _mixture_rebalance_sql(),
         "apply the derived domain mixture: exact-integer quotas + hash-order keep",

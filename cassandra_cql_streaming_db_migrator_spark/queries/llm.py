@@ -203,6 +203,36 @@ FROM comp c JOIN sizes s USING (component_id)
 
 
 # ---------------------------------------------------------------------------
+# Canonical selection: components -> the document to KEEP per near-dup
+# cluster (largest n_chars, id-ascending tiebreak) — the last step that
+# turns dedup analysis into an actionable keep/remove list.
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import canonical_per_component
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = fuzzy_dedup_pairs(docs, "text", "doc_id")
+    comps = connected_components(pairs, "doc_id_1", "doc_id_2")
+    return canonical_per_component(comps, docs)
+
+
+def _dedup_canonical_sql() -> str:
+    return f"""
+WITH comps AS ({_dedup_components_sql()}),
+j AS (
+  SELECT c.component_id, c.comp_size, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+  FROM comps c JOIN documents d USING (doc_id)
+)
+SELECT component_id, comp_size, doc_id AS canonical_id,
+       CAST(n_chars AS BIGINT) AS canonical_size
+FROM j WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints (53-bit, integer-exact cross-engine).
 
 
@@ -815,7 +845,27 @@ FROM s GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-wide bigram census: top-k adjacent word pairs (boilerplate /
+# collocation report).
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import word_bigram_topk
+
+    return word_bigram_topk(load_table(spark, sf_dir, "documents"), k=25)
+
+
+def _ngram_topk_sql() -> str:
+    from ..operators.textops import word_bigram_topk_sql
+
+    return word_bigram_topk_sql("documents", "text", k=25)
+
+
 QUERIES = [
+    QueryDef("ngram_topk", ngram_topk, _ngram_topk_sql(),
+             "corpus-wide top-k word bigrams (one shuffle, top-k never "
+             "full-sorts)"),
     QueryDef("dedup_exact", dedup_exact, _DEDUP_EXACT_SQL,
              "exact content dedup (hash-groupBy, min-id winner)"),
     QueryDef("minhash_pairs", minhash_pairs, _minhash_sql(),
@@ -871,4 +921,7 @@ QUERIES = [
     QueryDef("dedup_components", dedup_components, _dedup_components_sql(),
              "near-dup pairs -> connected components (min-label "
              "propagation; canonical doc = min id)"),
+    QueryDef("dedup_canonical", dedup_canonical, _dedup_canonical_sql(),
+             "components -> keep-list: canonical doc per cluster "
+             "(largest variant, id tiebreak)"),
 ]

@@ -673,9 +673,55 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority: the canonical 3-way join + aggregate +
+# top-k shape.  customer (filtered on segment) broadcasts onto orders;
+# orders x lineitem is the one real shuffle; the top-10 is
+# TakeOrderedAndProject (never a full sort).
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(decimal_sum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_SQL,
              "A4: TPC-H Q1-shape wide aggregate"),
+    QueryDef("q3_shipping_priority", q3_shipping_priority, _Q3_SQL,
+             "A4/J2: TPC-H Q3-shape 3-way join + aggregate + top-k"),
     QueryDef("join_enrich", join_enrich, _JOIN_ENRICH_SQL,
              "J2: broadcast dimension join chain"),
     QueryDef("join_large", join_large, _JOIN_LARGE_SQL,

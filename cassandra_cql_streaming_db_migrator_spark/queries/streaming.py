@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.stream import (
+    ohlc_window_agg,
     read_events_stream,
     run_to_memory,
     session_window_agg,
@@ -44,6 +45,31 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(ohlc_window_agg(events, "6 hours"))
+
+
+# Spark's window() aligns tumbling windows to the epoch, so the 6-hour
+# window start is epoch_us // 21600e6 * 21600 seconds.
+_STREAM_OHLC_SQL = """
+WITH b AS (
+  SELECT event_type, value AS v,
+         CAST(to_timestamp((epoch_us(ts) // 21600000000) * 21600)
+              AS TIMESTAMP) AS window_start,
+         printf('%020d#%020d', epoch_us(ts), event_id) AS ord_key
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(arg_min(v, ord_key), 6) AS open,
+       round(max(v), 6) AS high,
+       round(min(v), 6) AS low,
+       round(arg_max(v, ord_key), 6) AS close
+FROM b
+GROUP BY window_start, event_type
 """
 
 
@@ -352,6 +378,9 @@ QUERIES = [
     QueryDef("stream_tumbling_agg", stream_tumbling_agg, _STREAM_TUMBLING_SQL,
              "T8: event-time tumbling window agg via Structured Streaming",
              bench=False),
+    QueryDef("stream_ohlc", stream_ohlc, _STREAM_OHLC_SQL,
+             "T8: streaming OHLC bars (min_by/max_by tumbling windows, "
+             "batch-operator parity)", bench=False),
     QueryDef("stream_dedup", stream_dedup, _STREAM_DEDUP_SQL,
              "T8: stateful streaming dedup + counts", bench=False),
     QueryDef("stream_session_window", stream_session_window, _STREAM_SESSION_SQL,

@@ -86,6 +86,47 @@ def tumbling_window_agg(
     )
 
 
+def ohlc_window_agg(
+    events: DataFrame,
+    window_duration: str = "6 hours",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming OHLC bars: the tumbling-window twin of
+    ``operators.timeseries.ohlc_downsample`` — same min_by/max_by over the
+    zero-padded (us, tiebreak) order key, so a fully-drained bounded stream
+    agrees bit-for-bit with the batch operator.  All aggregates here are
+    incrementally mergeable (min/max/count/min_by/max_by), so streaming
+    state per open window is O(1)."""
+    ordk = F.format_string(
+        "%020d#%020d",
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        F.col(tiebreak_col),
+    )
+    return (
+        events.withColumn("__ord", ordk)
+        .groupBy(F.window(ts_col, window_duration), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr(f"min_by({value_col}, __ord)"), 6).alias("open"),
+            F.round(F.max(value_col), 6).alias("high"),
+            F.round(F.min(value_col), 6).alias("low"),
+            F.round(F.expr(f"max_by({value_col}, __ord)"), 6).alias("close"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+
+
 def streaming_dedup_counts(events: DataFrame) -> DataFrame:
     """Stateful exact dedup on event_id, then per-type counts — the
     streaming form of the engine's exact-dedup operator."""

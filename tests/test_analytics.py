@@ -604,3 +604,67 @@ def test_kmeans_non_dense_ids(spark):
     out = {r.cluster_id for r in kmeans_lloyd(
         spark.createDataFrame(rows), k=2, iterations=1).collect()}
     assert out == {0, 1}
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: OHLC downsample, winsorized stats, bigram census
+
+
+def test_ohlc_single_event_and_tie_semantics(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.timeseries import (
+        ohlc_downsample,
+    )
+
+    rows = [
+        # bucket 0 of key 'a': ties on ts -> event_id breaks open/close
+        Row(k="a", ts="2024-01-01 00:00:05", v=10.0, eid=2),
+        Row(k="a", ts="2024-01-01 00:00:05", v=20.0, eid=1),
+        Row(k="a", ts="2024-01-01 00:30:00", v=5.0, eid=3),
+        # bucket 1 of key 'a': single event -> open=high=low=close
+        Row(k="a", ts="2024-01-01 06:10:00", v=7.5, eid=4),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v", "eid"
+    )
+    got = {
+        r.bucket_id: r
+        for r in ohlc_downsample(df, "k", "ts", "v", "eid").collect()
+    }
+    b0 = got[min(got)]
+    assert (b0.open, b0.close, b0.high, b0.low, b0.n_events) == (20.0, 5.0, 20.0, 5.0, 3)
+    b1 = got[max(got)]
+    assert (b1.open, b1.close, b1.high, b1.low, b1.n_events) == (7.5, 7.5, 7.5, 7.5, 1)
+
+
+def test_winsorized_stats_clips_and_counts(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+        winsorized_stats,
+    )
+
+    # rate=1.0 -> the "sample" is the full group, so p01/p99 are exact and
+    # the clip counts are checkable by hand: 1000 uniform values + outliers
+    rows = [Row(g="a", v=float(i), i=i) for i in range(1000)]
+    rows += [Row(g="a", v=1e9, i=2001), Row(g="a", v=-1e9, i=2002)]
+    df = spark.createDataFrame(rows)
+    out = winsorized_stats(df, "g", "v", "i", rate=1.0).collect()[0]
+    assert out.n == 1002
+    assert out.n_clipped_low >= 1   # the -1e9 outlier
+    assert out.n_clipped_high >= 1  # the +1e9 outlier
+    # the clipped sum is near the un-outliered sum, nowhere near 1e9
+    assert abs(out.winsorized_sum - sum(range(1000))) < 0.05 * sum(range(1000))
+
+
+def test_word_bigram_topk_counts_and_edges(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+        word_bigram_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(text="a b a b a"),   # bigrams: 'a b' x2, 'b a' x2
+            Row(text="single"),      # 1 word -> no bigrams
+            Row(text="a b"),         # 'a b' x1
+        ]
+    )
+    got = {r.bigram: r.n for r in word_bigram_topk(df, "text", k=10).collect()}
+    assert got == {"a b": 3, "b a": 2}

@@ -55,6 +55,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # domain-stats frame — domain-cardinality (metadata) rows moving
     # through SinglePartition global windows and the quota join
     "mixture_rebalance": 5,
+    # semantic floor: distinct pair dedup (1) + per-branch degree
+    # aggregates over the symmetrized union (2) + the metadata-scale
+    # histogram aggregate (1); the orders x lineitem join broadcasts
+    "trade_degree_stats": 4,
 }
 DEFAULT_ALLOWANCE = 2
 
@@ -65,6 +69,11 @@ def audit(sf_dir: str) -> int:
     for name, q in all_queries().items():
         if not q.bench:
             continue
+        # audit the COLD plan: queries that persist() shared intermediates
+        # would otherwise read earlier queries' cache entries, making the
+        # shuffle count depend on audit order (observed: fuzzy_dedup 3
+        # cold vs 5 behind a warm minhash cache)
+        spark.catalog.clearCache()
         df = q.fn(spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
