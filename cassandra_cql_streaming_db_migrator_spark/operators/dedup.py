@@ -107,6 +107,58 @@ def minhash_signature_df(
     return src.mapInPandas(compute, schema)
 
 
+def _band_signature_cols(bands: int) -> list:
+    """One string column per LSH band: the band's signature slots joined
+    with '-' (shared by the pair join and the bucket diagnostics, so both
+    see identical buckets)."""
+    rows_per_band = len(MINHASH_PERMS) // bands
+    return [
+        F.concat_ws(
+            "-",
+            *[
+                F.col("sig")[j].cast("string")
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+
+
+def lsh_band_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 5,
+    bands: int = 4,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Per-band LSH bucket diagnostics: bucket count, docs bucketed, the
+    LARGEST bucket, and the implied candidate-pair count Σ b·(b-1)/2 —
+    the numbers that decide whether a banding survives at scale (the
+    bucket self-join is quadratic in the hottest bucket, so `max_bucket`
+    / `candidate_pairs` are exactly what an operator review of a new
+    corpus asks for BEFORE running the pair join).
+
+    Shape: signature kernel (narrow) -> one shuffle on (band, band_sig)
+    -> metadata-scale per-band rollup.  Integer-only output.
+    """
+    signed = minhash_signature_df(df, text_col, id_col, shingle_len, engine)
+    exploded = signed.select(
+        F.posexplode(F.array(*_band_signature_cols(bands))).alias(
+            "band_idx", "band_sig"
+        )
+    )
+    buckets = exploded.groupBy("band_idx", "band_sig").agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("b").alias("n_docs"),
+        F.max("b").alias("max_bucket"),
+        F.sum(F.expr("b * (b - 1) DIV 2")).alias("candidate_pairs"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -121,22 +173,18 @@ def minhash_lsh_pairs(
     and est_jaccard = fraction of equal signature slots.  id_1 < id_2.
     """
     n_perms = len(MINHASH_PERMS)
-    rows_per_band = n_perms // bands
     # The signature table feeds BOTH sides of the bucket self-join; without
     # a persist each branch re-executes the whole signature pipeline
     # (scan + shuffle + kernel, twice).  Signatures are id + 16 longs
     # (~150 B/doc — ~150 GB per 10^9 docs, MEMORY_AND_DISK spills fine),
     # vastly smaller than recomputing from the corpus.
     signed = minhash_signature_df(df, text_col, id_col, shingle_len, engine).persist()
-
-    band_sigs = [
-        F.concat_ws(
-            "-", *[F.col("sig")[j].cast("string") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    exploded = (
-        signed.select(id_col, "sig", F.posexplode(F.array(*band_sigs)).alias("band_idx", "band_sig"))
+    exploded = signed.select(
+        id_col,
+        "sig",
+        F.posexplode(F.array(*_band_signature_cols(bands))).alias(
+            "band_idx", "band_sig"
+        ),
     )
     left = exploded.select(
         F.col(id_col).alias("id_1"), F.col("sig").alias("sig_1"), "band_idx", "band_sig"

@@ -164,6 +164,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_ohlc": {},
     "q3_shipping_priority": {},
     "dedup_canonical": {},
+    "minhash_band_stats": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -212,10 +213,12 @@ DRIVER_HEAD = [
     "stream_ohlc",
     "q3_shipping_priority",
     "dedup_canonical",
+    "minhash_band_stats",
     # -- veterans, one per §2 family (all green r01 and/or r02)
     "scan_project",            # S1/S2 scan + projection
-    "filter_pushdown",         # S4/F1 pushdown predicates
-    "filter_memory",           # F2/F3/O4 MVEL filter chain
+    "filter_memory",           # F2/F3/O4 MVEL filter chain (+ S4/F1
+                               # pushdown coverage via its filter chain;
+                               # filter_pushdown rotated out, double-green)
     "computed_column",         # P3 computed columns (hashCode parity)
     "anti_join_if_not_exists", # S7/K2/J1/F4 existence anti-join
     "counter_merge",           # K3/A1 counter merge

@@ -113,6 +113,56 @@ WHERE ({" OR ".join(band_conds)})
 
 
 # ---------------------------------------------------------------------------
+# LSH banding diagnostics: bucket-size skew per band — run BEFORE the pair
+# join on a new corpus (the join is quadratic in the hottest bucket).
+
+
+def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_band_stats
+
+    return lsh_band_stats(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", bands=_BANDS
+    )
+
+
+def _minhash_band_stats_sql() -> str:
+    ph = poly_hash_sql("s")
+    sig_items = ", ".join(
+        f"list_min(list_transform(hh, h -> ({a}*h+{b}) % {MINHASH_P}))"
+        for a, b in MINHASH_PERMS
+    )
+    band_selects = []
+    for b in range(_BANDS):
+        slots = range(b * _ROWS_PER_BAND + 1, (b + 1) * _ROWS_PER_BAND + 1)
+        sig_expr = " || '-' || ".join(f"CAST(sg[{j}] AS VARCHAR)" for j in slots)
+        band_selects.append(
+            f"SELECT {b} AS band_idx, {sig_expr} AS band_sig FROM sig"
+        )
+    union = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+                    i -> substr(text, CAST(i AS INTEGER), 5))),
+      s -> {ph}) AS hh
+  FROM documents),
+sig AS (SELECT doc_id, [{sig_items}] AS sg FROM sh),
+e AS (
+  {union}
+),
+bk AS (SELECT band_idx, band_sig, count(*) AS b FROM e GROUP BY 1, 2)
+SELECT CAST(band_idx AS INTEGER) AS band_idx,
+       count(*) AS n_buckets,
+       CAST(sum(b) AS BIGINT) AS n_docs,
+       CAST(max(b) AS BIGINT) AS max_bucket,
+       CAST(sum(b * (b - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM bk
+GROUP BY band_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Production-shaped fuzzy dedup: LSH candidates -> exact Jaccard verify.
 # Exact-verification work is bounded by the candidate count instead of the
 # block pair count — the architecture that survives 100 TB.
@@ -924,4 +974,7 @@ QUERIES = [
     QueryDef("dedup_canonical", dedup_canonical, _dedup_canonical_sql(),
              "components -> keep-list: canonical doc per cluster "
              "(largest variant, id tiebreak)"),
+    QueryDef("minhash_band_stats", minhash_band_stats, _minhash_band_stats_sql(),
+             "LSH banding diagnostics: bucket skew + implied candidate "
+             "pairs per band"),
 ]

@@ -59,6 +59,9 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # aggregates over the symmetrized union (2) + the metadata-scale
     # histogram aggregate (1); the orders x lineitem join broadcasts
     "trade_degree_stats": 4,
+    # signature kernel's local-mode repartition (dropped at scale, see
+    # minhash_signature_df) + bucket groupBy + metadata-scale band rollup
+    "minhash_band_stats": 3,
 }
 DEFAULT_ALLOWANCE = 2
 
