@@ -239,7 +239,7 @@ WITH first_seen AS (
 active AS (
   SELECT DISTINCT {key_col}, {b(ts_col)} AS p FROM {table}
 )
-SELECT CAST(to_timestamp(({b('f.first_ts')}) * {p}) AS TIMESTAMP)
+SELECT make_timestamp(({b('f.first_ts')}) * {p} * 1000000)
          AS cohort_period,
        a.p - {b('f.first_ts')} AS period_offset,
        count(*) AS n_keys

@@ -73,12 +73,20 @@ def kmv_distinct(
     are exact (the sketch saw every key).  Emits the exact count too so the
     estimate's error is inspectable; both are deterministic cross-engine
     (integer hash; one double division per group).
+
+    The distinct is on the HASH, not the key: KMV state is a set of hash
+    values, which is what makes the batch sketch, the streaming GroupState
+    kernel (a hash set by construction), and the SQL oracle agree on ANY
+    key space.  On the injective domain (keys in [0, 2^31-1), the fixture
+    id spaces) hash-distinct == key-distinct exactly; out-of-domain keys
+    that collide through the narrowing pmod count once — the sketch
+    cannot distinguish hash-colliding keys anyway, so ``exact_distinct``
+    is the distinct-HASH count by definition.
     """
     distinct = (
-        df.select(group_col, key_col)
-        .where(F.col(key_col).isNotNull())
+        df.where(F.col(key_col).isNotNull())
+        .select(group_col, kmv_hash(key_col).alias("__h"))
         .distinct()
-        .withColumn("__h", kmv_hash(key_col))
     )
     w_topk = Window.partitionBy(group_col).orderBy("__h")
     w_all = Window.partitionBy(group_col)
@@ -165,15 +173,13 @@ GROUP BY {group_col}
 def kmv_distinct_sql(
     table: str, group_col: str, key_col: str, k: int = 64
 ) -> str:
-    """The identical estimator as DuckDB SQL (oracle twin)."""
+    """The identical estimator as DuckDB SQL (oracle twin) — distinct on
+    the hash, matching the batch/streaming set-of-hashes state."""
     return f"""
-WITH d AS (
-  SELECT DISTINCT {group_col}, {key_col} FROM {table}
+WITH h AS (
+  SELECT DISTINCT {group_col}, {kmv_hash_sql(key_col)} AS hh
+  FROM {table}
   WHERE {key_col} IS NOT NULL
-),
-h AS (
-  SELECT {group_col}, {kmv_hash_sql(key_col)} AS hh
-  FROM d
 ),
 r AS (
   SELECT {group_col}, hh,
@@ -212,9 +218,14 @@ def winsorized_stats(
     bounds table is one row per group, broadcast back onto the feed — the
     big side never shuffles for the join and aggregates with map-side
     partials.  Deterministic end to end: hash sample + decimal sum.
+
+    NULL values are EXCLUDED up front: greatest/least skip NULLs on both
+    engines, so a NULL row would otherwise silently clip to the lower
+    bound and inflate the sum with no audit trace.
     """
     from .aggregates import decimal_sum
 
+    df = df.where(F.col(value_col).isNotNull())
     tag_lo, tag_hi = (str(q).replace("0.", "p") for q in (lo, hi))
     bounds = sampled_quantiles(
         df, group_col, value_col, id_col, quantiles=(lo, hi), rate=rate
@@ -244,14 +255,15 @@ def winsorized_stats_sql(
 ) -> str:
     """The identical winsorization as DuckDB SQL (oracle twin)."""
     tag_lo, tag_hi = (str(q).replace("0.", "p") for q in (lo, hi))
+    nn = f"(SELECT * FROM {table} WHERE {value_col} IS NOT NULL)"
     bounds = sampled_quantiles_sql(
-        table, group_col, value_col, id_col, quantiles=(lo, hi), rate=rate
+        nn, group_col, value_col, id_col, quantiles=(lo, hi), rate=rate
     )
     return f"""
 WITH s AS ({bounds}),
 j AS (
   SELECT t.{group_col} AS g, t.{value_col} AS v, s.{tag_lo}, s.{tag_hi}
-  FROM {table} t JOIN s ON t.{group_col} = s.{group_col}
+  FROM {nn} t JOIN s ON t.{group_col} = s.{group_col}
 )
 SELECT g AS {group_col}, count(*) AS n,
        CAST(sum(CASE WHEN v < {tag_lo} THEN 1 ELSE 0 END) AS BIGINT)

@@ -30,8 +30,36 @@ output is a pure function of the data on any partitioning/engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# DuckDB's arg_min/arg_max and Spark's min_by/max_by need ONE orderable
+# key; the (event-time, tiebreak) pair rides a zero-padded string.  Both
+# components are biased by 2^62 so negative values (pre-epoch timestamps,
+# negative ids) still order lexicographically == numerically — an unbiased
+# '%020d' renders -2 as '-0…2', which sorts AFTER '-0…1' and silently
+# swaps open/close.  Domain: |epoch_us| and |tiebreak| < 2^62 (i.e. any
+# realistic timestamp, ids below ~4.6e18).  ONE definition, shared by the
+# batch OHLC, the streaming OHLC twin, and the gap-fill oracle — parity
+# depends on these never drifting apart.
+ORD_KEY_BIAS = 1 << 62
+
+
+def ord_key(ts_col: str, tiebreak_col: str) -> Column:
+    """Total-order string key over (event-time micros, tiebreak)."""
+    return F.format_string(
+        "%020d#%020d",
+        F.unix_micros(F.col(ts_col).cast("timestamp")) + F.lit(ORD_KEY_BIAS),
+        F.col(tiebreak_col) + F.lit(ORD_KEY_BIAS),
+    )
+
+
+def ord_key_sql(ts_expr: str, tb_expr: str) -> str:
+    """The identical key as DuckDB SQL."""
+    return (
+        f"printf('%020d#%020d', epoch_us({ts_expr}) + {ORD_KEY_BIAS}, "
+        f"{tb_expr} + {ORD_KEY_BIAS})"
+    )
 
 
 def gap_fill_locf(
@@ -105,10 +133,9 @@ def gap_fill_locf_sql(
     return f"""
 WITH obs AS (
   SELECT {key_col},
-         CAST(to_timestamp(CAST(floor(epoch({ts_col}) / {step_seconds}) AS BIGINT)
-                           * {step_seconds}) AS TIMESTAMP) AS bucket_ts,
-         arg_max({value_col},
-                 printf('%020d#%020d', epoch_us({ts_col}), {tiebreak_col}))
+         make_timestamp(CAST(floor(epoch({ts_col}) / {step_seconds}) AS BIGINT)
+                        * {step_seconds} * 1000000) AS bucket_ts,
+         arg_max({value_col}, {ord_key_sql(ts_col, tiebreak_col)})
            AS last_v,
          count(*) AS n_obs
   FROM {table}
@@ -161,11 +188,7 @@ def ohlc_downsample(
         key_col,
         F.col(value_col).alias("__v"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
-        F.format_string(
-            "%020d#%020d",
-            F.unix_micros(F.col(ts_col).cast("timestamp")),
-            F.col(tiebreak_col),
-        ).alias("__ord"),
+        ord_key(ts_col, tiebreak_col).alias("__ord"),
     ).withColumn("__bucket", F.expr(f"__us DIV {bus}"))
     return (
         base.groupBy(key_col, "__bucket")
@@ -202,7 +225,7 @@ def ohlc_downsample_sql(
 WITH b AS (
   SELECT {key_col}, {value_col} AS v,
          epoch_us({ts_col}) // {bus} AS bucket_id,
-         printf('%020d#%020d', epoch_us({ts_col}), {tiebreak_col}) AS ord_key
+         {ord_key_sql(ts_col, tiebreak_col)} AS ord_key
   FROM {table}
 )
 SELECT {key_col}, bucket_id, count(*) AS n_events,

@@ -53,14 +53,19 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(ohlc_window_agg(events, "6 hours"))
 
 
-# Spark's window() aligns tumbling windows to the epoch, so the 6-hour
-# window start is epoch_us // 21600e6 * 21600 seconds.
-_STREAM_OHLC_SQL = """
+def _stream_ohlc_sql() -> str:
+    from ..operators.timeseries import ord_key_sql
+
+    # Spark's window() aligns tumbling windows to the epoch, so the 6-hour
+    # window start is epoch_us // 21600e6 * 21600 seconds.  make_timestamp
+    # (not to_timestamp+CAST) keeps the oracle independent of the DuckDB
+    # host's TimeZone setting.
+    return f"""
 WITH b AS (
   SELECT event_type, value AS v,
-         CAST(to_timestamp((epoch_us(ts) // 21600000000) * 21600)
-              AS TIMESTAMP) AS window_start,
-         printf('%020d#%020d', epoch_us(ts), event_id) AS ord_key
+         make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+           AS window_start,
+         {ord_key_sql("ts", "event_id")} AS ord_key
   FROM events
 )
 SELECT window_start, event_type, count(*) AS n_events,
@@ -299,11 +304,10 @@ def _stream_kmv_sql() -> str:
 
     k = 64
     return f"""
-WITH d AS (SELECT DISTINCT event_type, user_id FROM events
-           WHERE user_id IS NOT NULL),
-h AS (
-  SELECT event_type, {kmv_hash_sql("user_id")} AS hh
-  FROM d
+WITH h AS (
+  SELECT DISTINCT event_type, {kmv_hash_sql("user_id")} AS hh
+  FROM events
+  WHERE user_id IS NOT NULL
 ),
 r AS (
   SELECT event_type, hh,
@@ -378,7 +382,7 @@ QUERIES = [
     QueryDef("stream_tumbling_agg", stream_tumbling_agg, _STREAM_TUMBLING_SQL,
              "T8: event-time tumbling window agg via Structured Streaming",
              bench=False),
-    QueryDef("stream_ohlc", stream_ohlc, _STREAM_OHLC_SQL,
+    QueryDef("stream_ohlc", stream_ohlc, _stream_ohlc_sql(),
              "T8: streaming OHLC bars (min_by/max_by tumbling windows, "
              "batch-operator parity)", bench=False),
     QueryDef("stream_dedup", stream_dedup, _STREAM_DEDUP_SQL,

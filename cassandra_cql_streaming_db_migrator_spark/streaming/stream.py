@@ -95,18 +95,17 @@ def ohlc_window_agg(
     tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Streaming OHLC bars: the tumbling-window twin of
-    ``operators.timeseries.ohlc_downsample`` — same min_by/max_by over the
-    zero-padded (us, tiebreak) order key, so a fully-drained bounded stream
+    ``operators.timeseries.ohlc_downsample`` — the SAME shared order key
+    (operators.timeseries.ord_key), so a fully-drained bounded stream
     agrees bit-for-bit with the batch operator.  All aggregates here are
     incrementally mergeable (min/max/count/min_by/max_by), so streaming
-    state per open window is O(1)."""
-    ordk = F.format_string(
-        "%020d#%020d",
-        F.unix_micros(F.col(ts_col).cast("timestamp")),
-        F.col(tiebreak_col),
-    )
+    state per open window is O(1).  Window alignment assumes post-epoch
+    event times (Spark's window() floors; the oracle's // truncates —
+    they agree only for non-negative epochs, which any live feed has)."""
+    from ..operators.timeseries import ord_key
+
     return (
-        events.withColumn("__ord", ordk)
+        events.withColumn("__ord", ord_key(ts_col, tiebreak_col))
         .groupBy(F.window(ts_col, window_duration), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -254,8 +253,10 @@ def streaming_kmv_state(
         for pdf in pdf_iter:
             # same total hash as operators.sketches.kmv_hash: narrow with
             # % P first (numpy's % already follows the divisor sign, i.e.
-            # pmod), drop NULL keys before they can poison the k-min set
-            keys = pdf[key_col].dropna().to_numpy().astype("int64")
+            # pmod).  NULL keys are filtered UPSTREAM (before the state
+            # op): a NULL in the Arrow chunk would coerce the whole int64
+            # column to float64 and silently collapse keys >= 2^53.
+            keys = pdf[key_col].to_numpy().astype("int64")
             hs = ((keys % MINHASH_P) * KMV_A + KMV_B) % MINHASH_P
             mins.update(int(h) for h in hs)
             if len(mins) > k:
@@ -272,6 +273,11 @@ def streaming_kmv_state(
             }
         )
 
+    # NULL keys never count toward a distinct estimate (same contract as
+    # batch kmv_distinct) AND must not reach the kernel: one NULL in an
+    # Arrow chunk coerces the int64 key column to float64, collapsing
+    # keys >= 2^53 before the hash sees them.
+    events = events.where(F.col(key_col).isNotNull())
     return events.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

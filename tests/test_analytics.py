@@ -668,3 +668,88 @@ def test_word_bigram_topk_counts_and_edges(spark):
     )
     got = {r.bigram: r.n for r in word_bigram_topk(df, "text", k=10).collect()}
     assert got == {"a b": 3, "b a": 2}
+
+
+def test_timestamp_oracles_are_host_timezone_independent(spark, sf_dir):
+    """Oracles that rebuild timestamps from epoch arithmetic must use
+    make_timestamp (naive), never CAST(to_timestamp(..) AS TIMESTAMP):
+    to_timestamp returns TIMESTAMPTZ and the cast applies the DuckDB
+    session TimeZone, which defaults to the HOST zone on the driver.
+    Run each such oracle under two zones and require identical rows."""
+    import duckdb
+
+    from cassandra_cql_streaming_db_migrator_spark.queries import all_queries
+    from cassandra_cql_streaming_db_migrator_spark.sources.parquet import TABLES
+
+    qs = all_queries()
+    targets = ["stream_ohlc", "time_gap_fill", "retention_cohorts"]
+    for name in targets:
+        results = []
+        for tz in ("UTC", "America/New_York"):
+            con = duckdb.connect()
+            con.execute(f"SET TimeZone='{tz}'")
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
+            results.append(sorted(map(tuple, con.execute(qs[name].oracle).fetchall())))
+            con.close()
+        assert results[0] == results[1], f"{name} oracle is timezone-dependent"
+
+    # and no registry oracle uses the TZ-dependent cast pattern at all
+    offenders = [
+        n for n, q in qs.items() if q.oracle and "to_timestamp" in q.oracle
+    ]
+    assert not offenders, f"TZ-dependent to_timestamp in oracles: {offenders}"
+
+
+def test_ohlc_pre_epoch_timestamps_order_correctly(spark):
+    """The biased ord_key must keep numeric order for pre-1970 event
+    times: the earliest event is 'open' even when epoch micros are
+    negative (an unbiased '%020d' renders -2 after -1 and swaps
+    open/close)."""
+    import duckdb
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.timeseries import (
+        ohlc_downsample,
+        ohlc_downsample_sql,
+    )
+
+    rows = [
+        Row(k="a", ts="1969-12-31 23:59:58", v=1.0, eid=1),
+        Row(k="a", ts="1969-12-31 23:59:59", v=2.0, eid=2),
+        Row(k="a", ts="1969-12-31 23:59:59", v=3.0, eid=3),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v", "eid"
+    )
+    got = ohlc_downsample(df, "k", "ts", "v", "eid").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.open, r.close, r.high, r.low) == (1.0, 3.0, 3.0, 1.0)
+
+    # and the oracle agrees bit-for-bit on the same pre-epoch rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, ts TIMESTAMP, v DOUBLE, eid BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?, ?)",
+        [(row.k, row.ts, row.v, row.eid) for row in rows],
+    )
+    want = con.execute(ohlc_downsample_sql("t", "k", "ts", "v", "eid")).fetchall()
+    assert len(want) == 1
+    assert (want[0][3], want[0][6], want[0][4], want[0][5]) == (1.0, 3.0, 3.0, 1.0)
+
+
+def test_winsorized_stats_excludes_null_values(spark):
+    """NULL values must be excluded, not coerced to the lower clip bound
+    (greatest/least skip NULLs on both engines)."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+        winsorized_stats,
+    )
+
+    rows = [Row(g="a", v=float(i), i=i) for i in range(100)]
+    rows += [Row(g="a", v=None, i=1000 + j) for j in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double, i long")
+    out = winsorized_stats(df, "g", "v", "i", rate=1.0).collect()[0]
+    assert out.n == 100  # NULL rows are not counted, not p01-coerced
+    assert out.winsorized_sum < sum(range(100)) + 1

@@ -312,6 +312,48 @@ def test_stream_kmv_merges_across_microbatches(spark, tmp_path):
     assert (final.n_min, final.kth_min) == (len(ref), ref[-1])
 
 
+def test_stream_kmv_null_keys_with_large_keys_match_batch(spark, tmp_path):
+    """A NULL key sharing a microbatch with keys >= 2^53 must not poison
+    the sketch: NULLs are filtered BEFORE the state op, because one NULL
+    in an Arrow chunk coerces the int64 column to float64 and collapses
+    large keys (2^62+1 == 2^62+2 in float64).  The streaming sketch must
+    equal the batch kmv_distinct reference on the same data."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_cql_streaming_db_migrator_spark.functions.hashing import MINHASH_P
+    from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+        KMV_A,
+        KMV_B,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        run_to_memory,
+        streaming_kmv_state,
+    )
+
+    keys = [(1 << 62) + i for i in range(40)] + [None] * 5 + list(range(20))
+    src = tmp_path / "kmv_null_stream"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"g": ["x"] * len(keys), "key": pd.array(keys, "Int64")}),
+        str(src / "b1.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("g string, key long").parquet(str(src))
+    )
+    out = run_to_memory(
+        streaming_kmv_state(stream, "g", "key", k=16), output_mode="update"
+    ).collect()
+    final = max(out, key=lambda r: r.rev)
+    live = [k for k in keys if k is not None]
+    # set semantics: KMV state is a set of HASHES (keys colliding through
+    # the narrowing pmod count once — batch kmv_distinct dedups the same way)
+    hashes = {(((x % MINHASH_P) * KMV_A) + KMV_B) % MINHASH_P for x in live}
+    ref = sorted(hashes)[:16]
+    assert (final.n_min, final.kth_min) == (len(ref), ref[-1])
+
+
 def test_stream_funnel_state_advances_across_microbatches(spark, tmp_path):
     import os
 
