@@ -296,3 +296,109 @@ FROM {table}
 WINDOW w AS (PARTITION BY {key_col} ORDER BY epoch_us({ts_col})
              RANGE BETWEEN {us} PRECEDING AND CURRENT ROW)
 """
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    item_col: str = "event_type",
+    k: int = 20,
+) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered pair of item values,
+    how many keys exhibit both (plus each item's solo key-reach, so lift /
+    Jaccard derive downstream).
+
+    Shape — NO fact self-join (the naive pair expansion joins the distinct
+    (key, item) feed with itself, re-shuffling both sides): ONE shuffle
+    collects each key's distinct item set (``collect_set`` dedups inside
+    the aggregate, map-side partials bounded by the item vocabulary); the
+    i<j pair expansion over the sorted set is a Catalyst HOF
+    (transform-of-transform + flatten) — NARROW, fan-out t*(t-1)/2 per key
+    with t <= |vocab| (event-type vocabularies are enumerable — tens, not
+    millions).  The pair census and the per-item reach are then map-side-
+    combining count shuffles over that bounded expansion, and the reach
+    table (|vocab| rows) joins back by explicit broadcast.  3 shuffles
+    total, none carrying more than vocab-bounded expansion.  Top-k carries
+    a total order.
+    """
+    # persisted: feeds the pair census AND the reach census (without the
+    # persist each branch re-runs the collect_set shuffle); per-key rows
+    # are vocab-bounded arrays, so the cache is ~|keys| * |vocab| small
+    sets = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("items"))
+        .persist()
+    )
+    a = F.col("items")
+    pair_structs = F.flatten(
+        F.transform(
+            a,
+            lambda x, i: F.transform(
+                F.slice(a, i + F.lit(2), F.size(a)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    reach = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .persist()  # |vocab| rows, joined back twice
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                reach.select(F.col("item").alias("item_a"), F.col("n_keys").alias("n_a"))
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                reach.select(F.col("item").alias("item_b"), F.col("n_keys").alias("n_b"))
+            ),
+            "item_b",
+        )
+        .select(
+            "item_a", "item_b", "n_both", "n_a", "n_b",
+            # containment of the rarer item in the pair, fixed-point —
+            # int64-safe at any scale (n_both <= min(n_a, n_b))
+            F.expr("1000000 * n_both DIV least(n_a, n_b)").alias("containment_fp"),
+        )
+    )
+    return out.orderBy(
+        F.col("n_both").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(k)
+
+
+def cooccurrence_pairs_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    item_col: str = "event_type",
+    k: int = 20,
+) -> str:
+    return f"""
+WITH ki AS (
+  SELECT DISTINCT {key_col} AS key, {item_col} AS item FROM {table}
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+  FROM ki a JOIN ki b ON a.key = b.key AND a.item < b.item
+  GROUP BY 1, 2
+),
+reach AS (
+  SELECT item, count(*) AS n_keys FROM ki GROUP BY 1
+)
+SELECT item_a, item_b, n_both, ra.n_keys AS n_a, rb.n_keys AS n_b,
+       1000000 * n_both // least(ra.n_keys, rb.n_keys) AS containment_fp
+FROM pairs
+JOIN reach ra ON ra.item = item_a
+JOIN reach rb ON rb.item = item_b
+ORDER BY n_both DESC, item_a ASC, item_b ASC
+LIMIT {k}
+"""

@@ -733,3 +733,105 @@ def label_centroid_stats(
             "mean_sq_dist"
         ),
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-nearest-neighbor JOIN by cosine: for every row of ``queries``,
+    its top-k neighbors from ``corpus`` — the batch retrieval-evaluation
+    primitive (recall@k ground truth, hard-negative mining, cross-corpus
+    linking), vs ``cosine_topk``'s single query vector.
+
+    Distributed shape: the query side is pulled to the driver once and rides
+    into every task as a dense float64 matrix — a BROADCAST CONTRACT (a
+    retrieval workload of 1e4 queries x 1k dims is ~80 MB; for query sets
+    beyond broadcast size, chunk the query set and union, or flip to
+    ``ivf_ann_topk`` per query partition).  The corpus streams through an
+    Arrow kernel ONCE regardless of query count (vs |Q| full scans if each
+    query used cosine_topk), each batch emitting only its local top-k per
+    query; the global exact top-k is a window over |batches| * |Q| * k
+    candidate rows — metadata-scale.  No corpus shuffle at any point; the
+    only exchange is the candidate aggregation.
+
+    Numeric parity: per-pair cosine is the same sequential dimension fold as
+    _seq_fold_dots (acc built one dimension at a time across the batch x
+    query matrix), so scores are bit-identical to the HOF / DuckDB
+    list_reduce fold.  Batch-local top-k uses the global total order
+    (cosine desc, neighbor id asc) with an exact >=-threshold tie guard, so
+    chunking never changes the result.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = queries.select(id_col, vec_col).collect()
+    id_field = corpus.schema[id_col]
+    schema = StructType(
+        [
+            StructField("query_id", id_field.dataType, True),
+            StructField("neighbor_id", id_field.dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    if not qrows:
+        from pyspark.sql.types import IntegerType
+
+        return corpus.sparkSession.createDataFrame(
+            [], schema.add(StructField("rn", IntegerType(), False))
+        )
+    qrows.sort(key=lambda r: r[0])
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorms = np.sqrt(_seq_fold_dots(qmat, qmat))
+    nq, dim = qmat.shape
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt(_seq_fold_dots(mat, mat))
+            acc = np.zeros((mat.shape[0], nq), dtype=np.float64)
+            for d in range(dim):
+                acc = acc + mat[:, d][:, None] * qmat[:, d][None, :]
+            cos = acc / (norms[:, None] * qnorms[None, :])
+            n = mat.shape[0]
+            out_q, out_c, out_s = [], [], []
+            for j in range(nq):
+                cj = cos[:, j]
+                if n > k:
+                    # exact candidate cut: everything >= the k-th largest
+                    # score survives, so boundary ties reach the lexsort
+                    thresh = -np.partition(-cj, k - 1)[k - 1]
+                    cand = np.nonzero(cj >= thresh)[0]
+                else:
+                    cand = np.arange(n)
+                top = cand[np.lexsort((cids[cand], -cj[cand]))][:k]
+                out_q.append(np.full(len(top), qids[j]))
+                out_c.append(cids[top])
+                out_s.append(cj[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

@@ -577,3 +577,107 @@ GROUP BY bigram
 ORDER BY n DESC, bigram ASC
 LIMIT {k}
 """
+
+
+def bigram_pmi_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Collocation mining: top-k word bigrams by pointwise-mutual-information
+    lift, ``lift = P(xy) / (P(x)P(y)) = n_xy * N / (n_x * n_y)`` (PMI is its
+    log; the report ships the exact fixed-point lift so PMI derives without
+    a cross-engine transcendental).
+
+    Shape: the bigram census and the unigram census are each ONE count
+    shuffle over exploded tokens (map-side partials collapse the vocab per
+    partition first); the corpus total re-enters as a 1-row broadcast
+    cross-join; the two vocabulary joins are plain hash joins AQE is free to
+    broadcast (a natural-language vocab is ~1e6 rows at any corpus size —
+    far under fact scale).  Top-k is TakeOrderedAndProject with a total
+    order (lift desc, bigram asc).
+
+    Numeric parity: ``lift_fp = floor(1000 * N * n_xy / (n_x * n_y))`` in
+    pure int64 on both engines.  Bounds: N*n_xy*1000 <= 9.2e18 holds for
+    N*n_xy <= 9.2e15, i.e. corpora to ~1e8 tokens with hub bigrams to 1e7;
+    beyond that the production path widens the numerator to DECIMAL(38,0)
+    (same floor-div semantics) — the int64 oracle keeps DuckDB free of
+    HUGEINT columns (round-2 lesson).
+    """
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # ONE bigram census feeds both the candidate set and the corpus total
+    # (persisted: vocab-scale, two downstream branches — same discipline as
+    # the minhash signature reuse); the unigram census is the second
+    # token-level shuffle.  The corpus explodes are narrow.
+    census = (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .persist()
+    )
+    bg = census.filter(F.col("n_xy") >= min_count)
+    uni = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    total = census.agg(F.sum("n_xy").alias("n_total"))
+    scored = (
+        bg.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1))
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "n_xy",
+            "n_x",
+            "n_y",
+            "n_total",
+            F.expr("1000 * n_total * n_xy DIV (n_x * n_y)").alias("lift_fp"),
+        )
+    )
+    return scored.orderBy(F.col("lift_fp").desc(), F.col("bigram").asc()).limit(k)
+
+
+def bigram_pmi_topk_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 30,
+) -> str:
+    """Oracle twin: same censuses, same int64 floor-div lift."""
+    return f"""
+WITH ws AS (
+  SELECT string_split({text_col}, ' ') AS arr FROM {table}
+),
+bg AS (
+  SELECT arr[i] || ' ' || arr[i + 1] AS bigram, count(*) AS n_xy
+  FROM ws, unnest(range(1, len(arr))) AS t(i)
+  GROUP BY 1
+  HAVING count(*) >= {min_count}
+),
+uni AS (
+  SELECT w, count(*) AS n_w
+  FROM ws, unnest(arr) AS u(w)
+  GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS n_total
+  FROM ws, unnest(range(1, len(arr))) AS t(i)
+)
+SELECT bigram, n_xy, x.n_w AS n_x, y.n_w AS n_y, n_total,
+       1000 * n_total * n_xy // (x.n_w * y.n_w) AS lift_fp
+FROM bg
+JOIN uni x ON x.w = string_split(bigram, ' ')[1]
+JOIN uni y ON y.w = string_split(bigram, ' ')[2]
+CROSS JOIN tot
+ORDER BY lift_fp DESC, bigram ASC
+LIMIT {k}
+"""

@@ -165,6 +165,12 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q3_shipping_priority": {},
     "dedup_canonical": {},
     "minhash_band_stats": {},
+    "q5_region_revenue": {},
+    "q18_top_buyers": {},
+    "knn_join": {},
+    "bigram_pmi": {},
+    "table_profile": {},
+    "cooccurrence_pairs": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -214,8 +220,13 @@ DRIVER_HEAD = [
     "q3_shipping_priority",
     "dedup_canonical",
     "minhash_band_stats",
+    "q5_region_revenue",       # TPC-H Q5-shape 6-table star join
+    "q18_top_buyers",          # TPC-H Q18-shape aggregate-then-join
+    "knn_join",                # exact k-NN cosine join
+    "bigram_pmi",              # PMI collocation mining
+    "table_profile",           # per-column migration-certification profile
+    "cooccurrence_pairs",      # market-basket pair census
     # -- veterans, one per §2 family (all green r01 and/or r02)
-    "scan_project",            # S1/S2 scan + projection
     "filter_memory",           # F2/F3/O4 MVEL filter chain (+ S4/F1
                                # pushdown coverage via its filter chain;
                                # filter_pushdown rotated out, double-green)
@@ -223,20 +234,20 @@ DRIVER_HEAD = [
     "anti_join_if_not_exists", # S7/K2/J1/F4 existence anti-join
     "counter_merge",           # K3/A1 counter merge
     "ttl_arithmetic",          # S3/K4 TTL surface
-    "migrate_pipeline",        # S6/P4 end-to-end migrate transform
+    "migrate_pipeline",        # S6/P4 end-to-end migrate transform (covers
+                               # S1/S2 scan+projection; scan_project
+                               # rotated out, double-green)
     "q1_pricing_summary",      # A4 flagship aggregate
-    "join_asof",               # J2 as-of join (custom operator)
-    "dedup_exact",             # LLM-pipeline exact dedup
-    "minhash_pairs",           # LLM-pipeline MinHash LSH
-    "fuzzy_dedup",             # LLM-pipeline LSH->verify composition
-    "embedding_near_dup",      # similarity family
-    "scd2_history",            # temporal/CDC family
+    "minhash_pairs",           # LLM-pipeline MinHash LSH (dedup_exact /
+                               # fuzzy_dedup rotated out, double-green)
     # (limit_topk, column_mapping, dry_run_stats, set_except,
-    #  time_bucket_rollup, join_enrich, window_running,
-    #  stream_tumbling_agg rotated out for the round-3 additions — each
-    #  holds a green driver row and is strict-locally checked every round;
-    #  J2 keeps join_asof + q3_shipping_priority, O7 keeps the r01-green
-    #  window family, T8 keeps stream_ohlc in the head)
+    #  time_bucket_rollup, join_enrich, window_running, stream_tumbling_agg,
+    #  scan_project, join_asof, dedup_exact, fuzzy_dedup,
+    #  embedding_near_dup, scd2_history rotated out for the round-3
+    #  additions — each holds a green driver row and is strict-locally
+    #  checked every round; J2 is covered in-head by q3/q5/q18, the
+    #  similarity family by knn_join, temporal/CDC by pit_enrich +
+    #  snapshot_diff, T8 by stream_ohlc + the five stream_* head entries)
 ]
 
 

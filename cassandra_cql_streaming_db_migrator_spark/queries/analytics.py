@@ -21,6 +21,8 @@ from ..operators.joins import asof_join
 from ..operators.events import (
     cohort_retention,
     cohort_retention_sql,
+    cooccurrence_pairs,
+    cooccurrence_pairs_sql,
     funnel,
     funnel_sql,
     rolling_time_window,
@@ -29,6 +31,7 @@ from ..operators.events import (
     sessionize_sql,
 )
 from ..operators.graph import pagerank_fixed_point, pagerank_sql
+from ..operators.profile import table_profile, table_profile_sql
 from ..operators.sketches import (
     kmv_distinct,
     kmv_distinct_sql,
@@ -514,7 +517,47 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINSORIZE_SQL = winsorized_stats_sql("events", "event_type", "value", "event_id")
 
 
+# ---------------------------------------------------------------------------
+# Migration-certification profile of the orders table: run the same report
+# on source and target and diff — row-free verification.
+
+_ORDERS_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_profile(load_table(spark, sf_dir, "orders"), _ORDERS_PROFILE_COLS)
+
+
+_ORDERS_PROFILE_SQL = table_profile_sql("orders", _ORDERS_PROFILE_COLS)
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence (market-basket pairs over users).
+
+
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cooccurrence_pairs(load_table(spark, sf_dir, "events"), k=20)
+
+
+_COOCCURRENCE_SQL = cooccurrence_pairs_sql("events", k=20)
+
+
 QUERIES = [
+    QueryDef(
+        "table_profile", orders_profile, _ORDERS_PROFILE_SQL,
+        "per-column profile (nulls/distinct/min/max) in one pass — "
+        "migration certification report",
+    ),
+    QueryDef(
+        "cooccurrence_pairs", event_cooccurrence, _COOCCURRENCE_SQL,
+        "market-basket co-occurrence pairs with reach + containment",
+    ),
     QueryDef(
         "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
         "KMV k-minimum-values distinct-count sketch (deterministic, mergeable)",

@@ -33,12 +33,15 @@ from ..operators.similarity import (
     block_top_pairs,
     cosine_topk,
     ivf_ann_topk,
+    knn_join,
     label_centroid_stats,
     lsh_ann_topk,
 )
 from ..operators.textops import (
     BPE_TOKEN_PATTERN,
     EN_STOPWORDS,
+    bigram_pmi_topk,
+    bigram_pmi_topk_sql,
     bpe_token_count,
     doc_fingerprint,
     lang_id_heuristic,
@@ -912,7 +915,54 @@ def _ngram_topk_sql() -> str:
     return word_bigram_topk_sql("documents", "text", k=25)
 
 
+# ---------------------------------------------------------------------------
+# k-NN JOIN: every 100th vector is a "query"; its exact top-5 neighbors from
+# the rest of the corpus.  Retrieval-evaluation ground truth (recall@k for
+# the ANN paths, hard-negative mining) — one corpus pass for ALL queries.
+
+
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    return knn_join(corpus, queries, k=5)
+
+
+_KNN_JOIN_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id % 100 <> 0),
+scored AS (
+  SELECT qid, cid,
+         {_dot_sql("cv", "qv")}
+           / (sqrt({_dot_sql("cv", "cv")}) * sqrt({_dot_sql("qv", "qv")}))
+           AS cosine
+  FROM q, c),
+ranked AS (
+  SELECT qid AS query_id, cid AS neighbor_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, cid ASC) AS rn
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# Collocation mining: top bigrams by PMI lift against unigram independence.
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_pmi_topk(load_table(spark, sf_dir, "documents"), k=30)
+
+
 QUERIES = [
+    QueryDef("knn_join", embedding_knn_join, _KNN_JOIN_SQL,
+             "exact k-NN join: top-5 cosine neighbors per query vector, "
+             "one corpus pass for the whole query set"),
+    QueryDef("bigram_pmi", bigram_pmi, bigram_pmi_topk_sql("documents", k=30),
+             "collocations: top bigrams by fixed-point PMI lift vs "
+             "unigram independence"),
     QueryDef("ngram_topk", ngram_topk, _ngram_topk_sql(),
              "corpus-wide top-k word bigrams (one shuffle, top-k never "
              "full-sorts)"),

@@ -717,9 +717,112 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q5-shape: 6-table star join (two facts + four dims) with a date
+# window, revenue per region x nation.  The canonical join-ordering /
+# broadcast showcase: nation and region ride to every task; customer and
+# supplier are key-shuffled hash joins AQE may demote to broadcast at small
+# scale; the date filter pushes to the orders scan.  The c_nationkey =
+# s_nationkey equi-condition ("local supplier") rides the supplier join.
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return grouped(
+        joined,
+        ["r_name", "n_name"],
+        [decimal_sum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items")],
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-shape: aggregate-then-join ("large volume orders").  The HAVING
+# on a fact aggregate becomes a derived table joined back to the facts —
+# the filter side is the SMALL side after aggregation, so AQE broadcasts it
+# into orders/customer; one lineitem shuffle total.
+
+
+def q18_top_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(decimal_sum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 250
+ORDER BY sum_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_SQL,
              "A4: TPC-H Q1-shape wide aggregate"),
+    QueryDef("q5_region_revenue", q5_region_revenue, _Q5_SQL,
+             "J2/A4: TPC-H Q5-shape 6-table star join (broadcast dims + AQE)"),
+    QueryDef("q18_top_buyers", q18_top_buyers, _Q18_SQL,
+             "J2/A4: TPC-H Q18-shape aggregate-then-join HAVING filter"),
     QueryDef("q3_shipping_priority", q3_shipping_priority, _Q3_SQL,
              "A4/J2: TPC-H Q3-shape 3-way join + aggregate + top-k"),
     QueryDef("join_enrich", join_enrich, _JOIN_ENRICH_SQL,

@@ -1,0 +1,191 @@
+"""Round-3 second-session operators: k-NN join, table profile, PMI
+collocations, co-occurrence pairs, and the TPC-H Q5/Q18 query shapes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cassandra_cql_streaming_db_migrator_spark.operators.events import cooccurrence_pairs
+from cassandra_cql_streaming_db_migrator_spark.operators.profile import table_profile
+from cassandra_cql_streaming_db_migrator_spark.operators.similarity import knn_join
+from cassandra_cql_streaming_db_migrator_spark.operators.textops import bigram_pmi_topk
+from cassandra_cql_streaming_db_migrator_spark.sources.parquet import load_table
+
+
+# --------------------------------------------------------------------- knn
+
+
+def _brute_force_knn(spark, corpus_rows, query_rows, k):
+    """Driver-side reference: exact cosine, same total order."""
+    out = {}
+    for qid, qv in query_rows:
+        scored = []
+        qn = math.sqrt(sum(x * x for x in qv))
+        for cid, cv in corpus_rows:
+            dot = 0.0
+            for a, b in zip(qv, cv):
+                dot += a * b
+            cn = math.sqrt(sum(x * x for x in cv))
+            scored.append((cid, dot / (cn * qn)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        out[qid] = scored[:k]
+    return out
+
+
+def test_knn_join_matches_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(120).cache()
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    corpus = emb.filter(F.col("vec_id") % 40 != 0)
+    got = {
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["cosine"])
+        for r in knn_join(corpus, queries, k=4).collect()
+    }
+    c_rows = [(r["vec_id"], list(r["embedding"])) for r in corpus.collect()]
+    q_rows = [(r["vec_id"], list(r["embedding"])) for r in queries.collect()]
+    want = _brute_force_knn(spark, c_rows, q_rows, 4)
+    assert len(got) == len(q_rows) * 4
+    for qid, neighbors in want.items():
+        for rank, (cid, cos) in enumerate(neighbors, start=1):
+            gcid, gcos = got[(qid, rank)]
+            assert gcid == cid, (qid, rank)
+            assert gcos == pytest.approx(cos, abs=1e-12)
+
+
+def test_knn_join_small_corpus_and_empty_queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # corpus smaller than k: every corpus row appears, ranked
+    tiny = emb.filter(F.col("vec_id") < 3)
+    queries = emb.filter(F.col("vec_id") == 10)
+    rows = knn_join(tiny, queries, k=5).collect()
+    assert len(rows) == 3
+    assert sorted(r["rn"] for r in rows) == [1, 2, 3]
+    # empty query side -> empty result with the right schema
+    empty = knn_join(tiny, emb.filter(F.col("vec_id") < 0), k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "cosine", "rn"]
+
+
+def test_knn_join_batch_partial_topk_is_exact(spark, sf_dir):
+    """Result is invariant to corpus partitioning (batch-local top-k with
+    tie guard must not depend on how rows are batched)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    one = sorted(map(tuple, knn_join(corpus.repartition(1), queries, k=3).collect()))
+    many = sorted(map(tuple, knn_join(corpus.repartition(17), queries, k=3).collect()))
+    assert one == many
+
+
+# ----------------------------------------------------------------- profile
+
+
+def test_table_profile_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 2.5),
+            (2, "b", None),
+            (2, None, 1.0),
+            (None, "a", 4.0),
+        ],
+        "k bigint, s string, v double",
+    )
+    rows = {r["col_name"]: r for r in table_profile(
+        df, [("k", "num"), ("s", "str"), ("v", "num")]
+    ).collect()}
+    assert rows["k"]["n_rows"] == 4
+    assert rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 2
+    assert rows["k"]["num_min"] == 1.0 and rows["k"]["num_max"] == 2.0
+    assert rows["k"]["str_min"] is None
+    assert rows["s"]["n_nulls"] == 1
+    assert rows["s"]["n_distinct"] == 2
+    assert rows["s"]["str_min"] == "a" and rows["s"]["str_max"] == "b"
+    assert rows["s"]["num_min"] is None
+    assert rows["v"]["n_nulls"] == 1
+    assert rows["v"]["num_min"] == 1.0 and rows["v"]["num_max"] == 4.0
+
+
+def test_table_profile_timestamp_epoch(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    prof = {r["col_name"]: r for r in table_profile(
+        orders, [("o_orderdate", "ts")]
+    ).collect()}
+    lo = prof["o_orderdate"]["num_min"]
+    hi = prof["o_orderdate"]["num_max"]
+    # the fixture generator spans 1995..2001; epoch seconds, UTC session
+    assert lo == 788918400.0  # 1995-01-01T00:00:00Z
+    assert hi > lo
+
+
+# --------------------------------------------------------------------- pmi
+
+
+def test_bigram_pmi_exact_lift(spark):
+    # corpus: "a b" x4 docs, "a c" x1 -> unigrams a:5 b:4 c:1, bigrams N=5
+    docs = spark.createDataFrame(
+        [("a b",)] * 4 + [("a c",)], "text string"
+    )
+    rows = {r["bigram"]: r for r in
+            bigram_pmi_topk(docs, min_count=1, k=10).collect()}
+    ab = rows["a b"]
+    assert (ab["n_xy"], ab["n_x"], ab["n_y"], ab["n_total"]) == (4, 5, 4, 5)
+    assert ab["lift_fp"] == 1000 * 5 * 4 // (5 * 4)  # 1000 == lift 1.0
+    ac = rows["a c"]
+    assert ac["lift_fp"] == 1000 * 5 * 1 // (5 * 1)
+
+
+def test_bigram_pmi_min_count_filter(spark):
+    docs = spark.createDataFrame([("a b",)] * 4 + [("a c",)], "text string")
+    names = [r["bigram"] for r in
+             bigram_pmi_topk(docs, min_count=2, k=10).collect()]
+    assert names == ["a b"]
+
+
+# ------------------------------------------------------------ cooccurrence
+
+
+def test_cooccurrence_pairs_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x"), (1, "y"), (1, "y"),      # user 1: {x, y}
+            (2, "x"), (2, "z"),                # user 2: {x, z}
+            (3, "x"), (3, "y"), (3, "z"),      # user 3: {x, y, z}
+        ],
+        "user_id bigint, event_type string",
+    )
+    rows = {(r["item_a"], r["item_b"]): r for r in
+            cooccurrence_pairs(df, k=10).collect()}
+    assert rows[("x", "y")]["n_both"] == 2
+    assert rows[("x", "z")]["n_both"] == 2
+    assert rows[("y", "z")]["n_both"] == 1
+    xy = rows[("x", "y")]
+    assert (xy["n_a"], xy["n_b"]) == (3, 2)
+    assert xy["containment_fp"] == 1000000 * 2 // 2  # fully contained in y
+
+
+# ------------------------------------------------------------------- tpch
+
+
+def test_q5_q18_shapes(spark, sf_dir):
+    from cassandra_cql_streaming_db_migrator_spark.queries.relational import (
+        q18_top_buyers,
+        q5_region_revenue,
+    )
+
+    q5 = q5_region_revenue(spark, sf_dir)
+    assert q5.columns == ["r_name", "n_name", "revenue", "n_items"]
+    rows5 = q5.collect()
+    assert len(rows5) > 0
+    assert all(r["revenue"] > 0 for r in rows5)
+
+    q18 = q18_top_buyers(spark, sf_dir)
+    rows18 = q18.collect()
+    assert 0 < len(rows18) <= 100
+    assert all(r["sum_qty"] > 250 for r in rows18)
+    # descending by sum_qty with orderkey tiebreak
+    keys = [(-r["sum_qty"], r["o_orderkey"]) for r in rows18]
+    assert keys == sorted(keys)

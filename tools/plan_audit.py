@@ -62,6 +62,15 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # signature kernel's local-mode repartition (dropped at scale, see
     # minhash_signature_df) + bucket groupBy + metadata-scale band rollup
     "minhash_band_stats": 3,
+    # semantic floor: bigram census (persisted, feeds candidates + the
+    # 1-row corpus total) + unigram census + the vocab-keyed census<->
+    # census join (vocab can exceed broadcast size at corpus scale, so a
+    # hash join is the correct plan — AQE demotes to broadcast when small)
+    "bigram_pmi": 4,
+    # semantic floor: per-key collect_set (persisted; pair expansion is a
+    # narrow HOF, not a self-join) + pair census + reach census (persisted,
+    # joined back by explicit broadcast)
+    "cooccurrence_pairs": 3,
 }
 DEFAULT_ALLOWANCE = 2
 
