@@ -835,3 +835,74 @@ def knn_join(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN quality evaluation: per-query recall@k of the LSH-bucketed
+    search against the exact k-NN ground truth — the report that tunes
+    ``n_bits`` before committing an index layout.  Because the hyperplanes
+    are frozen LCG integers, even the APPROXIMATE path is deterministic and
+    oracle-checkable; recall ships as exact fixed-point, never a float.
+
+    Shape: ground truth via ``knn_join`` (one corpus pass, no shuffle);
+    the ANN side buckets the corpus in a narrow kernel and joins the
+    broadcast bucketed query set (bucket equi-join prunes candidates);
+    both top-k windows and the three count aggregates run over
+    |Q| * k candidate rows — metadata-scale.
+    """
+    from pyspark.sql import Window
+
+    exact = knn_join(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    bc = with_bucket_ids(corpus, vec_col, n_bits)
+    bq = F.broadcast(
+        with_bucket_ids(queries, vec_col, n_bits).select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__bucket").alias("__qbucket"),
+        )
+    )
+    scored = (
+        bc.join(bq, F.col("__bucket") == F.col("__qbucket"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ann = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    e_cnt = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    a_cnt = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    h_cnt = (
+        exact.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        e_cnt.join(a_cnt, "query_id", "left")
+        .join(h_cnt, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_ann"), F.lit(0).cast("long")).alias("n_ann"),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.expr(
+                "1000000 * coalesce(n_hits, CAST(0 AS BIGINT)) DIV n_exact"
+            ).alias("recall_fp"),
+        )
+    )

@@ -171,6 +171,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "bigram_pmi": {},
     "table_profile": {},
     "cooccurrence_pairs": {},
+    "ann_recall": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -226,6 +227,7 @@ DRIVER_HEAD = [
     "bigram_pmi",              # PMI collocation mining
     "table_profile",           # per-column migration-certification profile
     "cooccurrence_pairs",      # market-basket pair census
+    "ann_recall",              # LSH recall@k vs exact ground truth
     # -- veterans, one per §2 family (all green r01 and/or r02)
     "filter_memory",           # F2/F3/O4 MVEL filter chain (+ S4/F1
                                # pushdown coverage via its filter chain;
@@ -238,8 +240,9 @@ DRIVER_HEAD = [
                                # S1/S2 scan+projection; scan_project
                                # rotated out, double-green)
     "q1_pricing_summary",      # A4 flagship aggregate
-    "minhash_pairs",           # LLM-pipeline MinHash LSH (dedup_exact /
-                               # fuzzy_dedup rotated out, double-green)
+                               # (minhash_pairs rotated out, double-green —
+                               # the LSH machinery is exercised in-head by
+                               # minhash_band_stats + dedup_canonical)
     # (limit_topk, column_mapping, dry_run_stats, set_except,
     #  time_bucket_rollup, join_enrich, window_running, stream_tumbling_agg,
     #  scan_project, join_asof, dedup_exact, fuzzy_dedup,

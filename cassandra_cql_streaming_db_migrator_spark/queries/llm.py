@@ -949,6 +949,62 @@ FROM ranked WHERE rn <= 5
 """
 
 # ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@5 of the LSH-bucketed search against the
+# exact k-NN ground truth, per query — deterministic (frozen planes), so
+# even the approximate path is value-checked.
+
+
+def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    return ann_recall(corpus, queries, k=5, n_bits=6)
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id % 100 <> 0),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY {_dot_sql("cv", "qv")}
+               / (sqrt({_dot_sql("cv", "cv")}) * sqrt({_dot_sql("qv", "qv")}))
+               DESC, cid ASC) AS rn
+    FROM q, c) WHERE rn <= 5),
+bc AS (SELECT cid, cv, {_lsh_bucket_sql("cv", 6)} AS b FROM c),
+bq AS (SELECT qid, qv, {_lsh_bucket_sql("qv", 6)} AS b FROM q),
+ann AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY {_dot_sql("cv", "qv")}
+               / (sqrt({_dot_sql("cv", "cv")}) * sqrt({_dot_sql("qv", "qv")}))
+               DESC, cid ASC) AS rn
+    FROM bq JOIN bc USING (b)) WHERE rn <= 5),
+e_cnt AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid),
+a_cnt AS (SELECT qid, count(*) AS n_ann FROM ann GROUP BY qid),
+h_cnt AS (SELECT e.qid, count(*) AS n_hits
+          FROM exact e JOIN ann a ON a.qid = e.qid AND a.cid = e.cid
+          GROUP BY e.qid)
+SELECT e_cnt.qid AS query_id, n_exact,
+       COALESCE(n_ann, CAST(0 AS BIGINT)) AS n_ann,
+       COALESCE(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       1000000 * COALESCE(n_hits, CAST(0 AS BIGINT)) // n_exact AS recall_fp
+FROM e_cnt
+LEFT JOIN a_cnt ON a_cnt.qid = e_cnt.qid
+LEFT JOIN h_cnt ON h_cnt.qid = e_cnt.qid
+"""
+
+
+# ---------------------------------------------------------------------------
 # Collocation mining: top bigrams by PMI lift against unigram independence.
 
 
@@ -963,6 +1019,9 @@ QUERIES = [
     QueryDef("bigram_pmi", bigram_pmi, bigram_pmi_topk_sql("documents", k=30),
              "collocations: top bigrams by fixed-point PMI lift vs "
              "unigram independence"),
+    QueryDef("ann_recall", ann_recall_q, _ann_recall_sql(),
+             "recall@5 of LSH ANN vs exact k-NN ground truth, per query "
+             "(deterministic approximate path, fixed-point recall)"),
     QueryDef("ngram_topk", ngram_topk, _ngram_topk_sql(),
              "corpus-wide top-k word bigrams (one shuffle, top-k never "
              "full-sorts)"),

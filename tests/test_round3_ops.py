@@ -189,3 +189,37 @@ def test_q5_q18_shapes(spark, sf_dir):
     # descending by sum_qty with orderkey tiebreak
     keys = [(-r["sum_qty"], r["o_orderkey"]) for r in rows18]
     assert keys == sorted(keys)
+
+
+# -------------------------------------------------------------- ann recall
+
+
+def test_ann_recall_bounds_and_hits(spark, sf_dir):
+    from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+        ann_recall,
+        knn_join,
+        lsh_ann_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    rows = ann_recall(corpus, queries, k=5, n_bits=6).collect()
+    assert len(rows) == queries.count()
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hits"] <= min(r["n_ann"], 5)
+        assert r["recall_fp"] == 1000000 * r["n_hits"] // r["n_exact"]
+    # cross-check one query against the single-query LSH path
+    q0 = queries.orderBy("vec_id").limit(1)
+    qid = q0.collect()[0]["vec_id"]
+    ann_ids = {
+        r["vec_id"] for r in lsh_ann_topk(corpus, q0, k=5, n_bits=6).collect()
+    }
+    exact_ids = {
+        r["neighbor_id"]
+        for r in knn_join(corpus, q0, k=5).filter(F.col("query_id") == qid).collect()
+    }
+    got = next(r for r in rows if r["query_id"] == qid)
+    assert got["n_hits"] == len(ann_ids & exact_ids)
+    assert got["n_ann"] == len(ann_ids)

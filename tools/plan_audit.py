@@ -71,6 +71,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # narrow HOF, not a self-join) + pair census + reach census (persisted,
     # joined back by explicit broadcast)
     "cooccurrence_pairs": 3,
+    # semantic floor: exact-side candidate window + ANN-side per-query
+    # window + the hit/count aggregates — every exchange past the corpus
+    # scans carries |Q| * k candidate rows (metadata-scale), not the corpus
+    "ann_recall": 4,
 }
 DEFAULT_ALLOWANCE = 2
 
