@@ -681,3 +681,97 @@ CROSS JOIN tot
 ORDER BY lift_fp DESC, bigram ASC
 LIMIT {k}
 """
+
+
+def vocab_head_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (10, 100, 1000),
+) -> DataFrame:
+    """Vocabulary concentration report: what fraction of all corpus tokens
+    the top-k most frequent words cover, for each k — the Zipf-head check
+    that sizes stopword lists, tokenizer vocabularies, and predicts dedup
+    gains from boilerplate.
+
+    Shape: ONE count shuffle for the unigram census; the top-max(k) cut is
+    TakeOrderedAndProject (never a global sort over the vocabulary); the
+    cumulative sum runs on <= max(k) rows in a single partition
+    (metadata-scale by construction); the corpus total re-enters as a 1-row
+    broadcast.  Coverage is fixed-point int64 (guard: covered * 1e6 needs
+    total <= 9.2e12 tokens; wider corpora widen to DECIMAL(38,0)).
+    """
+    from pyspark.sql import Window
+
+    kmax = max(ks)
+    words = F.split(F.col(text_col), " ")
+    uni = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # feeds the top-k cut AND the corpus total
+    )
+    total = uni.agg(F.sum("n").alias("total_tokens"))
+    top = (
+        uni.orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(kmax)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("w").asc())
+            ),
+        )
+    )
+    cum = top.withColumn(
+        "covered_tokens",
+        F.sum("n").over(
+            Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        cum.filter(F.col("rank").isin(list(ks)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").alias("k"),
+            "covered_tokens",
+            "total_tokens",
+            F.expr("1000000 * covered_tokens DIV total_tokens").alias(
+                "coverage_fp"
+            ),
+        )
+    )
+
+
+def vocab_head_coverage_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    ks: tuple[int, ...] = (10, 100, 1000),
+) -> str:
+    """Oracle twin.  Window sums over BIGINT widen to HUGEINT in DuckDB —
+    cast back to BIGINT (the no-HUGEINT oracle rule)."""
+    kmax = max(ks)
+    klist = ", ".join(str(k) for k in ks)
+    return f"""
+WITH ws AS (
+  SELECT string_split({text_col}, ' ') AS arr FROM {table}
+),
+uni AS (
+  SELECT w, count(*) AS n FROM ws, unnest(arr) AS u(w) GROUP BY w
+),
+top AS (
+  SELECT w, n, CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS INTEGER)
+           AS rank
+  FROM uni ORDER BY n DESC, w ASC LIMIT {kmax}
+),
+cum AS (
+  SELECT rank,
+         CAST(sum(n) OVER (ORDER BY rank
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS covered_tokens
+  FROM top
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM uni)
+SELECT rank AS k, covered_tokens, total_tokens,
+       1000000 * covered_tokens // total_tokens AS coverage_fp
+FROM cum, tot
+WHERE rank IN ({klist})
+"""

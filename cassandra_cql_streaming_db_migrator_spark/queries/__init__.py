@@ -172,6 +172,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "table_profile": {},
     "cooccurrence_pairs": {},
     "ann_recall": {},
+    "join_salted": {},
+    "head_coverage": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -228,11 +230,12 @@ DRIVER_HEAD = [
     "table_profile",           # per-column migration-certification profile
     "cooccurrence_pairs",      # market-basket pair census
     "ann_recall",              # LSH recall@k vs exact ground truth
-    # -- veterans, one per §2 family (all green r01 and/or r02)
-    "filter_memory",           # F2/F3/O4 MVEL filter chain (+ S4/F1
-                               # pushdown coverage via its filter chain;
-                               # filter_pushdown rotated out, double-green)
-    "computed_column",         # P3 computed columns (hashCode parity)
+    "join_salted",             # value-neutral salted skew join
+    "head_coverage",           # Zipf-head vocabulary coverage report
+    # -- veterans, one per §2 family (all green r01 and/or r02;
+    #    filter_memory and computed_column rotated out this round —
+    #    double-green, and the MVEL expression surface stays covered by
+    #    migrate_pipeline's computed-column + filter-chain transform)
     "anti_join_if_not_exists", # S7/K2/J1/F4 existence anti-join
     "counter_merge",           # K3/A1 counter merge
     "ttl_arithmetic",          # S3/K4 TTL surface

@@ -34,7 +34,11 @@ from ..operators.corpus import (
     sample_per_group,
     split_column,
 )
-from ..operators.textops import BPE_TOKEN_PATTERN
+from ..operators.textops import (
+    BPE_TOKEN_PATTERN,
+    vocab_head_coverage,
+    vocab_head_coverage_sql,
+)
 from ..sources.parquet import load_table
 from . import QueryDef
 
@@ -482,7 +486,24 @@ GROUP BY source
 """
 
 
+# ks tuned to the fixtures' 31-word vocabulary (defaults are 10/100/1000
+# for a natural-language corpus)
+_HEAD_COVERAGE_KS = (5, 10, 25)
+
+
+def head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_head_coverage(
+        load_table(spark, sf_dir, "documents"), ks=_HEAD_COVERAGE_KS
+    )
+
+
 QUERIES = [
+    QueryDef(
+        "head_coverage",
+        head_coverage,
+        vocab_head_coverage_sql("documents", ks=_HEAD_COVERAGE_KS),
+        "Zipf-head report: corpus-token coverage of the top-k vocabulary",
+    ),
     QueryDef(
         "pii_stats", pii_stats, _PII_STATS_SQL,
         "per-source PII incidence audit (emails / IPv4, match counts)",

@@ -16,6 +16,7 @@ from ..operators.joins import (
     asof_join,
     broadcast_dim_join,
     interval_join_broadcast,
+    salted_join,
     semi_join,
 )
 from ..operators.setops import (
@@ -816,6 +817,40 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Salted join under the value gate: the skew-mitigation pattern (split a hot
+# key across ``salt`` sub-partitions, replicate the other side) must be
+# VALUE-NEUTRAL — the oracle is the plain join, so the driver hash-checks
+# that salting never changes results.  AQE's skew-join split handles sort-
+# merge skew automatically; explicit salting remains the tool for skewed
+# AGGREGATES and for dims too big to broadcast but cheap to replicate.
+
+
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    joined = salted_join(orders, cust, ["c_custkey"], salt=8)
+    return grouped(
+        joined,
+        ["c_mktsegment"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum("o_totalprice", "sum_price"),
+        ],
+    )
+
+
+_JOIN_SALTED_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_SQL,
              "A4: TPC-H Q1-shape wide aggregate"),
@@ -823,6 +858,9 @@ QUERIES = [
              "J2/A4: TPC-H Q5-shape 6-table star join (broadcast dims + AQE)"),
     QueryDef("q18_top_buyers", q18_top_buyers, _Q18_SQL,
              "J2/A4: TPC-H Q18-shape aggregate-then-join HAVING filter"),
+    QueryDef("join_salted", join_salted, _JOIN_SALTED_SQL,
+             "J2: salted skew join, hash-checked value-neutral vs the "
+             "plain join"),
     QueryDef("q3_shipping_priority", q3_shipping_priority, _Q3_SQL,
              "A4/J2: TPC-H Q3-shape 3-way join + aggregate + top-k"),
     QueryDef("join_enrich", join_enrich, _JOIN_ENRICH_SQL,

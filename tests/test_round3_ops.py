@@ -223,3 +223,44 @@ def test_ann_recall_bounds_and_hits(spark, sf_dir):
     got = next(r for r in rows if r["query_id"] == qid)
     assert got["n_hits"] == len(ann_ids & exact_ids)
     assert got["n_ann"] == len(ann_ids)
+
+
+# ------------------------------------------------------- salted join query
+
+
+def test_join_salted_matches_plain(spark, sf_dir):
+    from cassandra_cql_streaming_db_migrator_spark.queries.relational import join_salted
+
+    got = sorted(map(tuple, join_salted(spark, sf_dir).collect()))
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    plain_counts = {r["c_mktsegment"]: r["n_orders"] for r in plain.collect()}
+    assert {t[0]: t[1] for t in got} == plain_counts
+
+
+# ------------------------------------------------------------ head coverage
+
+
+def test_vocab_head_coverage_exact(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+        vocab_head_coverage,
+    )
+
+    # tokens: a x6, b x3, c x2, d x1 -> total 12
+    docs = spark.createDataFrame(
+        [("a a a b b c",), ("a a a b c d",)], "text string"
+    )
+    rows = {r["k"]: r for r in
+            vocab_head_coverage(docs, ks=(1, 2, 3)).collect()}
+    assert rows[1]["covered_tokens"] == 6
+    assert rows[2]["covered_tokens"] == 9
+    assert rows[3]["covered_tokens"] == 11
+    assert all(r["total_tokens"] == 12 for r in rows.values())
+    assert rows[1]["coverage_fp"] == 1000000 * 6 // 12
+    # monotone non-decreasing coverage
+    assert rows[1]["coverage_fp"] <= rows[2]["coverage_fp"] <= rows[3]["coverage_fp"]
