@@ -6,18 +6,34 @@ row count, null count, exact distinct count, min/max per column — is the
 operational twin: run it on source and target and diff the two reports to
 certify a migration (or drift-check a CDC mirror) without comparing rows.
 
-Shape: ONE aggregation pass over the table produces every metric.  The
-multi-column exact COUNT(DISTINCT) plans as Spark's Expand (input x
-(n_cols+1) into one partial-agg shuffle whose state is per-column distinct
-sets); exactness is the oracle contract here — at 100 TB swap
-``F.countDistinct`` for ``F.approx_count_distinct`` (HLL, no expand) and
-keep everything else.  The single result row is then unpivoted driver-free
-via ``inline`` into the long-format report.
+Shape: unpivot each row into (col_name, num_val, str_val) with ``inline``
+(NARROW, n_cols x rows), then TWO plain hash aggregates:
 
-Numeric parity: min/max of numeric and timestamp columns are emitted as
-DOUBLE (timestamps via epoch seconds — the session is pinned UTC, so Spark's
-``cast(ts AS double)`` and DuckDB's ``epoch(ts)`` agree); string min/max as
-VARCHAR.  No engine-specific number->string formatting is ever compared.
+  1. groupBy(col_name, num_val, str_val) -> per-value count.  Map-side
+     partials collapse each partition to its per-column distinct values
+     first, so the one real shuffle moves at most sum_c(distinct_c) states;
+  2. groupBy(col_name) folds value rows into the profile: n_rows =
+     sum(cnt), n_nulls = cnt of the null-value row, n_distinct = count of
+     non-null value rows, min/max over the value keys.
+
+Both stages are whole-stage-codegen HashAggregates.  The alternative —
+one wide agg with 6 COUNT(DISTINCT col) — plans through Expand into a
+SortAggregate with per-column distinct-set buffers (measured 3.5 s vs
+0.7 s at sf0.1; and the set buffers, not the data, become the memory
+ceiling at scale).  Exactness is the oracle contract; at 100 TB swap in
+``approx_count_distinct`` (HLL, single pass, no unpivot) when exact
+distincts aren't required.
+
+Numeric parity: numeric values group (and count distinct) through their
+DOUBLE image — exact for integers up to 2^53; a 64-bit surrogate-id column
+beyond that range should be profiled as kind "str" (lossless, still one
+pass).  Float group keys are safe cross-engine: Spark normalizes -0.0/NaN
+in grouping keys, and DuckDB's DISTINCT treats -0.0 = 0.0 and NaN = NaN
+the same way.  Min/max of numeric and timestamp columns are emitted as
+DOUBLE (timestamps via epoch seconds — the session is pinned UTC, so
+Spark's ``cast(ts AS double)`` and DuckDB's ``epoch(ts)`` agree); string
+min/max as VARCHAR.  No engine-specific number->string formatting is ever
+compared.
 """
 
 from __future__ import annotations
@@ -29,44 +45,47 @@ from pyspark.sql import functions as F
 ColumnSpec = tuple[str, str]
 
 
-def table_profile(df: DataFrame, columns: list[ColumnSpec]) -> DataFrame:
-    aggs = [F.count(F.lit(1)).alias("__n_rows")]
-    for name, kind in columns:
-        aggs.append(F.count(name).alias(f"__nn_{name}"))
-        aggs.append(F.countDistinct(name).alias(f"__nd_{name}"))
-        if kind == "str":
-            aggs.append(F.min(name).alias(f"__min_{name}"))
-            aggs.append(F.max(name).alias(f"__max_{name}"))
-        else:
-            v = F.col(name)
-            if kind == "ts":
-                # parquet timestamps arrive as TIMESTAMP_NTZ, which has no
-                # direct double cast; route via LTZ — the session is pinned
-                # UTC, so the epoch value equals DuckDB's epoch(naive-ts)
-                v = v.cast("timestamp_ltz")
-            v = v.cast("double")
-            aggs.append(F.min(v).alias(f"__min_{name}"))
-            aggs.append(F.max(v).alias(f"__max_{name}"))
-    row = df.agg(*aggs)
-
+def _value_exprs(name: str, kind: str):
+    """(num_val, str_val) typed pair for the unpivot — exactly one is
+    populated per column kind."""
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
-    structs = []
-    for name, kind in columns:
-        is_str = kind == "str"
-        structs.append(
-            F.struct(
-                F.lit(name).alias("col_name"),
-                F.col("__n_rows").alias("n_rows"),
-                (F.col("__n_rows") - F.col(f"__nn_{name}")).alias("n_nulls"),
-                F.col(f"__nd_{name}").alias("n_distinct"),
-                (null_d if is_str else F.col(f"__min_{name}")).alias("num_min"),
-                (null_d if is_str else F.col(f"__max_{name}")).alias("num_max"),
-                (F.col(f"__min_{name}") if is_str else null_s).alias("str_min"),
-                (F.col(f"__max_{name}") if is_str else null_s).alias("str_max"),
-            )
+    if kind == "str":
+        return null_d, F.col(name).cast("string")
+    v = F.col(name)
+    if kind == "ts":
+        # parquet timestamps arrive as TIMESTAMP_NTZ, which has no direct
+        # double cast; route via LTZ — the session is pinned UTC, so the
+        # epoch value equals DuckDB's epoch(naive-ts)
+        v = v.cast("timestamp_ltz")
+    return v.cast("double"), null_s
+
+
+def table_profile(df: DataFrame, columns: list[ColumnSpec]) -> DataFrame:
+    structs = [
+        F.struct(
+            F.lit(name).alias("col_name"),
+            _value_exprs(name, kind)[0].alias("num_val"),
+            _value_exprs(name, kind)[1].alias("str_val"),
         )
-    return row.select(F.inline(F.array(*structs)))
+        for name, kind in columns
+    ]
+    long = df.select(F.inline(F.array(*structs)))
+    per_value = long.groupBy("col_name", "num_val", "str_val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    is_null = F.col("num_val").isNull() & F.col("str_val").isNull()
+    return per_value.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(is_null, F.col("cnt"))), F.lit(0).cast("long")
+        ).alias("n_nulls"),
+        F.count(F.when(~is_null, F.lit(1))).alias("n_distinct"),
+        F.min("num_val").alias("num_min"),
+        F.max("num_val").alias("num_max"),
+        F.min("str_val").alias("str_min"),
+        F.max("str_val").alias("str_max"),
+    )
 
 
 def table_profile_sql(table: str, columns: list[ColumnSpec]) -> str:
