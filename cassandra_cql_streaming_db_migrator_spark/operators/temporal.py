@@ -104,3 +104,63 @@ SELECT {key_col}, {attr_col}, valid_from,
          AS is_current
 FROM iv
 """
+
+
+def latest_by_key(
+    df,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_cols: list[str],
+):
+    """CDC read-side compaction: the CURRENT row per key from a change feed
+    — the read-path twin of the upsert sink (K1): a target table that was
+    never materialized can be served as a view with exactly upsert-merge
+    semantics (last writer per key wins, write order = (ts, tiebreak)).
+
+    Shape: ONE pure hash aggregate — ``max_by`` over the same zero-padded
+    (ts, tiebreak) order key the OHLC/gap-fill operators use, so there is
+    no per-key window sort and no shuffle beyond the aggregate's state
+    exchange; map-side partials reduce each partition to one candidate row
+    per key before anything moves.  Contrast build_scd2, which keeps the
+    full history: this keeps only the frontier.
+    """
+    from pyspark.sql import functions as F
+
+    from .timeseries import ord_key
+
+    base = df.select(
+        key_col,
+        ord_key(ts_col, tiebreak_col).alias("__ord"),
+        F.col(ts_col).alias("__ts"),
+        *value_cols,
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_versions"),
+        F.expr("max_by(__ts, __ord)").alias("last_ts"),
+    ]
+    for c in value_cols:
+        aggs.append(F.expr(f"max_by({c}, __ord)").alias(f"last_{c}"))
+    return base.groupBy(key_col).agg(*aggs)
+
+
+def latest_by_key_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_cols: list[str],
+) -> str:
+    from .timeseries import ord_key_sql
+
+    ok = ord_key_sql(ts_col, tiebreak_col)
+    last_cols = ",\n       ".join(
+        f"arg_max({c}, {ok}) AS last_{c}" for c in value_cols
+    )
+    return f"""
+SELECT {key_col}, count(*) AS n_versions,
+       arg_max({ts_col}, {ok}) AS last_ts,
+       {last_cols}
+FROM {table}
+GROUP BY {key_col}
+"""

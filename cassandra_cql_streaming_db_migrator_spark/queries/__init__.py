@@ -174,6 +174,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "ann_recall": {},
     "join_salted": {},
     "head_coverage": {},
+    "cdc_latest": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -232,13 +233,15 @@ DRIVER_HEAD = [
     "ann_recall",              # LSH recall@k vs exact ground truth
     "join_salted",             # value-neutral salted skew join
     "head_coverage",           # Zipf-head vocabulary coverage report
+    "cdc_latest",              # CDC compaction / upsert-view (K1 read twin)
     # -- veterans, one per §2 family (all green r01 and/or r02;
     #    filter_memory and computed_column rotated out this round —
     #    double-green, and the MVEL expression surface stays covered by
     #    migrate_pipeline's computed-column + filter-chain transform)
     "anti_join_if_not_exists", # S7/K2/J1/F4 existence anti-join
     "counter_merge",           # K3/A1 counter merge
-    "ttl_arithmetic",          # S3/K4 TTL surface
+                               # (ttl_arithmetic rotated out, double-green;
+                               # the TTL operator stays pytest-covered)
     "migrate_pipeline",        # S6/P4 end-to-end migrate transform (covers
                                # S1/S2 scan+projection; scan_project
                                # rotated out, double-green)

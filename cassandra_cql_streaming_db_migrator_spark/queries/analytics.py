@@ -40,7 +40,12 @@ from ..operators.sketches import (
     winsorized_stats,
     winsorized_stats_sql,
 )
-from ..operators.temporal import build_scd2, build_scd2_sql
+from ..operators.temporal import (
+    build_scd2,
+    build_scd2_sql,
+    latest_by_key,
+    latest_by_key_sql,
+)
 from ..operators.textops import build_inverted_index, build_inverted_index_sql
 from ..operators.timeseries import (
     gap_fill_locf,
@@ -548,7 +553,30 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COOCCURRENCE_SQL = cooccurrence_pairs_sql("events", k=20)
 
 
+# ---------------------------------------------------------------------------
+# CDC compaction: current row per user from the event feed (read-side twin
+# of the upsert sink — last writer per key wins).
+
+
+def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return latest_by_key(
+        events, key_col="user_id", ts_col="ts", tiebreak_col="event_id",
+        value_cols=["event_type", "value"],
+    )
+
+
+_CDC_LATEST_SQL = latest_by_key_sql(
+    "events", "user_id", "ts", "event_id", ["event_type", "value"]
+)
+
+
 QUERIES = [
+    QueryDef(
+        "cdc_latest", cdc_latest, _CDC_LATEST_SQL,
+        "CDC read-side compaction: current row per key, one hash "
+        "aggregate (upsert-view semantics)",
+    ),
     QueryDef(
         "table_profile", orders_profile, _ORDERS_PROFILE_SQL,
         "per-column profile (nulls/distinct/min/max) in one pass — "

@@ -264,3 +264,44 @@ def test_vocab_head_coverage_exact(spark):
     assert rows[1]["coverage_fp"] == 1000000 * 6 // 12
     # monotone non-decreasing coverage
     assert rows[1]["coverage_fp"] <= rows[2]["coverage_fp"] <= rows[3]["coverage_fp"]
+
+
+# -------------------------------------------------------------- cdc latest
+
+
+def test_latest_by_key_upsert_semantics(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.temporal import (
+        latest_by_key,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "a", 1.0),
+            (1, "2024-01-02 00:00:00", 11, "b", 2.0),
+            (1, "2024-01-02 00:00:00", 12, "c", 3.0),  # same ts, higher tiebreak
+            (2, "2024-01-05 00:00:00", 20, "z", 9.0),
+        ],
+        "user_id bigint, ts string, event_id bigint, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {r["user_id"]: r for r in latest_by_key(
+        df, "user_id", "ts", "event_id", ["event_type", "value"]
+    ).collect()}
+    assert rows[1]["n_versions"] == 3
+    assert rows[1]["last_event_type"] == "c"  # tiebreak wins within equal ts
+    assert rows[1]["last_value"] == 3.0
+    assert rows[2]["n_versions"] == 1 and rows[2]["last_event_type"] == "z"
+
+
+def test_latest_by_key_partitioning_invariant(spark, sf_dir):
+    from cassandra_cql_streaming_db_migrator_spark.operators.temporal import (
+        latest_by_key,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    a = sorted(map(tuple, latest_by_key(
+        events.repartition(1), "user_id", "ts", "event_id", ["event_type"]
+    ).collect()))
+    b = sorted(map(tuple, latest_by_key(
+        events.repartition(32), "user_id", "ts", "event_id", ["event_type"]
+    ).collect()))
+    assert a == b
