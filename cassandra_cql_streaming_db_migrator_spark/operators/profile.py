@@ -62,20 +62,22 @@ def _value_exprs(name: str, kind: str):
 
 
 def table_profile(df: DataFrame, columns: list[ColumnSpec]) -> DataFrame:
-    structs = [
-        F.struct(
-            F.lit(name).alias("col_name"),
-            _value_exprs(name, kind)[0].alias("num_val"),
-            _value_exprs(name, kind)[1].alias("str_val"),
+    structs = []
+    for name, kind in columns:
+        num_v, str_v = _value_exprs(name, kind)
+        structs.append(
+            F.struct(
+                F.lit(name).alias("col_name"),
+                num_v.alias("num_val"),
+                str_v.alias("str_val"),
+            )
         )
-        for name, kind in columns
-    ]
     long = df.select(F.inline(F.array(*structs)))
     per_value = long.groupBy("col_name", "num_val", "str_val").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     is_null = F.col("num_val").isNull() & F.col("str_val").isNull()
-    return per_value.groupBy("col_name").agg(
+    profiled = per_value.groupBy("col_name").agg(
         F.sum("cnt").alias("n_rows"),
         F.coalesce(
             F.sum(F.when(is_null, F.col("cnt"))), F.lit(0).cast("long")
@@ -85,6 +87,25 @@ def table_profile(df: DataFrame, columns: list[ColumnSpec]) -> DataFrame:
         F.max("num_val").alias("num_max"),
         F.min("str_val").alias("str_min"),
         F.max("str_val").alias("str_max"),
+    )
+    # Empty-table contract: the oracle's GROUP-BY-less per-column aggregates
+    # emit one zero-count row per column even on zero input rows, and a
+    # migration-certification diff must read an empty target as n_rows=0,
+    # not as missing columns.  Seed every column name and left-join the
+    # aggregate onto it (n_cols rows, broadcast — metadata-scale).
+    seed = df.sparkSession.createDataFrame(
+        [(name,) for name, _ in columns], "col_name string"
+    )
+    zero = F.lit(0).cast("long")
+    return seed.join(F.broadcast(profiled), "col_name", "left").select(
+        "col_name",
+        F.coalesce("n_rows", zero).alias("n_rows"),
+        F.coalesce("n_nulls", zero).alias("n_nulls"),
+        F.coalesce("n_distinct", zero).alias("n_distinct"),
+        "num_min",
+        "num_max",
+        "str_min",
+        "str_max",
     )
 
 

@@ -154,12 +154,19 @@ def latest_by_key_sql(
     from .timeseries import ord_key_sql
 
     ok = ord_key_sql(ts_col, tiebreak_col)
+    # NULL-proofing: DuckDB's arg_max SKIPS rows whose value argument is
+    # NULL, but Spark's max_by returns the frontier row's value even when
+    # that value is NULL — and a CDC feed setting a column to NULL is the
+    # last write and must win.  Wrapping the value in a single-field struct
+    # makes the argument non-NULL (the field inside may be NULL), aligning
+    # arg_max with max_by exactly.
     last_cols = ",\n       ".join(
-        f"arg_max({c}, {ok}) AS last_{c}" for c in value_cols
+        f"arg_max(struct_pack(v := {c}), {ok}).v AS last_{c}"
+        for c in value_cols
     )
     return f"""
 SELECT {key_col}, count(*) AS n_versions,
-       arg_max({ts_col}, {ok}) AS last_ts,
+       arg_max(struct_pack(v := {ts_col}), {ok}).v AS last_ts,
        {last_cols}
 FROM {table}
 GROUP BY {key_col}

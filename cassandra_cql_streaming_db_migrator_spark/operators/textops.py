@@ -727,11 +727,20 @@ def vocab_head_coverage(
             Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # A requested k larger than the vocabulary must report FULL coverage
+    # (covered = total at rank = |vocab|), not silently drop its row — so
+    # each k picks the deepest cumulative row with rank <= k (max_by over
+    # the <= kmax cum rows; inequality join is broadcast, metadata-scale).
+    ks_rows = total.select(
+        F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"),
+        "total_tokens",
+    )
     return (
-        cum.filter(F.col("rank").isin(list(ks)))
-        .crossJoin(F.broadcast(total))
+        ks_rows.join(F.broadcast(cum), F.col("rank") <= F.col("k"))
+        .groupBy("k", "total_tokens")
+        .agg(F.expr("max_by(covered_tokens, rank)").alias("covered_tokens"))
         .select(
-            F.col("rank").alias("k"),
+            "k",
             "covered_tokens",
             "total_tokens",
             F.expr("1000000 * covered_tokens DIV total_tokens").alias(
@@ -747,7 +756,9 @@ def vocab_head_coverage_sql(
     ks: tuple[int, ...] = (10, 100, 1000),
 ) -> str:
     """Oracle twin.  Window sums over BIGINT widen to HUGEINT in DuckDB —
-    cast back to BIGINT (the no-HUGEINT oracle rule)."""
+    cast back to BIGINT (the no-HUGEINT oracle rule).  Ks beyond the
+    vocabulary size take the deepest cum row (full coverage), same as the
+    Spark side's rank <= k max_by."""
     kmax = max(ks)
     klist = ", ".join(str(k) for k in ks)
     return f"""
@@ -769,9 +780,11 @@ cum AS (
            AS covered_tokens
   FROM top
 ),
+ks AS (SELECT CAST(unnest([{klist}]) AS INTEGER) AS k),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM uni)
-SELECT rank AS k, covered_tokens, total_tokens,
-       1000000 * covered_tokens // total_tokens AS coverage_fp
-FROM cum, tot
-WHERE rank IN ({klist})
+SELECT k, arg_max(covered_tokens, rank) AS covered_tokens, total_tokens,
+       1000000 * arg_max(covered_tokens, rank) // total_tokens
+         AS coverage_fp
+FROM ks JOIN cum ON rank <= k, tot
+GROUP BY k, total_tokens
 """

@@ -486,9 +486,9 @@ GROUP BY source
 """
 
 
-# ks tuned to the fixtures' 31-word vocabulary (defaults are 10/100/1000
-# for a natural-language corpus)
-_HEAD_COVERAGE_KS = (5, 10, 25)
+# natural-language defaults; on the fixtures' 31-word vocabulary the
+# k=100/1000 rows exercise the k-beyond-vocab full-coverage contract
+_HEAD_COVERAGE_KS = (10, 100, 1000)
 
 
 def head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -264,6 +264,12 @@ def test_vocab_head_coverage_exact(spark):
     assert rows[1]["coverage_fp"] == 1000000 * 6 // 12
     # monotone non-decreasing coverage
     assert rows[1]["coverage_fp"] <= rows[2]["coverage_fp"] <= rows[3]["coverage_fp"]
+    # k beyond the vocabulary (4 words) reports FULL coverage, not a
+    # missing row
+    wide = {r["k"]: r for r in
+            vocab_head_coverage(docs, ks=(1, 100)).collect()}
+    assert wide[100]["covered_tokens"] == 12
+    assert wide[100]["coverage_fp"] == 1000000
 
 
 # -------------------------------------------------------------- cdc latest
@@ -305,3 +311,50 @@ def test_latest_by_key_partitioning_invariant(spark, sf_dir):
         events.repartition(32), "user_id", "ts", "event_id", ["event_type"]
     ).collect()))
     assert a == b
+
+
+def test_latest_by_key_null_frontier_matches_oracle(spark, tmp_path):
+    """A CDC feed setting a column to NULL is the last write and must win —
+    on BOTH engines (DuckDB arg_max skips NULL args; the oracle wraps the
+    value in a struct to align with Spark max_by)."""
+    import duckdb
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.temporal import (
+        latest_by_key,
+        latest_by_key_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "a", 1.0),
+            (1, "2024-01-02 00:00:00", 11, None, None),  # last write: NULLs
+            (2, "2024-01-05 00:00:00", 20, "z", 9.0),
+        ],
+        "user_id bigint, ts string, event_id bigint, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r for r in latest_by_key(
+        df, "user_id", "ts", "event_id", ["event_type", "value"]
+    ).collect()}
+    assert got[1]["last_event_type"] is None and got[1]["last_value"] is None
+
+    pq = str(tmp_path / "feed.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events_null AS SELECT * FROM '{pq}/*.parquet'")
+    sql = latest_by_key_sql(
+        "events_null", "user_id", "ts", "event_id", ["event_type", "value"]
+    )
+    oracle = {r[0]: r for r in con.execute(sql).fetchall()}
+    assert oracle[1][3] is None and oracle[1][4] is None
+    assert oracle[2][3] == "z"
+
+
+def test_table_profile_empty_table_emits_zero_rows(spark):
+    df = spark.createDataFrame([], "k bigint, s string")
+    rows = {r["col_name"]: r for r in table_profile(
+        df, [("k", "num"), ("s", "str")]
+    ).collect()}
+    assert set(rows) == {"k", "s"}
+    for r in rows.values():
+        assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (0, 0, 0)
+        assert r["num_min"] is None and r["str_max"] is None
