@@ -129,13 +129,17 @@ def gap_fill_locf_sql(
     division floors exactly like Spark's integer ``unix_timestamp`` fold
     for post-1970 data.  DuckDB's ``arg_max`` takes no composite key, so
     the (ts, tiebreak) order rides a zero-padded string — lexicographic on
-    '%020d#%020d' equals numeric order on the pair for non-negatives."""
+    '%020d#%020d' equals numeric order on the pair for non-negatives.
+    The value arg is struct-wrapped: DuckDB arg_max SKIPS NULL value args
+    while Spark max_by returns the frontier row's value even when NULL —
+    the struct (non-NULL, NULL-able field) aligns the two."""
     return f"""
 WITH obs AS (
   SELECT {key_col},
          make_timestamp(CAST(floor(epoch({ts_col}) / {step_seconds}) AS BIGINT)
                         * {step_seconds} * 1000000) AS bucket_ts,
-         arg_max({value_col}, {ord_key_sql(ts_col, tiebreak_col)})
+         arg_max(struct_pack(v := {value_col}),
+                 {ord_key_sql(ts_col, tiebreak_col)}).v
            AS last_v,
          count(*) AS n_obs
   FROM {table}
@@ -229,10 +233,10 @@ WITH b AS (
   FROM {table}
 )
 SELECT {key_col}, bucket_id, count(*) AS n_events,
-       round(arg_min(v, ord_key), 6) AS open,
+       round(arg_min(struct_pack(v := v), ord_key).v, 6) AS open,
        round(max(v), 6) AS high,
        round(min(v), 6) AS low,
-       round(arg_max(v, ord_key), 6) AS close
+       round(arg_max(struct_pack(v := v), ord_key).v, 6) AS close
 FROM b
 GROUP BY {key_col}, bucket_id
 """

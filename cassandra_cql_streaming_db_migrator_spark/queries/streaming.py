@@ -69,10 +69,10 @@ WITH b AS (
   FROM events
 )
 SELECT window_start, event_type, count(*) AS n_events,
-       round(arg_min(v, ord_key), 6) AS open,
+       round(arg_min(struct_pack(v := v), ord_key).v, 6) AS open,
        round(max(v), 6) AS high,
        round(min(v), 6) AS low,
-       round(arg_max(v, ord_key), 6) AS close
+       round(arg_max(struct_pack(v := v), ord_key).v, 6) AS close
 FROM b
 GROUP BY window_start, event_type
 """

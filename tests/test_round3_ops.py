@@ -358,3 +358,41 @@ def test_table_profile_empty_table_emits_zero_rows(spark):
     for r in rows.values():
         assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (0, 0, 0)
         assert r["num_min"] is None and r["str_max"] is None
+
+
+def test_ohlc_null_frontier_matches_oracle(spark, tmp_path):
+    """Same arg_max NULL-skip class as latest_by_key: an OHLC bucket whose
+    last (or first) observation is NULL must report a NULL close/open on
+    both engines."""
+    import duckdb
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.timeseries import (
+        ohlc_downsample,
+        ohlc_downsample_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", 1, None),     # open is NULL
+            ("k", "2024-01-01 01:00:00", 2, 5.0),
+            ("k", "2024-01-01 02:00:00", 3, None),     # close is NULL
+        ],
+        "event_type string, ts string, event_id bigint, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = ohlc_downsample(
+        df, "event_type", "ts", "value", "event_id", bucket_seconds=86400
+    ).collect()[0]
+    assert got["open"] is None and got["close"] is None
+    assert got["high"] == 5.0 and got["low"] == 5.0
+
+    pq = str(tmp_path / "ohlc.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW feed AS SELECT * FROM '{pq}/*.parquet'")
+    sql = ohlc_downsample_sql(
+        "feed", "event_type", "ts", "value", "event_id", bucket_seconds=86400
+    )
+    o = con.execute(sql).fetchall()[0]
+    # columns: key, bucket_id, n_events, open, high, low, close
+    assert o[3] is None and o[6] is None
+    assert o[4] == 5.0 and o[5] == 5.0
