@@ -175,6 +175,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "join_salted": {},
     "head_coverage": {},
     "cdc_latest": {},
+    "stream_cdc_latest": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -234,14 +235,15 @@ DRIVER_HEAD = [
     "join_salted",             # value-neutral salted skew join
     "head_coverage",           # Zipf-head vocabulary coverage report
     "cdc_latest",              # CDC compaction / upsert-view (K1 read twin)
+    "stream_cdc_latest",       # its streaming twin (live upsert view)
     # -- veterans, one per §2 family (all green r01 and/or r02;
     #    filter_memory and computed_column rotated out this round —
     #    double-green, and the MVEL expression surface stays covered by
     #    migrate_pipeline's computed-column + filter-chain transform)
     "anti_join_if_not_exists", # S7/K2/J1/F4 existence anti-join
-    "counter_merge",           # K3/A1 counter merge
-                               # (ttl_arithmetic rotated out, double-green;
-                               # the TTL operator stays pytest-covered)
+                               # (counter_merge and ttl_arithmetic rotated
+                               # out — both r02-green; the operators stay
+                               # pytest-covered and strict-locally checked)
     "migrate_pipeline",        # S6/P4 end-to-end migrate transform (covers
                                # S1/S2 scan+projection; scan_project
                                # rotated out, double-green)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.stream import (
+    latest_by_key_agg,
     ohlc_window_agg,
     read_events_stream,
     run_to_memory,
@@ -376,6 +377,19 @@ FROM m GROUP BY lang
 """
 
 
+def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(latest_by_key_agg(events))
+
+
+def _stream_cdc_latest_sql() -> str:
+    from ..operators.temporal import latest_by_key_sql
+
+    return latest_by_key_sql(
+        "events", "user_id", "ts", "event_id", ["event_type", "value"]
+    )
+
+
 QUERIES = [
     QueryDef("stream_stream_join", stream_stream_join, _STREAM_STREAM_JOIN_SQL,
              "T8: watermark-bounded stream-stream interval join", bench=False),
@@ -402,6 +416,9 @@ QUERIES = [
     QueryDef("stream_funnel", stream_funnel, _stream_funnel_sql(),
              "T8: CEP funnel step machine in GroupState (O(steps) state)",
              bench=False),
+    QueryDef("stream_cdc_latest", stream_cdc_latest, _stream_cdc_latest_sql(),
+             "T8/K1: streaming upsert VIEW — last writer per key wins, "
+             "O(1) state, batch-parity oracle shared with cdc_latest"),
     QueryDef("stream_scd2", stream_scd2, _stream_scd2_sql(),
              "T8: live SCD2 history maintenance (O(runs) state per key)",
              bench=False),

@@ -487,3 +487,32 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(_as_stream_dir(path))
+
+
+def latest_by_key_agg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_cols: tuple[str, ...] = ("event_type", "value"),
+) -> DataFrame:
+    """Streaming upsert VIEW: the live twin of
+    ``operators.temporal.latest_by_key`` — the reference's core scenario
+    (stream rows in, last writer per key wins, K1 upsert semantics) kept
+    as a continuously-maintained aggregate instead of a sink table.
+
+    Every aggregate here is incrementally mergeable (count + max_by over
+    the shared zero-padded order key), so state is O(1) per key — a new
+    microbatch folds into the frontier row without reprocessing history.
+    A fully-drained bounded stream agrees row-for-row with the batch
+    operator (asserted by test and by the shared SQL oracle)."""
+    from ..operators.timeseries import ord_key
+
+    base = events.withColumn("__ord", ord_key(ts_col, tiebreak_col))
+    aggs = [
+        F.count(F.lit(1)).alias("n_versions"),
+        F.expr(f"max_by({ts_col}, __ord)").alias("last_ts"),
+    ]
+    for c in value_cols:
+        aggs.append(F.expr(f"max_by({c}, __ord)").alias(f"last_{c}"))
+    return base.groupBy(key_col).agg(*aggs)

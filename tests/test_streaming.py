@@ -452,3 +452,23 @@ def test_stream_scd2_extends_history_across_microbatches(spark, tmp_path):
         ("A", 2, False), ("B", 1, True),
     ]
     assert final[0].valid_to == final[1].valid_from
+
+
+def test_stream_cdc_latest_matches_batch(spark, sf_dir):
+    """The streaming upsert view drained to completion equals the batch
+    CDC compaction row-for-row."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.temporal import (
+        latest_by_key,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.queries.streaming import (
+        stream_cdc_latest,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.sources.parquet import load_table
+
+    live = sorted(map(tuple, stream_cdc_latest(spark, sf_dir).collect()))
+    events = load_table(spark, sf_dir, "events")
+    batch = latest_by_key(
+        events.withColumn("ts", F.col("ts").cast("timestamp")),
+        "user_id", "ts", "event_id", ["event_type", "value"],
+    )
+    assert live == sorted(map(tuple, batch.collect()))
