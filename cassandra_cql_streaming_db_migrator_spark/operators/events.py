@@ -324,8 +324,14 @@ def cooccurrence_pairs(
     # persisted: feeds the pair census AND the reach census (without the
     # persist each branch re-runs the collect_set shuffle); per-key rows
     # are vocab-bounded arrays, so the cache is ~|keys| * |vocab| small
+    # NULL keys and NULL items are excluded EXPLICITLY on both engines: a
+    # NULL key is not a basket and a NULL item is not a product.  Without
+    # the filter the engines disagree — Spark's groupBy keeps NULL as a
+    # real group (and collect_set drops NULL items) while the oracle's
+    # equi-self-join drops NULL keys but its DISTINCT keeps NULL items.
     sets = (
-        df.groupBy(F.col(key_col).alias("key"))
+        df.filter(F.col(key_col).isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
         .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("items"))
         .persist()
     )
@@ -385,6 +391,7 @@ def cooccurrence_pairs_sql(
     return f"""
 WITH ki AS (
   SELECT DISTINCT {key_col} AS key, {item_col} AS item FROM {table}
+  WHERE {key_col} IS NOT NULL AND {item_col} IS NOT NULL
 ),
 pairs AS (
   SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both

@@ -119,8 +119,12 @@ def table_profile_sql(table: str, columns: list[ColumnSpec]) -> str:
             str_max = f"max({name})"
         else:
             expr = f"epoch({name})" if kind == "ts" else f"CAST({name} AS DOUBLE)"
-            num_min = f"min({expr})"
-            num_max = f"max({expr})"
+            # "+ 0.0" normalizes -0.0 to +0.0 (IEEE: x + 0.0 == x except
+            # for -0.0; NaN unchanged), matching Spark's group-key float
+            # normalization — min/max otherwise return different zero
+            # signs across engines
+            num_min = f"min({expr} + 0.0)"
+            num_max = f"max({expr} + 0.0)"
             str_min = "CAST(NULL AS VARCHAR)"
             str_max = "CAST(NULL AS VARCHAR)"
         parts.append(

@@ -763,7 +763,8 @@ def knn_join(
     query matrix), so scores are bit-identical to the HOF / DuckDB
     list_reduce fold.  Batch-local top-k uses the global total order
     (cosine desc, neighbor id asc) with an exact >=-threshold tie guard, so
-    chunking never changes the result.
+    chunking never changes the result.  Zero-norm corpus vectors (cosine
+    undefined -> NaN) are excluded by contract on both engines.
     """
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -804,13 +805,21 @@ def knn_join(
             out_q, out_c, out_s = [], [], []
             for j in range(nq):
                 cj = cos[:, j]
-                if n > k:
+                # zero-norm vectors score NaN — EXCLUDED by contract, in
+                # the kernel, before any cut.  (NaN cannot ride through
+                # consistently: Arrow's pandas bridge turns a NaN double
+                # into SQL NULL, which the global window would then rank
+                # opposite to a batch-local NaN — result would depend on
+                # partitioning.  The SQL oracle carries the same
+                # NOT isnan(cosine) filter.)
+                valid = np.nonzero(~np.isnan(cj))[0]
+                if len(valid) > k:
                     # exact candidate cut: everything >= the k-th largest
                     # score survives, so boundary ties reach the lexsort
-                    thresh = -np.partition(-cj, k - 1)[k - 1]
-                    cand = np.nonzero(cj >= thresh)[0]
+                    thresh = -np.partition(-cj[valid], k - 1)[k - 1]
+                    cand = valid[cj[valid] >= thresh]
                 else:
-                    cand = np.arange(n)
+                    cand = valid
                 top = cand[np.lexsort((cids[cand], -cj[cand]))][:k]
                 out_q.append(np.full(len(top), qids[j]))
                 out_c.append(cids[top])
@@ -877,6 +886,9 @@ def ann_recall(
             F.col(id_col).alias("neighbor_id"),
             cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
         )
+        # zero-norm vectors excluded, matching knn_join's exact side and
+        # the oracle's NOT isnan(cosine)
+        .filter(~F.isnan("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

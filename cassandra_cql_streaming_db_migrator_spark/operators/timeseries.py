@@ -46,11 +46,21 @@ ORD_KEY_BIAS = 1 << 62
 
 
 def ord_key(ts_col: str, tiebreak_col: str) -> Column:
-    """Total-order string key over (event-time micros, tiebreak)."""
-    return F.format_string(
+    """Total-order string key over (event-time micros, tiebreak).
+
+    NULL-safe: a NULL ts or tiebreak yields a NULL key on BOTH engines, so
+    min_by/max_by and arg_min/arg_max alike SKIP the row for frontier
+    election (it still counts in count/min/max aggregates).  Without the
+    explicit guard Spark's format_string renders NULL as the literal
+    string 'null' while DuckDB's printf propagates NULL — the engines
+    would elect different frontiers on any feed with NULL event times."""
+    raw = F.format_string(
         "%020d#%020d",
         F.unix_micros(F.col(ts_col).cast("timestamp")) + F.lit(ORD_KEY_BIAS),
         F.col(tiebreak_col) + F.lit(ORD_KEY_BIAS),
+    )
+    return F.when(
+        F.col(ts_col).isNotNull() & F.col(tiebreak_col).isNotNull(), raw
     )
 
 

@@ -943,7 +943,7 @@ ranked AS (
   SELECT qid AS query_id, cid AS neighbor_id, cosine,
          row_number() OVER (PARTITION BY qid
                             ORDER BY cosine DESC, cid ASC) AS rn
-  FROM scored)
+  FROM scored WHERE NOT isnan(cosine))
 SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
 FROM ranked WHERE rn <= 5
 """
@@ -977,7 +977,10 @@ exact AS (
              ORDER BY {_dot_sql("cv", "qv")}
                / (sqrt({_dot_sql("cv", "cv")}) * sqrt({_dot_sql("qv", "qv")}))
                DESC, cid ASC) AS rn
-    FROM q, c) WHERE rn <= 5),
+    FROM q, c
+    WHERE NOT isnan({_dot_sql("cv", "qv")}
+      / (sqrt({_dot_sql("cv", "cv")}) * sqrt({_dot_sql("qv", "qv")})))
+  ) WHERE rn <= 5),
 bc AS (SELECT cid, cv, {_lsh_bucket_sql("cv", 6)} AS b FROM c),
 bq AS (SELECT qid, qv, {_lsh_bucket_sql("qv", 6)} AS b FROM q),
 ann AS (
@@ -988,7 +991,10 @@ ann AS (
              ORDER BY {_dot_sql("cv", "qv")}
                / (sqrt({_dot_sql("cv", "cv")}) * sqrt({_dot_sql("qv", "qv")}))
                DESC, cid ASC) AS rn
-    FROM bq JOIN bc USING (b)) WHERE rn <= 5),
+    FROM bq JOIN bc USING (b)
+    WHERE NOT isnan({_dot_sql("cv", "qv")}
+      / (sqrt({_dot_sql("cv", "cv")}) * sqrt({_dot_sql("qv", "qv")})))
+  ) WHERE rn <= 5),
 e_cnt AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid),
 a_cnt AS (SELECT qid, count(*) AS n_ann FROM ann GROUP BY qid),
 h_cnt AS (SELECT e.qid, count(*) AS n_hits

@@ -418,7 +418,8 @@ QUERIES = [
              bench=False),
     QueryDef("stream_cdc_latest", stream_cdc_latest, _stream_cdc_latest_sql(),
              "T8/K1: streaming upsert VIEW — last writer per key wins, "
-             "O(1) state, batch-parity oracle shared with cdc_latest"),
+             "O(1) state, batch-parity oracle shared with cdc_latest",
+             bench=False),
     QueryDef("stream_scd2", stream_scd2, _stream_scd2_sql(),
              "T8: live SCD2 history maintenance (O(runs) state per key)",
              bench=False),

@@ -396,3 +396,112 @@ def test_ohlc_null_frontier_matches_oracle(spark, tmp_path):
     # columns: key, bucket_id, n_events, open, high, low, close
     assert o[3] is None and o[6] is None
     assert o[4] == 5.0 and o[5] == 5.0
+
+
+# ----------------------------------------------- NULL / NaN parity guards
+
+
+def test_ord_key_null_ts_skipped_on_both_engines(spark, tmp_path):
+    """A NULL event time must be skipped by frontier election on BOTH
+    engines (Spark format_string would otherwise render the string 'null'
+    while DuckDB printf propagates NULL into arg_max's skip)."""
+    import duckdb
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.temporal import (
+        latest_by_key,
+        latest_by_key_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "a", 1.0),
+            (1, None, 99, "b", 2.0),          # NULL ts: never the frontier
+            (2, None, 20, "z", 9.0),          # all-NULL key: NULL frontier
+        ],
+        "user_id bigint, ts string, event_id bigint, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r for r in latest_by_key(
+        df, "user_id", "ts", "event_id", ["event_type", "value"]
+    ).collect()}
+    assert got[1]["last_event_type"] == "a"   # NULL-ts row did not win
+    assert got[1]["n_versions"] == 2          # but still counted
+    assert got[2]["last_event_type"] is None
+
+    pq = str(tmp_path / "nullts.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW feed2 AS SELECT * FROM '{pq}/*.parquet'")
+    sql = latest_by_key_sql("feed2", "user_id", "ts", "event_id",
+                            ["event_type", "value"])
+    oracle = {r[0]: r for r in con.execute(sql).fetchall()}
+    assert oracle[1][3] == "a" and oracle[1][1] == 2
+    assert oracle[2][3] is None
+
+
+def test_cooccurrence_null_key_and_item_excluded(spark, tmp_path):
+    import duckdb
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.events import (
+        cooccurrence_pairs,
+        cooccurrence_pairs_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (None, "x"), (None, "y"),   # NULL basket: excluded
+            (2, "x"), (2, "y"),
+            (3, "x"), (3, None),        # NULL item: excluded
+        ],
+        "user_id bigint, event_type string",
+    )
+    rows = {(r["item_a"], r["item_b"]): r for r in
+            cooccurrence_pairs(df, k=10).collect()}
+    assert rows[("x", "y")]["n_both"] == 1
+    assert rows[("x", "y")]["n_a"] == 2  # users 2 and 3 reach x
+
+    pq = str(tmp_path / "nullco.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW feed3 AS SELECT * FROM '{pq}/*.parquet'")
+    o = con.execute(cooccurrence_pairs_sql("feed3", k=10)).fetchall()
+    orows = {(r[0], r[1]): r for r in o}
+    assert orows[("x", "y")][2] == 1 and orows[("x", "y")][3] == 2
+
+
+def test_table_profile_negative_zero_parity(spark, tmp_path):
+    import duckdb
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.profile import (
+        table_profile,
+        table_profile_sql,
+    )
+
+    df = spark.createDataFrame([(-0.0,), (0.0,), (1.5,)], "v double")
+    got = table_profile(df, [("v", "num")]).collect()[0]
+    assert str(got["num_min"]) == "0.0"  # normalized, not '-0.0'
+
+    pq = str(tmp_path / "zeros.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW feed4 AS SELECT * FROM '{pq}/*.parquet'")
+    o = con.execute(table_profile_sql("feed4", [("v", "num")])).fetchall()[0]
+    assert str(o[4]) == "0.0"            # oracle +0.0-normalized too
+    assert got["n_distinct"] == o[3]     # -0.0 and 0.0 collapse identically
+
+
+def test_knn_join_zero_norm_excluded_and_invariant(spark):
+    """A zero-norm corpus vector (cosine undefined -> NaN) is excluded by
+    contract, identically under any partitioning.  (NaN cannot ride
+    through: the Arrow pandas bridge nulls it, so inclusion semantics
+    would be partitioning-dependent.)"""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.9, 0.1]),
+            (3, [0.5, 0.5]), (4, [0.1, 0.9])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    one = sorted(map(tuple, knn_join(corpus.repartition(1), queries, k=2).collect()))
+    many = sorted(map(tuple, knn_join(corpus.repartition(8), queries, k=2).collect()))
+    assert one == many
+    got = knn_join(corpus, queries, k=2).collect()
+    assert {r["neighbor_id"] for r in got} == {2, 3}  # zero-norm vec 1 absent
+    assert all(r["cosine"] is not None for r in got)
