@@ -222,6 +222,11 @@ def winsorized_stats(
     NULL values are EXCLUDED up front: greatest/least skip NULLs on both
     engines, so a NULL row would otherwise silently clip to the lower
     bound and inflate the sum with no audit trace.
+
+    A group with NO rows in the hash sample has no bounds row; it is kept
+    UNCLIPPED (bounds default to +/-inf via the left join, clip counts 0)
+    rather than silently dropped — losing small groups with no audit
+    trace is exactly what the n_clipped counters exist to prevent.
     """
     from .aggregates import decimal_sum
 
@@ -231,14 +236,16 @@ def winsorized_stats(
         df, group_col, value_col, id_col, quantiles=(lo, hi), rate=rate
     ).select(group_col, tag_lo, tag_hi)
     v = F.col(value_col)
-    clipped = F.least(F.greatest(v, F.col(tag_lo)), F.col(tag_hi))
+    blo = F.coalesce(F.col(tag_lo), F.lit(float("-inf")))
+    bhi = F.coalesce(F.col(tag_hi), F.lit(float("inf")))
+    clipped = F.least(F.greatest(v, blo), bhi)
     return (
-        df.join(F.broadcast(bounds), group_col)
+        df.join(F.broadcast(bounds), group_col, "left")
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((v < F.col(tag_lo)).cast("long")).alias("n_clipped_low"),
-            F.sum((v > F.col(tag_hi)).cast("long")).alias("n_clipped_high"),
+            F.sum((v < blo).cast("long")).alias("n_clipped_low"),
+            F.sum((v > bhi).cast("long")).alias("n_clipped_high"),
             decimal_sum(clipped, "winsorized_sum"),
         )
     )
@@ -262,15 +269,17 @@ def winsorized_stats_sql(
     return f"""
 WITH s AS ({bounds}),
 j AS (
-  SELECT t.{group_col} AS g, t.{value_col} AS v, s.{tag_lo}, s.{tag_hi}
-  FROM {nn} t JOIN s ON t.{group_col} = s.{group_col}
+  SELECT t.{group_col} AS g, t.{value_col} AS v,
+         COALESCE(s.{tag_lo}, CAST('-infinity' AS DOUBLE)) AS blo,
+         COALESCE(s.{tag_hi}, CAST('infinity' AS DOUBLE)) AS bhi
+  FROM {nn} t LEFT JOIN s ON t.{group_col} = s.{group_col}
 )
 SELECT g AS {group_col}, count(*) AS n,
-       CAST(sum(CASE WHEN v < {tag_lo} THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN v < blo THEN 1 ELSE 0 END) AS BIGINT)
          AS n_clipped_low,
-       CAST(sum(CASE WHEN v > {tag_hi} THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN v > bhi THEN 1 ELSE 0 END) AS BIGINT)
          AS n_clipped_high,
-       CAST(round(sum(CAST(least(greatest(v, {tag_lo}), {tag_hi})
+       CAST(round(sum(CAST(least(greatest(v, blo), bhi)
                            AS DECIMAL(28,10))), 2) AS DOUBLE) AS winsorized_sum
 FROM j
 GROUP BY g

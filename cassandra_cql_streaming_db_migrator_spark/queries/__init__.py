@@ -18,7 +18,14 @@ for oracle parity (values must hash-match bit-for-bit):
     identical operands -> safe un-rounded;
   * averages = decimal sum cast to double / count, rounded;
   * every LIMIT carries a total ORDER with tiebreaker;
-  * aggregate/computed columns aliased identically on both sides.
+  * aggregate/computed columns aliased identically on both sides;
+  * ORDER BY / window-order columns must be non-NULL (filter or coalesce
+    first): Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST, and
+    arg_max/arg_min skip NULL arguments while max_by/min_by do not —
+    NULL-bearing order keys silently elect different rows per engine
+    (see ord_key's NULL guard and the struct-wrapped arg_max oracles);
+  * frontier/argmax values ride ``arg_max(struct_pack(v := x), ord).v``
+    in DuckDB so a NULL value can win (arg_max skips bare NULL args).
 """
 
 from __future__ import annotations
@@ -50,6 +57,11 @@ class QueryDef:
 #      (rows+schema+hash all true) MUST be in the head — enforced by an
 #      assertion in all_queries() using DRIVER_HISTORY below, so newly
 #      added queries are head-listed by construction;
+#   1b. a query MATERIALLY REWRITTEN since its last green row (operator
+#      semantics or oracle changed, not just a refactor) is re-head-listed
+#      — its old green row is evidence about code that no longer runs
+#      (round 3: kmv_distinct's hash-set rewrite, time_gap_fill's
+#      make_timestamp oracle rewrite);
 #   2. remaining slots go to veterans chosen for operator-family coverage
 #      across SURVEY.md §2 (one representative per family where possible);
 #   3. every tail query is still verified every round by
@@ -236,21 +248,22 @@ DRIVER_HEAD = [
     "head_coverage",           # Zipf-head vocabulary coverage report
     "cdc_latest",              # CDC compaction / upsert-view (K1 read twin)
     "stream_cdc_latest",       # its streaming twin (live upsert view)
+    # -- rule 1b: materially rewritten this round, r02 green rows are stale
+    "kmv_distinct",            # hash-set KMV + NULL-key filter rewrite
+    "time_gap_fill",           # make_timestamp + biased-ord-key oracle
     # -- veterans, one per §2 family (all green r01 and/or r02;
     #    filter_memory and computed_column rotated out this round —
     #    double-green, and the MVEL expression surface stays covered by
     #    migrate_pipeline's computed-column + filter-chain transform)
-    "anti_join_if_not_exists", # S7/K2/J1/F4 existence anti-join
-                               # (counter_merge and ttl_arithmetic rotated
-                               # out — both r02-green; the operators stay
-                               # pytest-covered and strict-locally checked)
-    "migrate_pipeline",        # S6/P4 end-to-end migrate transform (covers
-                               # S1/S2 scan+projection; scan_project
-                               # rotated out, double-green)
-    "q1_pricing_summary",      # A4 flagship aggregate
-                               # (minhash_pairs rotated out, double-green —
-                               # the LSH machinery is exercised in-head by
-                               # minhash_band_stats + dedup_canonical)
+    "q1_pricing_summary",      # A4 flagship aggregate — the one standing
+                               # veteran (the entry() query's family).
+                               # anti_join_if_not_exists, migrate_pipeline,
+                               # counter_merge, ttl_arithmetic,
+                               # minhash_pairs all rotated out for the
+                               # round-3 additions + rule-1b re-listings:
+                               # each is r02-green (most r01+r02), stays
+                               # pytest-covered, and is strict-locally
+                               # verified at two SFs every round
     # (limit_topk, column_mapping, dry_run_stats, set_except,
     #  time_bucket_rollup, join_enrich, window_running, stream_tumbling_agg,
     #  scan_project, join_asof, dedup_exact, fuzzy_dedup,

@@ -84,25 +84,43 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("est_jaccard") >= _EST_THRESHOLD)
 
 
-def _minhash_sql() -> str:
+def _sig_ctes() -> str:
+    """Shared shingle->signature oracle CTEs (``sh``, ``sig``) — ONE
+    definition for the three minhash-family oracles (candidate pairs,
+    banding diagnostics, fuzzy dedup), mirroring the Spark side's shared
+    signature kernel: parity depends on these never drifting apart."""
     ph = poly_hash_sql("s")
     sig_items = ", ".join(
-        f"list_min(list_transform(hh, h -> ({a}*h+{b}) % {MINHASH_P}))" for a, b in MINHASH_PERMS
+        f"list_min(list_transform(hh, h -> ({a}*h+{b}) % {MINHASH_P}))"
+        for a, b in MINHASH_PERMS
     )
-    band_conds = []
-    for b in range(_BANDS):
-        slots = range(b * _ROWS_PER_BAND + 1, (b + 1) * _ROWS_PER_BAND + 1)  # 1-based
-        band_conds.append("(" + " AND ".join(f"s1.sg[{j}] = s2.sg[{j}]" for j in slots) + ")")
-    n = len(MINHASH_PERMS)
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id,
     list_transform(
       list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
                     i -> substr(text, CAST(i AS INTEGER), 5))),
       s -> {ph}) AS hh
   FROM documents),
-sig AS (SELECT doc_id, [{sig_items}] AS sg FROM sh)
+sig AS (SELECT doc_id, [{sig_items}] AS sg FROM sh)"""
+
+
+def _band_conds() -> list[str]:
+    """Per-band equality conjunctions over the signature slots (1-based),
+    shared by the candidate-pair and fuzzy-dedup oracles."""
+    conds = []
+    for b in range(_BANDS):
+        slots = range(b * _ROWS_PER_BAND + 1, (b + 1) * _ROWS_PER_BAND + 1)
+        conds.append(
+            "(" + " AND ".join(f"s1.sg[{j}] = s2.sg[{j}]" for j in slots) + ")"
+        )
+    return conds
+
+
+def _minhash_sql() -> str:
+    band_conds = _band_conds()
+    n = len(MINHASH_PERMS)
+    return f"""
+WITH {_sig_ctes()}
 SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2,
        CAST(len(list_filter(range(1, {n + 1}),
                 j -> s1.sg[CAST(j AS INTEGER)] = s2.sg[CAST(j AS INTEGER)])) AS DOUBLE)/{n}.0
@@ -129,11 +147,6 @@ def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_band_stats_sql() -> str:
-    ph = poly_hash_sql("s")
-    sig_items = ", ".join(
-        f"list_min(list_transform(hh, h -> ({a}*h+{b}) % {MINHASH_P}))"
-        for a, b in MINHASH_PERMS
-    )
     band_selects = []
     for b in range(_BANDS):
         slots = range(b * _ROWS_PER_BAND + 1, (b + 1) * _ROWS_PER_BAND + 1)
@@ -143,14 +156,7 @@ def _minhash_band_stats_sql() -> str:
         )
     union = "\n  UNION ALL\n  ".join(band_selects)
     return f"""
-WITH sh AS (
-  SELECT doc_id,
-    list_transform(
-      list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
-                    i -> substr(text, CAST(i AS INTEGER), 5))),
-      s -> {ph}) AS hh
-  FROM documents),
-sig AS (SELECT doc_id, [{sig_items}] AS sg FROM sh),
+WITH {_sig_ctes()},
 e AS (
   {union}
 ),
@@ -178,13 +184,7 @@ def fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fuzzy_dedup_sql() -> str:
     ph = poly_hash_sql("s")
-    sig_items = ", ".join(
-        f"list_min(list_transform(hh, h -> ({a}*h+{b}) % {MINHASH_P}))" for a, b in MINHASH_PERMS
-    )
-    band_conds = []
-    for b in range(_BANDS):
-        slots = range(b * _ROWS_PER_BAND + 1, (b + 1) * _ROWS_PER_BAND + 1)
-        band_conds.append("(" + " AND ".join(f"s1.sg[{j}] = s2.sg[{j}]" for j in slots) + ")")
+    band_conds = _band_conds()
     n = len(MINHASH_PERMS)
     est = (
         f"CAST(len(list_filter(range(1, {n + 1}), "
@@ -195,14 +195,7 @@ def _fuzzy_dedup_sql() -> str:
         "/ (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams)))"
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id,
-    list_transform(
-      list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
-                    i -> substr(text, CAST(i AS INTEGER), 5))),
-      s -> {ph}) AS hh
-  FROM documents),
-sig AS (SELECT doc_id, [{sig_items}] AS sg FROM sh),
+WITH {_sig_ctes()},
 g AS (
   SELECT doc_id,
     list_distinct(list_transform(

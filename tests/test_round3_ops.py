@@ -505,3 +505,39 @@ def test_knn_join_zero_norm_excluded_and_invariant(spark):
     got = knn_join(corpus, queries, k=2).collect()
     assert {r["neighbor_id"] for r in got} == {2, 3}  # zero-norm vec 1 absent
     assert all(r["cosine"] is not None for r in got)
+
+
+def test_winsorize_unsampled_group_kept_unclipped(spark, tmp_path):
+    """A group with no rows in the hash sample must survive UNCLIPPED
+    (bounds +/-inf, zero clip counts), not vanish — on both engines."""
+    import duckdb
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+        winsorized_stats,
+        winsorized_stats_sql,
+    )
+
+    # group 'big' has many ids (some will hash into the 10% sample);
+    # group 'tiny' has one id chosen freely — with rate=1e-9 NOTHING
+    # samples, so every group exercises the unclipped path; with rate=1.0
+    # everything samples. Use rate tiny to force the left-join default.
+    rows = [("big", float(i), i) for i in range(20)] + [("tiny", 5.0, 99)]
+    df = spark.createDataFrame(rows, "g string, value double, id bigint")
+    got = {r["g"]: r for r in winsorized_stats(
+        df, "g", "value", "id", rate=1e-9
+    ).collect()}
+    assert set(got) == {"big", "tiny"}
+    assert got["tiny"]["n"] == 1
+    assert got["tiny"]["n_clipped_low"] == 0 and got["tiny"]["n_clipped_high"] == 0
+    assert got["tiny"]["winsorized_sum"] == 5.0
+    assert got["big"]["winsorized_sum"] == sum(range(20))
+
+    pq = str(tmp_path / "wins.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW feed5 AS SELECT * FROM '{pq}/*.parquet'")
+    o = {r[0]: r for r in con.execute(
+        winsorized_stats_sql("feed5", "g", "value", "id", rate=1e-9)
+    ).fetchall()}
+    assert set(o) == {"big", "tiny"}
+    assert o["tiny"][1] == 1 and o["tiny"][4] == 5.0
