@@ -188,9 +188,28 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "head_coverage": {},
     "cdc_latest": {},
     "stream_cdc_latest": {},
+    # new in round 3, third session (head full -> DRIVER_BACKLOG, rule 1)
+    "q7_nation_volume": {},
+    "q15_top_supplier": {},
+    "mad_outliers": {},
 }
 
 DRIVER_HEAD_CAP = 50
+
+# Rule 1 refinement (round 3): the head already holds 50 never-green
+# entries, so queries ADDED while the head is full cannot be head-listed
+# without evicting other never-green queries.  They queue here instead —
+# an explicit FIFO that MUST drain into DRIVER_HEAD next round (when the
+# current head's entries earn their green rows and rotate out).  The
+# invariant all_queries() enforces is: every query without a green driver
+# row is in DRIVER_HEAD or DRIVER_BACKLOG — nothing unwitnessed is ever
+# silently tail-listed.
+DRIVER_BACKLOG: list[str] = [
+    # round-3 third-session additions, in FIFO order for the round-4 head
+    "q7_nation_volume",
+    "q15_top_supplier",
+    "mad_outliers",
+]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked
 # + the 2 round-2 HUGEINT hash-fails, re-submitted after the oracle cast
@@ -297,20 +316,29 @@ def all_queries() -> dict[str, QueryDef]:
             f"{DRIVER_HEAD_CAP})"
         )
     # Policy rule 1: a query with no green driver row yet must be head-listed
-    # so the next driver round witnesses it.
+    # (or, when the head is already full of never-green entries, queued in
+    # DRIVER_BACKLOG for the next round's head) so a driver round witnesses
+    # it — nothing unwitnessed is ever silently tail-listed.
     head = set(DRIVER_HEAD)
+    backlog = set(DRIVER_BACKLOG)
+    if head & backlog:
+        raise ValueError(f"head/backlog overlap: {sorted(head & backlog)}")
+    missing_backlog = [n for n in DRIVER_BACKLOG if n not in reg]
+    if missing_backlog:
+        raise ValueError(f"DRIVER_BACKLOG names not registered: {missing_backlog}")
     unwitnessed = [
         n
         for n in reg
         if n not in head
+        and n not in backlog
         and not any(
             v == "green" for v in DRIVER_HISTORY.get(n, {}).values()
         )
     ]
     if unwitnessed:
         raise ValueError(
-            "queries without a green driver row must be in DRIVER_HEAD: "
-            f"{unwitnessed}"
+            "queries without a green driver row must be in DRIVER_HEAD or "
+            f"DRIVER_BACKLOG: {unwitnessed}"
         )
 
     out = {n: reg.pop(n) for n in DRIVER_HEAD}

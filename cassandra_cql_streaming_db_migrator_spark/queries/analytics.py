@@ -32,6 +32,7 @@ from ..operators.events import (
 )
 from ..operators.graph import pagerank_fixed_point, pagerank_sql
 from ..operators.profile import table_profile, table_profile_sql
+from ..operators.robust import mad_outlier_stats, mad_outlier_stats_sql
 from ..operators.sketches import (
     kmv_distinct,
     kmv_distinct_sql,
@@ -571,7 +572,27 @@ _CDC_LATEST_SQL = latest_by_key_sql(
 )
 
 
+# ---------------------------------------------------------------------------
+# Robust outlier census: median/MAD gate per event type (the quality gate
+# that survives corrupt-value batches — operator docstring has the story).
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outlier_stats(
+        load_table(spark, sf_dir, "events"), group_col="event_type",
+        value_col="value",
+    )
+
+
+_MAD_OUTLIERS_SQL = mad_outlier_stats_sql("events", "event_type", "value")
+
+
 QUERIES = [
+    QueryDef(
+        "mad_outliers", mad_outliers, _MAD_OUTLIERS_SQL,
+        "robust outlier census: per-group median/MAD gate "
+        "(|x - med| > 3 * 1.4826 * MAD)",
+    ),
     QueryDef(
         "cdc_latest", cdc_latest, _CDC_LATEST_SQL,
         "CDC read-side compaction: current row per key, one hash "

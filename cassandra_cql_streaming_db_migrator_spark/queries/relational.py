@@ -818,6 +818,122 @@ LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q7-shape: bilateral "volume shipping" between two nations.  The
+# nation dimension is broadcast TWICE under different roles (supplier
+# nation / customer nation) — the classic alias-join shape; the nation-pair
+# predicate prunes at the broadcast join, so only matching facts reach the
+# final aggregate's shuffle.  One lineitem-orders shuffle pair; everything
+# else broadcasts (supplier/customer are broadcast-eligible dims at any SF
+# where they fit; at 100 TB AQE decides from runtime sizes).
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return grouped(
+        joined.withColumn("l_year", F.year("l_shipdate").cast("long")),
+        ["supp_nation", "cust_nation", "l_year"],
+        [decimal_sum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items")],
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15-shape: "top supplier(s)" — a derived revenue view joined against
+# its own maximum.  The max is a 1-row aggregate of the (already small)
+# per-supplier view, so the second pass is a broadcast of one scalar, not a
+# re-scan of the facts: fact shuffle happens ONCE, the view is reused for
+# both the max and the final filter (Catalyst collapses the shared subplan
+# under ReusedExchange when the view is materialized by the same job).
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey").agg(
+            decimal_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,10))), 2) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Salted join under the value gate: the skew-mitigation pattern (split a hot
 # key across ``salt`` sub-partitions, replicate the other side) must be
 # VALUE-NEUTRAL — the oracle is the plain join, so the driver hash-checks
@@ -858,6 +974,12 @@ QUERIES = [
              "J2/A4: TPC-H Q5-shape 6-table star join (broadcast dims + AQE)"),
     QueryDef("q18_top_buyers", q18_top_buyers, _Q18_SQL,
              "J2/A4: TPC-H Q18-shape aggregate-then-join HAVING filter"),
+    QueryDef("q7_nation_volume", q7_nation_volume, _Q7_SQL,
+             "J2/A4: TPC-H Q7-shape bilateral nation-pair volume "
+             "(same dim broadcast under two roles)"),
+    QueryDef("q15_top_supplier", q15_top_supplier, _Q15_SQL,
+             "J2/A4: TPC-H Q15-shape view-vs-own-max join "
+             "(scalar broadcast, ties kept)"),
     QueryDef("join_salted", join_salted, _JOIN_SALTED_SQL,
              "J2: salted skew join, hash-checked value-neutral vs the "
              "plain join"),

@@ -1,0 +1,90 @@
+"""Round-3 third-session operators: robust MAD outlier census, TPC-H
+Q7/Q15 shapes, and the rest of the session's additions (chunking, CMS,
+importance weights, semantic dedup) as they land."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_cql_streaming_db_migrator_spark.operators.robust import (
+    MAD_SIGMA,
+    mad_outlier_stats,
+)
+from cassandra_cql_streaming_db_migrator_spark.queries.relational import (
+    q7_nation_volume,
+    q15_top_supplier,
+)
+from cassandra_cql_streaming_db_migrator_spark.sources.parquet import load_table
+
+
+# ------------------------------------------------------------------ MAD
+
+
+def test_mad_outlier_stats_hand_computed(spark):
+    # group "a": values 1..9 plus a 1e9 corruption -> median 5.5, the
+    # corrupt row is the single outlier; mean-based gates would have been
+    # dragged by the corruption, the MAD gate is not.
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1e9)]
+    # group "b": constant -> MAD 0, nothing can exceed a 0-width gate
+    rows += [("b", 7.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in mad_outlier_stats(df, "g", "v").collect()}
+    a = got["a"]
+    assert a["n"] == 10
+    assert a["median"] == 5.5  # mean of 5 and 6
+    # deviations from 5.5: .5 1.5 2.5 3.5 4.5 (x2 each) + huge -> MAD 2.5
+    assert a["mad"] == 2.5
+    assert a["n_outliers"] == 1
+    b = got["b"]
+    assert b["mad"] == 0.0 and b["n_outliers"] == 0 and b["median"] == 7.0
+
+
+def test_mad_outlier_stats_partitioning_invariant(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    one = mad_outlier_stats(events.repartition(1), "event_type", "value")
+    many = mad_outlier_stats(events.repartition(13), "event_type", "value")
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_mad_outlier_stats_null_values_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)], "g string, v double"
+    )
+    [r] = mad_outlier_stats(df, "g", "v").collect()
+    assert r["n"] == 2 and r["median"] == 2.0
+
+
+# ------------------------------------------------------------ TPC-H Q7/Q15
+
+
+def test_q7_only_allowed_nation_pairs(spark, sf_dir):
+    rows = q7_nation_volume(spark, sf_dir).collect()
+    assert rows, "fixture should produce bilateral volume"
+    allowed = {("NATION_3", "NATION_7"), ("NATION_7", "NATION_3")}
+    for r in rows:
+        assert (r["supp_nation"], r["cust_nation"]) in allowed
+        assert r["n_items"] > 0 and r["revenue"] > 0
+
+
+def test_q15_returns_all_ties_at_max(spark, sf_dir):
+    rows = q15_top_supplier(spark, sf_dir).collect()
+    assert rows
+    top = rows[0]["total_revenue"]
+    assert all(r["total_revenue"] == top for r in rows)
+    # the winner really is the max over the same revenue view
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    best = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("approx")
+        )
+        .orderBy(F.col("approx").desc())
+        .first()
+    )
+    assert abs(best["approx"] - top) < 1.0
