@@ -29,6 +29,90 @@ from pyspark.sql import functions as F
 from ..functions.hashing import poly_hash
 
 # ---------------------------------------------------------------------------
+# RAG chunking: overlapping token windows per document
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping word-token windows (size
+    ``window``, step ``stride`` — the retrieval-chunking shape: adjacent
+    chunks share ``window - stride`` tokens so no sentence straddles a
+    hard boundary unseen).
+
+    Start positions run 1, 1+stride, ... ; a start beyond
+    ``n - (window - stride)`` would contribute no token the previous
+    chunk didn't already cover, so those are dropped (the first chunk is
+    always kept — every document yields at least one chunk, empty docs
+    included, so corpus row accounting stays total).
+
+    Entirely NARROW: tokenize, enumerate starts, slice — all per-row
+    higher-order functions; zero shuffles at any scale.  The chunk body
+    is emitted as a polynomial fingerprint (``chunk_hash``) rather than
+    repeated text — at 100 TB the chunk table is the index you join back
+    to the corpus, not a second copy of it.
+    """
+    overlap = window - stride
+    tokens = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    d = df.select(F.col(id_col), tokens.alias("__tk"))
+    n = F.size(F.col("__tk"))
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        lambda s: (s == F.lit(1)) | (s <= n - F.lit(overlap)),
+    )
+    exploded = d.select(
+        F.col(id_col), F.col("__tk"), F.posexplode(starts).alias("__pos", "__s")
+    )
+    chunk = F.slice(F.col("__tk"), F.col("__s"), window)
+    return exploded.select(
+        F.col(id_col),
+        F.col("__pos").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        poly_hash(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> str:
+    """DuckDB oracle twin.  Kept starts form a PREFIX of the stride grid,
+    so ``(s - 1) / stride`` equals the 0-based explode position."""
+    from ..functions.hashing import poly_hash_sql
+
+    overlap = window - stride
+    chunk = f"array_to_string(list_slice(tk, s, s + {window} - 1), ' ')"
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split({text_col}, ' '), x -> x <> '') AS tk
+  FROM {table}
+),
+st AS (
+  SELECT {id_col}, tk,
+         unnest(list_filter(generate_series(1, greatest(len(tk), 1), {stride}),
+                            s -> s = 1 OR s <= len(tk) - {overlap})) AS s
+  FROM toks
+)
+SELECT {id_col},
+       CAST((s - 1) // {stride} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(tk, s, s + {window} - 1)) AS BIGINT) AS n_tokens,
+       {poly_hash_sql(chunk)} AS chunk_hash
+FROM st
+"""
+
+
+# ---------------------------------------------------------------------------
 # Decontamination (benchmark n-gram overlap)
 # ---------------------------------------------------------------------------
 

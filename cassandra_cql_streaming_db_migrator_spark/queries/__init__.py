@@ -192,6 +192,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q7_nation_volume": {},
     "q15_top_supplier": {},
     "mad_outliers": {},
+    "doc_chunks": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -209,6 +210,7 @@ DRIVER_BACKLOG: list[str] = [
     "q7_nation_volume",
     "q15_top_supplier",
     "mad_outliers",
+    "doc_chunks",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

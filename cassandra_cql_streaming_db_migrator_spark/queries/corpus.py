@@ -20,6 +20,8 @@ from ..functions.hashing import poly_hash_sql
 from ..operators.corpus import (
     EMAIL_PATTERN,
     IPV4_PATTERN,
+    chunk_documents,
+    chunk_documents_sql,
     decontaminate,
     domain_mix_keep,
     leakage_between,
@@ -497,7 +499,32 @@ def head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# RAG chunking: overlapping token windows per document (narrow, no shuffle).
+# Window/stride sized to the fixtures' ~50-word docs so multi-chunk docs
+# exist at every SF; real deployments use 256-1024-token windows.
+
+_CHUNK_WINDOW, _CHUNK_STRIDE = 32, 24
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE,
+    )
+
+
+_DOC_CHUNKS_SQL = chunk_documents_sql(
+    "documents", window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE
+)
+
+
 QUERIES = [
+    QueryDef(
+        "doc_chunks", doc_chunks, _DOC_CHUNKS_SQL,
+        "RAG chunking: overlapping token windows + chunk fingerprints "
+        "(narrow, zero-shuffle)",
+    ),
     QueryDef(
         "head_coverage",
         head_coverage,

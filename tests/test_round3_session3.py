@@ -55,6 +55,43 @@ def test_mad_outlier_stats_null_values_excluded(spark):
     assert r["n"] == 2 and r["median"] == 2.0
 
 
+# ------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, ""), (4, "   ")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, window=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1, 49 (97 dropped: 97 > 100 - 16); sizes 64, 52
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c1] == [0, 1]
+    assert [r["n_tokens"] for r in c1] == [64, 52]
+    # short and empty docs still yield exactly one chunk each
+    assert [r["n_tokens"] for r in by_doc[2]] == [2]
+    assert [r["n_tokens"] for r in by_doc[3]] == [0]
+    assert [r["n_tokens"] for r in by_doc[4]] == [0]
+
+
+def test_chunk_documents_is_narrow(spark, sf_dir):
+    from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    plan = chunk_documents(
+        load_table(spark, sf_dir, "documents")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: chunking is per-row
+
+
 # ------------------------------------------------------------ TPC-H Q7/Q15
 
 
