@@ -284,3 +284,134 @@ SELECT g AS {group_col}, count(*) AS n,
 FROM j
 GROUP BY g
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: fixed-size additive frequency summary
+# ---------------------------------------------------------------------------
+#
+# The frequency-sketch sibling of KMV: d hash rows x w cells of counters,
+# cell[j][h_j(key)] += count.  Additive and therefore ORDER-INDEPENDENT —
+# unlike Misra-Gries/space-saving (whose state depends on arrival order),
+# a CMS built by any partitioning, merge order, or streaming chunking is
+# bit-identical, which is what lets a SQL oracle hash-check it.  Estimates
+# are min over the d cells: always >= the true count (one-sided error),
+# within eps*N with probability 1-delta for w = e/eps, d = ln(1/delta).
+#
+# Scale story: the sketch is d*w int64s REGARDLESS of corpus size —
+# map-side partial aggregation reduces each partition to at most d*w
+# cells, the shuffle moves only those, and sketches merge by cell-wise
+# addition (day-over-day rollups never re-scan).  The candidate set for
+# the heavy-hitter REPORT below comes from the exact census (which this
+# fixture-scale query computes anyway as ground truth for the
+# overestimate audit); a pure-sketch deployment keeps per-partition
+# local-top-k candidates instead.
+
+CMS_PERMS: list[tuple[int, int]] = [
+    (1103515245, 12345),
+    (1229782938, 2749),
+    (1588635695, 98765),
+    (784588716, 1013904223),
+]
+
+
+def _cms_cell(ph, a: int, b: int, width: int):
+    """Cell index for one hash row: affine over the already-narrowed
+    polynomial hash (ph < 1e9+7, a < 2^31 -> a*ph < 2^62, int64-safe)."""
+    return ((ph * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)) % F.lit(width)
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    width: int = 64,
+    k: int = 40,
+) -> DataFrame:
+    """Build a depth-``len(CMS_PERMS)`` x ``width`` count-min sketch over
+    ``key_col`` (string) and report the top-``k`` keys by exact count with
+    their sketch estimates: ``key, exact_n, cms_n, overestimate``.
+
+    ``cms_n >= exact_n`` always (one-sided error); ``overestimate`` is the
+    collision mass the width choice admitted — the sizing feedback a
+    deployment reads before trusting the sketch alone.
+    """
+    from ..functions.hashing import poly_hash
+
+    census = (
+        df.groupBy(key_col)
+        .agg(
+            (
+                F.count(F.lit(1))
+                if weight_col is None
+                else F.sum(F.col(weight_col))
+            ).alias("exact_n")
+        )
+        .withColumn("__ph", poly_hash(F.col(key_col)))
+        .persist()
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _cms_cell(F.col("__ph"), a, b, width).alias("cell"),
+            )
+            for j, (a, b) in enumerate(CMS_PERMS)
+        ]
+    )
+    cells = census.select(
+        F.col("exact_n"), F.explode(rows).alias("__jc")
+    ).select(F.col("__jc.j").alias("j"), F.col("__jc.cell").alias("cell"), "exact_n")
+    sketch = cells.groupBy("j", "cell").agg(F.sum("exact_n").alias("cms_cell"))
+    cand = census.orderBy(F.col("exact_n").desc(), F.col(key_col).asc()).limit(k)
+    cand_cells = cand.select(
+        F.col(key_col), F.col("exact_n"), F.explode(rows).alias("__jc")
+    ).select(key_col, "exact_n", F.col("__jc.j").alias("j"), F.col("__jc.cell").alias("cell"))
+    return (
+        cand_cells.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy(key_col, "exact_n")
+        .agg(F.min("cms_cell").alias("cms_n"))
+        .select(
+            F.col(key_col),
+            F.col("exact_n"),
+            F.col("cms_n"),
+            (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
+
+
+def cms_heavy_hitters_sql(
+    source_sql: str, key_col: str, width: int = 64, k: int = 40
+) -> str:
+    """Oracle twin: same census -> same cells -> same min-over-rows.
+    ``source_sql`` must yield one row per observation with ``{key_col}``."""
+    from ..functions.hashing import poly_hash_sql
+
+    perms = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(CMS_PERMS))
+    return f"""
+WITH census AS (
+  SELECT {key_col}, count(*) AS exact_n FROM ({source_sql}) GROUP BY {key_col}
+),
+h AS (
+  SELECT {key_col}, exact_n, {poly_hash_sql(key_col)} AS ph FROM census
+),
+cells AS (
+  SELECT p.j, ((h.ph * p.a + p.b) % {MINHASH_P}) % {width} AS cell,
+         h.{key_col}, h.exact_n
+  FROM h, (VALUES {perms}) AS p(j, a, b)
+),
+sketch AS (
+  SELECT j, cell, CAST(sum(exact_n) AS BIGINT) AS cms_cell
+  FROM cells GROUP BY j, cell
+),
+cand AS (
+  SELECT {key_col}, exact_n FROM census
+  ORDER BY exact_n DESC, {key_col} ASC LIMIT {k}
+)
+SELECT c.{key_col}, c.exact_n, min(s.cms_cell) AS cms_n,
+       min(s.cms_cell) - c.exact_n AS overestimate
+FROM cand c
+JOIN cells x ON x.{key_col} = c.{key_col}
+JOIN sketch s ON s.j = x.j AND s.cell = x.cell
+GROUP BY c.{key_col}, c.exact_n
+"""

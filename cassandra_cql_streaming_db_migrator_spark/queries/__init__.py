@@ -193,6 +193,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q15_top_supplier": {},
     "mad_outliers": {},
     "doc_chunks": {},
+    "cms_heavy_hitters": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -211,6 +212,7 @@ DRIVER_BACKLOG: list[str] = [
     "q15_top_supplier",
     "mad_outliers",
     "doc_chunks",
+    "cms_heavy_hitters",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

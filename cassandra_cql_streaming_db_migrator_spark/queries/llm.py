@@ -909,6 +909,38 @@ def _ngram_topk_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch over the bigram stream: fixed-size additive frequency
+# summary + overestimate audit against the exact census (operator docstring
+# in operators/sketches.py).  Bigrams (not unigrams) so the key space is
+# wide enough for the 64-cell width to exhibit real collisions.
+
+
+def cms_heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    stream = docs.select(F.explode(bigrams).alias("bigram"))
+    return cms_heavy_hitters(stream, key_col="bigram", width=64, k=40)
+
+
+def _cms_heavy_hitters_sql() -> str:
+    from ..operators.sketches import cms_heavy_hitters_sql
+
+    source = """
+SELECT arr[i] || ' ' || arr[i + 1] AS bigram
+FROM (SELECT string_split(text, ' ') AS arr FROM documents),
+     unnest(range(1, len(arr))) AS t(i)
+"""
+    return cms_heavy_hitters_sql(source, "bigram", width=64, k=40)
+
+
+# ---------------------------------------------------------------------------
 # k-NN JOIN: every 100th vector is a "query"; its exact top-5 neighbors from
 # the rest of the corpus.  Retrieval-evaluation ground truth (recall@k for
 # the ANN paths, hard-negative mining) — one corpus pass for ALL queries.
@@ -1012,6 +1044,10 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = [
+    QueryDef("cms_heavy_hitters", cms_heavy_hitters_bigrams,
+             _cms_heavy_hitters_sql(),
+             "count-min sketch heavy hitters: fixed-size additive "
+             "frequency sketch + overestimate audit vs exact census"),
     QueryDef("knn_join", embedding_knn_join, _KNN_JOIN_SQL,
              "exact k-NN join: top-5 cosine neighbors per query vector, "
              "one corpus pass for the whole query set"),

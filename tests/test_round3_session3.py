@@ -92,6 +92,47 @@ def test_chunk_documents_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan  # zero shuffles: chunking is per-row
 
 
+# ----------------------------------------------------------------- CMS
+
+
+def _bigram_stream(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return docs.select(F.explode(bigrams).alias("bigram"))
+
+
+def test_cms_one_sided_error_and_wide_sketch_exact(spark, sf_dir):
+    from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    stream = _bigram_stream(spark, sf_dir)
+    narrow = cms_heavy_hitters(stream, "bigram", width=64, k=30).collect()
+    assert len(narrow) == 30
+    # CMS error is one-sided: estimates never undercount
+    assert all(r["cms_n"] >= r["exact_n"] for r in narrow)
+    assert all(r["overestimate"] == r["cms_n"] - r["exact_n"] for r in narrow)
+    # a wide sketch on this key space is collision-free -> exact
+    wide = cms_heavy_hitters(stream, "bigram", width=65536, k=30).collect()
+    assert all(r["overestimate"] == 0 for r in wide)
+
+
+def test_cms_partitioning_invariant(spark, sf_dir):
+    from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    stream = _bigram_stream(spark, sf_dir)
+    one = cms_heavy_hitters(stream.repartition(1), "bigram", k=20).collect()
+    many = cms_heavy_hitters(stream.repartition(17), "bigram", k=20).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
 # ------------------------------------------------------------ TPC-H Q7/Q15
 
 
