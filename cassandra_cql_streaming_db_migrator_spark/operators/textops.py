@@ -788,3 +788,117 @@ SELECT k, arg_max(covered_tokens, rank) AS covered_tokens, total_tokens,
 FROM ks JOIN cum ON rank <= k, tot
 GROUP BY k, total_tokens
 """
+
+
+# ---------------------------------------------------------------------------
+# Character/lexical diversity: log-free quality signals
+# ---------------------------------------------------------------------------
+#
+# Entropy-style diversity WITHOUT libm logarithms (the repo-wide rule:
+# cross-engine hashability forbids transcendental functions in aggregated
+# values — see trigram_lm).  Two exact-rational signals instead:
+#
+#   * Simpson diversity 1 - sum(p_i^2) over the doc's character
+#     distribution, in the unbiased form (n(n-1) denominator), emitted as
+#     a 1e6 fixed-point integer: low values flag repeated-character /
+#     boilerplate junk the way low entropy would, with identical ordering
+#     power and zero float risk;
+#   * type-token ratio: distinct words / words, 1e6 fixed-point — the
+#     classic lexical-richness gate.
+#
+# Plan shape: TTR is NARROW (array_distinct over the token array, per
+# row).  Simpson needs per-(doc, char) counts: explode -> two hash
+# aggregates keyed by doc_id — the char explosion never leaves its
+# partition before the first combine (map-side partial aggregation
+# collapses each partition's (doc, char) pairs first), then ONE shuffle
+# on doc_id, reused by the second aggregate and the TTR join (same key).
+# Final per-source rollup is metadata-scale.
+
+
+def char_diversity_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-``group_col`` diversity report: ``n_docs``, fixed-point sums of
+    per-doc Simpson character diversity and word type-token ratio.  Docs
+    with fewer than 2 characters or no words are excluded (both signals
+    are undefined there)."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != F.lit(""))
+    tokens = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(chars).alias("__c"),
+    )
+    per_char = base.groupBy(id_col, "__c").agg(
+        F.first(group_col).alias("__g"), F.count(F.lit(1)).alias("__n")
+    )
+    per_doc = per_char.groupBy(id_col).agg(
+        F.first("__g").alias(group_col),
+        F.sum("__n").alias("__len"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__ss"),
+    )
+    simpson_fp = F.expr(
+        "(__len * __len - __ss) * 1000000 div (__len * (__len - 1))"
+    )
+    ttr = df.select(
+        F.col(id_col),
+        F.expr(
+            f"size(array_distinct(filter(split({text_col}, ' '), "
+            "t -> t != ''))) * cast(1000000 as bigint)"
+        ).alias("__ttr_num"),
+        F.size(tokens).cast("long").alias("__n_tok"),
+    ).where(F.col("__n_tok") > 0)
+    return (
+        per_doc.where(F.col("__len") >= 2)
+        .join(ttr, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(simpson_fp).alias("simpson_fp_sum"),
+            F.sum(F.expr("__ttr_num div __n_tok")).alias("ttr_fp_sum"),
+        )
+    )
+
+
+def char_diversity_stats_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> str:
+    """Oracle twin: same explode -> count -> exact-integer identities."""
+    return f"""
+WITH ch AS (
+  SELECT {id_col}, {group_col},
+         unnest(list_filter(string_split({text_col}, ''), c -> c <> '')) AS c
+  FROM {table}
+),
+cc AS (
+  SELECT {id_col}, any_value({group_col}) AS g, c, count(*) AS n
+  FROM ch GROUP BY {id_col}, c
+),
+per_doc AS (
+  SELECT {id_col}, any_value(g) AS g,
+         CAST(sum(n) AS BIGINT) AS len, CAST(sum(n * n) AS BIGINT) AS ss
+  FROM cc GROUP BY {id_col}
+),
+ttr AS (
+  SELECT {id_col},
+         CAST(len(list_distinct(list_filter(string_split({text_col}, ' '),
+                                            t -> t <> ''))) AS BIGINT)
+           * 1000000 AS ttr_num,
+         CAST(len(list_filter(string_split({text_col}, ' '),
+                              t -> t <> '')) AS BIGINT) AS n_tok
+  FROM {table}
+)
+SELECT d.g AS {group_col}, count(*) AS n_docs,
+       CAST(sum((d.len * d.len - d.ss) * 1000000
+                // (d.len * (d.len - 1))) AS BIGINT) AS simpson_fp_sum,
+       CAST(sum(t.ttr_num // t.n_tok) AS BIGINT) AS ttr_fp_sum
+FROM per_doc d JOIN ttr t USING ({id_col})
+WHERE d.len >= 2 AND t.n_tok > 0
+GROUP BY d.g
+"""

@@ -194,6 +194,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "mad_outliers": {},
     "doc_chunks": {},
     "cms_heavy_hitters": {},
+    "char_diversity": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -213,6 +214,7 @@ DRIVER_BACKLOG: list[str] = [
     "mad_outliers",
     "doc_chunks",
     "cms_heavy_hitters",
+    "char_diversity",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -909,6 +909,23 @@ def _ngram_topk_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Character/lexical diversity per source: Simpson index + type-token ratio
+# (the log-free entropy substitutes — operator docstring in textops.py).
+
+
+def char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import char_diversity_stats
+
+    return char_diversity_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _char_diversity_sql() -> str:
+    from ..operators.textops import char_diversity_stats_sql
+
+    return char_diversity_stats_sql()
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch over the bigram stream: fixed-size additive frequency
 # summary + overestimate audit against the exact census (operator docstring
 # in operators/sketches.py).  Bigrams (not unigrams) so the key space is
@@ -1044,6 +1061,9 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = [
+    QueryDef("char_diversity", char_diversity, _char_diversity_sql(),
+             "diversity quality gate: Simpson character index + "
+             "type-token ratio, exact fixed-point"),
     QueryDef("cms_heavy_hitters", cms_heavy_hitters_bigrams,
              _cms_heavy_hitters_sql(),
              "count-min sketch heavy hitters: fixed-size additive "

@@ -92,6 +92,29 @@ def test_chunk_documents_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan  # zero shuffles: chunking is per-row
 
 
+# ----------------------------------------------------------- diversity
+
+
+def test_char_diversity_hand_computed(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+        char_diversity_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa", "s1"),          # zero diversity
+            (2, "abcd", "s2"),          # maximal: all chars distinct
+            (3, "x y x y", "s3"),       # TTR 2/4
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in char_diversity_stats(df).collect()}
+    assert got["s1"]["simpson_fp_sum"] == 0
+    assert got["s2"]["simpson_fp_sum"] == 1_000_000  # (16-4)*1e6/(4*3)
+    assert got["s1"]["ttr_fp_sum"] == 1_000_000      # 1 distinct / 1 token
+    assert got["s3"]["ttr_fp_sum"] == 500_000        # 2 distinct / 4 tokens
+
+
 # ----------------------------------------------------------------- CMS
 
 
