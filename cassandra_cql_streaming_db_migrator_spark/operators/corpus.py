@@ -591,3 +591,137 @@ def leakage_between(
     )
     hits = probe_keys.join(ref_keys, "gram_key")
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+
+
+# ---------------------------------------------------------------------------
+# Importance weighting for domain-targeted data selection (DSIR-shaped)
+# ---------------------------------------------------------------------------
+#
+# Data Selection with Importance Resampling, reduced to its
+# engine-relevant shape: score every document by how much its hashed
+# feature profile looks like a TARGET domain vs the corpus at large,
+# then gate/sample on the score.  Features are hashed word unigrams
+# (n_buckets ≪ vocabulary — the hashing trick: the feature table is
+# FIXED-SIZE regardless of corpus vocabulary, which is what makes the
+# weight table broadcastable at any scale).
+#
+# Determinism: the classical formulation sums log-probability ratios;
+# logs are libm and banned by the repo's cross-engine rule, so the score
+# is the additive surrogate — the per-token mean of the smoothed
+# count-ratio, in 1e6 fixed point:
+#
+#   w_b     = ((t_b + 1) * (C + B) * 1e6) // ((c_b + 1) * (T + B))
+#   score_d = (sum over d's tokens of w_bucket(token)) // n_tokens(d)
+#
+# (t_b/c_b = target/corpus counts in bucket b, T/C their totals, B the
+# bucket count; +1/+B is add-one smoothing).  score ~ 1e6 means "as
+# target-like as the average token"; the ordering it induces is the
+# same monotone ranking signal, exactly reproducible in int64 (bounds:
+# valid while (t_b+1)*(C+B) < 9e12 — beyond that, swap the int64
+# products for DECIMAL(38,0) on both engines).
+#
+# Plan shape: one 1024-row census shuffle (map-side combine collapses
+# each partition's buckets first), the weight table broadcast back, one
+# doc_id shuffle for the per-doc score, metadata-scale rollup.  The
+# corpus never shuffles row-wise.
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-``group_col`` importance report against the ``target`` row
+    predicate: ``n_docs``, fixed-point score sum, and how many docs score
+    above parity (1e6 = average-token likeness to the target)."""
+    tokens = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    tok = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        target.cast("boolean").alias("__tgt"),
+        F.explode(tokens).alias("__w"),
+    ).withColumn("__b", poly_hash(F.col("__w")) % F.lit(n_buckets))
+    census = tok.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__t"),
+    )
+    totals = census.agg(
+        F.sum("__c").alias("__ctot"), F.sum("__t").alias("__ttot")
+    )
+    weights = census.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.expr(
+            f"((__t + 1) * (__ctot + {n_buckets}) * 1000000)"
+            f" div ((__c + 1) * (__ttot + {n_buckets}))"
+        ).alias("__wfp"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(weights), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.first(group_col).alias(group_col),
+            F.expr("sum(__wfp) div count(1)").alias("__score"),
+        )
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__score").alias("score_fp_sum"),
+        F.sum(F.when(F.col("__score") >= 1_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_above_parity"),
+    )
+
+
+def dsir_importance_sql(
+    target_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_buckets: int = 1024,
+) -> str:
+    """Oracle twin (``target_pred`` is a SQL boolean over ``{table}``'s
+    columns, e.g. ``source IN ('src0','src1')``)."""
+    from ..functions.hashing import poly_hash_sql
+
+    ph = poly_hash_sql("__w")
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, {group_col}, ({target_pred}) AS tgt,
+         unnest(list_filter(string_split({text_col}, ' '), t -> t <> ''))
+           AS __w
+  FROM {table}
+),
+tb AS (
+  SELECT {id_col}, {group_col}, tgt, {ph} % {n_buckets} AS b FROM tok
+),
+census AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t
+  FROM tb GROUP BY b
+),
+totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS ctot, CAST(sum(t) AS BIGINT) AS ttot
+  FROM census
+),
+w AS (
+  SELECT b, ((t + 1) * (ctot + {n_buckets}) * 1000000)
+            // ((c + 1) * (ttot + {n_buckets})) AS wfp
+  FROM census, totals
+),
+per_doc AS (
+  SELECT tb.{id_col}, any_value(tb.{group_col}) AS g,
+         CAST(sum(w.wfp) AS BIGINT) // count(*) AS score
+  FROM tb JOIN w USING (b)
+  GROUP BY tb.{id_col}
+)
+SELECT g AS {group_col}, count(*) AS n_docs,
+       CAST(sum(score) AS BIGINT) AS score_fp_sum,
+       CAST(sum(CASE WHEN score >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_parity
+FROM per_doc
+GROUP BY g
+"""

@@ -195,6 +195,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "doc_chunks": {},
     "cms_heavy_hitters": {},
     "char_diversity": {},
+    "dsir_weights": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -215,6 +216,7 @@ DRIVER_BACKLOG: list[str] = [
     "doc_chunks",
     "cms_heavy_hitters",
     "char_diversity",
+    "dsir_weights",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -23,6 +23,8 @@ from ..operators.corpus import (
     chunk_documents,
     chunk_documents_sql,
     decontaminate,
+    dsir_importance,
+    dsir_importance_sql,
     domain_mix_keep,
     leakage_between,
     length_histogram,
@@ -519,7 +521,32 @@ _DOC_CHUNKS_SQL = chunk_documents_sql(
 )
 
 
+# ---------------------------------------------------------------------------
+# DSIR-shaped importance weighting: hashed-unigram domain likeness of every
+# document vs a target-domain subset (operator docstring in
+# operators/corpus.py has the fixed-point formulation).
+
+_DSIR_TARGET_SOURCES = ("src0", "src1")
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs, target=F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    )
+
+
+_DSIR_SQL = dsir_importance_sql(
+    "source IN ('src0', 'src1')"
+)
+
+
 QUERIES = [
+    QueryDef(
+        "dsir_weights", dsir_weights, _DSIR_SQL,
+        "DSIR-shaped importance weights: hashed-unigram domain likeness, "
+        "fixed-size broadcastable feature table",
+    ),
     QueryDef(
         "doc_chunks", doc_chunks, _DOC_CHUNKS_SQL,
         "RAG chunking: overlapping token windows + chunk fingerprints "

@@ -92,6 +92,40 @@ def test_chunk_documents_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan  # zero shuffles: chunking is per-row
 
 
+# ---------------------------------------------------------------- DSIR
+
+
+def test_dsir_importance_separates_domains(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+        dsir_importance,
+    )
+
+    rows = [(i, "apple banana apple cherry", "tgt") for i in range(10)]
+    rows += [(100 + i, "car dog engine wheel dog", "web") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: r
+        for r in dsir_importance(df, target=F.col("source") == "tgt").collect()
+    }
+    # every target doc scores above parity, no out-of-domain doc does:
+    # their vocabularies are disjoint, so the ratio signal is maximal
+    assert got["tgt"]["n_above_parity"] == 10
+    assert got["web"]["n_above_parity"] == 0
+    assert got["tgt"]["score_fp_sum"] > got["web"]["score_fp_sum"]
+
+
+def test_dsir_importance_partitioning_invariant(spark, sf_dir):
+    from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+        dsir_importance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = F.col("source").isin("src0", "src1")
+    one = dsir_importance(docs.repartition(1), tgt).collect()
+    many = dsir_importance(docs.repartition(13), tgt).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
 # ----------------------------------------------------------- diversity
 
 
