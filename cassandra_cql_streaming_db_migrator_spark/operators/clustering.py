@@ -201,7 +201,7 @@ af_ AS (
         "WITH "
         + ",\n".join(parts)
         + """
-SELECT cid AS cluster_id, count(*) AS n_vecs,
+SELECT CAST(cid AS INTEGER) AS cluster_id, count(*) AS n_vecs,
        round(CAST(sum(CAST(floor(d * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
              / 1000000.0, 4) AS inertia
 FROM af_ GROUP BY cid"""

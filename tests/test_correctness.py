@@ -50,6 +50,53 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle):
     assert rowset(srows) == rowset(orows)
 
 
+# Spark simple type each DuckDB type must map to.  timestamp is listed as
+# both timestamp and timestamp_ntz: DuckDB TIMESTAMP is timezone-naive, and
+# queries emitting Spark TIMESTAMP_NTZ against it have been driver-green
+# since round 1 (filter_pushdown, join_asof, scd2_history) — the pairing is
+# proven hash-compatible, unlike integer WIDTH mismatches.
+_DUCK_TO_SPARK = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "SMALLINT": {"smallint"},
+    "TINYINT": {"tinyint"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "DATE": {"date"},
+    "BLOB": {"binary"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_oracle_schema_widths_match_spark(name, spark, sf_dir, oracle):
+    """Driver-hasher guard #2 (the round-2 HUGEINT lesson generalized):
+    the driver hashes raw value REPRESENTATIONS, so an oracle column typed
+    wider or narrower than Spark's (int32 vs BIGINT, float vs double) is a
+    latent hash mismatch even when every value is equal.  Building the
+    Spark schema is lazy — no execution — so this walks all queries
+    cheaply."""
+    q = _QUERIES[name]
+    if q.oracle is None:
+        pytest.skip("rows-only query, no oracle schema")
+    rel = oracle.sql(q.oracle)
+    otypes = dict(zip(rel.columns, (str(t).upper() for t in rel.types)))
+    stypes = dict(q.fn(spark, sf_dir).dtypes)
+    for col, ot in otypes.items():
+        st = stypes.get(col)
+        if ot.startswith("DECIMAL"):
+            assert st is not None and st.startswith("decimal"), (name, col, ot, st)
+            continue
+        allowed = _DUCK_TO_SPARK.get(ot)
+        assert allowed is not None, f"{name}.{col}: unmapped DuckDB type {ot}"
+        assert st in allowed, (
+            f"{name}.{col}: oracle {ot} vs spark {st} — align the widths "
+            "on both sides (driver hash representation)"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_oracle_schema_has_no_hugeint(name, oracle):
     """Driver-hasher guard: DuckDB widens sum(BIGINT) to HUGEINT (int128),
