@@ -56,17 +56,15 @@ def _assign(valid: DataFrame, cents: list[list[float]], vec_col: str) -> DataFra
     )
 
 
-def kmeans_lloyd(
-    df: DataFrame,
-    k: int = 8,
-    iterations: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Returns per-cluster stats after ``iterations`` Lloyd rounds:
-    ``cluster_id, n_vecs, inertia`` (sum of squared distances to the
-    final centroids, quantized at 1e-6)."""
-    valid = df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+def _lloyd_centroids(
+    valid: DataFrame,
+    k: int,
+    iterations: int,
+    vec_col: str,
+    id_col: str,
+) -> list[list[float]]:
+    """The Lloyd round loop: returns the final centroid list (driver-side,
+    k x dim doubles — metadata scale)."""
     # seed with the first k VALID vectors by id (not `id < k`: ids need
     # not be 0-based dense, and an invalid vector among the low ids must
     # not shrink the seed set); cluster ids are seed POSITIONS 0..k-1 —
@@ -110,6 +108,21 @@ def kmeans_lloyd(
             [new[c][i] for i in range(len(cents[c]))] if c in new else cents[c]
             for c in range(k)
         ]
+    return cents
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Returns per-cluster stats after ``iterations`` Lloyd rounds:
+    ``cluster_id, n_vecs, inertia`` (sum of squared distances to the
+    final centroids, quantized at 1e-6)."""
+    valid = df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    cents = _lloyd_centroids(valid, k, iterations, vec_col, id_col)
     final = _assign(valid, cents, vec_col)
     return (
         final.select(
@@ -132,14 +145,16 @@ def kmeans_lloyd(
     )
 
 
-def kmeans_lloyd_sql(
-    table: str = "embeddings",
-    k: int = 8,
-    iterations: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> str:
-    """The identical Lloyd rounds unrolled as DuckDB CTEs (oracle twin)."""
+def _lloyd_cte_parts(
+    table: str,
+    k: int,
+    iterations: int,
+    vec_col: str,
+    id_col: str,
+) -> list[str]:
+    """The Lloyd rounds unrolled as DuckDB CTEs, ending with ``af_``
+    (vid, cid, d) — the final assignment.  Shared by the stats oracle
+    (kmeans_lloyd_sql) and the semdedup oracle."""
     parts = [
         f"""v AS (
   SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS e
@@ -197,6 +212,18 @@ af_ AS (
   WHERE rn = 1
 )"""
     )
+    return parts
+
+
+def kmeans_lloyd_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """The identical Lloyd rounds unrolled as DuckDB CTEs (oracle twin)."""
+    parts = _lloyd_cte_parts(table, k, iterations, vec_col, id_col)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -205,4 +232,119 @@ SELECT CAST(cid AS INTEGER) AS cluster_id, count(*) AS n_vecs,
        round(CAST(sum(CAST(floor(d * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
              / 1000000.0, 4) AS inertia
 FROM af_ GROUP BY cid"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication = clustering + within-cluster pruning
+# ---------------------------------------------------------------------------
+#
+# The SemDeDup recipe (Abbas et al. 2023) at engine level: k-means the
+# embedding corpus, then look for near-duplicates ONLY within each
+# cluster — the cluster assignment is the blocking key that turns the
+# quadratic all-pairs search into sum-over-clusters O(n_c^2), exactly the
+# role labels/LSH buckets play for block_near_dup_pairs.  Kept document =
+# the lowest id of each duplicate group (any vector with a more-similar-
+# than-threshold lower-id neighbor in its cluster is dropped).
+#
+# Scale: the clustering is the deterministic Lloyd loop above (1 shuffle
+# per round, driver holds k x dim); the pruning inherits
+# block_near_dup_pairs' bounded-memory chunked kernel; the drop census is
+# one distinct + one broadcast join.  Cluster count k is the lever that
+# bounds the per-cluster pair quadratic at 100 TB.
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Final per-vector cluster assignment after ``iterations`` Lloyd
+    rounds: (id, cluster_id, vector) — the blocking frame semdedup and any
+    cluster-routed downstream (IVF build, per-cluster sampling) start
+    from."""
+    valid = df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    cents = _lloyd_centroids(valid, k, iterations, vec_col, id_col)
+    return _assign(valid, cents, vec_col).select(
+        F.col(id_col), F.col("__cid").alias("cluster_id"), F.col(vec_col)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster semantic-dedup report: ``cluster_id, n_vecs,
+    n_dropped`` where dropped vectors have a >= ``threshold`` cosine
+    neighbor with a smaller id in the same cluster."""
+    from .similarity import block_near_dup_pairs
+
+    assigned = kmeans_assignments(df, k, iterations, vec_col, id_col).persist()
+    pairs = block_near_dup_pairs(
+        assigned, "cluster_id", threshold, id_col=id_col, vec_col=vec_col
+    )
+    drops = (
+        pairs.select(F.col(f"{id_col}_2").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        assigned.join(F.broadcast(drops), id_col, "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce(F.col("__dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len({x})+1), "
+    "i -> {x}[i] * {y}[i])), (a, b) -> a + b)"
+)
+
+
+def semdedup_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Oracle twin: Lloyd CTEs -> within-cluster pair scan -> drop census.
+    (Vectors in ``v`` are already CAST to DOUBLE, so the dot fold needs no
+    per-element cast — same sequential list_reduce as the similarity
+    oracles.)"""
+    parts = _lloyd_cte_parts(table, k, iterations, vec_col, id_col)
+    dot12 = _DOT_SQL.format(x="e1.e", y="e2.e")
+    n1 = _DOT_SQL.format(x="e1.e", y="e1.e")
+    n2 = _DOT_SQL.format(x="e2.e", y="e2.e")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+emb AS (
+  SELECT a.vid, CAST(a.cid AS INTEGER) AS cluster_id, v.e
+  FROM af_ a JOIN v ON v.{id_col} = a.vid
+),
+p AS (
+  SELECT e1.vid AS v1, e2.vid AS v2
+  FROM emb e1 JOIN emb e2
+    ON e1.cluster_id = e2.cluster_id AND e1.vid < e2.vid
+  WHERE {dot12} / (sqrt({n1}) * sqrt({n2})) >= {threshold}
+),
+d AS (SELECT DISTINCT v2 FROM p)
+SELECT e.cluster_id, count(*) AS n_vecs,
+       CAST(count(d.v2) AS BIGINT) AS n_dropped
+FROM emb e LEFT JOIN d ON d.v2 = e.vid
+GROUP BY e.cluster_id"""
     )

@@ -196,6 +196,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "cms_heavy_hitters": {},
     "char_diversity": {},
     "dsir_weights": {},
+    "semdedup": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -217,6 +218,7 @@ DRIVER_BACKLOG: list[str] = [
     "cms_heavy_hitters",
     "char_diversity",
     "dsir_weights",
+    "semdedup",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

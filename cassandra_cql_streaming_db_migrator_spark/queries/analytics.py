@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregates import decimal_sum
 from ..operators.bloom import bloom_semi_join
-from ..operators.clustering import kmeans_lloyd, kmeans_lloyd_sql
+from ..operators.clustering import (
+    kmeans_lloyd,
+    kmeans_lloyd_sql,
+    semdedup,
+    semdedup_sql,
+)
 from ..operators.diff import snapshot_diff
 from ..operators.joins import asof_join
 from ..operators.events import (
@@ -447,6 +452,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
 
 
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Inverted index over the document corpus (search-index build).
 
@@ -674,6 +683,11 @@ QUERIES = [
     QueryDef(
         "kmeans_embeddings", kmeans_embeddings, kmeans_lloyd_sql(),
         "deterministic Lloyd k-means (bit-identical iterative ML)",
+    ),
+    QueryDef(
+        "semdedup", semdedup_embeddings, semdedup_sql(),
+        "semantic dedup: k-means blocking + within-cluster cosine "
+        "pruning (SemDeDup recipe)",
     ),
     QueryDef(
         "inverted_index", inverted_index, build_inverted_index_sql(),

@@ -92,6 +92,38 @@ def test_chunk_documents_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan  # zero shuffles: chunking is per-row
 
 
+# ------------------------------------------------------------- semdedup
+
+
+def test_semdedup_drops_duplicate_group_members(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.clustering import (
+        semdedup,
+    )
+
+    # two tight groups + one singleton; within-group cosine ~1, across ~0
+    rows = (
+        [(i, [1.0, 0.0, 0.0, float(i) * 1e-3]) for i in range(3)]
+        + [(10 + i, [0.0, 1.0, 0.0, float(i) * 1e-3]) for i in range(4)]
+        + [(99, [0.0, 0.0, 1.0, 0.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, k=3, iterations=2, threshold=0.9).collect()
+    assert sum(r["n_vecs"] for r in out) == 8
+    # each multi-member group keeps exactly one representative
+    assert sum(r["n_dropped"] for r in out) == (3 - 1) + (4 - 1)
+
+
+def test_semdedup_respects_threshold(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.clustering import (
+        semdedup,
+    )
+
+    rows = [(i, [1.0, 0.0]) for i in range(2)] + [(5, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    strict = semdedup(df, k=2, iterations=1, threshold=1.01).collect()
+    assert sum(r["n_dropped"] for r in strict) == 0  # nothing reaches > 1
+
+
 # ---------------------------------------------------------------- DSIR
 
 
