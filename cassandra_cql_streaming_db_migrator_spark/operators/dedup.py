@@ -396,17 +396,23 @@ def connected_components(
     bounded instead of nesting every prior round.  Raises if ``max_iter``
     rounds don't converge rather than returning partial components.
     """
-    und = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # Symmetrize with ONE pass over the pair list: explode each pair into
+    # its two directions.  The union-of-two-selects formulation would put
+    # the (expensive — LSH + verify) pair pipeline into the plan TWICE and
+    # execute it twice into the checkpoint; explode reads it once.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("a"), F.col(id_b).alias("b")),
+                F.struct(F.col(id_b).alias("a"), F.col(id_a).alias("b")),
+            )
+        ).alias("__e")
+    ).select("__e.a", "__e.b")
     # hash-partition on the loop's join key before the checkpoint: the
     # checkpoint preserves outputPartitioning, so each round's edge<->label
     # join moves only the label table — the edge list never re-shuffles
     # (same discipline as operators.graph.pagerank_fixed_point)
-    edges = (
-        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .repartition(F.col("b"))
-        .localCheckpoint()
-    )
+    edges = sym.distinct().repartition(F.col("b")).localCheckpoint()
     # Round 0 folded into initialization: label(v) = min(v, neighbors(v)).
     # The symmetric edge list contains every node on the `a` side, so one
     # aggregation both enumerates the node set and applies the first

@@ -121,9 +121,16 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = raw.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # one pass over the joined+distinct'd pair set (a union of two selects
+    # would execute the join twice — see connected_components)
+    edges = raw.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
     pr = pagerank_fixed_point(edges, iterations=3)
     return (
         pr.select(
@@ -480,9 +487,14 @@ def trade_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = raw.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        raw.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = raw.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy(
         F.when(F.col("src") % 2 == 0, F.lit("customer"))
