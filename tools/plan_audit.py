@@ -55,6 +55,27 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # domain-stats frame — domain-cardinality (metadata) rows moving
     # through SinglePartition global windows and the quota join
     "mixture_rebalance": 5,
+    # semantic floor: per-supplier revenue aggregate (1) + the 1-row max
+    # aggregate of that view (1) + the supplier join (1; the revenue view
+    # is already small — at scale AQE broadcasts it)
+    "q15_top_supplier": 3,
+    # semantic floor: per-(doc, char) count (1) + per-doc Simpson
+    # aggregate (1) + the doc-level TTR join (1; doc-level rows only —
+    # the char explosion never crosses it)
+    "char_diversity": 3,
+    # semantic floor: bucket census (1) + 1-row totals (1) + per-doc
+    # score aggregate (1) + per-source rollup (1) + the token frame
+    # feeding both census and score branches (1).  Only the census and
+    # score shuffles move token-scale data; the rest are metadata-scale
+    "dsir_weights": 5,
+    # semantic floor: per-group median (1) + MAD over deviations (1) +
+    # outlier census (1) + one more for the same facts feeding the three
+    # aggregate stages; the median/MAD tables themselves broadcast
+    "mad_outliers": 4,
+    # semantic floor: per-cluster pair kernel (applyInPandas groupBy, 1)
+    # + drop-census distinct (1) + per-cluster report aggregate (1); the
+    # Lloyd rounds run eagerly before the returned plan
+    "semdedup": 3,
     # semantic floor: distinct pair dedup (1) + per-branch degree
     # aggregates over the symmetrized union (2) + the metadata-scale
     # histogram aggregate (1); the orders x lineitem join broadcasts
