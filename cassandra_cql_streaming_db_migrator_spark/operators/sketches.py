@@ -321,6 +321,50 @@ def _cms_cell(ph, a: int, b: int, width: int):
     return ((ph * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)) % F.lit(width)
 
 
+def cms_rows(key, width: int):
+    """``array<struct<j, cell>>`` of a key's d cell coordinates — the shared
+    cell addressing of the batch sketch builder, the streaming builder, and
+    every probe (one definition so they can never drift)."""
+    from ..functions.hashing import poly_hash
+
+    ph = poly_hash(key)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                _cms_cell(ph, a, b, width).alias("cell"),
+            )
+            for j, (a, b) in enumerate(CMS_PERMS)
+        ]
+    )
+
+
+def cms_probe(
+    cand: DataFrame, sketch: DataFrame, key_col: str, width: int
+) -> DataFrame:
+    """Estimate each candidate's count from a built sketch: min over its d
+    cells.  ``cand`` must carry (key_col, exact_n); output adds ``cms_n``
+    and the ``overestimate`` audit column."""
+    cand_cells = cand.select(
+        F.col(key_col), F.col("exact_n"),
+        F.explode(cms_rows(F.col(key_col), width)).alias("__jc"),
+    ).select(
+        key_col, "exact_n",
+        F.col("__jc.j").alias("j"), F.col("__jc.cell").alias("cell"),
+    )
+    return (
+        cand_cells.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy(key_col, "exact_n")
+        .agg(F.min("cms_cell").alias("cms_n"))
+        .select(
+            F.col(key_col),
+            F.col("exact_n"),
+            F.col("cms_n"),
+            (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     key_col: str,
@@ -336,8 +380,6 @@ def cms_heavy_hitters(
     collision mass the width choice admitted — the sizing feedback a
     deployment reads before trusting the sketch alone.
     """
-    from ..functions.hashing import poly_hash
-
     census = (
         df.groupBy(key_col)
         .agg(
@@ -347,37 +389,15 @@ def cms_heavy_hitters(
                 else F.sum(F.col(weight_col))
             ).alias("exact_n")
         )
-        .withColumn("__ph", poly_hash(F.col(key_col)))
         .persist()
     )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                _cms_cell(F.col("__ph"), a, b, width).alias("cell"),
-            )
-            for j, (a, b) in enumerate(CMS_PERMS)
-        ]
-    )
+    rows = cms_rows(F.col(key_col), width)
     cells = census.select(
         F.col("exact_n"), F.explode(rows).alias("__jc")
     ).select(F.col("__jc.j").alias("j"), F.col("__jc.cell").alias("cell"), "exact_n")
     sketch = cells.groupBy("j", "cell").agg(F.sum("exact_n").alias("cms_cell"))
     cand = census.orderBy(F.col("exact_n").desc(), F.col(key_col).asc()).limit(k)
-    cand_cells = cand.select(
-        F.col(key_col), F.col("exact_n"), F.explode(rows).alias("__jc")
-    ).select(key_col, "exact_n", F.col("__jc.j").alias("j"), F.col("__jc.cell").alias("cell"))
-    return (
-        cand_cells.join(F.broadcast(sketch), ["j", "cell"])
-        .groupBy(key_col, "exact_n")
-        .agg(F.min("cms_cell").alias("cms_n"))
-        .select(
-            F.col(key_col),
-            F.col("exact_n"),
-            F.col("cms_n"),
-            (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
-        )
-    )
+    return cms_probe(cand, sketch, key_col, width)
 
 
 def cms_heavy_hitters_sql(

@@ -197,6 +197,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "char_diversity": {},
     "dsir_weights": {},
     "semdedup": {},
+    "stream_heavy_hitters": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -219,6 +220,7 @@ DRIVER_BACKLOG: list[str] = [
     "char_diversity",
     "dsir_weights",
     "semdedup",
+    "stream_heavy_hitters",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

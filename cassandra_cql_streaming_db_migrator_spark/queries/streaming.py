@@ -377,6 +377,41 @@ FROM m GROUP BY lang
 """
 
 
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: the d x w cell counters are ADDITIVE,
+    so the live sketch is a plain streaming aggregate — mergeable
+    monotone state of fixed size (d*w counters) however long the stream
+    runs, the streaming-native form of the batch cms_heavy_hitters
+    operator (one definition of the cell addressing, shared).  The final
+    probe joins the streamed sketch against the exact batch census so the
+    one-sided estimate and its overestimate stay auditable."""
+    from ..operators.sketches import cms_probe, cms_rows
+    from ..sources.parquet import load_table
+
+    width, k = 16, 10
+    events = read_events_stream(spark, sf_dir)
+    cells = events.select(
+        F.explode(cms_rows(F.col("event_type"), width)).alias("__jc")
+    ).select(F.col("__jc.j").alias("j"), F.col("__jc.cell").alias("cell"))
+    sketch = run_to_memory(
+        cells.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("cms_cell"))
+    )
+    batch = load_table(spark, sf_dir, "events")
+    census = batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    cand = census.orderBy(
+        F.col("exact_n").desc(), F.col("event_type").asc()
+    ).limit(k)
+    return cms_probe(cand, sketch, "event_type", width)
+
+
+def _stream_heavy_hitters_sql() -> str:
+    from ..operators.sketches import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql(
+        "SELECT event_type FROM events", "event_type", width=16, k=10
+    )
+
+
 def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     return run_to_memory(latest_by_key_agg(events))
@@ -391,6 +426,10 @@ def _stream_cdc_latest_sql() -> str:
 
 
 QUERIES = [
+    QueryDef("stream_heavy_hitters", stream_heavy_hitters,
+             _stream_heavy_hitters_sql(),
+             "T8: live count-min sketch (additive fixed-size streaming "
+             "state) probed against the exact census", bench=False),
     QueryDef("stream_stream_join", stream_stream_join, _STREAM_STREAM_JOIN_SQL,
              "T8: watermark-bounded stream-stream interval join", bench=False),
     QueryDef("stream_tumbling_agg", stream_tumbling_agg, _STREAM_TUMBLING_SQL,
