@@ -355,6 +355,77 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+def audio_frame_stats(
+    df: DataFrame,
+    frame_len: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio frame sampling with a REAL decoder: parse each WAV payload
+    (RIFF walk, 8-bit PCM), window its samples into fixed ``frame_len``
+    frames, and emit per-frame integer statistics — the audio analog of
+    video keyframe extraction, shaped as the 1-row-in -> N-rows-out media
+    transform (cardinality is data-dependent, so the explode lives inside
+    the Arrow kernel, partition-local, no shuffle).
+
+    Non-WAV / corrupt payloads and trailing partial frames are dropped
+    (quarantine-not-crash, same contract as decode_media).  Output:
+    (id, frame_idx, n_samples, frame_min, frame_max, frame_sum) — all
+    int64 stats, bit-reproducible in SQL from the same sample bytes.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            mins: list = []
+            maxs: list = []
+            sums: list = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                wav = _wav_parse(bytes(p or b""))
+                if wav is None:
+                    continue
+                data = wav[3]
+                n_frames = len(data) // frame_len
+                if n_frames == 0:
+                    continue
+                mat = np.frombuffer(
+                    data[: n_frames * frame_len], dtype=np.uint8
+                ).reshape(n_frames, frame_len).astype(np.int64)
+                ids.extend([i] * n_frames)
+                idxs.extend(range(n_frames))
+                mins.extend(mat.min(axis=1).tolist())
+                maxs.extend(mat.max(axis=1).tolist())
+                sums.extend(mat.sum(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(
+                        [frame_len] * len(ids), dtype="int64"
+                    ),
+                    "frame_min": pd.Series(mins, dtype="int64"),
+                    "frame_max": pd.Series(maxs, dtype="int64"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("frame_idx", IntegerType(), False),
+            StructField("n_samples", LongType(), False),
+            StructField("frame_min", LongType(), True),
+            StructField("frame_max", LongType(), True),
+            StructField("frame_sum", LongType(), True),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
 def _feature_mapper(
     df: DataFrame,
     decoder: Callable[[bytes], dict],

@@ -198,6 +198,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "dsir_weights": {},
     "semdedup": {},
     "stream_heavy_hitters": {},
+    "multimodal_framesample": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -221,6 +222,7 @@ DRIVER_BACKLOG: list[str] = [
     "dsir_weights",
     "semdedup",
     "stream_heavy_hitters",
+    "multimodal_framesample",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

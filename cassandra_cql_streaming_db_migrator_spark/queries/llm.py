@@ -750,6 +750,47 @@ FROM u
 """
 
 
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame sampling end-to-end over REAL WAV payloads (odd doc
+    ids): RIFF-parse in the Arrow kernel, window the 256 tiled samples
+    into 8 frames of 32, per-frame integer stats.  The oracle rebuilds
+    the identical sample units from the ASCII text and windows them with
+    list_slice."""
+    from ..operators.multimodal import audio_frame_stats
+
+    docs = attach_media_payload(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    return audio_frame_stats(docs, frame_len=32)
+
+
+_MULTIMODAL_FRAMESAMPLE_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         list_transform(range(256), i ->
+           CAST(ascii(substring(text,
+                                CAST(i % length(text) AS INTEGER) + 1, 1))
+                AS BIGINT)) AS units
+  FROM documents WHERE doc_id % 2 = 1 AND length(text) > 0
+),
+f AS (
+  SELECT doc_id, unnest(range(8)) AS fi, units FROM u
+),
+s AS (
+  SELECT doc_id, fi,
+         list_slice(units, CAST(fi * 32 + 1 AS INTEGER),
+                    CAST(fi * 32 + 32 AS INTEGER)) AS fr
+  FROM f
+)
+SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       CAST(32 AS BIGINT) AS n_samples,
+       CAST(list_aggregate(fr, 'min') AS BIGINT) AS frame_min,
+       CAST(list_aggregate(fr, 'max') AS BIGINT) AS frame_max,
+       CAST(list_aggregate(fr, 'sum') AS BIGINT) AS frame_sum
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition quality signals.
 
@@ -1061,6 +1102,10 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = [
+    QueryDef("multimodal_framesample", multimodal_framesample,
+             _MULTIMODAL_FRAMESAMPLE_SQL,
+             "audio frame sampling: real WAV parse -> fixed windows -> "
+             "per-frame integer stats (1-row-in N-rows-out, no shuffle)"),
     QueryDef("char_diversity", char_diversity, _char_diversity_sql(),
              "diversity quality gate: Simpson character index + "
              "type-token ratio, exact fixed-point"),

@@ -92,6 +92,34 @@ def test_chunk_documents_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan  # zero shuffles: chunking is per-row
 
 
+# ----------------------------------------------------------- framesample
+
+
+def test_audio_frame_stats_real_wav_and_quarantine(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.multimodal import (
+        audio_frame_stats,
+        make_wav,
+    )
+
+    wav = make_wav(bytes(range(64)))  # samples 0..63
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(b"not a wav")),   # quarantined, no frames
+        (3, None),                       # NULL payload, no frames
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sorted(
+        audio_frame_stats(df, frame_len=32).collect(),
+        key=lambda r: (r["doc_id"], r["frame_idx"]),
+    )
+    assert [r["doc_id"] for r in got] == [1, 1]
+    first, second = got
+    assert (first["frame_min"], first["frame_max"]) == (0, 31)
+    assert first["frame_sum"] == sum(range(32))
+    assert (second["frame_min"], second["frame_max"]) == (32, 63)
+    assert second["frame_sum"] == sum(range(32, 64))
+
+
 # ------------------------------------------------------------- semdedup
 
 
