@@ -199,6 +199,10 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "semdedup": {},
     "stream_heavy_hitters": {},
     "multimodal_framesample": {},
+    # new in round 3, fourth session (head full -> DRIVER_BACKLOG, rule 1)
+    "q4_order_priority": {},
+    "q13_customer_distribution": {},
+    "q22_dormant_customers": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -223,6 +227,10 @@ DRIVER_BACKLOG: list[str] = [
     "semdedup",
     "stream_heavy_hitters",
     "multimodal_framesample",
+    # round-3 fourth-session additions
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q22_dormant_customers",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

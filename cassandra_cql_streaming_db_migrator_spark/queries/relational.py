@@ -967,6 +967,126 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q4-shape: EXISTS-correlated count by priority.  Catalyst
+# decorrelates the EXISTS into a left-semi join (same physical shape the
+# reference's IfNotExistFilter.java:56-94 wanted, inverted); the lineitem
+# side's predicate is pushed below the semi join so only matching line
+# items shuffle.  At 100 TB both sides hash-partition on the order key —
+# one shuffle each, no row explosion (semi join emits each order once).
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_q4 o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem_q4 l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_discount >= 0.05)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13-shape: customer order-count distribution through a CONDITIONAL
+# left outer join (the filter lives in the join condition, not a WHERE —
+# moving it to WHERE would silently turn the outer join inner and drop the
+# zero-order bucket).  count(o_orderkey) counts only matched rows, so
+# unmatched customers land in c_count = 0.  Two shuffles (join + first
+# groupBy); the second groupBy's domain is tiny (distinct counts).
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22-shape: anti-correlated NOT EXISTS + uncorrelated scalar
+# aggregate threshold.  "Wealthy but dormant" customers: account balance
+# above the mean positive balance, no order since 1999.  The avg threshold
+# is multiplied through (bal * n > sum, exact decimal) — a double-avg
+# comparison would flip boundary rows between engines.  Catalyst turns the
+# NOT EXISTS into a left-anti join and the scalar subquery into a one-row
+# broadcast; at scale: one anti-join shuffle on custkey, the threshold is
+# a fixed-size scalar.
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_q22")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q22")
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE)
+                 AS totacctbal
+        FROM customer_q22 c
+        WHERE CAST(c_acctbal AS DECIMAL(28,10))
+                * (SELECT count(*) FROM customer_q22 i WHERE i.c_acctbal > 0.0)
+              > (SELECT sum(CAST(c_acctbal AS DECIMAL(28,10)))
+                 FROM customer_q22 i WHERE i.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders_q22 o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c_nationkey
+        """
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE)
+         AS totacctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(28,10))
+        * (SELECT count(*) FROM customer i WHERE i.c_acctbal > 0.0)
+      > (SELECT sum(CAST(c_acctbal AS DECIMAL(28,10)))
+         FROM customer i WHERE i.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_SQL,
              "A4: TPC-H Q1-shape wide aggregate"),
@@ -980,6 +1100,14 @@ QUERIES = [
     QueryDef("q15_top_supplier", q15_top_supplier, _Q15_SQL,
              "J2/A4: TPC-H Q15-shape view-vs-own-max join "
              "(scalar broadcast, ties kept)"),
+    QueryDef("q4_order_priority", q4_order_priority, _Q4_SQL,
+             "J2/A4: TPC-H Q4-shape EXISTS decorrelation (semi join)"),
+    QueryDef("q13_customer_distribution", q13_customer_distribution, _Q13_SQL,
+             "J2/A4: TPC-H Q13-shape conditional outer join + "
+             "count distribution"),
+    QueryDef("q22_dormant_customers", q22_dormant_customers, _Q22_SQL,
+             "J2/A4: TPC-H Q22-shape NOT EXISTS anti join + scalar "
+             "subquery threshold"),
     QueryDef("join_salted", join_salted, _JOIN_SALTED_SQL,
              "J2: salted skew join, hash-checked value-neutral vs the "
              "plain join"),

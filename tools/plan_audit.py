@@ -55,6 +55,12 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # domain-stats frame — domain-cardinality (metadata) rows moving
     # through SinglePartition global windows and the quota join
     "mixture_rebalance": 5,
+    # semantic floor: the two uncorrelated scalar subqueries (count and
+    # sum of positive balances) each fold through a single-partition
+    # aggregate exchange before broadcasting as 1-row scalars; the anti
+    # join itself broadcasts the date-filtered order keys, leaving the
+    # final nationkey groupBy as the only data-scale shuffle
+    "q22_dormant_customers": 3,
     # semantic floor: per-supplier revenue aggregate (1) + the 1-row max
     # aggregate of that view (1) + the supplier join (1; the revenue view
     # is already small — at scale AQE broadcasts it)
