@@ -570,6 +570,85 @@ def sample_per_group(
     ).where(F.col("sample_rank") <= F.lit(k))
 
 
+def systematic_weighted_sample(
+    df: DataFrame,
+    weight_col: Column,
+    part_col: Column,
+    order_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic weighted sample of ``n`` draws: systematic (inverse-CDF)
+    sampling over integer weights — the particle-filter resampling scheme.
+    Conceptually, lay every row's weight end to end on a number line of
+    total length W, then probe at the ``n`` evenly spaced positions
+    ``p_i = floor((2i+1)·W / 2n)``; a row is drawn once per probe landing in
+    its interval, so expected multiplicity is exactly proportional to weight
+    and the total number of draws is exactly ``n``.  Pairs with importance
+    weights (``dsir_importance``) to materialize a mixture-corrected corpus.
+
+    Everything is int64 arithmetic — no RNG, no transcendentals — so the
+    draw is bit-identical across engines, runs, and partitionings.
+    (Requires ``2n·W < 2^63``: at n=100 that allows W up to ~4.6e16, i.e.
+    tens of petabytes of per-char weight.)
+
+    Scale shape: the global prefix sum is two-phase — a window cumsum
+    WITHIN each ``part_col`` partition (one shuffle) plus a partition-
+    offset table (one row per partition value, metadata-scale) cumsum'd on
+    a single partition and broadcast back.  The hit count per row is then
+    CLOSED FORM — ``count_lt(hi) - count_lt(lo)`` where ``count_lt(X)``
+    counts probes below X via integer division — so no join against the
+    probe positions ever happens; cost per row is O(1) regardless of n.
+
+    Returns rows drawn at least once: (order_col, wt, n_hits).
+    """
+    base = df.select(
+        part_col.alias("sw_part"),
+        F.col(order_col),
+        weight_col.cast("long").alias("wt"),
+    )
+    win = Window.partitionBy("sw_part").orderBy(order_col)
+    local = base.withColumn("local_hi", F.sum("wt").over(win))
+    part_tot = base.groupBy("sw_part").agg(F.sum("wt").alias("part_tot"))
+    offw = (
+        Window.orderBy("sw_part")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    allw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = part_tot.select(
+        "sw_part",
+        F.coalesce(F.sum("part_tot").over(offw), F.lit(0)).alias("part_off"),
+        F.sum("part_tot").over(allw).alias("sw_w"),
+    )
+    glob = local.join(F.broadcast(offsets), "sw_part").select(
+        F.col(order_col),
+        "wt",
+        (F.col("local_hi") + F.col("part_off")).alias("hi"),
+        "sw_w",
+    )
+
+    def count_lt(col: str) -> str:
+        # probes below X: odd multiples (2i+1) with (2i+1)·W <= 2nX-1,
+        # capped at n.  All intermediates stay positive, so truncating
+        # (Spark DIV) and flooring (DuckDB //) division agree.
+        return (
+            f"CASE WHEN {col} <= 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE least(CAST({n} AS BIGINT), "
+            f"((CAST({2 * n} AS BIGINT) * {col} - 1) DIV sw_w + 1) DIV 2) END"
+        )
+
+    return (
+        glob.withColumn("__lo", F.col("hi") - F.col("wt"))
+        .withColumn(
+            "n_hits",
+            F.expr(count_lt("hi")) - F.expr(count_lt("__lo")),
+        )
+        .where(F.col("n_hits") > 0)
+        .select(order_col, "wt", "n_hits")
+    )
+
+
 def leakage_between(
     probe: DataFrame,
     reference: DataFrame,

@@ -203,6 +203,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q4_order_priority": {},
     "q13_customer_distribution": {},
     "q22_dormant_customers": {},
+    "weighted_sample": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -231,6 +232,7 @@ DRIVER_BACKLOG: list[str] = [
     "q4_order_priority",
     "q13_customer_distribution",
     "q22_dormant_customers",
+    "weighted_sample",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

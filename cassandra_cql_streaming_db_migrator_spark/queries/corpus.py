@@ -37,6 +37,7 @@ from ..operators.corpus import (
     redact_pii,
     sample_per_group,
     split_column,
+    systematic_weighted_sample,
 )
 from ..operators.textops import (
     BPE_TOKEN_PATTERN,
@@ -541,7 +542,63 @@ _DSIR_SQL = dsir_importance_sql(
 )
 
 
+# ---------------------------------------------------------------------------
+# Systematic weighted sampling: n=100 deterministic draws proportional to
+# n_chars.  The oracle mirrors the closed-form probe count over a single
+# global cumsum (fine at oracle scale); the Spark side runs the two-phase
+# partitioned prefix sum.  Every window sum is cast back to BIGINT (DuckDB
+# widens to HUGEINT).
+
+_WS_N = 100
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return systematic_weighted_sample(
+        docs,
+        weight_col=F.col("n_chars"),
+        part_col=F.col("source"),
+        order_col="doc_id",
+        n=_WS_N,
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH base AS (
+  SELECT source AS sw_part, doc_id, CAST(n_chars AS BIGINT) AS wt
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, wt,
+         CAST(sum(wt) OVER (ORDER BY sw_part, doc_id) AS BIGINT) AS hi
+  FROM base
+),
+tot AS (SELECT CAST(sum(wt) AS BIGINT) AS sw_w FROM base)
+SELECT doc_id, wt, n_hits FROM (
+  SELECT doc_id, wt,
+    (CASE WHEN hi <= 0 THEN CAST(0 AS BIGINT)
+          ELSE least(CAST({_WS_N} AS BIGINT),
+                     ((CAST({2 * _WS_N} AS BIGINT) * hi - 1) // sw_w + 1) // 2)
+     END
+     -
+     CASE WHEN hi - wt <= 0 THEN CAST(0 AS BIGINT)
+          ELSE least(CAST({_WS_N} AS BIGINT),
+                     ((CAST({2 * _WS_N} AS BIGINT) * (hi - wt) - 1) // sw_w + 1) // 2)
+     END) AS n_hits
+  FROM cum CROSS JOIN tot
+) hits
+WHERE n_hits > 0
+"""
+
+
 QUERIES = [
+    QueryDef(
+        "weighted_sample",
+        weighted_sample,
+        _WEIGHTED_SAMPLE_SQL,
+        "systematic inverse-CDF weighted sample (exact-n draws, "
+        "closed-form integer probe counts, two-phase prefix sum)",
+    ),
     QueryDef(
         "dsir_weights", dsir_weights, _DSIR_SQL,
         "DSIR-shaped importance weights: hashed-unigram domain likeness, "

@@ -629,3 +629,61 @@ class TestMixtureRebalance:
         a = sorted(map(tuple, rebalance_to_mixture(df).collect()))
         b = sorted(map(tuple, rebalance_to_mixture(df.repartition(13, "doc_id")).collect()))
         assert a == b
+
+
+class TestSystematicWeightedSample:
+    """systematic_weighted_sample (operators/corpus.py): deterministic
+    inverse-CDF draws with closed-form probe counts."""
+
+    @staticmethod
+    def _brute(rows, n):
+        # rows: list of (part, id, wt) — reference implementation probes
+        # positions p_i = (2i+1)W // 2n against the cumulative intervals.
+        ordered = sorted(rows, key=lambda r: (r[0], r[1]))
+        total = sum(r[2] for r in ordered)
+        probes = [((2 * i + 1) * total) // (2 * n) for i in range(n)]
+        hits: dict[int, int] = {}
+        cum = 0
+        for _, rid, wt in ordered:
+            lo, cum = cum, cum + wt
+            c = sum(1 for p in probes if lo <= p < cum)
+            if c:
+                hits[rid] = c
+        return hits
+
+    def test_matches_brute_force_with_skewed_weights(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            systematic_weighted_sample,
+        )
+
+        # one whale (weight 10_000) among minnows (1..40): the whale must
+        # be drawn many times (multiplicity), minnows at most once
+        rows = [("p%d" % (i % 3), i, 10_000 if i == 7 else (i % 40) + 1)
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "part string, id long, wt long")
+        got = {
+            r["id"]: r["n_hits"]
+            for r in systematic_weighted_sample(
+                df, F.col("wt"), F.col("part"), "id", n=64
+            ).collect()
+        }
+        assert got == self._brute(rows, 64)
+        assert sum(got.values()) == 64  # exact-n draws, always
+        assert got[7] > 20  # the whale holds >half the mass
+
+    def test_partitioning_invariance(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            systematic_weighted_sample,
+        )
+
+        rows = [("s%d" % (i % 5), i, (i * 37) % 97 + 3) for i in range(300)]
+        df = spark.createDataFrame(rows, "part string, id long, wt long")
+
+        def run(d):
+            return sorted(
+                tuple(r) for r in systematic_weighted_sample(
+                    d, F.col("wt"), F.col("part"), "id", n=50
+                ).collect()
+            )
+
+        assert run(df.repartition(1)) == run(df.repartition(32))

@@ -61,6 +61,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # join itself broadcasts the date-filtered order keys, leaving the
     # final nationkey groupBy as the only data-scale shuffle
     "q22_dormant_customers": 3,
+    # semantic floor: within-partition cumsum window (1) + per-partition
+    # totals aggregate (1) + the metadata-scale offsets table's single-
+    # partition cumsum (1, rows = distinct part_col values); the offsets
+    # rejoin is a broadcast
+    "weighted_sample": 3,
     # semantic floor: per-supplier revenue aggregate (1) + the 1-row max
     # aggregate of that view (1) + the supplier join (1; the revenue view
     # is already small — at scale AQE broadcasts it)
