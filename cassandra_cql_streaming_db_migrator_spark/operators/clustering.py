@@ -348,3 +348,107 @@ SELECT e.cluster_id, count(*) AS n_vecs,
 FROM emb e LEFT JOIN d ON d.v2 = e.vid
 GROUP BY e.cluster_id"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Scatter matrix (unnormalized covariance) over a dimension slice.
+
+
+def embedding_scatter(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_dims: int = 16,
+    quant: int = 1000,
+) -> DataFrame:
+    """Scatter matrix of the first ``n_dims`` embedding dimensions: for each
+    pair i <= j the exact integer ``scatter = n·Σxy − Σx·Σy`` (=: n² times
+    the covariance) over values quantized at ``quant`` — the building block
+    for PCA/whitening over an embedding corpus.
+
+    Plan shape — the part that matters at 100 TB: the d·(d+1)/2 pair sums
+    are ONE wide hash aggregate over per-row products (Catalyst folds all
+    153 expressions into a single whole-stage-codegen pass), so the scan is
+    read once, partials combine map-side, and exactly one 1-row state
+    shuffles.  No explode, no self-join: the naive pairwise formulation
+    shuffles d² copies of the table.  The stack() to long format runs on
+    the single result row.
+
+    Integer bounds: |q| <= quant/2 + |x|·quant; with unit-ish embeddings and
+    quant=1e3, n·Σxy stays under 2^63 up to ~1e13 rows.  Past that, widen
+    the sums to DECIMAL(38,0) (same plan shape, ~2x agg cost).
+    """
+    dims = range(n_dims)
+    qcols = [
+        F.floor(
+            F.element_at(F.col(vec_col), d + 1).cast("double") * quant + F.lit(0.5)
+        )
+        .cast("long")
+        .alias(f"q{d}")
+        for d in dims
+    ]
+    base = df.select(*qcols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"q{d}").alias(f"s{d}") for d in dims]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"p{i}_{j}")
+        for i in dims
+        for j in dims
+        if i <= j
+    ]
+    wide = base.agg(*aggs)
+    pairs = [(i, j) for i in dims for j in dims if i <= j]
+    stacked = ", ".join(
+        f"{i}, {j}, s{i}, s{j}, p{i}_{j}" for (i, j) in pairs
+    )
+    long = wide.select(
+        "n",
+        F.expr(
+            f"stack({len(pairs)}, {stacked}) AS (i, j, sx, sy, sxy)"
+        ),
+    )
+    return long.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("scatter"),
+    )
+
+
+def embedding_scatter_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    n_dims: int = 16,
+    quant: int = 1000,
+) -> str:
+    """Oracle twin: identical wide aggregate, long format via UNION ALL over
+    the one-row sum table (sums pass through HUGEINT, cast back to BIGINT
+    per the no-HUGEINT rule)."""
+    dims = range(n_dims)
+    qs = ", ".join(
+        f"CAST(floor(CAST({vec_col}[{d + 1}] AS DOUBLE) * {quant} + 0.5) "
+        f"AS BIGINT) AS q{d}"
+        for d in dims
+    )
+    sums = ", ".join(f"CAST(sum(q{d}) AS BIGINT) AS s{d}" for d in dims)
+    prods = ", ".join(
+        f"CAST(sum(q{i} * q{j}) AS BIGINT) AS p{i}_{j}"
+        for i in dims
+        for j in dims
+        if i <= j
+    )
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, n, s{i} AS sx, s{j} AS sy, "
+        f"p{i}_{j} AS sxy FROM s"
+        for i in dims
+        for j in dims
+        if i <= j
+    )
+    return f"""
+WITH q AS (SELECT {qs} FROM {table}),
+s AS (SELECT count(*) AS n, {sums}, {prods} FROM q)
+SELECT i, j, n, sx, sy, sxy, n * sxy - sx * sy AS scatter
+FROM ({rows}) pairs
+"""

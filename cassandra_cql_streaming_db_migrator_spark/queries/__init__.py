@@ -204,6 +204,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q13_customer_distribution": {},
     "q22_dormant_customers": {},
     "weighted_sample": {},
+    "embedding_scatter": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -233,6 +234,7 @@ DRIVER_BACKLOG: list[str] = [
     "q13_customer_distribution",
     "q22_dormant_customers",
     "weighted_sample",
+    "embedding_scatter",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -37,6 +37,7 @@ from ..operators.similarity import (
     label_centroid_stats,
     lsh_ann_topk,
 )
+from ..operators.clustering import embedding_scatter, embedding_scatter_sql
 from ..operators.textops import (
     BPE_TOKEN_PATTERN,
     EN_STOPWORDS,
@@ -860,6 +861,11 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_stats(emb)
 
 
+def embedding_scatter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_scatter(emb, n_dims=16)
+
+
 _EMBEDDING_CENTROIDS_SQL = """
 WITH v AS (
   SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1174,6 +1180,10 @@ QUERIES = [
     QueryDef("trigram_lm", trigram_lm, _TRIGRAM_LM_SQL,
              "corpus-trained char-trigram LM fluency score per doc "
              "(mean conditional probability)"),
+    QueryDef("embedding_scatter", embedding_scatter_q,
+             embedding_scatter_sql(n_dims=16),
+             "scatter (covariance) matrix over a dim slice: one wide "
+             "codegen aggregate, exact integer moments"),
     QueryDef("embedding_centroids", embedding_centroids, _EMBEDDING_CENTROIDS_SQL,
              "per-label centroid norm + inertia (k-means-style cluster "
              "tightness stats)"),

@@ -1,0 +1,60 @@
+"""Round-3 fourth-session operators: TPC-H decorrelation shapes,
+systematic weighted sampling, embedding scatter matrix."""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+import numpy as np
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cassandra_cql_streaming_db_migrator_spark.operators.clustering import (
+    embedding_scatter,
+)
+
+
+class TestEmbeddingScatter:
+    def _make(self, spark, n=120, d=8, seed=5):
+        rng = np.random.default_rng(seed)
+        vecs = (rng.standard_normal((n, d)) * 0.3).astype(np.float32)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+    def test_matches_numpy_exact_integers(self, spark):
+        df, vecs = self._make(spark)
+        got = {
+            (r["i"], r["j"]): (r["n"], r["sx"], r["sy"], r["sxy"], r["scatter"])
+            for r in embedding_scatter(df, n_dims=8, quant=1000).collect()
+        }
+        q = np.floor(vecs.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+        n = q.shape[0]
+        s = q.sum(axis=0)
+        g = q.T @ q
+        assert len(got) == 8 * 9 // 2
+        for (i, j), (gn, sx, sy, sxy, sc) in got.items():
+            assert gn == n
+            assert sx == s[i] and sy == s[j]
+            assert sxy == g[i, j]
+            assert sc == n * g[i, j] - s[i] * s[j]
+
+    def test_single_shuffle_no_explode(self, spark):
+        df, _ = self._make(spark)
+        plan_buf = io.StringIO()
+        with redirect_stdout(plan_buf):
+            embedding_scatter(df, n_dims=8).explain("formatted")
+        plan = plan_buf.getvalue()
+        # one exchange (the 1-row aggregate state); the only Generate is
+        # the stack() long-format pivot AFTER the aggregate (it runs on
+        # the single result row, never on the data) — so it must appear
+        # below the final HashAggregate, and the source is scanned once
+        assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
+        assert len(re.findall(r"\n\(\d+\) Scan", plan)) == 1
+        gen_id = int(re.search(r"Generate \((\d+)\)", plan).group(1))
+        agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
+        assert agg_ids and gen_id > max(agg_ids)
