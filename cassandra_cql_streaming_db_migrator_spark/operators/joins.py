@@ -206,3 +206,56 @@ def interval_join_bucketed(
     return joined.filter(
         (F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi))
     ).drop("__bucket")
+
+
+def _deletion_variants(key: str) -> str:
+    """SQL expr: the string plus every single-character deletion of it,
+    deduped — the FastSS / symmetric-delete neighborhood for edit
+    distance 1."""
+    return (
+        f"array_distinct(concat(array({key}), "
+        f"transform(sequence(1, length({key})), "
+        f"i -> concat(substring({key}, 1, i - 1), "
+        f"substring({key}, i + 1, length({key}))))))"
+    )
+
+
+def fuzzy_key_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Edit-distance-1 key join via symmetric-deletion blocking (FastSS):
+    each side expands to its deletion neighborhood (the key plus every
+    single-char deletion — L+1 block keys per row), candidates meet on a
+    plain hash equi-join of neighborhoods, and an exact ``levenshtein``
+    check rejects the false positives the blocking admits (two strings can
+    share a deletion while being 2 edits apart, e.g. "ab"/"ba").
+
+    The migration use case: re-keying a table whose source keys picked up
+    typos/truncations in flight — the reference engine's anti-join filter
+    (IfNotExistFilter.java:56-94) answers "is this exact key present?",
+    this answers "which almost-identical key is present?".
+
+    Scale shape: never quadratic — candidate volume is bounded by block-key
+    collisions, not |L|·|R|; both neighborhoods shuffle once on the block
+    key (standard hash join), and the ``distinct`` that collapses multi-
+    variant matches runs on the candidate pairs only.  Keys are short
+    strings, so the L+1 expansion is a small constant factor of the key
+    column, not of the row.
+    """
+    lv = left.withColumn(
+        "__block", F.explode(F.expr(_deletion_variants(left_key)))
+    )
+    rv = right.withColumn(
+        "__block", F.explode(F.expr(_deletion_variants(right_key)))
+    )
+    cand = (
+        lv.join(rv, on="__block")
+        .drop("__block")
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein(F.col(left_key), F.col(right_key)) <= 1
+    )

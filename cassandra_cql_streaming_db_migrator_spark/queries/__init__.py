@@ -205,6 +205,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q22_dormant_customers": {},
     "weighted_sample": {},
     "embedding_scatter": {},
+    "fuzzy_key_match": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -235,6 +236,7 @@ DRIVER_BACKLOG: list[str] = [
     "q22_dormant_customers",
     "weighted_sample",
     "embedding_scatter",
+    "fuzzy_key_match",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -968,6 +968,51 @@ GROUP BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy key re-matching: every 5th customer's name is deterministically
+# corrupted (one char deleted from the numeric suffix), then matched back
+# against the clean table at edit distance <= 1.  The Spark side uses
+# symmetric-deletion blocking (fuzzy_key_join — L+1 block keys per row,
+# hash join, exact levenshtein verify); the ORACLE is the quadratic
+# definition (levenshtein over the full cross product), so a driver pass
+# also proves the blocking admits no misses.
+
+_FUZZY_CORRUPT = (
+    "concat(substring({name}, 1, 10 + CAST({key} % 8 AS INT) - 1), "
+    "substring({name}, 10 + CAST({key} % 8 AS INT) + 1, length({name})))"
+)
+
+
+def fuzzy_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import fuzzy_key_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("d_key"),
+        F.expr(
+            _FUZZY_CORRUPT.format(name="c_name", key="c_custkey")
+        ).alias("d_name"),
+    )
+    clean = cust.select("c_custkey", "c_name")
+    matched = fuzzy_key_join(dirty, clean, "d_name", "c_name")
+    return matched.groupBy("d_key").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("c_custkey").alias("min_match"),
+    )
+
+
+_FUZZY_KEY_SQL = f"""
+WITH dirty AS (
+  SELECT c_custkey AS d_key,
+         {_FUZZY_CORRUPT.format(name="c_name", key="c_custkey")} AS d_name
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT d_key, count(*) AS n_matches, min(c_custkey) AS min_match
+FROM dirty JOIN customer ON levenshtein(d_name, c_name) <= 1
+GROUP BY d_key
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q4-shape: EXISTS-correlated count by priority.  Catalyst
 # decorrelates the EXISTS into a left-semi join (same physical shape the
 # reference's IfNotExistFilter.java:56-94 wanted, inverted); the lineitem
@@ -1108,6 +1153,9 @@ QUERIES = [
     QueryDef("q22_dormant_customers", q22_dormant_customers, _Q22_SQL,
              "J2/A4: TPC-H Q22-shape NOT EXISTS anti join + scalar "
              "subquery threshold"),
+    QueryDef("fuzzy_key_match", fuzzy_key_match, _FUZZY_KEY_SQL,
+             "J2: edit-distance-1 key re-matching via symmetric-deletion "
+             "blocking (quadratic-definition oracle proves no misses)"),
     QueryDef("join_salted", join_salted, _JOIN_SALTED_SQL,
              "J2: salted skew join, hash-checked value-neutral vs the "
              "plain join"),

@@ -58,3 +58,65 @@ class TestEmbeddingScatter:
         gen_id = int(re.search(r"Generate \((\d+)\)", plan).group(1))
         agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
         assert agg_ids and gen_id > max(agg_ids)
+
+
+class TestFuzzyKeyJoin:
+    def test_all_edit_classes_and_false_positive_rejection(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.joins import (
+            fuzzy_key_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "kettle"), (2, "ketle"), (3, "kettles"), (4, "kattle"),
+             (5, "ab"), (6, "xyz")],
+            "lid long, lkey string",
+        )
+        right = spark.createDataFrame(
+            [(10, "kettle"), (20, "ba"), (30, "zzz")],
+            "rid long, rkey string",
+        )
+        got = {
+            (r["lid"], r["rid"])
+            for r in fuzzy_key_join(left, right, "lkey", "rkey").collect()
+        }
+        # exact, deletion, insertion, substitution all match "kettle";
+        # "ab"/"ba" share the deletion "a"+"b" neighborhoods but are 2
+        # edits apart -> must be rejected; "xyz"/"zzz" never collide
+        assert got == {(1, 10), (2, 10), (3, 10), (4, 10)}
+
+    def test_complete_vs_brute_force(self, spark):
+        import itertools
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.joins import (
+            fuzzy_key_join,
+        )
+
+        def lev(a, b):
+            d = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, d[0] = d[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, d[j] = d[j], min(
+                        d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                    )
+            return d[len(b)]
+
+        # adversarial small alphabet -> dense near-collisions
+        words = ["".join(w) for w in itertools.product("abc", repeat=3)]
+        left = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "lid long, lkey string"
+        )
+        right = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "rid long, rkey string"
+        )
+        got = {
+            (r["lid"], r["rid"])
+            for r in fuzzy_key_join(left, right, "lkey", "rkey").collect()
+        }
+        want = {
+            (i, j)
+            for i, a in enumerate(words)
+            for j, b in enumerate(words)
+            if lev(a, b) <= 1
+        }
+        assert got == want
