@@ -206,6 +206,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "weighted_sample": {},
     "embedding_scatter": {},
     "fuzzy_key_match": {},
+    "triangle_census": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -237,6 +238,7 @@ DRIVER_BACKLOG: list[str] = [
     "weighted_sample",
     "embedding_scatter",
     "fuzzy_key_match",
+    "triangle_census",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -35,7 +35,13 @@ from ..operators.events import (
     sessionize,
     sessionize_sql,
 )
-from ..operators.graph import pagerank_fixed_point, pagerank_sql
+from ..operators.graph import (
+    cooccurrence_edges,
+    pagerank_fixed_point,
+    pagerank_sql,
+    triangle_stats,
+    triangle_stats_sql,
+)
 from ..operators.profile import table_profile, table_profile_sql
 from ..operators.robust import mad_outlier_stats, mad_outlier_stats_sql
 from ..operators.sketches import (
@@ -472,6 +478,30 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Triangle census over the part co-purchase graph: parts are adjacent when
+# some order contains both; per-node triangle participation + degree is
+# the local-clustering report (community density, recommendation strength).
+
+
+def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic half of the orders: wedge-join work grows ~quadratically
+    # in edge count, and the synthetic baskets are co-occurrence-uniform, so
+    # the halved census exercises the identical plan at proportionate cost
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 2 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_stats(edges)
+
+
+_TRIANGLE_SQL = triangle_stats_sql(
+    "(SELECT * FROM lineitem WHERE l_orderkey % 2 = 0)",
+    "l_orderkey",
+    "l_partkey",
+)
+
+
+# ---------------------------------------------------------------------------
 # Trade-graph degree distribution: the graph-shape report that sizes any
 # iterative algorithm (skew, hub nodes, expected rounds) before running it.
 
@@ -631,6 +661,11 @@ QUERIES = [
     QueryDef(
         "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
         "KMV k-minimum-values distinct-count sketch (deterministic, mergeable)",
+    ),
+    QueryDef(
+        "triangle_census", triangle_census, _TRIANGLE_SQL,
+        "per-node triangle count + degree on the part co-purchase graph "
+        "(id-ordered wedge join; degree-ordering is the skew refinement)",
     ),
     QueryDef(
         "trade_degree_stats", trade_degree_stats, _DEGREE_STATS_SQL,

@@ -120,3 +120,42 @@ class TestFuzzyKeyJoin:
             if lev(a, b) <= 1
         }
         assert got == want
+
+
+class TestTriangleStats:
+    def test_known_graph(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.graph import (
+            triangle_stats,
+        )
+
+        # K4 on {1,2,3,4} (4 triangles, every node in 3) + pendant 5 + an
+        # isolated edge 6-7 (triangle-free nodes must appear with 0)
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7)],
+            "u long, v long",
+        )
+        got = {
+            r["node"]: (r["degree"], r["n_triangles"])
+            for r in triangle_stats(edges).collect()
+        }
+        assert got == {
+            1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (4, 3),
+            5: (1, 0), 6: (1, 0), 7: (1, 0),
+        }
+
+    def test_cooccurrence_edges_canonical_distinct(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.graph import (
+            cooccurrence_edges,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 20), (1, 30), (2, 10), (2, 20)],
+            "g long, item long",
+        )
+        got = {
+            (r["u"], r["v"])
+            for r in cooccurrence_edges(df, "g", "item").collect()
+        }
+        # duplicates within a group collapse; the pair present in both
+        # groups appears once; all pairs canonical u < v
+        assert got == {(10, 20), (10, 30), (20, 30)}

@@ -66,6 +66,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # partition cumsum (1, rows = distinct part_col values); the offsets
     # rejoin is a broadcast
     "weighted_sample": 3,
+    # semantic floor: edge build (group-key self-join + distinct = 3) +
+    # the three wedge-join legs re-hash the persisted edge list on their
+    # role keys (3) + corner/degree aggregates + final node join (3).
+    # Triangle enumeration IS a 3-way self-join; nothing to elide.
+    "triangle_census": 9,
     # semantic floor: per-supplier revenue aggregate (1) + the 1-row max
     # aggregate of that view (1) + the supplier join (1; the revenue view
     # is already small — at scale AQE broadcasts it)
