@@ -474,3 +474,145 @@ def extract_media_features(
     feature columns — the image-embedding/audio-feature stage shape with an
     actual decoder in the slot."""
     return _feature_mapper(df, decoder, id_col, payload_col, MEDIA_FEATURE_FIELDS)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (average hash) + Hamming near-dup pairs.
+
+
+def avg_hash_64(payload: bytes) -> tuple[int, int] | None:
+    """64-bit average hash of a square PGM whose side is a multiple of 8:
+    2x2-ish block downsample to 8x8, threshold each block against the
+    global mean, pack row-major bits.  Returned as two non-negative int32
+    halves (hi = bits 32..63, lo = bits 0..31) so no value ever touches the
+    int64 sign bit — keeps XOR/bit_count portable across engines.
+
+    All arithmetic is integer (block mean > global mean <=> 64*blocksum >
+    totalsum for 16x16), so the hash is bit-identical everywhere."""
+    import numpy as np
+
+    parsed = _pgm_parse(payload)
+    if parsed is None:
+        return None
+    w, h, _maxval, pixels = parsed
+    if w != h or w == 0 or w % 8 != 0 or len(pixels) != w * h:
+        return None
+    s = w // 8
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w).astype(np.int64)
+    blocks = px.reshape(8, s, 8, s).sum(axis=(1, 3))
+    total = int(px.sum())
+    bits = (64 * blocks > total).astype(np.int64).ravel()
+    lo = int(sum(int(b) << i for i, b in enumerate(bits[:32])))
+    hi = int(sum(int(b) << i for i, b in enumerate(bits[32:])))
+    return hi, lo
+
+
+def image_avg_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-image average hash: (id, hash_hi, hash_lo) for every payload
+    that parses as a square PGM; non-image / malformed payloads drop out.
+    A narrow Arrow kernel — no shuffle."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("hash_hi", LongType(), True),
+            StructField("hash_lo", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                hl = avg_hash_64(bytes(p)) if p is not None else None
+                if hl is None:
+                    continue
+                ids.append(i)
+                his.append(hl[0])
+                los.append(hl[1])
+            yield pd.DataFrame(
+                {id_col: ids, "hash_hi": his, "hash_lo": los}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def hamming_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_dist: int = 3,
+) -> DataFrame:
+    """Image near-duplicate pairs at Hamming distance <= ``max_dist`` over
+    (hash_hi, hash_lo) fingerprints, via banded Hamming LSH: the 64 bits
+    split into four 16-bit bands; by pigeonhole, any pair within distance
+    3 shares at least one exact band, so a plain hash equi-join on
+    (band_idx, band_value) finds every qualifying pair — never the
+    quadratic all-pairs — and the exact XOR popcount verify rejects the
+    band collisions.  (General rule: b bands guarantee distance <= b-1;
+    raise the band count to widen the radius.)
+
+    Scale shape: 4 rows per image shuffle once on the band key; candidate
+    volume is bounded by band-bucket collisions.  Returns
+    (id_a, id_b, dist), canonical id_a < id_b.
+    """
+    if max_dist > 3:
+        raise ValueError(
+            "4 bands guarantee completeness only up to distance 3; "
+            f"got max_dist={max_dist}"
+        )
+    bands = hashes.select(
+        F.col(id_col),
+        "hash_hi",
+        "hash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    (F.col("hash_lo") % 65536).alias("val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    (F.col("hash_lo") / 65536).cast("long").alias("val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    (F.col("hash_hi") % 65536).alias("val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    (F.col("hash_hi") / 65536).cast("long").alias("val"),
+                ),
+            )
+        ).alias("bv"),
+    ).select(id_col, "hash_hi", "hash_lo", "bv.band", "bv.val")
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("hash_hi").alias("a_hi"),
+        F.col("hash_lo").alias("a_lo"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("hash_hi").alias("b_hi"),
+        F.col("hash_lo").alias("b_lo"),
+        "band",
+        "val",
+    )
+    cand = (
+        a.join(b, on=["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "a_hi", "a_lo", "b_hi", "b_lo")
+        .distinct()
+    )
+    dist = (
+        F.bit_count(F.expr("a_hi ^ b_hi")) + F.bit_count(F.expr("a_lo ^ b_lo"))
+    ).cast("int")
+    return cand.select(
+        "id_a", "id_b", dist.alias("dist")
+    ).where(F.col("dist") <= max_dist)

@@ -207,6 +207,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "embedding_scatter": {},
     "fuzzy_key_match": {},
     "triangle_census": {},
+    "image_phash": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -239,6 +240,7 @@ DRIVER_BACKLOG: list[str] = [
     "embedding_scatter",
     "fuzzy_key_match",
     "triangle_census",
+    "image_phash",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

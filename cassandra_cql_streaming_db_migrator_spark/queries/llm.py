@@ -26,6 +26,8 @@ from ..operators.multimodal import (
     attach_media_payload,
     attach_payload,
     extract_media_features,
+    hamming_near_pairs,
+    image_avg_hashes,
     resize_payloads,
 )
 from ..operators.similarity import (
@@ -866,6 +868,80 @@ def embedding_scatter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_scatter(emb, n_dims=16)
 
 
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: average-hash every (even-id, real PGM)
+    payload, find Hamming<=3 near-duplicate pairs via banded LSH, report
+    per image its hash halves + near-dup partner count.  The oracle
+    recomputes the hash arithmetic from the tiled text units in SQL and
+    verifies pairs against the quadratic definition — a driver pass proves
+    the banding admits no misses."""
+    docs = attach_media_payload(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    )
+    hashes = image_avg_hashes(docs).persist()
+    pairs = hamming_near_pairs(hashes, max_dist=3)
+    ends = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return hashes.join(ends, on="doc_id", how="left").select(
+        "doc_id",
+        "hash_hi",
+        "hash_lo",
+        F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+    )
+
+
+_IMAGE_PHASH_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         list_transform(range(256), i ->
+           CAST(ascii(substring(text,
+                                CAST(i % length(text) AS INTEGER) + 1, 1))
+                AS BIGINT)) AS units
+  FROM documents WHERE doc_id % 2 = 0 AND length(text) > 0
+),
+b AS (
+  SELECT doc_id,
+         list_transform(range(64), k ->
+           units[CAST((k // 8) * 32 + (k % 8) * 2 AS INTEGER) + 1]
+         + units[CAST((k // 8) * 32 + (k % 8) * 2 AS INTEGER) + 2]
+         + units[CAST((k // 8) * 32 + (k % 8) * 2 + 16 AS INTEGER) + 1]
+         + units[CAST((k // 8) * 32 + (k % 8) * 2 + 16 AS INTEGER) + 2]
+         ) AS blocks,
+         list_aggregate(units, 'sum') AS total
+  FROM u
+),
+h AS (
+  SELECT doc_id,
+         CAST(list_aggregate(list_transform(range(32), k ->
+           CASE WHEN 64 * blocks[CAST(k AS INTEGER) + 33] > total
+                THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END),
+           'sum') AS BIGINT) AS hash_hi,
+         CAST(list_aggregate(list_transform(range(32), k ->
+           CASE WHEN 64 * blocks[CAST(k AS INTEGER) + 1] > total
+                THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END),
+           'sum') AS BIGINT) AS hash_lo
+  FROM b
+),
+p AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM h a JOIN h c ON a.doc_id < c.doc_id
+  WHERE bit_count(xor(a.hash_hi, c.hash_hi))
+      + bit_count(xor(a.hash_lo, c.hash_lo)) <= 3
+),
+ends AS (
+  SELECT doc_id, count(*) AS n_near FROM (
+    SELECT id_a AS doc_id FROM p UNION ALL SELECT id_b FROM p
+  ) e GROUP BY doc_id
+)
+SELECT h.doc_id, h.hash_hi, h.hash_lo,
+       CAST(coalesce(ends.n_near, 0) AS BIGINT) AS n_near
+FROM h LEFT JOIN ends ON ends.doc_id = h.doc_id
+"""
+
+
 _EMBEDDING_CENTROIDS_SQL = """
 WITH v AS (
   SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1180,6 +1256,9 @@ QUERIES = [
     QueryDef("trigram_lm", trigram_lm, _TRIGRAM_LM_SQL,
              "corpus-trained char-trigram LM fluency score per doc "
              "(mean conditional probability)"),
+    QueryDef("image_phash", image_phash, _IMAGE_PHASH_SQL,
+             "perceptual average-hash image dedup: banded Hamming LSH "
+             "pairs, quadratic-definition oracle"),
     QueryDef("embedding_scatter", embedding_scatter_q,
              embedding_scatter_sql(n_dims=16),
              "scatter (covariance) matrix over a dim slice: one wide "

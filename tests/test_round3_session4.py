@@ -159,3 +159,57 @@ class TestTriangleStats:
         # duplicates within a group collapse; the pair present in both
         # groups appears once; all pairs canonical u < v
         assert got == {(10, 20), (10, 30), (20, 30)}
+
+
+class TestImagePhash:
+    def test_avg_hash_known_pattern(self):
+        from cassandra_cql_streaming_db_migrator_spark.operators.multimodal import (
+            avg_hash_64,
+            make_pgm,
+        )
+
+        # top half black, bottom half white: blocks 0..31 below the mean,
+        # 32..63 above -> lo = 0, hi = 2^32 - 1
+        px = bytes([0] * 128 + [200] * 128)
+        hi, lo = avg_hash_64(make_pgm(px, 16, 16))
+        assert (hi, lo) == (2**32 - 1, 0)
+        # uniform image: no block is strictly above the mean -> all zero
+        assert avg_hash_64(make_pgm(bytes([7] * 256), 16, 16)) == (0, 0)
+
+    def test_avg_hash_rejects_non_square_and_garbage(self):
+        from cassandra_cql_streaming_db_migrator_spark.operators.multimodal import (
+            avg_hash_64,
+            make_pgm,
+        )
+
+        assert avg_hash_64(make_pgm(bytes(32), 8, 4)) is None
+        assert avg_hash_64(b"RIFFnotanimage") is None
+
+    def test_hamming_pairs_complete_vs_brute(self, spark):
+        import random
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.multimodal import (
+            hamming_near_pairs,
+        )
+
+        rng = random.Random(11)
+        hashes = [rng.getrandbits(64) for _ in range(150)]
+        # plant near-duplicates: flip 0..3 random bits of earlier entries
+        for k in range(30):
+            base = hashes[k]
+            for b in rng.sample(range(64), rng.randint(0, 3)):
+                base ^= 1 << b
+            hashes.append(base)
+        rows = [(i, h >> 32, h & 0xFFFFFFFF) for i, h in enumerate(hashes)]
+        df = spark.createDataFrame(rows, "doc_id long, hash_hi long, hash_lo long")
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in hamming_near_pairs(df, max_dist=3).collect()
+        }
+        want = {
+            (i, j, bin(hashes[i] ^ hashes[j]).count("1"))
+            for i in range(len(hashes))
+            for j in range(i + 1, len(hashes))
+            if bin(hashes[i] ^ hashes[j]).count("1") <= 3
+        }
+        assert got == want

@@ -71,6 +71,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # role keys (3) + corner/degree aggregates + final node join (3).
     # Triangle enumeration IS a 3-way self-join; nothing to elide.
     "triangle_census": 9,
+    # semantic floor: band-key candidate join (1) + candidate distinct (1)
+    # + the per-image near-count aggregate/rejoin (1); hashing itself is a
+    # narrow Arrow kernel
+    "image_phash": 3,
     # semantic floor: per-supplier revenue aggregate (1) + the 1-row max
     # aggregate of that view (1) + the supplier join (1; the revenue view
     # is already small — at scale AQE broadcasts it)
