@@ -208,6 +208,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "fuzzy_key_match": {},
     "triangle_census": {},
     "image_phash": {},
+    "stream_topk": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -241,6 +242,7 @@ DRIVER_BACKLOG: list[str] = [
     "fuzzy_key_match",
     "triangle_census",
     "image_phash",
+    "stream_topk",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -49,6 +49,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live leaderboard: the tumbling-window count aggregate runs as a real
+    stream; the top-k rank is applied over the materialized live view (the
+    same read-side pattern as stream_cdc_latest) — rank-in-stream would
+    require complete-mode re-emission of whole windows, the view rank gives
+    identical rows on any bounded prefix."""
+    from pyspark.sql import Window
+
+    events = read_events_stream(spark, sf_dir)
+    counts = run_to_memory(tumbling_window_agg(events, "1 hour"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.col("event_type")
+    )
+    return (
+        counts.select("window_start", "event_type", "n_events")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+    )
+
+
+_STREAM_TOPK_SQL = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT c.*, row_number() OVER (
+    PARTITION BY window_start ORDER BY n_events DESC, event_type
+  ) AS rk FROM c
+) ranked
+WHERE rk <= 2
+"""
+
+
 def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     return run_to_memory(ohlc_window_agg(events, "6 hours"))
@@ -432,6 +468,9 @@ QUERIES = [
              "state) probed against the exact census", bench=False),
     QueryDef("stream_stream_join", stream_stream_join, _STREAM_STREAM_JOIN_SQL,
              "T8: watermark-bounded stream-stream interval join", bench=False),
+    QueryDef("stream_topk", stream_topk, _STREAM_TOPK_SQL,
+             "T8/O5: live windowed top-k leaderboard over the streamed "
+             "count view"),
     QueryDef("stream_tumbling_agg", stream_tumbling_agg, _STREAM_TUMBLING_SQL,
              "T8: event-time tumbling window agg via Structured Streaming",
              bench=False),
