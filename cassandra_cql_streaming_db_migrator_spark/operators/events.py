@@ -409,3 +409,103 @@ JOIN reach rb ON rb.item = item_b
 ORDER BY n_both DESC, item_a ASC, item_b ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency: sweep-line over session intervals.
+
+
+def peak_concurrency(
+    sessions: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Per-day peak number of simultaneously open sessions — the classic
+    sweep line: each session emits (+1 at start, -1 at end-exclusive),
+    events sort by (time, delta DESC) so a session starting the instant
+    another ends counts as overlapping, and the running sum's maximum is
+    the answer.
+
+    Scale shape: a GLOBAL sweep would be a single-partition sort, so the
+    sweep is partitioned by day — each session is exploded into the days
+    it touches and clipped to the day's bounds (the day boundary crossing
+    contributes +1 at the next day's 00:00 via the clipped start, so a
+    session open at midnight is counted in both days).  Cost: one shuffle
+    on the day key + a per-day sort; day-count per session is bounded by
+    session length, not stream length.
+
+    Returns (day, peak) with day = timestamp-truncated day.
+    """
+    days = sessions.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col(start_col)),
+                F.date_trunc(
+                    "day",
+                    F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND"),
+                ),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    clipped = days.select(
+        "day",
+        F.greatest(F.col(start_col), F.col("day")).alias("lo"),
+        F.least(
+            F.col(end_col), F.col("day") + F.expr("INTERVAL 1 DAY")
+        ).alias("hi"),
+    )
+    deltas = clipped.select(
+        "day", F.col("lo").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        clipped.select(
+            "day", F.col("hi").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        deltas.withColumn("open", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("open").cast("long").alias("peak"))
+    )
+
+
+def peak_concurrency_sql(sessions_cte: str) -> str:
+    """Oracle twin over a CTE body yielding (session_start, session_end).
+    ``sessions_cte`` must be a complete WITH-able SELECT."""
+    return f"""
+WITH sess AS ({sessions_cte}),
+d AS (
+  SELECT unnest(generate_series(
+           date_trunc('day', session_start),
+           date_trunc('day', session_end - INTERVAL 1 MICROSECOND),
+           INTERVAL 1 DAY)) AS day,
+         session_start, session_end
+  FROM sess
+),
+clipped AS (
+  SELECT day,
+         greatest(session_start, day) AS lo,
+         least(session_end, day + INTERVAL 1 DAY) AS hi
+  FROM d
+),
+deltas AS (
+  SELECT day, lo AS t, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT day, hi AS t, -1 AS delta FROM clipped
+),
+swept AS (
+  SELECT day,
+         sum(delta) OVER (
+           PARTITION BY day ORDER BY t ASC, delta DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS open
+  FROM deltas
+)
+SELECT day, CAST(max(open) AS BIGINT) AS peak FROM swept GROUP BY day
+"""

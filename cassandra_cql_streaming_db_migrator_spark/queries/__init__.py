@@ -209,6 +209,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "triangle_census": {},
     "image_phash": {},
     "stream_topk": {},
+    "session_concurrency": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -243,6 +244,7 @@ DRIVER_BACKLOG: list[str] = [
     "triangle_census",
     "image_phash",
     "stream_topk",
+    "session_concurrency",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -207,6 +207,28 @@ _SESSIONIZE_SQL = sessionize_sql(
 )
 
 
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.events import peak_concurrency
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = sessionize(
+        events, key_col="user_id", ts_col="ts", gap_seconds=600,
+        tiebreak_col="event_id",
+    ).select("session_start", "session_end")
+    return peak_concurrency(sessions)
+
+
+def _session_concurrency_sql() -> str:
+    from ..operators.events import peak_concurrency_sql
+
+    inner = sessionize_sql(
+        "events", "user_id", "ts", 600, tiebreak_col="event_id"
+    ).strip()
+    return peak_concurrency_sql(
+        f"SELECT session_start, session_end FROM ({inner}) s"
+    )
+
+
 def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return funnel(events, "user_id", "ts", "event_type", _FUNNEL_STEPS)
@@ -690,6 +712,11 @@ QUERIES = [
     QueryDef(
         "time_gap_fill", time_gap_fill, _GAP_FILL_SQL,
         "dense per-key time grid with LOCF gap filling (hypertable resample)",
+    ),
+    QueryDef(
+        "session_concurrency", session_concurrency, _session_concurrency_sql(),
+        "per-day peak simultaneous sessions: day-partitioned sweep line "
+        "over clipped session intervals",
     ),
     QueryDef(
         "sessionize_events", sessionize_events, _SESSIONIZE_SQL,

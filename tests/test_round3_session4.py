@@ -213,3 +213,53 @@ class TestImagePhash:
             if bin(hashes[i] ^ hashes[j]).count("1") <= 3
         }
         assert got == want
+
+
+class TestPeakConcurrency:
+    def test_known_intervals_and_midnight_span(self, spark):
+        from datetime import datetime
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.events import (
+            peak_concurrency,
+        )
+
+        D = datetime
+        rows = [
+            # three overlapping in the 10:00 hour on Jan 1 (peak 3)
+            (D(2024, 1, 1, 10, 0), D(2024, 1, 1, 11, 0)),
+            (D(2024, 1, 1, 10, 30), D(2024, 1, 1, 12, 0)),
+            (D(2024, 1, 1, 10, 45), D(2024, 1, 1, 10, 50)),
+            # end-exclusive: starts exactly when the first ends -> with
+            # delta-desc ordering it overlaps the second (still <= 3)
+            (D(2024, 1, 1, 11, 0), D(2024, 1, 1, 11, 5)),
+            # spans midnight: counts on Jan 2 as well (peak 1 there)
+            (D(2024, 1, 1, 23, 30), D(2024, 1, 2, 0, 30)),
+        ]
+        df = spark.createDataFrame(
+            rows, "session_start timestamp, session_end timestamp"
+        )
+        got = {
+            r["day"].strftime("%m-%d"): r["peak"]
+            for r in peak_concurrency(df).collect()
+        }
+        assert got == {"01-01": 3, "01-02": 1}
+
+    def test_boundary_touch_counts_as_overlap(self, spark):
+        from datetime import datetime
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.events import (
+            peak_concurrency,
+        )
+
+        D = datetime
+        # B starts at the exact instant A ends: +1 sorts before -1, so the
+        # sweep sees both open for one instant -> peak 2
+        df = spark.createDataFrame(
+            [
+                (D(2024, 3, 5, 9, 0), D(2024, 3, 5, 10, 0)),
+                (D(2024, 3, 5, 10, 0), D(2024, 3, 5, 11, 0)),
+            ],
+            "session_start timestamp, session_end timestamp",
+        )
+        got = {r["day"].day: r["peak"] for r in peak_concurrency(df).collect()}
+        assert got == {5: 2}

@@ -75,6 +75,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # + the per-image near-count aggregate/rejoin (1); hashing itself is a
     # narrow Arrow kernel
     "image_phash": 3,
+    # semantic floor: per-user sessionize window (1) + the day-partitioned
+    # sweep's shuffle on the day key (1) + session aggregate (1); the
+    # day explode and clipping are narrow
+    "session_concurrency": 3,
     # semantic floor: per-supplier revenue aggregate (1) + the 1-row max
     # aggregate of that view (1) + the supplier join (1; the revenue view
     # is already small — at scale AQE broadcasts it)
