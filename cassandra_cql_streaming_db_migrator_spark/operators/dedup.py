@@ -493,3 +493,90 @@ def canonical_per_component(
             F.col(order_col).cast("bigint").alias("canonical_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join: AllPairs / prefix filtering.
+
+
+def jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard self-join at threshold ``num/den`` via AllPairs
+    prefix filtering — the non-probabilistic sibling of minhash LSH: no
+    candidate that qualifies is ever missed, and every reported pair is
+    verified, so the output is the literal definition.
+
+    The filter: order tokens globally by (document frequency asc, token) —
+    rare first — and index only each set's first ``n - ceil(t·n) + 1``
+    tokens.  If J(a,b) >= t then |a∩b| >= t·max(|a|,|b|), which forces at
+    least one shared token inside both prefixes (the AllPairs lemma), so a
+    hash equi-join on indexed tokens finds every qualifying pair.  The
+    exact |a∩b| verify then rejects the collisions.
+
+    Scale shape: one pass for document frequencies (vocabulary-sized
+    result, broadcast back — for web-scale shingle spaces swap the
+    broadcast for a shuffle join, same semantics), one per-set window to
+    rank tokens, one equi-join on prefix tokens, one distinct, one
+    verify join carrying the token arrays.  Never |L|·|R|; candidate
+    volume is data-dependent (rare-first ordering minimizes it).
+
+    Returns (id_a, id_b, n_inter, n_union, jac_fp) with jac_fp the
+    similarity in parts-per-million (integer floor — exact both engines).
+    """
+    t_num, t_den = threshold_num, threshold_den
+    base = (
+        df.select(F.col(id_col).alias("sid"), F.col(tokens_col).alias("toks"))
+        .where(F.size("toks") > 0)
+        .persist()
+    )
+    tok = base.select("sid", F.size("toks").alias("n"), F.explode("toks").alias("t"))
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("sid").orderBy("df", "t")
+    # prefix bound n - ceil(t*n) + 1 in pure integer arithmetic
+    prefix = (
+        tok.join(F.broadcast(dfreq), "t")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("n") - F.expr(f"({t_num} * n + {t_den - 1}) DIV {t_den}") + 1
+        )
+        .select("sid", "n", "t")
+    )
+    a = prefix.select(F.col("sid").alias("id_a"), F.col("n").alias("na"), "t")
+    b = prefix.select(F.col("sid").alias("id_b"), F.col("n").alias("nb"), "t")
+    # AllPairs length filter: J >= t forces |a∩b| >= t·max and <= min,
+    # so min >= t·max — prune size-mismatched collisions BEFORE the
+    # distinct/verify (the big win on size-diverse corpora)
+    cand = (
+        a.join(b, "t")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (t_den * F.least("na", "nb") >= t_num * F.greatest("na", "nb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("sid").alias("id_a"), F.col("toks").alias("ta"))
+    vb = base.select(F.col("sid").alias("id_b"), F.col("toks").alias("tb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")).cast("long"))
+        .withColumn(
+            "n_union",
+            (F.size("ta") + F.size("tb") - F.col("n_inter")).cast("long"),
+        )
+        .where(t_den * F.col("n_inter") >= t_num * F.col("n_union"))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_union",
+        F.expr("1000000 * n_inter DIV n_union").alias("jac_fp"),
+    )

@@ -210,6 +210,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "image_phash": {},
     "stream_topk": {},
     "session_concurrency": {},
+    "jaccard_pairs": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -245,6 +246,7 @@ DRIVER_BACKLOG: list[str] = [
     "image_phash",
     "stream_topk",
     "session_concurrency",
+    "jaccard_pairs",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -868,6 +868,51 @@ def embedding_scatter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_scatter(emb, n_dims=16)
 
 
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.9 self-join on word-bigram shingle sets via
+    AllPairs prefix filtering (operators.dedup.jaccard_join).  The oracle
+    is the quadratic definition, so a driver pass proves the prefix filter
+    admits no misses on real data."""
+    from ..operators.dedup import jaccard_join
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("w"),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(slice(w, 1, greatest(size(w) - 1, 0)), "
+            "(x, i) -> concat(x, ' ', element_at(w, i + 2))))"
+        ).alias("grams"),
+    )
+    return jaccard_join(grams, "doc_id", "grams", threshold_num=9, threshold_den=10)
+
+
+_JACCARD_PAIRS_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+         )) AS g
+  FROM documents
+),
+s2 AS (SELECT * FROM s WHERE len(g) > 0),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.g, b.g)) AS i,
+         len(a.g) + len(b.g) AS ss
+  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(i AS BIGINT) AS n_inter,
+       CAST(ss - i AS BIGINT) AS n_union,
+       1000000 * CAST(i AS BIGINT) // CAST(ss - i AS BIGINT) AS jac_fp
+FROM p
+WHERE 10 * i >= 9 * (ss - i)
+"""
+
+
 def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup: average-hash every (even-id, real PGM)
     payload, find Hamming<=3 near-duplicate pairs via banded LSH, report
@@ -1256,6 +1301,9 @@ QUERIES = [
     QueryDef("trigram_lm", trigram_lm, _TRIGRAM_LM_SQL,
              "corpus-trained char-trigram LM fluency score per doc "
              "(mean conditional probability)"),
+    QueryDef("jaccard_pairs", jaccard_pairs, _JACCARD_PAIRS_SQL,
+             "exact Jaccard set-similarity self-join via AllPairs prefix "
+             "filtering (quadratic-definition oracle)"),
     QueryDef("image_phash", image_phash, _IMAGE_PHASH_SQL,
              "perceptual average-hash image dedup: banded Hamming LSH "
              "pairs, quadratic-definition oracle"),

@@ -263,3 +263,58 @@ class TestPeakConcurrency:
         )
         got = {r["day"].day: r["peak"] for r in peak_concurrency(df).collect()}
         assert got == {5: 2}
+
+
+class TestJaccardJoin:
+    def test_complete_vs_brute_force(self, spark):
+        import random
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+            jaccard_join,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(50)]
+        rows = []
+        for i in range(120):
+            size = rng.randint(3, 20)
+            rows.append((i, sorted(rng.sample(vocab, size))))
+        # plant near-duplicates with one token swapped / dropped
+        for k in range(25):
+            base = list(rows[k][1])
+            if len(base) > 4:
+                base.pop(rng.randrange(len(base)))
+            rows.append((1000 + k, base))
+        df = spark.createDataFrame(rows, "sid long, toks array<string>")
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"], r["jac_fp"])
+            for r in jaccard_join(df, "sid", "toks", 3, 5).collect()
+        }
+        sets = {i: frozenset(t) for i, t in rows}
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a >= b:
+                    continue
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and 5 * inter >= 3 * union:
+                    want[(a, b)] = (inter, union, 1_000_000 * inter // union)
+        assert got == want
+        assert len(want) >= 25  # the planted near-dups all qualify
+
+    def test_identical_and_empty_sets(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+            jaccard_join,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b"]), (2, ["a", "b"]), (3, []), (4, ["z"])],
+            "sid long, toks array<string>",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["jac_fp"]
+            for r in jaccard_join(df, "sid", "toks").collect()
+        }
+        # identical pair at exactly 1.0; empty set excluded; singleton alone
+        assert got == {(1, 2): 1_000_000}

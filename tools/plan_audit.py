@@ -79,6 +79,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # sweep's shuffle on the day key (1) + session aggregate (1); the
     # day explode and clipping are narrow
     "session_concurrency": 3,
+    # semantic floor: token df aggregate (1) + per-set prefix-rank window
+    # (1) + prefix-token candidate join (1) + candidate distinct (1);
+    # the verify join rides the candidates' partitioning
+    "jaccard_pairs": 5,
     # semantic floor: per-supplier revenue aggregate (1) + the 1-row max
     # aggregate of that view (1) + the supplier join (1; the revenue view
     # is already small — at scale AQE broadcasts it)
