@@ -211,6 +211,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_topk": {},
     "session_concurrency": {},
     "jaccard_pairs": {},
+    "sliding_distinct": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -247,6 +248,7 @@ DRIVER_BACKLOG: list[str] = [
     "stream_topk",
     "session_concurrency",
     "jaccard_pairs",
+    "sliding_distinct",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -511,6 +511,44 @@ FROM orders GROUP BY o_orderstatus
 # the batch form of a continuous aggregate / materialized rollup.
 
 
+# ---------------------------------------------------------------------------
+# Batch sliding windows via F.window(slide): each event lands in the 6
+# hour-aligned windows covering it (Spark explodes window copies inside the
+# Expand operator, then one hash aggregate).  countDistinct inside
+# overlapping windows is the exact form of the streaming sliding sketch
+# (stream_kmv approximates the same shape with O(k) state).
+
+
+def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "6 hours", "1 hour")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_users", "n_events"
+        )
+    )
+
+
+_SLIDING_DISTINCT_SQL = """
+WITH w AS (
+  SELECT user_id,
+         unnest(generate_series(date_trunc('hour', ts) - INTERVAL 5 HOUR,
+                                date_trunc('hour', ts),
+                                INTERVAL 1 HOUR)) AS window_start
+  FROM events
+)
+SELECT window_start,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM w GROUP BY window_start
+"""
+
+
 def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     bucketed = events.select(
@@ -1184,6 +1222,9 @@ QUERIES = [
              "O7: analytic lag/lead offsets"),
     QueryDef("window_analytics", window_analytics, _WINDOW_ANALYTICS_SQL,
              "O7: ntile/percent_rank/cume_dist/rank family"),
+    QueryDef("sliding_distinct", sliding_distinct, _SLIDING_DISTINCT_SQL,
+             "A4/T8: batch sliding windows (F.window with slide) + exact "
+             "distinct per overlapping window"),
     QueryDef("time_bucket_rollup", time_bucket_rollup, _TIME_ROLLUP_SQL,
              "A4/T8: multi-granularity time-bucket rollup"),
     QueryDef("agg_pivot", agg_pivot, _AGG_PIVOT_SQL,
