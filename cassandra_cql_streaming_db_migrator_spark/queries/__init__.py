@@ -212,6 +212,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "session_concurrency": {},
     "jaccard_pairs": {},
     "sliding_distinct": {},
+    "null_semantics": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -249,6 +250,7 @@ DRIVER_BACKLOG: list[str] = [
     "session_concurrency",
     "jaccard_pairs",
     "sliding_distinct",
+    "null_semantics",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -512,6 +512,53 @@ FROM orders GROUP BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# NULL-semantics exercise: deterministic NULL injection, then every
+# NULL-sensitive aggregate shape in one pass — count(*) vs count(col),
+# explicit null census, sum/min/max/bool_or skipping NULLs, and the NULL
+# group key forming its own group.  Engines disagree on these silently
+# (that's why the registry's oracle rules exist); this query pins them.
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.expr("nullif(CAST(o_custkey % 7 AS INT), 0)").alias("k"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ).alias("v"),
+    )
+    return base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_vals"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.round(F.sum(F.col("v").cast("decimal(28,10)")), 2)
+        .cast("double")
+        .alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.bool_or(F.col("v") > 5000.0).alias("any_over_5k"),
+    )
+
+
+_NULL_SEMANTICS_SQL = """
+WITH base AS (
+  SELECT nullif(CAST(o_custkey % 7 AS INTEGER), 0) AS k,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v
+  FROM orders
+)
+SELECT k,
+       count(*) AS n_rows,
+       count(v) AS n_vals,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(round(sum(CAST(v AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_v,
+       min(v) AS min_v,
+       max(v) AS max_v,
+       bool_or(v > 5000.0) AS any_over_5k
+FROM base GROUP BY k
+"""
+
+
+# ---------------------------------------------------------------------------
 # Batch sliding windows via F.window(slide): each event lands in the 6
 # hour-aligned windows covering it (Spark explodes window copies inside the
 # Expand operator, then one hash aggregate).  countDistinct inside
@@ -1222,6 +1269,9 @@ QUERIES = [
              "O7: analytic lag/lead offsets"),
     QueryDef("window_analytics", window_analytics, _WINDOW_ANALYTICS_SQL,
              "O7: ntile/percent_rank/cume_dist/rank family"),
+    QueryDef("null_semantics", null_semantics, _NULL_SEMANTICS_SQL,
+             "A4: three-valued-logic pinning — NULL group key, count(*) "
+             "vs count(col), NULL-skipping aggregates"),
     QueryDef("sliding_distinct", sliding_distinct, _SLIDING_DISTINCT_SQL,
              "A4/T8: batch sliding windows (F.window with slide) + exact "
              "distinct per overlapping window"),
