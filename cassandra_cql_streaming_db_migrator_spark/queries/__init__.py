@@ -213,6 +213,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "jaccard_pairs": {},
     "sliding_distinct": {},
     "null_semantics": {},
+    "bpe_merges": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -251,6 +252,7 @@ DRIVER_BACKLOG: list[str] = [
     "jaccard_pairs",
     "sliding_distinct",
     "null_semantics",
+    "bpe_merges",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -868,6 +868,18 @@ def embedding_scatter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_scatter(emb, n_dims=16)
 
 
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators.bpe): 20 merges learned from the
+    corpus word census.  Genuinely iterative (each round's pair counts
+    depend on the previous merge), so no SQL oracle exists — the driver
+    records the rows-only check; pytest pins the merge table against an
+    independent pure-Python BPE reference."""
+    from ..operators.bpe import bpe_train_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_df(docs, n_merges=20)
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 0.9 self-join on word-bigram shingle sets via
     AllPairs prefix filtering (operators.dedup.jaccard_join).  The oracle
@@ -1301,6 +1313,9 @@ QUERIES = [
     QueryDef("trigram_lm", trigram_lm, _TRIGRAM_LM_SQL,
              "corpus-trained char-trigram LM fluency score per doc "
              "(mean conditional probability)"),
+    QueryDef("bpe_merges", bpe_merges, None,
+             "BPE tokenizer training on the word census (iterative merge "
+             "rounds; rows-only driver check, pytest-pinned vs reference)"),
     QueryDef("jaccard_pairs", jaccard_pairs, _JACCARD_PAIRS_SQL,
              "exact Jaccard set-similarity self-join via AllPairs prefix "
              "filtering (quadratic-definition oracle)"),

@@ -318,3 +318,101 @@ class TestJaccardJoin:
         }
         # identical pair at exactly 1.0; empty set excluded; singleton alone
         assert got == {(1, 2): 1_000_000}
+
+
+def _ref_bpe(word_counts, n_merges, min_count=2):
+    """Independent pure-Python BPE (Sennrich-style) for pinning."""
+    words = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = {}
+        for syms, n in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((rank, l, r, cnt))
+        new = {}
+        for syms, n in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new[tuple(res)] = new.get(tuple(res), 0) + n
+        words = new
+    return merges
+
+
+class TestBpeTrain:
+    def test_matches_reference_on_classic_corpus(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        census = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        df = spark.createDataFrame(list(census.items()), "word string, n long")
+        got = bpe_train(df, n_merges=8)
+        assert got == _ref_bpe(census, 8)
+        # the classic first merges: 'es' (9), then 'est' (9)
+        assert got[0][1:3] == ("e", "s") and got[1][1:3] == ("es", "t")
+
+    def test_matches_reference_on_fixture_corpus(self, spark):
+        import duckdb
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.bpe import (
+            bpe_train,
+            word_census,
+        )
+        from cassandra_cql_streaming_db_migrator_spark.sources.parquet import (
+            load_table,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        got = bpe_train(word_census(docs), n_merges=12)
+        ref_counts = dict(
+            duckdb.sql(
+                "SELECT word, count(*) FROM (SELECT unnest(string_split(text, ' ')) AS word "
+                "FROM '/root/testdata/sf0.001/documents.parquet') w "
+                "WHERE word <> '' GROUP BY word"
+            ).fetchall()
+        )
+        assert got == _ref_bpe(ref_counts, 12)
+        assert len(got) == 12
+
+    def test_encode_census_compresses(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.bpe import (
+            bpe_encode_census,
+            bpe_train,
+        )
+
+        census = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        df = spark.createDataFrame(list(census.items()), "word string, n long")
+        merges = bpe_train(df, n_merges=8)
+        enc = {
+            r["word"]: (list(r["tokens"]), r["n_tokens"])
+            for r in bpe_encode_census(df, merges).collect()
+        }
+        # every word round-trips (concat of tokens == word) and compresses
+        for w, (toks, nt) in enc.items():
+            assert "".join(toks) == w
+            assert nt == len(toks) <= len(w)
+        assert enc["newest"][1] < len("newest")  # actual compression
+
+    def test_distributed_path_equals_local_path(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.bpe import (
+            bpe_train,
+        )
+
+        census = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "wide": 1}
+        df = spark.createDataFrame(list(census.items()), "word string, n long")
+        local = bpe_train(df, n_merges=6)  # census below threshold
+        dist = bpe_train(df, n_merges=6, local_threshold=0)  # force rounds
+        assert local == dist == _ref_bpe(census, 6)
