@@ -151,64 +151,67 @@ def _lloyd_cte_parts(
     iterations: int,
     vec_col: str,
     id_col: str,
+    prefix: str = "",
 ) -> list[str]:
-    """The Lloyd rounds unrolled as DuckDB CTEs, ending with ``af_``
+    """The Lloyd rounds unrolled as DuckDB CTEs, ending with ``{prefix}af_``
     (vid, cid, d) — the final assignment.  Shared by the stats oracle
-    (kmeans_lloyd_sql) and the semdedup oracle."""
+    (kmeans_lloyd_sql), the semdedup oracle, and — instantiated once per
+    subspace via ``prefix`` — the product-quantization oracle."""
+    p = prefix
     parts = [
-        f"""v AS (
+        f"""{p}v AS (
   SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS e
   FROM {table}
   WHERE {vec_col} IS NOT NULL AND len({vec_col}) > 0
 ),
-c0 AS (
+{p}c0 AS (
   SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid, e AS c
-  FROM (SELECT {id_col}, e FROM v ORDER BY {id_col} LIMIT {k})
+  FROM (SELECT {id_col}, e FROM {p}v ORDER BY {id_col} LIMIT {k})
 )"""
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for it in range(1, iterations + 1):
         parts.append(
-            f"""d{it} AS (
+            f"""{p}d{it} AS (
   SELECT v.{id_col} AS vid, v.e, p.cid,
          list_sum(list_transform(generate_series(1, len(v.e)),
                   i -> (v.e[i] - p.c[i]) * (v.e[i] - p.c[i]))) AS d
-  FROM v, {prev} p
+  FROM {p}v v, {prev} p
 ),
-a{it} AS (
+{p}a{it} AS (
   SELECT vid, e, cid
   FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
-        FROM d{it})
+        FROM {p}d{it})
   WHERE rn = 1
 ),
-m{it} AS (
-  SELECT cid, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM a{it}
+{p}m{it} AS (
+  SELECT cid, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM {p}a{it}
 ),
-s{it} AS (
+{p}s{it} AS (
   SELECT cid, dim,
          CAST(sum(CAST(floor(val * 1e10 + 0.5) AS HUGEINT)) AS DOUBLE)
            / count(*) / 1e10 AS cv
-  FROM m{it} GROUP BY cid, dim
+  FROM {p}m{it} GROUP BY cid, dim
 ),
-c{it} AS (
+{p}c{it} AS (
   SELECT p.cid, coalesce(n.c, p.c) AS c
   FROM {prev} p LEFT JOIN
-       (SELECT cid, list(cv ORDER BY dim) AS c FROM s{it} GROUP BY cid) n
+       (SELECT cid, list(cv ORDER BY dim) AS c FROM {p}s{it} GROUP BY cid) n
     ON p.cid = n.cid
 )"""
         )
-        prev = f"c{it}"
+        prev = f"{p}c{it}"
     parts.append(
-        f"""df_ AS (
+        f"""{p}df_ AS (
   SELECT v.{id_col} AS vid, p.cid,
          list_sum(list_transform(generate_series(1, len(v.e)),
                   i -> (v.e[i] - p.c[i]) * (v.e[i] - p.c[i]))) AS d
-  FROM v, {prev} p
+  FROM {p}v v, {prev} p
 ),
-af_ AS (
+{p}af_ AS (
   SELECT vid, cid, d
   FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
-        FROM df_)
+        FROM {p}df_)
   WHERE rn = 1
 )"""
     )
@@ -452,3 +455,194 @@ s AS (SELECT count(*) AS n, {sums}, {prods} FROM q)
 SELECT i, j, n, sx, sy, sxy, n * sxy - sx * sy AS scatter
 FROM ({rows}) pairs
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace codebooks + packed codes.
+# ---------------------------------------------------------------------------
+#
+# PQ (Jégou et al. 2011, public) — the compression layer of large-scale
+# ANN: split each vector into m subspaces, k-means each subspace
+# independently, store each vector as m small code ids.  Here the
+# codebooks come from the SAME deterministic Lloyd loop as
+# kmeans_embeddings (bit-identical across engines), so even the trained
+# quantizer is SQL-oracle-checkable — the oracle instantiates the Lloyd
+# CTE chain once per subspace via the ``prefix`` parameter.
+#
+# Scale: m Lloyd loops over dim/m-wide slices (each 1 shuffle/round,
+# driver holds m * k x dim/m centroid doubles), then ONE assignment pass
+# computing all m codes + reconstruction error per vector, one hash
+# aggregate for the code census.  Codes compress dim*4 bytes to
+# m*log2(k) bits — the 100 TB lever is doing ANN over codes (table
+# lookups) instead of raw vectors.
+
+
+def pq_code_census(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """Train per-subspace codebooks, assign packed codes, return the code
+    census: (code, n_vecs, err) with err the quantized reconstruction
+    error sum (same 1e-6 fixed point as kmeans inertia)."""
+    valid = df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= m * sub_dim)
+    ).select(
+        id_col,
+        *[
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(f"__sub{s}")
+            for s in range(m)
+        ],
+    )
+
+    # seed all m codebooks from ONE pass (first k valid vectors by id,
+    # sliced per subspace — identical to running Lloyd per subspace)
+    seed_rows = (
+        valid.orderBy(id_col)
+        .limit(k)
+        .select(
+            *[
+                F.transform(
+                    F.col(f"__sub{s}"), lambda x: x.cast("double")
+                ).alias(f"__sub{s}")
+                for s in range(m)
+            ]
+        )
+        .collect()
+    )
+    cents = [[list(r[f"__sub{s}"]) for r in seed_rows] for s in range(m)]
+    kk = len(seed_rows)
+
+    def with_assignments(frame):
+        for s in range(m):
+            c_lit = F.lit(cents[s]).cast("array<array<double>>")
+            vec = F.transform(F.col(f"__sub{s}"), lambda x: x.cast("double"))
+            dists = F.transform(c_lit, lambda c: _sq_dist(vec, c))
+            frame = frame.withColumn(f"__d{s}", dists).withColumn(
+                f"__cid{s}",
+                (
+                    F.array_position(
+                        F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
+                    )
+                    - 1
+                ).cast("int"),
+            )
+        return frame
+
+    # each iteration: ALL m subspace updates in ONE job — assignments are
+    # per-row expressions, the flattened posexplode keys every element by
+    # (subspace, its cid, sub-position), and a single hash aggregate
+    # yields every codebook's quantized means (m*k*sub_dim rows collect —
+    # metadata scale, the Lloyd barrier)
+    cid_array = F.array(*[F.col(f"__cid{s}") for s in range(m)])
+    for _ in range(iterations):
+        flat = (
+            with_assignments(valid)
+            .select(
+                cid_array.alias("__cids"),
+                F.posexplode(
+                    F.flatten(
+                        F.array(*[F.col(f"__sub{s}") for s in range(m)])
+                    )
+                ).alias("__pos", "__val"),
+            )
+            .select(
+                F.expr(f"CAST(__pos DIV {sub_dim} AS INT)").alias("__s"),
+                F.expr(
+                    f"element_at(__cids, CAST(__pos DIV {sub_dim} AS INT) + 1)"
+                ).alias("__cid"),
+                (F.col("__pos") % sub_dim).cast("int").alias("__sp"),
+                "__val",
+            )
+            .groupBy("__s", "__cid", "__sp")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("__val").cast("double") * F.lit(Q) + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).alias("__sum"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in flat.collect():
+            new.setdefault((r["__s"], r["__cid"]), {})[r["__sp"]] = (
+                float(r["__sum"]) / r["__n"] / Q
+            )
+        for s in range(m):
+            for c in range(kk):
+                if (s, c) in new:
+                    cents[s][c] = [new[(s, c)][i] for i in range(sub_dim)]
+
+    final = with_assignments(valid)
+    code_expr = F.lit(0).cast("long")
+    err_expr = F.lit(0.0)
+    for s in range(m):
+        code_expr = code_expr + F.col(f"__cid{s}").cast("long") * F.lit(
+            k**s
+        ).cast("long")
+        err_expr = err_expr + F.element_at(
+            F.col(f"__d{s}"), F.col(f"__cid{s}") + 1
+        )
+    coded = final.select(code_expr.alias("code"), err_expr.alias("__tot"))
+    return coded.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(
+                F.floor(F.col("__tot") * F.lit(QI) + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.lit(QI),
+            4,
+        ).alias("err"),
+    )
+
+
+def pq_code_census_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> str:
+    """Oracle twin: one prefixed Lloyd CTE chain per subspace, joined on
+    the vector id; identical packing and fixed-point error census."""
+    guarded = (
+        f"(SELECT * FROM {table} WHERE {vec_col} IS NOT NULL "
+        f"AND len({vec_col}) >= {m * sub_dim})"
+    )
+    parts: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.extend(
+            _lloyd_cte_parts(
+                guarded,
+                k,
+                iterations,
+                f"{vec_col}[{lo}:{hi}]",
+                id_col,
+                prefix=f"q{s}",
+            )
+        )
+    joins = " ".join(
+        f"JOIN q{s}af_ q{s} ON q{s}.vid = q0.vid" for s in range(1, m)
+    )
+    code = " + ".join(f"CAST(q{s}.cid AS BIGINT) * {k**s}" for s in range(m))
+    tot = " + ".join(f"q{s}.d" for s in range(m))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT {code} AS code, count(*) AS n_vecs,
+       round(CAST(sum(CAST(floor(({tot}) * 1000000.0 + 0.5) AS HUGEINT))
+                  AS DOUBLE) / 1000000.0, 4) AS err
+FROM q0af_ q0 {joins}
+GROUP BY 1"""
+    )

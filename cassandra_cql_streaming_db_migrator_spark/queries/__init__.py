@@ -214,6 +214,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "sliding_distinct": {},
     "null_semantics": {},
     "bpe_merges": {},
+    "pq_codes": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -253,6 +254,7 @@ DRIVER_BACKLOG: list[str] = [
     "sliding_distinct",
     "null_semantics",
     "bpe_merges",
+    "pq_codes",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -39,7 +39,12 @@ from ..operators.similarity import (
     label_centroid_stats,
     lsh_ann_topk,
 )
-from ..operators.clustering import embedding_scatter, embedding_scatter_sql
+from ..operators.clustering import (
+    embedding_scatter,
+    embedding_scatter_sql,
+    pq_code_census,
+    pq_code_census_sql,
+)
 from ..operators.textops import (
     BPE_TOKEN_PATTERN,
     EN_STOPWORDS,
@@ -868,6 +873,17 @@ def embedding_scatter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_scatter(emb, n_dims=16)
 
 
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 4 subspaces x 16 dims, 4-centroid codebooks
+    from the deterministic Lloyd loop, packed codes + reconstruction-error
+    census — even the trained quantizer is hash-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_code_census(emb)
+
+
+_PQ_CODES_SQL = pq_code_census_sql()
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators.bpe): 20 merges learned from the
     corpus word census.  Genuinely iterative (each round's pair counts
@@ -1313,6 +1329,9 @@ QUERIES = [
     QueryDef("trigram_lm", trigram_lm, _TRIGRAM_LM_SQL,
              "corpus-trained char-trigram LM fluency score per doc "
              "(mean conditional probability)"),
+    QueryDef("pq_codes", pq_codes, _PQ_CODES_SQL,
+             "product quantization: per-subspace Lloyd codebooks, packed "
+             "codes + reconstruction-error census"),
     QueryDef("bpe_merges", bpe_merges, None,
              "BPE tokenizer training on the word census (iterative merge "
              "rounds; rows-only driver check, pytest-pinned vs reference)"),

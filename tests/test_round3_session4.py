@@ -416,3 +416,69 @@ class TestBpeTrain:
         local = bpe_train(df, n_merges=6)  # census below threshold
         dist = bpe_train(df, n_merges=6, local_threshold=0)  # force rounds
         assert local == dist == _ref_bpe(census, 6)
+
+
+class TestProductQuantization:
+    def test_matches_independent_numpy_lloyd(self, spark):
+        import numpy as np
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.clustering import (
+            pq_code_census,
+        )
+
+        rng = np.random.default_rng(3)
+        vecs = (rng.standard_normal((90, 8)) * 0.4).astype(np.float32)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["code"]: (r["n_vecs"], r["err"])
+            for r in pq_code_census(
+                df, m=2, k=3, sub_dim=4, iterations=2
+            ).collect()
+        }
+
+        # independent reference with the engine's exact rules: seed = first
+        # k vectors by id, sequential-fold distances, argmin ties -> lowest
+        # cid, quantized-integer means
+        def lloyd(x, k, iters):
+            cents = [x[i].astype(np.float64) for i in range(k)]
+            for _ in range(iters):
+                d = np.array(
+                    [[sum((row - c) ** 2) for c in cents] for row in x.astype(np.float64)]
+                )
+                cid = d.argmin(axis=1)
+                for c in range(k):
+                    sel = x[cid == c].astype(np.float64)
+                    if len(sel):
+                        q = np.floor(sel * 1e10 + 0.5).sum(axis=0)
+                        cents[c] = q / len(sel) / 1e10
+            d = np.array(
+                [[sum((row - c) ** 2) for c in cents] for row in x.astype(np.float64)]
+            )
+            return d.argmin(axis=1), d.min(axis=1)
+
+        c0, e0 = lloyd(vecs[:, :4], 3, 2)
+        c1, e1 = lloyd(vecs[:, 4:], 3, 2)
+        codes = c0 + 3 * c1
+        want = {}
+        for code in set(codes):
+            sel = codes == code
+            tot = e0[sel] + e1[sel]
+            err = round(float(np.floor(tot * 1e6 + 0.5).sum() / 1e6), 4)
+            want[int(code)] = (int(sel.sum()), err)
+        assert got == want
+
+    def test_census_conserves_vectors(self, spark):
+        import numpy as np
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.clustering import (
+            pq_code_census,
+        )
+
+        rng = np.random.default_rng(9)
+        vecs = (rng.standard_normal((64, 64)) * 0.3).astype(np.float32)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = pq_code_census(df).collect()
+        assert sum(r["n_vecs"] for r in out) == 64
+        assert all(0 <= r["code"] < 4**4 for r in out)
