@@ -477,7 +477,7 @@ FROM ({rows}) pairs
 # lookups) instead of raw vectors.
 
 
-def pq_code_census(
+def pq_train_assign(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -485,10 +485,12 @@ def pq_code_census(
     k: int = 4,
     sub_dim: int = 16,
     iterations: int = 2,
-) -> DataFrame:
-    """Train per-subspace codebooks, assign packed codes, return the code
-    census: (code, n_vecs, err) with err the quantized reconstruction
-    error sum (same 1e-6 fixed point as kmeans inertia)."""
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Train the m per-subspace codebooks and assign: returns (frame,
+    cents) where frame carries ``id_col`` plus per-subspace ``__cid{s}``
+    (code) and ``__d{s}`` (distance array) columns, and ``cents[s]`` is
+    the k x sub_dim codebook — the shared core of the census and the ADC
+    search."""
     valid = df.where(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= m * sub_dim)
     ).select(
@@ -578,7 +580,24 @@ def pq_code_census(
                 if (s, c) in new:
                     cents[s][c] = [new[(s, c)][i] for i in range(sub_dim)]
 
-    final = with_assignments(valid)
+    return with_assignments(valid), cents
+
+
+def pq_code_census(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """Train per-subspace codebooks, assign packed codes, return the code
+    census: (code, n_vecs, err) with err the quantized reconstruction
+    error sum (same 1e-6 fixed point as kmeans inertia)."""
+    final, _cents = pq_train_assign(
+        df, vec_col, id_col, m, k, sub_dim, iterations
+    )
     code_expr = F.lit(0).cast("long")
     err_expr = F.lit(0.0)
     for s in range(m):
@@ -645,4 +664,127 @@ SELECT {code} AS code, count(*) AS n_vecs,
                   AS DOUBLE) / 1000000.0, 4) AS err
 FROM q0af_ q0 {joins}
 GROUP BY 1"""
+    )
+
+
+def pq_ann_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: approximate neighbors of the
+    ``query_id`` vector scored from CODES ONLY.  The query's distance to
+    each of the m*k centroids is precomputed into lookup tables (driver-
+    side, m*k doubles — the tables ARE the query plan), and each database
+    vector's score is m table lookups summed — no per-row vector math at
+    all.  This is the 100 TB read path PQ buys: the corpus is scanned as
+    small integer codes, the float work is O(m*k) once per query.
+
+    Distances use the same sequential fold as every similarity oracle, so
+    the approximate result is still bit-checkable.  Returns
+    (vec_id, adc_dist) ordered (dist, id), top ``topk``.
+    """
+    frame, cents = pq_train_assign(
+        df, vec_col, id_col, m, k, sub_dim, iterations
+    )
+    qrow = (
+        df.where(F.col(id_col) == query_id)
+        .select(
+            *[
+                F.transform(
+                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
+                    lambda x: x.cast("double"),
+                ).alias(f"q{s}")
+                for s in range(m)
+            ]
+        )
+        .collect()[0]
+    )
+    luts = []
+    for s in range(m):
+        q = list(qrow[f"q{s}"])
+        lut = []
+        for c in cents[s]:
+            acc = 0.0
+            for a, b in zip(q, c):  # sequential fold, oracle-identical
+                acc = acc + (a - b) * (a - b)
+            lut.append(acc)
+        luts.append(lut)
+    dist = F.lit(0.0)
+    for s in range(m):
+        dist = dist + F.element_at(
+            F.lit(luts[s]).cast("array<double>"), F.col(f"__cid{s}") + 1
+        )
+    return (
+        frame.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )
+
+
+def pq_ann_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> str:
+    """Oracle twin: per-subspace prefixed Lloyd chains give codes AND
+    final centroids; the ADC score is the query-slice-to-centroid fold
+    summed across subspaces."""
+    guarded = (
+        f"(SELECT * FROM {table} WHERE {vec_col} IS NOT NULL "
+        f"AND len({vec_col}) >= {m * sub_dim})"
+    )
+    parts: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.extend(
+            _lloyd_cte_parts(
+                guarded,
+                k,
+                iterations,
+                f"{vec_col}[{lo}:{hi}]",
+                id_col,
+                prefix=f"q{s}",
+            )
+        )
+    qsubs = ", ".join(
+        f"list_transform({vec_col}[{s * sub_dim + 1}:{(s + 1) * sub_dim}], "
+        f"x -> CAST(x AS DOUBLE)) AS qs{s}"
+        for s in range(m)
+    )
+    parts.append(
+        f"qv AS (SELECT {qsubs} FROM {table} WHERE {id_col} = {query_id})"
+    )
+    joins = " ".join(
+        f"JOIN q{s}af_ q{s} ON q{s}.vid = q0.vid" for s in range(1, m)
+    )
+    cjoins = " ".join(
+        f"JOIN q{s}c{iterations} cc{s} ON cc{s}.cid = q{s}.cid"
+        for s in range(m)
+    )
+    dist = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+        f"i -> (qv.qs{s}[i] - cc{s}.c[i]) * (qv.qs{s}[i] - cc{s}.c[i])))"
+        for s in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT q0.vid AS {id_col}, {dist} AS adc_dist
+FROM q0af_ q0 {joins} {cjoins} CROSS JOIN qv
+ORDER BY adc_dist, q0.vid
+LIMIT {topk}"""
     )

@@ -215,6 +215,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "null_semantics": {},
     "bpe_merges": {},
     "pq_codes": {},
+    "pq_ann": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -255,6 +256,7 @@ DRIVER_BACKLOG: list[str] = [
     "null_semantics",
     "bpe_merges",
     "pq_codes",
+    "pq_ann",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

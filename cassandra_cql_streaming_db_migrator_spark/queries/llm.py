@@ -42,6 +42,8 @@ from ..operators.similarity import (
 from ..operators.clustering import (
     embedding_scatter,
     embedding_scatter_sql,
+    pq_ann_topk,
+    pq_ann_topk_sql,
     pq_code_census,
     pq_code_census_sql,
 )
@@ -884,6 +886,16 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_CODES_SQL = pq_code_census_sql()
 
 
+def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ANN: top-10 neighbors of vector 0 scored
+    from codes via m*k lookup tables — zero per-row vector math."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ann_topk(emb, query_id=0, topk=10)
+
+
+_PQ_ANN_SQL = pq_ann_topk_sql(query_id=0, topk=10)
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators.bpe): 20 merges learned from the
     corpus word census.  Genuinely iterative (each round's pair counts
@@ -1329,6 +1341,9 @@ QUERIES = [
     QueryDef("trigram_lm", trigram_lm, _TRIGRAM_LM_SQL,
              "corpus-trained char-trigram LM fluency score per doc "
              "(mean conditional probability)"),
+    QueryDef("pq_ann", pq_ann, _PQ_ANN_SQL,
+             "PQ asymmetric-distance ANN top-k: codes + lookup tables, "
+             "no per-row vector math"),
     QueryDef("pq_codes", pq_codes, _PQ_CODES_SQL,
              "product quantization: per-subspace Lloyd codebooks, packed "
              "codes + reconstruction-error census"),

@@ -482,3 +482,48 @@ class TestProductQuantization:
         out = pq_code_census(df).collect()
         assert sum(r["n_vecs"] for r in out) == 64
         assert all(0 <= r["code"] < 4**4 for r in out)
+
+    def test_adc_topk_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.clustering import (
+            pq_ann_topk,
+        )
+
+        rng = np.random.default_rng(4)
+        vecs = (rng.standard_normal((80, 8)) * 0.4).astype(np.float32)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = [
+            (r["vec_id"], r["adc_dist"])
+            for r in pq_ann_topk(
+                df, query_id=5, topk=8, m=2, k=3, sub_dim=4, iterations=2
+            ).collect()
+        ]
+
+        def lloyd(x, k, iters):
+            cents = [x[i].astype(np.float64) for i in range(k)]
+            for _ in range(iters):
+                d = np.array(
+                    [[sum((row - c) ** 2) for c in cents] for row in x.astype(np.float64)]
+                )
+                cid = d.argmin(axis=1)
+                for c in range(k):
+                    sel = x[cid == c].astype(np.float64)
+                    if len(sel):
+                        cents[c] = np.floor(sel * 1e10 + 0.5).sum(axis=0) / len(sel) / 1e10
+            d = np.array(
+                [[sum((row - c) ** 2) for c in cents] for row in x.astype(np.float64)]
+            )
+            return d.argmin(axis=1), cents
+
+        c0, cent0 = lloyd(vecs[:, :4], 3, 2)
+        c1, cent1 = lloyd(vecs[:, 4:], 3, 2)
+        q = vecs[5].astype(np.float64)
+        lut0 = [sum((q[:4] - c) ** 2) for c in cent0]
+        lut1 = [sum((q[4:] - c) ** 2) for c in cent1]
+        dists = [(lut0[c0[i]] + lut1[c1[i]], i) for i in range(80)]
+        want = [(i, d) for d, i in sorted(dists)[:8]]
+        assert [i for i, _ in got] == [i for i, _ in want]
+        for (gi, gd), (wi, wd) in zip(got, want):
+            assert abs(gd - wd) < 1e-12
