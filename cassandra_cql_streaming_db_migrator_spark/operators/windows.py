@@ -55,3 +55,77 @@ def lag_lead(
     return df.withColumn(f"{col}_lag", F.lag(col, offsets[0]).over(w)).withColumn(
         f"{col}_lead", F.lead(col, offsets[1]).over(w)
     )
+
+
+def skyline_2d(
+    stats: DataFrame,
+    price_col: str = "price",
+    qty_col: str = "qty",
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): points minimizing ``price_col``
+    while maximizing ``qty_col``; a point survives iff no other point is
+    at-least-as-good in both dimensions and strictly better in one.
+
+    The classic distributed skyline, two phases: each partition computes
+    its LOCAL frontier in a narrow Arrow kernel (a locally-dominated
+    point is globally dominated, so pruning is safe; frontier size is
+    bounded by the partition's distinct qty levels, typically tiny), and
+    the union of local frontiers — candidates, not the corpus — flows
+    into the level algorithm: per-qty min price, suffix minima over the
+    qty-DESC-ordered level table (single partition, but candidate-sized:
+    metadata scale, the same contract as the centroid/offset tables).  A
+    level is on the frontier iff its min price is strictly below every
+    higher level's (``mq < M_excl``).  Survivor points broadcast back
+    onto the full input to restore multiplicity.
+
+    Returns (qty, price, n_points): frontier levels with multiplicity —
+    coincident points do not dominate each other and all survive.
+    """
+    import pandas as pd
+
+    def local_frontier(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            q = pdf[qty_col].to_numpy()
+            p = pdf[price_col].to_numpy()
+            # qty DESC, price ASC: keep a row iff its price is strictly
+            # below the best seen among all rows of higher-or-equal qty
+            # processed so far (coincident duplicates collapse to one
+            # representative; multiplicity is restored by the join-back)
+            order = np.lexsort((p, -q))
+            keep_idx = []
+            best = np.inf
+            for i in order:
+                if p[i] < best:
+                    keep_idx.append(i)
+                    best = p[i]
+            yield pd.DataFrame(
+                {qty_col: q[keep_idx], price_col: p[keep_idx]}
+            )
+
+    cand_schema = stats.select(qty_col, price_col).schema
+    cand = stats.select(qty_col, price_col).mapInPandas(
+        local_frontier, schema=cand_schema
+    )
+    perq = cand.groupBy(qty_col).agg(F.min(price_col).alias("__mq"))
+    excl = (
+        Window.orderBy(F.col(qty_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    levels = perq.select(
+        qty_col,
+        "__mq",
+        F.min("__mq").over(excl).alias("__m_excl"),
+    ).where(F.col("__m_excl").isNull() | (F.col("__mq") < F.col("__m_excl")))
+    frontier = levels.select(
+        F.col(qty_col), F.col("__mq").alias(price_col)
+    )
+    return (
+        stats.join(F.broadcast(frontier), on=[qty_col, price_col])
+        .groupBy(qty_col, price_col)
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )

@@ -216,6 +216,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "bpe_merges": {},
     "pq_codes": {},
     "pq_ann": {},
+    "skyline_parts": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -257,6 +258,7 @@ DRIVER_BACKLOG: list[str] = [
     "bpe_merges",
     "pq_codes",
     "pq_ann",
+    "skyline_parts",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

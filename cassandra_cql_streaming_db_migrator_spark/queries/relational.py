@@ -512,6 +512,41 @@ FROM orders GROUP BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# Skyline / Pareto frontier: per-part (cheapest price, biggest quantity)
+# points; the frontier is every part no other part beats on both axes.
+# The ORACLE is the quadratic NOT EXISTS dominance definition, so a
+# driver pass proves the level-table algorithm drops nothing.
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import skyline_2d
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("price"),
+        F.sum("l_quantity").cast("long").alias("qty"),
+    )
+    return skyline_2d(stats, "price", "qty")
+
+
+_SKYLINE_SQL = """
+WITH stats AS (
+  SELECT l_partkey, min(l_extendedprice) AS price,
+         CAST(sum(l_quantity) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1
+)
+SELECT qty, price, count(*) AS n_points
+FROM stats a
+WHERE NOT EXISTS (
+  SELECT 1 FROM stats b
+  WHERE b.price <= a.price AND b.qty >= a.qty
+    AND (b.price < a.price OR b.qty > a.qty)
+)
+GROUP BY qty, price
+"""
+
+
+# ---------------------------------------------------------------------------
 # NULL-semantics exercise: deterministic NULL injection, then every
 # NULL-sensitive aggregate shape in one pass — count(*) vs count(col),
 # explicit null census, sum/min/max/bool_or skipping NULLs, and the NULL
@@ -1269,6 +1304,9 @@ QUERIES = [
              "O7: analytic lag/lead offsets"),
     QueryDef("window_analytics", window_analytics, _WINDOW_ANALYTICS_SQL,
              "O7: ntile/percent_rank/cume_dist/rank family"),
+    QueryDef("skyline_parts", skyline_parts, _SKYLINE_SQL,
+             "O5+: 2-D skyline / Pareto frontier via bounded-domain level "
+             "table (quadratic-definition oracle)"),
     QueryDef("null_semantics", null_semantics, _NULL_SEMANTICS_SQL,
              "A4: three-valued-logic pinning — NULL group key, count(*) "
              "vs count(col), NULL-skipping aggregates"),

@@ -527,3 +527,51 @@ class TestProductQuantization:
         assert [i for i, _ in got] == [i for i, _ in want]
         for (gi, gd), (wi, wd) in zip(got, want):
             assert abs(gd - wd) < 1e-12
+
+
+class TestSkyline2d:
+    @staticmethod
+    def _brute(points):
+        out = {}
+        for a in points:
+            dominated = any(
+                b[0] <= a[0] and b[1] >= a[1] and b != a
+                for b in points
+            )
+            if not dominated:
+                out[a] = out.get(a, 0) + 1
+        return {(q, p): n for (p, q), n in out.items()}
+
+    def test_matches_brute_force_with_ties_and_duplicates(self, spark):
+        import random
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.windows import (
+            skyline_2d,
+        )
+
+        rng = random.Random(13)
+        pts = [(rng.randint(1, 40) * 1.0, rng.randint(1, 40)) for _ in range(300)]
+        pts += pts[:10]  # coincident duplicates must all survive
+        df = spark.createDataFrame(
+            [(p, q) for p, q in pts], "price double, qty long"
+        ).repartition(7)  # local frontiers merge across partitions
+        got = {
+            (r["qty"], r["price"]): r["n_points"]
+            for r in skyline_2d(df, "price", "qty").collect()
+        }
+        assert got == self._brute(pts)
+
+    def test_single_dominant_point(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.windows import (
+            skyline_2d,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 100), (2.0, 99), (3.0, 100), (1.0, 50)],
+            "price double, qty long",
+        )
+        got = {
+            (r["qty"], r["price"]): r["n_points"]
+            for r in skyline_2d(df, "price", "qty").collect()
+        }
+        assert got == {(100, 1.0): 1}
