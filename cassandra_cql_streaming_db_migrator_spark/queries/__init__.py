@@ -217,6 +217,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "pq_codes": {},
     "pq_ann": {},
     "skyline_parts": {},
+    "data_expectations": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -259,6 +260,7 @@ DRIVER_BACKLOG: list[str] = [
     "pq_codes",
     "pq_ann",
     "skyline_parts",
+    "data_expectations",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -275,7 +275,92 @@ WHERE l_quantity >= 5 AND l_discount >= 0.02 AND l_discount <= 0.08
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-contract expectations (plans/expectations.py): the DATA-level
+# extension of the reference's plan-time schema validation (DMP:227-269).
+# Rules are tuned so clean fixtures yield a MIX of zero and non-zero
+# violation counts — an all-zero report would witness nothing.
+
+
+def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.expectations import Rule, check_expectations
+
+    tables = {
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+        "customer": load_table(spark, sf_dir, "customer"),
+    }
+    rules = [
+        Rule("orders_pk_unique", "orders", "unique",
+             {"cols": ["o_orderkey"]}),
+        Rule("orders_custkey_not_null", "orders", "not_null",
+             {"col": "o_custkey"}),
+        Rule("orders_fk_customer", "orders", "foreign_key",
+             {"col": "o_custkey", "ref_table": "customer",
+              "ref_col": "c_custkey"}),
+        Rule("orders_priority_in_3", "orders", "accepted_values",
+             {"col": "o_orderpriority",
+              "values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}),
+        Rule("orders_at_least_1e9_rows", "orders", "min_rows",
+             {"n": 1_000_000_000}),
+        Rule("li_discount_in_contract", "lineitem", "in_range",
+             {"col": "l_discount", "lo": 0.0, "hi": 0.1}),
+        Rule("li_qty_tight_range", "lineitem", "in_range",
+             {"col": "l_quantity", "lo": 1.0, "hi": 45.0}),
+        Rule("li_orderkey_unique", "lineitem", "unique",
+             {"cols": ["l_orderkey"]}),
+    ]
+    return check_expectations(tables, rules)
+
+
+_DATA_EXPECTATIONS_SQL = """
+SELECT 'orders_fk_customer' AS rule,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'orders_pk_unique',
+       CAST(count(*) - count(DISTINCT concat_ws(' ', CAST(o_orderkey AS VARCHAR))) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_priority_in_3',
+       CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                      AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_at_least_1e9_rows',
+       greatest(CAST(0 AS BIGINT), CAST(1000000000 AS BIGINT) - count(*))
+FROM orders
+UNION ALL
+SELECT 'li_discount_in_contract',
+       CAST(sum(CASE WHEN l_discount IS NOT NULL
+                      AND (l_discount < 0.0 OR l_discount > 0.1)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'li_qty_tight_range',
+       CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                      AND (l_quantity < 1.0 OR l_quantity > 45.0)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'li_orderkey_unique',
+       CAST(count(*) - count(DISTINCT concat_ws(' ', CAST(l_orderkey AS VARCHAR))) AS BIGINT)
+FROM lineitem
+"""
+
+
 QUERIES = [
+    QueryDef("data_expectations", data_expectations, _DATA_EXPECTATIONS_SQL,
+             "data-contract validation: declarative rules folded into one "
+             "aggregate pass per table + FK anti-joins (DMP:227-269's "
+             "data-level extension)"),
     QueryDef("scan_project", scan_project, _SCAN_PROJECT_SQL,
              "S1/S2 paged scan + explicit projection (DMP:180-220)"),
     QueryDef("filter_pushdown", filter_pushdown, _FILTER_PUSHDOWN_SQL,

@@ -575,3 +575,43 @@ class TestSkyline2d:
             for r in skyline_2d(df, "price", "qty").collect()
         }
         assert got == {(100, 1.0): 1}
+
+
+class TestExpectations:
+    def test_each_rule_kind_counts_injected_violations(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.plans.expectations import (
+            Rule,
+            check_expectations,
+        )
+
+        fact = spark.createDataFrame(
+            [(1, 10, 5.0, "A"), (2, 10, -1.0, "B"), (2, None, 99.0, "C"),
+             (3, 30, 2.0, "A"), (3, 30, 3.0, None)],
+            "pk long, fk long, v double, cat string",
+        )
+        dim = spark.createDataFrame([(10,), (20,)], "dk long")
+        rules = [
+            Rule("pk_unique", "fact", "unique", {"cols": ["pk"]}),
+            Rule("fk_not_null", "fact", "not_null", {"col": "fk"}),
+            Rule("fk_exists", "fact", "foreign_key",
+                 {"col": "fk", "ref_table": "dim", "ref_col": "dk"}),
+            Rule("v_in_0_10", "fact", "in_range",
+                 {"col": "v", "lo": 0.0, "hi": 10.0}),
+            Rule("cat_allowed", "fact", "accepted_values",
+                 {"col": "cat", "values": ["A", "B"]}),
+            Rule("ten_rows_min", "fact", "min_rows", {"n": 10}),
+            Rule("one_row_min", "fact", "min_rows", {"n": 1}),
+        ]
+        got = {
+            r["rule"]: r["n_violations"]
+            for r in check_expectations({"fact": fact, "dim": dim}, rules).collect()
+        }
+        assert got == {
+            "pk_unique": 2,        # pk 2 twice, pk 3 twice -> 2 excess rows
+            "fk_not_null": 1,      # one NULL fk
+            "fk_exists": 2,        # fk=30 twice (NULL fk not an FK violation)
+            "v_in_0_10": 2,        # -1.0 and 99.0
+            "cat_allowed": 1,      # 'C' (NULL not a value violation)
+            "ten_rows_min": 5,     # 10 - 5 rows
+            "one_row_min": 0,
+        }
