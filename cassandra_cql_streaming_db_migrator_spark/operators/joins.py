@@ -225,6 +225,7 @@ def fuzzy_key_join(
     right: DataFrame,
     left_key: str,
     right_key: str,
+    extra_on: list[str] | None = None,
 ) -> DataFrame:
     """Edit-distance-1 key join via symmetric-deletion blocking (FastSS):
     each side expands to its deletion neighborhood (the key plus every
@@ -244,6 +245,11 @@ def fuzzy_key_join(
     variant matches runs on the candidate pairs only.  Keys are short
     strings, so the L+1 expansion is a small constant factor of the key
     column, not of the row.
+
+    Pass ``extra_on`` (equality columns present under the same name on
+    both sides, e.g. a blocking attribute like nation) to fold them into
+    the hash-join key — candidates must then agree on them too, shrinking
+    block buckets at no semantic cost.
     """
     lv = left.withColumn(
         "__block", F.explode(F.expr(_deletion_variants(left_key)))
@@ -252,7 +258,7 @@ def fuzzy_key_join(
         "__block", F.explode(F.expr(_deletion_variants(right_key)))
     )
     cand = (
-        lv.join(rv, on="__block")
+        lv.join(rv, on=["__block", *(extra_on or [])])
         .drop("__block")
         .distinct()
     )

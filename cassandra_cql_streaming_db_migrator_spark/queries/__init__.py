@@ -218,6 +218,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "pq_ann": {},
     "skyline_parts": {},
     "data_expectations": {},
+    "entity_resolution": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -261,6 +262,7 @@ DRIVER_BACKLOG: list[str] = [
     "pq_ann",
     "skyline_parts",
     "data_expectations",
+    "entity_resolution",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -511,6 +511,83 @@ FROM orders GROUP BY o_orderstatus
 # the batch form of a continuous aggregate / materialized rollup.
 
 
+# deterministic one-char-deletion corruption shared by fuzzy_key_match and
+# entity_resolution (position keyed off the row id, inside the numeric tail)
+_FUZZY_CORRUPT = (
+    "concat(substring({name}, 1, 10 + CAST({key} % 8 AS INT) - 1), "
+    "substring({name}, 10 + CAST({key} % 8 AS INT) + 1, length({name})))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: a "dirty registry" (every 4th customer re-registered
+# under a corrupted name and a shifted id) resolved back into entities —
+# fuzzy match edges (FastSS blocking folded with the nation attribute)
+# -> connected components -> per-record entity assignment.  The full
+# MDM/migration composition: fuzzy_key_join + connected_components.
+
+
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from ..operators.joins import fuzzy_key_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    dirty = cust.filter(F.col("c_custkey") % 4 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.expr(
+            _FUZZY_CORRUPT.format(name="c_name", key="c_custkey")
+        ).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    reg = clean.unionAll(dirty)
+    a = reg.select(
+        F.col("rid").alias("rid_a"), F.col("name").alias("name_a"), "nat"
+    )
+    b = reg.select(
+        F.col("rid").alias("rid_b"), F.col("name").alias("name_b"), "nat"
+    )
+    pairs = fuzzy_key_join(
+        a, b, "name_a", "name_b", extra_on=["nat"]
+    ).where(F.col("rid_a") < F.col("rid_b"))
+    comps = connected_components(pairs, "rid_a", "rid_b", id_col="rid")
+    return comps.select(
+        "rid",
+        F.col("component_id").alias("entity_id"),
+        F.col("comp_size").cast("long").alias("entity_size"),
+    )
+
+
+_ENTITY_RESOLUTION_SQL = f"""
+WITH RECURSIVE reg AS (
+  SELECT c_custkey AS rid, c_name AS name, c_nationkey AS nat FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000,
+         {_FUZZY_CORRUPT.format(name="c_name", key="c_custkey")},
+         c_nationkey
+  FROM customer WHERE c_custkey % 4 = 0
+),
+p AS (
+  SELECT a.rid AS r1, b.rid AS r2 FROM reg a JOIN reg b
+  ON a.rid < b.rid AND a.nat = b.nat AND levenshtein(a.name, b.name) <= 1
+),
+edges AS (SELECT r1 AS a, r2 AS b FROM p UNION SELECT r2, r1 FROM p),
+reach AS (
+  SELECT a AS node, a AS peer FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+),
+comp AS (SELECT node AS rid, min(peer) AS entity_id FROM reach GROUP BY node),
+sizes AS (SELECT entity_id, count(*) AS entity_size FROM comp GROUP BY entity_id)
+SELECT c.rid, c.entity_id, CAST(s.entity_size AS BIGINT) AS entity_size
+FROM comp c JOIN sizes s USING (entity_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Skyline / Pareto frontier: per-part (cheapest price, biggest quantity)
 # points; the frontier is every part no other part beats on both axes.
@@ -1096,10 +1173,6 @@ GROUP BY c_mktsegment
 # definition (levenshtein over the full cross product), so a driver pass
 # also proves the blocking admits no misses.
 
-_FUZZY_CORRUPT = (
-    "concat(substring({name}, 1, 10 + CAST({key} % 8 AS INT) - 1), "
-    "substring({name}, 10 + CAST({key} % 8 AS INT) + 1, length({name})))"
-)
 
 
 def fuzzy_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,6 +1377,9 @@ QUERIES = [
              "O7: analytic lag/lead offsets"),
     QueryDef("window_analytics", window_analytics, _WINDOW_ANALYTICS_SQL,
              "O7: ntile/percent_rank/cume_dist/rank family"),
+    QueryDef("entity_resolution", entity_resolution, _ENTITY_RESOLUTION_SQL,
+             "J2+: MDM entity resolution — FastSS fuzzy edges (attribute-"
+             "folded blocking) -> connected components -> entity census"),
     QueryDef("skyline_parts", skyline_parts, _SKYLINE_SQL,
              "O5+: 2-D skyline / Pareto frontier via bounded-domain level "
              "table (quadratic-definition oracle)"),

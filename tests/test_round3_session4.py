@@ -615,3 +615,27 @@ class TestExpectations:
             "ten_rows_min": 5,     # 10 - 5 rows
             "one_row_min": 0,
         }
+
+
+class TestEntityResolutionPieces:
+    def test_extra_on_blocking_restricts_candidates(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.joins import (
+            fuzzy_key_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "abcd", "US"), (2, "abcd", "DE")],
+            "lid long, lkey string, nat string",
+        )
+        right = spark.createDataFrame(
+            [(10, "abce", "US"), (20, "abce", "DE")],
+            "rid long, rkey string, nat string",
+        )
+        got = {
+            (r["lid"], r["rid"])
+            for r in fuzzy_key_join(
+                left, right, "lkey", "rkey", extra_on=["nat"]
+            ).collect()
+        }
+        # without nat folding this would be all four cross pairs
+        assert got == {(1, 10), (2, 20)}
