@@ -219,6 +219,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "skyline_parts": {},
     "data_expectations": {},
     "entity_resolution": {},
+    "revenue_pareto": {},
+    "event_transitions": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -263,6 +265,8 @@ DRIVER_BACKLOG: list[str] = [
     "skyline_parts",
     "data_expectations",
     "entity_resolution",
+    "revenue_pareto",
+    "event_transitions",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

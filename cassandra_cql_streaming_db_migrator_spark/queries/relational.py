@@ -8,7 +8,7 @@ queries/__init__ (decimal sums, stable averages, total orders on limits).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import cube_agg, decimal_sum, grouped, rollup_agg, stable_avg
@@ -509,6 +509,134 @@ FROM orders GROUP BY o_orderstatus
 # Hypertable-style time rollup: one pass produces hourly AND daily buckets
 # via GROUPING SETS over truncated timestamps (Expand + single shuffle),
 # the batch form of a continuous aggregate / materialized rollup.
+
+
+# ---------------------------------------------------------------------------
+# Contribution / ABC (Pareto) classification: per-nation revenue share and
+# cumulative share in exact ppm fixed point, classed A (first 80% of
+# revenue), B (to 95%), C (rest).  Revenue quantized to cents (exact
+# decimal) so every share and the running total are pure integers — the
+# window runs over the nation-level rollup (dimension-sized, metadata).
+
+
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    per_nation = joined.groupBy("n_name").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("rev_cents")
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy(F.desc("rev_cents"), "n_name").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = per_nation.select(
+        "n_name",
+        "rev_cents",
+        F.sum("rev_cents").over(wtot).alias("__tot"),
+        F.sum("rev_cents").over(wcum).alias("__cum"),
+    )
+    return ranked.select(
+        "n_name",
+        "rev_cents",
+        F.expr("1000000 * rev_cents DIV __tot").alias("share_ppm"),
+        F.expr("1000000 * __cum DIV __tot").alias("cum_share_ppm"),
+        F.when(F.expr("1000000 * __cum DIV __tot") <= 800000, "A")
+        .when(F.expr("1000000 * __cum DIV __tot") <= 950000, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+_REVENUE_PARETO_SQL = """
+WITH per_nation AS (
+  SELECT n_name,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+ranked AS (
+  SELECT n_name, rev_cents,
+         CAST(sum(rev_cents) OVER () AS BIGINT) AS tot,
+         CAST(sum(rev_cents) OVER (
+           ORDER BY rev_cents DESC, n_name
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM per_nation
+)
+SELECT n_name, rev_cents,
+       1000000 * rev_cents // tot AS share_ppm,
+       1000000 * cum // tot AS cum_share_ppm,
+       CASE WHEN 1000000 * cum // tot <= 800000 THEN 'A'
+            WHEN 1000000 * cum // tot <= 950000 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-transition census: the Markov matrix of consecutive event types
+# per user (lag window), with per-source-state transition probabilities
+# in exact ppm.  One shuffle on the user key; the probability join runs
+# on the state-vocabulary-sized census.
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    return (
+        pairs.withColumn("__srctot", F.sum("n").over(wsrc))
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.expr("1000000 * n DIV __srctot").alias("p_ppm"),
+        )
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+census AS (
+  SELECT src, dst, count(*) AS n FROM pairs WHERE src IS NOT NULL
+  GROUP BY src, dst
+)
+SELECT src, dst, n,
+       1000000 * n // CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
+FROM census
+"""
 
 
 # deterministic one-char-deletion corruption shared by fuzzy_key_match and
@@ -1377,6 +1505,12 @@ QUERIES = [
              "O7: analytic lag/lead offsets"),
     QueryDef("window_analytics", window_analytics, _WINDOW_ANALYTICS_SQL,
              "O7: ntile/percent_rank/cume_dist/rank family"),
+    QueryDef("revenue_pareto", revenue_pareto, _REVENUE_PARETO_SQL,
+             "A4/O7: contribution + ABC Pareto classes in exact ppm over "
+             "the dimension-level rollup"),
+    QueryDef("event_transitions", event_transitions, _EVENT_TRANSITIONS_SQL,
+             "O7: Markov transition census of consecutive event types "
+             "with exact ppm probabilities"),
     QueryDef("entity_resolution", entity_resolution, _ENTITY_RESOLUTION_SQL,
              "J2+: MDM entity resolution — FastSS fuzzy edges (attribute-"
              "folded blocking) -> connected components -> entity census"),
