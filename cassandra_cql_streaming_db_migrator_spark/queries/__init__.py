@@ -221,6 +221,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "entity_resolution": {},
     "revenue_pareto": {},
     "event_transitions": {},
+    "gini_by_nation": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -267,6 +268,7 @@ DRIVER_BACKLOG: list[str] = [
     "entity_resolution",
     "revenue_pareto",
     "event_transitions",
+    "gini_by_nation",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

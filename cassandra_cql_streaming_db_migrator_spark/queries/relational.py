@@ -589,6 +589,64 @@ FROM ranked
 
 
 # ---------------------------------------------------------------------------
+# Gini concentration per nation: order-value inequality from the sorted-
+# rank identity G = (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)), all in
+# cent-quantized integers -> exact ppm.  Rank ties permute only within
+# equal x, and the identity is invariant under that, so row_number's
+# nondeterminism across engines cannot change the result.  One rank
+# window + one aggregate, both on the nation key.
+
+
+def gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_nationkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents")
+    ranked = base.withColumn("i", F.row_number().over(w).cast("long"))
+    g = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("t"),
+    )
+    return g.select(
+        "c_nationkey",
+        "n",
+        F.expr("1000000 * (2 * t - (n + 1) * s) DIV (n * s)").alias(
+            "gini_ppm"
+        ),
+    )
+
+
+_GINI_SQL = """
+WITH base AS (
+  SELECT c_nationkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+ranked AS (
+  SELECT c_nationkey, cents,
+         CAST(row_number() OVER (
+           PARTITION BY c_nationkey ORDER BY cents) AS BIGINT) AS i
+  FROM base
+),
+g AS (
+  SELECT c_nationkey, count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(i * cents) AS BIGINT) AS t
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT c_nationkey, n,
+       1000000 * (2 * t - (n + 1) * s) // (n * s) AS gini_ppm
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # Event-transition census: the Markov matrix of consecutive event types
 # per user (lag window), with per-source-state transition probabilities
 # in exact ppm.  One shuffle on the user key; the probability join runs
@@ -1508,6 +1566,9 @@ QUERIES = [
     QueryDef("revenue_pareto", revenue_pareto, _REVENUE_PARETO_SQL,
              "A4/O7: contribution + ABC Pareto classes in exact ppm over "
              "the dimension-level rollup"),
+    QueryDef("gini_by_nation", gini_by_nation, _GINI_SQL,
+             "A4/O7: Gini concentration in exact ppm via the tie-"
+             "invariant sorted-rank identity"),
     QueryDef("event_transitions", event_transitions, _EVENT_TRANSITIONS_SQL,
              "O7: Markov transition census of consecutive event types "
              "with exact ppm probabilities"),
