@@ -435,3 +435,135 @@ JOIN cells x ON x.{key_col} = c.{key_col}
 JOIN sketch s ON s.j = x.j AND s.cell = x.cell
 GROUP BY c.{key_col}, c.exact_n
 """
+
+
+def kmv_set_estimate(
+    df: DataFrame,
+    label_col: str,
+    key_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = 8,
+) -> DataFrame:
+    """KMV sketch ALGEBRA (the Theta-sketch trick): estimate |A∪B| and
+    |A∩B| for two labeled key sets from their mergeable min-hash sketches.
+
+    * union: the k minimum hashes of the MERGED sketch are exactly the
+      merged top-k of the two sketches (mergeability), so
+      |A∪B| ≈ (k-1)/u_k as usual;
+    * intersection: among the union's k minima, the fraction ρ also
+      present in BOTH sets is an unbiased sample of the overlap —
+      |A∩B| ≈ ρ·|A∪B|.
+
+    Everything is the frozen affine hash + joins on hash values, so the
+    ESTIMATES (not just the exact controls) are deterministic and
+    hash-checkable cross-engine.  Under-k sets short-circuit to exact.
+    Emits exact counts alongside for error inspection.  One row out.
+    """
+    sides = {}
+    for name, label in (("a", label_a), ("b", label_b)):
+        sides[name] = (
+            df.where(
+                F.col(key_col).isNotNull() & (F.col(label_col) == label)
+            )
+            .select(kmv_hash(key_col).alias("__h"))
+            .distinct()
+        )
+    ha, hb = sides["a"].persist(), sides["b"].persist()
+    union = ha.unionAll(hb).distinct()
+    # orderBy+limit = distributed TakeOrdered (per-partition k minima,
+    # driver merges k) — never a global single-partition sort
+    topk = union.orderBy("__h").limit(k).persist()
+    in_both = (
+        topk.join(ha, "__h")
+        .join(hb, "__h")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    counts = (
+        ha.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(hb.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(union.agg(F.count(F.lit(1)).alias("exact_union")))
+        .crossJoin(
+            ha.join(hb, "__h").agg(F.count(F.lit(1)).alias("exact_inter"))
+        )
+        .crossJoin(
+            topk.agg(
+                F.count(F.lit(1)).alias("__nk"), F.max("__h").alias("__kth")
+            )
+        )
+        .crossJoin(in_both)
+    )
+    union_est = F.when(
+        F.col("__nk") < k, F.col("exact_union").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            / (F.col("__kth").cast("double") / F.lit(float(MINHASH_P))),
+            4,
+        )
+    )
+    return counts.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        union_est.alias("union_est"),
+        F.when(F.col("__nk") < k, F.col("exact_inter").cast("double"))
+        .otherwise(
+            F.round(
+                F.col("n_both").cast("double") / F.lit(float(k)) * union_est,
+                4,
+            )
+        )
+        .alias("inter_est"),
+    )
+
+
+def kmv_set_estimate_sql(
+    table: str,
+    label_col: str,
+    key_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = 8,
+) -> str:
+    """Oracle twin of :func:`kmv_set_estimate`."""
+    h = kmv_hash_sql(key_col)
+    p = MINHASH_P
+    return f"""
+WITH ha AS (
+  SELECT DISTINCT {h} AS h FROM {table}
+  WHERE {key_col} IS NOT NULL AND {label_col} = '{label_a}'
+),
+hb AS (
+  SELECT DISTINCT {h} AS h FROM {table}
+  WHERE {key_col} IS NOT NULL AND {label_col} = '{label_b}'
+),
+u AS (SELECT h FROM ha UNION SELECT h FROM hb),
+topk AS (SELECT h FROM u ORDER BY h LIMIT {k}),
+stats AS (
+  SELECT
+    (SELECT count(*) FROM ha) AS exact_a,
+    (SELECT count(*) FROM hb) AS exact_b,
+    (SELECT count(*) FROM u) AS exact_union,
+    (SELECT count(*) FROM ha JOIN hb USING (h)) AS exact_inter,
+    (SELECT count(*) FROM topk) AS nk,
+    (SELECT max(h) FROM topk) AS kth,
+    (SELECT count(*) FROM topk t JOIN ha USING (h) JOIN hb USING (h))
+      AS n_both
+)
+SELECT CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       CAST(exact_inter AS BIGINT) AS exact_inter,
+       CASE WHEN nk < {k} THEN CAST(exact_union AS DOUBLE)
+            ELSE round({float(k - 1)} / (CAST(kth AS DOUBLE) / {float(p)}), 4)
+       END AS union_est,
+       CASE WHEN nk < {k} THEN CAST(exact_inter AS DOUBLE)
+            ELSE round(CAST(n_both AS DOUBLE) / {float(k)}
+                       * (CASE WHEN nk < {k} THEN CAST(exact_union AS DOUBLE)
+                               ELSE round({float(k - 1)} / (CAST(kth AS DOUBLE) / {float(p)}), 4)
+                          END), 4)
+       END AS inter_est
+FROM stats
+"""

@@ -222,6 +222,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "revenue_pareto": {},
     "event_transitions": {},
     "gini_by_nation": {},
+    "kmv_set_ops": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -269,6 +270,7 @@ DRIVER_BACKLOG: list[str] = [
     "revenue_pareto",
     "event_transitions",
     "gini_by_nation",
+    "kmv_set_ops",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -47,6 +47,8 @@ from ..operators.robust import mad_outlier_stats, mad_outlier_stats_sql
 from ..operators.sketches import (
     kmv_distinct,
     kmv_distinct_sql,
+    kmv_set_estimate,
+    kmv_set_estimate_sql,
     sampled_quantiles,
     sampled_quantiles_sql,
     winsorized_stats,
@@ -71,6 +73,22 @@ from . import QueryDef
 # ---------------------------------------------------------------------------
 # KMV distinct sketch: distinct customers per order priority, estimated from
 # 64 minimum hash values next to the exact count.
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra: |click ∪ purchase| and |click ∩ purchase| user
+    estimates from mergeable KMV sketches (Theta-style), with exact
+    controls; k=8 so the estimator path (not the under-k exact
+    short-circuit) exercises at every fixture scale."""
+    events = load_table(spark, sf_dir, "events")
+    return kmv_set_estimate(
+        events, "event_type", "user_id", "click", "purchase", k=8
+    )
+
+
+_KMV_SET_OPS_SQL = kmv_set_estimate_sql(
+    "events", "event_type", "user_id", "click", "purchase", k=8
+)
 
 
 def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,6 +701,11 @@ QUERIES = [
     QueryDef(
         "kmv_distinct", kmv_distinct_customers, _KMV_SQL,
         "KMV k-minimum-values distinct-count sketch (deterministic, mergeable)",
+    ),
+    QueryDef(
+        "kmv_set_ops", kmv_set_ops, _KMV_SET_OPS_SQL,
+        "KMV sketch algebra: union/intersection cardinality estimates "
+        "(Theta-style) with exact controls",
     ),
     QueryDef(
         "triangle_census", triangle_census, _TRIANGLE_SQL,

@@ -639,3 +639,29 @@ class TestEntityResolutionPieces:
         }
         # without nat folding this would be all four cross pairs
         assert got == {(1, 10), (2, 20)}
+
+
+class TestKmvSetOps:
+    def test_exact_under_k_and_estimator_over_k(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+            kmv_set_estimate,
+        )
+
+        # A = {0..5}, B = {3..9}: small sets -> exact short-circuit
+        rows = [("a", i) for i in range(6)] + [("b", i) for i in range(3, 10)]
+        df = spark.createDataFrame(rows, "lbl string, key long")
+        r = kmv_set_estimate(df, "lbl", "key", "a", "b", k=64).collect()[0]
+        assert (r["exact_a"], r["exact_b"]) == (6, 7)
+        assert r["exact_union"] == 10 and r["exact_inter"] == 3
+        assert r["union_est"] == 10.0 and r["inter_est"] == 3.0
+
+        # larger sets with k=8 -> the estimator path; estimates must be
+        # positive, finite, and within a loose factor of truth
+        rows = [("a", i) for i in range(500)] + [
+            ("b", i) for i in range(250, 750)
+        ]
+        df = spark.createDataFrame(rows, "lbl string, key long")
+        r = kmv_set_estimate(df, "lbl", "key", "a", "b", k=8).collect()[0]
+        assert r["exact_union"] == 750 and r["exact_inter"] == 250
+        assert 150 < r["union_est"] < 4000
+        assert 0 <= r["inter_est"] < 4000
