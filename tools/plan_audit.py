@@ -83,6 +83,19 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # (1) + prefix-token candidate join (1) + candidate distinct (1);
     # the verify join rides the candidates' partitioning
     "jaccard_pairs": 5,
+    # local frontier is narrow; the remaining exchanges are the candidate
+    # distinct, the level aggregate, the metadata-scale suffix window's
+    # single partition, and the multiplicity join/groupBy
+    "skyline_parts": 5,
+    # one wide aggregate per table (3 tables) + the FK anti-join + the
+    # union alignment; every exchange carries rule-count rows
+    "data_expectations": 5,
+    # lag window + pair census + the vocabulary-sized probability window
+    "event_transitions": 3,
+    # sketch algebra: per-side distinct sets, TakeOrdered union minima,
+    # and SIX 1-row metadata aggregates cross-joined into the report —
+    # every exchange past the two distincts moves O(k) or 1 row
+    "kmv_set_ops": 10,
     # semantic floor: per-supplier revenue aggregate (1) + the 1-row max
     # aggregate of that view (1) + the supplier join (1; the revenue view
     # is already small — at scale AQE broadcasts it)
