@@ -223,6 +223,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "event_transitions": {},
     "gini_by_nation": {},
     "kmv_set_ops": {},
+    "stream_expectations": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -271,6 +272,7 @@ DRIVER_BACKLOG: list[str] = [
     "event_transitions",
     "gini_by_nation",
     "kmv_set_ops",
+    "stream_expectations",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -49,6 +49,73 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data contracts on a LIVE stream: the aggregate-only expectation
+    rules (plans/expectations.py) run as one wide streaming aggregate in
+    complete mode — every rule counter is incrementally mergeable, so the
+    violation report stays current per microbatch with O(rules) state.
+    A drained bounded stream equals the batch report (the oracle)."""
+    events = read_events_stream(spark, sf_dir)
+    wide = events.agg(
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("user_id_not_null"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull()
+                & ((F.col("value") < -1000.0) | (F.col("value") > 1000.0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("value_in_range"),
+        F.sum(
+            F.when(
+                F.col("event_type").isNotNull()
+                & ~F.col("event_type").isin("click", "view", "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("type_in_3"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(1_000_000_000).cast("long") - F.count(F.lit(1)),
+        ).alias("at_least_1e9_rows"),
+    )
+    done = run_to_memory(wide)
+    return done.select(
+        F.expr(
+            "stack(4, 'user_id_not_null', user_id_not_null, "
+            "'value_in_range', value_in_range, "
+            "'type_in_3', type_in_3, "
+            "'at_least_1e9_rows', at_least_1e9_rows) "
+            "AS (rule, n_violations)"
+        )
+    )
+
+
+_STREAM_EXPECTATIONS_SQL = """
+WITH wide AS (
+  SELECT
+    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS user_id_not_null,
+    CAST(sum(CASE WHEN value IS NOT NULL AND (value < -1000.0 OR value > 1000.0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS value_in_range,
+    CAST(sum(CASE WHEN event_type IS NOT NULL
+                   AND event_type NOT IN ('click', 'view', 'purchase')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS type_in_3,
+    greatest(CAST(0 AS BIGINT), CAST(1000000000 AS BIGINT) - count(*))
+      AS at_least_1e9_rows
+  FROM events
+)
+SELECT 'user_id_not_null' AS rule, user_id_not_null AS n_violations FROM wide
+UNION ALL SELECT 'value_in_range', value_in_range FROM wide
+UNION ALL SELECT 'type_in_3', type_in_3 FROM wide
+UNION ALL SELECT 'at_least_1e9_rows', at_least_1e9_rows FROM wide
+"""
+
+
 def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live leaderboard: the tumbling-window count aggregate runs as a real
     stream; the top-k rank is applied over the materialized live view (the
@@ -468,6 +535,10 @@ QUERIES = [
              "state) probed against the exact census", bench=False),
     QueryDef("stream_stream_join", stream_stream_join, _STREAM_STREAM_JOIN_SQL,
              "T8: watermark-bounded stream-stream interval join", bench=False),
+    QueryDef("stream_expectations", stream_expectations,
+             _STREAM_EXPECTATIONS_SQL,
+             "T8: live data-contract report — every rule counter a "
+             "mergeable streaming aggregate"),
     QueryDef("stream_topk", stream_topk, _STREAM_TOPK_SQL,
              "T8/O5: live windowed top-k leaderboard over the streamed "
              "count view"),
