@@ -224,6 +224,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "gini_by_nation": {},
     "kmv_set_ops": {},
     "stream_expectations": {},
+    "pq_recall": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -273,6 +274,7 @@ DRIVER_BACKLOG: list[str] = [
     "gini_by_nation",
     "kmv_set_ops",
     "stream_expectations",
+    "pq_recall",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -896,6 +896,72 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_ANN_SQL = pq_ann_topk_sql(query_id=0, topk=10)
 
 
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ ADC path against the exact L2 top-10 — the
+    quantization-quality gauge next to ann_recall's LSH measurement.
+    Deterministic end to end, so even the recall of an approximate index
+    is hash-checkable."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.clustering import _sq_dist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = pq_ann_topk(emb, query_id=0, topk=10).select("vec_id")
+    qvec = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "q"
+            )
+        )
+        .collect()[0]["q"]
+    )
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    exact = (
+        emb.where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .select(
+            "vec_id",
+            _sq_dist(vec, F.lit(qvec).cast("array<double>")).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = approx.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).alias("k"),
+        "n_hits",
+        F.expr("1000000 * n_hits DIV 10").alias("recall_ppm"),
+    )
+
+
+_PQ_RECALL_SQL = f"""
+WITH pq AS (
+  SELECT vec_id FROM ({_PQ_ANN_SQL}) pq_inner
+),
+qv AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+  FROM embeddings WHERE vec_id = 0
+),
+exact AS (
+  SELECT e.vec_id
+  FROM (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0) e, qv
+  ORDER BY list_sum(list_transform(generate_series(1, len(e.v)),
+                    i -> (e.v[i] - qv.q[i]) * (e.v[i] - qv.q[i]))),
+           e.vec_id
+  LIMIT 10
+)
+SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_hits,
+       1000000 * CAST(count(*) AS BIGINT) // 10 AS recall_ppm
+FROM pq JOIN exact USING (vec_id)
+"""
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators.bpe): 20 merges learned from the
     corpus word census.  Genuinely iterative (each round's pair counts
@@ -1341,6 +1407,8 @@ QUERIES = [
     QueryDef("trigram_lm", trigram_lm, _TRIGRAM_LM_SQL,
              "corpus-trained char-trigram LM fluency score per doc "
              "(mean conditional probability)"),
+    QueryDef("pq_recall", pq_recall, _PQ_RECALL_SQL,
+             "recall@10 of the PQ ADC path vs exact L2 ground truth"),
     QueryDef("pq_ann", pq_ann, _PQ_ANN_SQL,
              "PQ asymmetric-distance ANN top-k: codes + lookup tables, "
              "no per-row vector math"),
