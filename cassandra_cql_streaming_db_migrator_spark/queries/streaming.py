@@ -538,10 +538,10 @@ QUERIES = [
     QueryDef("stream_expectations", stream_expectations,
              _STREAM_EXPECTATIONS_SQL,
              "T8: live data-contract report — every rule counter a "
-             "mergeable streaming aggregate"),
+             "mergeable streaming aggregate", bench=False),
     QueryDef("stream_topk", stream_topk, _STREAM_TOPK_SQL,
              "T8/O5: live windowed top-k leaderboard over the streamed "
-             "count view"),
+             "count view", bench=False),
     QueryDef("stream_tumbling_agg", stream_tumbling_agg, _STREAM_TUMBLING_SQL,
              "T8: event-time tumbling window agg via Structured Streaming",
              bench=False),
