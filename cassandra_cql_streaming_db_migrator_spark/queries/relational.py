@@ -730,16 +730,18 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name"),
         F.col("c_nationkey").alias("nat"),
     )
-    reg = clean.unionAll(dirty)
-    a = reg.select(
+    # edges run dirty->MASTER only (the incoming-records-vs-master ER
+    # semantic): master-to-master near-names are not duplicate evidence,
+    # and excluding them keeps components star-shaped (diameter <= 4 via
+    # ambiguous dirty records) instead of digit-neighbor chains — the
+    # min-label loop converges in a handful of rounds regardless of scale
+    a = clean.select(
         F.col("rid").alias("rid_a"), F.col("name").alias("name_a"), "nat"
     )
-    b = reg.select(
+    b = dirty.select(
         F.col("rid").alias("rid_b"), F.col("name").alias("name_b"), "nat"
     )
-    pairs = fuzzy_key_join(
-        a, b, "name_a", "name_b", extra_on=["nat"]
-    ).where(F.col("rid_a") < F.col("rid_b"))
+    pairs = fuzzy_key_join(a, b, "name_a", "name_b", extra_on=["nat"])
     comps = connected_components(pairs, "rid_a", "rid_b", id_col="rid")
     return comps.select(
         "rid",
@@ -759,7 +761,8 @@ WITH RECURSIVE reg AS (
 ),
 p AS (
   SELECT a.rid AS r1, b.rid AS r2 FROM reg a JOIN reg b
-  ON a.rid < b.rid AND a.nat = b.nat AND levenshtein(a.name, b.name) <= 1
+  ON a.rid < 1000000 AND b.rid >= 1000000 AND a.nat = b.nat
+     AND levenshtein(a.name, b.name) <= 1
 ),
 edges AS (SELECT r1 AS a, r2 AS b FROM p UNION SELECT r2, r1 FROM p),
 reach AS (
