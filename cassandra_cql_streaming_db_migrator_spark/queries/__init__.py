@@ -225,6 +225,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "kmv_set_ops": {},
     "stream_expectations": {},
     "pq_recall": {},
+    "twap_daily": {},
+    "debounce_events": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -275,6 +277,8 @@ DRIVER_BACKLOG: list[str] = [
     "kmv_set_ops",
     "stream_expectations",
     "pq_recall",
+    "twap_daily",
+    "debounce_events",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

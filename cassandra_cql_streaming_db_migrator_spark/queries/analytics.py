@@ -225,6 +225,110 @@ _SESSIONIZE_SQL = sessionize_sql(
 )
 
 
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day): each observation is
+    weighted by how long it stood (until the user's next event that day;
+    the day's last observation carries no weight — the standard
+    rectangular TWAP over an irregular series).  All-integer numerators —
+    value in cents x duration in microseconds stays under 2^53 because
+    BOTH factors are day-bounded — so the sums are exact on any
+    partitioning; one final exact-int division to double."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    dt = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).cast("long")
+    weighted = base.withColumn("dt_us", F.coalesce(dt, F.lit(0)))
+    out = weighted.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("dt_us").alias("total_dt_us"),
+        F.sum(F.col("cents") * F.col("dt_us")).alias("__num"),
+    )
+    return out.where(F.col("total_dt_us") > 0).select(
+        "user_id",
+        "day",
+        "n_events",
+        "total_dt_us",
+        F.round(
+            F.col("__num").cast("double") / F.col("total_dt_us") / 100.0, 6
+        ).alias("twap"),
+    )
+
+
+_TWAP_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+weighted AS (
+  SELECT user_id, day, cents,
+         coalesce(epoch_us(lead(ts) OVER (
+             PARTITION BY user_id, day ORDER BY ts, event_id))
+           - epoch_us(ts), 0) AS dt_us
+  FROM base
+),
+agg AS (
+  SELECT user_id, day, count(*) AS n_events,
+         CAST(sum(dt_us) AS BIGINT) AS total_dt_us,
+         CAST(sum(cents * dt_us) AS BIGINT) AS num
+  FROM weighted GROUP BY user_id, day
+)
+SELECT user_id, day, n_events, total_dt_us,
+       round(CAST(num AS DOUBLE) / total_dt_us / 100.0, 6) AS twap
+FROM agg WHERE total_dt_us > 0
+"""
+
+
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce census: an event is KEPT when it is the first of
+    its (user, type) burst — no same-key event in the preceding 300 s.
+    One lag window per (user, type) + one census aggregate, sharing the
+    key partitioning."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    flagged = events.withColumn(
+        "kept",
+        F.when(gap.isNull() | (gap >= 300 * 1_000_000), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("kept").cast("long").alias("n_kept"),
+    )
+
+
+_DEBOUNCE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type,
+         CASE WHEN lag(ts) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id)
+              IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id))
+                 >= 300000000
+              THEN 1 ELSE 0 END AS kept
+  FROM events
+)
+SELECT user_id, event_type, count(*) AS n_events,
+       CAST(sum(kept) AS BIGINT) AS n_kept
+FROM flagged GROUP BY user_id, event_type
+"""
+
+
 def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.events import peak_concurrency
 
@@ -735,6 +839,16 @@ QUERIES = [
     QueryDef(
         "time_gap_fill", time_gap_fill, _GAP_FILL_SQL,
         "dense per-key time grid with LOCF gap filling (hypertable resample)",
+    ),
+    QueryDef(
+        "twap_daily", twap_daily, _TWAP_SQL,
+        "time-weighted average over irregular series: day-bounded exact "
+        "integer numerators",
+    ),
+    QueryDef(
+        "debounce_events", debounce_events, _DEBOUNCE_SQL,
+        "telemetry debounce census: burst-leader detection per (user, "
+        "type) key",
     ),
     QueryDef(
         "session_concurrency", session_concurrency, _session_concurrency_sql(),
