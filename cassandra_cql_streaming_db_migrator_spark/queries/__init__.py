@@ -227,6 +227,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "pq_recall": {},
     "twap_daily": {},
     "debounce_events": {},
+    "user_features": {},
+    "zscore_anomalies": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -279,6 +281,8 @@ DRIVER_BACKLOG: list[str] = [
     "pq_recall",
     "twap_daily",
     "debounce_events",
+    "user_features",
+    "zscore_anomalies",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

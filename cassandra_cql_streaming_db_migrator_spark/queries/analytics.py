@@ -225,6 +225,122 @@ _SESSIONIZE_SQL = sessionize_sql(
 )
 
 
+def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store extraction: one wide conditional aggregate turns the
+    event log into a per-user ML feature vector (per-type counts, exact
+    value sum, activity span, active-day count) — single pass, one
+    shuffle, every feature a mergeable aggregate."""
+    events = load_table(spark, sf_dir, "events")
+
+    def n_of(t):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast(
+            "long"
+        )
+
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_of("click").alias("n_click"),
+        n_of("view").alias("n_view"),
+        n_of("purchase").alias("n_purchase"),
+        n_of("signup").alias("n_signup"),
+        n_of("error").alias("n_error"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("value_cents"),
+        F.countDistinct(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .alias("active_days"),
+        (
+            F.unix_micros(F.max(F.col("ts").cast("timestamp")))
+            - F.unix_micros(F.min(F.col("ts").cast("timestamp")))
+        ).alias("span_us"),
+    )
+
+
+_USER_FEATURES_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS BIGINT) AS value_cents,
+       count(DISTINCT date_trunc('day', ts)) AS active_days,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+FROM events GROUP BY user_id
+"""
+
+
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly census in PURE INTEGER arithmetic: per
+    user, each value is tested against the mean/stddev of its 10
+    preceding observations with every denominator multiplied through —
+    ``(n-1)·(x·n − S)² > 9·n·(n·Q − S²)`` flags |z| > 3 with no sqrt, no
+    division, no float: bit-identical anomaly flags on any engine or
+    partitioning.  One window + one census on the user key."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = events.select(
+        "user_id", "ts", "event_id", cents.alias("x")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    st = base.select(
+        "user_id",
+        "x",
+        F.count("x").over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+    ).where(F.col("n") >= 5)
+    flagged = st.withColumn(
+        "is_anom",
+        F.when(
+            (F.col("n") - 1)
+            * (F.col("x") * F.col("n") - F.col("s"))
+            * (F.col("x") * F.col("n") - F.col("s"))
+            > 9 * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s")),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_tested"),
+        F.sum("is_anom").cast("long").alias("n_anomalies"),
+    )
+
+
+_ZSCORE_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+st AS (
+  SELECT user_id, x,
+         CAST(count(x) OVER w AS BIGINT) AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS s,
+         CAST(sum(x * x) OVER w AS BIGINT) AS q
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN (n - 1) * (x * n - s) * (x * n - s)
+                   > 9 * n * (n * q - s * s)
+              THEN 1 ELSE 0 END AS is_anom
+  FROM st WHERE n >= 5
+)
+SELECT user_id, count(*) AS n_tested,
+       CAST(sum(is_anom) AS BIGINT) AS n_anomalies
+FROM flagged GROUP BY user_id
+"""
+
+
 def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per (user, day): each observation is
     weighted by how long it stood (until the user's next event that day;
@@ -839,6 +955,16 @@ QUERIES = [
     QueryDef(
         "time_gap_fill", time_gap_fill, _GAP_FILL_SQL,
         "dense per-key time grid with LOCF gap filling (hypertable resample)",
+    ),
+    QueryDef(
+        "user_features", user_features, _USER_FEATURES_SQL,
+        "feature-store extraction: per-user ML feature vector in one "
+        "wide mergeable aggregate",
+    ),
+    QueryDef(
+        "zscore_anomalies", zscore_anomalies, _ZSCORE_SQL,
+        "rolling z-score anomaly census in pure integer arithmetic "
+        "(denominators multiplied through — no sqrt, no float)",
     ),
     QueryDef(
         "twap_daily", twap_daily, _TWAP_SQL,
