@@ -229,6 +229,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "debounce_events": {},
     "user_features": {},
     "zscore_anomalies": {},
+    "wow_growth": {},
+    "benford_audit": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -283,6 +285,8 @@ DRIVER_BACKLOG: list[str] = [
     "debounce_events",
     "user_features",
     "zscore_anomalies",
+    "wow_growth",
+    "benford_audit",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -225,6 +225,109 @@ _SESSIONIZE_SQL = sessionize_sql(
 )
 
 
+def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: weekly event counts per type with
+    the previous week's count (lag over the week series) and growth in
+    exact ppm.  The lag window runs on the (type, week) rollup —
+    dimension-scale."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    weekly = events.groupBy(
+        F.date_trunc("week", F.col("ts").cast("timestamp")).alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("week")
+    return (
+        weekly.withColumn("prev_n", F.lag("n").over(w))
+        .where(F.col("prev_n").isNotNull())
+        .select(
+            "week",
+            "event_type",
+            "n",
+            "prev_n",
+            F.expr("1000000 * (n - prev_n) DIV prev_n").alias("growth_ppm"),
+        )
+    )
+
+
+_WOW_GROWTH_SQL = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT week, event_type, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+  FROM weekly
+)
+SELECT week, event_type, n, prev_n,
+       1000000 * (n - prev_n) // prev_n AS growth_ppm
+FROM lagged WHERE prev_n IS NOT NULL
+"""
+
+
+# Benford's-law expected first-digit frequencies in ppm (floor(log10
+# ratios * 1e6) — fixed public constants, identical literals both sides).
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud/corruption screen: first significant digit census of order
+    totals vs the Benford expectation, deviation in exact ppm.  The digit
+    extraction is string-based (first char of the integer part — no
+    float log), the census is one 9-ary hash aggregate, and expected
+    frequencies enter as shared integer literals."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    census = (
+        orders.where(F.col("o_totalprice") >= 1.0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = F.element_at(
+        F.lit(_BENFORD_PPM).cast("array<bigint>"), F.col("digit")
+    )
+    return census.select(
+        "digit",
+        "n",
+        F.expr(
+            f"1000000 * n DIV sum(n) OVER (ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND UNBOUNDED FOLLOWING)"
+        ).alias("observed_ppm"),
+        expected.alias("benford_ppm"),
+    ).select(
+        "digit",
+        "n",
+        "observed_ppm",
+        "benford_ppm",
+        (F.col("observed_ppm") - F.col("benford_ppm")).alias("deviation_ppm"),
+    )
+
+
+_BENFORD_SQL = f"""
+WITH census AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice >= 1.0
+  GROUP BY 1
+),
+ppm AS (
+  SELECT digit, n,
+         1000000 * n // CAST(sum(n) OVER () AS BIGINT) AS observed_ppm,
+         ([{", ".join(str(v) for v in _BENFORD_PPM)}])[digit] AS benford_ppm
+  FROM census
+)
+SELECT digit, n, observed_ppm, CAST(benford_ppm AS BIGINT) AS benford_ppm,
+       observed_ppm - benford_ppm AS deviation_ppm
+FROM ppm
+"""
+
+
 def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-store extraction: one wide conditional aggregate turns the
     event log into a per-user ML feature vector (per-type counts, exact
@@ -955,6 +1058,16 @@ QUERIES = [
     QueryDef(
         "time_gap_fill", time_gap_fill, _GAP_FILL_SQL,
         "dense per-key time grid with LOCF gap filling (hypertable resample)",
+    ),
+    QueryDef(
+        "wow_growth", wow_growth, _WOW_GROWTH_SQL,
+        "week-over-week growth in exact ppm over the dimension-level "
+        "weekly rollup",
+    ),
+    QueryDef(
+        "benford_audit", benford_audit, _BENFORD_SQL,
+        "Benford first-digit audit: string-based digit census vs "
+        "integer-literal expectations",
     ),
     QueryDef(
         "user_features", user_features, _USER_FEATURES_SQL,
