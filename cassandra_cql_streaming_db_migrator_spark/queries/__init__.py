@@ -231,6 +231,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "zscore_anomalies": {},
     "wow_growth": {},
     "benford_audit": {},
+    "keyset_page": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -287,6 +288,7 @@ DRIVER_BACKLOG: list[str] = [
     "zscore_anomalies",
     "wow_growth",
     "benford_audit",
+    "keyset_page",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

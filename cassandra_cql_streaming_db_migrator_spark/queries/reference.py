@@ -276,6 +276,46 @@ WHERE l_quantity >= 5 AND l_discount >= 0.02 AND l_discount <= 0.08
 
 
 # ---------------------------------------------------------------------------
+# Keyset (seek-method) pagination: the reference pages its scans with the
+# driver's CQL paging state (MTT:304-345, setPageSize DMP:215-218); the
+# analytics-engine twin is the SEEK predicate — resume strictly after the
+# last (order key, tiebreak) seen, never OFFSET (which re-reads and
+# re-sorts everything before the page).  The composite-key comparison is
+# expressed as a row-value predicate Catalyst pushes to the scan, and the
+# page is a TakeOrdered — per-page cost is O(page), independent of how
+# deep into the table the cursor is.
+
+_PAGE_AFTER = ("1996-06-01 00:00:00", 4000)
+_PAGE_SIZE = 100
+
+
+def keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    after_ts, after_key = _PAGE_AFTER
+    seek = (F.col("o_orderdate") > F.lit(after_ts).cast("timestamp")) | (
+        (F.col("o_orderdate") == F.lit(after_ts).cast("timestamp"))
+        & (F.col("o_orderkey") > after_key)
+    )
+    return (
+        orders.where(seek)
+        .select("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_PAGE_SIZE)
+    )
+
+
+_KEYSET_PAGE_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderdate > TIMESTAMP '{_PAGE_AFTER[0]}'
+   OR (o_orderdate = TIMESTAMP '{_PAGE_AFTER[0]}'
+       AND o_orderkey > {_PAGE_AFTER[1]})
+ORDER BY o_orderdate, o_orderkey
+LIMIT {_PAGE_SIZE}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Data-contract expectations (plans/expectations.py): the DATA-level
 # extension of the reference's plan-time schema validation (DMP:227-269).
 # Rules are tuned so clean fixtures yield a MIX of zero and non-zero
@@ -357,6 +397,10 @@ FROM lineitem
 
 
 QUERIES = [
+    QueryDef("keyset_page", keyset_page, _KEYSET_PAGE_SQL,
+             "S1/S5: keyset (seek-method) pagination — the paged-scan "
+             "resume cursor as a pushed row-value predicate + TakeOrdered "
+             "(MTT:304-345's paging state, engine-side)"),
     QueryDef("data_expectations", data_expectations, _DATA_EXPECTATIONS_SQL,
              "data-contract validation: declarative rules folded into one "
              "aggregate pass per table + FK anti-joins (DMP:227-269's "
