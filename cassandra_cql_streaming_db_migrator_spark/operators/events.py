@@ -509,3 +509,83 @@ swept AS (
 )
 SELECT day, CAST(max(open) AS BIGINT) AS peak FROM swept GROUP BY day
 """
+
+
+def funnel_conversion_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Conversion-latency report for keys completing the WHOLE funnel:
+    time from the first step's first qualifying event to the last step's.
+    Same chained window stages as :func:`funnel`; the latency percentiles
+    are the exact interpolated ``percentile`` (bit-equal to DuckDB's
+    ``quantile_cont`` — the agg_percentiles precedent) over integer
+    microsecond durations.  One row out."""
+    w = Window.partitionBy(key_col)
+    cur = df.select(key_col, ts_col, step_col)
+    prev = None
+    cols = []
+    for i, step in enumerate(steps):
+        col = f"__t{i}"
+        cond = F.col(step_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        cur = cur.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = col
+        cols.append(col)
+    per_key = cur.groupBy(key_col).agg(
+        *[F.min(c).alias(c) for c in cols]
+    )
+    durs = per_key.where(F.col(cols[-1]).isNotNull()).select(
+        (
+            F.unix_micros(F.col(cols[-1]).cast("timestamp"))
+            - F.unix_micros(F.col(cols[0]).cast("timestamp"))
+        ).alias("dur_us")
+    )
+    return durs.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(dur_us, 0.5)"), 4).alias("p50_us"),
+        F.round(F.expr("percentile(dur_us, 0.9)"), 4).alias("p90_us"),
+        F.min("dur_us").alias("min_us"),
+        F.max("dur_us").alias("max_us"),
+    )
+
+
+def funnel_conversion_stats_sql(
+    table: str, key_col: str, ts_col: str, step_col: str, steps: list[str]
+) -> str:
+    """Oracle twin of :func:`funnel_conversion_stats`."""
+    stages = [f"SELECT {key_col}, {ts_col}, {step_col} FROM {table}"]
+    for i, step in enumerate(steps):
+        cond = f"{step_col} = '{step}'"
+        if i > 0:
+            cond += f" AND {ts_col} > t{i - 1}"
+        stages.append(
+            f"SELECT *, min(CASE WHEN {cond} THEN {ts_col} END) "
+            f"OVER (PARTITION BY {key_col}) AS t{i} FROM s{i}"
+        )
+    ctes = ",\n".join(
+        f"s{i + 1} AS ({q})" for i, q in enumerate(stages[1:])
+    )
+    last = len(steps) - 1
+    return f"""
+WITH s0 AS ({stages[0]}),
+{ctes},
+per_key AS (
+  SELECT {key_col}, min(t0) AS t_first, min(t{last}) AS t_last
+  FROM s{len(steps)} GROUP BY {key_col}
+),
+durs AS (
+  SELECT epoch_us(t_last) - epoch_us(t_first) AS dur_us
+  FROM per_key WHERE t_last IS NOT NULL
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(dur_us, 0.5), 4) AS p50_us,
+       round(quantile_cont(dur_us, 0.9), 4) AS p90_us,
+       CAST(min(dur_us) AS BIGINT) AS min_us,
+       CAST(max(dur_us) AS BIGINT) AS max_us
+FROM durs
+"""

@@ -232,6 +232,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "wow_growth": {},
     "benford_audit": {},
     "keyset_page": {},
+    "funnel_timing": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -289,6 +290,7 @@ DRIVER_BACKLOG: list[str] = [
     "wow_growth",
     "benford_audit",
     "keyset_page",
+    "funnel_timing",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -29,6 +29,8 @@ from ..operators.events import (
     cooccurrence_pairs,
     cooccurrence_pairs_sql,
     funnel,
+    funnel_conversion_stats,
+    funnel_conversion_stats_sql,
     funnel_sql,
     rolling_time_window,
     rolling_time_window_sql,
@@ -222,6 +224,18 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSIONIZE_SQL = sessionize_sql(
     "events", "user_id", "ts", 600, value_col="value", tiebreak_col="event_id"
+)
+
+
+def funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return funnel_conversion_stats(
+        events, "user_id", "ts", "event_type", _FUNNEL_STEPS
+    )
+
+
+_FUNNEL_TIMING_SQL = funnel_conversion_stats_sql(
+    "events", "user_id", "ts", "event_type", _FUNNEL_STEPS
 )
 
 
@@ -1058,6 +1072,11 @@ QUERIES = [
     QueryDef(
         "time_gap_fill", time_gap_fill, _GAP_FILL_SQL,
         "dense per-key time grid with LOCF gap filling (hypertable resample)",
+    ),
+    QueryDef(
+        "funnel_timing", funnel_timing, _FUNNEL_TIMING_SQL,
+        "conversion-latency report: exact interpolated percentiles of "
+        "funnel completion time",
     ),
     QueryDef(
         "wow_growth", wow_growth, _WOW_GROWTH_SQL,
