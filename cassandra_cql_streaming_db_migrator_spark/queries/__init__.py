@@ -233,6 +233,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "benford_audit": {},
     "keyset_page": {},
     "funnel_timing": {},
+    "drift_report": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -291,6 +292,7 @@ DRIVER_BACKLOG: list[str] = [
     "benford_audit",
     "keyset_page",
     "funnel_timing",
+    "drift_report",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -227,6 +227,68 @@ _SESSIONIZE_SQL = sessionize_sql(
 )
 
 
+def drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report (the MLOps PSI shape, log-free): order
+    totals bucketed into fixed bands, the per-bucket share of an early
+    cohort vs a late cohort in exact ppm, and the signed share delta.
+    All integer arithmetic — drift monitoring that hash-checks.  One
+    conditional census per bucket, map-side partials."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = "1998-01-01 00:00:00"
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 20000).cast("int"), F.lit(9)
+    )
+    early = F.when(
+        F.col("o_orderdate") < F.lit(split).cast("timestamp"), 1
+    ).otherwise(0)
+    census = orders.groupBy(bucket.alias("bucket")).agg(
+        F.sum(early).cast("long").alias("n_early"),
+        F.sum(1 - early).cast("long").alias("n_late"),
+    )
+    shares = census.select(
+        "bucket",
+        "n_early",
+        "n_late",
+        F.expr(
+            "1000000 * n_early DIV sum(n_early) OVER (ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ).alias("early_ppm"),
+        F.expr(
+            "1000000 * n_late DIV sum(n_late) OVER (ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ).alias("late_ppm"),
+    )
+    return shares.select(
+        "bucket",
+        "n_early",
+        "n_late",
+        "early_ppm",
+        "late_ppm",
+        (F.col("late_ppm") - F.col("early_ppm")).alias("drift_ppm"),
+    )
+
+
+_DRIFT_SQL = """
+WITH census AS (
+  SELECT least(CAST(floor(o_totalprice / 20000) AS INTEGER), 9) AS bucket,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_late
+  FROM orders GROUP BY 1
+),
+shares AS (
+  SELECT bucket, n_early, n_late,
+         1000000 * n_early // CAST(sum(n_early) OVER () AS BIGINT) AS early_ppm,
+         1000000 * n_late // CAST(sum(n_late) OVER () AS BIGINT) AS late_ppm
+  FROM census
+)
+SELECT bucket, n_early, n_late, early_ppm, late_ppm,
+       late_ppm - early_ppm AS drift_ppm
+FROM shares
+"""
+
+
 def funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return funnel_conversion_stats(
@@ -1072,6 +1134,11 @@ QUERIES = [
     QueryDef(
         "time_gap_fill", time_gap_fill, _GAP_FILL_SQL,
         "dense per-key time grid with LOCF gap filling (hypertable resample)",
+    ),
+    QueryDef(
+        "drift_report", drift_report, _DRIFT_SQL,
+        "distribution-drift report (log-free PSI shape): cohort shares "
+        "and deltas in exact ppm",
     ),
     QueryDef(
         "funnel_timing", funnel_timing, _FUNNEL_TIMING_SQL,
