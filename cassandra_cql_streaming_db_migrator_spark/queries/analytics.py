@@ -270,7 +270,7 @@ def drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIFT_SQL = """
 WITH census AS (
-  SELECT least(CAST(floor(o_totalprice / 20000) AS INTEGER), 9) AS bucket,
+  SELECT CAST(least(CAST(floor(o_totalprice / 20000) AS INTEGER), 9) AS INTEGER) AS bucket,
          CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
          CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
