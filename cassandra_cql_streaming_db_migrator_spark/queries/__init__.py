@@ -234,6 +234,9 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "keyset_page": {},
     "funnel_timing": {},
     "drift_report": {},
+    "q10_returned_items": {},
+    "q14_promo_share": {},
+    "q19_banded_revenue": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -293,6 +296,9 @@ DRIVER_BACKLOG: list[str] = [
     "keyset_page",
     "funnel_timing",
     "drift_report",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q19_banded_revenue",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

@@ -1395,6 +1395,157 @@ GROUP BY d_key
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q10-shape: returned-item customer ranking — 4-table join, decimal
+# revenue, total-ordered top 20.  The canonical "who cost us money"
+# report: one fact shuffle pair, dims broadcast, TakeOrdered cut.
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li.where(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(rev.cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-shape: promo revenue share — conditional aggregation ratio,
+# the avg-multiplied-through discipline (two decimal sums, one division).
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast("decimal(28,10)")
+        )).alias("__promo"),
+        F.sum(rev).alias("__total"),
+    )
+    return agg.select(
+        F.round(F.col("__promo"), 2).cast("double").alias("promo_revenue"),
+        F.round(F.col("__total"), 2).cast("double").alias("total_revenue"),
+        F.round(
+            (F.col("__promo").cast("double") / F.col("__total").cast("double"))
+            * 100,
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+_Q14_SQL = """
+WITH agg AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))
+                  ELSE CAST(0 AS DECIMAL(28,10)) END) AS promo,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+)
+SELECT CAST(round(promo, 2) AS DOUBLE) AS promo_revenue,
+       CAST(round(total, 2) AS DOUBLE) AS total_revenue,
+       round(CAST(promo AS DOUBLE) / CAST(total AS DOUBLE) * 100, 6)
+         AS promo_pct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19-shape: disjunction of conjunctive brand/size/quantity bands —
+# the predicate shape that exercises Catalyst's CNF conversion and partial
+# pushdown (the common join condition factors out; the OR residual
+# evaluates post-join in codegen).
+
+
+def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.where(band).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(rev.cast("decimal(28,10)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_Q19_SQL = """
+SELECT count(*) AS n_lines,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q4-shape: EXISTS-correlated count by priority.  Catalyst
 # decorrelates the EXISTS into a left-semi join (same physical shape the
 # reference's IfNotExistFilter.java:56-94 wanted, inverted); the lineitem
@@ -1527,6 +1678,13 @@ QUERIES = [
     QueryDef("q15_top_supplier", q15_top_supplier, _Q15_SQL,
              "J2/A4: TPC-H Q15-shape view-vs-own-max join "
              "(scalar broadcast, ties kept)"),
+    QueryDef("q10_returned_items", q10_returned_items, _Q10_SQL,
+             "J2/A4: TPC-H Q10-shape returned-item customer ranking"),
+    QueryDef("q14_promo_share", q14_promo_share, _Q14_SQL,
+             "A4: TPC-H Q14-shape conditional-aggregation revenue ratio"),
+    QueryDef("q19_banded_revenue", q19_banded_revenue, _Q19_SQL,
+             "F1/J2: TPC-H Q19-shape disjunctive band predicate "
+             "(CNF conversion / partial pushdown)"),
     QueryDef("q4_order_priority", q4_order_priority, _Q4_SQL,
              "J2/A4: TPC-H Q4-shape EXISTS decorrelation (semi join)"),
     QueryDef("q13_customer_distribution", q13_customer_distribution, _Q13_SQL,
