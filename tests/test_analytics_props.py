@@ -193,3 +193,59 @@ def test_pagerank_matches_integer_reference(spark):
         ).collect()
     }
     assert got == r
+
+
+def test_systematic_weighted_sample_randomized_vs_reference(spark):
+    """Many random weight profiles (uniform, skewed, whale-dominated,
+    tiny) in one frame; the Spark draw must equal the pure-Python
+    systematic sampler case-for-case, and every case draws exactly n."""
+    from pyspark.sql import functions as F
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+        systematic_weighted_sample,
+    )
+
+    rng = random.Random(42)
+    cases = {}
+    rows = []
+    for c in range(12):
+        kind = c % 4
+        n_rows = rng.randint(3, 60)
+        ws = []
+        for i in range(n_rows):
+            if kind == 0:
+                w = rng.randint(1, 10)
+            elif kind == 1:
+                w = rng.randint(1, 10_000)
+            elif kind == 2:
+                w = 100_000 if i == 0 else rng.randint(1, 5)
+            else:
+                w = 1
+            ws.append(w)
+        cases[c] = ws
+        rows += [(f"case{c}", c * 1000 + i, w) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(rows, "part string, id long, wt long")
+
+    # the operator treats part_col as the prefix-sum partition; running
+    # each CASE as its own draw requires one call per case — pack them by
+    # filtering the shared frame (still one createDataFrame)
+    for c, ws in cases.items():
+        n = 7 + (c % 5)
+        got = {
+            r["id"]: r["n_hits"]
+            for r in systematic_weighted_sample(
+                df.where(F.col("part") == f"case{c}"),
+                F.col("wt"), F.col("part"), "id", n=n,
+            ).collect()
+        }
+        total = sum(ws)
+        probes = [((2 * i + 1) * total) // (2 * n) for i in range(n)]
+        want = {}
+        cum = 0
+        for i, w in enumerate(ws):
+            lo, cum = cum, cum + w
+            hits = sum(1 for p in probes if lo <= p < cum)
+            if hits:
+                want[c * 1000 + i] = hits
+        assert got == want, f"case {c}"
+        assert sum(got.values()) == n, f"case {c} draw count"
