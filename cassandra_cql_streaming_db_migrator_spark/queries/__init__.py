@@ -237,6 +237,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q10_returned_items": {},
     "q14_promo_share": {},
     "q19_banded_revenue": {},
+    "user_growth": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -299,6 +300,7 @@ DRIVER_BACKLOG: list[str] = [
     "q10_returned_items",
     "q14_promo_share",
     "q19_banded_revenue",
+    "user_growth",
 ]
 
 # Round-3 head: the 27 queries without a green driver row (25 never checked

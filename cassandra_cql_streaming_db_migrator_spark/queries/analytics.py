@@ -227,6 +227,59 @@ _SESSIONIZE_SQL = sessionize_sql(
 )
 
 
+def user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day the active users, the NEW users (first
+    ever seen that day), and the cumulative distinct user count — the
+    latter computed WITHOUT any running set: each user contributes to
+    exactly one day's new-user count (their min day), so the cumulative
+    distinct curve is just the running sum of new users over the
+    day-level rollup (metadata-scale window).  Two data-scale hash
+    aggregates, zero distinct-state growth."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    per_user_day = events.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+    ).distinct()
+    active = per_user_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    first_seen = per_user_day.groupBy("user_id").agg(
+        F.min("day").alias("day")
+    )
+    new_users = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        active.join(new_users, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("long"))
+    )
+
+
+_USER_GROWTH_SQL = """
+WITH per_user_day AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+),
+active AS (SELECT day, count(*) AS n_active FROM per_user_day GROUP BY day),
+first_seen AS (SELECT user_id, min(day) AS day FROM per_user_day GROUP BY user_id),
+new_users AS (SELECT day, count(*) AS n_new FROM first_seen GROUP BY day)
+SELECT a.day, a.n_active,
+       CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(sum(coalesce(n.n_new, 0)) OVER (
+         ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM active a LEFT JOIN new_users n ON n.day = a.day
+"""
+
+
 def drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift report (the MLOps PSI shape, log-free): order
     totals bucketed into fixed bands, the per-bucket share of an early
@@ -1134,6 +1187,11 @@ QUERIES = [
     QueryDef(
         "time_gap_fill", time_gap_fill, _GAP_FILL_SQL,
         "dense per-key time grid with LOCF gap filling (hypertable resample)",
+    ),
+    QueryDef(
+        "user_growth", user_growth, _USER_GROWTH_SQL,
+        "growth accounting: active/new/cumulative-distinct users with "
+        "ZERO running-set state (first-seen decomposition)",
     ),
     QueryDef(
         "drift_report", drift_report, _DRIFT_SQL,
