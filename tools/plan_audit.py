@@ -96,6 +96,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # and SIX 1-row metadata aggregates cross-joined into the report —
     # every exchange past the two distincts moves O(k) or 1 row
     "kmv_set_ops": 10,
+    # semantic floor: the (user, day) distinct (1) + the per-day active
+    # rollup (1) + the per-user first-seen rollup (1); the cumulative
+    # window and final join run on day-count rows
+    "user_growth": 3,
     # semantic floor: per-supplier revenue aggregate (1) + the 1-row max
     # aggregate of that view (1) + the supplier join (1; the revenue view
     # is already small — at scale AQE broadcasts it)
