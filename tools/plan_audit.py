@@ -97,9 +97,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # every exchange past the two distincts moves O(k) or 1 row
     "kmv_set_ops": 10,
     # semantic floor: the (user, day) distinct (1) + the per-day active
-    # rollup (1) + the per-user first-seen rollup (1); the cumulative
-    # window and final join run on day-count rows
-    "user_growth": 3,
+    # rollup (1) + the per-user first-seen rollup (1) — two different
+    # downstream keys, so neither rollup can reuse the distinct's
+    # partitioning — plus the day-count-scale final join and cumulative
+    # window exchanges (metadata rows)
+    "user_growth": 5,
     # semantic floor: per-supplier revenue aggregate (1) + the 1-row max
     # aggregate of that view (1) + the supplier join (1; the revenue view
     # is already small — at scale AQE broadcasts it)
