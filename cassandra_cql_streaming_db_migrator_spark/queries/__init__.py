@@ -83,7 +83,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "ttl_arithmetic": {"r01": "green", "r02": "green"},
     "dry_run_stats": {"r01": "green", "r02": "green"},
     "migrate_pipeline": {"r01": "green", "r02": "green"},
-    "q1_pricing_summary": {"r01": "fail", "r02": "green"},
+    "q1_pricing_summary": {"r01": "fail", "r02": "green", "r03": "green"},
     "join_enrich": {"r01": "fail", "r02": "green"},
     "join_large": {"r01": "fail", "r02": "green"},
     "window_running": {"r01": "fail", "r02": "green"},
@@ -115,13 +115,13 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "decontaminate": {"r02": "green"},
     "split_sample": {"r02": "green"},
     "text_governance": {"r02": "green"},
-    "sequence_pack": {"r02": "fail"},  # HUGEINT oracle col; cast fixed in r03
+    "sequence_pack": {"r02": "fail", "r03": "green"},  # HUGEINT cast fixed
     "stratified_sample": {"r02": "green"},
     "split_leakage": {"r02": "green"},
-    "kmv_distinct": {"r02": "green"},
+    "kmv_distinct": {"r02": "green", "r03": "green"},
     "scd2_history": {"r02": "green"},
-    "pagerank_trade": {"r02": "fail"},  # HUGEINT oracle col; cast fixed in r03
-    "time_gap_fill": {"r02": "green"},
+    "pagerank_trade": {"r02": "fail", "r03": "green"},  # HUGEINT cast fixed
+    "time_gap_fill": {"r02": "green", "r03": "green"},
     "set_union": {"r01": "green"},
     "set_intersect": {"r01": "green"},
     "set_except_all": {"r01": "green"},
@@ -132,62 +132,62 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "agg_percentiles": {"r01": "green"},
     "lang_stats": {"r01": "green"},
     "token_frequency": {"r01": "green"},
-    "multimodal_resize": {},
+    "multimodal_resize": {"r03": "green"},
     "join_semi": {"r01": "green"},
     "ngram_jaccard": {"r01": "green"},
     "text_stats": {"r01": "green"},
     "correlated_subquery": {"r01": "green"},
-    "embedding_quantize": {},
-    "stream_quality_gate": {},
-    "repetition_stats": {},
-    "tfidf_terms": {},
-    "mixture_weights": {},
-    "length_histogram": {},
-    "trigram_lm": {},
-    "embedding_centroids": {},
-    "dedup_components": {},
+    "embedding_quantize": {"r03": "green"},
+    "stream_quality_gate": {"r03": "green"},
+    "repetition_stats": {"r03": "green"},
+    "tfidf_terms": {"r03": "green"},
+    "mixture_weights": {"r03": "green"},
+    "length_histogram": {"r03": "green"},
+    "trigram_lm": {"r03": "green"},
+    "embedding_centroids": {"r03": "green"},
+    "dedup_components": {"r03": "green"},
     "simhash_fingerprint": {"r01": "green"},
     "doc_fingerprint": {"r01": "green"},
     "embedding_topk": {"r01": "green"},
     "token_count_bpe": {"r01": "green"},
     "window_topk": {"r01": "green"},
     "embedding_ann_ivf": {"r01": "green"},
-    "sessionize_events": {},
-    "funnel_events": {},
-    "retention_cohorts": {},
-    "rolling_7d": {},
-    "quantiles_sampled": {},
-    "stream_kmv": {},
-    "bloom_join": {},
-    "mixture_rebalance": {},
-    "snapshot_diff": {},
-    "pit_enrich": {},
-    "agg_corr": {},
-    "stream_funnel": {},
-    "kmeans_embeddings": {},
-    "stream_scd2": {},
-    "inverted_index": {},
+    "sessionize_events": {"r03": "green"},
+    "funnel_events": {"r03": "green"},
+    "retention_cohorts": {"r03": "green"},
+    "rolling_7d": {"r03": "green"},
+    "quantiles_sampled": {"r03": "green"},
+    "stream_kmv": {"r03": "green"},
+    "bloom_join": {"r03": "green"},
+    "mixture_rebalance": {"r03": "green"},
+    "snapshot_diff": {"r03": "green"},
+    "pit_enrich": {"r03": "green"},
+    "agg_corr": {"r03": "green"},
+    "stream_funnel": {"r03": "green"},
+    "kmeans_embeddings": {"r03": "green"},
+    "stream_scd2": {"r03": "green"},
+    "inverted_index": {"r03": "green"},
     # new in round 3 (head-listed by rule 1)
-    "pii_stats": {},
-    "ngram_topk": {},
-    "trade_degree_stats": {},
-    "ohlc_downsample": {},
-    "winsorize_values": {},
-    "stream_ohlc": {},
-    "q3_shipping_priority": {},
-    "dedup_canonical": {},
-    "minhash_band_stats": {},
-    "q5_region_revenue": {},
-    "q18_top_buyers": {},
-    "knn_join": {},
-    "bigram_pmi": {},
-    "table_profile": {},
-    "cooccurrence_pairs": {},
-    "ann_recall": {},
-    "join_salted": {},
-    "head_coverage": {},
-    "cdc_latest": {},
-    "stream_cdc_latest": {},
+    "pii_stats": {"r03": "green"},
+    "ngram_topk": {"r03": "green"},
+    "trade_degree_stats": {"r03": "green"},
+    "ohlc_downsample": {"r03": "green"},
+    "winsorize_values": {"r03": "green"},
+    "stream_ohlc": {"r03": "green"},
+    "q3_shipping_priority": {"r03": "green"},
+    "dedup_canonical": {"r03": "green"},
+    "minhash_band_stats": {"r03": "green"},
+    "q5_region_revenue": {"r03": "green"},
+    "q18_top_buyers": {"r03": "green"},
+    "knn_join": {"r03": "green"},
+    "bigram_pmi": {"r03": "green"},
+    "table_profile": {"r03": "green"},
+    "cooccurrence_pairs": {"r03": "green"},
+    "ann_recall": {"r03": "green"},
+    "join_salted": {"r03": "green"},
+    "head_coverage": {"r03": "green"},
+    "cdc_latest": {"r03": "green"},
+    "stream_cdc_latest": {"r03": "green"},
     # new in round 3, third session (head full -> DRIVER_BACKLOG, rule 1)
     "q7_nation_volume": {},
     "q15_top_supplier": {},
@@ -251,7 +251,16 @@ DRIVER_HEAD_CAP = 50
 # row is in DRIVER_HEAD or DRIVER_BACKLOG — nothing unwitnessed is ever
 # silently tail-listed.
 DRIVER_BACKLOG: list[str] = [
-    # round-3 third-session additions, in FIFO order for the round-4 head
+    # round 4: the round-3 FIFO (48 entries) drained into DRIVER_HEAD below.
+    # New round-4 queries that overflow the 50-slot head queue here.
+]
+
+# Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order
+# exactly as written (VERDICT r03 ask #1) — all 48 never had a driver row;
+# every one passes the strict local checker at sf0.001 + sf0.01.  The
+# remaining 2 slots go to new round-4 queries (rule 1).
+DRIVER_HEAD = [
+    # -- round-3 third-session additions (FIFO from the round-3 backlog)
     "q7_nation_volume",
     "q15_top_supplier",
     "mad_outliers",
@@ -262,7 +271,7 @@ DRIVER_BACKLOG: list[str] = [
     "semdedup",
     "stream_heavy_hitters",
     "multimodal_framesample",
-    # round-3 fourth-session additions
+    # -- round-3 fourth-session additions
     "q4_order_priority",
     "q13_customer_distribution",
     "q22_dormant_customers",
@@ -301,88 +310,10 @@ DRIVER_BACKLOG: list[str] = [
     "q14_promo_share",
     "q19_banded_revenue",
     "user_growth",
-]
-
-# Round-3 head: the 27 queries without a green driver row (25 never checked
-# + the 2 round-2 HUGEINT hash-fails, re-submitted after the oracle cast
-# fix), then veterans keeping one driver-checked representative per
-# SURVEY.md §2 operator family.  New queries added this round must be
-# inserted here (rule 1 above), displacing veterans.
-DRIVER_HEAD = [
-    # -- re-submissions after the round-2 HUGEINT oracle fix
-    "sequence_pack",
-    "pagerank_trade",
-    # -- never driver-checked until now (round-2 additions)
-    "multimodal_resize",
-    "embedding_quantize",
-    "stream_quality_gate",
-    "repetition_stats",
-    "tfidf_terms",
-    "mixture_weights",
-    "length_histogram",
-    "trigram_lm",
-    "embedding_centroids",
-    "dedup_components",
-    "sessionize_events",
-    "funnel_events",
-    "retention_cohorts",
-    "rolling_7d",
-    "quantiles_sampled",
-    "stream_kmv",
-    "bloom_join",
-    "mixture_rebalance",
-    "snapshot_diff",
-    "pit_enrich",
-    "agg_corr",
-    "stream_funnel",
-    "kmeans_embeddings",
-    "stream_scd2",
-    "inverted_index",
-    # -- new in round 3 (rule 1: no driver row yet)
-    "pii_stats",
-    "ngram_topk",
-    "trade_degree_stats",
-    "ohlc_downsample",
-    "winsorize_values",
-    "stream_ohlc",
-    "q3_shipping_priority",
-    "dedup_canonical",
-    "minhash_band_stats",
-    "q5_region_revenue",       # TPC-H Q5-shape 6-table star join
-    "q18_top_buyers",          # TPC-H Q18-shape aggregate-then-join
-    "knn_join",                # exact k-NN cosine join
-    "bigram_pmi",              # PMI collocation mining
-    "table_profile",           # per-column migration-certification profile
-    "cooccurrence_pairs",      # market-basket pair census
-    "ann_recall",              # LSH recall@k vs exact ground truth
-    "join_salted",             # value-neutral salted skew join
-    "head_coverage",           # Zipf-head vocabulary coverage report
-    "cdc_latest",              # CDC compaction / upsert-view (K1 read twin)
-    "stream_cdc_latest",       # its streaming twin (live upsert view)
-    # -- rule 1b: materially rewritten this round, r02 green rows are stale
-    "kmv_distinct",            # hash-set KMV + NULL-key filter rewrite
-    "time_gap_fill",           # make_timestamp + biased-ord-key oracle
-    # -- veterans, one per §2 family (all green r01 and/or r02;
-    #    filter_memory and computed_column rotated out this round —
-    #    double-green, and the MVEL expression surface stays covered by
-    #    migrate_pipeline's computed-column + filter-chain transform)
-    "q1_pricing_summary",      # A4 flagship aggregate — the one standing
-                               # veteran (the entry() query's family).
-                               # anti_join_if_not_exists, migrate_pipeline,
-                               # counter_merge, ttl_arithmetic,
-                               # minhash_pairs all rotated out for the
-                               # round-3 additions + rule-1b re-listings:
-                               # each is r02-green (most r01+r02), stays
-                               # pytest-covered, and is strict-locally
-                               # verified at two SFs every round
-    # (limit_topk, column_mapping, dry_run_stats, set_except,
-    #  time_bucket_rollup, join_enrich, window_running, stream_tumbling_agg,
-    #  scan_project, join_asof, dedup_exact, fuzzy_dedup,
-    #  embedding_near_dup, scd2_history rotated out for the round-3
-    #  additions — each holds a green driver row and is strict-locally
-    #  checked every round; J2 is covered in-head by q3/q5/q18, the
-    #  similarity family by knn_join, temporal/CDC by pit_enrich +
-    #  snapshot_diff, T8 by stream_ohlc + the five stream_* head entries)
+    # -- new in round 4 (rule 1: no driver row yet); 2 slots available
+    # (every pre-round-4 query now holds a green driver row — r01/r02/r03
+    #  cumulative — so no veteran or rule-1b re-listing is required; the
+    #  whole tail is still strict-locally verified every round)
 ]
 
 

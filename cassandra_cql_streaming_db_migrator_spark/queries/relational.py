@@ -548,13 +548,18 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_cents").over(wtot).alias("__tot"),
         F.sum("rev_cents").over(wcum).alias("__cum"),
     )
+    # ppm step widened to decimal(38,0): 1e6 * cum already hits 3.75e18 at
+    # sf0.1 (int64 max 9.2e18) and overflows around sf~0.25.  DIV over
+    # decimals still returns long, so the output schema is unchanged.
+    share = "1000000 * CAST(rev_cents AS DECIMAL(38,0)) DIV __tot"
+    cum = "1000000 * CAST(__cum AS DECIMAL(38,0)) DIV __tot"
     return ranked.select(
         "n_name",
         "rev_cents",
-        F.expr("1000000 * rev_cents DIV __tot").alias("share_ppm"),
-        F.expr("1000000 * __cum DIV __tot").alias("cum_share_ppm"),
-        F.when(F.expr("1000000 * __cum DIV __tot") <= 800000, "A")
-        .when(F.expr("1000000 * __cum DIV __tot") <= 950000, "B")
+        F.expr(share).alias("share_ppm"),
+        F.expr(cum).alias("cum_share_ppm"),
+        F.when(F.expr(cum) <= 800000, "A")
+        .when(F.expr(cum) <= 950000, "B")
         .otherwise("C")
         .alias("abc_class"),
     )
@@ -579,10 +584,12 @@ ranked AS (
   FROM per_nation
 )
 SELECT n_name, rev_cents,
-       1000000 * rev_cents // tot AS share_ppm,
-       1000000 * cum // tot AS cum_share_ppm,
-       CASE WHEN 1000000 * cum // tot <= 800000 THEN 'A'
-            WHEN 1000000 * cum // tot <= 950000 THEN 'B'
+       CAST(1000000 * CAST(rev_cents AS HUGEINT) // tot AS BIGINT)
+         AS share_ppm,
+       CAST(1000000 * CAST(cum AS HUGEINT) // tot AS BIGINT)
+         AS cum_share_ppm,
+       CASE WHEN 1000000 * CAST(cum AS HUGEINT) // tot <= 800000 THEN 'A'
+            WHEN 1000000 * CAST(cum AS HUGEINT) // tot <= 950000 THEN 'B'
             ELSE 'C' END AS abc_class
 FROM ranked
 """
@@ -591,10 +598,10 @@ FROM ranked
 # ---------------------------------------------------------------------------
 # Gini concentration per nation: order-value inequality from the sorted-
 # rank identity G = (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)), all in
-# cent-quantized integers -> exact ppm.  Rank ties permute only within
-# equal x, and the identity is invariant under that, so row_number's
-# nondeterminism across engines cannot change the result.  One rank
-# window + one aggregate, both on the nation key.
+# cent-quantized integers summed as decimal(38,0) -> exact ppm.  Rank
+# ties permute only within equal x, and the identity is invariant under
+# that, so row_number's nondeterminism across engines cannot change the
+# result.  One rank window + one aggregate, both on the nation key.
 
 
 def gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,17 +615,25 @@ def gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("c_nationkey").orderBy("cents")
     ranked = base.withColumn("i", F.row_number().over(w).cast("long"))
+    # The moment sums are decimal(38,0) from the start: i*cents reaches
+    # ~1.2e11/row at just 6k rows/group with cent-quantized TPC-H totals,
+    # and the 1e6 ppm multiply pushes the numerator past int64 (9.2e18)
+    # around sf0.01 already (~4.6e18 there, ~3.5e20 at sf0.1).  decimal
+    # sums are exact to ~1e10 rows/group at cent scale (numerator < 1e38);
+    # DIV over decimals returns long, so the output schema is unchanged.
     g = ranked.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("i") * F.col("cents")).alias("t"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("cents")
+        ).alias("t"),
     )
     return g.select(
         "c_nationkey",
         "n",
-        F.expr("1000000 * (2 * t - (n + 1) * s) DIV (n * s)").alias(
-            "gini_ppm"
-        ),
+        F.expr(
+            "1000000 * (2 * t - (n + 1) * s) DIV (n * s)"
+        ).alias("gini_ppm"),
     )
 
 
@@ -636,12 +651,13 @@ ranked AS (
 ),
 g AS (
   SELECT c_nationkey, count(*) AS n,
-         CAST(sum(cents) AS BIGINT) AS s,
-         CAST(sum(i * cents) AS BIGINT) AS t
+         sum(CAST(cents AS HUGEINT)) AS s,
+         sum(CAST(i AS HUGEINT) * cents) AS t
   FROM ranked GROUP BY c_nationkey
 )
 SELECT c_nationkey, n,
-       1000000 * (2 * t - (n + 1) * s) // (n * s) AS gini_ppm
+       CAST(1000000 * (2 * t - (n + 1) * s) // (n * s) AS BIGINT)
+         AS gini_ppm
 FROM g
 """
 
