@@ -435,7 +435,13 @@ def peak_concurrency(
     session length, not stream length.
 
     Returns (day, peak) with day = timestamp-truncated day.
+
+    Intervals are end-exclusive, so rows with ``end <= start`` are empty
+    and are dropped before the day explode — without the guard, a stop day
+    preceding the start day makes ``F.sequence`` throw "Illegal sequence
+    boundaries" on raw (non-sessionize) interval inputs.
     """
+    sessions = sessions.where(F.col(end_col) > F.col(start_col))
     days = sessions.withColumn(
         "day",
         F.explode(

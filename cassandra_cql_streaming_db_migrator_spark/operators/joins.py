@@ -246,22 +246,48 @@ def fuzzy_key_join(
     strings, so the L+1 expansion is a small constant factor of the key
     column, not of the row.
 
+    Join multiplicity is exact even for non-row-distinct inputs: each side
+    is collapsed to (distinct row, multiplicity) BEFORE blocking, so the
+    cross-block ``distinct`` dedupes only the variant dimension (a matched
+    pair of keys can share up to L+1 deletion blocks), and every verified
+    pair re-expands to ``l_mult * r_mult`` output rows — exactly the
+    instance-pair count a true edit-distance join produces.  The pre-
+    collapse groupBy also shrinks the neighborhood explode when duplicates
+    exist.
+
     Pass ``extra_on`` (equality columns present under the same name on
     both sides, e.g. a blocking attribute like nation) to fold them into
     the hash-join key — candidates must then agree on them too, shrinking
     block buckets at no semantic cost.
     """
-    lv = left.withColumn(
+    lg = left.groupBy(left.columns).agg(F.count(F.lit(1)).alias("__lmult"))
+    rg = right.groupBy(right.columns).agg(F.count(F.lit(1)).alias("__rmult"))
+    lv = lg.withColumn(
         "__block", F.explode(F.expr(_deletion_variants(left_key)))
     )
-    rv = right.withColumn(
+    rv = rg.withColumn(
         "__block", F.explode(F.expr(_deletion_variants(right_key)))
     )
+    # distinct over distinct-row pairs (+ their multiplicity columns,
+    # functionally determined by the rows) — collapses multi-block matches
+    # without touching genuine input duplicates, which ride the counts.
     cand = (
         lv.join(rv, on=["__block", *(extra_on or [])])
         .drop("__block")
         .distinct()
     )
-    return cand.filter(
+    verified = cand.filter(
         F.levenshtein(F.col(left_key), F.col(right_key)) <= 1
+    )
+    return (
+        verified.withColumn(
+            "__copy",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    (F.col("__lmult") * F.col("__rmult")).cast("int"),
+                )
+            ),
+        )
+        .drop("__lmult", "__rmult", "__copy")
     )

@@ -121,6 +121,28 @@ class TestFuzzyKeyJoin:
         }
         assert got == want
 
+    def test_duplicate_input_rows_keep_join_multiplicity(self, spark):
+        # ADVICE r03: the cross-block distinct must dedupe only the
+        # variant dimension — genuinely duplicate input rows multiply
+        # like a true join (2 left copies x 3 right copies = 6 pairs).
+        from cassandra_cql_streaming_db_migrator_spark.operators.joins import (
+            fuzzy_key_join,
+        )
+
+        left = spark.createDataFrame(
+            [("kettle",), ("kettle",), ("ketle",)], "lkey string"
+        )
+        right = spark.createDataFrame(
+            [("kettle",), ("kettle",), ("kettle",), ("ba",)], "rkey string"
+        )
+        rows = [
+            (r["lkey"], r["rkey"])
+            for r in fuzzy_key_join(left, right, "lkey", "rkey").collect()
+        ]
+        assert rows.count(("kettle", "kettle")) == 6
+        assert rows.count(("ketle", "kettle")) == 3
+        assert len(rows) == 9
+
 
 class TestTriangleStats:
     def test_known_graph(self, spark):
@@ -263,6 +285,28 @@ class TestPeakConcurrency:
         )
         got = {r["day"].day: r["peak"] for r in peak_concurrency(df).collect()}
         assert got == {5: 2}
+
+    def test_empty_and_inverted_intervals_dropped(self, spark):
+        # ADVICE r03: end <= start used to throw "Illegal sequence
+        # boundaries" on raw interval inputs; end-exclusive semantics make
+        # such intervals empty, so they contribute nothing.
+        from datetime import datetime
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.events import (
+            peak_concurrency,
+        )
+
+        D = datetime
+        df = spark.createDataFrame(
+            [
+                (D(2024, 3, 5, 9, 0), D(2024, 3, 5, 10, 0)),
+                (D(2024, 3, 5, 9, 30), D(2024, 3, 5, 9, 30)),  # empty
+                (D(2024, 3, 5, 9, 30), D(2024, 3, 4, 9, 0)),  # inverted
+            ],
+            "session_start timestamp, session_end timestamp",
+        )
+        got = {r["day"].day: r["peak"] for r in peak_concurrency(df).collect()}
+        assert got == {5: 1}
 
 
 class TestJaccardJoin:
