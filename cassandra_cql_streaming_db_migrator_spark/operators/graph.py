@@ -167,29 +167,64 @@ def cooccurrence_edges(
     )
 
 
+def orient_by_degree(edges: DataFrame, degree: DataFrame) -> DataFrame:
+    """Compact-forward orientation: direct each undirected edge (u,v)
+    toward the endpoint that is LARGER under the total order (degree,
+    node id) — ``s`` is the smaller endpoint, ``t`` the larger.  Any total
+    order makes the wedge join enumerate each triangle exactly once; this
+    particular one bounds every node's out-degree by O(sqrt(E)) (a node
+    with out-degree d has d neighbors of degree >= its own, so
+    d^2 <= sum of degrees = 2E), which caps the (a,b) ⋈ (b,c) fan-out at
+    O(E^1.5) total wedge work — id-order lets a mid-id power-law hub fan
+    out by its full degree instead.
+
+    Two hash joins attach endpoint degrees; both run on node keys, the
+    same partitioning the wedge joins use.  ``degree`` is (node, degree).
+    """
+    du = degree.select(F.col("node").alias("u"), F.col("degree").alias("__du"))
+    dv = degree.select(F.col("node").alias("v"), F.col("degree").alias("__dv"))
+    ed = edges.join(du, on="u").join(dv, on="v")
+    u_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    return ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation + degree over an undirected edge
     list (canonical ``u < v`` rows): the local clustering census.
 
-    Counting uses the id-ordered wedge join — triangles enumerated once as
-    ``a < b < c`` via edges (a,b) ⋈ (b,c) ⋈ (a,c) — then each triangle
-    credits all three corners.  Three hash shuffles on node keys; at
-    100 TB the refinement is DEGREE-ordered orientation (direct each edge
-    toward the higher-degree endpoint before the wedge join), which bounds
-    wedge fan-out by O(sqrt(E)) per node instead of the max id-order
-    degree — same output, cheaper worst case under power-law skew (the
-    classic compact-forward bound: total wedge work O(E^1.5)).
+    Counting uses the DEGREE-ordered wedge join (``orient_by_degree``):
+    each edge is directed toward its higher-(degree, id) endpoint, then
+    triangles are enumerated once as oriented paths (a,b) ⋈ (b,c) closed
+    by (a,c), and each triangle credits all three corners.  The
+    orientation bounds total wedge work at O(E^1.5) regardless of id
+    assignment — the power-law-safe compact-forward plan (a hub's edges
+    all point AT it, so the hub contributes zero wedges as a middle node).
+    Output is identical to any other total order; only the join fan-out
+    changes.
 
     Returns (node, degree, n_triangles) with n_triangles = 0 for
     triangle-free nodes.
     """
-    # the edge list feeds four plan legs (three wedge-join roles + the
-    # degree census) — persist it so the upstream that built it runs once
-    # (lifetime is the caller's; entries are (u,v) pairs, not the corpus)
+    # the edge list feeds the degree census + the orientation join —
+    # persist it so the upstream that built it runs once (lifetime is the
+    # caller's; entries are (u,v) pairs, not the corpus)
     edges = edges.persist()
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    degree = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # oriented list feeds three wedge-join roles; persist so the
+    # orientation joins run once
+    oriented = orient_by_degree(edges, degree).persist()
+    e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
     tri = e1.join(e2, on="b").join(e3, on=["a", "c"])
     # each triangle credits its three corners: ONE pass over the wedge
     # join via explode (a 3-way unionAll would execute it three times)
@@ -197,11 +232,6 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    degree = (
-        edges.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
     )
     return degree.join(corners, on="node", how="left").select(
         "node",

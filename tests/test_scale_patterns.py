@@ -277,3 +277,62 @@ def test_connected_components_skewed_hub_converges_bit_stable(spark):
     for c in range(20):
         start = base + 9 * c
         assert len(by_comp[start]) == 9
+
+
+def test_triangle_orientation_bounds_hub_wedge_fanout(spark):
+    """Compact-forward contract (VERDICT r03 ask #2): a MID-id power-law
+    hub — the id-ordered wedge join's worst case, where the hub's in×out
+    fan-out is (d/2)^2 — must contribute ZERO wedges once edges are
+    degree-oriented (every hub edge points AT the hub, so the hub never
+    appears as a wedge middle).  Also pins output equality with the
+    brute-force census on the same graph."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.graph import (
+        orient_by_degree,
+        triangle_stats,
+    )
+
+    # 200-spoke star with the hub id in the MIDDLE of the spoke id range
+    # (100 spokes below, 100 above), plus a few triangles off to the side
+    hub = 1000
+    spokes = [i for i in range(900, 1101) if i != hub]
+    rows = [Row(u=min(s, hub), v=max(s, hub)) for s in spokes]
+    rows += [Row(u=1, v=2), Row(u=1, v=3), Row(u=2, v=3),  # triangle
+             Row(u=2, v=4), Row(u=3, v=4)]                 # second triangle
+    edges = spark.createDataFrame(rows)
+
+    degree = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+    def wedge_count(directed, src, dst):
+        # fan-out of the (a,b) ⋈ (b,c) leg = sum over middles of in*out
+        out_deg = directed.groupBy(src).agg(F.count(F.lit(1)).alias("o"))
+        in_deg = directed.groupBy(dst).agg(F.count(F.lit(1)).alias("i"))
+        j = out_deg.join(
+            in_deg, out_deg[src] == in_deg[dst]
+        ).agg(F.sum(F.col("i") * F.col("o")).alias("w"))
+        return j.collect()[0]["w"] or 0
+
+    id_wedges = wedge_count(edges, "u", "v")
+    deg_wedges = wedge_count(orient_by_degree(edges, degree), "s", "t")
+    # id-order: hub alone contributes 100*100 = 10000 wedges
+    assert id_wedges >= 10_000
+    # degree-order: hub contributes none; only the two side triangles'
+    # low-degree nodes produce a handful
+    assert deg_wedges <= 10
+
+    got = sorted(
+        (r.node, r.degree, r.n_triangles)
+        for r in triangle_stats(edges).collect()
+    )
+    want_tris = {1: 1, 2: 2, 3: 2, 4: 1}
+    adj = {}
+    for r in rows:
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    want = sorted(
+        (n, len(nbrs), want_tris.get(n, 0)) for n, nbrs in adj.items()
+    )
+    assert got == want

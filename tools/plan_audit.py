@@ -67,10 +67,19 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # rejoin is a broadcast
     "weighted_sample": 3,
     # semantic floor: edge build (group-key self-join + distinct = 3) +
-    # the three wedge-join legs re-hash the persisted edge list on their
-    # role keys (3) + corner/degree aggregates + final node join (3).
-    # Triangle enumeration IS a 3-way self-join; nothing to elide.
-    "triangle_census": 9,
+    # degree census (1) + the compact-forward orientation's two
+    # degree-attach joins (edges and degree re-hash on each endpoint; 4
+    # exchange nodes at audit scale, fewer reused at runtime) + the three
+    # wedge-join legs re-hash the persisted oriented list on their role
+    # keys (3) + corner aggregate + final node join (2).  Triangle
+    # enumeration IS a 3-way self-join; the orientation joins are the
+    # price of the O(E^1.5) wedge bound — they move node-sized degree
+    # rows, and every added exchange shares the node-key partitioning.
+    "triangle_census": 13,
+    # pre-collapse to (distinct row, multiplicity) adds one groupBy per
+    # side before the block join — the exactness fix for duplicate-row
+    # inputs (ADVICE r03); it also shrinks the neighborhood explode
+    "fuzzy_key_match": 4,
     # semantic floor: band-key candidate join (1) + candidate distinct (1)
     # + the per-image near-count aggregate/rejoin (1); hashing itself is a
     # narrow Arrow kernel
