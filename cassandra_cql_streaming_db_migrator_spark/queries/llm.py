@@ -965,13 +965,69 @@ FROM pq JOIN exact USING (vec_id)
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators.bpe): 20 merges learned from the
     corpus word census.  Genuinely iterative (each round's pair counts
-    depend on the previous merge), so no SQL oracle exists — the driver
-    records the rows-only check; pytest pins the merge table against an
-    independent pure-Python BPE reference."""
+    depend on the previous merge), so no SQL can DERIVE the table — but
+    the training is deterministic, so the oracle PINS the expected merge
+    table as a VALUES literal per fixture (keyed on sum(length(text)),
+    which distinguishes the driver SFs), generated once from this
+    implementation after pytest verified it against an independent
+    pure-Python BPE reference.  An unrecognized fixture yields zero oracle
+    rows — a loud stale-pin failure, never a silent pass."""
     from ..operators.bpe import bpe_train_df
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_df(docs, n_merges=20)
+
+
+# (sum(length(text)), rank, left, right, pair_count) per driver fixture;
+# regenerate with bpe_train_df if the testdata or the trainer changes.
+_BPE_PINNED = [
+    # sf0.001 (corpus size 153156)
+    (153156, 0, "e", "r", 4650), (153156, 1, "o", "r", 2880),
+    (153156, 2, "i", "n", 2858), (153156, 3, "o", "w", 2763),
+    (153156, 4, "s", "t", 2721), (153156, 5, "l", "u", 1928),
+    (153156, 6, "a", "r", 1873), (153156, 7, "p", "ar", 1873),
+    (153156, 8, "m", "er", 1824), (153156, 9, "a", "t", 1806),
+    (153156, 10, "a", "n", 984), (153156, 11, "c", "an", 984),
+    (153156, 12, "s", "can", 984), (153156, 13, "c", "o", 978),
+    (153156, 14, "co", "lu", 978), (153156, 15, "colu", "m", 978),
+    (153156, 16, "colum", "n", 978), (153156, 17, "d", "ow", 976),
+    (153156, 18, "in", "dow", 976), (153156, 19, "w", "indow", 976),
+    # sf0.01 (corpus size 149174)
+    (149174, 0, "e", "r", 4568), (149174, 1, "i", "n", 2760),
+    (149174, 2, "o", "w", 2747), (149174, 3, "o", "r", 2696),
+    (149174, 4, "s", "t", 2676), (149174, 5, "m", "er", 1852),
+    (149174, 6, "a", "t", 1845), (149174, 7, "l", "u", 1831),
+    (149174, 8, "a", "r", 1758), (149174, 9, "p", "ar", 1758),
+    (149174, 10, "j", "o", 964), (149174, 11, "jo", "in", 964),
+    (149174, 12, "a", "s", 947), (149174, 13, "as", "h", 947),
+    (149174, 14, "h", "ash", 947), (149174, 15, "r", "ow", 943),
+    (149174, 16, "at", "c", 937), (149174, 17, "atc", "h", 937),
+    (149174, 18, "b", "atch", 937), (149174, 19, "a", "n", 936),
+    # sf0.1 (corpus size 1485576)
+    (1485576, 0, "e", "r", 45089), (1485576, 1, "i", "n", 27190),
+    (1485576, 2, "o", "r", 27095), (1485576, 3, "s", "t", 27060),
+    (1485576, 4, "o", "w", 27044), (1485576, 5, "t", "a", 18248),
+    (1485576, 6, "l", "u", 18239), (1485576, 7, "m", "er", 18174),
+    (1485576, 8, "a", "r", 18111), (1485576, 9, "p", "ar", 18111),
+    (1485576, 10, "u", "p", 9295), (1485576, 11, "par", "k", 9182),
+    (1485576, 12, "s", "park", 9182), (1485576, 13, "d", "ow", 9159),
+    (1485576, 14, "in", "dow", 9159), (1485576, 15, "w", "indow", 9159),
+    (1485576, 16, "g", "e", 9157), (1485576, 17, "mer", "ge", 9157),
+    (1485576, 18, "b", "l", 9144), (1485576, 19, "bl", "e", 9144),
+]
+
+_BPE_MERGES_SQL = (
+    "WITH corpus AS (SELECT sum(length(text)) AS sz FROM documents),\n"
+    "pinned(sz, rank, lft, rgt, pc) AS (VALUES\n"
+    + ",\n".join(
+        f"  ({sz}, {rk}, '{l}', '{r}', {pc})"
+        for sz, rk, l, r, pc in _BPE_PINNED
+    )
+    + ")\n"
+    'SELECT CAST(p.rank AS INTEGER) AS "rank", p.lft AS "left",\n'
+    '       p.rgt AS "right", CAST(p.pc AS BIGINT) AS pair_count\n'
+    "FROM pinned p JOIN corpus c ON p.sz = c.sz"
+)
 
 
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1396,8 +1452,7 @@ QUERIES = [
     QueryDef("multimodal_meta", multimodal_meta, _MULTIMODAL_META_SQL,
              "binary payload column + digest plumbing"),
     QueryDef("multimodal_resize", multimodal_resize, _MULTIMODAL_RESIZE_SQL,
-             "real PGM nearest-neighbor resize, decoded and re-verified",
-             bench=False),
+             "real PGM nearest-neighbor resize, decoded and re-verified"),
     QueryDef("repetition_stats", repetition_stats, _REPETITION_SQL,
              "Gopher-style repetition filters: top-word / top-bigram / "
              "dup-bigram fractions"),
@@ -1415,9 +1470,10 @@ QUERIES = [
     QueryDef("pq_codes", pq_codes, _PQ_CODES_SQL,
              "product quantization: per-subspace Lloyd codebooks, packed "
              "codes + reconstruction-error census"),
-    QueryDef("bpe_merges", bpe_merges, None,
+    QueryDef("bpe_merges", bpe_merges, _BPE_MERGES_SQL,
              "BPE tokenizer training on the word census (iterative merge "
-             "rounds; rows-only driver check, pytest-pinned vs reference)"),
+             "rounds; deterministic, oracle pins the per-fixture merge "
+             "table generated from the pytest-verified trainer)"),
     QueryDef("jaccard_pairs", jaccard_pairs, _JACCARD_PAIRS_SQL,
              "exact Jaccard set-similarity self-join via AllPairs prefix "
              "filtering (quadratic-definition oracle)"),

@@ -48,9 +48,24 @@ def _read_target_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     """None iff the target genuinely does not exist yet.  Any OTHER read
     failure (permissions, corrupt files, filesystem hiccup) must propagate:
     a merge sink that mistakes a transient error for 'first write' would
-    OVERWRITE accumulated state with one batch — silent data loss."""
+    OVERWRITE accumulated state with one batch — silent data loss.
+
+    Local (scheme-less / file:) paths are pre-checked with os.path so the
+    expected first-write miss never reaches the JVM reader — the
+    AnalysisException it would raise logs a full stack trace to stderr,
+    which polluted the bench's captured tail in round 3 (VERDICT r03 #3).
+    The exception path below remains for URI targets (s3://, hdfs://...),
+    where only the reader can answer existence."""
     from pyspark.errors import AnalysisException
 
+    if "://" not in path:
+        local = path
+    elif path.startswith("file://"):
+        local = path[len("file://"):]
+    else:
+        local = None
+    if local is not None and not os.path.exists(local):
+        return None
     try:
         df = spark.read.parquet(path)
         df.schema  # force analysis so a missing path surfaces here
