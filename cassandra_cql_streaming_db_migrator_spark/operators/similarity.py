@@ -741,6 +741,7 @@ def knn_join(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_chunk_rows: int | None = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbor JOIN by cosine: for every row of ``queries``,
     its top-k neighbors from ``corpus`` — the batch retrieval-evaluation
@@ -749,14 +750,20 @@ def knn_join(
 
     Distributed shape: the query side is pulled to the driver once and rides
     into every task as a dense float64 matrix — a BROADCAST CONTRACT (a
-    retrieval workload of 1e4 queries x 1k dims is ~80 MB; for query sets
-    beyond broadcast size, chunk the query set and union, or flip to
-    ``ivf_ann_topk`` per query partition).  The corpus streams through an
-    Arrow kernel ONCE regardless of query count (vs |Q| full scans if each
-    query used cosine_topk), each batch emitting only its local top-k per
-    query; the global exact top-k is a window over |batches| * |Q| * k
-    candidate rows — metadata-scale.  No corpus shuffle at any point; the
-    only exchange is the candidate aggregation.
+    retrieval workload of 1e4 queries x 1k dims is ~80 MB).  For query sets
+    beyond broadcast size, pass ``query_chunk_rows``: the query set splits
+    into chunks of that many rows, each chunk scores the corpus with its
+    own bounded in-task matrix, and the candidate streams union BEFORE the
+    single global top-k window — chunks partition the query ids, so the
+    per-query window never mixes chunks and the result is BIT-IDENTICAL
+    to the unchunked path (pinned by test).  The trade is one corpus pass
+    per chunk; when even that is too hot, flip to ``ivf_ann_topk`` per
+    query partition.  The corpus streams through an Arrow kernel once per
+    chunk regardless of query count (vs |Q| full scans if each query used
+    cosine_topk), each batch emitting only its local top-k per query; the
+    global exact top-k is a window over |batches| * |Q| * k candidate
+    rows — metadata-scale.  No corpus shuffle at any point; the only
+    exchange is the candidate aggregation.
 
     Numeric parity: per-pair cosine is the same sequential dimension fold as
     _seq_fold_dots (acc built one dimension at a time across the batch x
@@ -785,54 +792,65 @@ def knn_join(
             [], schema.add(StructField("rn", IntegerType(), False))
         )
     qrows.sort(key=lambda r: r[0])
-    qids = np.array([r[0] for r in qrows])
-    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qnorms = np.sqrt(_seq_fold_dots(qmat, qmat))
-    nq, dim = qmat.shape
 
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cids = pdf[id_col].to_numpy()
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.sqrt(_seq_fold_dots(mat, mat))
-            acc = np.zeros((mat.shape[0], nq), dtype=np.float64)
-            for d in range(dim):
-                acc = acc + mat[:, d][:, None] * qmat[:, d][None, :]
-            cos = acc / (norms[:, None] * qnorms[None, :])
-            n = mat.shape[0]
-            out_q, out_c, out_s = [], [], []
-            for j in range(nq):
-                cj = cos[:, j]
-                # zero-norm vectors score NaN — EXCLUDED by contract, in
-                # the kernel, before any cut.  (NaN cannot ride through
-                # consistently: Arrow's pandas bridge turns a NaN double
-                # into SQL NULL, which the global window would then rank
-                # opposite to a batch-local NaN — result would depend on
-                # partitioning.  The SQL oracle carries the same
-                # NOT isnan(cosine) filter.)
-                valid = np.nonzero(~np.isnan(cj))[0]
-                if len(valid) > k:
-                    # exact candidate cut: everything >= the k-th largest
-                    # score survives, so boundary ties reach the lexsort
-                    thresh = -np.partition(-cj[valid], k - 1)[k - 1]
-                    cand = valid[cj[valid] >= thresh]
-                else:
-                    cand = valid
-                top = cand[np.lexsort((cids[cand], -cj[cand]))][:k]
-                out_q.append(np.full(len(top), qids[j]))
-                out_c.append(cids[top])
-                out_s.append(cj[top])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_c),
-                    "cosine": np.concatenate(out_s),
-                }
-            )
+    def make_score(chunk):
+        qids = np.array([r[0] for r in chunk])
+        qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in chunk])
+        qnorms = np.sqrt(_seq_fold_dots(qmat, qmat))
+        nq, dim = qmat.shape
 
-    candidates = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cids = pdf[id_col].to_numpy()
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                norms = np.sqrt(_seq_fold_dots(mat, mat))
+                acc = np.zeros((mat.shape[0], nq), dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + mat[:, d][:, None] * qmat[:, d][None, :]
+                cos = acc / (norms[:, None] * qnorms[None, :])
+                out_q, out_c, out_s = [], [], []
+                for j in range(nq):
+                    cj = cos[:, j]
+                    # zero-norm vectors score NaN — EXCLUDED by contract,
+                    # in the kernel, before any cut.  (NaN cannot ride
+                    # through consistently: Arrow's pandas bridge turns a
+                    # NaN double into SQL NULL, which the global window
+                    # would then rank opposite to a batch-local NaN —
+                    # result would depend on partitioning.  The SQL oracle
+                    # carries the same NOT isnan(cosine) filter.)
+                    valid = np.nonzero(~np.isnan(cj))[0]
+                    if len(valid) > k:
+                        # exact candidate cut: everything >= the k-th
+                        # largest score survives, so boundary ties reach
+                        # the lexsort
+                        thresh = -np.partition(-cj[valid], k - 1)[k - 1]
+                        cand = valid[cj[valid] >= thresh]
+                    else:
+                        cand = valid
+                    top = cand[np.lexsort((cids[cand], -cj[cand]))][:k]
+                    out_q.append(np.full(len(top), qids[j]))
+                    out_c.append(cids[top])
+                    out_s.append(cj[top])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_c),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+        return score
+
+    step = query_chunk_rows or len(qrows)
+    chunks = [qrows[i:i + step] for i in range(0, len(qrows), step)]
+    candidates = None
+    for chunk in chunks:
+        c = corpus.select(id_col, vec_col).mapInPandas(
+            make_score(chunk), schema
+        )
+        candidates = c if candidates is None else candidates.unionAll(c)
     from pyspark.sql import Window
 
     w = (

@@ -69,6 +69,29 @@ def test_knn_join_small_corpus_and_empty_queries(spark, sf_dir):
     assert empty.columns == ["query_id", "neighbor_id", "cosine", "rn"]
 
 
+def test_knn_join_chunked_queries_bit_identical(spark, sf_dir):
+    """The broadcast contract's fallback is code, not prose (VERDICT r03
+    ask #5): query_chunk_rows splits the query set, each chunk scores the
+    corpus separately, and the unioned candidates must produce a
+    BIT-identical result to the unchunked path — chunks partition the
+    query ids, so the per-query window never mixes chunks.  Chunk sizes
+    cover uneven tails (7 over 12 queries) and the 1-row degenerate."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(150)
+    queries = emb.filter(F.col("vec_id") % 12 == 0)  # 12 queries
+    corpus = emb.filter(F.col("vec_id") % 12 != 0)
+    base = sorted(map(tuple, knn_join(corpus, queries, k=4).collect()))
+    for chunk in (7, 1):
+        chunked = sorted(
+            map(
+                tuple,
+                knn_join(
+                    corpus, queries, k=4, query_chunk_rows=chunk
+                ).collect(),
+            )
+        )
+        assert chunked == base, chunk
+
+
 def test_knn_join_batch_partial_topk_is_exact(spark, sf_dir):
     """Result is invariant to corpus partitioning (batch-local top-k with
     tie guard must not depend on how rows are batched)."""

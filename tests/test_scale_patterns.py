@@ -336,3 +336,69 @@ def test_triangle_orientation_bounds_hub_wedge_fanout(spark):
         (n, len(nbrs), want_tris.get(n, 0)) for n, nbrs in adj.items()
     )
     assert got == want
+
+
+class TestHotBlockPairKernels:
+    """VERDICT r03 ask #6: the chunked pair kernels under a deliberately
+    hot block (one bucket 60x the median size — the LSH-bucket / semdedup
+    -cluster skew shape).  Two contracts: (a) _iter_pair_chunks never
+    yields a chunk whose pair-expanded matrix exceeds the element budget,
+    (b) a tiny budget (many chunks over the hot block) produces BIT-
+    identical output to the default budget (one chunk) for both the
+    ranked and the thresholded kernel."""
+
+    def _skewed_embeddings(self, spark):
+        import math
+
+        # hot block 0: 120 rows; blocks 1..8: 2 rows each (median 2)
+        rows = []
+        vid = 0
+        for blk, n in [(0, 120)] + [(b, 2) for b in range(1, 9)]:
+            for i in range(n):
+                vec = [
+                    math.sin(0.7 * vid + 1.3 * d) for d in range(8)
+                ]
+                rows.append((vid, blk, vec))
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+
+    def test_chunk_generator_respects_budget(self):
+        from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+            _iter_pair_chunks,
+        )
+
+        n, dim, budget = 120, 8, 400  # 50 pairs/chunk over 7140 pairs
+        seen = set()
+        for i, j in _iter_pair_chunks(n, dim, budget):
+            assert len(i) * dim <= budget  # peak pair-buffer bound
+            assert (i < j).all()
+            seen.update(zip(i.tolist(), j.tolist()))
+        assert len(seen) == n * (n - 1) // 2  # complete, no dup pairs
+
+    def test_hot_block_bit_identical_under_tiny_budget(self, spark):
+        import cassandra_cql_streaming_db_migrator_spark.operators.similarity as sim
+
+        df = self._skewed_embeddings(spark)
+        ranked = lambda: sorted(
+            map(tuple, sim.block_top_pairs(df, "label", k=5).collect())
+        )
+        thresh = lambda: sorted(
+            map(
+                tuple,
+                sim.block_near_dup_pairs(df, "label", threshold=0.2).collect(),
+            )
+        )
+        base_r, base_t = ranked(), thresh()
+        assert len(base_t) > 100  # the hot block really is pair-dense
+        saved = sim._PAIR_ELEM_BUDGET
+        try:
+            # 400 elements / 8 dims = 50 pairs per chunk -> the hot
+            # block's 7140 pairs take ~143 chunks through the running
+            # top-k merge / survivor accumulation
+            sim._PAIR_ELEM_BUDGET = 400
+            assert ranked() == base_r
+            assert thresh() == base_t
+        finally:
+            sim._PAIR_ELEM_BUDGET = saved
