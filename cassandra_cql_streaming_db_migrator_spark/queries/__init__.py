@@ -238,6 +238,17 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q14_promo_share": {},
     "q19_banded_revenue": {},
     "user_growth": {},
+    # new in round 4 (rule 1: 2 head slots, the rest queue in the backlog)
+    "q2_min_cost_supplier": {},
+    "q6_forecast_revenue": {},
+    "q8_market_share": {},
+    "q9_product_profit": {},
+    "q11_important_stock": {},
+    "q12_shipmode_priority": {},
+    "q16_parts_supplier": {},
+    "q17_small_quantity_revenue": {},
+    "q20_potential_promotion": {},
+    "q21_waiting_supplier": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -252,7 +263,16 @@ DRIVER_HEAD_CAP = 50
 # silently tail-listed.
 DRIVER_BACKLOG: list[str] = [
     # round 4: the round-3 FIFO (48 entries) drained into DRIVER_HEAD below.
-    # New round-4 queries that overflow the 50-slot head queue here.
+    # Round-4 additions beyond the 2 free head slots queue here (FIFO for
+    # the round-5 head).
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
 ]
 
 # Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order
@@ -310,10 +330,12 @@ DRIVER_HEAD = [
     "q14_promo_share",
     "q19_banded_revenue",
     "user_growth",
-    # -- new in round 4 (rule 1: no driver row yet); 2 slots available
+    # -- new in round 4 (rule 1: no driver row yet); the 2 free slots
     # (every pre-round-4 query now holds a green driver row — r01/r02/r03
     #  cumulative — so no veteran or rule-1b re-listing is required; the
     #  whole tail is still strict-locally verified every round)
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
 ]
 
 

@@ -115,6 +115,36 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # aggregate of that view (1) + the supplier join (1; the revenue view
     # is already small — at scale AQE broadcasts it)
     "q15_top_supplier": 3,
+    # semantic floor: (part, supplier) catalog aggregate (the one
+    # fact-scale shuffle) + per-part min on a narrower key + the
+    # min-match equality join (catalog re-partitions on (part, cost));
+    # dims broadcast, top-100 is TakeOrdered
+    "q2_min_cost_supplier": 5,
+    # fact-fact orders join (2 exchanges, orderkey co-partitioning —
+    # inherent) + customer-region join + the year-level final aggregate
+    # (metadata rows); part/supplier/nation/region all broadcast
+    "q8_market_share": 4,
+    # per-part value aggregate (1) + the 1-row total/count aggregate (1)
+    # + broadcast threshold crossjoin + the ordered output sort; every
+    # exchange past the first moves part-vocabulary rows
+    "q11_important_stock": 4,
+    # distinct-supplier count = Expand + two-phase distinct aggregate
+    # over the anti-joined fact + ordered output; part roster and the
+    # negative-balance exclusion both broadcast
+    "q16_parts_supplier": 4,
+    # per-part avg aggregate (1) + the decorrelated join-back re-hash of
+    # the fact on partkey (2) + the 1-row final aggregate; brand roster
+    # broadcast
+    "q17_small_quantity_revenue": 4,
+    # per-(supplier, part) quantity aggregate (1) + qualifying-supplier
+    # distinct (1) + the left-semi probe; at runtime the qualifier side
+    # is supplier-scale and AQE broadcasts it
+    "q20_potential_promotion": 4,
+    # per-(order, supplier) last-ship aggregate (1) + per-order rollup on
+    # the narrower orderkey (1) + their join + winner census + the
+    # per-supplier numwait rollup — three distinct keys (order+supp,
+    # order, supp), so the re-hashes are definitional
+    "q21_waiting_supplier": 5,
     # semantic floor: per-(doc, char) count (1) + per-doc Simpson
     # aggregate (1) + the doc-level TTR join (1; doc-level rows only —
     # the char explosion never crosses it)
