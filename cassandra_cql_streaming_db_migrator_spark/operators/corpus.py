@@ -191,6 +191,54 @@ def decontaminate(
     )
 
 
+def dup_span_census(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 15,
+) -> DataFrame:
+    """Exact repeated-span census — the substring-level dedup signal of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022), word-window form: a span is a ``span_len``-word window,
+    and a span is DUPLICATED when it occurs in >= 2 distinct documents.
+    Returns per-doc (id, n_spans, n_dup_spans, dup_ppm) over every doc
+    long enough to hold a span — the report that drives span-level
+    removal or doc-level down-weighting.
+
+    Scale shape: spans never exist as strings outside the Arrow kernel —
+    each doc's distinct windows leave as packed 61-bit double-poly keys
+    (false positive ~2^-61; the string-keyed oracle independently
+    confirms no collision at test scales), so the census shuffle moves
+    int64 keys, not ~100-byte span texts.  The key frame is persisted
+    (it feeds the census, the dup join-back, and the per-doc totals);
+    the dup join reuses the census's gram-key partitioning, and the two
+    doc-key aggregates share the doc partitioning.  The duplicated-key
+    set is corpus-dependent — it stays a shuffle join (a broadcast
+    contract would break on a template-heavy corpus where most spans
+    repeat)."""
+    keys = _gram_key_frame(corpus, text_col, id_col, span_len).persist()
+    dup = (
+        keys.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+        .where(F.col("__n_docs") >= 2)
+        .select("gram_key")
+    )
+    per_doc = keys.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    dup_per_doc = (
+        keys.join(dup, "gram_key")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_dup"))
+    )
+    return per_doc.join(dup_per_doc, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("__n_dup", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.expr(
+            "1000000 * coalesce(__n_dup, 0) DIV n_spans"
+        ).alias("dup_ppm"),
+    )
+
+
 def decontaminate_catalyst(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -249,6 +249,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q17_small_quantity_revenue": {},
     "q20_potential_promotion": {},
     "q21_waiting_supplier": {},
+    "dup_spans": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -273,6 +274,7 @@ DRIVER_BACKLOG: list[str] = [
     "q17_small_quantity_revenue",
     "q20_potential_promotion",
     "q21_waiting_supplier",
+    "dup_spans",
 ]
 
 # Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order

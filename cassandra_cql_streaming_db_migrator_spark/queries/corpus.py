@@ -23,6 +23,7 @@ from ..operators.corpus import (
     chunk_documents,
     chunk_documents_sql,
     decontaminate,
+    dup_span_census,
     dsir_importance,
     dsir_importance_sql,
     domain_mix_keep,
@@ -591,7 +592,57 @@ WHERE n_hits > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact repeated-span census (substring-level dedup signal): docs whose
+# 15-word windows recur in other documents, with the duplicated fraction
+# in exact ppm.
+
+_SPAN_LEN = 15
+
+
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs carrying at least one duplicated ``_SPAN_LEN``-word span
+    (operators.corpus.dup_span_census, Lee-et-al-style exact substring
+    dedup).  The Spark side censuses packed 61-bit span keys; the oracle
+    re-derives the same report from span STRINGS, so a driver pass also
+    certifies the hash key admits no collisions on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    report = dup_span_census(docs, span_len=_SPAN_LEN)
+    return report.where(F.col("n_dup_spans") > 0).orderBy("doc_id")
+
+
+_DUP_SPANS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(len(ws) - {_SPAN_LEN - 1}),
+             i -> array_to_string(
+                    array_slice(ws, CAST(i + 1 AS INTEGER),
+                                CAST(i + {_SPAN_LEN} AS INTEGER)), ' ')
+         ))) AS gram
+  FROM w WHERE len(ws) >= {_SPAN_LEN}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+per_doc AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY 1),
+dupdoc AS (
+  SELECT doc_id, count(*) AS n_dup FROM g JOIN dup USING (gram) GROUP BY 1
+)
+SELECT p.doc_id, p.n_spans, d.n_dup AS n_dup_spans,
+       1000000 * d.n_dup // p.n_spans AS dup_ppm
+FROM per_doc p JOIN dupdoc d USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
 QUERIES = [
+    QueryDef(
+        "dup_spans", dup_spans, _DUP_SPANS_SQL,
+        "exact repeated-span census (Lee-et-al substring dedup signal): "
+        "packed 61-bit span keys, string-keyed oracle",
+    ),
     QueryDef(
         "weighted_sample",
         weighted_sample,

@@ -687,3 +687,73 @@ class TestSystematicWeightedSample:
             )
 
         assert run(df.repartition(1)) == run(df.repartition(32))
+
+
+class TestDupSpanCensus:
+    def test_known_fixture(self, spark):
+        """Hand-checkable corpus with span_len=3: a 3-word window is
+        duplicated iff it appears in >= 2 distinct docs; within-doc
+        repeats alone do not count; per-doc distinct windows are the
+        census unit."""
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            dup_span_census,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),      # 3 windows
+                (2, "a quick brown fox sleeps"),       # shares "quick brown fox"
+                (3, "x y z x y z x y"),                # within-doc repeats only
+                (4, "totally unique words here now"),  # no dups
+                (5, "ab cd"),                          # too short -> absent
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ppm"])
+            for r in dup_span_census(docs, span_len=3).collect()
+        }
+        # doc 3: windows {x y z, y z x, z x y, x y z...} distinct = 3 —
+        # none shared with another doc -> 0 dups
+        assert got == {
+            1: (3, 1, 333333),
+            2: (3, 1, 333333),
+            3: (3, 0, 0),
+            4: (3, 0, 0),
+        }
+
+    def test_matches_string_census_brute_force(self, spark, sf_dir):
+        """The packed-key census equals the string-window census on real
+        fixture text (collision-freedom at test scale)."""
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            dup_span_census,
+        )
+        from cassandra_cql_streaming_db_migrator_spark.sources.parquet import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").limit(200)
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+            for r in dup_span_census(docs, span_len=10).collect()
+        }
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        spans = {}
+        for did, text in rows:
+            ws = text.split(" ")
+            wins = {
+                " ".join(ws[i:i + 10]) for i in range(len(ws) - 9)
+            }
+            spans[did] = wins
+        from collections import Counter
+
+        census = Counter(w for wins in spans.values() for w in wins)
+        want = {
+            did: (
+                len(wins),
+                sum(1 for w in wins if census[w] >= 2),
+            )
+            for did, wins in spans.items()
+            if wins
+        }
+        assert got == want

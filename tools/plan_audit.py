@@ -115,6 +115,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # aggregate of that view (1) + the supplier join (1; the revenue view
     # is already small — at scale AQE broadcasts it)
     "q15_top_supplier": 3,
+    # semantic floor: span-key census (1, int64 keys — never span text) +
+    # the dup join-back on the shared gram partitioning + the two doc-key
+    # aggregates sharing the doc partitioning; key frame persisted so the
+    # Arrow kernel runs once
+    "dup_spans": 4,
     # semantic floor: (part, supplier) catalog aggregate (the one
     # fact-scale shuffle) + per-part min on a narrower key + the
     # min-match equality join (catalog re-partitions on (part, cost));
