@@ -332,6 +332,90 @@ def build_inverted_index(
     )
 
 
+def lexical_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-time lexical ranking over the corpus — the read path the
+    inverted index exists for, as a one-shot scan-side scorer: BM25-shaped
+    tf-saturating, rarity-weighted scoring made hash-exact by replacing
+    the log-idf with the LOG-FREE rational weight (N - df) / N and doing
+    ALL arithmetic in int64 ppm fixed point:
+
+        score_ppm(d) = sum over query terms t of
+            1e6 * tf(t,d) * (N - df(t))  DIV  (N * (tf(t,d) + 2))
+
+    (+2 is the tf-saturation constant, BM25's k1: the second occurrence
+    is worth less than the first; the (N - df)/N weight orders terms by
+    rarity exactly as idf does, monotonically).  Integer ppm means the
+    ranking hash-checks across engines — float log/tie noise cannot
+    reorder it.  Ties break on doc id: a total order.
+
+    Scale shape: per-doc tf comes from the narrow Arrow kernel (token
+    instances never shuffle) and is filtered to the query vocabulary
+    IMMEDIATELY — everything after moves |Q|-term rows only.  df and the
+    corpus size N are metadata-scale aggregates broadcast back; the final
+    top-k is TakeOrdered, no global sort.  At serving scale the same
+    scoring runs off the prebuilt index instead of the scan.
+    """
+    tf = term_frequencies(df, text_col=text_col, id_col=id_col).where(
+        F.col("__tok").isin(*query_terms)
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__N"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__score",
+            F.expr(
+                "1000000 * __tf * (__N - __df) DIV (__N * (__tf + 2))"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__score").alias("score_ppm"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score_ppm"), id_col)
+        .limit(k)
+    )
+
+
+def lexical_topk_sql(
+    query_terms: list[str],
+    k: int = 15,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """The identical log-free scorer as DuckDB SQL (oracle twin)."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH tf AS (
+  SELECT {id_col}, t AS tok, count(*) AS tf
+  FROM {table}, unnest(string_split({text_col}, ' ')) AS u(t)
+  WHERE t IN ({terms})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM {table})
+SELECT {id_col},
+       CAST(sum(1000000 * tf * (nd - df) // (nd * (tf + 2))) AS BIGINT)
+         AS score_ppm,
+       count(*) AS n_terms_hit
+FROM tf JOIN dfreq USING (tok), n
+GROUP BY {id_col}
+ORDER BY score_ppm DESC, {id_col}
+LIMIT {k}
+"""
+
+
 def build_inverted_index_sql(
     table: str = "documents",
     text_col: str = "text",

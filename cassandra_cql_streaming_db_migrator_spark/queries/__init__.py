@@ -250,6 +250,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q20_potential_promotion": {},
     "q21_waiting_supplier": {},
     "dup_spans": {},
+    "stream_zscore": {},
+    "lexical_search": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -275,6 +277,8 @@ DRIVER_BACKLOG: list[str] = [
     "q20_potential_promotion",
     "q21_waiting_supplier",
     "dup_spans",
+    "stream_zscore",
+    "lexical_search",
 ]
 
 # Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order

@@ -62,7 +62,12 @@ from ..operators.temporal import (
     latest_by_key,
     latest_by_key_sql,
 )
-from ..operators.textops import build_inverted_index, build_inverted_index_sql
+from ..operators.textops import (
+    build_inverted_index,
+    build_inverted_index_sql,
+    lexical_topk,
+    lexical_topk_sql,
+)
 from ..operators.timeseries import (
     gap_fill_locf,
     gap_fill_locf_sql,
@@ -969,6 +974,20 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_inverted_index(load_table(spark, sf_dir, "documents"))
 
 
+# The index's READ path: query-time lexical top-k with the log-free
+# rational idf (hash-exact int64 ppm ranking — see operators.textops.
+# lexical_topk).  Terms chosen corpus-frequent so every SF ranks a full
+# candidate pool.
+
+_LEXICAL_TERMS = ["spark", "window", "join"]
+
+
+def lexical_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lexical_topk(
+        load_table(spark, sf_dir, "documents"), _LEXICAL_TERMS, k=15
+    )
+
+
 # ---------------------------------------------------------------------------
 # Triangle census over the part co-purchase graph: parts are adjacent when
 # some order contains both; per-node triangle participation + degree is
@@ -1286,5 +1305,10 @@ QUERIES = [
     QueryDef(
         "inverted_index", inverted_index, build_inverted_index_sql(),
         "inverted-index build: capped posting lists, one term shuffle",
+    ),
+    QueryDef(
+        "lexical_search", lexical_search, lexical_topk_sql(_LEXICAL_TERMS),
+        "query-time lexical top-k: BM25-shaped log-free rational idf in "
+        "int64 ppm — hash-exact ranking",
     ),
 ]

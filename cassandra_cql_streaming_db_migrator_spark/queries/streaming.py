@@ -515,6 +515,30 @@ def _stream_heavy_hitters_sql() -> str:
     )
 
 
+def stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live rolling z-score anomaly census (streaming twin of the batch
+    zscore_anomalies query): per-user O(window) GroupState deque + the
+    same pure-integer |z|>3 test, so streamed flags are bit-identical to
+    the batch window — the oracle IS the batch SQL.  Counter updates are
+    monotone; the max per key is the final state."""
+    from ..streaming.stream import streaming_zscore_state
+
+    events = read_events_stream(spark, sf_dir)
+    per_user = run_to_memory(
+        streaming_zscore_state(events), output_mode="update"
+    )
+    return per_user.groupBy("user_id").agg(
+        F.max("n_tested").alias("n_tested"),
+        F.max("n_anomalies").alias("n_anomalies"),
+    )
+
+
+def _stream_zscore_sql() -> str:
+    from .analytics import _ZSCORE_SQL
+
+    return _ZSCORE_SQL
+
+
 def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     return run_to_memory(latest_by_key_agg(events))
@@ -572,4 +596,7 @@ QUERIES = [
     QueryDef("stream_scd2", stream_scd2, _stream_scd2_sql(),
              "T8: live SCD2 history maintenance (O(runs) state per key)",
              bench=False),
+    QueryDef("stream_zscore", stream_zscore, _stream_zscore_sql(),
+             "T8: live rolling z-score anomaly census (O(window) state, "
+             "pure-integer test, batch-window parity)", bench=False),
 ]

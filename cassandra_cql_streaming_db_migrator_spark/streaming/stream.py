@@ -344,6 +344,81 @@ def streaming_funnel_state(
     )
 
 
+def streaming_zscore_state(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    window: int = 10,
+    min_n: int = 5,
+) -> DataFrame:
+    """Live rolling z-score anomaly census — the streaming twin of the
+    batch ``zscore_anomalies`` operator, same pure-integer test: each
+    cent-quantized value x is anomalous when
+    ``(n-1)·(x·n − S)² > 9·n·(n·Q − S²)`` over the n (5..10) preceding
+    observations — no sqrt, no division, no float, so streamed flags are
+    bit-identical to the batch window computation.
+
+    State per key is O(window), forever: the last <= ``window`` values
+    (the rolling deque) plus two cumulative counters.  Each microbatch
+    processes in event-time order (per-batch sort; a cross-batch
+    straggler tests against the state as-arrived — standard streaming
+    semantics).  On a bounded in-order source (availableNow file drop)
+    the result equals the batch window exactly — the oracle runs that
+    SQL.  Counters are monotone, so the latest update per key wins.
+
+    Emits ``key, n_tested, n_anomalies`` per update.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    out_schema = f"{key_col} long, n_tested long, n_anomalies long"
+    state_schema = (
+        ", ".join(f"h{i} long" for i in range(window))
+        + ", hn integer, tested long, anoms long"
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            st = list(state.get)
+            hist = [v for v in st[:window]][: st[window]]
+            tested, anoms = st[window + 1], st[window + 2]
+        else:
+            hist, tested, anoms = [], 0, 0
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            batch = pd.concat(pdfs).sort_values([ts_col, tiebreak_col])
+            import math
+
+            for v in batch[value_col]:
+                x = int(math.floor(v * 100 + 0.5))
+                n = len(hist)
+                if n >= min_n:
+                    s = sum(hist)
+                    q = sum(h * h for h in hist)
+                    tested += 1
+                    if (n - 1) * (x * n - s) ** 2 > 9 * n * (n * q - s * s):
+                        anoms += 1
+                hist.append(x)
+                if len(hist) > window:
+                    hist.pop(0)
+        padded = hist + [0] * (window - len(hist))
+        state.update(tuple(padded) + (len(hist), tested, anoms))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_tested": [tested],
+                "n_anomalies": [anoms],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_scd2_state(
     events: DataFrame,
     key_col: str,

@@ -753,3 +753,40 @@ def test_winsorized_stats_excludes_null_values(spark):
     out = winsorized_stats(df, "g", "v", "i", rate=1.0).collect()[0]
     assert out.n == 100  # NULL rows are not counted, not p01-coerced
     assert out.winsorized_sum < sum(range(100)) + 1
+
+
+class TestLexicalTopk:
+    def test_ranking_matches_integer_reference(self, spark):
+        """Known corpus, hand-computed log-free scores: rarity weighting
+        orders a rare term above a common one; tf saturates (+2); ties
+        break on doc id; docs with no query terms are absent."""
+        from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+            lexical_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "rare common filler one"),
+                (2, "common filler two words"),
+                (3, "common common common filler"),
+                (4, "nothing relevant here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = [
+            (r["doc_id"], r["score_ppm"], r["n_terms_hit"])
+            for r in lexical_topk(docs, ["rare", "common"], k=10).collect()
+        ]
+        # N=4; df(rare)=1, df(common)=3
+        def score(tf, df, n=4):
+            return 1_000_000 * tf * (n - df) // (n * (tf + 2))
+
+        want = {
+            1: (score(1, 1) + score(1, 3), 2),
+            2: (score(1, 3), 1),
+            3: (score(3, 3), 1),
+        }
+        ranked = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        assert got == [(d, s, h) for d, (s, h) in ranked]
+        # saturation: three 'common' occurrences score less than 3x one
+        assert score(3, 3) < 3 * score(1, 3)

@@ -472,3 +472,56 @@ def test_stream_cdc_latest_matches_batch(spark, sf_dir):
         "user_id", "ts", "event_id", ["event_type", "value"],
     )
     assert live == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_zscore_state_carries_across_microbatches(spark, tmp_path):
+    """The rolling deque survives the batch boundary: values arriving in
+    batch 2 are tested against history from batch 1 (bit-identical to
+    the batch window on the in-order drop), and counters accumulate."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        run_to_memory,
+        streaming_zscore_state,
+    )
+
+    src = tmp_path / "zscore_stream"
+    src.mkdir()
+
+    def write(name, vals, t0, mtime):
+        path = str(src / name)
+        ts = pd.to_datetime(
+            [f"2024-01-01 10:{t0 + i:02d}" for i in range(len(vals))]
+        ).astype("datetime64[us]")
+        pq.write_table(
+            pa.table({
+                "user_id": pd.array([1] * len(vals), "int64"),
+                "ts": ts,
+                "event_id": pd.array(range(t0, t0 + len(vals)), "int64"),
+                "value": pd.array(vals, "float64"),
+            }),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: 5 steady values (builds the window, nothing testable until
+    # n >= 5); batch 2: one steady value (tested, normal) + one spike
+    # (tested, anomalous only because batch-1 history is in state)
+    write("b1.parquet", [10.0, 10.2, 9.8, 10.1, 9.9], 0, 1_000_000_000)
+    write("b2.parquet", [10.0, 50.0], 10, 1_000_000_010)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        streaming_zscore_state(stream), output_mode="update"
+    ).collect()
+    per_batch = sorted((r.n_tested, r.n_anomalies) for r in out)
+    assert per_batch == [(0, 0), (2, 1)]

@@ -120,6 +120,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # aggregates sharing the doc partitioning; key frame persisted so the
     # Arrow kernel runs once
     "dup_spans": 4,
+    # semantic floor: term-df aggregate + per-doc score aggregate +
+    # TakeOrdered — every exchange moves query-vocabulary rows only (the
+    # tf kernel filters to |Q| terms before anything shuffles)
+    "lexical_search": 3,
     # semantic floor: (part, supplier) catalog aggregate (the one
     # fact-scale shuffle) + per-part min on a narrower key + the
     # min-match equality join (catalog re-partitions on (part, cost));
