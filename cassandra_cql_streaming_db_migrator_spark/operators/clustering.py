@@ -788,3 +788,230 @@ FROM q0af_ q0 {joins} {cjoins} CROSS JOIN qv
 ORDER BY adc_dist, q0.vid
 LIMIT {topk}"""
     )
+
+
+def ivf_pq_ann(
+    df: DataFrame,
+    query_id: int = 0,
+    topk: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """The COMPOSED two-stage ANN read path — IVF coarse pruning + PQ
+    asymmetric-distance ranking, i.e. the architecture (FAISS IVFPQ
+    shape) a 100 TB vector search actually runs:
+
+      1. a coarse quantizer assigns every vector to its nearest of
+         ``n_cells`` cells (training-free deterministic centroids: the
+         first ``n_cells`` vectors by id, as in ``ivf_ann_topk``);
+      2. the query probes only its ``n_probe`` closest cells — the scan
+         prunes to a cell fraction BEFORE any scoring;
+      3. survivors rank by PQ ADC: m integer code lookups into the
+         query's precomputed m*k LUT — no per-row float vector math.
+
+    Distance discipline: every squared-L2 is the per-subspace sequential
+    fold SUMMED across subspaces in subspace order (NOT one 64-dim fold —
+    the two differ in low-order bits), and the identical decomposition is
+    used by the Spark expressions, the driver-side probe arithmetic, and
+    the SQL oracle, so even this doubly-approximate result hash-checks.
+    Assignment ties break to the smallest cell id on both engines
+    (first-min index here, (dist, cell) row_number in SQL).
+
+    Scale shape: the quantizer, probe list and LUTs are all metadata
+    (collect of n_cells rows + one query row); the corpus-side work is
+    one narrow expression pass — cell assignment + probe filter + ADC —
+    with TakeOrdered top-k; no shuffle before the final cut.
+    """
+    frame, cents = pq_train_assign(
+        df, vec_col, id_col, m, k, sub_dim, iterations
+    )
+    guarded = df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= m * sub_dim)
+    )
+    crows = (
+        guarded.where(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not crows:
+        raise ValueError(
+            f"ivf_pq_ann: no centroid rows with {id_col} < {n_cells}"
+        )
+    cell_ids = [int(r[0]) for r in crows]
+    cvecs = [[float(x) for x in r[1]] for r in crows]
+    qrow = guarded.where(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        raise ValueError(f"ivf_pq_ann: query id {query_id} not found")
+    qv = [float(x) for x in qrow[0][0]]
+
+    def subspace_sq(a, b, s):
+        # the shared fold: subspace slice, sequential accumulation
+        acc = 0.0
+        for i in range(s * sub_dim, (s + 1) * sub_dim):
+            acc = acc + (a[i] - b[i]) * (a[i] - b[i])
+        return acc
+
+    def full_dist(a, b):
+        d = subspace_sq(a, b, 0)
+        for s in range(1, m):
+            d = d + subspace_sq(a, b, s)
+        return d
+
+    probe = sorted(
+        (full_dist(qv, cv), cid) for cv, cid in zip(cvecs, cell_ids)
+    )[:n_probe]
+    probe_ids = [cid for _, cid in probe]
+
+    # corpus-side cell assignment: same per-subspace fold, as expressions
+    cell_dists = []
+    for cv in cvecs:
+        d = None
+        for s in range(m):
+            cslice = F.lit(cv[s * sub_dim:(s + 1) * sub_dim]).cast(
+                "array<double>"
+            )
+            sub = F.transform(F.col(f"__sub{s}"), lambda x: x.cast("double"))
+            ds = _sq_dist(sub, cslice)
+            d = ds if d is None else d + ds
+        cell_dists.append(d)
+    darr = F.array(*cell_dists)
+    cell_idx = F.array_position(darr, F.array_min(darr)) - 1
+    cell = F.element_at(
+        F.lit(cell_ids).cast("array<long>"), cell_idx.cast("int") + 1
+    )
+
+    # the query's ADC lookup tables (driver-side, m*k doubles)
+    luts = []
+    for s in range(m):
+        q = qv[s * sub_dim:(s + 1) * sub_dim]
+        lut = []
+        for c in cents[s]:
+            acc = 0.0
+            for a, b in zip(q, c):
+                acc = acc + (a - b) * (a - b)
+            lut.append(acc)
+        luts.append(lut)
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(
+            F.lit(luts[s]).cast("array<double>"), F.col(f"__cid{s}") + 1
+        )
+    return (
+        frame.withColumn("cell", cell)
+        .where(F.col("cell").isin(*probe_ids))
+        .select(F.col(id_col), "cell", adc.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )
+
+
+def ivf_pq_ann_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    topk: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> str:
+    """Oracle twin of :func:`ivf_pq_ann`: the PQ Lloyd CTE chains give
+    codes + codebooks; coarse assignment and the probe list use the SAME
+    per-subspace-fold-summed distance; ADC is the query-slice fold per
+    codebook centroid."""
+    guarded = (
+        f"(SELECT * FROM {table} WHERE {vec_col} IS NOT NULL "
+        f"AND len({vec_col}) >= {m * sub_dim})"
+    )
+    parts: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.extend(
+            _lloyd_cte_parts(
+                guarded, k, iterations, f"{vec_col}[{lo}:{hi}]", id_col,
+                prefix=f"q{s}",
+            )
+        )
+    qsubs = ", ".join(
+        f"list_transform({vec_col}[{s * sub_dim + 1}:{(s + 1) * sub_dim}], "
+        f"x -> CAST(x AS DOUBLE)) AS qs{s}"
+        for s in range(m)
+    )
+    parts.append(
+        f"qv AS (SELECT {qsubs} FROM {guarded} g WHERE g.{id_col} = {query_id})"
+    )
+    parts.append(
+        f"cents AS (SELECT {id_col} AS cell, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cv "
+        f"FROM {guarded} g WHERE g.{id_col} < {n_cells})"
+    )
+
+    def sub_fold(vec_expr, cent_expr, s):
+        off = s * sub_dim
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+            f"i -> ({vec_expr}[i] - {cent_expr}[{off} + i])"
+            f" * ({vec_expr}[i] - {cent_expr}[{off} + i])))"
+        )
+
+    vjoins = " ".join(
+        f"JOIN q{s}v v{s} ON v{s}.{id_col} = v0.{id_col}"
+        for s in range(1, m)
+    )
+    vdist = " + ".join(sub_fold(f"v{s}.e", "c.cv", s) for s in range(m))
+    parts.append(
+        f"""cdist AS (
+  SELECT v0.{id_col} AS vid, c.cell, {vdist} AS dist
+  FROM q0v v0 {vjoins} CROSS JOIN cents c
+)"""
+    )
+    parts.append(
+        """vass AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, cell) AS rn
+    FROM cdist) r
+  WHERE rn = 1
+)"""
+    )
+    qdist = " + ".join(sub_fold(f"qv.qs{s}", "c.cv", s) for s in range(m))
+    parts.append(
+        f"""probe AS (
+  SELECT cell FROM (
+    SELECT c.cell, {qdist} AS dist FROM cents c CROSS JOIN qv
+  ) p ORDER BY dist, cell LIMIT {n_probe}
+)"""
+    )
+    joins = " ".join(
+        f"JOIN q{s}af_ q{s} ON q{s}.vid = q0.vid" for s in range(1, m)
+    )
+    cjoins = " ".join(
+        f"JOIN q{s}c{iterations} cc{s} ON cc{s}.cid = q{s}.cid"
+        for s in range(m)
+    )
+    adc = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+        f"i -> (qv.qs{s}[i] - cc{s}.c[i]) * (qv.qs{s}[i] - cc{s}.c[i])))"
+        for s in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT q0.vid AS {id_col}, vass.cell, {adc} AS adc_dist
+FROM q0af_ q0 {joins} {cjoins} CROSS JOIN qv
+JOIN vass ON vass.vid = q0.vid
+JOIN probe ON probe.cell = vass.cell
+ORDER BY adc_dist, q0.vid
+LIMIT {topk}"""
+    )

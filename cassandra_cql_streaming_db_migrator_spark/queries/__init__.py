@@ -252,6 +252,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "dup_spans": {},
     "stream_zscore": {},
     "lexical_search": {},
+    "ivf_pq": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -279,6 +280,7 @@ DRIVER_BACKLOG: list[str] = [
     "dup_spans",
     "stream_zscore",
     "lexical_search",
+    "ivf_pq",
 ]
 
 # Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order

@@ -896,6 +896,24 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_ANN_SQL = pq_ann_topk_sql(query_id=0, topk=10)
 
 
+def ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed two-stage ANN read path (FAISS-IVFPQ shape): coarse
+    cells prune the scan to n_probe/n_cells of the corpus BEFORE scoring,
+    PQ ADC ranks the survivors from integer codes — the architecture a
+    100 TB vector search runs, end-to-end hash-checkable because every
+    distance is the shared per-subspace sequential fold."""
+    from ..operators.clustering import ivf_pq_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_ann(emb, query_id=0, topk=10, n_cells=8, n_probe=2)
+
+
+def _ivf_pq_sql() -> str:
+    from ..operators.clustering import ivf_pq_ann_sql
+
+    return ivf_pq_ann_sql(query_id=0, topk=10, n_cells=8, n_probe=2)
+
+
 def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the PQ ADC path against the exact L2 top-10 — the
     quantization-quality gauge next to ann_recall's LSH measurement.
@@ -1464,6 +1482,9 @@ QUERIES = [
              "(mean conditional probability)"),
     QueryDef("pq_recall", pq_recall, _PQ_RECALL_SQL,
              "recall@10 of the PQ ADC path vs exact L2 ground truth"),
+    QueryDef("ivf_pq", ivf_pq, _ivf_pq_sql(),
+             "composed IVF+PQ ANN (FAISS-IVFPQ shape): coarse cells prune "
+             "the scan, ADC ranks from codes — hash-checkable end to end"),
     QueryDef("pq_ann", pq_ann, _PQ_ANN_SQL,
              "PQ asymmetric-distance ANN top-k: codes + lookup tables, "
              "no per-row vector math"),

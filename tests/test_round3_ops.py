@@ -564,3 +564,79 @@ def test_winsorize_unsampled_group_kept_unclipped(spark, tmp_path):
     ).fetchall()}
     assert set(o) == {"big", "tiny"}
     assert o["tiny"][1] == 1 and o["tiny"][4] == 5.0
+
+
+def test_ivf_pq_prunes_to_probe_cells_and_ranks_by_adc(spark, sf_dir):
+    """The composed path's two contracts: (a) every result sits in one of
+    the query's n_probe nearest coarse cells (the pruning really
+    happened), (b) the ranking equals a brute-force ADC computation over
+    the probed subset (the LUT scoring is exact for the trained codes)."""
+    import math
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.clustering import (
+        ivf_pq_ann,
+        pq_train_assign,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.sources.parquet import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, sub_dim, n_cells, n_probe = 4, 16, 8, 2
+    got = ivf_pq_ann(
+        emb, query_id=0, topk=10, n_cells=n_cells, n_probe=n_probe
+    ).collect()
+    assert len(got) == 10
+
+    rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+        if r["embedding"] is not None and len(r["embedding"]) >= m * sub_dim
+    }
+    cents = {cid: rows[cid] for cid in range(n_cells)}
+    qv = rows[0]
+
+    def sub_sq(a, b, s):
+        acc = 0.0
+        for i in range(s * sub_dim, (s + 1) * sub_dim):
+            acc = acc + (a[i] - b[i]) * (a[i] - b[i])
+        return acc
+
+    def dist(a, b):
+        d = sub_sq(a, b, 0)
+        for s in range(1, m):
+            d = d + sub_sq(a, b, s)
+        return d
+
+    probe = sorted((dist(qv, cv), cid) for cid, cv in cents.items())[:n_probe]
+    probe_ids = {cid for _, cid in probe}
+    assert {int(r["cell"]) for r in got} <= probe_ids
+
+    # brute-force ADC over the probed subset using the trained codes
+    frame, books = pq_train_assign(emb)
+    codes = {
+        int(r["vec_id"]): [int(r[f"__cid{s}"]) for s in range(m)]
+        for r in frame.collect()
+    }
+    luts = []
+    for s in range(m):
+        q = qv[s * sub_dim:(s + 1) * sub_dim]
+        luts.append([
+            sum((a - b) * (a - b) for a, b in zip(q, c)) for c in books[s]
+        ])
+    member = {
+        vid: min(
+            ((dist(v, cv), cid) for cid, cv in cents.items())
+        )[1]
+        for vid, v in rows.items()
+    }
+    cand = [
+        (sum(luts[s][codes[vid][s]] for s in range(m)), vid)
+        for vid in rows
+        if member[vid] in probe_ids
+    ]
+    want = sorted(cand)[:10]
+    got_pairs = [(float(r["adc_dist"]), int(r["vec_id"])) for r in got]
+    assert [v for _, v in got_pairs] == [v for _, v in want]
+    for (gd, _), (wd, _) in zip(got_pairs, want):
+        assert math.isclose(gd, wd, rel_tol=0, abs_tol=1e-9)
