@@ -253,6 +253,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_zscore": {},
     "lexical_search": {},
     "ivf_pq": {},
+    "link_prediction": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -281,6 +282,7 @@ DRIVER_BACKLOG: list[str] = [
     "stream_zscore",
     "lexical_search",
     "ivf_pq",
+    "link_prediction",
 ]
 
 # Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order

@@ -1012,6 +1012,37 @@ _TRIANGLE_SQL = triangle_stats_sql(
 )
 
 
+# Link prediction over the same co-purchase graph: top non-edges by
+# common-neighbor count (also-bought candidates).  Quarter of the orders:
+# wedge volume IS the answer size for this operator (C(deg,2) per middle
+# — no orientation escape), so the slice keeps the census proportionate.
+
+
+def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import common_neighbor_links
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return common_neighbor_links(edges, k=20)
+
+
+def _link_prediction_sql() -> str:
+    from ..operators.graph import common_neighbor_links_sql
+
+    edges_cte = """s AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS u
+  FROM lineitem WHERE l_orderkey % 4 = 0
+),
+e AS (
+  SELECT a.u AS u, b.u AS v
+  FROM s a JOIN s b ON a.g = b.g AND a.u < b.u
+  GROUP BY 1, 2
+)"""
+    return common_neighbor_links_sql(edges_cte, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Trade-graph degree distribution: the graph-shape report that sizes any
 # iterative algorithm (skew, hub nodes, expected rounds) before running it.
@@ -1310,5 +1341,10 @@ QUERIES = [
         "lexical_search", lexical_search, lexical_topk_sql(_LEXICAL_TERMS),
         "query-time lexical top-k: BM25-shaped log-free rational idf in "
         "int64 ppm — hash-exact ranking",
+    ),
+    QueryDef(
+        "link_prediction", link_prediction, _link_prediction_sql(),
+        "common-neighbor link prediction: top non-edges of the "
+        "co-purchase graph (also-bought candidates)",
     ),
 ]

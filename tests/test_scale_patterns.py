@@ -402,3 +402,32 @@ class TestHotBlockPairKernels:
             assert thresh() == base_t
         finally:
             sim._PAIR_ELEM_BUDGET = saved
+
+
+def test_common_neighbor_links_known_graph_and_degree_cap(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.graph import (
+        common_neighbor_links,
+    )
+
+    # path 1-2-3-4 + triangle (5,6,7) + hub 10 connected to 11,12,13
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7), (6, 7),
+         (10, 11), (10, 12), (10, 13)],
+        "u long, v long",
+    )
+    got = [
+        (r["node_a"], r["node_b"], r["n_common"])
+        for r in common_neighbor_links(edges, k=10).collect()
+    ]
+    # non-edges with shared neighbors: (1,3) via 2; (2,4) via 3; hub
+    # spokes pair up via 10: (11,12),(11,13),(12,13); triangle edges all
+    # exist -> excluded
+    assert got == [
+        (1, 3, 1), (2, 4, 1), (11, 12, 1), (11, 13, 1), (12, 13, 1)
+    ]
+    # max_degree=2 drops the hub middle: spoke pairs vanish, paths stay
+    capped = [
+        (r["node_a"], r["node_b"], r["n_common"])
+        for r in common_neighbor_links(edges, k=10, max_degree=2).collect()
+    ]
+    assert capped == [(1, 3, 1), (2, 4, 1)]

@@ -124,6 +124,12 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # TakeOrdered — every exchange moves query-vocabulary rows only (the
     # tf kernel filters to |Q| terms before anything shuffles)
     "lexical_search": 3,
+    # semantic floor: edge build (group self-join + distinct = 3, edges
+    # persisted across legs) + the wedge self-join on the middle key (2)
+    # + candidate-pair census + the existing-edge anti-join; wedge volume
+    # C(deg,2) per middle IS the answer size (max_degree is the
+    # documented hub cap at power-law scale)
+    "link_prediction": 7,
     # semantic floor: (part, supplier) catalog aggregate (the one
     # fact-scale shuffle) + per-part min on a narrower key + the
     # min-match equality join (catalog re-partitions on (part, cost));
