@@ -1766,17 +1766,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    best = catalog.groupBy("l_partkey").agg(F.min("unit_cost").alias("__best"))
+    # explicit aliases: best derives from catalog, so an unaliased
+    # best.l_partkey can resolve to the SAME attribute as catalog's
+    # (Spark warns "trivially true equals predicate") — rename the
+    # grouped side so the equality is unambiguous by construction
+    best = (
+        catalog.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("__best"))
+        .select(F.col("l_partkey").alias("__bpk"), "__best")
+    )
     wanted = part.where(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
     ).select("p_partkey", "p_name")
     return (
         catalog.join(
             best,
-            (catalog.l_partkey == best.l_partkey)
-            & (catalog.unit_cost == best.__best),
+            (F.col("l_partkey") == F.col("__bpk"))
+            & (F.col("unit_cost") == F.col("__best")),
         )
-        .drop(best.l_partkey)
+        .drop("__bpk", "__best")
         .join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost"
