@@ -254,6 +254,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "lexical_search": {},
     "ivf_pq": {},
     "link_prediction": {},
+    "image_dedup": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -283,6 +284,7 @@ DRIVER_BACKLOG: list[str] = [
     "lexical_search",
     "ivf_pq",
     "link_prediction",
+    "image_dedup",
 ]
 
 # Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order

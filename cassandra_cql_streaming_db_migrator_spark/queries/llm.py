@@ -1118,8 +1118,37 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IMAGE_PHASH_SQL = """
-WITH u AS (
+def image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phash pipeline carried to its DECISION: near-dup pairs ->
+    connected components -> canonical keep-list, per image (cluster id =
+    min member id, keep = is the canonical member, singletons keep
+    themselves).  The composition a production image-dedup pass ships —
+    pairs alone are a diagnostic.  Oracle: the quadratic pair definition
+    + recursive-CTE reachability (entity_resolution's pattern), so a
+    driver pass proves banding + min-label propagation end to end."""
+    from ..operators.dedup import connected_components
+
+    docs = attach_media_payload(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    )
+    hashes = image_avg_hashes(docs).persist()
+    pairs = hamming_near_pairs(hashes, max_dist=3)
+    comps = connected_components(pairs, "id_a", "id_b", id_col="doc_id")
+    return hashes.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("cluster_id"),
+        F.coalesce(F.col("comp_size").cast("long"), F.lit(1)).alias(
+            "cluster_size"
+        ),
+        (
+            F.coalesce("component_id", F.col("doc_id")) == F.col("doc_id")
+        ).alias("keep"),
+    )
+
+
+# the hash + quadratic-pair CTEs, shared by the pair report and the
+# canonical-keep-list oracles
+_PHASH_CTES = """u AS (
   SELECT doc_id,
          list_transform(range(256), i ->
            CAST(ascii(substring(text,
@@ -1155,7 +1184,10 @@ p AS (
   FROM h a JOIN h c ON a.doc_id < c.doc_id
   WHERE bit_count(xor(a.hash_hi, c.hash_hi))
       + bit_count(xor(a.hash_lo, c.hash_lo)) <= 3
-),
+)"""
+
+_IMAGE_PHASH_SQL = f"""
+WITH {_PHASH_CTES},
 ends AS (
   SELECT doc_id, count(*) AS n_near FROM (
     SELECT id_a AS doc_id FROM p UNION ALL SELECT id_b FROM p
@@ -1164,6 +1196,26 @@ ends AS (
 SELECT h.doc_id, h.hash_hi, h.hash_lo,
        CAST(coalesce(ends.n_near, 0) AS BIGINT) AS n_near
 FROM h LEFT JOIN ends ON ends.doc_id = h.doc_id
+"""
+
+_IMAGE_DEDUP_SQL = f"""
+WITH RECURSIVE {_PHASH_CTES},
+edges AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT a AS node, a AS peer FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+),
+comp AS (SELECT node AS doc_id, min(peer) AS cid FROM reach GROUP BY node),
+sizes AS (SELECT cid, count(*) AS csize FROM comp GROUP BY cid)
+SELECT h.doc_id,
+       coalesce(c.cid, h.doc_id) AS cluster_id,
+       CAST(coalesce(s.csize, 1) AS BIGINT) AS cluster_size,
+       coalesce(c.cid, h.doc_id) = h.doc_id AS keep
+FROM h
+LEFT JOIN comp c ON c.doc_id = h.doc_id
+LEFT JOIN sizes s ON s.cid = c.cid
 """
 
 
@@ -1501,6 +1553,9 @@ QUERIES = [
     QueryDef("image_phash", image_phash, _IMAGE_PHASH_SQL,
              "perceptual average-hash image dedup: banded Hamming LSH "
              "pairs, quadratic-definition oracle"),
+    QueryDef("image_dedup", image_dedup, _IMAGE_DEDUP_SQL,
+             "phash pipeline to its decision: near-dup components -> "
+             "canonical keep-list (recursive-CTE reachability oracle)"),
     QueryDef("embedding_scatter", embedding_scatter_q,
              embedding_scatter_sql(n_dims=16),
              "scatter (covariance) matrix over a dim slice: one wide "

@@ -130,6 +130,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # C(deg,2) per middle IS the answer size (max_degree is the
     # documented hub cap at power-law scale)
     "link_prediction": 7,
+    # semantic floor: banded-LSH pair join (1) + candidate distinct (1)
+    # + the CC rounds' label join/aggregate on the node key (the
+    # component loop) + the final hash join-back; hashes persisted
+    "image_dedup": 4,
     # semantic floor: (part, supplier) catalog aggregate (the one
     # fact-scale shuffle) + per-part min on a narrower key + the
     # min-match equality join (catalog re-partitions on (part, cost));
