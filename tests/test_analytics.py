@@ -790,3 +790,15 @@ class TestLexicalTopk:
         assert got == [(d, s, h) for d, (s, h) in ranked]
         # saturation: three 'common' occurrences score less than 3x one
         assert score(3, 3) < 3 * score(1, 3)
+
+    def test_no_matching_terms_and_empty_corpus(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+            lexical_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+        )
+        out = lexical_topk(docs, ["absent", "missing"], k=5)
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "score_ppm", "n_terms_hit"]

@@ -757,3 +757,22 @@ class TestDupSpanCensus:
             if wins
         }
         assert got == want
+
+    def test_empty_and_short_corpus(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+            dup_span_census,
+        )
+
+        # all docs shorter than the span -> empty report, right schema
+        docs = spark.createDataFrame(
+            [(1, "too short"), (2, "also short")], "doc_id long, text string"
+        )
+        out = dup_span_census(docs, span_len=50)
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "n_spans", "n_dup_spans", "dup_ppm"]
+        # NULL text contributes nothing (matches the Catalyst twin)
+        docs2 = spark.createDataFrame(
+            [(1, None), (2, "a b c d")], "doc_id long, text string"
+        )
+        rows = dup_span_census(docs2, span_len=3).collect()
+        assert [(r["doc_id"], r["n_spans"]) for r in rows] == [(2, 2)]
