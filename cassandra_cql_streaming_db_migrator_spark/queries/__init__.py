@@ -255,6 +255,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "ivf_pq": {},
     "link_prediction": {},
     "image_dedup": {},
+    "user_ltv": {},
+    "event_paths": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -285,6 +287,8 @@ DRIVER_BACKLOG: list[str] = [
     "ivf_pq",
     "link_prediction",
     "image_dedup",
+    "user_ltv",
+    "event_paths",
 ]
 
 # Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order

@@ -1180,6 +1180,127 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAD_OUTLIERS_SQL = mad_outlier_stats_sql("events", "event_type", "value")
 
 
+# ---------------------------------------------------------------------------
+# Cohort LTV curves: customers grouped by first-order month, revenue
+# accumulated per months-since-acquisition — the standard lifetime-value
+# triangle.  Exact integers end to end: month index is (year*12+month)
+# arithmetic, revenue is cent-quantized decimal; the cumulative window
+# runs over the cohort x month rollup (metadata-scale rows).
+
+
+def user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mnum = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    base = orders.select(
+        "o_custkey",
+        mnum.cast("long").alias("__m"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("__cents"),
+    )
+    first = base.groupBy("o_custkey").agg(F.min("__m").alias("__m0"))
+    rolled = (
+        base.join(first, "o_custkey")
+        .groupBy(
+            F.col("__m0").alias("cohort_month"),
+            (F.col("__m") - F.col("__m0")).alias("month_idx"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum(F.col("__cents").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rolled.select(
+        "cohort_month",
+        "month_idx",
+        "n_active",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
+    )
+
+
+_USER_LTV_SQL = """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, min(m) AS m0 FROM base GROUP BY 1),
+rolled AS (
+  SELECT f.m0 AS cohort_month, b.m - f.m0 AS month_idx,
+         count(DISTINCT b.o_custkey) AS n_active,
+         CAST(sum(CAST(b.cents AS DECIMAL(38,0))) AS BIGINT) AS revenue_cents
+  FROM base b JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT cohort_month, month_idx, n_active, revenue_cents,
+       CAST(sum(revenue_cents) OVER (
+         PARTITION BY cohort_month ORDER BY month_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue_cents
+FROM rolled
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top event paths: the per-(user, day) ordered event-type sequence census
+# — the data behind a product-analytics Sankey / flow diagram.  The path
+# string is an ORDER-SENSITIVE aggregation: collect structs, array_sort
+# by (ts, event_id) — a total order, so both engines build the identical
+# string — then join with '>'.
+
+
+def event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    paths = (
+        events.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("__day")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(15)
+    )
+
+
+_EVENT_PATHS_SQL = """
+WITH paths AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 15
+"""
+
+
 QUERIES = [
     QueryDef(
         "mad_outliers", mad_outliers, _MAD_OUTLIERS_SQL,
@@ -1346,5 +1467,15 @@ QUERIES = [
         "link_prediction", link_prediction, _link_prediction_sql(),
         "common-neighbor link prediction: top non-edges of the "
         "co-purchase graph (also-bought candidates)",
+    ),
+    QueryDef(
+        "user_ltv", user_ltv, _USER_LTV_SQL,
+        "cohort LTV triangle: first-order-month cohorts x months-since, "
+        "exact-cent cumulative revenue",
+    ),
+    QueryDef(
+        "event_paths", event_paths, _EVENT_PATHS_SQL,
+        "top per-(user, day) event-type sequences (order-sensitive "
+        "aggregation via total-order array_sort)",
     ),
 ]

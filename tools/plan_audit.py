@@ -134,6 +134,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # + the CC rounds' label join/aggregate on the node key (the
     # component loop) + the final hash join-back; hashes persisted
     "image_dedup": 4,
+    # semantic floor: per-customer first-month aggregate (1) + the fact
+    # join-back on custkey (re-hash, 2) + the cohort x month distinct
+    # rollup; the cumulative window runs on rollup rows (metadata)
+    "user_ltv": 4,
     # semantic floor: (part, supplier) catalog aggregate (the one
     # fact-scale shuffle) + per-part min on a narrower key + the
     # min-match equality join (catalog re-partitions on (part, cost));
