@@ -580,3 +580,112 @@ def jaccard_join(
         "n_union",
         F.expr("1000000 * n_inter DIV n_union").alias("jac_fp"),
     )
+
+
+def minhash_join(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    est_threshold: float = 0.5,
+    jaccard_threshold: float = 0.7,
+    shingle_len: int = 5,
+    ngram_len: int = 3,
+    bands: int = 4,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Cross-corpus near-duplicate JOIN — the incremental-ingest form of
+    fuzzy dedup: which documents of a NEW ``batch`` near-duplicate
+    something already in ``corpus``.  Same two-stage architecture as
+    ``fuzzy_dedup_pairs`` (banded MinHash candidates -> exact n-gram
+    Jaccard verify), but across two frames instead of a self-join.
+
+    Output: (``{id}_new``, ``{id}_old``, est_jaccard, jaccard) for pairs
+    with exact jaccard >= threshold.
+
+    Scale shape: at ingest the batch is tiny next to the corpus, so the
+    batch's banded signature table is an EXPLICIT broadcast — the corpus
+    streams through the candidate probe without shuffling (the
+    incremental contract; for batch ~ corpus, drop the broadcast and let
+    the band join shuffle both sides).  Exact verification joins gram
+    sets on candidate ids only; both gram joins move candidate-scale
+    rows (AQE broadcasts the candidate side).
+    """
+    sb = minhash_signature_df(batch, text_col, id_col, shingle_len, engine)
+    sc = minhash_signature_df(corpus, text_col, id_col, shingle_len, engine)
+    n_perms = len(MINHASH_PERMS)
+
+    def banded(signed, side):
+        return signed.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col("sig").alias(f"sig_{side}"),
+            F.posexplode(F.array(*_band_signature_cols(bands))).alias(
+                "band_idx", "band_sig"
+            ),
+        )
+
+    cand = (
+        banded(sc, "old")
+        .join(F.broadcast(banded(sb, "new")), on=["band_idx", "band_sig"])
+        .select("id_new", "id_old", "sig_new", "sig_old")
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig_new", "sig_old", lambda x, y: x == y),
+                 lambda v: v)
+    )
+    cand = cand.select(
+        "id_new",
+        "id_old",
+        (matches / F.lit(float(n_perms))).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= F.lit(est_threshold))
+
+    from .textops import char_ngrams
+
+    def gram_sets(df, side):
+        if engine == "hof":
+            grams = F.array_distinct(
+                F.transform(
+                    char_ngrams(F.col(text_col), ngram_len),
+                    lambda g: poly_hash(g),
+                )
+            )
+            return df.select(
+                F.col(id_col).alias(f"__gid_{side}"), grams.alias(f"g_{side}")
+            )
+        import pandas as pd
+
+        from ..functions.fast_hash import ngram_hash_lists
+
+        gschema = StructType(
+            [
+                StructField(f"__gid_{side}", df.schema[id_col].dataType, True),
+                StructField(f"g_{side}", ArrayType(LongType()), False),
+            ]
+        )
+
+        def compute(batches):
+            for pdf in batches:
+                lists = ngram_hash_lists(pdf[text_col].tolist(), ngram_len)
+                yield pd.DataFrame(
+                    {f"__gid_{side}": pdf[id_col].to_numpy(), f"g_{side}": lists}
+                )
+
+        return df.select(id_col, text_col).mapInPandas(compute, gschema)
+
+    joined = (
+        cand.join(
+            gram_sets(batch, "new"), cand.id_new == F.col("__gid_new")
+        )
+        .drop("__gid_new")
+        .join(gram_sets(corpus, "old"), F.col("id_old") == F.col("__gid_old"))
+        .drop("__gid_old")
+    )
+    inter = F.size(F.array_intersect("g_new", "g_old"))
+    union = F.size("g_new") + F.size("g_old") - inter
+    return joined.select(
+        F.col("id_new").alias(f"{id_col}_new"),
+        F.col("id_old").alias(f"{id_col}_old"),
+        "est_jaccard",
+        (inter.cast("double") / union).alias("jaccard"),
+    ).filter(F.col("jaccard") >= F.lit(jaccard_threshold))

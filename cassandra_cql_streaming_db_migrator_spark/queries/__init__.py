@@ -257,6 +257,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "image_dedup": {},
     "user_ltv": {},
     "event_paths": {},
+    "incremental_dedup": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -289,6 +290,7 @@ DRIVER_BACKLOG: list[str] = [
     "image_dedup",
     "user_ltv",
     "event_paths",
+    "incremental_dedup",
 ]
 
 # Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order

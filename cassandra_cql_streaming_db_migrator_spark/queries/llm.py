@@ -226,6 +226,55 @@ WHERE {jac} >= 0.7
 
 
 # ---------------------------------------------------------------------------
+# Incremental-ingest dedup: which NEW docs near-duplicate the EXISTING
+# corpus — the cross-frame form of fuzzy dedup (batch bands broadcast,
+# corpus streams through the candidate probe).
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return minhash_join(batch, corpus, "text", "doc_id")
+
+
+def _incremental_dedup_sql() -> str:
+    ph = poly_hash_sql("s")
+    n = len(MINHASH_PERMS)
+    band_conds = _band_conds()
+    est = (
+        f"CAST(len(list_filter(range(1, {n + 1}), "
+        f"j -> s1.sg[CAST(j AS INTEGER)] = s2.sg[CAST(j AS INTEGER)])) AS DOUBLE)/{n}.0"
+    )
+    jac = (
+        "CAST(len(list_intersect(g1.grams, g2.grams)) AS DOUBLE) "
+        "/ (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams)))"
+    )
+    return f"""
+WITH {_sig_ctes()},
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      list_distinct(list_transform(range(1, greatest(length(text)-2, 1)+1),
+                    i -> substr(text, CAST(i AS INTEGER), 3))),
+      s -> {ph})) AS grams
+  FROM documents),
+cand AS (
+  SELECT s1.doc_id AS doc_id_new, s2.doc_id AS doc_id_old,
+         {est} AS est_jaccard
+  FROM sig s1 JOIN sig s2
+    ON s1.doc_id % 10 = 0 AND s2.doc_id % 10 <> 0
+  WHERE ({" OR ".join(band_conds)}) AND {est} >= {_EST_THRESHOLD})
+SELECT doc_id_new, doc_id_old, est_jaccard, {jac} AS jaccard
+FROM cand
+JOIN g g1 ON doc_id_new = g1.doc_id
+JOIN g g2 ON doc_id_old = g2.doc_id
+WHERE {jac} >= 0.7
+"""
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clusters: fuzzy pairs -> connected components (canonical = min id).
 
 
@@ -1492,6 +1541,9 @@ QUERIES = [
              "53-bit SimHash fingerprints"),
     QueryDef("fuzzy_dedup", fuzzy_dedup, _fuzzy_dedup_sql(),
              "LSH candidates -> exact Jaccard verify (scale-path dedup)"),
+    QueryDef("incremental_dedup", incremental_dedup, _incremental_dedup_sql(),
+             "cross-corpus minhash JOIN: new-batch near-dups of the "
+             "existing corpus (batch bands broadcast, corpus streams)"),
     QueryDef("ngram_jaccard", ngram_jaccard, _NGRAM_JACCARD_SQL,
              "blocked exact 3-gram Jaccard pairs (exact baseline; "
              "quadratic in block size, excluded from bench)", bench=False),

@@ -480,3 +480,32 @@ def test_salted_counter_merge_equals_unsalted(spark, sf_dir):
     salted = counter_merge(skewed, ["user_id"], ["value"], salt=8)
     assert dict(plain.dtypes) == dict(salted.dtypes)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_minhash_join_matches_self_join_restriction(spark, sf_dir):
+    """Cross-corpus minhash join vs the proven self-join pipeline: on a
+    split corpus, (new, old) results must equal fuzzy_dedup_pairs' pairs
+    restricted to split-crossing ones (in either id order)."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+        fuzzy_dedup_pairs,
+        minhash_join,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.sources.parquet import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    got = {
+        (r["doc_id_new"], r["doc_id_old"]): (r["est_jaccard"], r["jaccard"])
+        for r in minhash_join(batch, corpus, "text", "doc_id").collect()
+    }
+    ref = {}
+    for r in fuzzy_dedup_pairs(docs, "text", "doc_id").collect():
+        a, b = r["doc_id_1"], r["doc_id_2"]
+        for new, old in ((a, b), (b, a)):
+            if new % 10 == 0 and old % 10 != 0:
+                ref[(new, old)] = (r["est_jaccard"], r["jaccard"])
+    assert got == ref
+    assert got  # the fixture split actually crosses near-dup families

@@ -138,6 +138,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # join-back on custkey (re-hash, 2) + the cohort x month distinct
     # rollup; the cumulative window runs on rollup rows (metadata)
     "user_ltv": 4,
+    # semantic floor: candidate-pair distinct (1) + the two gram-set
+    # verify joins on candidate ids (2); the band probe itself is a
+    # broadcast of the batch side — the corpus never shuffles for it
+    "incremental_dedup": 3,
     # semantic floor: (part, supplier) catalog aggregate (the one
     # fact-scale shuffle) + per-part min on a narrower key + the
     # min-match equality join (catalog re-partitions on (part, cost));
