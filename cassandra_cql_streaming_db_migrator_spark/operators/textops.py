@@ -986,3 +986,106 @@ FROM per_doc d JOIN ttr t USING ({id_col})
 WHERE d.len >= 2 AND t.n_tok > 0
 GROUP BY d.g
 """
+
+
+def vocab_growth(
+    df: DataFrame,
+    bucket_docs: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative token count and
+    cumulative DISTINCT vocabulary as the corpus grows in ``bucket_docs``
+    -sized doc-id prefixes — the corpus-sizing diagnostic (is the
+    vocabulary saturating? how fast do new tokens appear?).
+
+    Scale shape: the naive form needs a running distinct SET over the
+    whole vocabulary; the first-seen decomposition kills that state
+    (user_growth's trick on a much larger key domain): each word charges
+    exactly one bucket — the bucket of its FIRST-appearance doc — so
+    cumulative vocabulary is a running sum over the metadata-scale bucket
+    rollup.  One token-census shuffle (word key, carrying min doc id and
+    count partials), one bucket rollup, one cumsum window over
+    bucket-count rows.
+
+    Returns (bucket, n_docs, cum_tokens, cum_vocab) with bucket = first
+    doc id of the prefix block.
+    """
+    bucket_of = lambda c: (c - (c % bucket_docs)).cast("long")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).alias("__w"),
+    )
+    # the ONE token-scale shuffle: the word census (min first doc).  The
+    # per-bucket token totals do NOT need the explode — size(split) is a
+    # narrow per-doc expression, so that aggregate's map-side partials
+    # reduce to bucket-count rows before any exchange.
+    per_word = toks.groupBy("__w").agg(F.min(id_col).alias("__first_doc"))
+    word_buckets = per_word.groupBy(
+        bucket_of(F.col("__first_doc")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("__new_vocab"))
+    n_toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    )
+    docs_b = df.groupBy(bucket_of(F.col(id_col)).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks.cast("long")).alias("__toks"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_b.join(word_buckets, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.sum(F.coalesce("__toks", F.lit(0))).over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("__new_vocab", F.lit(0)))
+            .over(w)
+            .alias("cum_vocab"),
+        )
+    )
+
+
+def vocab_growth_sql(
+    bucket_docs: int = 100,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin of :func:`vocab_growth`."""
+    b = bucket_docs
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, t AS w
+  FROM {table}, unnest(string_split({text_col}, ' ')) AS u(t)
+  WHERE t <> ''
+),
+per_word AS (
+  SELECT w, min({id_col}) AS first_doc, count(*) AS n FROM toks GROUP BY 1
+),
+wb AS (
+  SELECT first_doc - (first_doc % {b}) AS bucket, count(*) AS new_vocab
+  FROM per_word GROUP BY 1
+),
+tb AS (
+  SELECT {id_col} - ({id_col} % {b}) AS bucket, count(*) AS toks
+  FROM toks GROUP BY 1
+),
+db AS (
+  SELECT {id_col} - ({id_col} % {b}) AS bucket, count(*) AS n_docs
+  FROM {table} GROUP BY 1
+)
+SELECT CAST(db.bucket AS BIGINT) AS bucket, db.n_docs,
+       CAST(sum(coalesce(tb.toks, 0)) OVER (
+         ORDER BY db.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST(sum(coalesce(wb.new_vocab, 0)) OVER (
+         ORDER BY db.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM db
+LEFT JOIN tb ON tb.bucket = db.bucket
+LEFT JOIN wb ON wb.bucket = db.bucket
+"""

@@ -258,6 +258,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "user_ltv": {},
     "event_paths": {},
     "incremental_dedup": {},
+    "vocab_growth": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -291,6 +292,7 @@ DRIVER_BACKLOG: list[str] = [
     "user_ltv",
     "event_paths",
     "incremental_dedup",
+    "vocab_growth",
 ]
 
 # Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order

@@ -42,6 +42,8 @@ from ..operators.corpus import (
 )
 from ..operators.textops import (
     BPE_TOKEN_PATTERN,
+    vocab_growth,
+    vocab_growth_sql,
     vocab_head_coverage,
     vocab_head_coverage_sql,
 )
@@ -637,7 +639,21 @@ ORDER BY p.doc_id
 """
 
 
+def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth in 100-doc prefix buckets
+    (operators.textops.vocab_growth): cumulative tokens + cumulative
+    distinct vocabulary WITHOUT a running distinct set — each word
+    charges its first-appearance bucket (the user_growth first-seen
+    decomposition on the word domain)."""
+    return vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = [
+    QueryDef(
+        "vocab_growth", vocab_growth_q, vocab_growth_sql(),
+        "Heaps-law vocabulary-growth curve via first-seen decomposition "
+        "(no running distinct set)",
+    ),
     QueryDef(
         "dup_spans", dup_spans, _DUP_SPANS_SQL,
         "exact repeated-span census (Lee-et-al substring dedup signal): "

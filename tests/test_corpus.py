@@ -776,3 +776,26 @@ class TestDupSpanCensus:
         )
         rows = dup_span_census(docs2, span_len=3).collect()
         assert [(r["doc_id"], r["n_spans"]) for r in rows] == [(2, 2)]
+
+
+class TestVocabGrowth:
+    def test_known_fixture(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.textops import (
+            vocab_growth,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b a"),      # bucket 0: tokens 3, new vocab {a, b}
+                (1, "b c"),        # bucket 0: tokens 2, new {c}
+                (2, "c d d"),      # bucket 2: tokens 3, new {d}
+                (3, "a b"),        # bucket 2: tokens 2, new {}
+                (5, "e"),          # bucket 4: tokens 1, new {e}
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["bucket"], r["n_docs"], r["cum_tokens"], r["cum_vocab"])
+            for r in vocab_growth(docs, bucket_docs=2).collect()
+        )
+        assert got == [(0, 2, 5, 3), (2, 2, 10, 4), (4, 1, 11, 5)]

@@ -142,6 +142,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # verify joins on candidate ids (2); the band probe itself is a
     # broadcast of the batch side — the corpus never shuffles for it
     "incremental_dedup": 3,
+    # the word census (min first doc) is the ONE token-scale shuffle;
+    # per-bucket doc/token totals are narrow size(split) partials, the
+    # first-seen bucket rollup and the cumsum window move bucket-count
+    # (metadata) rows
+    "vocab_growth": 4,
     # semantic floor: (part, supplier) catalog aggregate (the one
     # fact-scale shuffle) + per-part min on a narrower key + the
     # min-match equality join (catalog re-partitions on (part, cost));
