@@ -595,3 +595,127 @@ SELECT count(*) AS n_converted,
        CAST(max(dur_us) AS BIGINT) AS max_us
 FROM durs
 """
+
+
+def association_rules(
+    df: DataFrame,
+    key_col: str = "user_id",
+    item_col: str = "event_type",
+    min_both: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Directed association rules a -> b from the basket co-occurrence
+    census: support (baskets with both), confidence (share of a-baskets
+    that also hold b) and lift (co-occurrence vs independence), all in
+    exact ppm fixed point — the market-basket / next-event-suggestion
+    miner.  Each unordered co-occurring pair yields BOTH directions.
+
+    Same scale shape as ``cooccurrence_pairs`` (one collect_set shuffle,
+    vocab-bounded HOF pair expansion, broadcast reach join-back) plus a
+    1-row basket-count scalar; the ppm arithmetic is pure int64
+    (n_both * n_baskets <= baskets^2 * 1e6 fits comfortably at any
+    enumerable vocabulary).  Output ordered (lift desc, conf desc, a, b),
+    top ``k``.
+    """
+    sets = (
+        df.filter(F.col(key_col).isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("items"))
+        .persist()
+    )
+    a = F.col("items")
+    pair_structs = F.flatten(
+        F.transform(
+            a,
+            lambda x, i: F.transform(
+                F.slice(a, i + F.lit(2), F.size(a)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"),
+                 F.col("p.item_b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= min_both)
+    )
+    reach = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+    n_baskets = sets.agg(F.count(F.lit(1)).alias("__nb"))
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_both",
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_both",
+        )
+    )
+    ra = reach.select(
+        F.col("item").alias("antecedent"), F.col("n_keys").alias("__na")
+    )
+    rb = reach.select(
+        F.col("item").alias("consequent"), F.col("n_keys").alias("__nc")
+    )
+    out = (
+        directed.join(F.broadcast(ra), "antecedent")
+        .join(F.broadcast(rb), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.expr("1000000 * n_both DIV __na").alias("confidence_ppm"),
+            F.expr(
+                "1000000 * n_both * __nb DIV (__na * __nc)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift_ppm"), F.desc("confidence_ppm"),
+        "antecedent", "consequent",
+    ).limit(k)
+
+
+def association_rules_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    item_col: str = "event_type",
+    min_both: int = 2,
+    k: int = 20,
+) -> str:
+    return f"""
+WITH ki AS (
+  SELECT DISTINCT {key_col} AS key, {item_col} AS item FROM {table}
+  WHERE {key_col} IS NOT NULL AND {item_col} IS NOT NULL
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+  FROM ki a JOIN ki b ON a.key = b.key AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_both}
+),
+reach AS (SELECT item, count(*) AS n_keys FROM ki GROUP BY 1),
+nb AS (SELECT count(DISTINCT key) AS n_baskets FROM ki),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_both FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_both FROM pairs
+)
+SELECT antecedent, consequent, n_both,
+       1000000 * n_both // ra.n_keys AS confidence_ppm,
+       1000000 * n_both * nb.n_baskets // (ra.n_keys * rc.n_keys)
+         AS lift_ppm
+FROM directed
+JOIN reach ra ON ra.item = antecedent
+JOIN reach rc ON rc.item = consequent
+CROSS JOIN nb
+ORDER BY lift_ppm DESC, confidence_ppm DESC, antecedent, consequent
+LIMIT {k}
+"""

@@ -259,6 +259,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "event_paths": {},
     "incremental_dedup": {},
     "vocab_growth": {},
+    "rfm_segments": {},
+    "basket_rules": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -293,6 +295,8 @@ DRIVER_BACKLOG: list[str] = [
     "event_paths",
     "incremental_dedup",
     "vocab_growth",
+    "rfm_segments",
+    "basket_rules",
 ]
 
 # Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order

@@ -1301,6 +1301,112 @@ LIMIT 15
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: recency / frequency / monetary quintiles.
+# ntile(5) over a TOTAL order (metric + custkey tiebreak) is deterministic
+# on both engines (SQL-standard remainder-to-first-buckets).  The quintile
+# windows sort the CUSTOMER dimension (single partition) — dimension-scale
+# by construction; at 1e9 customers the documented swap is precomputed
+# quantile cut points broadcast back (same outputs for untied metrics).
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("__maxd"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("__maxd", "__last").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    )
+    f_ = F.ntile(5).over(
+        Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(
+            F.col("monetary_cents").desc(), F.col("o_custkey").asc()
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        # score 5 = best: most recent / most frequent / highest spend
+        (6 - r).alias("r_score"),
+        (6 - f_).alias("f_score"),
+        (6 - m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("monetary_cents").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("segment_cents"),
+    )
+
+
+_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(o_orderdate),
+              (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(38,0)))
+              AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary_cents,
+         6 - ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+           AS r_score,
+         6 - ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+           AS f_score,
+         6 - ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC)
+           AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       CAST(sum(CAST(monetary_cents AS DECIMAL(38,0))) AS BIGINT)
+         AS segment_cents
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over the event baskets
+    (operators.events.association_rules): confidence + lift in exact ppm."""
+    from ..operators.events import association_rules
+
+    return association_rules(load_table(spark, sf_dir, "events"), k=20)
+
+
+def _basket_rules_sql() -> str:
+    from ..operators.events import association_rules_sql
+
+    return association_rules_sql(k=20)
+
+
 QUERIES = [
     QueryDef(
         "mad_outliers", mad_outliers, _MAD_OUTLIERS_SQL,
@@ -1477,5 +1583,15 @@ QUERIES = [
         "event_paths", event_paths, _EVENT_PATHS_SQL,
         "top per-(user, day) event-type sequences (order-sensitive "
         "aggregation via total-order array_sort)",
+    ),
+    QueryDef(
+        "rfm_segments", rfm_segments, _RFM_SQL,
+        "RFM customer segmentation: deterministic total-order quintiles, "
+        "exact-cent segment rollup",
+    ),
+    QueryDef(
+        "basket_rules", basket_rules, _basket_rules_sql(),
+        "directed association rules (support/confidence/lift in exact "
+        "ppm) over event baskets",
     ),
 ]

@@ -802,3 +802,28 @@ class TestLexicalTopk:
         out = lexical_topk(docs, ["absent", "missing"], k=5)
         assert out.count() == 0
         assert out.columns == ["doc_id", "score_ppm", "n_terms_hit"]
+
+
+class TestAssociationRules:
+    def test_known_baskets(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.events import (
+            association_rules,
+        )
+
+        # baskets: {x,y} x3, {x,z} x1, {y} x1  -> n_baskets=5
+        rows = []
+        for u, items in enumerate([["x", "y"], ["x", "y"], ["x", "y"],
+                                   ["x", "z"], ["y"]]):
+            rows += [(u, it) for it in items]
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        got = {
+            (r["antecedent"], r["consequent"]): (
+                r["n_both"], r["confidence_ppm"], r["lift_ppm"]
+            )
+            for r in association_rules(df, min_both=2, k=10).collect()
+        }
+        # reach: x=4, y=4; x&y=3; lift = 1e6*3*5 // (4*4) = 937500
+        assert got == {
+            ("x", "y"): (3, 1_000_000 * 3 // 4, 937_500),
+            ("y", "x"): (3, 1_000_000 * 3 // 4, 937_500),
+        }

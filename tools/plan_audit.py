@@ -147,6 +147,14 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # first-seen bucket rollup and the cumsum window move bucket-count
     # (metadata) rows
     "vocab_growth": 4,
+    # per-customer aggregate (1) + the customer-DIMENSION-scale quintile
+    # window sorts (single partition by design — documented cut-point
+    # swap at 1e9 customers) + the segment rollup
+    "rfm_segments": 3,
+    # one collect_set shuffle (vocab-bounded arrays) feeding pair census
+    # + item reach + 1-row basket count; the directed union re-aggregates
+    # pair-vocabulary rows; reach/basket sides broadcast
+    "basket_rules": 6,
     # semantic floor: (part, supplier) catalog aggregate (the one
     # fact-scale shuffle) + per-part min on a narrower key + the
     # min-match equality join (catalog re-partitions on (part, cost));
