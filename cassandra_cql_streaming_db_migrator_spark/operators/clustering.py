@@ -1015,3 +1015,179 @@ JOIN probe ON probe.cell = vass.cell
 ORDER BY adc_dist, q0.vid
 LIMIT {topk}"""
     )
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_dims: int = 8,
+    quant: int = 1000,
+    iterations: int = 6,
+) -> DataFrame:
+    """Top principal direction of the first ``n_dims`` embedding
+    dimensions by POWER ITERATION IN EXACT INTEGER FIXED POINT — iterative
+    linear algebra that hash-checks across engines (the same discipline
+    as the fixed-point PageRank, applied to PCA):
+
+      * the scatter matrix S = n·Σxy − Σx·Σy over ``quant``-quantized
+        values is exact int64 (eigenvectors are scale-invariant, so no
+        covariance division ever happens);
+      * S rescales to <= 1e6 via offset floor-division
+        (x*1e6 + K·M) // M − K with K = 2e6 — the offset keeps the
+        numerator positive, where Python floor, Spark DIV and DuckDB //
+        all agree (they disagree on negatives);
+      * each iterate normalizes by its max |component| with the same
+        offset trick; the final sign is fixed by the largest-|component|
+        index (smallest index on ties) — fully deterministic.
+
+    Scale shape: ONE wide whole-stage-codegen aggregate produces all
+    d(d+1)/2 + d + 1 moments (embedding_scatter's plan — scan read once,
+    map-side partials, a 1-row state shuffle); the iteration itself runs
+    on the d x d integer matrix — metadata, like the kmeans centroid
+    barrier.  Returns (dim_idx, component_fp) with components in 1e-6
+    units of the unit-max-normalized eigenvector.
+
+    Convergence contract: the result is EXACTLY the ``iterations``-th
+    integer iterate (bit-reproducible on any engine/partitioning);
+    closeness to the true eigenvector converges as (lambda2/lambda1)^t,
+    so near-isotropic spectra need more rounds — size ``iterations`` to
+    the spectrum (the gapped-spectrum test reaches cosine > 0.999 in 6).
+    """
+    dims = range(n_dims)
+    qcols = [
+        F.floor(
+            F.element_at(F.col(vec_col), d + 1).cast("double") * quant
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias(f"q{d}")
+        for d in dims
+    ]
+    base = df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= n_dims)
+    ).select(*qcols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"q{d}").alias(f"s{d}") for d in dims]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"p{i}_{j}")
+        for i in dims
+        for j in dims
+        if i <= j
+    ]
+    row = base.agg(*aggs).collect()[0]  # 1-row moment barrier (metadata)
+    n = row["n"]
+    s = [int(row[f"s{d}"]) for d in dims]
+    S = [[0] * n_dims for _ in dims]
+    for i in dims:
+        for j in dims:
+            ii, jj = (i, j) if i <= j else (j, i)
+            S[i][j] = n * int(row[f"p{ii}_{jj}"]) - s[i] * s[j]
+    K = 2_000_000
+    M = max(abs(S[i][j]) for i in dims for j in dims)
+    spark = df.sparkSession
+    if M == 0:
+        return spark.createDataFrame(
+            [(d, 0) for d in dims], "dim_idx int, component_fp long"
+        )
+    Sp = [
+        [(S[i][j] * 1_000_000 + K * M) // M - K for j in dims] for i in dims
+    ]
+    v = [1_000_000] * n_dims
+    for _ in range(iterations):
+        w = [sum(Sp[i][j] * v[j] for j in dims) for i in dims]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [(wi * 1_000_000 + K * m) // m - K for wi in w]
+    pick = max(dims, key=lambda i: (abs(v[i]), -i))
+    if v[pick] < 0:
+        v = [-x for x in v]
+    return spark.createDataFrame(
+        [(d, v[d]) for d in dims], "dim_idx int, component_fp long"
+    )
+
+
+def pca_power_iteration_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    n_dims: int = 8,
+    quant: int = 1000,
+    iterations: int = 6,
+) -> str:
+    """Oracle twin: the identical moments, rescale, iteration chain and
+    sign fix as unrolled CTEs.  Every floor-division numerator is offset
+    positive so DuckDB's truncating ``//`` equals Python's floor; wide
+    intermediates pass through HUGEINT and cast back."""
+    dims = range(n_dims)
+    guard = (
+        f"(SELECT * FROM {table} WHERE {vec_col} IS NOT NULL "
+        f"AND len({vec_col}) >= {n_dims})"
+    )
+    qs = ", ".join(
+        f"CAST(floor(CAST({vec_col}[{d + 1}] AS DOUBLE) * {quant} + 0.5) "
+        f"AS BIGINT) AS q{d}"
+        for d in dims
+    )
+    sums = ", ".join(f"CAST(sum(q{d}) AS BIGINT) AS s{d}" for d in dims)
+    prods = ", ".join(
+        f"CAST(sum(q{i} * q{j}) AS BIGINT) AS p{i}_{j}"
+        for i in dims
+        for j in dims
+        if i <= j
+    )
+    full = []
+    for i in dims:
+        for j in dims:
+            ii, jj = (i, j) if i <= j else (j, i)
+            full.append(
+                f"SELECT {i} AS i, {j} AS j, "
+                f"n * p{ii}_{jj} - s{i} * s{j} AS c FROM s"
+            )
+    sp_rows = "\n  UNION ALL ".join(full)
+    K = 2_000_000
+    parts = [
+        f"q AS MATERIALIZED (SELECT {qs} FROM {guard} g)",
+        f"s AS MATERIALIZED (SELECT count(*) AS n, {sums}, {prods} FROM q)",
+        f"sm AS MATERIALIZED ({sp_rows})",
+        "mm AS MATERIALIZED (SELECT max(abs(c)) AS m FROM sm)",
+        f"""sp AS MATERIALIZED (
+  SELECT i, j,
+         CAST((CAST(c AS HUGEINT) * 1000000 + {K} * CAST(m AS HUGEINT))
+              // m - {K} AS BIGINT) AS c
+  FROM sm, mm)""",
+        "v0(idx, val) AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) FROM sm "
+        "WHERE j = 0)",
+    ]
+    prev = "v0"
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT sp.i AS idx, sum(sp.c * v.val) AS wv
+  FROM sp JOIN {prev} v ON sp.j = v.idx GROUP BY 1)"""
+        )
+        parts.append(f"m{t} AS MATERIALIZED (SELECT max(abs(wv)) AS m FROM w{t})")
+        parts.append(
+            f"""v{t} AS MATERIALIZED (
+  SELECT idx,
+         CAST((CAST(wv AS HUGEINT) * 1000000 + {K} * CAST(m AS HUGEINT))
+              // m - {K} AS BIGINT) AS val
+  FROM w{t}, m{t})"""
+        )
+        prev = f"v{t}"
+    parts.append(
+        f"pick AS (SELECT idx FROM {prev} ORDER BY abs(val) DESC, idx "
+        "LIMIT 1)"
+    )
+    parts.append(
+        f"sgn AS (SELECT CASE WHEN v.val < 0 THEN -1 ELSE 1 END AS s "
+        f"FROM {prev} v JOIN pick USING (idx))"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(v.idx AS INTEGER) AS dim_idx,
+       CAST(v.val * sgn.s AS BIGINT) AS component_fp
+FROM {prev} v, sgn
+ORDER BY dim_idx"""
+    )

@@ -261,6 +261,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "vocab_growth": {},
     "rfm_segments": {},
     "basket_rules": {},
+    "embedding_pca": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -297,6 +298,7 @@ DRIVER_BACKLOG: list[str] = [
     "vocab_growth",
     "rfm_segments",
     "basket_rules",
+    "embedding_pca",
 ]
 
 # Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order

@@ -924,6 +924,22 @@ def embedding_scatter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_scatter(emb, n_dims=16)
 
 
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the first 8 dims by exact-integer power
+    iteration on the scatter matrix (operators.clustering.
+    pca_power_iteration) — iterative linear algebra that hash-checks."""
+    from ..operators.clustering import pca_power_iteration
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_iteration(emb, n_dims=8)
+
+
+def _embedding_pca_sql() -> str:
+    from ..operators.clustering import pca_power_iteration_sql
+
+    return pca_power_iteration_sql(n_dims=8)
+
+
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: 4 subspaces x 16 dims, 4-centroid codebooks
     from the deterministic Lloyd loop, packed codes + reconstruction-error
@@ -1612,6 +1628,10 @@ QUERIES = [
              embedding_scatter_sql(n_dims=16),
              "scatter (covariance) matrix over a dim slice: one wide "
              "codegen aggregate, exact integer moments"),
+    QueryDef("embedding_pca", embedding_pca, _embedding_pca_sql(),
+             "top principal direction by exact-integer power iteration "
+             "on the scatter matrix — hash-checkable iterative linear "
+             "algebra"),
     QueryDef("embedding_centroids", embedding_centroids, _EMBEDDING_CENTROIDS_SQL,
              "per-label centroid norm + inertia (k-means-style cluster "
              "tightness stats)"),
