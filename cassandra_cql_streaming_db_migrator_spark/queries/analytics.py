@@ -1353,9 +1353,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_cents",
         # score 5 = best: most recent / most frequent / highest spend
-        (6 - r).alias("r_score"),
-        (6 - f_).alias("f_score"),
-        (6 - m).alias("m_score"),
+        # (long: DuckDB's 6 - ntile() is BIGINT — widths must match for
+        # the driver hasher)
+        (6 - r).cast("long").alias("r_score"),
+        (6 - f_).cast("long").alias("f_score"),
+        (6 - m).cast("long").alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
