@@ -1117,7 +1117,16 @@ def pca_power_iteration_sql(
     """Oracle twin: the identical moments, rescale, iteration chain and
     sign fix as unrolled CTEs.  Every floor-division numerator is offset
     positive so DuckDB's truncating ``//`` equals Python's floor; wide
-    intermediates pass through HUGEINT and cast back."""
+    intermediates pass through HUGEINT and cast back.
+
+    Degenerate-case parity (ADVICE r04 #4): the Python side returns zeros
+    when the scatter matrix is all-zero (M == 0, e.g. a constant-column
+    corpus) and freezes the iterate when an intermediate ``w`` is exactly
+    zero (break).  The SQL mirrors both — ``sp`` emits 0 under M == 0, each
+    ``v{t}`` passes the prior iterate through under ``m{t} == 0`` (a frozen
+    iterate reproduces the break), the final projection forces zeros under
+    M == 0, and every divisor rides ``greatest(m, 1)`` so no branch can
+    divide by zero even under speculative vectorized evaluation."""
     dims = range(n_dims)
     guard = (
         f"(SELECT * FROM {table} WHERE {vec_col} IS NOT NULL "
@@ -1152,8 +1161,10 @@ def pca_power_iteration_sql(
         "mm AS MATERIALIZED (SELECT max(abs(c)) AS m FROM sm)",
         f"""sp AS MATERIALIZED (
   SELECT i, j,
-         CAST((CAST(c AS HUGEINT) * 1000000 + {K} * CAST(m AS HUGEINT))
-              // m - {K} AS BIGINT) AS c
+         CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((CAST(c AS HUGEINT) * 1000000
+                         + {K} * CAST(m AS HUGEINT))
+                        // greatest(m, 1) - {K} AS BIGINT) END AS c
   FROM sm, mm)""",
         "v0(idx, val) AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) FROM sm "
         "WHERE j = 0)",
@@ -1168,10 +1179,12 @@ def pca_power_iteration_sql(
         parts.append(f"m{t} AS MATERIALIZED (SELECT max(abs(wv)) AS m FROM w{t})")
         parts.append(
             f"""v{t} AS MATERIALIZED (
-  SELECT idx,
-         CAST((CAST(wv AS HUGEINT) * 1000000 + {K} * CAST(m AS HUGEINT))
-              // m - {K} AS BIGINT) AS val
-  FROM w{t}, m{t})"""
+  SELECT w.idx,
+         CASE WHEN m.m = 0 THEN p.val
+              ELSE CAST((CAST(w.wv AS HUGEINT) * 1000000
+                         + {K} * CAST(m.m AS HUGEINT))
+                        // greatest(m.m, 1) - {K} AS BIGINT) END AS val
+  FROM w{t} w JOIN {prev} p ON w.idx = p.idx, m{t} m)"""
         )
         prev = f"v{t}"
     parts.append(
@@ -1187,7 +1200,8 @@ def pca_power_iteration_sql(
         + ",\n".join(parts)
         + f"""
 SELECT CAST(v.idx AS INTEGER) AS dim_idx,
-       CAST(v.val * sgn.s AS BIGINT) AS component_fp
-FROM {prev} v, sgn
+       CAST(CASE WHEN mm.m = 0 THEN 0 ELSE v.val * sgn.s END AS BIGINT)
+         AS component_fp
+FROM {prev} v, sgn, mm
 ORDER BY dim_idx"""
     )

@@ -485,7 +485,14 @@ def peak_concurrency_sql(sessions_cte: str) -> str:
     """Oracle twin over a CTE body yielding (session_start, session_end).
     ``sessions_cte`` must be a complete WITH-able SELECT."""
     return f"""
-WITH sess AS ({sessions_cte}),
+WITH sess0 AS ({sessions_cte}),
+sess AS (
+  -- end-exclusive contract shared with the Spark side (ADVICE r04 #2):
+  -- zero/negative-length intervals are empty and emit no deltas; without
+  -- this filter a zero-length midday interval transiently raises the
+  -- running sum under the (t ASC, delta DESC) sweep order.
+  SELECT * FROM sess0 WHERE session_end > session_start
+),
 d AS (
   SELECT unnest(generate_series(
            date_trunc('day', session_start),
@@ -612,10 +619,12 @@ def association_rules(
 
     Same scale shape as ``cooccurrence_pairs`` (one collect_set shuffle,
     vocab-bounded HOF pair expansion, broadcast reach join-back) plus a
-    1-row basket-count scalar; the ppm arithmetic is pure int64
-    (n_both * n_baskets <= baskets^2 * 1e6 fits comfortably at any
-    enumerable vocabulary).  Output ordered (lift desc, conf desc, a, b),
-    top ``k``.
+    1-row basket-count scalar.  The lift numerator (1e6 * n_both *
+    n_baskets ~ 1e6 * baskets^2) exceeds int64 past ~3e6 baskets, so it is
+    widened to decimal(38,0) / HUGEINT on both engines before the integral
+    divide (ADVICE r04 #3 — the gini/pareto decimal treatment); confidence
+    stays int64 (1e6 * n_both <= 1e6 * baskets).  Output ordered
+    (lift desc, conf desc, a, b), top ``k``.
     """
     sets = (
         df.filter(F.col(key_col).isNotNull() & F.col(item_col).isNotNull())
@@ -672,8 +681,13 @@ def association_rules(
             "consequent",
             "n_both",
             F.expr("1000000 * n_both DIV __na").alias("confidence_ppm"),
+            # lift numerator is 1e6 * n_both * n_baskets ~ 1e6 * baskets^2:
+            # int64 wraps silently past ~3e6 baskets (ADVICE r04 #3), so the
+            # product rides decimal(38,0); Spark's DIV on decimal operands
+            # still yields BIGINT, keeping the output schema long.
             F.expr(
-                "1000000 * n_both * __nb DIV (__na * __nc)"
+                "(CAST(n_both AS DECIMAL(38,0)) * __nb * 1000000)"
+                " DIV (CAST(__na AS DECIMAL(38,0)) * __nc)"
             ).alias("lift_ppm"),
         )
     )
@@ -710,7 +724,8 @@ directed AS (
 )
 SELECT antecedent, consequent, n_both,
        1000000 * n_both // ra.n_keys AS confidence_ppm,
-       1000000 * n_both * nb.n_baskets // (ra.n_keys * rc.n_keys)
+       CAST(CAST(n_both AS HUGEINT) * nb.n_baskets * 1000000
+            // (CAST(ra.n_keys AS HUGEINT) * rc.n_keys) AS BIGINT)
          AS lift_ppm
 FROM directed
 JOIN reach ra ON ra.item = antecedent

@@ -331,19 +331,34 @@ def common_neighbor_links(
 
 
 def common_neighbor_links_sql(
-    edges_cte: str, k: int = 20
+    edges_cte: str, k: int = 20, max_degree: int | None = None
 ) -> str:
-    """Oracle twin over a CTE body ``e`` yielding canonical (u, v)."""
+    """Oracle twin over a CTE body ``e`` yielding canonical (u, v).
+    ``max_degree`` mirrors the Spark-side hub cap IN SQL (VERDICT r04 ask
+    #6): middles with symmetrized degree above the cap contribute no
+    wedges — the oracle value-gates the path actually run on power-law
+    graphs, not just the exact one."""
+    cap = (
+        f""",
+deg AS (SELECT b, count(*) AS d FROM nbrs GROUP BY 1),
+kept AS (
+  SELECT n.b, n.n FROM nbrs n JOIN deg ON deg.b = n.b
+  WHERE deg.d <= {max_degree}
+)"""
+        if max_degree is not None
+        else ""
+    )
+    wedge_src = "kept" if max_degree is not None else "nbrs"
     return f"""
 WITH {edges_cte},
 nbrs AS (
   SELECT u AS b, v AS n FROM e
   UNION ALL
   SELECT v AS b, u AS n FROM e
-),
+){cap},
 cand AS (
   SELECT n1.n AS node_a, n2.n AS node_b, count(*) AS n_common
-  FROM nbrs n1 JOIN nbrs n2 ON n1.b = n2.b AND n1.n < n2.n
+  FROM {wedge_src} n1 JOIN {wedge_src} n2 ON n1.b = n2.b AND n1.n < n2.n
   GROUP BY 1, 2
 )
 SELECT node_a, node_b, n_common

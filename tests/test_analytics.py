@@ -827,3 +827,91 @@ class TestAssociationRules:
             ("x", "y"): (3, 1_000_000 * 3 // 4, 937_500),
             ("y", "x"): (3, 1_000_000 * 3 // 4, 937_500),
         }
+
+
+# ---------------------------------------------------------------------------
+# Distributed ntile (VERDICT r04 #2: the rfm_segments scale swap)
+
+
+class TestDistributedNtile:
+    def test_matches_window_ntile(self, spark):
+        """distributed_ntile == ntile(n).over(Window.orderBy(...)) for a
+        total order, across remainder shapes (n_rows % n_buckets 0..4)."""
+        from pyspark.sql import Window
+
+        from cassandra_cql_streaming_db_migrator_spark.operators.windows import (
+            distributed_ntile,
+        )
+
+        for n_rows in (3, 10, 11, 12, 13, 14, 257):
+            df = spark.createDataFrame(
+                [(i, (i * 7919) % 101) for i in range(n_rows)],
+                "id long, v long",
+            )
+            order = [F.col("v").asc(), F.col("id").asc()]
+            want = {
+                (r["id"]): r["b"]
+                for r in df.withColumn(
+                    "b",
+                    F.ntile(5).over(Window.orderBy(*order)).cast("long"),
+                ).collect()
+            }
+            got = {
+                (r["id"]): r["__bucket"]
+                for r in distributed_ntile(df, 5, order).collect()
+            }
+            assert got == want, f"n_rows={n_rows}"
+
+    def test_no_partitionless_window_in_plan(self, spark):
+        from cassandra_cql_streaming_db_migrator_spark.operators.windows import (
+            distributed_ntile,
+        )
+
+        df = spark.range(100).withColumn("v", (F.col("id") * 13) % 7)
+        plan = distributed_ntile(
+            df, 5, [F.col("v").asc(), F.col("id").asc()]
+        )._jdf.queryExecution().executedPlan().toString()
+        # every WindowExec must carry a partition spec (no global sort)
+        for line in plan.splitlines():
+            if "Window " in line or line.strip().startswith("Window"):
+                assert "__pid" in line, f"partitionless window: {line}"
+
+    def test_rfm_distributed_matches_ntile(self, spark, sf_dir):
+        """Parity pin: the shipped cut-point/rank rfm scoring reproduces
+        the ntile-window scoring row-for-row on the fixtures."""
+        from pyspark.sql import Window
+
+        from cassandra_cql_streaming_db_migrator_spark.queries.analytics import (
+            rfm_per_customer,
+            rfm_segments,
+        )
+
+        per_cust = rfm_per_customer(spark, sf_dir)
+        r = F.ntile(5).over(
+            Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+        )
+        f_ = F.ntile(5).over(
+            Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+        )
+        m = F.ntile(5).over(
+            Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
+        )
+        want = sorted(
+            (
+                per_cust.select(
+                    (6 - r).cast("long").alias("r_score"),
+                    (6 - f_).cast("long").alias("f_score"),
+                    (6 - m).cast("long").alias("m_score"),
+                    "monetary_cents",
+                )
+                .groupBy("r_score", "f_score", "m_score")
+                .agg(
+                    F.count(F.lit(1)).alias("n_customers"),
+                    F.sum(F.col("monetary_cents").cast("decimal(38,0)"))
+                    .cast("long")
+                    .alias("segment_cents"),
+                )
+            ).collect()
+        )
+        got = sorted(rfm_segments(spark, sf_dir).collect())
+        assert got == want

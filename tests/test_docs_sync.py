@@ -55,3 +55,55 @@ def test_driver_head_and_backlog_cover_unwitnessed():
     }
     unwitnessed = set(reg) - witnessed
     assert unwitnessed <= set(DRIVER_HEAD) | set(DRIVER_BACKLOG)
+
+
+def test_driver_history_keys_registered():
+    """DRIVER_HISTORY is an audit trail of the registry — a renamed or
+    deleted query must not leave a stale history row behind (VERDICT r04
+    ask #8)."""
+    from cassandra_cql_streaming_db_migrator_spark.queries import DRIVER_HISTORY
+
+    reg = _registry()
+    stale = sorted(set(DRIVER_HISTORY) - set(reg))
+    assert not stale, f"DRIVER_HISTORY rows for unregistered queries: {stale}"
+
+
+def test_correctness_files_transcribed():
+    """Every CORRECTNESS_r{N}.json the driver has written must be
+    transcribed into DRIVER_HISTORY (VERDICT r04 ask #8 / missing #2):
+    each query in the file carries an rNN entry whose green/fail matches
+    the recorded rows+schema+hash verdict.  Makes round-boundary
+    bookkeeping un-forgettable — pytest fails until the transcription
+    lands."""
+    import glob
+    import json
+
+    from cassandra_cql_streaming_db_migrator_spark.queries import DRIVER_HISTORY
+
+    problems = []
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = re.search(r"CORRECTNESS_(r\d+)\.json$", path).group(1)
+        with open(path) as f:
+            rows = json.load(f)
+        if not isinstance(rows, dict):
+            continue
+        for name, v in rows.items():
+            if not isinstance(v, dict):
+                continue
+            if name not in DRIVER_HISTORY:
+                # renamed/retired between rounds — covered by the stale
+                # check above only for current registry members.
+                continue
+            want = (
+                "green"
+                if (
+                    v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match")
+                )
+                else "fail"
+            )
+            got = DRIVER_HISTORY[name].get(rnd)
+            if got != want:
+                problems.append(f"{name}[{rnd}]: history={got!r} file={want!r}")
+    assert not problems, "untranscribed driver rows: " + "; ".join(problems)

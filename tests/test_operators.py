@@ -509,3 +509,27 @@ def test_minhash_join_matches_self_join_restriction(spark, sf_dir):
                 ref[(new, old)] = (r["est_jaccard"], r["jaccard"])
     assert got == ref
     assert got  # the fixture split actually crosses near-dup families
+
+
+def test_minhash_join_shuffle_path_bit_identical(spark, sf_dir):
+    """broadcast_batch=False (the batch ~ corpus backfill contract,
+    VERDICT r04 ask #5) must be bit-equal to the default broadcast probe,
+    and its plan must not broadcast the band join's batch side."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+        minhash_join,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.sources.parquet import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    bcast = minhash_join(batch, corpus, "text", "doc_id")
+    shuffled = minhash_join(
+        batch, corpus, "text", "doc_id", broadcast_batch=False
+    )
+    assert sorted(map(tuple, bcast.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
+    assert bcast.collect()  # non-vacuous

@@ -431,3 +431,27 @@ def test_common_neighbor_links_known_graph_and_degree_cap(spark):
         for r in common_neighbor_links(edges, k=10, max_degree=2).collect()
     ]
     assert capped == [(1, 3, 1), (2, 4, 1)]
+
+
+def test_plan_audit_flags_partitionless_window(spark):
+    """The detector class rfm_segments' round-4 bug belongs to (VERDICT r04
+    ask #3): a partitionless ntile window must be machine-caught; the
+    shipped distributed_ntile plan must pass."""
+    from pyspark.sql import Window
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.windows import (
+        distributed_ntile,
+    )
+    from tools.plan_audit import has_global_window
+
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    bad = df.withColumn(
+        "b", F.ntile(5).over(Window.orderBy(F.col("v"), F.col("id")))
+    )
+    assert has_global_window(
+        bad._jdf.queryExecution().executedPlan().toString()
+    )
+    good = distributed_ntile(df, 5, [F.col("v").asc(), F.col("id").asc()])
+    assert not has_global_window(
+        good._jdf.queryExecution().executedPlan().toString()
+    )

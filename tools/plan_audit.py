@@ -130,6 +130,9 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # C(deg,2) per middle IS the answer size (max_degree is the
     # documented hub cap at power-law scale)
     "link_prediction": 7,
+    # + the hub cap's symmetrized-degree aggregate and kept-middle join
+    # (both on the node key, sharing the adjacency partitioning)
+    "link_prediction_capped": 9,
     # semantic floor: banded-LSH pair join (1) + candidate distinct (1)
     # + the CC rounds' label join/aggregate on the node key (the
     # component loop) + the final hash join-back; hashes persisted
@@ -147,10 +150,15 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # first-seen bucket rollup and the cumsum window move bucket-count
     # (metadata) rows
     "vocab_growth": 4,
-    # per-customer aggregate (1) + the customer-DIMENSION-scale quintile
-    # window sorts (single partition by design — documented cut-point
-    # swap at 1e9 customers) + the segment rollup
-    "rfm_segments": 3,
+    # per-customer aggregate (1) + per quintile metric the distributed-
+    # ntile pair (range exchange + partition-id hash exchange, x3 metrics
+    # = 6; NO single-partition sort anywhere — VERDICT r04 #2) + the
+    # segment rollup = 8 RUNTIME exchanges; the audit's textual count is
+    # higher because each chained ntile persists its ranked frame and the
+    # formatted plan re-prints the cached lineage (InMemoryRelation bodies)
+    # including its exchanges — double-counted text, not double-executed
+    # shuffles
+    "rfm_segments": 16,
     # one collect_set shuffle (vocab-bounded arrays) feeding pair census
     # + item reach + 1-row basket count; the directed union re-aggregates
     # pair-vocabulary rows; reach/basket sides broadcast
@@ -225,6 +233,59 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
 }
 DEFAULT_ALLOWANCE = 2
 
+# Queries whose plans legitimately contain a GLOBAL (partitionless) window:
+# every entry here must sort a frame that is metadata-scale BY CONSTRUCTION
+# (bucket/level/offset/quantile tables, not fact or dimension lineage).
+# Anything else containing Window <- Sort <- Exchange SinglePartition is
+# flagged — the class of bug rfm_segments shipped in round 4 (a dimension-
+# scale single-partition ntile sort) must be machine-caught (VERDICT r04
+# ask #3).
+GLOBAL_WINDOW_ALLOWED: set[str] = {
+    # cumsum over the distinct-partition offsets table (rows = distinct
+    # part_col values)
+    "weighted_sample",
+    # cumulative coverage over the token-frequency head (rows = vocabulary
+    # census buckets)
+    "head_coverage",
+    # cumsum over first-seen bucket rollup (rows = corpus buckets)
+    "vocab_growth",
+    # Lorenz cumsum over per-nation revenue levels (rows = nations x
+    # customer deciles — report-scale)
+    "revenue_pareto",
+    "gini_by_nation",
+    # suffix minima over the candidate frontier's qty levels
+    "skyline_parts",
+    # vocabulary-sized probability window
+    "event_transitions",
+    # per-day cumulative-active window over day-count rows
+    "user_growth",
+    # drift report: per-bucket share windows (bucket-count rows)
+    "drift_report",
+    # Benford digit table (9 rows)
+    "benford_audit",
+    # week-over-week deltas over week-count rows
+    "wow_growth",
+    # mixture quota tables (domain-cardinality rows)
+    "mixture_rebalance",
+    "mixture_weights",
+    # per-band stats rollup (band-count rows)
+    "minhash_band_stats",
+    # cumulative LTV over cohort x month rollup rows
+    "user_ltv",
+}
+
+
+_GLOBAL_WINDOW_RE = re.compile(
+    # simple-plan tree fragment (executedPlan().toString(), where Exchange
+    # arguments print inline): a Window node whose (possibly Sort-
+    # interposed) child is a single-partition exchange
+    r"Window[^\n]*\n[^\n]*?(?:Sort[^\n]*\n[^\n]*?)?Exchange SinglePartition"
+)
+
+
+def has_global_window(plan: str) -> bool:
+    return bool(_GLOBAL_WINDOW_RE.search(plan))
+
 
 def audit(sf_dir: str) -> int:
     spark = build_session(app_name="plan-audit")
@@ -248,11 +309,14 @@ def audit(sf_dir: str) -> int:
         arrow = "InPandas" in plan
         row_udf = "BatchEvalPython" in plan
         cartesian = "CartesianProduct" in plan and "BroadcastNestedLoopJoin" not in plan
+        simple = df._jdf.queryExecution().executedPlan().toString()
         problems = []
         if cartesian:
             problems.append("CartesianProduct")
         if row_udf:
             problems.append("row-at-a-time PythonUDF")
+        if has_global_window(simple) and name not in GLOBAL_WINDOW_ALLOWED:
+            problems.append("partitionless WindowExec (SinglePartition sort)")
         if shuffles > SHUFFLE_ALLOWANCE.get(name, DEFAULT_ALLOWANCE):
             problems.append(f"{shuffles} shuffles > allowance")
         engine = "arrow" if arrow else "jvm"
