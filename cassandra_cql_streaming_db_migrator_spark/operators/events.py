@@ -734,3 +734,222 @@ CROSS JOIN nb
 ORDER BY lift_ppm DESC, confidence_ppm DESC, antecedent, consequent
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution: last-touch credit for conversion events.
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: every conversion event credits the user's
+    most recent PRECEDING touch event (strictly earlier in the
+    (ts, event_id) total order); conversions with no prior touch credit
+    the 'none' channel.  Output: (attributed_type, n_conversions,
+    revenue_cents) — exact-cent revenue per credited channel.
+
+    Scale shape: ONE window partitioned by user (the carry-forward
+    last-non-null over the per-user event order — no self-join, no
+    per-conversion scan-back) + the channel rollup; both shuffles are on
+    real keys, never a global sort.  The same plan is the first-touch
+    variant with min instead of carry-forward.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col).isin(*touch_types), F.col(type_col)
+    )
+    attributed = (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__attr", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion_type)
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("__attr"), F.lit("none")).alias("attributed_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(
+                F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+def last_touch_attribution_sql(
+    touch_types: list[str],
+    conversion_type: str = "purchase",
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    """Oracle twin: DuckDB's IGNORE NULLS last_value over the identical
+    total order and exclusive frame."""
+    types = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH attr AS (
+  SELECT {type_col}, {value_col},
+         last_value(CASE WHEN {type_col} IN ({types}) THEN {type_col} END
+                    IGNORE NULLS) OVER (
+           PARTITION BY {key_col}
+           ORDER BY {ts_col} ASC, {id_col} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS a
+  FROM {table}
+  WHERE {key_col} IS NOT NULL
+)
+SELECT coalesce(a, 'none') AS attributed_type,
+       count(*) AS n_conversions,
+       CAST(sum(CAST(floor({value_col} * 100 + 0.5) AS DECIMAL(38,0)))
+            AS BIGINT) AS revenue_cents
+FROM attr
+WHERE {type_col} = '{conversion_type}'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user.
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user, reported as a
+    histogram (streak_days, n_users) — the classic gaps-and-islands
+    pattern: distinct active days per user, island key = day minus
+    row_number days (constant within a consecutive run), longest run =
+    max island size.
+
+    Scale shape: the (user, day) distinct is the one data-scale shuffle;
+    the row_number window and both rollups are partitioned by user (the
+    histogram's group key is a small int).  No self-joins, no global
+    sorts.
+    """
+    days = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            F.date_trunc("day", F.col(ts_col)).alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("k").orderBy("d")
+    islands = days.withColumn(
+        "__isl",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    runs = islands.groupBy("k", "__isl").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    longest = runs.groupBy("k").agg(F.max("__len").alias("streak_days"))
+    return longest.groupBy("streak_days").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def activity_streaks_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+WITH days AS (
+  SELECT DISTINCT {key_col} AS k, date_trunc('day', {ts_col}) AS d
+  FROM {table} WHERE {key_col} IS NOT NULL
+),
+isl AS (
+  SELECT k,
+         date_diff('day', DATE '1970-01-01', d)
+           - row_number() OVER (PARTITION BY k ORDER BY d) AS i
+  FROM days
+),
+runs AS (SELECT k, i, count(*) AS len FROM isl GROUP BY 1, 2),
+longest AS (SELECT k, max(len) AS streak_days FROM runs GROUP BY 1)
+SELECT CAST(streak_days AS BIGINT) AS streak_days,
+       count(*) AS n_users
+FROM longest GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile: day-of-week x hour activity fingerprint.
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event count + exact-cent value sum + portable average per
+    (ISO day-of-week, hour) cell — the load/seasonality fingerprint that
+    sizes capacity and anomaly baselines.  One hash aggregate over a
+    168-cell key space (metadata-scale output); avg = decimal sum cast
+    double / count, the engine-portable average discipline.
+    """
+    return (
+        df.groupBy(
+            (F.weekday(F.col(ts_col)) + 1).cast("long").alias("iso_dow"),
+            F.hour(F.col(ts_col)).cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .withColumn(
+            "avg_value",
+            F.round(
+                F.col("value_cents").cast("double")
+                / F.col("n_events")
+                / F.lit(100.0),
+                6,
+            ),
+        )
+    )
+
+
+def seasonal_profile_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    return f"""
+SELECT CAST(isodow({ts_col}) AS BIGINT) AS iso_dow,
+       CAST(hour({ts_col}) AS BIGINT) AS hour,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor({value_col} * 100 + 0.5) AS DECIMAL(38,0)))
+            AS BIGINT) AS value_cents,
+       round(CAST(CAST(sum(CAST(floor({value_col} * 100 + 0.5)
+                            AS DECIMAL(38,0))) AS BIGINT) AS DOUBLE)
+             / count(*) / 100.0, 6) AS avg_value
+FROM {table}
+GROUP BY 1, 2
+"""

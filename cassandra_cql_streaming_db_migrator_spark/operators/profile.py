@@ -136,3 +136,102 @@ def table_profile_sql(table: str, columns: list[ColumnSpec]) -> str:
             f"FROM {table}"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Portable table checksum: order-independent row-content fingerprint.
+
+# Additive checksums fold row digests with +, so the fingerprint is
+# partition- and order-independent and MERGEABLE (per-partition / per-day
+# checksums sum into the table checksum).  The digest is the first 15 hex
+# chars of md5 over a canonical '|'-joined row string (60 bits — BIGINT-
+# safe in every engine); the fold runs in DECIMAL(38,0)/HUGEINT and is
+# reported mod 2^61-1.
+CHECKSUM_MOD = (1 << 61) - 1
+
+
+def _canon_cols_spark(spec: list[tuple[str, str]]) -> str:
+    """Canonical string fragments for Spark SQL.  kind: 'int' (exact
+    integer cast), 'cents' (double -> exact cents), 'us' (timestamp ->
+    epoch micros), 'str' (as-is)."""
+    frags = []
+    for kind, col in spec:
+        if kind == "int":
+            frags.append(f"CAST(CAST({col} AS BIGINT) AS STRING)")
+        elif kind == "cents":
+            frags.append(
+                f"CAST(CAST(floor({col} * 100 + 0.5) AS BIGINT) AS STRING)"
+            )
+        elif kind == "us":
+            frags.append(
+                f"CAST(unix_micros(CAST({col} AS TIMESTAMP)) AS STRING)"
+            )
+        else:
+            frags.append(col)
+    return ", ".join(frags)
+
+
+def _canon_cols_sql(spec: list[tuple[str, str]]) -> str:
+    frags = []
+    for kind, col in spec:
+        if kind == "int":
+            frags.append(f"CAST(CAST({col} AS BIGINT) AS VARCHAR)")
+        elif kind == "cents":
+            frags.append(
+                f"CAST(CAST(floor({col} * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+            )
+        elif kind == "us":
+            frags.append(f"CAST(epoch_us({col}) AS VARCHAR)")
+        else:
+            frags.append(col)
+    return ", ".join(frags)
+
+
+def _hex15_to_int_sql(hex_expr: str) -> str:
+    """First 15 hex chars -> BIGINT, as a 15-term positional sum (DuckDB
+    has no conv(); 16^k literals up to 16^14 and every partial product
+    stay under 2^63)."""
+    terms = [
+        f"CAST(strpos('0123456789abcdef', substr({hex_expr}, {i + 1}, 1))"
+        f" - 1 AS BIGINT) * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def table_checksum(
+    df: "DataFrame", table_name: str, spec: list[tuple[str, str]]
+) -> "DataFrame":
+    """(table_name, n_rows, checksum) — run on source and target, diff the
+    two 1-row reports to certify a migration without comparing rows.  The
+    reference's certification story stops at schema validation
+    (DataMigrationPlan.java:227-269) and row counts; this is the
+    content-level analog, embarrassingly parallel (no shuffle: a global
+    1-row aggregate with map-side partials)."""
+    canon = _canon_cols_spark(spec)
+    row_val = f"CAST(conv(substr(md5(concat_ws('|', {canon})), 1, 15), 16, 10) AS BIGINT)"
+    return (
+        df.selectExpr(f"{row_val} AS __v")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                f"CAST(CAST(sum(CAST(__v AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("checksum"),
+        )
+        .select(
+            F.lit(table_name).alias("table_name"), "n_rows", "checksum"
+        )
+    )
+
+
+def table_checksum_sql(table: str, spec: list[tuple[str, str]]) -> str:
+    canon = _canon_cols_sql(spec)
+    row_val = _hex15_to_int_sql(f"md5(concat_ws('|', {canon}))")
+    return f"""
+SELECT '{table}' AS table_name,
+       count(*) AS n_rows,
+       CAST(sum(CAST({row_val} AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)
+         AS checksum
+FROM {table}
+"""

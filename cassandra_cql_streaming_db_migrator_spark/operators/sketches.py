@@ -567,3 +567,220 @@ SELECT CAST(exact_a AS BIGINT) AS exact_a,
        END AS inter_est
 FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# Bitmap audience index: the roaring-bitmap-lite audience-overlap engine.
+
+
+def bitmap_audience_overlap(
+    df: DataFrame,
+    label_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Pairwise audience overlap (exact distinct-key intersection) for
+    every label pair, via 64-bit BITMAP WORDS instead of a key-pair join —
+    the bitmap-index technique (roaring-lite) behind audience/segment
+    intersection at warehouse scale.
+
+    Each distinct (label, key) sets bit ``key mod 64`` of word
+    ``key div 64``; per-(label, word) ``bit_or`` folds the audience into
+    words, and the pair intersection is ``sum(bit_count(word_a & word_b))``
+    over the word join.  Output: (type_a, type_b, n_a, n_b, n_both,
+    jaccard_ppm) for pairs with n_both > 0, type_a < type_b.
+
+    Scale shape: the key-distinct is the one data-scale shuffle; after it
+    the frame is words (64x smaller than keys, denser for clustered key
+    spaces).  The pair join runs on the WORD key — each word carries at
+    most |labels| rows per side, so the join is |labels|^2-bounded per
+    word, never |keys|^2.  Totals are label-cardinality metadata,
+    broadcast back.  The word table is mergeable state: daily audiences
+    OR together without rescanning events — the same contract as the KMV
+    and CMS sketches.  Keys must be non-negative int64 (fixture ids);
+    negative keys are filtered with NULLs.
+    """
+    au = (
+        df.filter(F.col(key_col).isNotNull() & (F.col(key_col) >= 0)
+                  & F.col(label_col).isNotNull())
+        .select(F.col(label_col).alias("t"), F.col(key_col).alias("u"))
+        .distinct()
+    )
+    words = au.groupBy(
+        "t", F.expr("u DIV 64").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(u % 64 AS INT))")
+        ).alias("m")
+    ).persist()
+    totals = words.groupBy("t").agg(
+        F.sum(F.bit_count("m")).alias("n")
+    )
+    wa = words.select(F.col("t").alias("type_a"), "w", F.col("m").alias("ma"))
+    wb = words.select(F.col("t").alias("type_b"), "w", F.col("m").alias("mb"))
+    both = (
+        wa.join(wb, "w")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))).alias("n_both"))
+        .where(F.col("n_both") > 0)
+    )
+    na = totals.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    nb = totals.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("1000000 * n_both DIV (n_a + n_b - n_both)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+def bitmap_audience_overlap_sql(
+    table: str = "events",
+    label_col: str = "event_type",
+    key_col: str = "user_id",
+) -> str:
+    """Oracle twin: the quadratic set-intersection DEFINITION — a driver
+    pass proves the bitmap-word algebra loses no key and double-counts
+    none."""
+    return f"""
+WITH au AS (
+  SELECT DISTINCT {label_col} AS t, {key_col} AS u FROM {table}
+  WHERE {key_col} IS NOT NULL AND {key_col} >= 0
+    AND {label_col} IS NOT NULL
+),
+n AS (SELECT t, count(*) AS n FROM au GROUP BY 1),
+ov AS (
+  SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+  FROM au a JOIN au b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       1000000 * n_both // (na.n + nb.n - n_both) AS jaccard_ppm
+FROM ov
+JOIN n na ON na.t = type_a
+JOIN n nb ON nb.t = type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-shaped register sketch (deterministic, hash-checkable).
+
+# alpha_512 = 0.7213 / (1 + 1.079/512), floored to ppm — pinned as an
+# integer so both engines compute the identical estimate.
+HLL_ALPHA_PPM = 719_783
+HLL_P_BITS = 9  # 512 registers
+HLL_SUF_BITS = 22  # kmv_hash yields 31 bits; 9 go to the register index
+HLL_RHO_EMPTY = HLL_SUF_BITS + 1  # all-zero suffix
+HLL_POWB = HLL_RHO_EMPTY  # 2^(POWB - rho) stays integral for every rho
+
+
+def hll_register_sketch(df: DataFrame, key_col: str) -> DataFrame:
+    """HyperLogLog-shaped distinct-count sketch with a fully DETERMINISTIC
+    estimate: 512 registers, register = h mod 512, rho = trailing-zero
+    count of the remaining 22 hash bits + 1 (the Flajolet least-significant
+    -1-bit observable — same geometric law as HLL's leading-zero rank, and
+    computable exactly in int64: ``bit_count((suf & -suf) - 1) + 1``).
+
+    The register table M_j = max(rho) is THE sketch: 512 int64s, additive
+    under max — per-partition / per-day sketches merge without rescanning,
+    the same mergeable-state contract as KMV/CMS.  The raw HLL estimator
+    alpha_m * m^2 / sum_j 2^(-M_j) is evaluated in pure integer arithmetic
+    (numerator alpha_ppm * m^2 * 2^POWB ~ 1.6e18 fits int64), so even the
+    ESTIMATE hash-checks across engines.  No small-range/large-range
+    correction is applied (raw estimator; the exact control column
+    quantifies the error), and the 31-bit frozen hash caps usable
+    cardinality around 1e8 — at true 100 TB scale swap in a 64-bit frozen
+    hash, same algebra.
+
+    Output (1 row): n_registers_hit, max_rho, est_distinct_x1e6 (the raw
+    estimate in millionths), exact_distinct (control).
+
+    Scale shape: one narrow projection + a 512-group aggregate + 1-row
+    folds; the exact control's distinct is the only data-scale shuffle —
+    drop it in production and the sketch never shuffles more than 512 rows.
+    """
+    m = 1 << HLL_P_BITS
+    base = df.filter(F.col(key_col).isNotNull()).select(
+        kmv_hash(key_col).alias("h")
+    )
+    regs = base.select(
+        F.expr(f"h % {m}").alias("reg"),
+        F.expr(f"h DIV {m}").alias("suf"),
+    )
+    rho = (
+        F.when(F.col("suf") == 0, F.lit(HLL_RHO_EMPTY))
+        .otherwise(F.expr("bit_count((suf & -suf) - 1) + 1"))
+    )
+    mtab = regs.select("reg", rho.alias("rho")).groupBy("reg").agg(
+        F.max("rho").alias("M")
+    )
+    stats = mtab.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.max("M").alias("max_rho"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_POWB} - M)")).alias(
+            "__s_hit"
+        ),
+    )
+    exact = df.filter(F.col(key_col).isNotNull()).agg(
+        F.countDistinct(key_col).alias("exact_distinct")
+    )
+    pow_full = 1 << HLL_POWB
+    return (
+        stats.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n_hit").cast("long").alias("n_registers_hit"),
+            F.col("max_rho").cast("long").alias("max_rho"),
+            F.expr(
+                f"CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {pow_full}"
+                f" DIV (coalesce(__s_hit, 0)"
+                f"      + ({m} - n_hit) * CAST({pow_full} AS BIGINT))"
+            ).alias("est_distinct_x1e6"),
+            F.col("exact_distinct").cast("long"),
+        )
+    )
+
+
+def hll_register_sketch_sql(table: str, key_col: str) -> str:
+    """Oracle twin: identical registers, rho, and integer estimator."""
+    m = 1 << HLL_P_BITS
+    pow_full = 1 << HLL_POWB
+    h = kmv_hash_sql(key_col)
+    return f"""
+WITH base AS (
+  SELECT {h} AS h FROM {table} WHERE {key_col} IS NOT NULL
+),
+regs AS (SELECT h % {m} AS reg, h // {m} AS suf FROM base),
+mtab AS (
+  SELECT reg,
+         max(CASE WHEN suf = 0 THEN {HLL_RHO_EMPTY}
+                  ELSE bit_count((suf & (-suf)) - 1) + 1 END) AS M
+  FROM regs GROUP BY 1
+),
+stats AS (
+  SELECT count(*) AS n_hit, max(M) AS max_rho,
+         sum(({pow_full} // (CAST(1 AS BIGINT) << M))) AS s_hit
+  FROM mtab
+),
+ex AS (
+  SELECT count(DISTINCT {key_col}) AS exact_distinct FROM {table}
+  WHERE {key_col} IS NOT NULL
+)
+SELECT CAST(n_hit AS BIGINT) AS n_registers_hit,
+       CAST(max_rho AS BIGINT) AS max_rho,
+       CAST(CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {pow_full}
+            // (coalesce(s_hit, 0) + ({m} - n_hit) * {pow_full})
+            AS BIGINT) AS est_distinct_x1e6,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM stats, ex
+"""

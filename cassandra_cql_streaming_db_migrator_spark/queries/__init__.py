@@ -264,6 +264,16 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "embedding_pca": {},
     # new in round 5 (head-listed by rule 1)
     "link_prediction_capped": {},
+    "audience_overlap": {},
+    "hll_distinct": {},
+    "funnel_attribution": {},
+    "activity_streaks": {},
+    "seasonal_profile": {},
+    "migration_checksum": {},
+    "exact_median": {},
+    "ivf_pq_recall": {},
+    "stream_enrich": {},
+    "unpivot_metrics": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -312,6 +322,16 @@ DRIVER_HEAD = [
     "embedding_pca",
     # -- new in round 5 (rule 1: no driver row yet)
     "link_prediction_capped",
+    "audience_overlap",
+    "hll_distinct",
+    "funnel_attribution",
+    "activity_streaks",
+    "seasonal_profile",
+    "migration_checksum",
+    "exact_median",
+    "ivf_pq_recall",
+    "stream_enrich",
+    "unpivot_metrics",
 ]
 
 

@@ -24,6 +24,8 @@ from ..operators.clustering import (
 from ..operators.diff import snapshot_diff
 from ..operators.joins import asof_join
 from ..operators.events import (
+    activity_streaks,
+    activity_streaks_sql,
     cohort_retention,
     cohort_retention_sql,
     cooccurrence_pairs,
@@ -32,8 +34,12 @@ from ..operators.events import (
     funnel_conversion_stats,
     funnel_conversion_stats_sql,
     funnel_sql,
+    last_touch_attribution,
+    last_touch_attribution_sql,
     rolling_time_window,
     rolling_time_window_sql,
+    seasonal_profile,
+    seasonal_profile_sql,
     sessionize,
     sessionize_sql,
 )
@@ -44,9 +50,18 @@ from ..operators.graph import (
     triangle_stats,
     triangle_stats_sql,
 )
-from ..operators.profile import table_profile, table_profile_sql
+from ..operators.profile import (
+    table_checksum,
+    table_checksum_sql,
+    table_profile,
+    table_profile_sql,
+)
 from ..operators.robust import mad_outlier_stats, mad_outlier_stats_sql
 from ..operators.sketches import (
+    bitmap_audience_overlap,
+    bitmap_audience_overlap_sql,
+    hll_register_sketch,
+    hll_register_sketch_sql,
     kmv_distinct,
     kmv_distinct_sql,
     kmv_set_estimate,
@@ -1427,6 +1442,129 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 additions: bitmap audience algebra, HLL registers, last-touch
+# attribution, activity streaks, seasonality, migration checksums, exact
+# distributed median.
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bitmap_audience_overlap(load_table(spark, sf_dir, "events"))
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_register_sketch(
+        load_table(spark, sf_dir, "events"), "user_id"
+    )
+
+
+_ATTR_TOUCH_TYPES = ["click", "view", "signup"]
+
+
+def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return last_touch_attribution(
+        load_table(spark, sf_dir, "events"), _ATTR_TOUCH_TYPES
+    )
+
+
+def activity_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return activity_streaks(load_table(spark, sf_dir, "events"))
+
+
+def seasonal_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_profile(load_table(spark, sf_dir, "events"))
+
+
+# Canonical column specs for the migration checksums: every field rendered
+# through an engine-portable integer/string image (no float or timestamp
+# formatting is ever compared).
+_CHECKSUM_SPECS = {
+    "orders": [
+        ("int", "o_orderkey"),
+        ("int", "o_custkey"),
+        ("str", "o_orderstatus"),
+        ("cents", "o_totalprice"),
+        ("us", "o_orderdate"),
+        ("str", "o_orderpriority"),
+    ],
+    "customer": [
+        ("int", "c_custkey"),
+        ("str", "c_name"),
+        ("int", "c_nationkey"),
+        ("cents", "c_acctbal"),
+        ("str", "c_mktsegment"),
+    ],
+}
+
+
+def migration_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-certification fingerprints for the two migrated tables in
+    one report — on a real migration this runs twice (source and target)
+    and the diff IS the certification."""
+    frames = [
+        table_checksum(load_table(spark, sf_dir, t), t, spec)
+        for t, spec in _CHECKSUM_SPECS.items()
+    ]
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+def _migration_checksum_sql() -> str:
+    return "\nUNION ALL\n".join(
+        table_checksum_sql(t, spec) for t, spec in _CHECKSUM_SPECS.items()
+    )
+
+
+def exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of lineitem extended price (cents) with no
+    single-partition sort: distributed_rank (range repartition + offset
+    broadcast) ranks every row, the two middle ranks are selected, and
+    2x the median = their value sum — pure integers end to end.  The
+    distributed-selection pattern: exact order statistics at any scale
+    for one range shuffle, where a naive global sort-and-pick dies.
+    Output (1 row): n_rows, median_cents_x2."""
+    from ..operators.windows import distributed_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = distributed_rank(
+        li,
+        [F.col("c").asc(), F.col("l_orderkey").asc(),
+         F.col("l_linenumber").asc()],
+    )
+    n = ranked.count()  # served from the persisted ranged frame
+    lo, hi = (n + 1) // 2, (n + 2) // 2
+    mid = ranked.where(F.col("__rank").isin(lo, hi))
+    return mid.agg(
+        F.sum("c").alias("__s"), F.count(F.lit(1)).alias("__m")
+    ).select(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.expr("__s * 2 DIV __m").alias("median_cents_x2"),
+    )
+
+
+_EXACT_MEDIAN_SQL = """
+WITH v AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+o AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS r, count(*) OVER () AS n
+  FROM v
+)
+SELECT CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(sum(c) * 2 // count(*) AS BIGINT) AS median_cents_x2
+FROM o WHERE r IN ((n + 1) // 2, (n + 2) // 2)
+"""
+
+
 def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed association rules over the event baskets
     (operators.events.association_rules): confidence + lift in exact ppm."""
@@ -1628,6 +1766,45 @@ QUERIES = [
         "rfm_segments", rfm_segments, _RFM_SQL,
         "RFM customer segmentation: deterministic total-order quintiles, "
         "exact-cent segment rollup",
+    ),
+    QueryDef(
+        "audience_overlap", audience_overlap,
+        bitmap_audience_overlap_sql(),
+        "pairwise audience intersection via 64-bit bitmap words "
+        "(roaring-lite) — exact distinct overlap, no key-pair join",
+    ),
+    QueryDef(
+        "hll_distinct", hll_distinct,
+        hll_register_sketch_sql("events", "user_id"),
+        "HLL-shaped 512-register sketch: mergeable max-rho state, raw "
+        "estimator in pure integer ppm + exact control",
+    ),
+    QueryDef(
+        "funnel_attribution", funnel_attribution,
+        last_touch_attribution_sql(_ATTR_TOUCH_TYPES),
+        "last-touch marketing attribution: carry-forward window credits "
+        "each purchase to the prior touch channel",
+    ),
+    QueryDef(
+        "activity_streaks", activity_streaks_q, activity_streaks_sql(),
+        "gaps-and-islands: longest consecutive-day activity streak per "
+        "user, reported as a histogram",
+    ),
+    QueryDef(
+        "seasonal_profile", seasonal_profile_q, seasonal_profile_sql(),
+        "day-of-week x hour seasonality fingerprint (exact-cent sums, "
+        "portable averages)",
+    ),
+    QueryDef(
+        "migration_checksum", migration_checksum,
+        _migration_checksum_sql(),
+        "order-independent md5 table fingerprints (mod 2^61-1) — "
+        "content-level migration certification, zero shuffle",
+    ),
+    QueryDef(
+        "exact_median", exact_median, _EXACT_MEDIAN_SQL,
+        "exact global median by distributed selection (range-partitioned "
+        "rank, no single-partition sort)",
     ),
     QueryDef(
         "basket_rules", basket_rules, _basket_rules_sql(),

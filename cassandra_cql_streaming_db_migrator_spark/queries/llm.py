@@ -1045,6 +1045,76 @@ FROM pq JOIN exact USING (vec_id)
 """
 
 
+def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the COMPOSED IVF+PQ read path against the exact L2
+    top-10 — the gauge for the doubly-approximate production plan (cell
+    pruning loses candidates PQ never sees; pq_recall isolates the
+    quantization half, this measures the product).  Deterministic end to
+    end, so the recall of the composed index hash-checks."""
+    from pyspark.sql import Window as _W  # noqa: F401  (parity with pq_recall)
+
+    from ..operators.clustering import _sq_dist, ivf_pq_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = ivf_pq_ann(
+        emb, query_id=0, topk=10, n_cells=8, n_probe=2
+    ).select("vec_id")
+    qvec = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "q"
+            )
+        )
+        .collect()[0]["q"]
+    )
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    exact = (
+        emb.where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .select(
+            "vec_id",
+            _sq_dist(vec, F.lit(qvec).cast("array<double>")).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = approx.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).alias("k"),
+        "n_hits",
+        F.expr("1000000 * n_hits DIV 10").alias("recall_ppm"),
+    )
+
+
+def _ivf_pq_recall_sql() -> str:
+    return f"""
+WITH ivfpq AS (
+  SELECT vec_id FROM ({_ivf_pq_sql()}) ivfpq_inner
+),
+qv AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+  FROM embeddings WHERE vec_id = 0
+),
+exact AS (
+  SELECT e.vec_id
+  FROM (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0) e, qv
+  ORDER BY list_sum(list_transform(generate_series(1, len(e.v)),
+                    i -> (e.v[i] - qv.q[i]) * (e.v[i] - qv.q[i]))),
+           e.vec_id
+  LIMIT 10
+)
+SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_hits,
+       1000000 * CAST(count(*) AS BIGINT) // 10 AS recall_ppm
+FROM ivfpq JOIN exact USING (vec_id)
+"""
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators.bpe): 20 merges learned from the
     corpus word census.  Genuinely iterative (each round's pair counts
@@ -1602,6 +1672,9 @@ QUERIES = [
              "(mean conditional probability)"),
     QueryDef("pq_recall", pq_recall, _PQ_RECALL_SQL,
              "recall@10 of the PQ ADC path vs exact L2 ground truth"),
+    QueryDef("ivf_pq_recall", ivf_pq_recall, _ivf_pq_recall_sql(),
+             "recall@10 of the composed IVF+PQ read path vs exact L2 — "
+             "the doubly-approximate plan's quality gauge, hash-exact"),
     QueryDef("ivf_pq", ivf_pq, _ivf_pq_sql(),
              "composed IVF+PQ ANN (FAISS-IVFPQ shape): coarse cells prune "
              "the scan, ADC ranks from codes — hash-checkable end to end"),

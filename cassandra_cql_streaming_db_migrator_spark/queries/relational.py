@@ -2346,9 +2346,60 @@ LIMIT 100
 """
 
 
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (the melt/STACK operator, agg_pivot's
+    inverse): one wide per-nation aggregate over customer — counts,
+    exact-cent balance sum, positive-balance count — unpivoted to
+    (n_nationkey, metric, value) rows with ``stack``.  The unpivot is a
+    zero-shuffle projection (rows x metrics, narrow); the one exchange is
+    the aggregate's.  All metrics share BIGINT so the long table is
+    cleanly typed."""
+    cust = load_table(spark, sf_dir, "customer")
+    wide = cust.groupBy(F.col("c_nationkey").cast("long").alias("n_nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("acctbal_cents"),
+        F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_positive_bal"),
+    )
+    return wide.selectExpr(
+        "n_nationkey",
+        "stack(3, 'n_customers', n_customers, "
+        "'acctbal_cents', acctbal_cents, "
+        "'n_positive_bal', n_positive_bal) AS (metric, value)",
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS n_nationkey,
+         count(*) AS n_customers,
+         CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS DECIMAL(38,0)))
+              AS BIGINT) AS acctbal_cents,
+         CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_positive_bal
+  FROM customer GROUP BY 1
+)
+SELECT n_nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT n_nationkey, 'acctbal_cents', acctbal_cents FROM wide
+UNION ALL
+SELECT n_nationkey, 'n_positive_bal', n_positive_bal FROM wide
+"""
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_SQL,
              "A4: TPC-H Q1-shape wide aggregate"),
+    QueryDef("unpivot_metrics", unpivot_metrics, _UNPIVOT_SQL,
+             "A4/P: wide-to-long unpivot via stack (agg_pivot's inverse, "
+             "zero-shuffle projection)"),
     QueryDef("q5_region_revenue", q5_region_revenue, _Q5_SQL,
              "J2/A4: TPC-H Q5-shape 6-table star join (broadcast dims + AQE)"),
     QueryDef("q18_top_buyers", q18_top_buyers, _Q18_SQL,

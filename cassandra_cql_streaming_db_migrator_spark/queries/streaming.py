@@ -198,6 +198,37 @@ FROM deduped WHERE rn = 1 GROUP BY event_type
 """
 
 
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the canonical streaming dimension
+    lookup: the live event stream joins the (bounded, broadcastable)
+    customer dimension per microbatch, then rolls up by market segment.
+    Spark re-plans the static side as a broadcast every batch, so the
+    stream never shuffles for the join; the segment rollup is the only
+    stateful aggregate (O(segments) state, complete mode).  A drained
+    bounded stream equals the batch join — the oracle."""
+    from ..sources.parquet import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = events.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value"),
+    )
+    return _canon_sum(run_to_memory(agg))
+
+
+_STREAM_ENRICH_SQL = """
+SELECT c_mktsegment, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE)
+         AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     return _canon_sum(run_to_memory(session_window_agg(events, "10 minutes")))
@@ -572,6 +603,9 @@ QUERIES = [
     QueryDef("stream_ohlc", stream_ohlc, _stream_ohlc_sql(),
              "T8: streaming OHLC bars (min_by/max_by tumbling windows, "
              "batch-operator parity)", bench=False),
+    QueryDef("stream_enrich", stream_enrich, _STREAM_ENRICH_SQL,
+             "stream-static dimension enrichment: per-microbatch broadcast "
+             "join + O(segments) rollup, batch-parity oracle"),
     QueryDef("stream_dedup", stream_dedup, _STREAM_DEDUP_SQL,
              "T8: stateful streaming dedup + counts", bench=False),
     QueryDef("stream_session_window", stream_session_window, _STREAM_SESSION_SQL,

@@ -230,6 +230,23 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # window + the hit/count aggregates — every exchange past the corpus
     # scans carries |Q| * k candidate rows (metadata-scale), not the corpus
     "ann_recall": 4,
+    # semantic floor: the (label, key) distinct (the one data-scale
+    # shuffle) + the word-fold aggregate + the word-key pair join + the
+    # pair census; everything after the distinct moves word rows (64x
+    # smaller), totals broadcast
+    "audience_overlap": 4,
+    # semantic floor: the 512-register max-rho aggregate (2 textual
+    # exchanges for partial/final) + the exact-control countDistinct's
+    # Expand aggregate; drop the control in production and the sketch
+    # shuffles 512 rows
+    "hll_distinct": 4,
+    # (user, day) distinct + per-user island census + the longest-run
+    # rollup; the histogram group key is metadata-scale
+    "activity_streaks": 3,
+    # distributed-selection floor: the range exchange + the partition-id
+    # hash exchange (the distributed_rank pair) + the offsets join and
+    # final 1-row fold; no single-partition sort anywhere
+    "exact_median": 4,
 }
 DEFAULT_ALLOWANCE = 2
 
