@@ -616,3 +616,78 @@ def hamming_near_pairs(
     return cand.select(
         "id_a", "id_b", dist.alias("dist")
     ).where(F.col("dist") <= max_dist)
+
+
+def image_tile_stats(
+    df: DataFrame,
+    tile: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Patchify (the ViT/vision-training tiling stage): each decoded image
+    splits into a (h/tile x w/tile) grid of tile x tile patches; one
+    output row per patch with integer sum/min/max — the per-patch
+    statistics a vision-data pipeline computes before embedding or
+    filtering patches.
+
+    1-row-in -> N-patch-rows-out happens INSIDE the Arrow kernel (the
+    multiplying transform stays partition-local, same contract as
+    sample_frames); undecodable payloads and images not divisible by the
+    tile size contribute no rows.  Pure integer outputs, so the oracle
+    hash-checks the real decoder bit-for-bit.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            tys: list = []
+            txs: list = []
+            sums: list = []
+            mins: list = []
+            maxs: list = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _pgm_parse(p)
+                if parsed is None:
+                    continue
+                w, h, _maxval, pixels = parsed
+                if w % tile or h % tile or len(pixels) != w * h:
+                    continue
+                import numpy as np
+
+                arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+                for ty in range(h // tile):
+                    for tx in range(w // tile):
+                        patch = arr[
+                            ty * tile : (ty + 1) * tile,
+                            tx * tile : (tx + 1) * tile,
+                        ]
+                        ids.append(i)
+                        tys.append(ty)
+                        txs.append(tx)
+                        sums.append(int(patch.sum()))
+                        mins.append(int(patch.min()))
+                        maxs.append(int(patch.max()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "tile_y": tys,
+                    "tile_x": txs,
+                    "tile_sum": sums,
+                    "tile_min": mins,
+                    "tile_max": maxs,
+                }
+            )
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("tile_y", IntegerType(), False),
+            StructField("tile_x", IntegerType(), False),
+            StructField("tile_sum", LongType(), False),
+            StructField("tile_min", IntegerType(), False),
+            StructField("tile_max", IntegerType(), False),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

@@ -936,3 +936,152 @@ def ann_recall(
             ).alias("recall_fp"),
         )
     )
+
+
+def ivf_cell_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer cell assignment (the IVF build-side half of
+    ivf_ann_topk, reusable standalone): every vector gets the cell of its
+    nearest centroid by cosine (ties -> smallest cell id).  Centroids are
+    the first ``n_cells`` vectors by id — the deterministic training-free
+    quantizer shared with the IVF read path; at scale you train k-means
+    offline and broadcast it, same dataflow.  Output: (id, cell, vec) from
+    one narrow Arrow pass; zero-norm vectors are dropped (no cosine
+    exists for them)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cent_rows = (
+        embeddings.filter(F.col(id_col) < n_cells)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not cent_rows:
+        raise ValueError(
+            f"ivf_cell_assign: no centroid rows with {id_col} < {n_cells}"
+        )
+    cent_ids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
+    cents = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    cnorms = np.sqrt(_seq_fold_dots(cents, cents))
+
+    schema = StructType(
+        [
+            embeddings.schema[id_col],
+            StructField("cell", LongType(), False),
+            embeddings.schema[vec_col],
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt(_seq_fold_dots(mat, mat))
+            ok = norms > 0
+            if not ok.any():
+                continue
+            mat, norms = mat[ok], norms[ok]
+            cell_cos = np.stack(
+                [
+                    _seq_fold_dots(mat, np.broadcast_to(cents[c], mat.shape))
+                    / (norms * cnorms[c])
+                    for c in range(len(cents))
+                ]
+            )
+            cell = np.argmax(cell_cos, axis=0)  # ties -> smallest cell id
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[ok],
+                    "cell": cent_ids[cell],
+                    vec_col: pdf[vec_col].to_numpy()[ok],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def block_knn_edges(
+    assigned: DataFrame,
+    k: int = 3,
+    block_col: str = "cell",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-NODE top-k neighbor edges within each block — the kNN-GRAPH
+    construction kernel (vs block_top_pairs' per-block top pairs).  One
+    applyInPandas per block; for a row chunk of c nodes the kernel holds a
+    (c x n) cosine buffer (c sized to the pair budget), so a hot block
+    degrades to slow, never to OOM.  Edges rank by (cosine desc, nbr_id)
+    — a total order.  Output: (block, id, nbr_id, rn, cosine).
+
+    This is the build stage of an IVF-blocked kNN graph: the block column
+    is the scale control (coarse cells here; at 100 TB multi-probe
+    assignment trades edge recall for block locality, same kernel).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    elem_budget = _PAIR_ELEM_BUDGET
+
+    schema = StructType(
+        [
+            assigned.schema[block_col],
+            assigned.schema[id_col],
+            StructField("nbr_id", assigned.schema[id_col].dataType, True),
+            StructField("rn", IntegerType(), False),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {c.name: pd.Series(dtype="object") for c in schema.fields}
+            )
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt(_seq_fold_dots(mat, mat))
+        chunk = max(1, elem_budget // n)
+        out_id, out_nbr, out_rn, out_cos = [], [], [], []
+        kk = min(k, n - 1)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            # (c x n) sequential-fold dots: same per-pair fold order as
+            # the SQL oracle, vectorized across the buffer
+            acc = np.zeros((hi - lo, n), dtype=np.float64)
+            for d in range(mat.shape[1]):
+                acc = acc + mat[lo:hi, d, None] * mat[None, :, d]
+            cos = acc / (norms[lo:hi, None] * norms[None, :])
+            for r in range(hi - lo):
+                row = cos[r].copy()
+                row[lo + r] = -np.inf  # no self edge
+                sel = np.lexsort((ids, -row))[:kk]
+                out_id.extend([ids[lo + r]] * kk)
+                out_nbr.extend(ids[sel])
+                out_rn.extend(range(1, kk + 1))
+                out_cos.extend(row[sel])
+        return pd.DataFrame(
+            {
+                block_col: pdf[block_col].iloc[0],
+                id_col: out_id,
+                "nbr_id": out_nbr,
+                "rn": np.array(out_rn, dtype=np.int32),
+                "cosine": out_cos,
+            }
+        )
+
+    return (
+        assigned.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(knn, schema)
+    )

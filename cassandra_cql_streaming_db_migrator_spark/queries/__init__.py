@@ -274,6 +274,10 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "ivf_pq_recall": {},
     "stream_enrich": {},
     "unpivot_metrics": {},
+    "revenue_deciles": {},
+    "multimodal_tiles": {},
+    "stream_attribution": {},
+    "knn_graph": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -332,6 +336,10 @@ DRIVER_HEAD = [
     "ivf_pq_recall",
     "stream_enrich",
     "unpivot_metrics",
+    "revenue_deciles",
+    "multimodal_tiles",
+    "stream_attribution",
+    "knn_graph",
 ]
 
 

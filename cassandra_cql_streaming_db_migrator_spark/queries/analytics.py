@@ -1565,6 +1565,69 @@ FROM o WHERE r IN ((n + 1) // 2, (n + 2) // 2)
 """
 
 
+def revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-revenue decile report over the FACT table: decile (1 = top
+    spenders) -> order count + exact-cent revenue + share_ppm.  The decile
+    assignment is distributed_ntile over (cents desc, orderkey) — exact
+    SQL ntile semantics with the range-partition + offset-broadcast plan,
+    the same no-single-partition-sort operator the rfm rewrite shipped,
+    here value-gated at ORDER grain (fact-scale, not dimension-scale).
+    """
+    from ..operators.windows import distributed_ntile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("__cents"),
+    )
+    tiled = distributed_ntile(
+        orders,
+        10,
+        [F.col("__cents").desc(), F.col("o_orderkey").asc()],
+        bucket_alias="decile",
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("__cents").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    total = per.agg(
+        F.sum(F.col("revenue_cents").cast("decimal(38,0)")).alias("__t")
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "decile",
+        "n_orders",
+        "revenue_cents",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * revenue_cents"
+            " DIV __t AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+_REVENUE_DECILES_SQL = """
+WITH tiled AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         CAST(ntile(10) OVER (
+           ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                    o_orderkey ASC) AS BIGINT) AS decile
+  FROM orders
+),
+per AS (
+  SELECT decile, count(*) AS n_orders,
+         CAST(sum(CAST(c AS DECIMAL(38,0))) AS BIGINT) AS revenue_cents
+  FROM tiled GROUP BY 1
+),
+t AS (SELECT sum(CAST(revenue_cents AS HUGEINT)) AS tot FROM per)
+SELECT decile, n_orders, revenue_cents,
+       CAST(1000000 * CAST(revenue_cents AS HUGEINT) // tot AS BIGINT)
+         AS share_ppm
+FROM per, t
+"""
+
+
 def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed association rules over the event baskets
     (operators.events.association_rules): confidence + lift in exact ppm."""
@@ -1805,6 +1868,11 @@ QUERIES = [
         "exact_median", exact_median, _EXACT_MEDIAN_SQL,
         "exact global median by distributed selection (range-partitioned "
         "rank, no single-partition sort)",
+    ),
+    QueryDef(
+        "revenue_deciles", revenue_deciles, _REVENUE_DECILES_SQL,
+        "fact-scale decile report via distributed_ntile (exact ntile "
+        "semantics, no single-partition sort) + share_ppm",
     ),
     QueryDef(
         "basket_rules", basket_rules, _basket_rules_sql(),

@@ -667,6 +667,78 @@ ORDER BY cosine DESC, a.vec_id ASC LIMIT 20
 """
 
 
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-blocked kNN-graph construction: coarse cells (the shared
+    deterministic quantizer) block the corpus, each cell's per-NODE top-3
+    cosine neighbors come out of the bounded Arrow kernel
+    (operators.similarity.block_knn_edges), and edges are marked
+    RECIPROCAL when both endpoints choose each other — the mutual-kNN
+    signal graph clustering and near-dup mining build on.  The pair
+    matrix never leaves the executor; the only shuffle is the cell
+    groupBy.  Blocking trades edge recall for locality exactly like the
+    IVF read path — and is value-gated here because the quantizer is
+    deterministic."""
+    from ..operators.similarity import block_knn_edges, ivf_cell_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_cell_assign(emb, n_cells=16)
+    edges = block_knn_edges(assigned, k=3)
+    rev = edges.select(
+        F.col("vec_id").alias("__rv"), F.col("nbr_id").alias("__rn")
+    )
+    return (
+        edges.join(
+            rev,
+            (edges.vec_id == rev.__rn) & (edges.nbr_id == rev.__rv),
+            "left",
+        )
+        .select(
+            "cell",
+            "vec_id",
+            "nbr_id",
+            "rn",
+            "cosine",
+            F.col("__rv").isNotNull().alias("reciprocal"),
+        )
+    )
+
+
+_KNN_GRAPH_SQL = f"""
+WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+              WHERE vec_id < 16),
+     acos AS (
+       SELECT e.vec_id, e.embedding, c.c_id,
+              {_dot_sql("e.embedding", "c.cv")}
+                / (sqrt({_dot_sql("e.embedding", "e.embedding")})
+                   * sqrt({_dot_sql("c.cv", "c.cv")})) AS ccos
+       FROM embeddings e CROSS JOIN cent c
+       WHERE {_dot_sql("e.embedding", "e.embedding")} > 0),
+     assign AS (
+       SELECT vec_id, embedding, c_id AS cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, c_id) AS rn
+         FROM acos) WHERE rn = 1),
+     edges AS (
+       SELECT a.cell, a.vec_id, b.vec_id AS nbr_id,
+              {_dot_sql("a.embedding", "b.embedding")}
+                / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+                   * sqrt({_dot_sql("b.embedding", "b.embedding")})) AS cosine
+       FROM assign a JOIN assign b
+         ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+     sel AS (
+       SELECT * FROM (
+         SELECT cell, vec_id, nbr_id, cosine,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, nbr_id) AS rn
+         FROM edges) WHERE rn <= 3)
+SELECT s.cell, s.vec_id, s.nbr_id, CAST(s.rn AS INTEGER) AS rn, s.cosine,
+       EXISTS (SELECT 1 FROM sel r
+               WHERE r.vec_id = s.nbr_id AND r.nbr_id = s.vec_id)
+         AS reciprocal
+FROM sel s
+"""
+
+
 def embedding_label_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most-similar embedding pairs per label block — the embedding
     near-dup operator shaped to emit evidence even when no pair crosses a
@@ -772,6 +844,47 @@ SELECT doc_id,
        CAST(list_aggregate(units, 'sum') AS DOUBLE) / 256 AS unit_mean,
        TRUE AS feature_ok
 FROM u
+"""
+
+
+def multimodal_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patchify (ViT tiling): every 16x16 PGM splits into a 4x4 grid of
+    4x4 patches inside the Arrow kernel — one row per patch with integer
+    sum/min/max (operators.multimodal.image_tile_stats).  The oracle
+    rebuilds each patch from the ASCII-tiled pixel units and recomputes
+    the stats, certifying the real decoder + tiler bit-for-bit."""
+    from ..operators.multimodal import attach_media_payload, image_tile_stats
+
+    docs = attach_media_payload(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 2 == 0
+    )
+    return image_tile_stats(docs, tile=4)
+
+
+_MULTIMODAL_TILES_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         list_transform(range(256), i ->
+           CAST(ascii(substring(text,
+                                CAST(i % length(text) AS INTEGER) + 1, 1))
+                AS BIGINT)) AS units
+  FROM documents
+  WHERE doc_id % 2 = 0 AND length(text) > 0
+),
+t AS (
+  SELECT doc_id, ti // 4 AS ty, ti % 4 AS tx,
+         list_transform(range(16), j ->
+           units[CAST((4 * (ti // 4) + j // 4) * 16
+                      + 4 * (ti % 4) + (j % 4) AS INTEGER) + 1]) AS patch
+  FROM u CROSS JOIN unnest(range(16)) AS g(ti)
+)
+SELECT doc_id,
+       CAST(ty AS INTEGER) AS tile_y,
+       CAST(tx AS INTEGER) AS tile_x,
+       CAST(list_aggregate(patch, 'sum') AS BIGINT) AS tile_sum,
+       CAST(list_aggregate(patch, 'min') AS INTEGER) AS tile_min,
+       CAST(list_aggregate(patch, 'max') AS INTEGER) AS tile_max
+FROM t
 """
 
 
@@ -1647,6 +1760,9 @@ QUERIES = [
              "whole-doc polynomial fingerprint"),
     QueryDef("embedding_topk", embedding_topk, _EMBEDDING_TOPK_SQL,
              "brute-force cosine top-k (bit-exact doubles)"),
+    QueryDef("knn_graph", knn_graph, _KNN_GRAPH_SQL,
+             "IVF-blocked kNN-graph build: per-node top-3 cosine edges "
+             "from the bounded cell kernel + reciprocal-edge marking"),
     QueryDef("embedding_ann_ivf", embedding_ann_ivf, _EMBEDDING_IVF_SQL,
              "ANN via IVF coarse quantizer (probe nearest cells)"),
     QueryDef("multimodal_features", multimodal_features, _MULTIMODAL_FEATURES_SQL,
@@ -1659,6 +1775,9 @@ QUERIES = [
              "top-3 cosine pairs per label block"),
     QueryDef("multimodal_meta", multimodal_meta, _MULTIMODAL_META_SQL,
              "binary payload column + digest plumbing"),
+    QueryDef("multimodal_tiles", multimodal_tiles, _MULTIMODAL_TILES_SQL,
+             "ViT patchify: 4x4 tiling of real PGM payloads in the Arrow "
+             "kernel, per-patch integer stats, decoder-exact oracle"),
     QueryDef("multimodal_resize", multimodal_resize, _MULTIMODAL_RESIZE_SQL,
              "real PGM nearest-neighbor resize, decoded and re-verified"),
     QueryDef("repetition_stats", repetition_stats, _REPETITION_SQL,

@@ -229,6 +229,52 @@ GROUP BY 1
 """
 
 
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live last-touch attribution: the O(channels)-state GroupState
+    kernel (streaming.stream.streaming_attribution_state) keeps only the
+    latest touch + cumulative per-channel counters per user; drained over
+    the bounded in-order fixture it equals the batch operator — the
+    shared oracle (operators.events.last_touch_attribution_sql)."""
+    from pyspark.sql import Window
+
+    from ..streaming.stream import streaming_attribution_state
+
+    touch = ["click", "view", "signup"]
+    events = read_events_stream(spark, sf_dir)
+    per_user = run_to_memory(
+        streaming_attribution_state(events, touch),
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id")
+    latest = per_user.withColumn("__mx", F.max("rev").over(w)).where(
+        F.col("rev") == F.col("__mx")
+    )
+    channels = F.array(*[F.lit(t) for t in touch + ["none"]])
+    exploded = latest.select(
+        F.explode(
+            F.arrays_zip(
+                channels.alias("attributed_type"),
+                F.col("convs").alias("n"),
+                F.col("cents").alias("c"),
+            )
+        ).alias("z")
+    ).select("z.attributed_type", "z.n", "z.c")
+    return (
+        exploded.groupBy("attributed_type")
+        .agg(
+            F.sum("n").alias("n_conversions"),
+            F.sum("c").alias("revenue_cents"),
+        )
+        .where(F.col("n_conversions") > 0)
+    )
+
+
+def _stream_attribution_sql() -> str:
+    from ..operators.events import last_touch_attribution_sql
+
+    return last_touch_attribution_sql(["click", "view", "signup"])
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     return _canon_sum(run_to_memory(session_window_agg(events, "10 minutes")))
@@ -603,6 +649,10 @@ QUERIES = [
     QueryDef("stream_ohlc", stream_ohlc, _stream_ohlc_sql(),
              "T8: streaming OHLC bars (min_by/max_by tumbling windows, "
              "batch-operator parity)", bench=False),
+    QueryDef("stream_attribution", stream_attribution,
+             _stream_attribution_sql(),
+             "live last-touch attribution: O(channels) GroupState per "
+             "user, drained-stream == batch-operator oracle"),
     QueryDef("stream_enrich", stream_enrich, _STREAM_ENRICH_SQL,
              "stream-static dimension enrichment: per-microbatch broadcast "
              "join + O(segments) rollup, batch-parity oracle"),

@@ -25,6 +25,7 @@ Determinism notes for the test/oracle environment:
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 import uuid
@@ -591,3 +592,84 @@ def latest_by_key_agg(
     for c in value_cols:
         aggs.append(F.expr(f"max_by({c}, __ord)").alias(f"last_{c}"))
     return base.groupBy(key_col).agg(*aggs)
+
+
+def streaming_attribution_state(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming last-touch attribution: GroupState per user holds ONLY
+    the latest touch (its (ts, id) order key + channel) and the cumulative
+    per-channel conversion counters — O(channels) state, never the event
+    history.  Each microbatch's rows are sorted by the (ts, id) total
+    order inside the kernel, so a bounded in-order stream drained to
+    completion reproduces the batch operator exactly (the oracle);
+    cross-batch LATE events are attributed against the state's latest
+    touch (the standard streaming-attribution compromise — exact ordering
+    across batches would require buffering the stream).
+
+    Emits per user, per microbatch: (user, rev, convs[], cents[]) with
+    arrays aligned to ``touch_types + ['none']``.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    channels = list(touch_types) + ["none"]
+    c_idx = {t: i for i, t in enumerate(channels)}
+    n_ch = len(channels)
+    touch_set = set(touch_types)
+
+    out_schema = (
+        f"{key_col} long, rev long, convs array<bigint>, cents array<bigint>"
+    )
+    state_schema = (
+        "rev long, lt_us long, lt_id long, lt_type string, "
+        "convs array<bigint>, cents array<bigint>"
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            rev, lt_us, lt_id, lt_type, convs, cents = state.get
+            convs, cents = list(convs), list(cents)
+        else:
+            rev, lt_us, lt_id, lt_type = 0, -1, -1, None
+            convs, cents = [0] * n_ch, [0] * n_ch
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values([ts_col, id_col])
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            for t_us, eid, etype, val in zip(
+                ts_us, pdf[id_col], pdf[type_col], pdf[value_col]
+            ):
+                if etype in touch_set:
+                    lt_us, lt_id, lt_type = int(t_us), int(eid), etype
+                elif etype == conversion_type:
+                    i = c_idx[lt_type] if lt_type is not None else n_ch - 1
+                    convs[i] += 1
+                    # floor, not int(): truncation disagrees with the
+                    # batch/oracle floor for negative values
+                    cents[i] += (
+                        math.floor(val * 100 + 0.5) if val == val else 0
+                    )
+        rev += 1
+        state.update((rev, lt_us, lt_id, lt_type, convs, cents))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "rev": [rev],
+                "convs": [convs],
+                "cents": [cents],
+            }
+        )
+
+    events = events.where(F.col(key_col).isNotNull())
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

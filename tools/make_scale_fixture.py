@@ -1,0 +1,107 @@
+"""Deterministic sf1 fixture: tile the driver's sf0.1 tables 10x with
+key-space shifts — the scale-probe input for SCALE_NOTES.md (VERDICT r04
+ask #7).
+
+The driver's generator is not shipped, so sf1 is a SELF-SIMILAR upscale of
+sf0.1 (seed-free, reproducible byte-for-byte):
+
+  * every key column shifts by ``replica * (max_key + 1)`` — replicas are
+    disjoint in id space, matching TPC-H's convention that parts,
+    suppliers, customers, and orders ALL scale with SF (so the co-purchase
+    graph grows in nodes at constant density — edges x10, not density
+    x10);
+  * ``documents.text`` gets a per-replica word suffix (``w`` -> ``w~r``)
+    for replicas > 0: within-replica near-dup structure is preserved
+    exactly, while cross-replica docs share no shingles — duplicate-FAMILY
+    sizes stay constant as the corpus grows, the conservative real-corpus
+    assumption (dup rate constant, family size constant).  Without this,
+    tiling would make every doc a 10-way exact duplicate and the pair
+    census would measure an artificial quadratic;
+  * ``customer.c_name`` is left UNCHANGED across replicas: name diversity
+    does not grow with population, so entity-resolution block occupancy
+    genuinely grows 10x — the honest stress for FastSS blocking;
+  * ``embeddings`` vectors are copied unchanged (id-shifted): the ANN
+    corpus grows 10x with the same geometry.
+
+Output: /tmp/spark_graft_sf1/*.parquet (outside the repo; regenerate on
+demand — this script is the fixture's reproducibility contract).
+
+Usage: python tools/make_scale_fixture.py [src_dir] [dst_dir] [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+REPLICAS = 10
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/spark_graft_sf1"
+
+# (table, [key columns to shift], extra per-replica SQL transform)
+SHIFTS: dict[str, list[str]] = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build(src: str = SRC, dst: str = DST, replicas: int = REPLICAS) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for table, keys in SHIFTS.items():
+        path = f"{src}/{table}.parquet"
+        if not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW src AS SELECT * FROM read_parquet('{path}')"
+        )
+        if not keys:  # fixed dimensions: one copy
+            con.execute(
+                f"COPY (SELECT * FROM src) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+            )
+            continue
+        spans = {
+            k: con.execute(f"SELECT max({k}) + 1 FROM src").fetchone()[0]
+            for k in keys
+        }
+        cols = [r[0] for r in con.execute("DESCRIBE src").fetchall()]
+        selects = []
+        for r in range(replicas):
+            proj = []
+            for c in cols:
+                if c in spans:
+                    proj.append(f"{c} + {r * spans[c]} AS {c}")
+                elif table == "documents" and c == "text" and r > 0:
+                    # per-replica word suffix: 'a b' -> 'a~r b~r'
+                    proj.append(
+                        f"replace(text, ' ', '~{r} ') || '~{r}' AS text"
+                    )
+                else:
+                    proj.append(c)
+            selects.append("SELECT " + ", ".join(proj) + " FROM src")
+        union = "\nUNION ALL\n".join(selects)
+        con.execute(
+            f"COPY ({union}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows")
+
+
+if __name__ == "__main__":
+    build(
+        sys.argv[1] if len(sys.argv) > 1 else SRC,
+        sys.argv[2] if len(sys.argv) > 2 else DST,
+        int(sys.argv[3]) if len(sys.argv) > 3 else REPLICAS,
+    )

@@ -247,6 +247,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # hash exchange (the distributed_rank pair) + the offsets join and
     # final 1-row fold; no single-partition sort anywhere
     "exact_median": 4,
+    # distributed_ntile pair (range + pid-hash) + decile rollup + 1-row
+    # total + share join; the textual count includes the persisted ranked
+    # frame's cached-lineage re-print (same double-count note as
+    # rfm_segments)
+    "revenue_deciles": 7,
 }
 DEFAULT_ALLOWANCE = 2
 

@@ -1,0 +1,87 @@
+"""Scale probe (VERDICT r04 ask #7): wall-time the heaviest queries at
+sf0.1 vs the tiled sf1 fixture (tools/make_scale_fixture.py) and report
+the growth ratio against each query's stated complexity expectation.
+
+A ratio is a FAIL if it exceeds the per-query bound below (sub-quadratic
+expectations; >15x on 10x data is the blow-up line unless a query's
+documented complexity says otherwise).
+
+Usage: python tools/scale_probe.py [sf01_dir] [sf1_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cassandra_cql_streaming_db_migrator_spark.queries import all_queries
+from cassandra_cql_streaming_db_migrator_spark.session import build_session
+
+# query -> (max allowed sf1/sf0.1 wall ratio, stated expectation)
+PROBES: dict[str, tuple[float, str]] = {
+    # AllPairs exact set-similarity: candidates grow with corpus x family
+    # size; families are constant-size in the tiled fixture -> ~linear
+    "jaccard_pairs": (15.0, "linear-ish: constant dup-family size"),
+    # degree-ordered wedge join: O(E^1.5) worst case, but tiling grows
+    # nodes at constant density -> edges x10, wedges x10
+    "triangle_census": (15.0, "linear: 10 disjoint same-density replicas"),
+    # wedge census = answer size; constant per-node degree -> linear
+    "link_prediction": (15.0, "linear: constant degree distribution"),
+    # hub-capped variant: same shape plus degree-filter joins
+    "link_prediction_capped": (15.0, "linear: constant degree distribution"),
+    # metadata-scale quantizer + one narrow corpus pass + TakeOrdered
+    "ivf_pq": (15.0, "linear scan of the probed cells"),
+    # FastSS blocking with UNCHANGED name diversity: block occupancy x10,
+    # candidate pairs up to x100 — the documented quadratic-in-occupancy
+    # regime; the probe records the measured exponent rather than failing
+    "entity_resolution": (120.0, "quadratic in block occupancy (names do"
+                                 " not diversify with population)"),
+    # distributed selection: two exchanges + metadata collect -> linear
+    "exact_median": (15.0, "linear: range exchange + offset broadcast"),
+    # bitmap algebra: distinct x10, words x10, pair join linear in words
+    "audience_overlap": (15.0, "linear in words"),
+}
+
+
+def probe(sf01: str, sf1: str, names: list[str]) -> int:
+    spark = build_session(app_name="scale-probe")
+    reg = all_queries()
+    rows = []
+    failures = 0
+    for name in names:
+        q = reg[name]
+        bound, expect = PROBES.get(name, (15.0, "default sub-quadratic"))
+        times = {}
+        for label, d in (("sf0.1", sf01), ("sf1", sf1)):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            q.fn(spark, d).collect()
+            times[label] = time.monotonic() - t0
+        ratio = times["sf1"] / times["sf0.1"]
+        ok = ratio <= bound
+        failures += not ok
+        rows.append(
+            {
+                "query": name,
+                "sf0.1_s": round(times["sf0.1"], 2),
+                "sf1_s": round(times["sf1"], 2),
+                "ratio": round(ratio, 2),
+                "bound": bound,
+                "expectation": expect,
+                "ok": ok,
+            }
+        )
+        print(json.dumps(rows[-1]))
+    print(f"scale probe: {'FAIL' if failures else 'ok'} ({failures} over bound)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1"
+    names = sys.argv[3:] or list(PROBES)
+    sys.exit(probe(sf01, sf1, names))
