@@ -278,6 +278,9 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "multimodal_tiles": {},
     "stream_attribution": {},
     "knn_graph": {},
+    "ema_prices": {},
+    "percent_rank_report": {},
+    "dedup_recall": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -340,6 +343,9 @@ DRIVER_HEAD = [
     "multimodal_tiles",
     "stream_attribution",
     "knn_graph",
+    "ema_prices",
+    "percent_rank_report",
+    "dedup_recall",
 ]
 
 

@@ -1628,6 +1628,71 @@ FROM per, t
 """
 
 
+def ema_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer exponential moving average of order value in EXACT
+    DYADIC fixed point: the classic EMA recursion (alpha = 1/2) truncated
+    to the 16 most recent orders, so every weight is a power of two and
+    the weighted sum is pure integer arithmetic — smoothing that
+    hash-checks across engines, where a float pow() chain never would.
+
+      ema = sum_j cents_j * 2^(15-j) / sum_j 2^(15-j)   (j=0 most recent)
+
+    Scale shape: ONE per-customer aggregate (collect_list of that
+    customer's orders — bounded by per-customer order count, the same
+    contract as sessionize), array ops are narrow HOFs, no window at all.
+    Output: (o_custkey, n_used, ema_ppm) with ema_ppm = 1e6 * weighted
+    cents / weight sum, truncating division on both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.struct(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t"),
+            F.col("o_orderkey").alias("k"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        ).alias("__s"),
+    )
+    per = orders.groupBy("o_custkey").agg(
+        F.expr(
+            "slice(reverse(array_sort(collect_list(__s))), 1, 16)"
+        ).alias("__recent")
+    )
+    return per.select(
+        "o_custkey",
+        F.size("__recent").cast("long").alias("n_used"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * "
+            " aggregate(transform(sequence(0, size(__recent) - 1),"
+            "   i -> __recent[i].c * shiftleft(CAST(1 AS BIGINT), 15 - i)),"
+            "   CAST(0 AS BIGINT), (a, x) -> a + x))"
+            " DIV aggregate(transform(sequence(0, size(__recent) - 1),"
+            "   i -> shiftleft(CAST(1 AS BIGINT), 15 - i)),"
+            "   CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
+        ).alias("ema_ppm"),
+    )
+
+
+_EMA_PRICES_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         (list(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               ORDER BY o_orderdate DESC, o_orderkey DESC))[1:16] AS recent
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey,
+       CAST(len(recent) AS BIGINT) AS n_used,
+       CAST(CAST(1000000 AS HUGEINT)
+            * list_sum(list_transform(range(len(recent)),
+                i -> recent[CAST(i AS INTEGER) + 1]
+                     * (CAST(1 AS BIGINT) << (15 - CAST(i AS INTEGER)))))
+            // list_sum(list_transform(range(len(recent)),
+                i -> CAST(1 AS BIGINT) << (15 - CAST(i AS INTEGER))))
+            AS BIGINT) AS ema_ppm
+FROM per
+"""
+
+
 def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed association rules over the event baskets
     (operators.events.association_rules): confidence + lift in exact ppm."""
@@ -1873,6 +1938,11 @@ QUERIES = [
         "revenue_deciles", revenue_deciles, _REVENUE_DECILES_SQL,
         "fact-scale decile report via distributed_ntile (exact ntile "
         "semantics, no single-partition sort) + share_ppm",
+    ),
+    QueryDef(
+        "ema_prices", ema_prices, _EMA_PRICES_SQL,
+        "per-customer EMA (alpha=1/2, 16-order horizon) in exact dyadic "
+        "fixed point — hash-checkable smoothing, one aggregate, no window",
     ),
     QueryDef(
         "basket_rules", basket_rules, _basket_rules_sql(),

@@ -225,6 +225,114 @@ WHERE {jac} >= 0.7
 """
 
 
+def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded-LSH candidate stage against EXACT ground
+    truth (all pairs with char-3-gram Jaccard >= 0.7) — the dedup
+    sibling of ann_recall/pq_recall: 'measure, don't guess' applied to
+    the near-dup pipeline's probabilistic half.  Candidate pairs come
+    from the production minhash path; truth is the quadratic definition
+    over a BROADCAST gram table (doc-count rows of int64 gram lists —
+    the quality-gauge query is run on samples at scale, never the full
+    corpus, so the quadratic is the point, not a bug).  Deterministic
+    frozen hashing makes even the recall of a probabilistic index
+    hash-checkable.  Output (1 row): n_true_pairs, n_candidate_pairs,
+    n_hit, recall_ppm.  Excluded from the bench set (quadratic gauge)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from ..functions.fast_hash import ngram_hash_lists
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        minhash_lsh_pairs(docs, "text", "doc_id", shingle_len=5, bands=_BANDS)
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .select("doc_id_1", "doc_id_2")
+    )
+    gschema = StructType(
+        [
+            docs.schema["doc_id"],
+            StructField("grams", ArrayType(LongType()), False),
+        ]
+    )
+
+    def grams(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "grams": ngram_hash_lists(pdf["text"].tolist(), 3),
+                }
+            )
+
+    g = docs.select("doc_id", "text").mapInPandas(grams, gschema)
+    a = g.select(F.col("doc_id").alias("doc_id_1"), F.col("grams").alias("g1"))
+    b = g.select(F.col("doc_id").alias("doc_id_2"), F.col("grams").alias("g2"))
+    inter = F.size(F.array_intersect("g1", "g2"))
+    union = F.size("g1") + F.size("g2") - inter
+    truth = (
+        a.join(F.broadcast(b), F.col("doc_id_1") < F.col("doc_id_2"))
+        .where(inter.cast("double") / union >= 0.7)
+        .select("doc_id_1", "doc_id_2")
+        .persist()
+    )
+    hit = truth.join(cand, ["doc_id_1", "doc_id_2"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_true_pairs = 0 THEN CAST(1000000 AS BIGINT)"
+                " ELSE 1000000 * n_hit DIV n_true_pairs END"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _dedup_recall_sql() -> str:
+    ph = poly_hash_sql("s")
+    band_conds = _band_conds()
+    n = len(MINHASH_PERMS)
+    est = (
+        f"CAST(len(list_filter(range(1, {n + 1}), "
+        f"j -> s1.sg[CAST(j AS INTEGER)] = s2.sg[CAST(j AS INTEGER)])) AS DOUBLE)/{n}.0"
+    )
+    jac = (
+        "CAST(len(list_intersect(g1.grams, g2.grams)) AS DOUBLE) "
+        "/ (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams)))"
+    )
+    return f"""
+WITH {_sig_ctes()},
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      list_distinct(list_transform(range(1, greatest(length(text)-2, 1)+1),
+                    i -> substr(text, CAST(i AS INTEGER), 3))),
+      s -> {ph})) AS grams
+  FROM documents),
+cand AS (
+  SELECT s1.doc_id AS d1, s2.doc_id AS d2
+  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+  WHERE ({" OR ".join(band_conds)}) AND {est} >= {_EST_THRESHOLD}),
+truth AS (
+  SELECT g1.doc_id AS d1, g2.doc_id AS d2
+  FROM g g1 JOIN g g2 ON g1.doc_id < g2.doc_id
+  WHERE {jac} >= 0.7),
+h AS (SELECT count(*) AS n_hit FROM truth JOIN cand USING (d1, d2))
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidate_pairs,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CASE WHEN (SELECT count(*) FROM truth) = 0
+            THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(1000000 * n_hit // (SELECT count(*) FROM truth)
+                      AS BIGINT) END AS recall_ppm
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental-ingest dedup: which NEW docs near-duplicate the EXISTING
 # corpus — the cross-frame form of fuzzy dedup (batch bands broadcast,
@@ -1738,6 +1846,10 @@ QUERIES = [
              "MinHash+LSH near-dup candidates, integer-exact oracle"),
     QueryDef("simhash_fingerprint", simhash_fingerprint, _SIMHASH_SQL,
              "53-bit SimHash fingerprints"),
+    QueryDef("dedup_recall", dedup_recall, _dedup_recall_sql(),
+             "recall of the banded-LSH candidate stage vs exact gram-"
+             "Jaccard ground truth — the dedup-path quality gauge",
+             bench=False),
     QueryDef("fuzzy_dedup", fuzzy_dedup, _fuzzy_dedup_sql(),
              "LSH candidates -> exact Jaccard verify (scale-path dedup)"),
     QueryDef("incremental_dedup", incremental_dedup, _incremental_dedup_sql(),

@@ -2394,9 +2394,68 @@ SELECT n_nationkey, 'n_positive_bal', n_positive_bal FROM wide
 """
 
 
+def percent_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over customers WITHIN each nation, in
+    exact ppm fixed point: the order (balance cents desc, custkey) is
+    total, so rank is unique and the SQL-standard definitions reduce to
+    pure integer divisions — pct = 1e6*(r-1) DIV (n-1), cume = 1e6*r DIV
+    n — that hash-check where float percent_rank would not.  The window
+    partitions by nation (a real key): one shuffle, streamed partitions,
+    no global sort.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("__cents"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("__cents").desc(), F.col("c_custkey").asc()
+    )
+    wn = Window.partitionBy("c_nationkey")
+    ranked = cust.withColumn("r", F.row_number().over(w).cast("long")) \
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+    return ranked.select(
+        "c_custkey",
+        "c_nationkey",
+        "r",
+        F.expr(
+            "CASE WHEN __n = 1 THEN CAST(0 AS BIGINT)"
+            " ELSE 1000000 * (r - 1) DIV (__n - 1) END"
+        ).alias("pct_rank_ppm"),
+        F.expr("1000000 * r DIV __n").alias("cume_dist_ppm"),
+    )
+
+
+_PERCENT_RANK_SQL = """
+WITH c AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+r AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(row_number() OVER (PARTITION BY c_nationkey
+                                 ORDER BY cents DESC, c_custkey ASC)
+              AS BIGINT) AS r,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM c
+)
+SELECT c_custkey, c_nationkey, r,
+       CASE WHEN n = 1 THEN CAST(0 AS BIGINT)
+            ELSE 1000000 * (r - 1) // (n - 1) END AS pct_rank_ppm,
+       1000000 * r // n AS cume_dist_ppm
+FROM r
+"""
+
+
 QUERIES = [
     QueryDef("q1_pricing_summary", q1_pricing_summary, _Q1_SQL,
              "A4: TPC-H Q1-shape wide aggregate"),
+    QueryDef("percent_rank_report", percent_rank_report, _PERCENT_RANK_SQL,
+             "O7: percent_rank/cume_dist in exact ppm over a total order "
+             "(nation-partitioned window)"),
     QueryDef("unpivot_metrics", unpivot_metrics, _UNPIVOT_SQL,
              "A4/P: wide-to-long unpivot via stack (agg_pivot's inverse, "
              "zero-shuffle projection)"),
