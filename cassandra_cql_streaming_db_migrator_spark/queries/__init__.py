@@ -281,6 +281,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "ema_prices": {},
     "percent_rank_report": {},
     "dedup_recall": {},
+    "quality_curriculum": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -346,6 +347,7 @@ DRIVER_HEAD = [
     "ema_prices",
     "percent_rank_report",
     "dedup_recall",
+    "quality_curriculum",
 ]
 
 

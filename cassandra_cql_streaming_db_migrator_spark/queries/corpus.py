@@ -648,7 +648,77 @@ def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(load_table(spark, sf_dir, "documents"))
 
 
+def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction at corpus scale: every doc gets an exact
+    integer quality score (distinct-word fraction in ppm over the
+    normalized text — the Gopher repetition signal), the corpus splits
+    into 5 curriculum phases by distributed_ntile over (score, doc_id)
+    (phase 1 = most repetitive/lowest quality, trained first in an
+    easy-to-hard schedule), and the report gives each phase's size, token
+    budget, and score range.  The ntile is the range-partition + offset-
+    broadcast operator — corpus-scale curriculum assignment with no
+    single-partition sort; the per-doc scoring is one narrow projection.
+    """
+    from ..operators.windows import distributed_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    words = F.split(norm, " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("__n_words"),
+        F.expr(
+            "1000000 * size(array_distinct(split(trim(regexp_replace("
+            "lower(text), '\\\\s+', ' ')), ' '))) DIV "
+            "size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))"
+        ).alias("score_ppm"),
+    )
+    phased = distributed_ntile(
+        scored,
+        5,
+        [F.col("score_ppm").asc(), F.col("doc_id").asc()],
+        bucket_alias="phase",
+    )
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n_words").alias("n_tokens"),
+        F.min("score_ppm").alias("min_score_ppm"),
+        F.max("score_ppm").alias("max_score_ppm"),
+    )
+
+
+_QUALITY_CURRICULUM_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                   'g')), ' ')) AS BIGINT)
+           AS n_words,
+         1000000 * CAST(len(list_distinct(string_split(trim(regexp_replace(
+                     lower(text), '\\s+', ' ', 'g')), ' '))) AS BIGINT)
+           // len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                   'g')), ' '))
+           AS score_ppm
+  FROM documents
+),
+phased AS (
+  SELECT *, CAST(ntile(5) OVER (ORDER BY score_ppm ASC, doc_id ASC)
+                 AS BIGINT) AS phase
+  FROM scored
+)
+SELECT phase, count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       min(score_ppm) AS min_score_ppm,
+       max(score_ppm) AS max_score_ppm
+FROM phased GROUP BY 1
+"""
+
+
 QUERIES = [
+    QueryDef(
+        "quality_curriculum", quality_curriculum, _QUALITY_CURRICULUM_SQL,
+        "easy-to-hard curriculum phases by quality-score distributed_ntile "
+        "(corpus-scale, no single-partition sort)",
+    ),
     QueryDef(
         "vocab_growth", vocab_growth_q, vocab_growth_sql(),
         "Heaps-law vocabulary-growth curve via first-seen decomposition "

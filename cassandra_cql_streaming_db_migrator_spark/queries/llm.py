@@ -288,6 +288,10 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CASE WHEN n_true_pairs = 0 THEN CAST(1000000 AS BIGINT)"
                 " ELSE 1000000 * n_hit DIV n_true_pairs END"
             ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_candidate_pairs = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE 1000000 * n_hit DIV n_candidate_pairs END"
+            ).alias("precision_ppm"),
         )
     )
 
@@ -328,7 +332,11 @@ SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
        CASE WHEN (SELECT count(*) FROM truth) = 0
             THEN CAST(1000000 AS BIGINT)
             ELSE CAST(1000000 * n_hit // (SELECT count(*) FROM truth)
-                      AS BIGINT) END AS recall_ppm
+                      AS BIGINT) END AS recall_ppm,
+       CASE WHEN (SELECT count(*) FROM cand) = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(1000000 * n_hit // (SELECT count(*) FROM cand)
+                      AS BIGINT) END AS precision_ppm
 FROM h
 """
 

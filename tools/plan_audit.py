@@ -252,6 +252,9 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # frame's cached-lineage re-print (same double-count note as
     # rfm_segments)
     "revenue_deciles": 7,
+    # distributed_ntile pair (range + pid-hash) + the per-phase rollup +
+    # cached-lineage re-print; scoring is a narrow projection
+    "quality_curriculum": 4,
 }
 DEFAULT_ALLOWANCE = 2
 
