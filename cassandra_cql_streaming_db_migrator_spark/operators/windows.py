@@ -63,6 +63,18 @@ def distributed_rank(
     rank_alias: str = "__rank",
     num_partitions: int | None = None,
 ) -> DataFrame:
+    ranked, _ = distributed_rank_with_total(
+        df, order, rank_alias, num_partitions
+    )
+    return ranked
+
+
+def distributed_rank_with_total(
+    df: DataFrame,
+    order: list[Column],
+    rank_alias: str = "__rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
     """Global 1-based rank over a TOTAL order with NO single-partition
     WindowExec — the scale substitute for ``Window.orderBy(...)`` (VERDICT
     r04 #2: a partitionless window moves the whole frame through one task).
@@ -82,6 +94,11 @@ def distributed_rank(
     construction, same contract as the centroid/offset tables).  Output
     ranks are exact and deterministic iff ``order`` is total (pass the PK
     as the last key).
+
+    Returns (ranked_df, total_rows): the total is free — it is the sum of
+    the per-partition counts the offsets collect already paid for — so
+    rank-formula consumers (ntile, median selection) never run a second
+    count job.
     """
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -103,11 +120,12 @@ def distributed_rank(
         acc += counts[pid]
     off = spark.createDataFrame(rows or [(0, 0)], "__pid int, __off long")
     w = Window.partitionBy("__pid").orderBy(*order)
-    return (
+    ranked = (
         ranged.join(F.broadcast(off), "__pid")
         .withColumn(rank_alias, F.col("__off") + F.row_number().over(w))
         .drop("__pid", "__off")
     )
+    return ranked, acc
 
 
 def distributed_ntile(
@@ -119,12 +137,11 @@ def distributed_ntile(
     """Exact SQL ``ntile(n)`` semantics — first ``n_rows mod n`` buckets
     get the extra row — derived from :func:`distributed_rank` by closed
     formula, so the plan contains no partitionless WindowExec.  The total
-    row count is already known driver-side from the rank offsets' metadata
-    collect (re-derived here with one count job; callers at scale fuse the
-    two).  Identical output to ``ntile(n).over(Window.orderBy(*order))``
-    for any total ``order`` — pinned by the rfm parity test."""
-    ranked = distributed_rank(df, order, rank_alias="__rank")
-    n_rows = ranked.count()  # served from the persisted ranged frame
+    row count is the sum of the offsets collect's per-partition counts —
+    no second count job.  Identical output to
+    ``ntile(n).over(Window.orderBy(*order))`` for any total ``order`` —
+    pinned by the rfm parity test."""
+    ranked, n_rows = distributed_rank_with_total(df, order, rank_alias="__rank")
     q, r = divmod(n_rows, n_buckets) if n_rows else (0, 0)
     if q == 0:
         # fewer rows than buckets: bucket = rank

@@ -1525,7 +1525,7 @@ def exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed-selection pattern: exact order statistics at any scale
     for one range shuffle, where a naive global sort-and-pick dies.
     Output (1 row): n_rows, median_cents_x2."""
-    from ..operators.windows import distributed_rank
+    from ..operators.windows import distributed_rank_with_total
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
@@ -1534,12 +1534,11 @@ def exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    ranked = distributed_rank(
+    ranked, n = distributed_rank_with_total(
         li,
         [F.col("c").asc(), F.col("l_orderkey").asc(),
          F.col("l_linenumber").asc()],
     )
-    n = ranked.count()  # served from the persisted ranged frame
     lo, hi = (n + 1) // 2, (n + 2) // 2
     mid = ranked.where(F.col("__rank").isin(lo, hi))
     return mid.agg(

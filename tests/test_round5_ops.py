@@ -218,3 +218,77 @@ def test_activity_streaks_islands(spark):
         for r in activity_streaks(df).collect()
     }
     assert got == {3: 1, 1: 1, 4: 1}
+
+
+def test_knn_graph_reciprocal_flags(spark):
+    """Mutual-kNN marking on a constructed geometry: a tight pair is
+    mutually top-1; a distant point picks one of them without being
+    picked back at rank<=k when k=1."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+        block_knn_edges,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.999, 0.01], 0),   # near-duplicate of 0
+        (2, [0.5, 0.86], 0),     # far from both
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell long"
+    )
+    edges = block_knn_edges(df, k=1, block_col="cell")
+    got = {(r["vec_id"], r["nbr_id"]) for r in edges.collect()}
+    # 0<->1 mutual; 2 -> 1 (or 0) one-directional
+    assert (0, 1) in got and (1, 0) in got
+    assert len(got) == 3
+
+
+def test_image_tile_stats_sums_match_full_image(spark):
+    """Patch sums over the 4x4 grid must add up to the full-image pixel
+    sum from the real decoder."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.multimodal import (
+        attach_media_payload,
+        image_tile_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tiles = image_tile_stats(attach_media_payload(docs), tile=4).collect()
+    assert len(tiles) == 16
+    text = "the quick brown fox jumps over the lazy dog"
+    raw = text.encode()
+    units = (raw * (256 // len(raw) + 1))[:256]
+    assert sum(r["tile_sum"] for r in tiles) == sum(units)
+    assert max(r["tile_max"] for r in tiles) == max(units)
+    assert min(r["tile_min"] for r in tiles) == min(units)
+
+
+def test_ema_prices_hand_computed(spark, tmp_path):
+    """EMA weights 2^(15-j) over most-recent-first orders, exact integer."""
+    import datetime as dt
+    import os
+
+    from cassandra_cql_streaming_db_migrator_spark.queries.analytics import (
+        ema_prices,
+    )
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        # custkey 1: three orders, newest 30.00, then 20.00, then 10.00
+        (1, 1, 10.00, dt.datetime(2024, 1, 1)),
+        (2, 1, 20.00, dt.datetime(2024, 1, 2)),
+        (3, 1, 30.00, dt.datetime(2024, 1, 3)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    [r] = ema_prices(spark, d).collect()
+    w = [1 << 15, 1 << 14, 1 << 13]
+    cents = [3000, 2000, 1000]  # most recent first
+    want = 1_000_000 * sum(c * x for c, x in zip(cents, w)) // sum(w)
+    assert (r["n_used"], r["ema_ppm"]) == (3, want)
