@@ -63,3 +63,27 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    n_files: int = 16,
+) -> None:
+    """GLOBALLY sorted export (the terasort shape): repartitionByRange on
+    the sort key gives each output file a disjoint, ascending key range
+    (range boundaries ascend with partition id, so the lexicographic
+    part-file order IS the global order), sortWithinPartitions orders
+    rows inside each file.  One range exchange — a total sort at any
+    scale with NO single-partition stage, where ``orderBy().write()``
+    would also range-partition but this form makes the contract explicit
+    and keeps the sort inside the writer task.  Consumers get perfectly
+    tight parquet min/max footers on the leading key (max pruning for
+    range predicates) and merge-join-ready files."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

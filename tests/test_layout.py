@@ -76,3 +76,39 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
 
     # layout changes bytes, not rows: content round-trips
     assert spark.read.parquet(zpath).count() == 20_000
+
+
+def test_write_sorted_global_order(spark, tmp_path):
+    """Files from write_sorted hold disjoint ascending ranges and are
+    internally sorted: concatenating part files in name order yields the
+    globally sorted sequence."""
+    import glob
+    import os
+
+    from cassandra_cql_streaming_db_migrator_spark.sinks.layout import (
+        write_sorted,
+    )
+
+    df = spark.range(10_000).withColumn(
+        "k", (F.col("id") * 7919) % 10_007
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted(df.select("k", "id"), out, ["k", "id"], n_files=8)
+
+    import pandas as pd
+
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert len(files) > 1
+    seen = []
+    prev_max = None
+    for f in files:
+        pdf = pd.read_parquet(f)
+        ks = list(zip(pdf["k"], pdf["id"]))
+        assert ks == sorted(ks)  # sorted within file
+        if ks:
+            if prev_max is not None:
+                assert prev_max <= ks[0]  # disjoint ascending ranges
+            prev_max = ks[-1]
+            seen.extend(ks)
+    assert seen == sorted(seen)
+    assert len(seen) == 10_000

@@ -44,6 +44,17 @@ PROBES: dict[str, tuple[float, str]] = {
     "exact_median": (15.0, "linear: range exchange + offset broadcast"),
     # bitmap algebra: distinct x10, words x10, pair join linear in words
     "audience_overlap": (15.0, "linear in words"),
+    # three chained distributed-ntile passes (range + pid-hash each),
+    # customer dimension scale — the round-5 rewrite's scale claim
+    "rfm_segments": (15.0, "linear: no single-partition sort remains"),
+    # one distributed-ntile pass at order (fact) grain
+    "revenue_deciles": (15.0, "linear: range exchange + offset broadcast"),
+    # narrow scoring projection + one distributed-ntile pass at doc grain
+    "quality_curriculum": (15.0, "linear: scoring is per-row"),
+    # within-cell pair kernel: cells x (n/cells)^2 = n^2/cells compute,
+    # bounded buffers; 10x corpus with fixed cells -> up to 100x kernel
+    # work — the documented blocking trade (more cells at scale)
+    "knn_graph": (120.0, "quadratic within cells (fixed cell count)"),
 }
 
 
