@@ -282,6 +282,9 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "percent_rank_report": {},
     "dedup_recall": {},
     "quality_curriculum": {},
+    "langid_confusion": {},
+    "join_skew_stats": {},
+    "zorder_scan": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -348,6 +351,9 @@ DRIVER_HEAD = [
     "percent_rank_report",
     "dedup_recall",
     "quality_curriculum",
+    "langid_confusion",
+    "join_skew_stats",
+    "zorder_scan",
 ]
 
 

@@ -1692,6 +1692,109 @@ FROM per
 """
 
 
+def join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis — the 'should I salt?' pre-flight, the
+    join twin of minhash_band_stats: per-key row counts on both sides of
+    a planned join (here the lineitem-supplier fact/dim join on suppkey)
+    and the implied per-key output volume, top 15 keys by that volume
+    plus each key's share of the total join output in ppm.  Two key-count
+    aggregates + a key join on the (far smaller) count tables + a 1-row
+    total — strictly cheaper than the join it sizes.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    lc = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = sup.groupBy(F.col("s_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    per_key = lc.join(rc, "key").select(
+        "key", "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("est_rows"),
+    )
+    total = per_key.agg(
+        F.sum(F.col("est_rows").cast("decimal(38,0)")).alias("__t")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "key", "n_left", "n_right", "est_rows",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * est_rows DIV __t"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy(F.desc("est_rows"), "key")
+        .limit(15)
+    )
+
+
+_JOIN_SKEW_SQL = """
+WITH lc AS (SELECT l_suppkey AS key, count(*) AS n_left
+            FROM lineitem GROUP BY 1),
+rc AS (SELECT s_suppkey AS key, count(*) AS n_right
+       FROM supplier GROUP BY 1),
+pk AS (
+  SELECT key, n_left, n_right, n_left * n_right AS est_rows
+  FROM lc JOIN rc USING (key)
+),
+t AS (SELECT sum(CAST(est_rows AS HUGEINT)) AS tot FROM pk)
+SELECT key, n_left, n_right, est_rows,
+       CAST(1000000 * CAST(est_rows AS HUGEINT) // tot AS BIGINT)
+         AS share_ppm
+FROM pk, t
+ORDER BY est_rows DESC, key
+LIMIT 15
+"""
+
+
+def zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end value gate for the Z-order layout path: lineitem is
+    rewritten clustered on Z(l_partkey, l_suppkey) (sinks.layout — the
+    OPTIMIZE ZORDER analog), read back, filtered on BOTH dimensions, and
+    folded to (n_rows, revenue_cents).  The oracle applies the same
+    predicate to the source table directly, so a driver pass proves the
+    bit-interleave + range-partition + rewrite round trip loses and
+    duplicates nothing — the layout machinery, not just the scan, is
+    value-gated.  (The skipping benefit itself shows in file-level
+    min/max footers; tests/test_layout.py asserts tight ranges.)"""
+    import os
+    import tempfile
+
+    from ..sinks.layout import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="cassandra_cql_streaming_db_migrator_zorder_"), "li"
+    )
+    write_zordered(li, out, "l_partkey", "l_suppkey", bits=18, n_files=8)
+    back = spark.read.parquet(out)
+    sel = back.where(
+        F.col("l_partkey").between(100, 400)
+        & F.col("l_suppkey").between(1, 40)
+    )
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+_ZORDER_SCAN_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(38,0)))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 1 AND 40
+"""
+
+
 def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed association rules over the event baskets
     (operators.events.association_rules): confidence + lift in exact ppm."""
@@ -1942,6 +2045,16 @@ QUERIES = [
         "ema_prices", ema_prices, _EMA_PRICES_SQL,
         "per-customer EMA (alpha=1/2, 16-order horizon) in exact dyadic "
         "fixed point — hash-checkable smoothing, one aggregate, no window",
+    ),
+    QueryDef(
+        "join_skew_stats", join_skew_stats, _JOIN_SKEW_SQL,
+        "pre-join skew diagnosis: per-key volumes both sides + implied "
+        "output share — the 'should I salt?' pre-flight",
+    ),
+    QueryDef(
+        "zorder_scan", zorder_scan, _ZORDER_SCAN_SQL,
+        "Z-order layout round trip value-gated: rewrite clustered on "
+        "Z(part, supp), 2-D predicate scan-back equals the source filter",
     ),
     QueryDef(
         "basket_rules", basket_rules, _basket_rules_sql(),

@@ -584,6 +584,50 @@ SELECT doc_id,
 FROM documents
 """
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation census: the lang_id heuristic's predictions
+    against the fixture's ground-truth ``lang`` column as a confusion
+    matrix — (truth, guess, n_docs, truth-class share in ppm).  The
+    evaluation pattern every model-assisted curation stage needs (judge
+    the cheap heuristic before trusting it to filter 100 TB); one narrow
+    projection + one census shuffle + a truth-class broadcast join-back.
+    """
+    from ..operators.textops import lang_id_heuristic
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id_heuristic(docs).select("doc_id", "lang_guess")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    cm = joined.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = cm.groupBy("lang").agg(F.sum("n_docs").alias("__t"))
+    return cm.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        F.expr("1000000 * n_docs DIV __t").alias("share_ppm"),
+    )
+
+
+_LANGID_CONFUSION_SQL = f"""
+WITH pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN round(CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ({_STOPLIST}))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) >= 0.05
+              THEN 'en' ELSE 'other' END AS lang_guess
+  FROM documents
+),
+cm AS (
+  SELECT lang, lang_guess, count(*) AS n_docs FROM pred GROUP BY 1, 2
+),
+t AS (SELECT lang, sum(n_docs) AS tot FROM cm GROUP BY 1)
+SELECT cm.lang, cm.lang_guess, cm.n_docs,
+       CAST(1000000 * cm.n_docs // t.tot AS BIGINT) AS share_ppm
+FROM cm JOIN t USING (lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Whole-document polynomial fingerprint.
 
@@ -1876,6 +1920,9 @@ QUERIES = [
     QueryDef("token_count_bpe", token_count_bpe, _TOKEN_COUNT_SQL,
              "BPE-ish regex pre-tokenizer counts"),
     QueryDef("lang_id", lang_id, _LANG_ID_SQL, "stopword-density language ID"),
+    QueryDef("langid_confusion", langid_confusion, _LANGID_CONFUSION_SQL,
+             "confusion matrix of the lang_id heuristic vs ground truth "
+             "(+ truth-class shares in ppm) — heuristic evaluation census"),
     QueryDef("doc_fingerprint", doc_fingerprint_q, _DOC_FINGERPRINT_SQL,
              "whole-doc polynomial fingerprint"),
     QueryDef("embedding_topk", embedding_topk, _EMBEDDING_TOPK_SQL,

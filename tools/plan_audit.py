@@ -255,6 +255,15 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # distributed_ntile pair (range + pid-hash) + the per-phase rollup +
     # cached-lineage re-print; scoring is a narrow projection
     "quality_curriculum": 4,
+    # prediction census + the doc_id join-back of truth to guess (both
+    # doc-key partitioned) + the truth-class total rollup (class-count
+    # metadata rows, broadcast back)
+    "langid_confusion": 3,
+    # two per-key count aggregates (one per join side) + the count-table
+    # key join + the 1-row output total + TakeOrdered — every exchange
+    # past the counts moves key-cardinality rows, strictly cheaper than
+    # the join being sized
+    "join_skew_stats": 5,
 }
 DEFAULT_ALLOWANCE = 2
 
