@@ -696,3 +696,101 @@ def minhash_join(
         "est_jaccard",
         (inter.cast("double") / union).alias("jaccard"),
     ).filter(F.col("jaccard") >= F.lit(jaccard_threshold))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round CC that replaces min-label propagation when
+    component DIAMETERS are large (label propagation needs O(diameter)
+    rounds; a 1e6-node path graph at 100 TB never converges under it):
+
+      large-star: every node u connects its LARGER neighbors to the
+        minimum of its neighborhood (min(N(u) + u)) — long chains halve;
+      small-star: every node u re-points its smaller-or-equal neighbors
+        (and itself) at that minimum — stars flatten.
+
+    Both steps are one groupBy + one join on the node key, both
+    monotone (edges only ever point lower), and the edge list contracts
+    toward one star per component rooted at the component minimum.
+    Convergence check = the small-star output equals the previous round's
+    edge set (two exceptAll counts on the label-scale frame); rounds are
+    localCheckpoint-ed like the label-propagation loop.
+
+    Output: identical contract to :func:`connected_components` —
+    (id_col, component_id = min member id, comp_size) — and pinned equal
+    to it by tests; the driver value-gates it against the same recursive
+    reachability oracle.
+    """
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("a"), F.col(id_b).alias("b")),
+                F.struct(F.col(id_b).alias("a"), F.col(id_a).alias("b")),
+            )
+        ).alias("__e")
+    ).select("__e.a", "__e.b")
+    edges = sym.distinct().localCheckpoint()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        s = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m = s.groupBy("a").agg(
+            F.least(F.min("b"), F.col("a")).alias("__m")
+        )
+        return (
+            s.join(m, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient every edge larger -> smaller first
+        o = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        m = o.groupBy("a").agg(
+            F.least(F.min("b"), F.col("a")).alias("__m")
+        )
+        joined = o.join(m, "a")
+        out = joined.select(
+            F.col("b").alias("a"), F.col("__m").alias("b")
+        ).unionByName(m.select(F.col("a"), F.col("__m").alias("b")))
+        return out.distinct()
+
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint(
+            eager=False
+        )
+        # set equality both directions (edge counts can stay equal while
+        # membership changes)
+        if (
+            new_edges.exceptAll(edges).count() == 0
+            and edges.exceptAll(new_edges).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no convergence in {max_iter} rounds"
+        )
+    # converged edges are stars (node -> component min, self-loop at the
+    # root); drop self-loops' duplicates via the min aggregate
+    labels = edges.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("label")
+    )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("comp_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("component_id"),
+        F.col("comp_size"),
+    )

@@ -285,6 +285,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "langid_confusion": {},
     "join_skew_stats": {},
     "zorder_scan": {},
+    "dedup_components_star": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -354,6 +355,7 @@ DRIVER_HEAD = [
     "langid_confusion",
     "join_skew_stats",
     "zorder_scan",
+    "dedup_components_star",
 ]
 
 

@@ -400,6 +400,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_id_1", "doc_id_2")
 
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME component decomposition computed by the alternating
+    large-star/small-star algorithm (operators.dedup.
+    connected_components_star, Kiveris et al.): O(log n) rounds where
+    min-label propagation needs O(diameter) — the CC you run when
+    components can be long chains (cross-document near-dup bridges at
+    web scale).  Output contract identical to dedup_components and
+    value-gated against the same recursive reachability oracle, so the
+    driver proves ALGORITHM EQUIVALENCE, not just plausibility."""
+    from ..operators.dedup import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = fuzzy_dedup_pairs(docs, "text", "doc_id")
+    return connected_components_star(pairs, "doc_id_1", "doc_id_2")
+
+
 def _dedup_components_sql() -> str:
     return f"""
 WITH RECURSIVE p AS (
@@ -1994,6 +2010,10 @@ QUERIES = [
     QueryDef("embedding_centroids", embedding_centroids, _EMBEDDING_CENTROIDS_SQL,
              "per-label centroid norm + inertia (k-means-style cluster "
              "tightness stats)"),
+    QueryDef("dedup_components_star", dedup_components_star,
+             _dedup_components_sql(),
+             "large-star/small-star CC (O(log n) rounds, long-chain-safe) "
+             "— value-gated to the same oracle as min-label CC"),
     QueryDef("dedup_components", dedup_components, _dedup_components_sql(),
              "near-dup pairs -> connected components (min-label "
              "propagation; canonical doc = min id)"),

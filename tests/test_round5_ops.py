@@ -292,3 +292,64 @@ def test_ema_prices_hand_computed(spark, tmp_path):
     cents = [3000, 2000, 1000]  # most recent first
     want = 1_000_000 * sum(c * x for c, x in zip(cents, w)) // sum(w)
     assert (r["n_used"], r["ema_ppm"]) == (3, want)
+
+
+class TestStarCC:
+    def _star(self, spark, edges):
+        from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+        return {
+            (r["doc_id"]): (r["component_id"], r["comp_size"])
+            for r in connected_components_star(
+                df, "doc_id_1", "doc_id_2"
+            ).collect()
+        }
+
+    def test_long_path_graph(self, spark):
+        """A 200-node path: min-label propagation needs ~200 rounds; the
+        star algorithm converges in O(log n) — within max_iter=25."""
+        got = self._star(spark, [(i, i + 1) for i in range(200)])
+        assert got == {i: (0, 201) for i in range(201)}
+
+    def test_hub_and_islands(self, spark):
+        edges = [(100, i) for i in range(90, 100)]  # star rooted at 90
+        edges += [(7, 8), (8, 9)]  # path component min 7
+        edges += [(55, 54)]  # pair
+        got = self._star(spark, edges)
+        assert {k for k, v in got.items() if v[0] == 90} == set(range(90, 101))
+        assert {k for k, v in got.items() if v[0] == 7} == {7, 8, 9}
+        assert got[55] == (54, 2)
+
+    def test_matches_min_label_cc_on_fixture_pairs(self, spark, sf_dir):
+        from cassandra_cql_streaming_db_migrator_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+            fuzzy_dedup_pairs,
+        )
+        from cassandra_cql_streaming_db_migrator_spark.sources.parquet import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = fuzzy_dedup_pairs(docs, "text", "doc_id").select(
+            "doc_id_1", "doc_id_2"
+        ).persist()
+        a = sorted(
+            map(
+                tuple,
+                connected_components(pairs, "doc_id_1", "doc_id_2").collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                connected_components_star(
+                    pairs, "doc_id_1", "doc_id_2"
+                ).collect(),
+            )
+        )
+        assert a == b
+        assert a  # non-vacuous

@@ -264,6 +264,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # past the counts moves key-cardinality rows, strictly cheaper than
     # the join being sized
     "join_skew_stats": 5,
+    # star-CC returned plan: the final label aggregate + size rollup +
+    # join over the CONVERGED checkpointed edge list (the star rounds ran
+    # eagerly before the plan, each round label-scale — same contract as
+    # min-label dedup_components)
+    "dedup_components_star": 4,
 }
 DEFAULT_ALLOWANCE = 2
 
