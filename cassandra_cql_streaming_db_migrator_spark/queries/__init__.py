@@ -286,6 +286,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "join_skew_stats": {},
     "zorder_scan": {},
     "dedup_components_star": {},
+    "stream_checksum": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -356,6 +357,7 @@ DRIVER_HEAD = [
     "join_skew_stats",
     "zorder_scan",
     "dedup_components_star",
+    "stream_checksum",
 ]
 
 

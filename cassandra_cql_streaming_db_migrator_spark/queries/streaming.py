@@ -275,6 +275,58 @@ def _stream_attribution_sql() -> str:
     return last_touch_attribution_sql(["click", "view", "signup"])
 
 
+def stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE migration certification: the additive md5 table fingerprint
+    (operators.profile.table_checksum) maintained as a streaming
+    aggregate — the + fold over row digests is mergeable BY CONSTRUCTION,
+    so per-microbatch partials roll into the running table fingerprint
+    with O(1) state; a CDC mirror can certify content continuously
+    instead of re-scanning.  Drained bounded stream == the batch
+    checksum (the oracle)."""
+    from ..operators.profile import CHECKSUM_MOD, _canon_cols_spark
+
+    spec = [
+        ("int", "event_id"),
+        ("int", "user_id"),
+        ("str", "event_type"),
+        ("cents", "value"),
+        ("us", "ts"),
+    ]
+    canon = _canon_cols_spark(spec)
+    row_val = (
+        f"CAST(conv(substr(md5(concat_ws('|', {canon})), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    events = read_events_stream(spark, sf_dir).selectExpr(
+        f"{row_val} AS __v"
+    )
+    agg = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            f"CAST(CAST(sum(CAST(__v AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+            " AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("checksum"),
+    )
+    return run_to_memory(agg)
+
+
+def _stream_checksum_sql() -> str:
+    from ..operators.profile import table_checksum_sql
+
+    sql = table_checksum_sql(
+        "events",
+        [
+            ("int", "event_id"),
+            ("int", "user_id"),
+            ("str", "event_type"),
+            ("cents", "value"),
+            ("us", "ts"),
+        ],
+    )
+    # the streaming aggregate has no table_name column
+    return sql.replace("SELECT 'events' AS table_name,\n       ", "SELECT ")
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     return _canon_sum(run_to_memory(session_window_agg(events, "10 minutes")))
@@ -649,6 +701,9 @@ QUERIES = [
     QueryDef("stream_ohlc", stream_ohlc, _stream_ohlc_sql(),
              "T8: streaming OHLC bars (min_by/max_by tumbling windows, "
              "batch-operator parity)", bench=False),
+    QueryDef("stream_checksum", stream_checksum, _stream_checksum_sql(),
+             "live migration certification: additive md5 fingerprint as a "
+             "mergeable streaming aggregate, batch-checksum oracle"),
     QueryDef("stream_attribution", stream_attribution,
              _stream_attribution_sql(),
              "live last-touch attribution: O(channels) GroupState per "
