@@ -610,7 +610,11 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the hash key admits no collisions on this corpus."""
     docs = load_table(spark, sf_dir, "documents")
     report = dup_span_census(docs, span_len=_SPAN_LEN)
-    return report.where(F.col("n_dup_spans") > 0).orderBy("doc_id")
+    # no ORDER BY: the report is doc-scale and unbounded — a global sort
+    # here would be the only data-scale full sort in the engine, bought
+    # purely for presentation (the driver's value hash is order-
+    # insensitive; the oracle keeps its ORDER BY for human diffing only)
+    return report.where(F.col("n_dup_spans") > 0)
 
 
 _DUP_SPANS_SQL = f"""

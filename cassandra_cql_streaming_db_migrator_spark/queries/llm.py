@@ -1340,8 +1340,6 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning loses candidates PQ never sees; pq_recall isolates the
     quantization half, this measures the product).  Deterministic end to
     end, so the recall of the composed index hash-checks."""
-    from pyspark.sql import Window as _W  # noqa: F401  (parity with pq_recall)
-
     from ..operators.clustering import _sq_dist, ivf_pq_ann
 
     emb = load_table(spark, sf_dir, "embeddings")
