@@ -611,7 +611,8 @@ def minhash_join(
     corpus (a backfill merge), pass ``broadcast_batch=False``: the band
     join hash-shuffles BOTH sides on the band key — the right plan when
     neither side fits an executor (VERDICT r04 ask #5; both paths are
-    bit-equal, pinned by tests/test_round3_ops.py).  Exact verification
+    bit-equal, pinned by tests/test_operators.py::
+    test_minhash_join_shuffle_path_bit_identical).  Exact verification
     joins gram sets on candidate ids only; both gram joins move
     candidate-scale rows (AQE broadcasts the candidate side).
     """

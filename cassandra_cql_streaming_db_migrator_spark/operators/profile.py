@@ -143,14 +143,18 @@ def table_profile_sql(table: str, columns: list[ColumnSpec]) -> str:
 
 # Additive checksums fold row digests with +, so the fingerprint is
 # partition- and order-independent and MERGEABLE (per-partition / per-day
-# checksums sum into the table checksum).  The digest is the first 15 hex
-# chars of md5 over a canonical '|'-joined row string (60 bits — BIGINT-
-# safe in every engine); the fold runs in DECIMAL(38,0)/HUGEINT and is
-# reported mod 2^61-1.
+# checksums sum into the table checksum).  The row digest is md5 over the
+# CONCATENATION OF PER-COLUMN md5 DIGESTS (fixed 32-hex fragments; NULL ->
+# an out-of-alphabet 32-char tag): no separator exists to inject and a
+# value shifting across a NULL column changes its position's fragment, so
+# distinct rows cannot collide structurally (plain concat_ws would hash
+# ('a|b', 'c') and ('a', 'b|c') — and NULL-shifted rows — identically).
+# The first 15 hex chars (60 bits, BIGINT-safe everywhere) fold in
+# DECIMAL(38,0)/HUGEINT, reported mod 2^61-1.
 CHECKSUM_MOD = (1 << 61) - 1
 
 
-def _canon_cols_spark(spec: list[tuple[str, str]]) -> str:
+def _canon_cols_spark(spec: list[tuple[str, str]]) -> list[str]:
     """Canonical string fragments for Spark SQL.  kind: 'int' (exact
     integer cast), 'cents' (double -> exact cents), 'us' (timestamp ->
     epoch micros), 'str' (as-is)."""
@@ -168,10 +172,31 @@ def _canon_cols_spark(spec: list[tuple[str, str]]) -> str:
             )
         else:
             frags.append(col)
-    return ", ".join(frags)
+    return frags
 
 
-def _canon_cols_sql(spec: list[tuple[str, str]]) -> str:
+# A NULL column digests to a fixed 32-char tag that no md5 hex string can
+# equal (md5 hex is [0-9a-f]; 'n' is outside the alphabet) — so NULLs are
+# position-preserving and unambiguous.
+_NULL_DIGEST = "n" * 32
+
+
+def _digest_row_spark(spec: list[tuple[str, str]]) -> str:
+    """Row digest with NO separator ambiguity: each column's canonical
+    string is md5-digested individually (fixed 32-hex fragments, NULL ->
+    the out-of-alphabet tag), the fragments concatenate positionally, and
+    the row digest is md5 of that.  Immune to both concat_ws NULL-skipping
+    (a value shifting across a NULL column changes its position's
+    fragment) and separator injection ('|' inside a string column) —
+    distinct rows cannot collide structurally."""
+    frags = ", ".join(
+        f"coalesce(md5({c}), '{_NULL_DIGEST}')"
+        for c in _canon_cols_spark(spec)
+    )
+    return f"md5(concat({frags}))"
+
+
+def _canon_cols_sql(spec: list[tuple[str, str]]) -> list[str]:
     frags = []
     for kind, col in spec:
         if kind == "int":
@@ -184,7 +209,15 @@ def _canon_cols_sql(spec: list[tuple[str, str]]) -> str:
             frags.append(f"CAST(epoch_us({col}) AS VARCHAR)")
         else:
             frags.append(col)
-    return ", ".join(frags)
+    return frags
+
+
+def _digest_row_sql(spec: list[tuple[str, str]]) -> str:
+    frags = ", ".join(
+        f"coalesce(md5({c}), '{_NULL_DIGEST}')"
+        for c in _canon_cols_sql(spec)
+    )
+    return f"md5(concat({frags}))"
 
 
 def _hex15_to_int_sql(hex_expr: str) -> str:
@@ -208,8 +241,10 @@ def table_checksum(
     (DataMigrationPlan.java:227-269) and row counts; this is the
     content-level analog, embarrassingly parallel (no shuffle: a global
     1-row aggregate with map-side partials)."""
-    canon = _canon_cols_spark(spec)
-    row_val = f"CAST(conv(substr(md5(concat_ws('|', {canon})), 1, 15), 16, 10) AS BIGINT)"
+    row_val = (
+        f"CAST(conv(substr({_digest_row_spark(spec)}, 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
     return (
         df.selectExpr(f"{row_val} AS __v")
         .agg(
@@ -225,12 +260,15 @@ def table_checksum(
     )
 
 
-def table_checksum_sql(table: str, spec: list[tuple[str, str]]) -> str:
-    canon = _canon_cols_sql(spec)
-    row_val = _hex15_to_int_sql(f"md5(concat_ws('|', {canon}))")
+def table_checksum_sql(
+    table: str, spec: list[tuple[str, str]], include_name: bool = True
+) -> str:
+    """Oracle twin.  ``include_name=False`` drops the table_name column —
+    for streaming twins whose aggregate carries no literal column."""
+    row_val = _hex15_to_int_sql(_digest_row_sql(spec))
+    name_col = f"'{table}' AS table_name,\n       " if include_name else ""
     return f"""
-SELECT '{table}' AS table_name,
-       count(*) AS n_rows,
+SELECT {name_col}count(*) AS n_rows,
        CAST(sum(CAST({row_val} AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT)
          AS checksum
 FROM {table}

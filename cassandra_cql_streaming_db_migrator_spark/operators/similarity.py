@@ -957,7 +957,11 @@ def ivf_cell_assign(
     from pyspark.sql.types import LongType, StructField, StructType
 
     cent_rows = (
-        embeddings.filter(F.col(id_col) < n_cells)
+        embeddings.filter(
+            (F.col(id_col) < n_cells)
+            & F.col(vec_col).isNotNull()
+            & (F.size(vec_col) > 0)
+        )
         .select(id_col, vec_col)
         .orderBy(id_col)
         .collect()
@@ -969,6 +973,19 @@ def ivf_cell_assign(
     cent_ids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
     cents = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
     cnorms = np.sqrt(_seq_fold_dots(cents, cents))
+    if (cnorms == 0).any():
+        # a zero-norm centroid would put NaN into every cosine column and
+        # silently corrupt argmax — fail loudly; pick non-degenerate
+        # centroid rows (or train a quantizer) instead
+        bad = cent_ids[cnorms == 0].tolist()
+        raise ValueError(f"ivf_cell_assign: zero-norm centroid rows {bad}")
+    dim = cents.shape[1]
+    # NULL / empty / ragged vectors can't stack or score: filter to the
+    # centroid dimensionality BEFORE the kernel (the SQL oracle carries
+    # the same len() guard, keeping both engines' row sets identical)
+    embeddings = embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
 
     schema = StructType(
         [

@@ -1765,8 +1765,14 @@ def zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks.layout import write_zordered
 
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE deterministic scratch dir per fixture, overwritten each run —
+    # a fresh mkdtemp per invocation would leave a full lineitem copy per
+    # bench iteration and grow without bound
     out = os.path.join(
-        tempfile.mkdtemp(prefix="cassandra_cql_streaming_db_migrator_zorder_"), "li"
+        tempfile.gettempdir(),
+        "cassandra_cql_streaming_db_migrator_zorder",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "li",
     )
     write_zordered(li, out, "l_partkey", "l_suppkey", bits=18, n_files=8)
     back = spark.read.parquet(out)

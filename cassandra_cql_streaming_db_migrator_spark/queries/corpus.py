@@ -666,15 +666,17 @@ def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import distributed_ntile
 
     docs = load_table(spark, sf_dir, "documents")
-    norm = normalize_text(F.col("text"))
-    words = F.split(norm, " ")
-    scored = docs.select(
+    # materialize the normalized word array ONCE (operators.corpus.
+    # normalize_text is the single definition); n_words and score derive
+    # from the same array, so they can never disagree on tokenization
+    words = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("__w")
+    )
+    scored = words.select(
         "doc_id",
-        F.size(words).cast("long").alias("__n_words"),
+        F.size("__w").cast("long").alias("__n_words"),
         F.expr(
-            "1000000 * size(array_distinct(split(trim(regexp_replace("
-            "lower(text), '\\\\s+', ' ')), ' '))) DIV "
-            "size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))"
+            "1000000 * size(array_distinct(__w)) DIV size(__w)"
         ).alias("score_ppm"),
     )
     phased = distributed_ntile(

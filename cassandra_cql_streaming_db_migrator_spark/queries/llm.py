@@ -881,14 +881,17 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_GRAPH_SQL = f"""
 WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-              WHERE vec_id < 16),
+              WHERE vec_id < 16
+                AND embedding IS NOT NULL AND len(embedding) > 0),
+     dim AS (SELECT len(cv) AS d FROM cent ORDER BY c_id LIMIT 1),
      acos AS (
        SELECT e.vec_id, e.embedding, c.c_id,
               {_dot_sql("e.embedding", "c.cv")}
                 / (sqrt({_dot_sql("e.embedding", "e.embedding")})
                    * sqrt({_dot_sql("c.cv", "c.cv")})) AS ccos
-       FROM embeddings e CROSS JOIN cent c
-       WHERE {_dot_sql("e.embedding", "e.embedding")} > 0),
+       FROM embeddings e CROSS JOIN cent c, dim
+       WHERE e.embedding IS NOT NULL AND len(e.embedding) = dim.d
+         AND {_dot_sql("e.embedding", "e.embedding")} > 0),
      assign AS (
        SELECT vec_id, embedding, c_id AS cell FROM (
          SELECT *, row_number() OVER (PARTITION BY vec_id

@@ -283,7 +283,7 @@ def stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     with O(1) state; a CDC mirror can certify content continuously
     instead of re-scanning.  Drained bounded stream == the batch
     checksum (the oracle)."""
-    from ..operators.profile import CHECKSUM_MOD, _canon_cols_spark
+    from ..operators.profile import CHECKSUM_MOD, _digest_row_spark
 
     spec = [
         ("int", "event_id"),
@@ -292,9 +292,8 @@ def stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cents", "value"),
         ("us", "ts"),
     ]
-    canon = _canon_cols_spark(spec)
     row_val = (
-        f"CAST(conv(substr(md5(concat_ws('|', {canon})), 1, 15), 16, 10)"
+        f"CAST(conv(substr({_digest_row_spark(spec)}, 1, 15), 16, 10)"
         " AS BIGINT)"
     )
     events = read_events_stream(spark, sf_dir).selectExpr(
@@ -313,7 +312,8 @@ def stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stream_checksum_sql() -> str:
     from ..operators.profile import table_checksum_sql
 
-    sql = table_checksum_sql(
+    # include_name=False: the streaming aggregate has no table_name column
+    return table_checksum_sql(
         "events",
         [
             ("int", "event_id"),
@@ -322,9 +322,8 @@ def _stream_checksum_sql() -> str:
             ("cents", "value"),
             ("us", "ts"),
         ],
+        include_name=False,
     )
-    # the streaming aggregate has no table_name column
-    return sql.replace("SELECT 'events' AS table_name,\n       ", "SELECT ")
 
 
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

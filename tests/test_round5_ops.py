@@ -353,3 +353,23 @@ class TestStarCC:
         )
         assert a == b
         assert a  # non-vacuous
+
+
+def test_table_checksum_null_shift_and_separator_injection(spark):
+    """The two concat_ws ambiguity classes (review finding): a value
+    shifting across a NULL column, and a '|' injected into a string
+    column, must both change the fingerprint."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.profile import (
+        table_checksum,
+    )
+
+    spec = [("int", "a"), ("str", "b"), ("str", "c")]
+
+    def cks(rows):
+        df = spark.createDataFrame(rows, "a long, b string, c string")
+        return table_checksum(df, "t", spec).collect()[0]["checksum"]
+
+    # NULL shift: (b=NULL, c='x') vs (b='x', c=NULL)
+    assert cks([(1, None, "x")]) != cks([(1, "x", None)])
+    # separator injection: ('a|b', 'c') vs ('a', 'b|c')
+    assert cks([(1, "a|b", "c")]) != cks([(1, "a", "b|c")])

@@ -58,7 +58,12 @@ PROBES: dict[str, tuple[float, str]] = {
 }
 
 
-def probe(sf01: str, sf1: str, names: list[str]) -> int:
+def probe(
+    sf01: str,
+    sf1: str,
+    names: list[str],
+    warmup_dir: str = "/root/testdata/sf0.001",
+) -> int:
     spark = build_session(app_name="scale-probe")
     reg = all_queries()
     rows = []
@@ -66,6 +71,14 @@ def probe(sf01: str, sf1: str, names: list[str]) -> int:
     for name in names:
         q = reg[name]
         bound, expect = PROBES.get(name, (15.0, "default sub-quadratic"))
+        # untimed warm-up at the tiny SF: JVM/codegen/executor startup
+        # otherwise inflates the sf0.1 baseline and UNDERSTATES the growth
+        # ratio the gate exists to catch
+        try:
+            spark.catalog.clearCache()
+            q.fn(spark, warmup_dir).collect()
+        except Exception:
+            pass  # warm-up is best-effort; the timed runs surface errors
         times = {}
         for label, d in (("sf0.1", sf01), ("sf1", sf1)):
             spark.catalog.clearCache()
