@@ -287,6 +287,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "zorder_scan": {},
     "dedup_components_star": {},
     "stream_checksum": {},
+    "exact_quantiles": {},
+    "id_gap_report": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -358,6 +360,8 @@ DRIVER_HEAD = [
     "zorder_scan",
     "dedup_components_star",
     "stream_checksum",
+    "exact_quantiles",
+    "id_gap_report",
 ]
 
 

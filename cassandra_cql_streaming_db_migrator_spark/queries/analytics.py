@@ -1549,6 +1549,115 @@ def exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANTILE_PPMS = (250_000, 500_000, 750_000, 900_000, 990_000)
+
+
+def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p75/p90/p99 of lineitem extended price (cents) from
+    ONE distributed_rank pass — multi-rank selection: all five order
+    statistics are rows of the same ranked frame, so the whole report
+    costs exactly what exact_median costs (one range exchange + one
+    pid-hash exchange + a metadata collect), not 5x.  Rank r(q) =
+    1 + floor(q * (n-1)) (the lower nearest-rank convention — pure
+    integers, no interpolation, hash-exact).  Output: one row per
+    quantile (quantile_ppm, rank, value_cents)."""
+    from ..operators.windows import distributed_rank_with_total
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked, n = distributed_rank_with_total(
+        li,
+        [F.col("c").asc(), F.col("l_orderkey").asc(),
+         F.col("l_linenumber").asc()],
+    )
+    want = {q: 1 + (q * (n - 1)) // 1_000_000 for q in _QUANTILE_PPMS}
+    picks = ranked.where(F.col("__rank").isin(*set(want.values())))
+    qmap = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("long").alias("quantile_ppm"),
+                F.lit(r).cast("long").alias("rank"),
+            )
+            for q, r in want.items()
+        ]
+    )
+    return (
+        picks.select(F.col("__rank").alias("rank"), F.col("c"))
+        .join(
+            picks.sparkSession.range(1)
+            .select(F.explode(qmap).alias("__q"))
+            .select("__q.quantile_ppm", "__q.rank"),
+            "rank",
+        )
+        .select("quantile_ppm", "rank", F.col("c").alias("value_cents"))
+    )
+
+
+_EXACT_QUANTILES_SQL = f"""
+WITH v AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+o AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS r, count(*) OVER () AS n
+  FROM v
+),
+q AS (
+  SELECT unnest([{", ".join(str(q) for q in _QUANTILE_PPMS)}]) AS quantile_ppm
+)
+SELECT CAST(q.quantile_ppm AS BIGINT) AS quantile_ppm,
+       CAST(o.r AS BIGINT) AS rank,
+       o.c AS value_cents
+FROM q JOIN o ON o.r = 1 + (q.quantile_ppm * (o.n - 1)) // 1000000
+"""
+
+
+def id_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration COMPLETENESS islands: over the id space of a migrated
+    subset (orders with status 'F' — a fragmented key space), report each
+    contiguous present-run of o_orderkey (start, end, n_ids) — the gaps
+    between runs are the ids a lossy migration dropped.  The island key
+    (id - global rank) needs a GLOBAL rank, supplied by distributed_rank
+    — no partitionless window; the island rollup is one aggregate.  Run
+    on source and target, diff the run tables: missing ids localize to
+    the exact broken run.
+    """
+    from ..operators.windows import distributed_rank
+
+    ids = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    ranked = distributed_rank(ids, [F.col("id").asc()])
+    return (
+        ranked.withColumn("__isl", F.col("id") - F.col("__rank"))
+        .groupBy("__isl")
+        .agg(
+            F.min("id").alias("run_start"),
+            F.max("id").alias("run_end"),
+            F.count(F.lit(1)).alias("n_ids"),
+        )
+        .drop("__isl")
+    )
+
+
+_ID_GAP_SQL = """
+WITH ids AS (
+  SELECT DISTINCT o_orderkey AS id FROM orders WHERE o_orderstatus = 'F'
+),
+r AS (SELECT id, id - row_number() OVER (ORDER BY id) AS isl FROM ids)
+SELECT min(id) AS run_start, max(id) AS run_end, count(*) AS n_ids
+FROM r GROUP BY isl
+"""
+
+
 _EXACT_MEDIAN_SQL = """
 WITH v AS (
   SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
@@ -2046,6 +2155,16 @@ QUERIES = [
         "revenue_deciles", revenue_deciles, _REVENUE_DECILES_SQL,
         "fact-scale decile report via distributed_ntile (exact ntile "
         "semantics, no single-partition sort) + share_ppm",
+    ),
+    QueryDef(
+        "exact_quantiles", exact_quantiles, _EXACT_QUANTILES_SQL,
+        "exact p25/p50/p75/p90/p99 by multi-rank distributed selection — "
+        "five order statistics for the price of one ranked pass",
+    ),
+    QueryDef(
+        "id_gap_report", id_gap_report, _ID_GAP_SQL,
+        "migration completeness islands: contiguous present-runs of the "
+        "id space (gaps localize dropped rows), global rank distributed",
     ),
     QueryDef(
         "ema_prices", ema_prices, _EMA_PRICES_SQL,

@@ -269,6 +269,13 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # eagerly before the plan, each round label-scale — same contract as
     # min-label dedup_components)
     "dedup_components_star": 4,
+    # distributed-selection floor (exact_median's pair) + the quantile-map
+    # broadcast join; one ranked pass serves all five order statistics
+    "exact_quantiles": 3,
+    # the id distinct (1) + the distributed_rank pair (range + pid-hash)
+    # + the island rollup; textual count includes the persisted ranked
+    # frame's cached-lineage re-print (the rfm_segments double-count note)
+    "id_gap_report": 6,
 }
 DEFAULT_ALLOWANCE = 2
 
