@@ -784,3 +784,85 @@ SELECT CAST(n_hit AS BIGINT) AS n_registers_hit,
        CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM stats, ex
 """
+
+
+def hll_register_sketch_grouped(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Per-GROUP HLL registers — the form the sketch ships in production
+    (distinct users per event type / per day): each group carries AT MOST
+    512 register rows of state, mergeable under max across partitions,
+    days, or sources.  Same frozen hash, rho, and integer estimator as
+    :func:`hll_register_sketch`; the exact control is emitted per group.
+    Output: (group, n_registers_hit, est_distinct_x1e6, exact_distinct).
+    """
+    m = 1 << HLL_P_BITS
+    pow_full = 1 << HLL_POWB
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), kmv_hash(key_col).alias("h"))
+    regs = base.select(
+        "g",
+        F.expr(f"h % {m}").alias("reg"),
+        F.expr(f"h DIV {m}").alias("suf"),
+    )
+    rho = (
+        F.when(F.col("suf") == 0, F.lit(HLL_RHO_EMPTY))
+        .otherwise(F.expr("bit_count((suf & -suf) - 1) + 1"))
+    )
+    mtab = regs.select("g", "reg", rho.alias("rho")).groupBy("g", "reg").agg(
+        F.max("rho").alias("M")
+    )
+    stats = mtab.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_POWB} - M)")).alias(
+            "__s_hit"
+        ),
+    )
+    exact = base.groupBy("g").agg(
+        F.countDistinct("h").alias("exact_distinct")
+    )
+    return stats.join(exact, "g").select(
+        F.col("g").alias(group_col),
+        F.col("n_hit").cast("long").alias("n_registers_hit"),
+        F.expr(
+            f"CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {pow_full}"
+            f" DIV (coalesce(__s_hit, 0)"
+            f"      + ({m} - n_hit) * CAST({pow_full} AS BIGINT))"
+        ).alias("est_distinct_x1e6"),
+        F.col("exact_distinct").cast("long"),
+    )
+
+
+def hll_register_sketch_grouped_sql(
+    table: str, group_col: str, key_col: str
+) -> str:
+    m = 1 << HLL_P_BITS
+    pow_full = 1 << HLL_POWB
+    h = kmv_hash_sql(key_col)
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g, {h} AS h FROM {table}
+  WHERE {key_col} IS NOT NULL AND {group_col} IS NOT NULL
+),
+regs AS (SELECT g, h % {m} AS reg, h // {m} AS suf FROM base),
+mtab AS (
+  SELECT g, reg,
+         max(CASE WHEN suf = 0 THEN {HLL_RHO_EMPTY}
+                  ELSE bit_count((suf & (-suf)) - 1) + 1 END) AS M
+  FROM regs GROUP BY 1, 2
+),
+stats AS (
+  SELECT g, count(*) AS n_hit,
+         sum(({pow_full} // (CAST(1 AS BIGINT) << M))) AS s_hit
+  FROM mtab GROUP BY 1
+),
+ex AS (SELECT g, count(DISTINCT h) AS exact_distinct FROM base GROUP BY 1)
+SELECT stats.g AS {group_col},
+       CAST(n_hit AS BIGINT) AS n_registers_hit,
+       CAST(CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {pow_full}
+            // (coalesce(s_hit, 0) + ({m} - n_hit) * {pow_full})
+            AS BIGINT) AS est_distinct_x1e6,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM stats JOIN ex USING (g)
+"""

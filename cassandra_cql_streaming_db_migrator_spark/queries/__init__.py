@@ -289,6 +289,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_checksum": {},
     "exact_quantiles": {},
     "id_gap_report": {},
+    "hll_by_type": {},
+    "join_asof_tolerance": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -362,6 +364,8 @@ DRIVER_HEAD = [
     "stream_checksum",
     "exact_quantiles",
     "id_gap_report",
+    "hll_by_type",
+    "join_asof_tolerance",
 ]
 
 

@@ -61,6 +61,8 @@ from ..operators.sketches import (
     bitmap_audience_overlap,
     bitmap_audience_overlap_sql,
     hll_register_sketch,
+    hll_register_sketch_grouped,
+    hll_register_sketch_grouped_sql,
     hll_register_sketch_sql,
     kmv_distinct,
     kmv_distinct_sql,
@@ -1458,6 +1460,12 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_register_sketch_grouped(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
 _ATTR_TOUCH_TYPES = ["click", "view", "signup"]
 
 
@@ -2123,6 +2131,12 @@ QUERIES = [
         hll_register_sketch_sql("events", "user_id"),
         "HLL-shaped 512-register sketch: mergeable max-rho state, raw "
         "estimator in pure integer ppm + exact control",
+    ),
+    QueryDef(
+        "hll_by_type", hll_by_type,
+        hll_register_sketch_grouped_sql("events", "event_type", "user_id"),
+        "per-group HLL registers (distinct users per event type): at most "
+        "512 rows of mergeable state per group",
     ),
     QueryDef(
         "funnel_attribution", funnel_attribution,

@@ -448,6 +448,59 @@ WITH u AS (
 SELECT user_id, event_id, ts, last_err_ts FROM w WHERE side = 1
 """
 
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (pandas merge_asof's tolerance):
+    each click gets its user's most recent prior error ONLY if it is at
+    most 30 minutes old — older matches are rejected to NULL, the
+    freshness contract every feature-store point-in-time lookup carries.
+    Same union+window linear plan as join_asof (no candidate-pair
+    blow-up); the bound is one comparison on the carried timestamp."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("last_err_ts")
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="last_err_ts",
+        payload_cols=["last_err_ts"],
+    )
+    tol_us = 30 * 60 * 1_000_000
+    fresh = F.when(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("last_err_ts").cast("timestamp"))
+        <= tol_us,
+        F.col("last_err_ts"),
+    )
+    return out.select(
+        "user_id", "event_id", "ts", fresh.alias("recent_err_ts")
+    )
+
+
+_JOIN_ASOF_TOLERANCE_SQL = """
+WITH u AS (
+  SELECT user_id, ts, event_id, CAST(NULL AS TIMESTAMP) AS err_ts, 1 AS side
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, NULL, ts, 0 FROM events WHERE event_type = 'error'
+), w AS (
+  SELECT user_id, event_id, ts, side,
+         max(err_ts) OVER (PARTITION BY user_id ORDER BY ts, side
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_err_ts
+  FROM u)
+SELECT user_id, event_id, ts,
+       CASE WHEN epoch_us(ts) - epoch_us(last_err_ts) <= 1800000000
+            THEN last_err_ts END AS recent_err_ts
+FROM w WHERE side = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Explicit GROUPING SETS (the general form of rollup/cube): status-only,
 # priority-only, and grand-total groups in one Expand + single shuffle.
@@ -2572,6 +2625,10 @@ QUERIES = [
              "J2/A4: correlated scalar subquery (Catalyst decorrelation)"),
     QueryDef("json_extract", json_extract_agg, _JSON_EXTRACT_SQL,
              "semi-structured JSON column extraction + agg"),
+    QueryDef("join_asof_tolerance", join_asof_tolerance,
+             _JOIN_ASOF_TOLERANCE_SQL,
+             "J2: as-of join with a 30-min staleness bound (merge_asof "
+             "tolerance — the feature-store freshness contract)"),
     QueryDef("join_asof", join_asof, _JOIN_ASOF_SQL,
              "J2: as-of join via union + ordered window"),
     QueryDef("join_range", join_range, _JOIN_RANGE_SQL,

@@ -272,6 +272,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # distributed-selection floor (exact_median's pair) + the quantile-map
     # broadcast join; one ranked pass serves all five order statistics
     "exact_quantiles": 3,
+    # per-(group, register) max-rho aggregate + per-group fold + the
+    # exact-control distinct aggregate + the stats<->control join —
+    # everything past the register aggregate moves <= 512 rows per group
+    "hll_by_type": 4,
     # the id distinct (1) + the distributed_rank pair (range + pid-hash)
     # + the island rollup; textual count includes the persisted ranked
     # frame's cached-lineage re-print (the rfm_segments double-count note)
