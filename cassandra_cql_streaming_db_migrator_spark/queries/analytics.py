@@ -1826,19 +1826,31 @@ def join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rc = sup.groupBy(F.col("s_suppkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n_right")
     )
+    # the per-key product can exceed int64 on a pathologically hot key
+    # (1e10 x 1e10 rows) — widen to decimal(38,0) and clamp the REPORTED
+    # value at int64 max on both engines (Spark would wrap silently,
+    # DuckDB would error — the lift_ppm divergence class); share_ppm is
+    # computed from the unclamped decimal product
+    max_long = (1 << 63) - 1
     per_key = lc.join(rc, "key").select(
         "key", "n_left", "n_right",
-        (F.col("n_left") * F.col("n_right")).alias("est_rows"),
+        F.expr(
+            "CAST(n_left AS DECIMAL(38,0)) * n_right"
+        ).alias("__est_wide"),
+    ).withColumn(
+        "est_rows",
+        F.expr(
+            f"CAST(least(__est_wide, CAST({max_long} AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ),
     )
-    total = per_key.agg(
-        F.sum(F.col("est_rows").cast("decimal(38,0)")).alias("__t")
-    )
+    total = per_key.agg(F.sum("__est_wide").alias("__t"))
     return (
         per_key.crossJoin(F.broadcast(total))
         .select(
             "key", "n_left", "n_right", "est_rows",
             F.expr(
-                "CAST(CAST(1000000 AS DECIMAL(38,0)) * est_rows DIV __t"
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * __est_wide DIV __t"
                 " AS BIGINT)"
             ).alias("share_ppm"),
         )
@@ -1847,19 +1859,21 @@ def join_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JOIN_SKEW_SQL = """
+_JOIN_SKEW_SQL = f"""
 WITH lc AS (SELECT l_suppkey AS key, count(*) AS n_left
             FROM lineitem GROUP BY 1),
 rc AS (SELECT s_suppkey AS key, count(*) AS n_right
        FROM supplier GROUP BY 1),
 pk AS (
-  SELECT key, n_left, n_right, n_left * n_right AS est_rows
+  SELECT key, n_left, n_right,
+         CAST(n_left AS HUGEINT) * n_right AS est_wide,
+         CAST(least(CAST(n_left AS HUGEINT) * n_right,
+                    CAST({(1 << 63) - 1} AS HUGEINT)) AS BIGINT) AS est_rows
   FROM lc JOIN rc USING (key)
 ),
-t AS (SELECT sum(CAST(est_rows AS HUGEINT)) AS tot FROM pk)
+t AS (SELECT sum(est_wide) AS tot FROM pk)
 SELECT key, n_left, n_right, est_rows,
-       CAST(1000000 * CAST(est_rows AS HUGEINT) // tot AS BIGINT)
-         AS share_ppm
+       CAST(1000000 * est_wide // tot AS BIGINT) AS share_ppm
 FROM pk, t
 ORDER BY est_rows DESC, key
 LIMIT 15
