@@ -291,6 +291,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "id_gap_report": {},
     "hll_by_type": {},
     "join_asof_tolerance": {},
+    "window_frames": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -366,6 +367,7 @@ DRIVER_HEAD = [
     "id_gap_report",
     "hll_by_type",
     "join_asof_tolerance",
+    "window_frames",
 ]
 
 

@@ -448,6 +448,47 @@ WITH u AS (
 SELECT user_id, event_id, ts, last_err_ts FROM w WHERE side = 1
 """
 
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-frame window semantics pinned across engines:
+    first_value / last_value / nth_value(2) over ROWS BETWEEN 2 PRECEDING
+    AND 1 FOLLOWING, per user in (ts, event_id) total order — the frame-
+    boundary behaviors (partial frames at partition edges, nth beyond the
+    frame -> NULL) that silently differ between naive implementations.
+    One shuffle on the user key; values in exact cents."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = events.select(
+        "user_id", "ts", "event_id", cents.alias("c")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 1)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.first("c").over(w).alias("frame_first"),
+        F.last("c").over(w).alias("frame_last"),
+        F.nth_value("c", 2).over(w).alias("frame_second"),
+    )
+
+
+_WINDOW_FRAMES_SQL = """
+SELECT user_id, event_id,
+       first_value(c) OVER w AS frame_first,
+       last_value(c) OVER w AS frame_last,
+       nth_value(c, 2) OVER w AS frame_second
+FROM (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+"""
+
+
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a STALENESS BOUND (pandas merge_asof's tolerance):
     each click gets its user's most recent prior error ONLY if it is at
@@ -2625,6 +2666,9 @@ QUERIES = [
              "J2/A4: correlated scalar subquery (Catalyst decorrelation)"),
     QueryDef("json_extract", json_extract_agg, _JSON_EXTRACT_SQL,
              "semi-structured JSON column extraction + agg"),
+    QueryDef("window_frames", window_frames, _WINDOW_FRAMES_SQL,
+             "O7: explicit-frame first/last/nth_value semantics pinned "
+             "(ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)"),
     QueryDef("join_asof_tolerance", join_asof_tolerance,
              _JOIN_ASOF_TOLERANCE_SQL,
              "J2: as-of join with a 30-min staleness bound (merge_asof "
