@@ -835,11 +835,19 @@ def hll_register_sketch_grouped(
 
 
 def hll_register_sketch_grouped_sql(
-    table: str, group_col: str, key_col: str
+    table: str, group_col: str, key_col: str, include_exact: bool = True
 ) -> str:
+    """``include_exact=False`` drops the exact-control column — the
+    streaming twin's fixed-size state cannot carry an exact distinct."""
     m = 1 << HLL_P_BITS
     pow_full = 1 << HLL_POWB
     h = kmv_hash_sql(key_col)
+    exact_col = (
+        ",\n       CAST(exact_distinct AS BIGINT) AS exact_distinct"
+        if include_exact
+        else ""
+    )
+    exact_join = " JOIN ex USING (g)" if include_exact else ""
     return f"""
 WITH base AS (
   SELECT {group_col} AS g, {h} AS h FROM {table}
@@ -862,7 +870,6 @@ SELECT stats.g AS {group_col},
        CAST(n_hit AS BIGINT) AS n_registers_hit,
        CAST(CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {pow_full}
             // (coalesce(s_hit, 0) + ({m} - n_hit) * {pow_full})
-            AS BIGINT) AS est_distinct_x1e6,
-       CAST(exact_distinct AS BIGINT) AS exact_distinct
-FROM stats JOIN ex USING (g)
+            AS BIGINT) AS est_distinct_x1e6{exact_col}
+FROM stats{exact_join}
 """

@@ -292,6 +292,9 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "hll_by_type": {},
     "join_asof_tolerance": {},
     "window_frames": {},
+    # new in round 5, late session (head full -> DRIVER_BACKLOG, rule 1)
+    "stream_hll": {},
+    "source_dup_report": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -308,6 +311,8 @@ DRIVER_BACKLOG: list[str] = [
     # round 5: the round-4 FIFO (21 entries) drained into DRIVER_HEAD below
     # (VERDICT r04 ask #1).  Round-5 additions beyond the 29 free head slots
     # queue here (FIFO for the round-6 head).
+    "stream_hll",
+    "source_dup_report",
 ]
 
 # Round-5 head: the full round-4 DRIVER_BACKLOG, drained in FIFO order

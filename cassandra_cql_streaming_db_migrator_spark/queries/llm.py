@@ -469,6 +469,66 @@ FROM j WHERE rk = 1
 """
 
 
+def source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE duplication census — the curation decision the dedup
+    pipeline feeds: for each source, total docs, docs the near-dup
+    keep-list would DROP (component members that are not their
+    component's canonical), and the drop rate in ppm.  A source with an
+    outsized drop_ppm is scraped-duplicate-heavy and gets down-weighted
+    or re-crawled.  Composition of the existing pair->component->
+    canonical stages plus two source rollups; the per-source frame is
+    metadata-scale."""
+    from ..operators.dedup import canonical_per_component
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = fuzzy_dedup_pairs(docs, "text", "doc_id")
+    comps = connected_components(pairs, "doc_id_1", "doc_id_2")
+    keep = canonical_per_component(comps, docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    dropped = comps.select("doc_id").join(keep, "doc_id", "left_anti")
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    drops = (
+        docs.select("doc_id", "source")
+        .join(dropped, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+    )
+    return (
+        totals.join(drops, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("__nd", F.lit(0).cast("long")).alias("n_dropped"),
+            F.expr(
+                "1000000 * coalesce(__nd, 0) DIV n_docs"
+            ).alias("drop_ppm"),
+        )
+    )
+
+
+def _source_dup_report_sql() -> str:
+    return f"""
+WITH comps AS ({_dedup_components_sql()}),
+j AS (
+  SELECT c.component_id, c.doc_id,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+  FROM comps c JOIN documents d USING (doc_id)
+),
+dropped AS (SELECT doc_id FROM j WHERE rk > 1),
+tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+dr AS (
+  SELECT d.source, count(*) AS nd
+  FROM dropped JOIN documents d USING (doc_id) GROUP BY 1
+)
+SELECT t.source, t.n_docs,
+       CAST(coalesce(dr.nd, 0) AS BIGINT) AS n_dropped,
+       1000000 * coalesce(dr.nd, 0) // t.n_docs AS drop_ppm
+FROM tot t LEFT JOIN dr ON dr.source = t.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints (53-bit, integer-exact cross-engine).
 
@@ -2011,6 +2071,10 @@ QUERIES = [
     QueryDef("embedding_centroids", embedding_centroids, _EMBEDDING_CENTROIDS_SQL,
              "per-label centroid norm + inertia (k-means-style cluster "
              "tightness stats)"),
+    QueryDef("source_dup_report", source_dup_report,
+             _source_dup_report_sql(),
+             "per-source duplication census: keep-list drop rate in ppm — "
+             "the source-weighting decision dedup feeds"),
     QueryDef("dedup_components_star", dedup_components_star,
              _dedup_components_sql(),
              "large-star/small-star CC (O(log n) rounds, long-chain-safe) "

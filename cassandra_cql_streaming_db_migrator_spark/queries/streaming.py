@@ -326,6 +326,39 @@ def _stream_checksum_sql() -> str:
     )
 
 
+def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live per-type cardinality from FIXED state: the HLL register table
+    (<= 512 ints per group) as GroupState, merged under max per
+    microbatch (streaming.stream.streaming_hll_state) — beside
+    stream_kmv's O(k) sketch, this is the register-census variant whose
+    state never grows however long the stream runs.  Drained bounded
+    stream == the batch grouped estimator (the oracle; no exact-control
+    column — fixed state cannot carry one)."""
+    from pyspark.sql import Window
+
+    from ..streaming.stream import streaming_hll_state
+
+    events = read_events_stream(spark, sf_dir)
+    sk = run_to_memory(
+        streaming_hll_state(events, "event_type", "user_id"),
+        output_mode="update",
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        sk.withColumn("__mx", F.max("rev").over(w))
+        .where(F.col("rev") == F.col("__mx"))
+        .select("event_type", "n_registers_hit", "est_distinct_x1e6")
+    )
+
+
+def _stream_hll_sql() -> str:
+    from ..operators.sketches import hll_register_sketch_grouped_sql
+
+    return hll_register_sketch_grouped_sql(
+        "events", "event_type", "user_id", include_exact=False
+    )
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     return _canon_sum(run_to_memory(session_window_agg(events, "10 minutes")))
@@ -700,6 +733,9 @@ QUERIES = [
     QueryDef("stream_ohlc", stream_ohlc, _stream_ohlc_sql(),
              "T8: streaming OHLC bars (min_by/max_by tumbling windows, "
              "batch-operator parity)", bench=False),
+    QueryDef("stream_hll", stream_hll, _stream_hll_sql(),
+             "live per-type cardinality from fixed 512-register GroupState "
+             "(max-merged HLL), batch-estimator oracle"),
     QueryDef("stream_checksum", stream_checksum, _stream_checksum_sql(),
              "live migration certification: additive md5 fingerprint as a "
              "mergeable streaming aggregate, batch-checksum oracle"),

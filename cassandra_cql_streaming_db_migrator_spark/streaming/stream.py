@@ -673,3 +673,90 @@ def streaming_attribution_state(
     return events.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_hll_state(
+    events: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Streaming HLL-shaped register sketch: GroupState per group holds
+    the 512 max-rho registers (two parallel arrays, <= 512 ints — fixed
+    state however long the stream runs), merged under max per microbatch
+    — the cardinality stream that never grows, beside stream_kmv's O(k)
+    variant.  Hash/register/rho identical to the batch sketch
+    (operators.sketches.hll_register_sketch), so the drained bounded
+    stream's estimate equals the batch grouped estimator (the oracle,
+    minus the exact-control column a fixed-state stream cannot carry).
+
+    rho = trailing-zero rank + 1, computed as log2 of the isolated lowest
+    set bit (exact in float64 for powers of two — numpy<2 has no
+    popcount).  Emits (group, rev, n_registers_hit, est_distinct_x1e6).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.hashing import MINHASH_P
+    from ..operators.sketches import (
+        HLL_ALPHA_PPM,
+        HLL_P_BITS,
+        HLL_POWB,
+        HLL_RHO_EMPTY,
+        KMV_A,
+        KMV_B,
+    )
+
+    m = 1 << HLL_P_BITS
+    pow_full = 1 << HLL_POWB
+
+    out_schema = (
+        f"{group_col} string, rev long, n_registers_hit long, "
+        "est_distinct_x1e6 long"
+    )
+    state_schema = "rev long, regs array<int>, ms array<int>"
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            rev, regs_l, ms_l = state.get
+            table = dict(zip(regs_l, ms_l))
+        else:
+            rev, table = 0, {}
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].to_numpy().astype("int64")
+            hs = ((keys % MINHASH_P) * KMV_A + KMV_B) % MINHASH_P
+            regs = hs % m
+            sufs = hs // m
+            low = sufs & (-sufs)
+            rho = np.where(
+                sufs == 0,
+                HLL_RHO_EMPTY,
+                np.log2(np.maximum(low, 1)).astype("int64") + 1,
+            )
+            for r, q in zip(regs, rho):
+                r, q = int(r), int(q)
+                if q > table.get(r, 0):
+                    table[r] = q
+        rev += 1
+        regs_l = sorted(table)
+        ms_l = [table[r] for r in regs_l]
+        state.update((rev, regs_l, ms_l))
+        s_hit = sum(pow_full >> v for v in ms_l)
+        s = s_hit + (m - len(ms_l)) * pow_full
+        est = HLL_ALPHA_PPM * m * m * pow_full // s
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "rev": [rev],
+                "n_registers_hit": [len(ms_l)],
+                "est_distinct_x1e6": [est],
+            }
+        )
+
+    events = events.where(
+        F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    return events.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

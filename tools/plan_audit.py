@@ -276,6 +276,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # exact-control distinct aggregate + the stats<->control join —
     # everything past the register aggregate moves <= 512 rows per group
     "hll_by_type": 4,
+    # composition over the CONVERGED component labels (CC rounds ran
+    # eagerly): canonical window + keep anti-join + the two source
+    # rollups + their join — every exchange past the component loop moves
+    # component- or source-cardinality rows
+    "source_dup_report": 8,
     # the id distinct (1) + the distributed_rank pair (range + pid-hash)
     # + the island rollup; textual count includes the persisted ranked
     # frame's cached-lineage re-print (the rfm_segments double-count note)
