@@ -971,6 +971,15 @@ def ivf_cell_assign(
             f"ivf_cell_assign: no centroid rows with {id_col} < {n_cells}"
         )
     cent_ids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
+    cent_lens = {len(r[1]) for r in cent_rows}
+    if len(cent_lens) != 1:
+        # ragged centroids are degenerate input: np.stack would raise an
+        # unhelpful shape error and the SQL oracle would silently score
+        # against the first centroid's length — fail loudly and
+        # symmetrically instead (the checker surfaces the error)
+        raise ValueError(
+            f"ivf_cell_assign: centroid rows have mixed dims {sorted(cent_lens)}"
+        )
     cents = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
     cnorms = np.sqrt(_seq_fold_dots(cents, cents))
     if (cnorms == 0).any():

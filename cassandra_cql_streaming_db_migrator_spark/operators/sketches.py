@@ -685,6 +685,43 @@ HLL_RHO_EMPTY = HLL_SUF_BITS + 1  # all-zero suffix
 HLL_POWB = HLL_RHO_EMPTY  # 2^(POWB - rho) stays integral for every rho
 
 
+def _hll_rho() -> "F.Column":
+    """rho from a ``suf`` column — the ONE definition both sketch shapes
+    (and their tests) share; the streaming kernel mirrors it in numpy."""
+    return (
+        F.when(F.col("suf") == 0, F.lit(HLL_RHO_EMPTY))
+        .otherwise(F.expr("bit_count((suf & -suf) - 1) + 1"))
+    )
+
+
+def _hll_est_expr(n_hit: str, s_hit: str) -> str:
+    """Spark SQL fragment for the raw integer estimator over (n_hit,
+    s_hit) columns — shared by the grouped and ungrouped sketches."""
+    m = 1 << HLL_P_BITS
+    pow_full = 1 << HLL_POWB
+    return (
+        f"CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {pow_full}"
+        f" DIV (coalesce({s_hit}, 0)"
+        f"      + ({m} - {n_hit}) * CAST({pow_full} AS BIGINT))"
+    )
+
+
+_HLL_RHO_SQL = (
+    f"CASE WHEN suf = 0 THEN {HLL_RHO_EMPTY} "
+    "ELSE bit_count((suf & (-suf)) - 1) + 1 END"
+)
+
+
+def _hll_est_sql(n_hit: str, s_hit: str) -> str:
+    m = 1 << HLL_P_BITS
+    pow_full = 1 << HLL_POWB
+    return (
+        f"CAST(CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {pow_full}"
+        f" // (coalesce({s_hit}, 0) + ({m} - {n_hit}) * {pow_full})"
+        " AS BIGINT)"
+    )
+
+
 def hll_register_sketch(df: DataFrame, key_col: str) -> DataFrame:
     """HyperLogLog-shaped distinct-count sketch with a fully DETERMINISTIC
     estimate: 512 registers, register = h mod 512, rho = trailing-zero
@@ -718,11 +755,7 @@ def hll_register_sketch(df: DataFrame, key_col: str) -> DataFrame:
         F.expr(f"h % {m}").alias("reg"),
         F.expr(f"h DIV {m}").alias("suf"),
     )
-    rho = (
-        F.when(F.col("suf") == 0, F.lit(HLL_RHO_EMPTY))
-        .otherwise(F.expr("bit_count((suf & -suf) - 1) + 1"))
-    )
-    mtab = regs.select("reg", rho.alias("rho")).groupBy("reg").agg(
+    mtab = regs.select("reg", _hll_rho().alias("rho")).groupBy("reg").agg(
         F.max("rho").alias("M")
     )
     stats = mtab.agg(
@@ -741,11 +774,9 @@ def hll_register_sketch(df: DataFrame, key_col: str) -> DataFrame:
         .select(
             F.col("n_hit").cast("long").alias("n_registers_hit"),
             F.col("max_rho").cast("long").alias("max_rho"),
-            F.expr(
-                f"CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {pow_full}"
-                f" DIV (coalesce(__s_hit, 0)"
-                f"      + ({m} - n_hit) * CAST({pow_full} AS BIGINT))"
-            ).alias("est_distinct_x1e6"),
+            F.expr(_hll_est_expr("n_hit", "__s_hit")).alias(
+                "est_distinct_x1e6"
+            ),
             F.col("exact_distinct").cast("long"),
         )
     )
@@ -762,9 +793,7 @@ WITH base AS (
 ),
 regs AS (SELECT h % {m} AS reg, h // {m} AS suf FROM base),
 mtab AS (
-  SELECT reg,
-         max(CASE WHEN suf = 0 THEN {HLL_RHO_EMPTY}
-                  ELSE bit_count((suf & (-suf)) - 1) + 1 END) AS M
+  SELECT reg, max({_HLL_RHO_SQL}) AS M
   FROM regs GROUP BY 1
 ),
 stats AS (
@@ -778,9 +807,7 @@ ex AS (
 )
 SELECT CAST(n_hit AS BIGINT) AS n_registers_hit,
        CAST(max_rho AS BIGINT) AS max_rho,
-       CAST(CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {pow_full}
-            // (coalesce(s_hit, 0) + ({m} - n_hit) * {pow_full})
-            AS BIGINT) AS est_distinct_x1e6,
+       {_hll_est_sql("n_hit", "s_hit")} AS est_distinct_x1e6,
        CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM stats, ex
 """
@@ -806,12 +833,10 @@ def hll_register_sketch_grouped(
         F.expr(f"h % {m}").alias("reg"),
         F.expr(f"h DIV {m}").alias("suf"),
     )
-    rho = (
-        F.when(F.col("suf") == 0, F.lit(HLL_RHO_EMPTY))
-        .otherwise(F.expr("bit_count((suf & -suf) - 1) + 1"))
-    )
-    mtab = regs.select("g", "reg", rho.alias("rho")).groupBy("g", "reg").agg(
-        F.max("rho").alias("M")
+    mtab = (
+        regs.select("g", "reg", _hll_rho().alias("rho"))
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("M"))
     )
     stats = mtab.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_hit"),
@@ -825,11 +850,9 @@ def hll_register_sketch_grouped(
     return stats.join(exact, "g").select(
         F.col("g").alias(group_col),
         F.col("n_hit").cast("long").alias("n_registers_hit"),
-        F.expr(
-            f"CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {pow_full}"
-            f" DIV (coalesce(__s_hit, 0)"
-            f"      + ({m} - n_hit) * CAST({pow_full} AS BIGINT))"
-        ).alias("est_distinct_x1e6"),
+        F.expr(_hll_est_expr("n_hit", "__s_hit")).alias(
+            "est_distinct_x1e6"
+        ),
         F.col("exact_distinct").cast("long"),
     )
 
@@ -855,9 +878,7 @@ WITH base AS (
 ),
 regs AS (SELECT g, h % {m} AS reg, h // {m} AS suf FROM base),
 mtab AS (
-  SELECT g, reg,
-         max(CASE WHEN suf = 0 THEN {HLL_RHO_EMPTY}
-                  ELSE bit_count((suf & (-suf)) - 1) + 1 END) AS M
+  SELECT g, reg, max({_HLL_RHO_SQL}) AS M
   FROM regs GROUP BY 1, 2
 ),
 stats AS (
@@ -868,8 +889,6 @@ stats AS (
 ex AS (SELECT g, count(DISTINCT h) AS exact_distinct FROM base GROUP BY 1)
 SELECT stats.g AS {group_col},
        CAST(n_hit AS BIGINT) AS n_registers_hit,
-       CAST(CAST({HLL_ALPHA_PPM} AS BIGINT) * {m} * {m} * {pow_full}
-            // (coalesce(s_hit, 0) + ({m} - n_hit) * {pow_full})
-            AS BIGINT) AS est_distinct_x1e6{exact_col}
+       {_hll_est_sql("n_hit", "s_hit")} AS est_distinct_x1e6{exact_col}
 FROM stats{exact_join}
 """

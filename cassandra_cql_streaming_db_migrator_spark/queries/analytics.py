@@ -1880,6 +1880,21 @@ LIMIT 15
 """
 
 
+# per-process scratch dirs for zorder_scan, one per fixture (see query)
+_ZORDER_DIRS: dict[str, str] = {}
+
+
+def _zorder_scratch_dir(sf_dir: str) -> str:
+    import tempfile
+
+    key = sf_dir
+    if key not in _ZORDER_DIRS:
+        _ZORDER_DIRS[key] = tempfile.mkdtemp(
+            prefix="cassandra_cql_streaming_db_migrator_zorder_"
+        )
+    return _ZORDER_DIRS[key]
+
+
 def zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end value gate for the Z-order layout path: lineitem is
     rewritten clustered on Z(l_partkey, l_suppkey) (sinks.layout — the
@@ -1891,20 +1906,16 @@ def zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-gated.  (The skipping benefit itself shows in file-level
     min/max footers; tests/test_layout.py asserts tight ranges.)"""
     import os
-    import tempfile
 
     from ..sinks.layout import write_zordered
 
     li = load_table(spark, sf_dir, "lineitem")
-    # ONE deterministic scratch dir per fixture, overwritten each run —
-    # a fresh mkdtemp per invocation would leave a full lineitem copy per
-    # bench iteration and grow without bound
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "cassandra_cql_streaming_db_migrator_zorder",
-        os.path.basename(os.path.normpath(sf_dir)),
-        "li",
-    )
+    # ONE mkdtemp per (process, fixture), cached and overwritten on reuse:
+    # bounded growth across bench iterations (the review-1 leak fix)
+    # WITHOUT the fixed-path hazards a shared /tmp name has — concurrent
+    # processes get distinct private dirs, nothing is squattable
+    # (review-2 finding)
+    out = os.path.join(_zorder_scratch_dir(sf_dir), "li")
     write_zordered(li, out, "l_partkey", "l_suppkey", bits=18, n_files=8)
     back = spark.read.parquet(out)
     sel = back.where(

@@ -283,7 +283,7 @@ def stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     with O(1) state; a CDC mirror can certify content continuously
     instead of re-scanning.  Drained bounded stream == the batch
     checksum (the oracle)."""
-    from ..operators.profile import CHECKSUM_MOD, _digest_row_spark
+    from ..operators.profile import table_checksum
 
     spec = [
         ("int", "event_id"),
@@ -292,20 +292,14 @@ def stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cents", "value"),
         ("us", "ts"),
     ]
-    row_val = (
-        f"CAST(conv(substr({_digest_row_spark(spec)}, 1, 15), 16, 10)"
-        " AS BIGINT)"
-    )
-    events = read_events_stream(spark, sf_dir).selectExpr(
-        f"{row_val} AS __v"
-    )
-    agg = events.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.expr(
-            f"CAST(CAST(sum(CAST(__v AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
-            " AS DECIMAL(38,0)) AS BIGINT)"
-        ).alias("checksum"),
-    )
+    # the BATCH operator runs unchanged on the streaming frame (its only
+    # aggregate is incrementally mergeable) — one digest/fold definition,
+    # so the streaming certification can never silently fork from the
+    # batch fingerprint it claims to equal; only the literal table_name
+    # column is dropped to match the streaming output contract
+    agg = table_checksum(
+        read_events_stream(spark, sf_dir), "events", spec
+    ).drop("table_name")
     return run_to_memory(agg)
 
 

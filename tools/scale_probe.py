@@ -73,12 +73,17 @@ def probe(
         bound, expect = PROBES.get(name, (15.0, "default sub-quadratic"))
         # untimed warm-up at the tiny SF: JVM/codegen/executor startup
         # otherwise inflates the sf0.1 baseline and UNDERSTATES the growth
-        # ratio the gate exists to catch
+        # ratio the gate exists to catch.  Fall back to the sf0.1 dir when
+        # the default warm-up fixture is absent (custom environments), and
+        # NEVER swallow a warm-up failure silently — a query that errors
+        # here will error in the timed run too, and a skipped warm-up
+        # reintroduces exactly the bias this exists to remove.
+        wdir = warmup_dir if os.path.isdir(warmup_dir) else sf01
         try:
             spark.catalog.clearCache()
-            q.fn(spark, warmup_dir).collect()
-        except Exception:
-            pass  # warm-up is best-effort; the timed runs surface errors
+            q.fn(spark, wdir).collect()
+        except Exception as e:  # visible, not fatal: the timed run decides
+            print(f"WARN warm-up failed for {name} at {wdir}: {e}")
         times = {}
         for label, d in (("sf0.1", sf01), ("sf1", sf1)):
             spark.catalog.clearCache()
