@@ -241,57 +241,57 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     # new in round 4 (rule 1: 2 head slots, the rest queue in the backlog)
     "q2_min_cost_supplier": {"r04": "green"},
     "q6_forecast_revenue": {"r04": "green"},
-    "q8_market_share": {},
-    "q9_product_profit": {},
-    "q11_important_stock": {},
-    "q12_shipmode_priority": {},
-    "q16_parts_supplier": {},
-    "q17_small_quantity_revenue": {},
-    "q20_potential_promotion": {},
-    "q21_waiting_supplier": {},
-    "dup_spans": {},
-    "stream_zscore": {},
-    "lexical_search": {},
-    "ivf_pq": {},
-    "link_prediction": {},
-    "image_dedup": {},
-    "user_ltv": {},
-    "event_paths": {},
-    "incremental_dedup": {},
-    "vocab_growth": {},
-    "rfm_segments": {},
-    "basket_rules": {},
-    "embedding_pca": {},
+    "q8_market_share": {"r05": "green"},
+    "q9_product_profit": {"r05": "green"},
+    "q11_important_stock": {"r05": "green"},
+    "q12_shipmode_priority": {"r05": "green"},
+    "q16_parts_supplier": {"r05": "green"},
+    "q17_small_quantity_revenue": {"r05": "green"},
+    "q20_potential_promotion": {"r05": "green"},
+    "q21_waiting_supplier": {"r05": "green"},
+    "dup_spans": {"r05": "green"},
+    "stream_zscore": {"r05": "green"},
+    "lexical_search": {"r05": "green"},
+    "ivf_pq": {"r05": "green"},
+    "link_prediction": {"r05": "green"},
+    "image_dedup": {"r05": "green"},
+    "user_ltv": {"r05": "green"},
+    "event_paths": {"r05": "green"},
+    "incremental_dedup": {"r05": "green"},
+    "vocab_growth": {"r05": "green"},
+    "rfm_segments": {"r05": "green"},
+    "basket_rules": {"r05": "green"},
+    "embedding_pca": {"r05": "green"},
     # new in round 5 (head-listed by rule 1)
-    "link_prediction_capped": {},
-    "audience_overlap": {},
-    "hll_distinct": {},
-    "funnel_attribution": {},
-    "activity_streaks": {},
-    "seasonal_profile": {},
-    "migration_checksum": {},
-    "exact_median": {},
-    "ivf_pq_recall": {},
-    "stream_enrich": {},
-    "unpivot_metrics": {},
-    "revenue_deciles": {},
-    "multimodal_tiles": {},
-    "stream_attribution": {},
-    "knn_graph": {},
-    "ema_prices": {},
-    "percent_rank_report": {},
-    "dedup_recall": {},
-    "quality_curriculum": {},
-    "langid_confusion": {},
-    "join_skew_stats": {},
-    "zorder_scan": {},
-    "dedup_components_star": {},
-    "stream_checksum": {},
-    "exact_quantiles": {},
-    "id_gap_report": {},
-    "hll_by_type": {},
-    "join_asof_tolerance": {},
-    "window_frames": {},
+    "link_prediction_capped": {"r05": "green"},
+    "audience_overlap": {"r05": "green"},
+    "hll_distinct": {"r05": "green"},
+    "funnel_attribution": {"r05": "green"},
+    "activity_streaks": {"r05": "green"},
+    "seasonal_profile": {"r05": "green"},
+    "migration_checksum": {"r05": "green"},
+    "exact_median": {"r05": "green"},
+    "ivf_pq_recall": {"r05": "green"},
+    "stream_enrich": {"r05": "green"},
+    "unpivot_metrics": {"r05": "green"},
+    "revenue_deciles": {"r05": "green"},
+    "multimodal_tiles": {"r05": "green"},
+    "stream_attribution": {"r05": "green"},
+    "knn_graph": {"r05": "green"},
+    "ema_prices": {"r05": "green"},
+    "percent_rank_report": {"r05": "green"},
+    "dedup_recall": {"r05": "green"},
+    "quality_curriculum": {"r05": "green"},
+    "langid_confusion": {"r05": "green"},
+    "join_skew_stats": {"r05": "green"},
+    "zorder_scan": {"r05": "green"},
+    "dedup_components_star": {"r05": "green"},
+    "stream_checksum": {"r05": "green"},
+    "exact_quantiles": {"r05": "green"},
+    "id_gap_report": {"r05": "green"},
+    "hll_by_type": {"r05": "green"},
+    "join_asof_tolerance": {"r05": "green"},
+    "window_frames": {"r05": "green"},
     # new in round 5, late session (head full -> DRIVER_BACKLOG, rule 1)
     "stream_hll": {},
     "source_dup_report": {},
@@ -308,71 +308,18 @@ DRIVER_HEAD_CAP = 50
 # row is in DRIVER_HEAD or DRIVER_BACKLOG — nothing unwitnessed is ever
 # silently tail-listed.
 DRIVER_BACKLOG: list[str] = [
-    # round 5: the round-4 FIFO (21 entries) drained into DRIVER_HEAD below
-    # (VERDICT r04 ask #1).  Round-5 additions beyond the 29 free head slots
-    # queue here (FIFO for the round-6 head).
-    "stream_hll",
-    "source_dup_report",
+    # round 6: the round-5 FIFO (stream_hll, source_dup_report) drained into
+    # DRIVER_HEAD below (VERDICT r05 ask #1).  Round-6 additions beyond the
+    # free head slots queue here (FIFO for the round-7 head).
 ]
 
-# Round-5 head: the full round-4 DRIVER_BACKLOG, drained in FIFO order
-# exactly as written (VERDICT r04 ask #1) — all 21 never had a driver row;
-# every one passes the strict local checker at sf0.001 + sf0.01.  The
-# remaining 29 slots go to new round-5 queries (rule 1) plus rule-1b
-# re-listings for queries materially rewritten this round.
+# Round-6 head: the round-5 DRIVER_BACKLOG drained in FIFO order exactly as
+# written (VERDICT r05 ask #1) — completing 217/217 driver-witnessed.  The
+# remaining slots go to new round-6 queries (rule 1).
 DRIVER_HEAD = [
-    # -- round-4 additions (FIFO from the round-4 backlog)
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "dup_spans",
-    "stream_zscore",
-    "lexical_search",
-    "ivf_pq",
-    "link_prediction",
-    "image_dedup",
-    "user_ltv",
-    "event_paths",
-    "incremental_dedup",
-    "vocab_growth",
-    "rfm_segments",  # also rule 1b: cut-point rewrite this round
-    "basket_rules",
-    "embedding_pca",
-    # -- new in round 5 (rule 1: no driver row yet)
-    "link_prediction_capped",
-    "audience_overlap",
-    "hll_distinct",
-    "funnel_attribution",
-    "activity_streaks",
-    "seasonal_profile",
-    "migration_checksum",
-    "exact_median",
-    "ivf_pq_recall",
-    "stream_enrich",
-    "unpivot_metrics",
-    "revenue_deciles",
-    "multimodal_tiles",
-    "stream_attribution",
-    "knn_graph",
-    "ema_prices",
-    "percent_rank_report",
-    "dedup_recall",
-    "quality_curriculum",
-    "langid_confusion",
-    "join_skew_stats",
-    "zorder_scan",
-    "dedup_components_star",
-    "stream_checksum",
-    "exact_quantiles",
-    "id_gap_report",
-    "hll_by_type",
-    "join_asof_tolerance",
-    "window_frames",
+    # -- round-5 backlog (FIFO)
+    "stream_hll",
+    "source_dup_report",
 ]
 
 
