@@ -239,3 +239,37 @@ def word_ngram_keys(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
     d, k = doc_idx[order], keys[order]
     keep = np.concatenate([[True], (d[1:] != d[:-1]) | (k[1:] != k[:-1])])
     return d[keep], k[keep]
+
+
+def word_ngram_keys_positional(
+    texts: list[str], n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Every word ``n``-gram window of the batch WITH its 0-based start
+    position: (doc_idx, pos, keys) — :func:`word_ngram_keys` without the
+    per-doc dedup, for consumers that need coverage geometry (span-level
+    removal maps duplicated keys back to the word positions they cover).
+    Same split, same double poly fold, same packed 61-bit keys."""
+    token_lists = [t.split(" ") if isinstance(t, str) else [] for t in texts]
+    n_words = np.fromiter(
+        (len(tl) for tl in token_lists), dtype=np.int64, count=len(texts)
+    )
+    flat = [tok for tl in token_lists for tok in tl]
+    wh1 = _column_fold_hashes(flat, 31, POLY_MOD)
+    wh2 = _column_fold_hashes(flat, _WORD_BASE2, MINHASH_P)
+
+    counts = np.maximum(n_words - n + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    word_offsets = np.concatenate([[0], np.cumsum(n_words)])[:-1]
+    pos = _segmented_positions(counts)
+    win_starts = np.repeat(word_offsets, counts) + pos
+    g1 = np.zeros(total, dtype=np.int64)
+    g2 = np.zeros(total, dtype=np.int64)
+    for j in range(n):
+        g1 = (g1 * _GRAM_BASE1 + wh1[win_starts + j]) % POLY_MOD
+        g2 = (g2 * _GRAM_BASE2 + wh2[win_starts + j]) % MINHASH_P
+    keys = g1 * np.int64(2**31) + g2
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    return doc_idx, pos, keys

@@ -232,3 +232,122 @@ def bpe_encode_census(
     return word_counts.select("word", F.col("n").cast("long").alias("n")).mapInPandas(
         run, schema=schema
     )
+
+
+def base_char_vocab(df: DataFrame, text_col: str = "text") -> list[str]:
+    """Sorted distinct characters of the corpus — the deterministic base
+    vocabulary a trained tokenizer ships alongside its merges.  One
+    aggregate to <= alphabet-size rows (map-side combine makes the char
+    explode cheap; at byte-level production scale the vocab is fixed
+    0..255 and this pass disappears)."""
+    rows = (
+        df.select(F.explode(F.split(F.col(text_col), "")).alias("c"))
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["c"] for r in rows)
+
+
+ENCODE_FP_MOD = (1 << 61) - 1
+_ENCODE_FP_BASE = 1_000_003
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    base_vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed BPE ENCODING — the apply path that completes
+    train->apply (VERDICT r05 ask #4), as IVF/PQ completed index->read.
+
+    Token-id space: base characters get ids by sorted order
+    (``base_vocab``), merge tokens get ``len(base_vocab) + rank`` — the
+    deterministic equivalent of a tokenizer vocab file.  Each word is
+    encoded by applying merges in RANK (priority) order, each greedy
+    leftmost non-overlapping — the reference BPE encoder, identical to
+    :func:`bpe_encode_census`'s rule; a doc's ids are its words' ids
+    concatenated in order (single-space split, empty words skipped, same
+    as word_census).
+
+    Scale shape: the merge table and vocab ride into the Arrow kernel as
+    closures (vocabulary-of-merges sized — the broadcastable tokenizer
+    file); encoding is per-row pure, so the stage distributes like any
+    map with ZERO shuffles.  A per-batch word memo collapses the
+    per-word cost to once per distinct word per batch — the Zipf
+    distribution does the rest.
+
+    Returns (id, n_words, n_tokens, token_ids, ids_fp): ids_fp is the
+    order-sensitive poly fold of (id+1) mod 2^61-1 — the repo's
+    fingerprint discipline, so downstream aggregates hash-check without
+    hauling the id arrays around.
+    """
+    ordered = [(l, r) for _, l, r, _ in sorted(merges)]
+    vocab = {c: i for i, c in enumerate(base_vocab)}
+    n_base = len(base_vocab)
+    for rank, l, r, _ in sorted(merges):
+        vocab[l + r] = n_base + rank
+
+    def encode_word(word: str) -> list[int]:
+        syms = list(word)
+        for l, r in ordered:
+            lr = l + r
+            res = []
+            i = 0
+            m = len(syms)
+            while i < m:
+                if i + 1 < m and syms[i] == l and syms[i + 1] == r:
+                    res.append(lr)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return [vocab[s] for s in syms]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[int]] = {}
+        for pdf in batches:
+            ids_out, nw_out, nt_out, fp_out = [], [], [], []
+            for text in pdf[text_col]:
+                if not isinstance(text, str):
+                    ids_out.append(None)
+                    nw_out.append(None)
+                    nt_out.append(None)
+                    fp_out.append(None)
+                    continue
+                ids: list[int] = []
+                n_words = 0
+                for w in text.split(" "):
+                    if w == "":
+                        continue
+                    n_words += 1
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = encode_word(w)
+                    ids.extend(got)
+                fp = 0
+                for t in ids:
+                    fp = (fp * _ENCODE_FP_BASE + t + 1) % ENCODE_FP_MOD
+                ids_out.append(ids)
+                nw_out.append(n_words)
+                nt_out.append(len(ids))
+                fp_out.append(fp)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": pd.array(nw_out, dtype="Int64"),
+                    "n_tokens": pd.array(nt_out, dtype="Int64"),
+                    "token_ids": ids_out,
+                    "ids_fp": pd.array(fp_out, dtype="Int64"),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_words long, n_tokens long, "
+        f"token_ids array<long>, ids_fp long"
+    )
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .caching import materialized
 
 Q = 1e10  # per-element quantization for centroid sums
 QI = 1e6  # inertia quantization
@@ -288,7 +289,9 @@ def semdedup(
     neighbor with a smaller id in the same cluster."""
     from .similarity import block_near_dup_pairs
 
-    assigned = kmeans_assignments(df, k, iterations, vec_col, id_col).persist()
+    assigned = materialized(
+        kmeans_assignments(df, k, iterations, vec_col, id_col)
+    )
     pairs = block_near_dup_pairs(
         assigned, "cluster_id", threshold, id_col=id_col, vec_col=vec_col
     )

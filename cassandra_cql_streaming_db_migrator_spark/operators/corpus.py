@@ -23,10 +23,12 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import poly_hash
+from .caching import materialized
 
 # ---------------------------------------------------------------------------
 # RAG chunking: overlapping token windows per document
@@ -159,6 +161,185 @@ def _gram_key_frame(
     )
 
 
+def _gram_pos_frame(
+    df: DataFrame, text_col: str, id_col: str, ngram_len: int
+) -> DataFrame:
+    """(id, pos, gram_key) for EVERY ``ngram_len``-word window (0-based
+    start position, per-doc duplicates kept) — the positional variant of
+    :func:`_gram_key_frame` for consumers that need coverage geometry.
+    Same Arrow kernel family: per-row pure, no shuffle, int64 keys."""
+    import pandas as pd
+
+    from ..functions.fast_hash import word_ngram_keys_positional
+
+    def kernel(batches):
+        for pdf in batches:
+            doc_idx, pos, keys = word_ngram_keys_positional(
+                pdf[text_col].tolist(), ngram_len
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[doc_idx],
+                    "pos": pos,
+                    "gram_key": keys,
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, pos long, gram_key long"
+    )
+
+
+def dup_span_removal(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 15,
+) -> DataFrame:
+    """Span-level substring REMOVAL — :func:`dup_span_census` carried to
+    its decision (the Lee et al. 2022 ExactSubstr dedup a training
+    pipeline actually ships): every occurrence of a duplicated
+    ``span_len``-word window is excised from the text, and the cleaned
+    corpus comes back with a removal census.
+
+    Duplication predicate: a window is duplicated when its span occurs
+    >= 2 times in the corpus COUNTING within-doc multiplicity — the
+    ExactSubstr definition, deliberately stronger than the census's
+    ">= 2 distinct docs" (a doc repeating its own boilerplate gets
+    cleaned too; the census is a cross-doc duplication *signal*, removal
+    is a *decision* over all repeats).  A word is removed when ANY
+    duplicated window covers it; the cleaned text is the surviving words
+    joined by single spaces (possibly empty for fully-duplicated docs).
+
+    Returns one row per input doc: (id, n_words, n_removed_words,
+    removed_ppm, cleaned_text) — removed_ppm in exact integer ppm.
+
+    Scale shape: spans never exist as strings outside the Arrow kernels —
+    the positional key frame leaves as (id, pos, int64 key); the dup
+    census shuffles int64s; duplicated start positions fold back to ONE
+    array row per affected doc (affected docs only, each array bounded by
+    the doc's window count); the excision itself is a narrow Arrow kernel
+    over (text, starts).  The corpus text moves through exactly one join,
+    keyed by doc id.  The duplicated-key set is corpus-dependent — a
+    shuffle join, never a broadcast contract (template-heavy corpora).
+    Cites the reference only by contrast: nothing in
+    DefaultMigratorPlugin.java touches substrings; this is the
+    LLM-pipeline surface the engine adds beyond migration parity.
+    """
+    keys = _gram_pos_frame(corpus, text_col, id_col, span_len)
+    dup = (
+        keys.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("__n_occ"))
+        .where(F.col("__n_occ") >= 2)
+        .select("gram_key")
+    )
+    starts = (
+        keys.join(dup, "gram_key")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("__starts"))
+    )
+    joined = corpus.select(id_col, text_col).join(starts, id_col, "left")
+
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_words long, n_removed_words long, "
+        f"removed_ppm long, cleaned_text string"
+    )
+
+    def excise(batches):
+        for pdf in batches:
+            out_n, out_rm, out_ppm, out_txt = [], [], [], []
+            for text, st in zip(pdf[text_col], pdf["__starts"]):
+                if not isinstance(text, str):
+                    out_n.append(None)
+                    out_rm.append(None)
+                    out_ppm.append(None)
+                    out_txt.append(None)
+                    continue
+                words = text.split(" ")
+                n = len(words)
+                if st is None or (hasattr(st, "__len__") and len(st) == 0):
+                    out_n.append(n)
+                    out_rm.append(0)
+                    out_ppm.append(0)
+                    out_txt.append(text)
+                    continue
+                covered = np.zeros(n, dtype=bool)
+                for s in st:
+                    covered[int(s) : int(s) + span_len] = True
+                n_rm = int(covered.sum())
+                kept = [w for w, c in zip(words, covered) if not c]
+                out_n.append(n)
+                out_rm.append(n_rm)
+                out_ppm.append(1_000_000 * n_rm // n)
+                out_txt.append(" ".join(kept))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": pd.array(out_n, dtype="Int64"),
+                    "n_removed_words": pd.array(out_rm, dtype="Int64"),
+                    "removed_ppm": pd.array(out_ppm, dtype="Int64"),
+                    "cleaned_text": out_txt,
+                }
+            )
+
+    return joined.mapInPandas(excise, schema)
+
+
+def dup_span_removal_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 15,
+) -> str:
+    """Oracle twin over span STRINGS (so a driver pass also certifies the
+    packed 61-bit keys admit no collisions on this corpus): windows with
+    positions -> >=2-occurrence spans -> covered word positions -> kept
+    words re-joined in position order."""
+    return f"""
+WITH w AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS ws FROM {table}
+),
+g AS (
+  SELECT {id_col}, CAST(i AS BIGINT) AS pos,
+         array_to_string(array_slice(ws, CAST(i + 1 AS INTEGER),
+                                     CAST(i + {span_len} AS INTEGER)),
+                         ' ') AS gram
+  FROM (SELECT {id_col}, ws, unnest(range(len(ws) - {span_len - 1})) AS i
+        FROM w WHERE len(ws) >= {span_len})
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+starts AS (SELECT {id_col}, pos FROM g JOIN dup USING (gram)),
+cover AS (
+  SELECT DISTINCT {id_col}, pos + CAST(j AS BIGINT) AS wpos
+  FROM (SELECT {id_col}, pos, unnest(range({span_len})) AS j FROM starts)
+),
+words AS (
+  SELECT {id_col}, CAST(i AS BIGINT) AS wpos,
+         ws[CAST(i + 1 AS INTEGER)] AS word
+  FROM (SELECT {id_col}, ws, unnest(range(len(ws))) AS i FROM w)
+),
+kept AS (
+  SELECT words.{id_col}, wpos, word
+  FROM words ANTI JOIN cover USING ({id_col}, wpos)
+),
+cleaned AS (
+  SELECT {id_col}, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY wpos ASC) AS cleaned_text
+  FROM kept GROUP BY 1
+)
+SELECT w.{id_col},
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(ws) - coalesce(n_kept, 0) AS BIGINT) AS n_removed_words,
+       1000000 * (len(ws) - coalesce(n_kept, 0)) // len(ws) AS removed_ppm,
+       coalesce(cleaned_text, '') AS cleaned_text
+FROM w LEFT JOIN cleaned USING ({id_col})
+"""
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -216,7 +397,7 @@ def dup_span_census(
     set is corpus-dependent — it stays a shuffle join (a broadcast
     contract would break on a template-heavy corpus where most spans
     repeat)."""
-    keys = _gram_key_frame(corpus, text_col, id_col, span_len).persist()
+    keys = materialized(_gram_key_frame(corpus, text_col, id_col, span_len))
     dup = (
         keys.groupBy("gram_key")
         .agg(F.count(F.lit(1)).alias("__n_docs"))

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ..functions.hashing import MINHASH_P, MINHASH_PERMS, SIMHASH_MOD, poly_hash
+from .caching import materialized
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -174,11 +175,13 @@ def minhash_lsh_pairs(
     """
     n_perms = len(MINHASH_PERMS)
     # The signature table feeds BOTH sides of the bucket self-join; without
-    # a persist each branch re-executes the whole signature pipeline
+    # a barrier each branch re-executes the whole signature pipeline
     # (scan + shuffle + kernel, twice).  Signatures are id + 16 longs
     # (~150 B/doc — ~150 GB per 10^9 docs, MEMORY_AND_DISK spills fine),
     # vastly smaller than recomputing from the corpus.
-    signed = minhash_signature_df(df, text_col, id_col, shingle_len, engine).persist()
+    signed = materialized(
+        minhash_signature_df(df, text_col, id_col, shingle_len, engine)
+    )
     exploded = signed.select(
         id_col,
         "sig",
@@ -262,9 +265,9 @@ def fuzzy_dedup_pairs(
             .repartition(F.col(id_col))
             .mapInPandas(compute, gschema)
         )
-    # joined against both pair sides below — persist for the same reason
-    # the minhash signatures are persisted
-    gram_sets = gram_sets.persist()
+    # joined against both pair sides below — materialized for the same
+    # reason the minhash signatures are
+    gram_sets = materialized(gram_sets)
     joined = (
         candidates.join(
             gram_sets.select(F.col("__gid"), F.col("__g").alias("g1")),
@@ -529,10 +532,9 @@ def jaccard_join(
     similarity in parts-per-million (integer floor — exact both engines).
     """
     t_num, t_den = threshold_num, threshold_den
-    base = (
+    base = materialized(
         df.select(F.col(id_col).alias("sid"), F.col(tokens_col).alias("toks"))
         .where(F.size("toks") > 0)
-        .persist()
     )
     tok = base.select("sid", F.size("toks").alias("n"), F.explode("toks").alias("t"))
     dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .aggregates import decimal_sum
+from .caching import materialized
 
 
 def sessionize(
@@ -329,11 +330,10 @@ def cooccurrence_pairs(
     # the filter the engines disagree — Spark's groupBy keeps NULL as a
     # real group (and collect_set drops NULL items) while the oracle's
     # equi-self-join drops NULL keys but its DISTINCT keeps NULL items.
-    sets = (
+    sets = materialized(
         df.filter(F.col(key_col).isNotNull() & F.col(item_col).isNotNull())
         .groupBy(F.col(key_col).alias("key"))
         .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("items"))
-        .persist()
     )
     a = F.col("items")
     pair_structs = F.flatten(
@@ -351,11 +351,10 @@ def cooccurrence_pairs(
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    reach = (
+    reach = materialized(  # |vocab| rows, joined back twice
         sets.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_keys"))
-        .persist()  # |vocab| rows, joined back twice
     )
     out = (
         pairs.join(
@@ -626,11 +625,10 @@ def association_rules(
     stays int64 (1e6 * n_both <= 1e6 * baskets).  Output ordered
     (lift desc, conf desc, a, b), top ``k``.
     """
-    sets = (
+    sets = materialized(
         df.filter(F.col(key_col).isNotNull() & F.col(item_col).isNotNull())
         .groupBy(F.col(key_col).alias("key"))
         .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("items"))
-        .persist()
     )
     a = F.col("items")
     pair_structs = F.flatten(
@@ -781,13 +779,17 @@ def last_touch_attribution(
         )
         .agg(
             F.count(F.lit(1)).alias("n_conversions"),
-            F.sum(
-                F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast(
-                    "decimal(38,0)"
-                )
-            )
-            .cast("long")
-            .alias("revenue_cents"),
+            # coalesce(0): a channel whose every conversion has NULL value
+            # reports 0 cents, matching the streaming twin's running-sum
+            # state (which adds 0 per NULL conversion — ADVICE r05)
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("revenue_cents"),
         )
     )
 
@@ -819,8 +821,8 @@ WITH attr AS (
 )
 SELECT coalesce(a, 'none') AS attributed_type,
        count(*) AS n_conversions,
-       CAST(sum(CAST(floor({value_col} * 100 + 0.5) AS DECIMAL(38,0)))
-            AS BIGINT) AS revenue_cents
+       coalesce(CAST(sum(CAST(floor({value_col} * 100 + 0.5) AS DECIMAL(38,0)))
+            AS BIGINT), 0) AS revenue_cents
 FROM attr
 WHERE {type_col} = '{conversion_type}'
 GROUP BY 1

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .caching import materialized
 
 PR_SCALE = 1_000_000_000_000  # 10^12 fixed-point units of rank mass
 
@@ -211,17 +212,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     triangle-free nodes.
     """
     # the edge list feeds the degree census + the orientation join —
-    # persist it so the upstream that built it runs once (lifetime is the
-    # caller's; entries are (u,v) pairs, not the corpus)
-    edges = edges.persist()
+    # materialized so the upstream that built it runs once (released with
+    # the query; entries are (u,v) pairs, not the corpus)
+    edges = materialized(edges)
     degree = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    # oriented list feeds three wedge-join roles; persist so the
+    # oriented list feeds three wedge-join roles; materialized so the
     # orientation joins run once
-    oriented = orient_by_degree(edges, degree).persist()
+    oriented = materialized(orient_by_degree(edges, degree))
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
     e3 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
@@ -299,8 +300,8 @@ def common_neighbor_links(
     runs exact.
     """
     # the edge list feeds two plan legs (adjacency explode + the
-    # existing-edge anti-join) — persist so the upstream builds once
-    edges = edges.persist()
+    # existing-edge anti-join) — materialized so the upstream builds once
+    edges = materialized(edges)
     nbrs = edges.select(
         F.explode(
             F.array(

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from .caching import materialized
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -700,9 +701,9 @@ def label_centroid_stats(
             ).alias("__cent")
         )
         # consumed by both the distance join and the final projection —
-        # persist so the per-dim aggregation runs once
-        .persist()
+        # materialized so the per-dim aggregation runs once
     )
+    cent_arr = materialized(cent_arr)
     label_type = df.schema[label_col].dataType.simpleString()
 
     def sqdist_kernel(batches):

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MINHASH_P
+from .caching import materialized
 
 # Frozen affine-hash parameters (same family as MINHASH_PERMS; a < 2^31 so
 # a*key' stays under 2^62 for the narrowed key' < 2^31).  key' -> (a*key'
@@ -389,8 +390,8 @@ def cms_heavy_hitters(
                 else F.sum(F.col(weight_col))
             ).alias("exact_n")
         )
-        .persist()
     )
+    census = materialized(census)
     rows = cms_rows(F.col(key_col), width)
     cells = census.select(
         F.col("exact_n"), F.explode(rows).alias("__jc")
@@ -469,11 +470,11 @@ def kmv_set_estimate(
             .select(kmv_hash(key_col).alias("__h"))
             .distinct()
         )
-    ha, hb = sides["a"].persist(), sides["b"].persist()
+    ha, hb = materialized(sides["a"]), materialized(sides["b"])
     union = ha.unionAll(hb).distinct()
     # orderBy+limit = distributed TakeOrdered (per-partition k minima,
     # driver merges k) — never a global single-partition sort
-    topk = union.orderBy("__h").limit(k).persist()
+    topk = materialized(union.orderBy("__h").limit(k))
     in_both = (
         topk.join(ha, "__h")
         .join(hb, "__h")
@@ -611,7 +612,8 @@ def bitmap_audience_overlap(
         F.bit_or(
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(u % 64 AS INT))")
         ).alias("m")
-    ).persist()
+    )
+    words = materialized(words)
     totals = words.groupBy("t").agg(
         F.sum(F.bit_count("m")).alias("n")
     )
@@ -844,8 +846,13 @@ def hll_register_sketch_grouped(
             "__s_hit"
         ),
     )
-    exact = base.groupBy("g").agg(
-        F.countDistinct("h").alias("exact_distinct")
+    # control column counts distinct KEYS, same meaning as the ungrouped
+    # variant's control (ADVICE r05: counting distinct hashes here would
+    # silently diverge from it past MINHASH_P-collision scale)
+    exact = (
+        df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.countDistinct(key_col).alias("exact_distinct"))
     )
     return stats.join(exact, "g").select(
         F.col("g").alias(group_col),
@@ -886,7 +893,11 @@ stats AS (
          sum(({pow_full} // (CAST(1 AS BIGINT) << M))) AS s_hit
   FROM mtab GROUP BY 1
 ),
-ex AS (SELECT g, count(DISTINCT h) AS exact_distinct FROM base GROUP BY 1)
+ex AS (
+  SELECT {group_col} AS g, count(DISTINCT {key_col}) AS exact_distinct
+  FROM {table}
+  WHERE {key_col} IS NOT NULL AND {group_col} IS NOT NULL GROUP BY 1
+)
 SELECT stats.g AS {group_col},
        CAST(n_hit AS BIGINT) AS n_registers_hit,
        {_hll_est_sql("n_hit", "s_hit")} AS est_distinct_x1e6{exact_col}

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import poly_hash
+from .caching import materialized
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
 BPE_TOKEN_PATTERN = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"
@@ -541,9 +542,11 @@ def trigram_lm_score(
     aggregate shuffle.
     """
     # both the model derivation and the scoring join consume this frame —
-    # persist so the Arrow kernel runs once (two plan branches re-execute
-    # the upstream otherwise)
-    doc_tris = doc_trigram_counts(df, text_col=text_col, id_col=id_col).persist()
+    # materialized so the Arrow kernel runs once (two plan branches
+    # re-execute the upstream otherwise)
+    doc_tris = materialized(
+        doc_trigram_counts(df, text_col=text_col, id_col=id_col)
+    )
     c3 = doc_tris.groupBy("__tri").agg(F.sum("__cnt").alias("__c3"))
     # aggregate the prefix table straight off the persisted per-doc frame
     # (deriving it from c3 would recompute the c3 aggregate in a second
@@ -596,8 +599,8 @@ def tfidf_top_terms(
     shuffle.
     """
     # tf feeds two plan branches (the dfreq aggregate and the tf<->df join)
-    # — persist so the Arrow term-counting kernel runs once per action
-    tf = term_frequencies(df, text_col=text_col, id_col=id_col).persist()
+    # — materialized so the Arrow term-counting kernel runs once per action
+    tf = materialized(term_frequencies(df, text_col=text_col, id_col=id_col))
     dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))  # 1 row, broadcast
     scored = (
@@ -705,11 +708,10 @@ def bigram_pmi_topk(
     # (persisted: vocab-scale, two downstream branches — same discipline as
     # the minhash signature reuse); the unigram census is the second
     # token-level shuffle.  The corpus explodes are narrow.
-    census = (
+    census = materialized(
         df.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_xy"))
-        .persist()
     )
     bg = census.filter(F.col("n_xy") >= min_count)
     uni = (
@@ -798,8 +800,8 @@ def vocab_head_coverage(
         df.select(F.explode(words).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()  # feeds the top-k cut AND the corpus total
     )
+    uni = materialized(uni)  # feeds the top-k cut AND the corpus total
     total = uni.agg(F.sum("n").alias("total_tokens"))
     top = (
         uni.orderBy(F.col("n").desc(), F.col("w").asc())

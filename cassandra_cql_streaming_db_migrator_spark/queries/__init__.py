@@ -295,6 +295,9 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     # new in round 5, late session (head full -> DRIVER_BACKLOG, rule 1)
     "stream_hll": {},
     "source_dup_report": {},
+    # new in round 6 (head-listed by rule 1)
+    "dup_span_removal": {},
+    "bpe_encode": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -320,6 +323,16 @@ DRIVER_HEAD = [
     # -- round-5 backlog (FIFO)
     "stream_hll",
     "source_dup_report",
+    # -- rule 1b: materially rewritten in round 6 (ADVICE r05 fixes —
+    # grouped-HLL exact control now counts distinct KEYS like the
+    # ungrouped variant; attribution revenue coalesces to 0 for all-NULL
+    # channels to match the streaming twin's running-sum state)
+    "hll_by_type",
+    "funnel_attribution",
+    "stream_attribution",
+    # -- new in round 6 (rule 1: no driver row yet)
+    "dup_span_removal",
+    "bpe_encode",
 ]
 
 

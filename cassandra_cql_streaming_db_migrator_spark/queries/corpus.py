@@ -24,6 +24,8 @@ from ..operators.corpus import (
     chunk_documents_sql,
     decontaminate,
     dup_span_census,
+    dup_span_removal,
+    dup_span_removal_sql,
     dsir_importance,
     dsir_importance_sql,
     domain_mix_keep,
@@ -643,6 +645,18 @@ ORDER BY p.doc_id
 """
 
 
+def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The census carried to its DECISION (VERDICT r05 ask #3): excise
+    every >=2-occurrence 15-word window and return the cleaned corpus
+    with its removal census (operators.corpus.dup_span_removal).  The
+    Spark side works on packed 61-bit span keys; the oracle re-derives
+    removal from span STRINGS, so a driver pass certifies key
+    collision-freedom AND the coverage geometry end to end."""
+    return dup_span_removal(
+        load_table(spark, sf_dir, "documents"), span_len=_SPAN_LEN
+    )
+
+
 def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth in 100-doc prefix buckets
     (operators.textops.vocab_growth): cumulative tokens + cumulative
@@ -734,6 +748,12 @@ QUERIES = [
         "dup_spans", dup_spans, _DUP_SPANS_SQL,
         "exact repeated-span census (Lee-et-al substring dedup signal): "
         "packed 61-bit span keys, string-keyed oracle",
+    ),
+    QueryDef(
+        "dup_span_removal", dup_span_removal_q,
+        dup_span_removal_sql(span_len=_SPAN_LEN),
+        "ExactSubstr span removal: duplicated 15-word windows excised, "
+        "cleaned corpus + removal census (string-keyed oracle)",
     ),
     QueryDef(
         "weighted_sample",

@@ -64,6 +64,7 @@ from ..operators.textops import (
 )
 from ..sources.parquet import load_table
 from . import QueryDef
+from ..operators.caching import materialized
 
 # ---------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on content, deterministic winner (min doc_id).
@@ -269,11 +270,10 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = g.select(F.col("doc_id").alias("doc_id_2"), F.col("grams").alias("g2"))
     inter = F.size(F.array_intersect("g1", "g2"))
     union = F.size("g1") + F.size("g2") - inter
-    truth = (
+    truth = materialized(
         a.join(F.broadcast(b), F.col("doc_id_1") < F.col("doc_id_2"))
         .where(inter.cast("double") / union >= 0.7)
         .select("doc_id_1", "doc_id_2")
-        .persist()
     )
     hit = truth.join(cand, ["doc_id_1", "doc_id_2"])
     return (
@@ -1533,6 +1533,91 @@ _BPE_MERGES_SQL = (
 )
 
 
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE APPLY path (VERDICT r05 ask #4): train 20 merges, then
+    ENCODE every document to token ids (operators.bpe.bpe_encode_docs —
+    merge table + base vocab ride into the Arrow kernel as the tokenizer
+    file; zero shuffles in the encode stage), reported as a word-length-
+    bucket compression census: docs, words, tokens, and the DECIMAL-summed
+    order-sensitive id fingerprint per bucket, so the oracle hash-checks
+    every token id of every doc in ~5 rows.  Training is iterative (no SQL
+    derivation — bpe_merges' argument), so the oracle PINS the expected
+    report per fixture keyed on sum(length(text)), generated from this
+    implementation after pytest pinned the encoder against an independent
+    reference; an unrecognized fixture yields zero oracle rows (loud
+    stale-pin failure)."""
+    from ..operators.bpe import (
+        ENCODE_FP_MOD,
+        base_char_vocab,
+        bpe_encode_docs,
+        bpe_train,
+        word_census,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(word_census(docs), n_merges=20)
+    vocab = base_char_vocab(docs)
+    encoded = bpe_encode_docs(docs, merges, vocab)
+    return (
+        encoded.groupBy(
+            F.expr("n_words DIV 20").cast("long").alias("len_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (
+                F.sum(F.col("ids_fp").cast("decimal(38,0)"))
+                % F.lit(ENCODE_FP_MOD).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("fp_sum"),
+        )
+    )
+
+
+# (sum(length(text)), len_bucket, n_docs, n_words, n_tokens, fp_sum) per
+# driver fixture; regenerate with tools/regen_bpe_encode_pin.py if the
+# testdata, trainer, or encoder changes.
+_BPE_ENCODE_PINNED: list[tuple[int, int, int, int, int, int]] = [
+    # sf0.001 (corpus size 153156)
+    (153156, 0, 54, 784, 2540, 2152775753575784967),
+    (153156, 1, 99, 2959, 9587, 1344247340803994483),
+    (153156, 2, 116, 5669, 18518, 2246046884951046531),
+    (153156, 3, 106, 7373, 23903, 20544648013831865),
+    (153156, 4, 125, 11154, 36201, 825308710932240519),
+    # sf0.01 (corpus size 149174)
+    (149174, 0, 43, 629, 2039, 2010693616845129722),
+    (149174, 1, 126, 3706, 12107, 439925223739479265),
+    (149174, 2, 106, 5257, 17106, 1418070453485582735),
+    (149174, 3, 119, 8223, 26801, 1957490607317571056),
+    (149174, 4, 106, 9350, 30506, 1158330912248972800),
+    # sf0.1 (corpus size 1485576)
+    (1485576, 0, 542, 7932, 25954, 1245620436033841359),
+    (1485576, 1, 1128, 33304, 109167, 546556135232118618),
+    (1485576, 2, 1145, 56407, 183790, 2265016069511736459),
+    (1485576, 3, 1111, 77278, 251961, 829100254431979957),
+    (1485576, 4, 1070, 95383, 311637, 1465464505119862343),
+    (1485576, 5, 4, 400, 1264, 333184002159968772),
+]
+
+_BPE_ENCODE_SQL = (
+    "WITH corpus AS (SELECT sum(length(text)) AS sz FROM documents),\n"
+    "pinned(sz, len_bucket, n_docs, n_words, n_tokens, fp_sum) AS (VALUES\n"
+    + ",\n".join(
+        f"  ({sz}, {b}, {d}, {w}, {t}, {fp})"
+        for sz, b, d, w, t, fp in _BPE_ENCODE_PINNED
+    )
+    + ")\n"
+    "SELECT CAST(p.len_bucket AS BIGINT) AS len_bucket,\n"
+    "       CAST(p.n_docs AS BIGINT) AS n_docs,\n"
+    "       CAST(p.n_words AS BIGINT) AS n_words,\n"
+    "       CAST(p.n_tokens AS BIGINT) AS n_tokens,\n"
+    "       CAST(p.fp_sum AS BIGINT) AS fp_sum\n"
+    "FROM pinned p JOIN corpus c ON p.sz = c.sz"
+)
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 0.9 self-join on word-bigram shingle sets via
     AllPairs prefix filtering (operators.dedup.jaccard_join).  The oracle
@@ -1588,7 +1673,7 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_media_payload(
         load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
     )
-    hashes = image_avg_hashes(docs).persist()
+    hashes = materialized(image_avg_hashes(docs))
     pairs = hamming_near_pairs(hashes, max_dist=3)
     ends = (
         pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
@@ -1616,7 +1701,7 @@ def image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_media_payload(
         load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
     )
-    hashes = image_avg_hashes(docs).persist()
+    hashes = materialized(image_avg_hashes(docs))
     pairs = hamming_near_pairs(hashes, max_dist=3)
     comps = connected_components(pairs, "id_a", "id_b", id_col="doc_id")
     return hashes.join(comps, "doc_id", "left").select(
@@ -2051,6 +2136,10 @@ QUERIES = [
              "BPE tokenizer training on the word census (iterative merge "
              "rounds; deterministic, oracle pins the per-fixture merge "
              "table generated from the pytest-verified trainer)"),
+    QueryDef("bpe_encode", bpe_encode, _BPE_ENCODE_SQL,
+             "BPE apply path: distributed document encoding to token ids "
+             "(tokenizer-as-closure Arrow kernel, zero-shuffle stage), "
+             "length-bucket compression census with id fingerprints"),
     QueryDef("jaccard_pairs", jaccard_pairs, _JACCARD_PAIRS_SQL,
              "exact Jaccard set-similarity self-join via AllPairs prefix "
              "filtering (quadratic-definition oracle)"),

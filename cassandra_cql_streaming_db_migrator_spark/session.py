@@ -94,6 +94,12 @@ def _quiet_noisy_loggers(spark: SparkSession) -> None:
             "org.apache.spark.sql.execution.window",
             "org.apache.spark.sql.catalyst.expressions.codegen",
             "org.apache.spark.storage.BlockManager",
+            # Structured-Streaming chatter (VERDICT r05 minor): every
+            # streaming query WARNs about its temp checkpoint dir and
+            # AQE-in-stateful-workload at start — benign per-query noise
+            # that lands ahead of bench's one-JSON-line stdout contract
+            "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+            "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
         ):
             configurator.setLevel(cls, level_error)
     except Exception:

@@ -54,10 +54,48 @@ SHIFTS: dict[str, list[str]] = {
     "embeddings": ["vec_id"],
 }
 
+# Key DOMAINS: every column referring to the same entity shifts by the SAME
+# span, computed as max over ALL columns in the domain (ADVICE r05:
+# per-table/per-column spans misalign foreign keys whenever the referencing
+# table's max differs from the referenced table's — replica>0 cross-table
+# joins silently lose matches).  The max-over-domain choice both aligns FKs
+# and guarantees replica id-spaces stay disjoint even if a referencing
+# column carried values above the referenced table's max.
+DOMAINS: dict[str, str] = {
+    "c_custkey": "custkey",
+    "o_custkey": "custkey",
+    "s_suppkey": "suppkey",
+    "l_suppkey": "suppkey",
+    "p_partkey": "partkey",
+    "l_partkey": "partkey",
+    "o_orderkey": "orderkey",
+    "l_orderkey": "orderkey",
+    "event_id": "event_id",
+    "user_id": "user_id",
+    "doc_id": "doc_id",
+    "vec_id": "vec_id",
+}
+
+
+def domain_spans(con, src: str) -> dict[str, int]:
+    spans: dict[str, int] = {}
+    for table, keys in SHIFTS.items():
+        path = f"{src}/{table}.parquet"
+        if not os.path.exists(path):
+            continue
+        for k in keys:
+            mx = con.execute(
+                f"SELECT max({k}) + 1 FROM read_parquet('{path}')"
+            ).fetchone()[0]
+            d = DOMAINS[k]
+            spans[d] = max(spans.get(d, 0), int(mx))
+    return spans
+
 
 def build(src: str = SRC, dst: str = DST, replicas: int = REPLICAS) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    by_domain = domain_spans(con, src)
     for table, keys in SHIFTS.items():
         path = f"{src}/{table}.parquet"
         if not os.path.exists(path):
@@ -70,10 +108,7 @@ def build(src: str = SRC, dst: str = DST, replicas: int = REPLICAS) -> None:
                 f"COPY (SELECT * FROM src) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
             )
             continue
-        spans = {
-            k: con.execute(f"SELECT max({k}) + 1 FROM src").fetchone()[0]
-            for k in keys
-        }
+        spans = {k: by_domain[DOMAINS[k]] for k in keys}
         cols = [r[0] for r in con.execute("DESCRIBE src").fetchall()]
         selects = []
         for r in range(replicas):

@@ -19,6 +19,14 @@ import re
 import sys
 from contextlib import redirect_stdout
 
+# Audit the FULL lineage: materialized() frames explain as a bare
+# `Scan ExistingRDD` (upstream exchanges/scans/kernels vanish from the
+# plan text), so the audit runs with materialization disabled — each
+# consumer branch re-prints its upstream, and the per-query shuffle
+# allowances count that textual duplication (see operators/caching.py).
+# Must be set before the package imports.
+os.environ["SPARK_GRAFT_NO_MATERIALIZE"] = "1"
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cassandra_cql_streaming_db_migrator_spark.queries import all_queries
@@ -26,8 +34,18 @@ from cassandra_cql_streaming_db_migrator_spark.session import build_session
 
 # Queries where >2 shuffles are inherent to the semantics (documented in
 # SCALE_NOTES.md) — anything else exceeding the allowance is flagged.
+#
+# ACCOUNTING (round 6): the audit runs with SPARK_GRAFT_NO_MATERIALIZE=1,
+# so frames that materialized() would checkpoint print their FULL upstream
+# lineage once per consumer branch.  The counts below are therefore
+# *textual* exchange counts — sums over re-printed branches — not runtime
+# shuffle executions (at runtime the checkpoint barrier executes the
+# upstream exactly once).  The textual number is what makes the audit a
+# regression tripwire: a new upstream shuffle appears multiplied.  Entries
+# marked "xN branches" carry this inflation; the runtime-exchange analysis
+# stays in each comment.
 SHUFFLE_ALLOWANCE: dict[str, int] = {
-    "fuzzy_dedup": 4,
+    "fuzzy_dedup": 5,  # signature lineage x2 branches
     "minhash_pairs": 3,
     "llm_prep_pipeline": 3,
     "embedding_near_dup": 3,
@@ -42,6 +60,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # semantic floor: df aggregate on term + tf<->df join on term + per-doc
     # top-k window (tf itself is a narrow Arrow kernel, no shuffle)
     "tfidf_terms": 3,
+    # census (cms exact counts) lineage re-printed by the probe branch
+    "cms_heavy_hitters": 3,
+    # unigram census lineage re-printed by the top-k cut + corpus total
+    "head_coverage": 3,
     # semantic floor: trigram-count aggregate + prefix-count aggregate +
     # final per-doc aggregate (model tables broadcast; per-doc counts are
     # a narrow Arrow kernel, no shuffle)
@@ -49,7 +71,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # semantic floor: per-(label, dim) centroid aggregate + centroid
     # array assembly + per-label distance aggregate (centroid table
     # persisted and broadcast; distances in a narrow Arrow kernel)
-    "embedding_centroids": 3,
+    "embedding_centroids": 5,  # centroid lineage x join/projection branches
     # the CORPUS shuffles once (per-domain rank window; the kept-stats
     # aggregate reuses that partitioning).  The other exchanges are on the
     # domain-stats frame — domain-cardinality (metadata) rows moving
@@ -75,7 +97,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # enumeration IS a 3-way self-join; the orientation joins are the
     # price of the O(E^1.5) wedge bound — they move node-sized degree
     # rows, and every added exchange shares the node-key partitioning.
-    "triangle_census": 13,
+    "triangle_census": 48,  # edge+oriented lineage x3 wedge legs x degree joins
     # pre-collapse to (distinct row, multiplicity) adds one groupBy per
     # side before the block join — the exactness fix for duplicate-row
     # inputs (ADVICE r03); it also shrinks the neighborhood explode
@@ -104,7 +126,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # sketch algebra: per-side distinct sets, TakeOrdered union minima,
     # and SIX 1-row metadata aggregates cross-joined into the report —
     # every exchange past the two distincts moves O(k) or 1 row
-    "kmv_set_ops": 10,
+    "kmv_set_ops": 17,  # ha/hb/topk lineage x several report branches
     # semantic floor: the (user, day) distinct (1) + the per-day active
     # rollup (1) + the per-user first-seen rollup (1) — two different
     # downstream keys, so neither rollup can reuse the distinct's
@@ -129,10 +151,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # + candidate-pair census + the existing-edge anti-join; wedge volume
     # C(deg,2) per middle IS the answer size (max_degree is the
     # documented hub cap at power-law scale)
-    "link_prediction": 7,
+    "link_prediction": 12,  # edge lineage x adjacency/anti-join branches
     # + the hub cap's symmetrized-degree aggregate and kept-middle join
     # (both on the node key, sharing the adjacency partitioning)
-    "link_prediction_capped": 9,
+    "link_prediction_capped": 20,  # + the cap rollup re-prints
     # semantic floor: banded-LSH pair join (1) + candidate distinct (1)
     # + the CC rounds' label join/aggregate on the node key (the
     # component loop) + the final hash join-back; hashes persisted
@@ -162,7 +184,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # one collect_set shuffle (vocab-bounded arrays) feeding pair census
     # + item reach + 1-row basket count; the directed union re-aggregates
     # pair-vocabulary rows; reach/basket sides broadcast
-    "basket_rules": 6,
+    "basket_rules": 10,  # sets lineage x pair/reach/basket branches
     # semantic floor: (part, supplier) catalog aggregate (the one
     # fact-scale shuffle) + per-part min on a narrower key + the
     # min-match equality join (catalog re-partitions on (part, cost));
@@ -221,11 +243,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # 1-row corpus total) + unigram census + the vocab-keyed census<->
     # census join (vocab can exceed broadcast size at corpus scale, so a
     # hash join is the correct plan — AQE demotes to broadcast when small)
-    "bigram_pmi": 4,
+    "bigram_pmi": 5,  # census lineage x candidate/total branches
     # semantic floor: per-key collect_set (persisted; pair expansion is a
     # narrow HOF, not a self-join) + pair census + reach census (persisted,
     # joined back by explicit broadcast)
-    "cooccurrence_pairs": 3,
+    "cooccurrence_pairs": 6,  # sets+reach lineage re-prints
     # semantic floor: exact-side candidate window + ANN-side per-query
     # window + the hit/count aggregates — every exchange past the corpus
     # scans carries |Q| * k candidate rows (metadata-scale), not the corpus
@@ -234,7 +256,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # shuffle) + the word-fold aggregate + the word-key pair join + the
     # pair census; everything after the distinct moves word rows (64x
     # smaller), totals broadcast
-    "audience_overlap": 4,
+    "audience_overlap": 7,  # words lineage x pair/totals branches
     # semantic floor: the 512-register max-rho aggregate (2 textual
     # exchanges for partial/final) + the exact-control countDistinct's
     # Expand aggregate; drop the control in production and the sketch
@@ -342,9 +364,36 @@ def has_global_window(plan: str) -> bool:
     return bool(_GLOBAL_WINDOW_RE.search(plan))
 
 
+def persist_lifecycle_audit() -> int:
+    """Source-level cache-lifecycle check (VERDICT r05 weak #1): package
+    code must never call ``.persist()``/``.cache()`` — a CacheManager
+    entry has no release path from a lazy operator library, so cached
+    copies outlive their query.  Multi-consumer materialization goes
+    through operators/caching.materialized(), whose blocks the
+    ContextCleaner frees once the query's result is unreachable."""
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "cassandra_cql_streaming_db_migrator_spark",
+    )
+    pat = re.compile(r"\.(persist|cache)\(")
+    hits = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            for lineno, line in enumerate(open(path), 1):
+                code = line.split("#", 1)[0]
+                if pat.search(code):
+                    hits.append(f"{path}:{lineno}: {line.strip()}")
+    for h in hits:
+        print(f"PERSIST-LIFECYCLE FLAG {h}")
+    return len(hits)
+
+
 def audit(sf_dir: str) -> int:
     spark = build_session(app_name="plan-audit")
-    failures = 0
+    failures = persist_lifecycle_audit()
     for name, q in all_queries().items():
         if not q.bench:
             continue
