@@ -43,6 +43,11 @@ def main() -> int:
     spark = build_session(app_name="bench")
 
     queries = {n: q for n, q in all_queries().items() if q.bench}
+    # Focused runs (TPC-H spread measurement, per-family tuning):
+    # SPARK_GRAFT_BENCH_FILTER is an re.search pattern over query names.
+    flt = os.environ.get("SPARK_GRAFT_BENCH_FILTER")
+    if flt:
+        queries = {n: q for n, q in queries.items() if re.search(flt, n)}
 
     # warmup: JVM, codegen, parquet footer caches — and the Python worker
     # pool (Arrow-kernel queries pay a one-time per-executor interpreter +
@@ -123,8 +128,10 @@ def main() -> int:
         "migrate_rows_per_sec": round(best_rate),
         "migrate_rows": rows,
     }
+    # focused runs must not clobber the round artifact
+    detail_name = "bench_detail_focused.json" if flt else "bench_detail.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)

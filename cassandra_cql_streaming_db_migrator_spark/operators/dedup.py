@@ -584,6 +584,51 @@ def jaccard_join(
     )
 
 
+def cross_gram_sets(
+    df: DataFrame,
+    side: str,
+    text_col: str,
+    id_col: str,
+    ngram_len: int = 3,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Side-tagged distinct char-n-gram hash sets (``__gid_{side}``,
+    ``g_{side}``) — the verify-stage frame of :func:`minhash_join`,
+    module-level so an incremental consumer (the streaming twin) can
+    precompute the corpus side ONCE and reuse it across microbatches."""
+    if engine == "hof":
+        from .textops import char_ngrams
+
+        grams = F.array_distinct(
+            F.transform(
+                char_ngrams(F.col(text_col), ngram_len),
+                lambda g: poly_hash(g),
+            )
+        )
+        return df.select(
+            F.col(id_col).alias(f"__gid_{side}"), grams.alias(f"g_{side}")
+        )
+    import pandas as pd
+
+    from ..functions.fast_hash import ngram_hash_lists
+
+    gschema = StructType(
+        [
+            StructField(f"__gid_{side}", df.schema[id_col].dataType, True),
+            StructField(f"g_{side}", ArrayType(LongType()), False),
+        ]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            lists = ngram_hash_lists(pdf[text_col].tolist(), ngram_len)
+            yield pd.DataFrame(
+                {f"__gid_{side}": pdf[id_col].to_numpy(), f"g_{side}": lists}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(compute, gschema)
+
+
 def minhash_join(
     batch: DataFrame,
     corpus: DataFrame,
@@ -596,6 +641,8 @@ def minhash_join(
     bands: int = 4,
     engine: str = "arrow",
     broadcast_batch: bool = True,
+    corpus_signed: DataFrame | None = None,
+    corpus_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus near-duplicate JOIN — the incremental-ingest form of
     fuzzy dedup: which documents of a NEW ``batch`` near-duplicate
@@ -619,7 +666,11 @@ def minhash_join(
     candidate-scale rows (AQE broadcasts the candidate side).
     """
     sb = minhash_signature_df(batch, text_col, id_col, shingle_len, engine)
-    sc = minhash_signature_df(corpus, text_col, id_col, shingle_len, engine)
+    sc = (
+        corpus_signed
+        if corpus_signed is not None
+        else minhash_signature_df(corpus, text_col, id_col, shingle_len, engine)
+    )
     n_perms = len(MINHASH_PERMS)
 
     def banded(signed, side):
@@ -650,45 +701,18 @@ def minhash_join(
         (matches / F.lit(float(n_perms))).alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= F.lit(est_threshold))
 
-    from .textops import char_ngrams
-
-    def gram_sets(df, side):
-        if engine == "hof":
-            grams = F.array_distinct(
-                F.transform(
-                    char_ngrams(F.col(text_col), ngram_len),
-                    lambda g: poly_hash(g),
-                )
-            )
-            return df.select(
-                F.col(id_col).alias(f"__gid_{side}"), grams.alias(f"g_{side}")
-            )
-        import pandas as pd
-
-        from ..functions.fast_hash import ngram_hash_lists
-
-        gschema = StructType(
-            [
-                StructField(f"__gid_{side}", df.schema[id_col].dataType, True),
-                StructField(f"g_{side}", ArrayType(LongType()), False),
-            ]
-        )
-
-        def compute(batches):
-            for pdf in batches:
-                lists = ngram_hash_lists(pdf[text_col].tolist(), ngram_len)
-                yield pd.DataFrame(
-                    {f"__gid_{side}": pdf[id_col].to_numpy(), f"g_{side}": lists}
-                )
-
-        return df.select(id_col, text_col).mapInPandas(compute, gschema)
-
+    old_grams = (
+        corpus_grams
+        if corpus_grams is not None
+        else cross_gram_sets(corpus, "old", text_col, id_col, ngram_len, engine)
+    )
     joined = (
         cand.join(
-            gram_sets(batch, "new"), cand.id_new == F.col("__gid_new")
+            cross_gram_sets(batch, "new", text_col, id_col, ngram_len, engine),
+            cand.id_new == F.col("__gid_new"),
         )
         .drop("__gid_new")
-        .join(gram_sets(corpus, "old"), F.col("id_old") == F.col("__gid_old"))
+        .join(old_grams, F.col("id_old") == F.col("__gid_old"))
         .drop("__gid_old")
     )
     inter = F.size(F.array_intersect("g_new", "g_old"))

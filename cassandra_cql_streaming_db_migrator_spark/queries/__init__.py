@@ -298,6 +298,9 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     # new in round 6 (head-listed by rule 1)
     "dup_span_removal": {},
     "bpe_encode": {},
+    "graph_ann_search": {},
+    "graph_ann_recall": {},
+    "stream_incremental_dedup": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -333,6 +336,9 @@ DRIVER_HEAD = [
     # -- new in round 6 (rule 1: no driver row yet)
     "dup_span_removal",
     "bpe_encode",
+    "graph_ann_search",
+    "graph_ann_recall",
+    "stream_incremental_dedup",
 ]
 
 

@@ -939,8 +939,11 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_GRAPH_SQL = f"""
-WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+# Shared CTE prefix: the deterministic IVF-blocked kNN graph (cells ->
+# per-cell quadratic cosine -> per-node top-3).  _KNN_GRAPH_SQL selects the
+# edge table itself; the graph-ANN walk oracles build the beam search on
+# top of the same prefix, so the searched graph is the audited graph.
+_KNN_GRAPH_CTE = f"""cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
               WHERE vec_id < 16
                 AND embedding IS NOT NULL AND len(embedding) > 0),
      dim AS (SELECT len(cv) AS d FROM cent ORDER BY c_id LIMIT 1),
@@ -969,12 +972,132 @@ WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
          SELECT cell, vec_id, nbr_id, cosine,
                 row_number() OVER (PARTITION BY vec_id
                                    ORDER BY cosine DESC, nbr_id) AS rn
-         FROM edges) WHERE rn <= 3)
+         FROM edges) WHERE rn <= 3)"""
+
+_KNN_GRAPH_SQL = f"""
+WITH {_KNN_GRAPH_CTE}
 SELECT s.cell, s.vec_id, s.nbr_id, CAST(s.rn AS INTEGER) AS rn, s.cosine,
        EXISTS (SELECT 1 FROM sel r
                WHERE r.vec_id = s.nbr_id AND r.nbr_id = s.vec_id)
          AS reciprocal
 FROM sel s
+"""
+
+
+def _graph_nodes_and_edges(spark: SparkSession, sf_dir: str):
+    """Shared build for the graph-ANN read path: the deterministic
+    IVF-blocked kNN graph (same construction knn_graph value-gates) with
+    the node set materialized once — it feeds edge construction AND the
+    per-hop candidate probes."""
+    from ..operators.caching import materialized
+    from ..operators.similarity import block_knn_edges, ivf_cell_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = materialized(ivf_cell_assign(emb, n_cells=16))
+    edges = materialized(block_knn_edges(nodes, k=3))
+    return emb, nodes, edges
+
+
+def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN search (operators.similarity.graph_beam_search):
+    deterministic beam walk over the kNN graph — entry at the 16
+    quantizer ids, beam 4, 3 hops, every cut tie-broken by id — so the
+    whole walk hash-checks against the oracle's unrolled CTE chain.
+    Completes the index trilogy's read paths: LSH (embedding_ann_lsh),
+    IVF-PQ (ivf_pq), graph (here)."""
+    from ..operators.similarity import graph_beam_search
+
+    emb, nodes, edges = _graph_nodes_and_edges(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0)
+    return graph_beam_search(nodes, edges, query, k=10, beam=4, hops=3)
+
+
+def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the graph beam walk vs exact cosine over the graph's
+    node universe — the ann_recall/pq_recall/ivf_pq_recall/dedup_recall
+    discipline applied to the third index family: every approximate read
+    path ships with its quality gauge, and determinism makes even the
+    gauge hash-exact."""
+    from ..operators.similarity import cosine, graph_beam_search
+
+    emb, nodes, edges = _graph_nodes_and_edges(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0)
+    approx = graph_beam_search(nodes, edges, query, k=10, beam=4, hops=3)
+    q = F.broadcast(query.select(F.col("embedding").alias("__qv")))
+    exact = (
+        nodes.crossJoin(q)
+        .select(
+            "vec_id",
+            cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col("vec_id").asc())
+        .limit(10)
+    )
+    hit = approx.select("vec_id").join(exact.select("vec_id"), "vec_id")
+    return hit.agg(F.count(F.lit(1)).alias("n_hit")).select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.expr("1000000 * n_hit DIV 10").cast("long").alias("recall_ppm"),
+    )
+
+
+def _graph_beam_cte(hops: int = 3, beam: int = 4, n_entry: int = 16) -> str:
+    """The beam walk unrolled as chained CTEs over the shared graph CTE
+    prefix (requires assign/sel from _KNN_GRAPH_CTE in scope): v{h} is
+    the visited set after hop h; UNION dedups revisited nodes exactly
+    because identical vectors score through the identical fold."""
+
+    def cos(x: str) -> str:
+        return (
+            f"{_dot_sql(x, 'q.qv')} / (sqrt({_dot_sql(x, x)})"
+            f" * sqrt({_dot_sql('q.qv', 'q.qv')}))"
+        )
+
+    parts = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"v0 AS (SELECT a.vec_id, {cos('a.embedding')} AS cosine\n"
+        f"       FROM assign a, q WHERE a.vec_id < {n_entry})",
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f"b{h - 1} AS (SELECT vec_id FROM v{h - 1} "
+            f"ORDER BY cosine DESC, vec_id ASC LIMIT {beam})"
+        )
+        parts.append(
+            f"n{h} AS (SELECT DISTINCT s.nbr_id AS vec_id "
+            f"FROM sel s JOIN b{h - 1} USING (vec_id))"
+        )
+        parts.append(
+            f"s{h} AS (SELECT a.vec_id, {cos('a.embedding')} AS cosine\n"
+            f"       FROM assign a JOIN n{h} USING (vec_id), q)"
+        )
+        parts.append(
+            f"v{h} AS (SELECT * FROM v{h - 1} UNION SELECT * FROM s{h})"
+        )
+    return ",\n".join(parts)
+
+
+_GRAPH_ANN_SEARCH_SQL = f"""
+WITH {_KNN_GRAPH_CTE},
+{_graph_beam_cte()}
+SELECT vec_id, cosine FROM v3 ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+_GRAPH_ANN_RECALL_SQL = f"""
+WITH {_KNN_GRAPH_CTE},
+{_graph_beam_cte()},
+approx AS (SELECT vec_id FROM v3 ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+exact AS (
+  SELECT a.vec_id FROM assign a, q
+  ORDER BY {_dot_sql("a.embedding", "q.qv")}
+             / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+                * sqrt({_dot_sql("q.qv", "q.qv")})) DESC, a.vec_id ASC
+  LIMIT 10
+),
+hit AS (SELECT count(*) AS n_hit FROM approx JOIN exact USING (vec_id))
+SELECT CAST(10 AS BIGINT) AS k, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(1000000 * n_hit // 10 AS BIGINT) AS recall_ppm
+FROM hit
 """
 
 
@@ -2089,6 +2212,14 @@ QUERIES = [
              "whole-doc polynomial fingerprint"),
     QueryDef("embedding_topk", embedding_topk, _EMBEDDING_TOPK_SQL,
              "brute-force cosine top-k (bit-exact doubles)"),
+    QueryDef("graph_ann_search", graph_ann_search, _GRAPH_ANN_SEARCH_SQL,
+             "graph-ANN read path: deterministic beam walk over the kNN "
+             "graph (entry at quantizer ids, beam 4, 3 hops, id "
+             "tie-breaks) — the walk itself hash-checks"),
+    QueryDef("graph_ann_recall", graph_ann_recall, _GRAPH_ANN_RECALL_SQL,
+             "recall@10 of the graph beam walk vs exact cosine over the "
+             "graph node universe (the per-index quality-gauge "
+             "discipline)"),
     QueryDef("knn_graph", knn_graph, _KNN_GRAPH_SQL,
              "IVF-blocked kNN-graph build: per-node top-3 cosine edges "
              "from the bounded cell kernel + reciprocal-edge marking"),

@@ -707,6 +707,30 @@ def _stream_cdc_latest_sql() -> str:
     )
 
 
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incremental dedup (streaming.stream.streaming_incremental_dedup):
+    corpus signatures + gram sets precomputed once as materialized
+    reference state, arrivals (doc_id % 10 == 0, the batch query's split)
+    stream in over 4 microbatches and probe it per batch via foreachBatch.
+    Drained union == batch incremental_dedup row-for-row; the oracle IS
+    the batch query's SQL."""
+    from ..sources.parquet import load_table
+    from ..streaming.stream import streaming_incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return streaming_incremental_dedup(
+        spark,
+        arrivals=docs.where(F.col("doc_id") % 10 == 0),
+        corpus=docs.where(F.col("doc_id") % 10 != 0),
+    )
+
+
+def _stream_incremental_dedup_sql() -> str:
+    from .llm import _incremental_dedup_sql
+
+    return _incremental_dedup_sql()
+
+
 QUERIES = [
     QueryDef("stream_heavy_hitters", stream_heavy_hitters,
              _stream_heavy_hitters_sql(),
@@ -727,6 +751,10 @@ QUERIES = [
     QueryDef("stream_ohlc", stream_ohlc, _stream_ohlc_sql(),
              "T8: streaming OHLC bars (min_by/max_by tumbling windows, "
              "batch-operator parity)", bench=False),
+    QueryDef("stream_incremental_dedup", stream_incremental_dedup,
+             _stream_incremental_dedup_sql(),
+             "live incremental dedup: corpus signature state probed per "
+             "microbatch (foreachBatch), drained == batch minhash_join"),
     QueryDef("stream_hll", stream_hll, _stream_hll_sql(),
              "live per-type cardinality from fixed 512-register GroupState "
              "(max-merged HLL), batch-estimator oracle"),

@@ -55,6 +55,20 @@ PROBES: dict[str, tuple[float, str]] = {
     # bounded buffers; 10x corpus with fixed cells -> up to 100x kernel
     # work — the documented blocking trade (more cells at scale)
     "knn_graph": (120.0, "quadratic within cells (fixed cell count)"),
+    # -- round 6: the mergeable-state family (VERDICT r05 ask #8) + the
+    # -- new decision/apply operators
+    # additive row-digest fold: one narrow pass, 1-row state
+    "migration_checksum": (15.0, "linear: per-row digest + additive fold"),
+    # per-group 512-register census: rows x10 through one aggregate
+    "hll_by_type": (15.0, "linear: fixed registers per group"),
+    # span-key census + starts fold + per-doc excision kernel; dup
+    # families constant-size in the tiled fixture (suffixed replicas)
+    "dup_span_removal": (15.0, "linear: constant dup-family size"),
+    # tokenizer closure over a Zipf word memo; census + encode passes
+    "bpe_encode": (15.0, "linear: per-doc encode, vocab-scale train"),
+    # frontier-bounded walk: probe cost is metadata-scale, corpus cost is
+    # the graph build (same blocking trade as knn_graph)
+    "graph_ann_search": (120.0, "graph build dominates (fixed cells)"),
 }
 
 
