@@ -148,7 +148,7 @@ def main() -> int:
                 "max_spread_sec": max(spreads.values()) if spreads else 0.0,
                 "migrate_rows_per_sec": round(best_rate),
                 "migrate_gate_1e5_rows_per_sec": best_rate >= 1e5,
-                "detail": "bench_detail.json",
+                "detail": detail_name,
             }
         )
     )
