@@ -1175,3 +1175,85 @@ def graph_beam_search(
         # scored by the same fold — so the row-level dedup is exact
         visited = visited.unionByName(fresh).dropDuplicates([id_col])
     return visited.orderBy(F.desc("cosine"), F.col(id_col).asc()).limit(k)
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    k_candidates: int = 20,
+    lam: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998)
+    — the diversity-aware READ path a retrieval pipeline runs on top of
+    ANN: fetch ``k_candidates`` by relevance, then greedily pick ``k``
+    maximizing ``lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)``,
+    ties by id.  Deterministic end to end, so the whole re-rank
+    hash-checks against an unrolled SQL oracle.  The default lambda is
+    DYADIC (0.75 -> penalty 0.25, both exact doubles) so the score
+    arithmetic is literal-for-literal identical across engines — a
+    decimal-parsed ``0.7`` gives SQL a different (1 - lambda) ulp than
+    Python's (the repo's dyadic-constants discipline, see ema_prices).
+
+    Scale shape: the candidate fetch is the distributed stage (exact
+    TakeOrdered here; swap in any ANN read path — LSH/IVF-PQ/graph — for
+    the same contract); the greedy selection touches only the
+    ``k_candidates`` collected rows — metadata-scale by construction,
+    the same driver-side contract as centroids/offsets/codebooks.  All
+    similarity arithmetic is the engine's sequential double fold, in
+    Python here and in Catalyst/DuckDB elsewhere — bit-identical.
+
+    Returns (rank, id, relevance, mmr_score); rank 1's score is its
+    relevance times ``lam`` (empty selected set contributes no penalty).
+    """
+    cands = (
+        cosine_topk(
+            embeddings, query, k_candidates, id_col, vec_col, engine="hof"
+        )
+        .join(embeddings.select(id_col, vec_col), id_col)
+        .collect()
+    )
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    import math
+
+    pool = [
+        (r[id_col], float(r["cosine"]), [float(v) for v in r[vec_col]])
+        for r in cands
+    ]
+    norms = {i: math.sqrt(fold_dot(v, v)) for i, _, v in pool}
+    selected: list[tuple[int, int, float, float]] = []  # rank, id, rel, score
+    chosen: list[tuple[object, list[float]]] = []
+    remaining = {i: (rel, v) for i, rel, v in pool}
+    for rank in range(1, min(k, len(pool)) + 1):
+        best = None
+        for i in sorted(remaining):
+            rel, v = remaining[i]
+            maxsim = 0.0
+            first = True
+            for sid, sv in chosen:
+                sim = fold_dot(v, sv) / (norms[i] * norms[sid])
+                if first or sim > maxsim:
+                    maxsim, first = sim, False
+            score = lam * rel - (1 - lam) * maxsim if chosen else lam * rel
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, rel, score)
+        _, bid, brel, bscore = best
+        selected.append((rank, bid, brel, bscore))
+        chosen.append((bid, remaining[bid][1]))
+        del remaining[bid]
+
+    spark = embeddings.sparkSession
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        selected,
+        f"rank int, {id_col} {id_type}, relevance double, mmr_score double",
+    )

@@ -301,6 +301,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "graph_ann_search": {},
     "graph_ann_recall": {},
     "stream_incremental_dedup": {},
+    "mmr_rerank": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -339,6 +340,7 @@ DRIVER_HEAD = [
     "graph_ann_search",
     "graph_ann_recall",
     "stream_incremental_dedup",
+    "mmr_rerank",
 ]
 
 

@@ -1101,6 +1101,55 @@ FROM hit
 """
 
 
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval re-ranking (operators.similarity.
+    mmr_rerank): exact top-20 candidates, then greedy MMR selection of 5
+    with dyadic lambda=0.75 — the RAG read-path stage between ANN and the
+    context window.  The greedy loop runs on the collected candidate
+    rows (metadata-scale contract); the oracle unrolls the 5 rounds as
+    CTEs with identical float literals and fold orders, so every score
+    hash-checks."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return mmr_rerank(emb, query, k=5, k_candidates=20, lam=0.75)
+
+
+def _mmr_rerank_sql(k: int = 5, k_candidates: int = 20) -> str:
+    def cos(x: str, y: str) -> str:
+        return (
+            f"{_dot_sql(x, y)} / (sqrt({_dot_sql(x, x)})"
+            f" * sqrt({_dot_sql(y, y)}))"
+        )
+
+    parts = [
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"cand AS (SELECT vec_id, embedding, {cos('embedding', 'qv')} AS rel\n"
+        f"  FROM embeddings, q ORDER BY rel DESC, vec_id ASC LIMIT {k_candidates})",
+        "sel1 AS (SELECT 1 AS rank, vec_id, embedding, rel,\n"
+        "  0.75 * rel AS mmr_score FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        pcos = cos("c.embedding", "s.embedding")
+        parts.append(
+            f"pick{r} AS (SELECT {r} AS rank, c.vec_id, c.embedding, c.rel,\n"
+            f"  0.75 * c.rel - (1 - 0.75) * (SELECT max({pcos}) FROM sel{r - 1} s)"
+            f" AS mmr_score\n"
+            f"  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})\n"
+            f"  ORDER BY mmr_score DESC, c.vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"sel{r} AS (SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r})"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel AS relevance, mmr_score
+FROM sel{k}
+"""
+    )
+
+
 def embedding_label_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most-similar embedding pairs per label block — the embedding
     near-dup operator shaped to emit evidence even when no pair crosses a
@@ -2212,6 +2261,9 @@ QUERIES = [
              "whole-doc polynomial fingerprint"),
     QueryDef("embedding_topk", embedding_topk, _EMBEDDING_TOPK_SQL,
              "brute-force cosine top-k (bit-exact doubles)"),
+    QueryDef("mmr_rerank", mmr_rerank_q, _mmr_rerank_sql(),
+             "diversity-aware MMR re-ranking over exact top-20 candidates "
+             "(dyadic lambda=0.75, 5 greedy rounds, unrolled-CTE oracle)"),
     QueryDef("graph_ann_search", graph_ann_search, _GRAPH_ANN_SEARCH_SQL,
              "graph-ANN read path: deterministic beam walk over the kNN "
              "graph (entry at quantizer ids, beam 4, 3 hops, id "

@@ -149,3 +149,50 @@ def test_streaming_incremental_dedup_multibatch_parity(spark, sf_dir):
         )
 
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+# --- mmr_rerank --------------------------------------------------------------
+
+def test_mmr_rank1_is_top_relevance_and_lambda1_degenerates(spark, sf_dir):
+    from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.sources.parquet import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    out = mmr_rerank(emb, query, k=5, k_candidates=20, lam=0.75).collect()
+    exact = cosine_topk(emb, query, 5, engine="hof").collect()
+    # rank 1 = most relevant regardless of lambda; score = lam * rel
+    assert out[0]["vec_id"] == exact[0]["vec_id"]
+    assert out[0]["mmr_score"] == 0.75 * out[0]["relevance"]
+    # lambda = 1 removes the diversity penalty -> exact top-k order
+    pure = mmr_rerank(emb, query, k=5, k_candidates=20, lam=1.0).collect()
+    assert [r["vec_id"] for r in pure] == [r["vec_id"] for r in exact]
+    # ranks are 1..5, selections unique and drawn from the candidates
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    cand_ids = {r["vec_id"] for r in cosine_topk(emb, query, 20, engine="hof").collect()}
+    assert {r["vec_id"] for r in out} <= cand_ids
+    assert len({r["vec_id"] for r in out}) == 5
+
+
+def test_mmr_diversity_penalty_changes_selection(spark, sf_dir):
+    """With a strong diversity weight the selection must diverge from the
+    pure-relevance order on the fixture (otherwise the operator is a
+    no-op and the test would pass vacuously)."""
+    from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.sources.parquet import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    diverse = mmr_rerank(emb, query, k=5, k_candidates=20, lam=0.25).collect()
+    exact = cosine_topk(emb, query, 5, engine="hof").collect()
+    assert [r["vec_id"] for r in diverse] != [r["vec_id"] for r in exact]
