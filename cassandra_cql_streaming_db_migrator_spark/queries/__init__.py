@@ -302,6 +302,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "graph_ann_recall": {},
     "stream_incremental_dedup": {},
     "mmr_rerank": {},
+    "tokenizer_fertility": {},
+    "lm_quality_filter": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -341,6 +343,49 @@ DRIVER_HEAD = [
     "graph_ann_recall",
     "stream_incremental_dedup",
     "mmr_rerank",
+    "tokenizer_fertility",
+    "lm_quality_filter",
+    # -- rule 2: remaining slots filled with veterans chosen for
+    # operator-family coverage (all long-green; re-witnessing is free and
+    # keeps the driver's 50-row window an explicit, policy-chosen set
+    # rather than an implicit registration-order tail)
+    "scan_project",
+    "filter_pushdown",
+    "filter_memory",
+    "computed_column",
+    "column_mapping",
+    "anti_join_if_not_exists",
+    "counter_merge",
+    "ttl_arithmetic",
+    "dry_run_stats",
+    "migrate_pipeline",
+    "limit_topk",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "join_enrich",
+    "join_asof",
+    "join_salted",
+    "window_running",
+    "agg_rollup",
+    "agg_percentiles",
+    "set_except",
+    "dedup_exact",
+    "fuzzy_dedup",
+    "jaccard_pairs",
+    "dedup_components_star",
+    "embedding_topk",
+    "embedding_ann_ivf",
+    "ivf_pq",
+    "knn_graph",
+    "text_stats",
+    "lang_id",
+    "bpe_merges",
+    "decontaminate",
+    "dup_spans",
+    "sequence_pack",
+    "stream_tumbling_agg",
+    "multimodal_features",
+    "kmv_distinct",
 ]
 
 

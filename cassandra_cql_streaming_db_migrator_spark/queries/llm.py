@@ -1790,6 +1790,87 @@ _BPE_ENCODE_SQL = (
 )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FAIRNESS census: per-language tokens-per-word (fertility)
+    of the trained BPE tokenizer — the eval a multilingual pipeline runs
+    before trusting one tokenizer across languages (high fertility =
+    that language pays more context budget per word).  Same train+encode
+    as bpe_encode, grouped by the fixture's lang column; fertility in
+    exact integer ppm, id fingerprints DECIMAL-summed per language.
+    Iterative training -> pinned oracle per fixture (bpe_encode's
+    discipline), regenerated by tools/regen_bpe_encode_pin.py."""
+    from ..operators.bpe import (
+        ENCODE_FP_MOD,
+        base_char_vocab,
+        bpe_encode_docs,
+        bpe_train,
+        word_census,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(word_census(docs), n_merges=20)
+    vocab = base_char_vocab(docs)
+    encoded = bpe_encode_docs(docs, merges, vocab)
+    return (
+        encoded.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.expr("1000000 * sum(n_tokens) DIV sum(n_words)").alias(
+                "fertility_x1e6"
+            ),
+            (
+                F.sum(F.col("ids_fp").cast("decimal(38,0)"))
+                % F.lit(ENCODE_FP_MOD).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("fp_sum"),
+        )
+    )
+
+
+# (sum(length(text)), lang, n_docs, n_words, n_tokens, fertility_x1e6,
+# fp_sum) per driver fixture; regenerate with tools/regen_bpe_encode_pin.py.
+_TOKENIZER_FERTILITY_PINNED: list[tuple[int, str, int, int, int, int, int]] = [
+    # sf0.001 (corpus size 153156)
+    (153156, 'de', 71, 4070, 13192, 3241277, 1187822808787871930),
+    (153156, 'en', 193, 10343, 33484, 3237358, 233304211409590231),
+    (153156, 'es', 80, 4516, 14595, 3231842, 878933262573410854),
+    (153156, 'fr', 82, 4926, 16132, 3274868, 849224655468846990),
+    (153156, 'zh', 74, 4084, 13346, 3267874, 1133795390823484409),
+    # sf0.01 (corpus size 149174)
+    (149174, 'de', 70, 3549, 11506, 3242040, 873997476165157846),
+    (149174, 'en', 218, 11757, 38241, 3252615, 1714344702540883501),
+    (149174, 'es', 73, 3958, 12924, 3265285, 829430766308459293),
+    (149174, 'fr', 64, 3758, 12287, 3269558, 510287790856648455),
+    (149174, 'zh', 75, 4143, 13601, 3282886, 750607068551892532),
+    # sf0.1 (corpus size 1485576)
+    (1485576, 'de', 702, 38406, 125781, 3275035, 464341626213199604),
+    (1485576, 'en', 2059, 112006, 365222, 3260736, 1275500292416376307),
+    (1485576, 'es', 744, 41044, 133468, 3251827, 1855541082742235196),
+    (1485576, 'fr', 742, 40521, 132523, 3270477, 1679534633557763270),
+    (1485576, 'zh', 753, 38727, 126779, 3273659, 1410023767559933131),
+]
+
+_TOKENIZER_FERTILITY_SQL = (
+    "WITH corpus AS (SELECT sum(length(text)) AS sz FROM documents),\n"
+    "pinned(sz, lang, n_docs, n_words, n_tokens, fert, fp_sum) AS (VALUES\n"
+    + ",\n".join(
+        f"  ({sz}, '{lg}', {d}, {w}, {t}, {fe}, {fp})"
+        for sz, lg, d, w, t, fe, fp in _TOKENIZER_FERTILITY_PINNED
+    )
+    + ")\n"
+    "SELECT p.lang, CAST(p.n_docs AS BIGINT) AS n_docs,\n"
+    "       CAST(p.n_words AS BIGINT) AS n_words,\n"
+    "       CAST(p.n_tokens AS BIGINT) AS n_tokens,\n"
+    "       CAST(p.fert AS BIGINT) AS fertility_x1e6,\n"
+    "       CAST(p.fp_sum AS BIGINT) AS fp_sum\n"
+    "FROM pinned p JOIN corpus c ON p.sz = c.sz"
+)
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 0.9 self-join on word-bigram shingle sets via
     AllPairs prefix filtering (operators.dedup.jaccard_join).  The oracle
@@ -2030,6 +2111,71 @@ SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
                           AS DECIMAL(38,0))) AS DOUBLE)
              / CAST(sum(cnt) AS BIGINT) / 1e10, 6) AS mean_tri_prob
 FROM s GROUP BY doc_id
+"""
+
+
+def lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style model-based quality partition: every doc scored by the
+    corpus trigram LM (operators.textops.trigram_lm_score — exact-integer
+    arithmetic, no libm), then split into head/middle/tail THIRDS by
+    distributed_ntile over (score, doc_id) — the named pipeline (Wenzek
+    et al. 2020) that keeps the head, inspects the middle, drops the
+    tail.  Reported per bucket: size, trigram mass, and the score range.
+    The ntile is the range-partition + offset-broadcast operator — no
+    single-partition sort at corpus scale; the LM model tables are
+    charset-bounded broadcasts however large the corpus."""
+    from ..operators.textops import trigram_lm_score
+    from ..operators.windows import distributed_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = trigram_lm_score(docs)
+    phased = distributed_ntile(
+        scored,
+        3,
+        [F.col("mean_tri_prob").asc(), F.col("doc_id").asc()],
+        bucket_alias="lm_bucket",
+    )
+    return phased.groupBy("lm_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_trigrams").alias("n_trigrams"),
+        F.min("mean_tri_prob").alias("min_prob"),
+        F.max("mean_tri_prob").alias("max_prob"),
+    )
+
+
+# the oracle re-derives the per-doc scores with the trigram_lm SQL, then
+# applies the same ntile(3) split and rollup
+_LM_QUALITY_FILTER_SQL = """
+WITH inst AS (
+  SELECT doc_id, tri, count(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(length(text) - 2),
+               i -> substr(text, CAST(i + 1 AS INTEGER), 3))) AS tri
+    FROM documents)
+  GROUP BY doc_id, tri
+),
+c3 AS (SELECT tri, sum(cnt) AS c3 FROM inst GROUP BY tri),
+c2 AS (SELECT substr(tri, 1, 2) AS pre, sum(c3) AS c2 FROM c3 GROUP BY 1),
+model AS (SELECT tri, CAST(c3 AS DOUBLE) / c2 AS p
+          FROM c3 JOIN c2 ON substr(c3.tri, 1, 2) = c2.pre),
+s AS (SELECT i.doc_id, i.cnt, m.p FROM inst i JOIN model m USING (tri)),
+scored AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+         round(CAST(sum(CAST(floor((CAST(cnt AS DOUBLE) * p) * 1e10 + 0.5)
+                            AS DECIMAL(38,0))) AS DOUBLE)
+               / CAST(sum(cnt) AS BIGINT) / 1e10, 6) AS mean_tri_prob
+  FROM s GROUP BY doc_id
+),
+phased AS (
+  SELECT *, CAST(ntile(3) OVER (ORDER BY mean_tri_prob ASC, doc_id ASC)
+                 AS BIGINT) AS lm_bucket
+  FROM scored
+)
+SELECT lm_bucket, count(*) AS n_docs,
+       CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
+       min(mean_tri_prob) AS min_prob,
+       max(mean_tri_prob) AS max_prob
+FROM phased GROUP BY 1
 """
 
 
@@ -2319,6 +2465,14 @@ QUERIES = [
              "BPE tokenizer training on the word census (iterative merge "
              "rounds; deterministic, oracle pins the per-fixture merge "
              "table generated from the pytest-verified trainer)"),
+    QueryDef("lm_quality_filter", lm_quality_filter,
+             _LM_QUALITY_FILTER_SQL,
+             "CCNet-style head/middle/tail split by trigram-LM score via "
+             "distributed_ntile (no single-partition sort)"),
+    QueryDef("tokenizer_fertility", tokenizer_fertility,
+             _TOKENIZER_FERTILITY_SQL,
+             "per-language tokens-per-word fertility of the trained BPE "
+             "tokenizer (multilingual fairness census, pinned oracle)"),
     QueryDef("bpe_encode", bpe_encode, _BPE_ENCODE_SQL,
              "BPE apply path: distributed document encoding to token ids "
              "(tokenizer-as-closure Arrow kernel, zero-shuffle stage), "

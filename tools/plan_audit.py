@@ -277,6 +277,17 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # distributed_ntile pair (range + pid-hash) + the per-phase rollup +
     # cached-lineage re-print; scoring is a narrow projection
     "quality_curriculum": 4,
+    # trigram-LM scoring (two charset-bounded model aggregates + per-doc
+    # aggregate, re-printed across ntile branches in identity mode) + the
+    # distributed_ntile pair + the bucket rollup
+    "lm_quality_filter": 6,
+    # beam walk over the kNN graph: the per-cell knn kernel's groupBy +
+    # the per-hop frontier/neighbor joins; in identity mode the graph
+    # build lineage re-prints once per hop branch (3 hops x entry), hence
+    # the textual count — at runtime the materialized node/edge frames
+    # execute once and every hop join is a broadcast of <= beam*k ids
+    "graph_ann_search": 21,
+    "graph_ann_recall": 21,
     # prediction census + the doc_id join-back of truth to guess (both
     # doc-key partitioned) + the truth-class total rollup (class-count
     # metadata rows, broadcast back)

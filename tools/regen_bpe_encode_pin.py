@@ -14,7 +14,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from cassandra_cql_streaming_db_migrator_spark.queries.llm import bpe_encode
+from cassandra_cql_streaming_db_migrator_spark.queries.llm import (
+    bpe_encode,
+    tokenizer_fertility,
+)
 from cassandra_cql_streaming_db_migrator_spark.session import build_session
 
 
@@ -31,9 +34,23 @@ def main() -> int:
             (r["len_bucket"], r["n_docs"], r["n_words"], r["n_tokens"], r["fp_sum"])
             for r in bpe_encode(spark, sf_dir).collect()
         )
-        print(f"    # sf{sf} (corpus size {sz})")
+        print(f"    # _BPE_ENCODE_PINNED sf{sf} (corpus size {sz})")
         for b, d, w, t, fp in rows:
             print(f"    ({sz}, {b}, {d}, {w}, {t}, {fp}),")
+        frows = sorted(
+            (
+                r["lang"],
+                r["n_docs"],
+                r["n_words"],
+                r["n_tokens"],
+                r["fertility_x1e6"],
+                r["fp_sum"],
+            )
+            for r in tokenizer_fertility(spark, sf_dir).collect()
+        )
+        print(f"    # _TOKENIZER_FERTILITY_PINNED sf{sf} (corpus size {sz})")
+        for lg, d, w, t, fe, fp in frows:
+            print(f"    ({sz}, '{lg}', {d}, {w}, {t}, {fe}, {fp}),")
     return 0
 
 
