@@ -69,6 +69,8 @@ PROBES: dict[str, tuple[float, str]] = {
     # frontier-bounded walk: probe cost is metadata-scale, corpus cost is
     # the graph build (same blocking trade as knn_graph)
     "graph_ann_search": (120.0, "graph build dominates (fixed cells)"),
+    # charset-bounded LM model + one ntile pass at doc grain
+    "lm_quality_filter": (15.0, "linear: per-doc scoring + one ntile pass"),
 }
 
 
