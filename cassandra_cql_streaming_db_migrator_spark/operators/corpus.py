@@ -390,7 +390,7 @@ def dup_span_census(
     each doc's distinct windows leave as packed 61-bit double-poly keys
     (false positive ~2^-61; the string-keyed oracle independently
     confirms no collision at test scales), so the census shuffle moves
-    int64 keys, not ~100-byte span texts.  The key frame is persisted
+    int64 keys, not ~100-byte span texts.  The key frame is materialized
     (it feeds the census, the dup join-back, and the per-doc totals);
     the dup join reuses the census's gram-key partitioning, and the two
     doc-key aggregates share the doc partitioning.  The duplicated-key

@@ -322,8 +322,8 @@ def cooccurrence_pairs(
     total, none carrying more than vocab-bounded expansion.  Top-k carries
     a total order.
     """
-    # persisted: feeds the pair census AND the reach census (without the
-    # persist each branch re-runs the collect_set shuffle); per-key rows
+    # materialized: feeds the pair census AND the reach census (without
+    # the barrier each branch re-runs the collect_set shuffle); per-key rows
     # are vocab-bounded arrays, so the cache is ~|keys| * |vocab| small
     # NULL keys and NULL items are excluded EXPLICITLY on both engines: a
     # NULL key is not a basket and a NULL item is not a product.  Without

@@ -548,7 +548,7 @@ def trigram_lm_score(
         doc_trigram_counts(df, text_col=text_col, id_col=id_col)
     )
     c3 = doc_tris.groupBy("__tri").agg(F.sum("__cnt").alias("__c3"))
-    # aggregate the prefix table straight off the persisted per-doc frame
+    # aggregate the prefix table straight off the materialized per-doc frame
     # (deriving it from c3 would recompute the c3 aggregate in a second
     # plan branch); the prefix of a packed trigram is an integer shift
     c2 = doc_tris.groupBy(F.shiftright("__tri", 21).alias("__pre")).agg(
@@ -705,7 +705,7 @@ def bigram_pmi_topk(
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     # ONE bigram census feeds both the candidate set and the corpus total
-    # (persisted: vocab-scale, two downstream branches — same discipline as
+    # (materialized: vocab-scale, two downstream branches — same discipline as
     # the minhash signature reuse); the unigram census is the second
     # token-level shuffle.  The corpus explodes are narrow.
     census = materialized(

@@ -70,7 +70,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     "trigram_lm": 3,
     # semantic floor: per-(label, dim) centroid aggregate + centroid
     # array assembly + per-label distance aggregate (centroid table
-    # persisted and broadcast; distances in a narrow Arrow kernel)
+    # materialized and broadcast; distances in a narrow Arrow kernel)
     "embedding_centroids": 5,  # centroid lineage x join/projection branches
     # the CORPUS shuffles once (per-domain rank window; the kept-stats
     # aggregate reuses that partitioning).  The other exchanges are on the
@@ -92,7 +92,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # degree census (1) + the compact-forward orientation's two
     # degree-attach joins (edges and degree re-hash on each endpoint; 4
     # exchange nodes at audit scale, fewer reused at runtime) + the three
-    # wedge-join legs re-hash the persisted oriented list on their role
+    # wedge-join legs re-hash the materialized oriented list on their role
     # keys (3) + corner aggregate + final node join (2).  Triangle
     # enumeration IS a 3-way self-join; the orientation joins are the
     # price of the O(E^1.5) wedge bound — they move node-sized degree
@@ -139,7 +139,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     "q15_top_supplier": 3,
     # semantic floor: span-key census (1, int64 keys — never span text) +
     # the dup join-back on the shared gram partitioning + the two doc-key
-    # aggregates sharing the doc partitioning; key frame persisted so the
+    # aggregates sharing the doc partitioning; key frame materialized so the
     # Arrow kernel runs once
     "dup_spans": 4,
     # semantic floor: term-df aggregate + per-doc score aggregate +
@@ -147,7 +147,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # tf kernel filters to |Q| terms before anything shuffles)
     "lexical_search": 3,
     # semantic floor: edge build (group self-join + distinct = 3, edges
-    # persisted across legs) + the wedge self-join on the middle key (2)
+    # materialized across legs) + the wedge self-join on the middle key (2)
     # + candidate-pair census + the existing-edge anti-join; wedge volume
     # C(deg,2) per middle IS the answer size (max_degree is the
     # documented hub cap at power-law scale)
@@ -157,7 +157,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     "link_prediction_capped": 20,  # + the cap rollup re-prints
     # semantic floor: banded-LSH pair join (1) + candidate distinct (1)
     # + the CC rounds' label join/aggregate on the node key (the
-    # component loop) + the final hash join-back; hashes persisted
+    # component loop) + the final hash join-back; hashes materialized
     "image_dedup": 4,
     # semantic floor: per-customer first-month aggregate (1) + the fact
     # join-back on custkey (re-hash, 2) + the cohort x month distinct
@@ -176,7 +176,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # ntile pair (range exchange + partition-id hash exchange, x3 metrics
     # = 6; NO single-partition sort anywhere — VERDICT r04 #2) + the
     # segment rollup = 8 RUNTIME exchanges; the audit's textual count is
-    # higher because each chained ntile persists its ranked frame and the
+    # higher because each chained ntile re-prints its ranked frame and the
     # formatted plan re-prints the cached lineage (InMemoryRelation bodies)
     # including its exchanges — double-counted text, not double-executed
     # shuffles
@@ -239,14 +239,14 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # signature kernel's local-mode repartition (dropped at scale, see
     # minhash_signature_df) + bucket groupBy + metadata-scale band rollup
     "minhash_band_stats": 3,
-    # semantic floor: bigram census (persisted, feeds candidates + the
+    # semantic floor: bigram census (materialized, feeds candidates + the
     # 1-row corpus total) + unigram census + the vocab-keyed census<->
     # census join (vocab can exceed broadcast size at corpus scale, so a
     # hash join is the correct plan — AQE demotes to broadcast when small)
     "bigram_pmi": 5,  # census lineage x candidate/total branches
-    # semantic floor: per-key collect_set (persisted; pair expansion is a
-    # narrow HOF, not a self-join) + pair census + reach census (persisted,
-    # joined back by explicit broadcast)
+    # semantic floor: per-key collect_set (materialized; pair expansion is
+    # a narrow HOF, not a self-join) + pair census + reach census
+    # (materialized, joined back by explicit broadcast)
     "cooccurrence_pairs": 6,  # sets+reach lineage re-prints
     # semantic floor: exact-side candidate window + ANN-side per-query
     # window + the hit/count aggregates — every exchange past the corpus
@@ -270,7 +270,7 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # final 1-row fold; no single-partition sort anywhere
     "exact_median": 4,
     # distributed_ntile pair (range + pid-hash) + decile rollup + 1-row
-    # total + share join; the textual count includes the persisted ranked
+    # total + share join; the textual count includes the re-printed ranked
     # frame's cached-lineage re-print (same double-count note as
     # rfm_segments)
     "revenue_deciles": 7,
