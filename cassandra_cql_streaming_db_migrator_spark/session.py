@@ -58,6 +58,12 @@ def build_session(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/cassandra_cql_streaming_db_migrator_warehouse"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # materialized() blocks (operators/caching.py) are freed by the
+        # ContextCleaner only after a driver GC notices the RDD is
+        # unreachable; long sessions (bench loops, the driver's 50-query
+        # sweep) should not wait for organic heap pressure — a 1-minute
+        # periodic GC bounds checkpoint-block residency everywhere
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     if master.startswith("local"):
         # Local profile: the fixtures are single small parquet files, which

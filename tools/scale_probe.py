@@ -71,6 +71,17 @@ PROBES: dict[str, tuple[float, str]] = {
     "graph_ann_search": (120.0, "graph build dominates (fixed cells)"),
     # charset-bounded LM model + one ntile pass at doc grain
     "lm_quality_filter": (15.0, "linear: per-doc scoring + one ntile pass"),
+    # pair -> CC -> canonical -> source rollups; dup families constant in
+    # the tiled fixture, CC rounds label-scale
+    "source_dup_report": (15.0, "linear: constant dup-family size"),
+    # streaming lifecycle (chunk write + per-batch probes) over the same
+    # banded probe; state is signature-scale
+    "stream_incremental_dedup": (15.0, "linear: candidates only"),
+    # char-shingle minhash banding: candidates scale with corpus x family
+    # size; families constant per the fixture's rotation+suffix transform
+    "fuzzy_dedup": (15.0, "linear: constant dup-family size"),
+    "minhash_pairs": (15.0, "linear: constant dup-family size"),
+    "image_dedup": (15.0, "linear: banded Hamming candidates + CC"),
 }
 
 
