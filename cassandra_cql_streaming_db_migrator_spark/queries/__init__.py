@@ -304,6 +304,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "mmr_rerank": {},
     "tokenizer_fertility": {},
     "lm_quality_filter": {},
+    "bucketed_join": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -345,6 +346,7 @@ DRIVER_HEAD = [
     "mmr_rerank",
     "tokenizer_fertility",
     "lm_quality_filter",
+    "bucketed_join",
     # -- rule 2: remaining slots filled with veterans chosen for
     # operator-family coverage (all long-green; re-witnessing is free and
     # keeps the driver's 50-row window an explicit, policy-chosen set
@@ -385,7 +387,6 @@ DRIVER_HEAD = [
     "sequence_pack",
     "stream_tumbling_agg",
     "multimodal_features",
-    "kmv_distinct",
 ]
 
 

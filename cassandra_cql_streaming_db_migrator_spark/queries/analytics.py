@@ -1943,6 +1943,66 @@ WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 1 AND 40
 """
 
 
+def _bucket_table_suffix(sf_dir: str) -> str:
+    import os
+    import re
+
+    # per-(process, fixture) managed-table names: concurrent harness
+    # processes share the warehouse dir, so pid-suffixed names keep their
+    # overwrites private; within a process the name is stable, so bench
+    # reps overwrite instead of accumulating
+    return re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_") + f"_{os.getpid()}"
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end value gate for the BUCKETED-table path (sinks.bucketing
+    — the 100 TB co-location tool): orders and lineitem are written as
+    managed tables bucketed (and sorted) on their order key, read back
+    with bucketing metadata intact, joined WITHOUT any exchange on either
+    side (the bucket join — pytest asserts the plan shape), and folded to
+    a per-priority revenue census.  The oracle runs the same join+census
+    on the raw parquet, so a driver pass proves the bucket-aligned
+    rewrite loses and duplicates nothing.  At 100 TB this is the
+    difference between shuffling the fact table once per query and
+    never: bucket on the PK at ingest, and every later equi-join on that
+    key is a zipped per-bucket merge."""
+    from ..sinks.bucketing import read_bucketed, write_bucketed
+
+    sfx = _bucket_table_suffix(sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    t_orders, t_li = f"b_orders_{sfx}", f"b_lineitem_{sfx}"
+    write_bucketed(orders, t_orders, ["o_orderkey"], 8)
+    write_bucketed(li, t_li, ["l_orderkey"], 8)
+    joined = read_bucketed(spark, t_orders).join(
+        read_bucketed(spark, t_li),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(38,0)))
+            AS BIGINT) AS revenue_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed association rules over the event baskets
     (operators.events.association_rules): confidence + lift in exact ppm."""
@@ -2214,6 +2274,11 @@ QUERIES = [
         "join_skew_stats", join_skew_stats, _JOIN_SKEW_SQL,
         "pre-join skew diagnosis: per-key volumes both sides + implied "
         "output share — the 'should I salt?' pre-flight",
+    ),
+    QueryDef(
+        "bucketed_join", bucketed_join, _BUCKETED_JOIN_SQL,
+        "bucketed-table co-located join value-gated end to end: "
+        "bucketBy+sortBy rewrite, exchange-free bucket join, census",
     ),
     QueryDef(
         "zorder_scan", zorder_scan, _ZORDER_SCAN_SQL,

@@ -196,3 +196,44 @@ def test_mmr_diversity_penalty_changes_selection(spark, sf_dir):
     diverse = mmr_rerank(emb, query, k=5, k_candidates=20, lam=0.25).collect()
     exact = cosine_topk(emb, query, 5, engine="hof").collect()
     assert [r["vec_id"] for r in diverse] != [r["vec_id"] for r in exact]
+
+
+# --- bucketed_join ------------------------------------------------------------
+
+def test_bucketed_join_plan_is_exchange_free_on_the_join(spark, sf_dir):
+    """The query-level plan contract.  At fixture scale Catalyst
+    broadcasts the small side (also shuffle-free — strictly better);
+    with broadcast disabled the plan MUST be the bucket merge: a
+    SortMergeJoin with no exchange between the bucketed scans and the
+    join, leaving the per-priority aggregate's exchange as the plan's
+    only shuffle."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from cassandra_cql_streaming_db_migrator_spark.queries.analytics import (
+        bucketed_join,
+    )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    plan = plan_of(bucketed_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(bucketed_join(spark, sf_dir))
+        assert "SortMergeJoin" in plan, plan
+        # the join sits exchange-free over the scans: the join keys
+        # never shuffle — that IS the bucket contract
+        assert not re.search(
+            r"Exchange hashpartitioning\(o_orderkey", plan
+        ), plan
+        assert not re.search(
+            r"Exchange hashpartitioning\(l_orderkey", plan
+        ), plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
