@@ -903,3 +903,140 @@ SELECT stats.g AS {group_col},
        {_hll_est_sql("n_hit", "s_hit")} AS est_distinct_x1e6{exact_col}
 FROM stats{exact_join}
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles: the mergeable-state quantile sketch.
+
+HIST_BIN_CENTS = 12_800  # 128.00 currency units per bin
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    bin_cents: int = HIST_BIN_CENTS,
+) -> DataFrame:
+    """Quantiles from a FIXED-WIDTH-BIN histogram — the mergeable-state
+    member of the quantile family (exact_quantiles is the exact
+    distributed-selection path; quantiles_sampled the sampling path).
+    State is the sparse (bin, count) table: fixed-width integer bins over
+    exact cents, so histograms merge under plain count addition across
+    partitions, days, or sources — the property a 100 TB rollup or a
+    streaming twin leans on — and the answer degrades gracefully to bin
+    resolution instead of failing.
+
+    Per requested percentile p the report gives the bin containing the
+    lower-nearest-rank order statistic (rank = ceil(n * p / 100), the
+    exact_quantiles convention): (pct, bin_id, bin_lo_cents,
+    bin_hi_cents, cum_count) — all exact integers, hash-checkable.
+
+    Plan shape: one hash aggregate to the sparse bin table (map-side
+    combine does the heavy lifting), then the cumulative window runs on
+    bin-count rows — metadata-scale by construction (value range /
+    bin width), the centroid/offset-table contract.
+    """
+    return histogram_quantile_finish(
+        value_histogram(df, value_col, bin_cents), percentiles, bin_cents
+    )
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, bin_cents: int = HIST_BIN_CENTS
+) -> DataFrame:
+    """The sparse (bin_id, n) state: one hash aggregate, mergeable under
+    count addition — usable as a batch aggregate or a streaming one (the
+    stream twin runs exactly this groupBy in complete mode)."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    # non-negative domain ONLY: Spark's DIV truncates toward zero while
+    # SQL's // floors, so negative cents would bin differently per engine;
+    # the guard makes the contract total (negative values are excluded on
+    # both sides, not mis-binned on one)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(cents.alias("__c"))
+        .where(F.col("__c") >= 0)
+        .select(F.expr(f"__c DIV {bin_cents}").alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantile_finish(
+    hist: DataFrame,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    bin_cents: int = HIST_BIN_CENTS,
+) -> DataFrame:
+    """Quantile selection over a (bin_id, n) histogram: cumulative counts
+    run on bin-count rows (metadata-scale single-partition window, the
+    centroid/offset contract), lower-nearest-rank bin per percentile."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    pcts = hist.sparkSession.createDataFrame(
+        [(p,) for p in percentiles], "pct int"
+    )
+    hits = (
+        cum.crossJoin(F.broadcast(pcts))
+        .where(
+            F.col("cum")
+            >= F.expr("CAST((total * pct + 99) DIV 100 AS LONG)")
+        )
+        .groupBy("pct")
+        .agg(F.min("bin_id").alias("bin_id"))
+    )
+    return (
+        hits.join(cum.select("bin_id", "cum"), "bin_id")
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("bin_id"),
+            (F.col("bin_id") * bin_cents).alias("bin_lo_cents"),
+            ((F.col("bin_id") + 1) * bin_cents).alias("bin_hi_cents"),
+            F.col("cum").alias("cum_count"),
+        )
+    )
+
+
+def histogram_quantiles_sql(
+    table: str,
+    value_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    bin_cents: int = HIST_BIN_CENTS,
+) -> str:
+    """Oracle twin: identical bins, cumulative counts, and
+    lower-nearest-rank bin selection."""
+    pct_rows = ", ".join(f"({p})" for p in percentiles)
+    return f"""
+WITH hist AS (
+  SELECT CAST(floor({value_col} * 100 + 0.5) AS BIGINT) // {bin_cents}
+           AS bin_id,
+         count(*) AS n
+  FROM {table}
+  WHERE {value_col} IS NOT NULL
+    AND CAST(floor({value_col} * 100 + 0.5) AS BIGINT) >= 0
+  GROUP BY 1
+),
+cum AS (
+  SELECT bin_id, n,
+         sum(n) OVER (ORDER BY bin_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(n) OVER () AS total
+  FROM hist
+),
+pcts(pct) AS (VALUES {pct_rows}),
+hits AS (
+  SELECT pct, min(bin_id) AS bin_id
+  FROM cum, pcts
+  WHERE cum >= (total * pct + 99) // 100
+  GROUP BY pct
+)
+SELECT CAST(h.pct AS BIGINT) AS pct, CAST(c.bin_id AS BIGINT) AS bin_id,
+       CAST(c.bin_id * {bin_cents} AS BIGINT) AS bin_lo_cents,
+       CAST((c.bin_id + 1) * {bin_cents} AS BIGINT) AS bin_hi_cents,
+       CAST(c.cum AS BIGINT) AS cum_count
+FROM hits h JOIN cum c USING (bin_id)
+"""

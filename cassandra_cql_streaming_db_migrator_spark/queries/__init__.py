@@ -305,6 +305,9 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "tokenizer_fertility": {},
     "lm_quality_filter": {},
     "bucketed_join": {},
+    # new in round 6, late session (head full -> DRIVER_BACKLOG, rule 1)
+    "hist_quantiles": {},
+    "stream_hist_quantiles": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -321,6 +324,8 @@ DRIVER_BACKLOG: list[str] = [
     # round 6: the round-5 FIFO (stream_hll, source_dup_report) drained into
     # DRIVER_HEAD below (VERDICT r05 ask #1).  Round-6 additions beyond the
     # free head slots queue here (FIFO for the round-7 head).
+    "hist_quantiles",
+    "stream_hist_quantiles",
 ]
 
 # Round-6 head: the round-5 DRIVER_BACKLOG drained in FIFO order exactly as

@@ -2003,6 +2003,28 @@ GROUP BY 1
 """
 
 
+def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-state quantiles (operators.sketches.histogram_quantiles):
+    p50/p90/p99 of lineitem prices from a fixed-width-bin histogram —
+    the quantile family's mergeable member beside exact_quantiles
+    (distributed selection) and quantiles_sampled (hash sampling).  State
+    is the sparse (bin, count) table: merges under count addition across
+    partitions/days/sources, answer degrades to bin resolution instead
+    of failing.  One hash aggregate; the cumulative window runs on
+    bin-count rows (metadata-scale, the centroid/offset contract)."""
+    from ..operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
+def _hist_quantiles_sql() -> str:
+    from ..operators.sketches import histogram_quantiles_sql
+
+    return histogram_quantiles_sql("lineitem", "l_extendedprice")
+
+
 def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed association rules over the event baskets
     (operators.events.association_rules): confidence + lift in exact ppm."""
@@ -2274,6 +2296,11 @@ QUERIES = [
         "join_skew_stats", join_skew_stats, _JOIN_SKEW_SQL,
         "pre-join skew diagnosis: per-key volumes both sides + implied "
         "output share — the 'should I salt?' pre-flight",
+    ),
+    QueryDef(
+        "hist_quantiles", hist_quantiles, _hist_quantiles_sql(),
+        "mergeable fixed-bin histogram quantiles (p50/p90/p99 of prices; "
+        "sparse bin state, count-additive merges)",
     ),
     QueryDef(
         "bucketed_join", bucketed_join, _BUCKETED_JOIN_SQL,

@@ -731,6 +731,35 @@ def _stream_incremental_dedup_sql() -> str:
     return _incremental_dedup_sql()
 
 
+def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE mergeable-quantile state: the fixed-bin value histogram
+    maintained as a streaming aggregate (per-microbatch partial counts
+    fold into the sparse bin table — count addition IS the merge), then
+    the quantile finish over the drained state.  O(bins) state however
+    long the stream runs; drained bounded stream == the batch histogram
+    operator (the shared oracle)."""
+    from ..operators.sketches import histogram_quantile_finish
+
+    events = read_events_stream(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hist = (
+        events.where(F.col("value").isNotNull())
+        .select(cents.alias("__c"))
+        .where(F.col("__c") >= 0)
+        .select(F.expr("__c DIV 1000").alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    drained = run_to_memory(hist, output_mode="complete")
+    return histogram_quantile_finish(drained, bin_cents=1000)
+
+
+def _stream_hist_quantiles_sql() -> str:
+    from ..operators.sketches import histogram_quantiles_sql
+
+    return histogram_quantiles_sql("events", "value", bin_cents=1000)
+
+
 QUERIES = [
     QueryDef("stream_heavy_hitters", stream_heavy_hitters,
              _stream_heavy_hitters_sql(),
@@ -751,6 +780,10 @@ QUERIES = [
     QueryDef("stream_ohlc", stream_ohlc, _stream_ohlc_sql(),
              "T8: streaming OHLC bars (min_by/max_by tumbling windows, "
              "batch-operator parity)", bench=False),
+    QueryDef("stream_hist_quantiles", stream_hist_quantiles,
+             _stream_hist_quantiles_sql(),
+             "live mergeable-quantile state: streaming fixed-bin histogram "
+             "+ quantile finish, O(bins) state, batch-histogram oracle"),
     QueryDef("stream_incremental_dedup", stream_incremental_dedup,
              _stream_incremental_dedup_sql(),
              "live incremental dedup: corpus signature state probed per "

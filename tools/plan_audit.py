@@ -281,6 +281,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # aggregate, re-printed across ntile branches in identity mode) + the
     # distributed_ntile pair + the bucket rollup
     "lm_quality_filter": 6,
+    # bin census (the one data-scale aggregate) + the bin table's
+    # cumulative/total windows and percentile join — everything past the
+    # census moves bin-count rows
+    "hist_quantiles": 4,
     # beam walk over the kNN graph: the per-cell knn kernel's groupBy +
     # the per-hop frontier/neighbor joins; in identity mode the graph
     # build lineage re-prints once per hop branch (3 hops x entry), hence
@@ -360,6 +364,10 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     "minhash_band_stats",
     # cumulative LTV over cohort x month rollup rows
     "user_ltv",
+    # cumulative counts over the sparse fixed-width bin table (rows =
+    # value range / bin width — metadata-scale by construction)
+    "hist_quantiles",
+    "stream_hist_quantiles",
 }
 
 
