@@ -78,8 +78,10 @@ PROBES: dict[str, tuple[float, str]] = {
     # banded probe; state is signature-scale
     "stream_incremental_dedup": (15.0, "linear: candidates only"),
     # char-shingle minhash banding: candidates scale with corpus x family
-    # size; families constant per the fixture's rotation+suffix transform
+    # size; families constant per the fixture's rotation transform
     "fuzzy_dedup": (15.0, "linear: constant dup-family size"),
+    # one hash aggregate to the sparse bin table; finish is bin-scale
+    "hist_quantiles": (15.0, "linear: one census, metadata finish"),
     "minhash_pairs": (15.0, "linear: constant dup-family size"),
     "image_dedup": (15.0, "linear: banded Hamming candidates + CC"),
 }
