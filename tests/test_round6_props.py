@@ -185,3 +185,42 @@ def test_bpe_encode_random_corpus_roundtrip(spark):
         assert all(t in id2tok for t in ids)
         assert "".join(id2tok[t] for t in ids) == texts[r["doc_id"]].replace(" ", "")
         assert r["n_tokens"] == len(ids)
+
+
+def test_histogram_quantiles_matches_reference(spark):
+    """Random values vs a direct reference: bin by exact cents, cumulative
+    counts, lower-nearest-rank bin per percentile."""
+    rng = random.Random(67)
+    vals = [round(rng.uniform(0, 5000), 2) for _ in range(4000)]
+    bin_cents = 12_800
+    from cassandra_cql_streaming_db_migrator_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([Row(v=float(x)) for x in vals])
+    got = {
+        r["pct"]: (r["bin_id"], r["bin_lo_cents"], r["bin_hi_cents"], r["cum_count"])
+        for r in histogram_quantiles(df, "v").collect()
+    }
+
+    bins: dict[int, int] = {}
+    for x in vals:
+        b = int(math.floor(x * 100 + 0.5)) // bin_cents
+        bins[b] = bins.get(b, 0) + 1
+    n = len(vals)
+    cum = {}
+    acc = 0
+    for b in sorted(bins):
+        acc += bins[b]
+        cum[b] = acc
+    expected = {}
+    for p in (50, 90, 99):
+        target = (n * p + 99) // 100
+        b = min(bb for bb in cum if cum[bb] >= target)
+        expected[p] = (b, b * bin_cents, (b + 1) * bin_cents, cum[b])
+    assert got == expected
+    # every quantile bin must actually CONTAIN the exact order statistic
+    svals = sorted(int(math.floor(x * 100 + 0.5)) for x in vals)
+    for p, (b, lo, hi, _) in expected.items():
+        exact = svals[(n * p + 99) // 100 - 1]
+        assert lo <= exact < hi
