@@ -1040,3 +1040,108 @@ SELECT CAST(h.pct AS BIGINT) AS pct, CAST(c.bin_id AS BIGINT) AS bin_id,
        CAST(c.cum AS BIGINT) AS cum_count
 FROM hits h JOIN cum c USING (bin_id)
 """
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    bin_cents: int = HIST_BIN_CENTS,
+) -> DataFrame:
+    """Per-GROUP fixed-bin histogram quantiles — the form the mergeable
+    quantile sketch ships in production (per-segment price/latency
+    percentiles): state is the sparse (group, bin, count) table, still
+    count-additive under merge; the cumulative window partitions by
+    group (never a single-partition sort), and each group reports its
+    lower-nearest-rank bin per percentile.  Output: (group, pct, bin_id,
+    bin_lo_cents, bin_hi_cents, cum_count) — exact integers throughout.
+    """
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    hist = (
+        df.where(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), cents.alias("__c"))
+        .where(F.col("__c") >= 0)
+        .select("__g", F.expr(f"__c DIV {bin_cents}").alias("bin_id"))
+        .groupBy("__g", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("bin_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("__g"))
+    )
+    pcts = df.sparkSession.createDataFrame(
+        [(p,) for p in percentiles], "pct int"
+    )
+    hits = (
+        cum.crossJoin(F.broadcast(pcts))
+        .where(
+            F.col("cum")
+            >= F.expr("CAST((total * pct + 99) DIV 100 AS LONG)")
+        )
+        .groupBy("__g", "pct")
+        .agg(F.min("bin_id").alias("bin_id"))
+    )
+    return (
+        hits.join(cum.select("__g", "bin_id", "cum"), ["__g", "bin_id"])
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("pct").cast("long").alias("pct"),
+            F.col("bin_id"),
+            (F.col("bin_id") * bin_cents).alias("bin_lo_cents"),
+            ((F.col("bin_id") + 1) * bin_cents).alias("bin_hi_cents"),
+            F.col("cum").alias("cum_count"),
+        )
+    )
+
+
+def grouped_histogram_quantiles_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    bin_cents: int = HIST_BIN_CENTS,
+) -> str:
+    """Oracle twin: identical per-group bins, cumulative counts, and
+    lower-nearest-rank selection (every output CAST to BIGINT — the
+    windowed-sum HUGEINT guard)."""
+    pct_rows = ", ".join(f"({p})" for p in percentiles)
+    return f"""
+WITH hist AS (
+  SELECT {group_col} AS g,
+         CAST(floor({value_col} * 100 + 0.5) AS BIGINT) // {bin_cents}
+           AS bin_id,
+         count(*) AS n
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+    AND CAST(floor({value_col} * 100 + 0.5) AS BIGINT) >= 0
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bin_id, n,
+         sum(n) OVER (PARTITION BY g ORDER BY bin_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(n) OVER (PARTITION BY g) AS total
+  FROM hist
+),
+pcts(pct) AS (VALUES {pct_rows}),
+hits AS (
+  SELECT g, pct, min(bin_id) AS bin_id
+  FROM cum, pcts
+  WHERE cum >= (total * pct + 99) // 100
+  GROUP BY g, pct
+)
+SELECT h.g AS {group_col}, CAST(h.pct AS BIGINT) AS pct,
+       CAST(c.bin_id AS BIGINT) AS bin_id,
+       CAST(c.bin_id * {bin_cents} AS BIGINT) AS bin_lo_cents,
+       CAST((c.bin_id + 1) * {bin_cents} AS BIGINT) AS bin_hi_cents,
+       CAST(c.cum AS BIGINT) AS cum_count
+FROM hits h JOIN cum c ON h.g = c.g AND h.bin_id = c.bin_id
+"""

@@ -308,6 +308,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     # new in round 6, late session (head full -> DRIVER_BACKLOG, rule 1)
     "hist_quantiles": {},
     "stream_hist_quantiles": {},
+    "hist_quantiles_by_type": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -326,6 +327,7 @@ DRIVER_BACKLOG: list[str] = [
     # free head slots queue here (FIFO for the round-7 head).
     "hist_quantiles",
     "stream_hist_quantiles",
+    "hist_quantiles_by_type",
 ]
 
 # Round-6 head: the round-5 DRIVER_BACKLOG drained in FIFO order exactly as

@@ -2025,6 +2025,31 @@ def _hist_quantiles_sql() -> str:
     return histogram_quantiles_sql("lineitem", "l_extendedprice")
 
 
+def hist_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP mergeable quantiles (operators.sketches.
+    grouped_histogram_quantiles): p50/p90/p99 of event value per event
+    type from per-group fixed-bin histograms — the production form of
+    the sketch (per-segment latency/price percentiles); state stays the
+    sparse (group, bin, count) table and the cumulative window
+    partitions by group, never a single-partition sort."""
+    from ..operators.sketches import grouped_histogram_quantiles
+
+    return grouped_histogram_quantiles(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        bin_cents=1000,
+    )
+
+
+def _hist_quantiles_by_type_sql() -> str:
+    from ..operators.sketches import grouped_histogram_quantiles_sql
+
+    return grouped_histogram_quantiles_sql(
+        "events", "event_type", "value", bin_cents=1000
+    )
+
+
 def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed association rules over the event baskets
     (operators.events.association_rules): confidence + lift in exact ppm."""
@@ -2296,6 +2321,12 @@ QUERIES = [
         "join_skew_stats", join_skew_stats, _JOIN_SKEW_SQL,
         "pre-join skew diagnosis: per-key volumes both sides + implied "
         "output share — the 'should I salt?' pre-flight",
+    ),
+    QueryDef(
+        "hist_quantiles_by_type", hist_quantiles_by_type,
+        _hist_quantiles_by_type_sql(),
+        "per-group mergeable histogram quantiles (per-event-type value "
+        "percentiles; group-partitioned cum window, no global sort)",
     ),
     QueryDef(
         "hist_quantiles", hist_quantiles, _hist_quantiles_sql(),

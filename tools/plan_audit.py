@@ -285,6 +285,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # cumulative/total windows and percentile join — everything past the
     # census moves bin-count rows
     "hist_quantiles": 4,
+    # grouped variant: the (group, bin) census + the group-partitioned
+    # cum/total windows and percentile join — post-census exchanges move
+    # (group x bin)-count rows
+    "hist_quantiles_by_type": 4,
     # beam walk over the kNN graph: the per-cell knn kernel's groupBy +
     # the per-hop frontier/neighbor joins; in identity mode the graph
     # build lineage re-prints once per hop branch (3 hops x entry), hence
