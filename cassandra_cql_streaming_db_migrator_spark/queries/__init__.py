@@ -72,50 +72,50 @@ class QueryDef:
 # driver's CORRECTNESS_r{N}.json each round ("green" = rows+schema+hash all
 # true; "fail" = at least one false; absent = not in that round's head).
 DRIVER_HISTORY: dict[str, dict[str, str]] = {
-    "scan_project": {"r01": "green", "r02": "green"},
-    "filter_pushdown": {"r01": "green", "r02": "green"},
-    "filter_memory": {"r01": "green", "r02": "green"},
-    "limit_topk": {"r01": "green", "r02": "green"},
-    "computed_column": {"r01": "green", "r02": "green"},
-    "column_mapping": {"r01": "green", "r02": "green"},
-    "anti_join_if_not_exists": {"r01": "green", "r02": "green"},
-    "counter_merge": {"r01": "fail", "r02": "green"},
-    "ttl_arithmetic": {"r01": "green", "r02": "green"},
-    "dry_run_stats": {"r01": "green", "r02": "green"},
-    "migrate_pipeline": {"r01": "green", "r02": "green"},
-    "q1_pricing_summary": {"r01": "fail", "r02": "green", "r03": "green"},
-    "join_enrich": {"r01": "fail", "r02": "green"},
+    "scan_project": {"r01": "green", "r02": "green", "r06": "green"},
+    "filter_pushdown": {"r01": "green", "r02": "green", "r06": "green"},
+    "filter_memory": {"r01": "green", "r02": "green", "r06": "green"},
+    "limit_topk": {"r01": "green", "r02": "green", "r06": "green"},
+    "computed_column": {"r01": "green", "r02": "green", "r06": "green"},
+    "column_mapping": {"r01": "green", "r02": "green", "r06": "green"},
+    "anti_join_if_not_exists": {"r01": "green", "r02": "green", "r06": "green"},
+    "counter_merge": {"r01": "fail", "r02": "green", "r06": "green"},
+    "ttl_arithmetic": {"r01": "green", "r02": "green", "r06": "green"},
+    "dry_run_stats": {"r01": "green", "r02": "green", "r06": "green"},
+    "migrate_pipeline": {"r01": "green", "r02": "green", "r06": "green"},
+    "q1_pricing_summary": {"r01": "fail", "r02": "green", "r03": "green", "r06": "green"},
+    "join_enrich": {"r01": "fail", "r02": "green", "r06": "green"},
     "join_large": {"r01": "fail", "r02": "green"},
-    "window_running": {"r01": "fail", "r02": "green"},
-    "agg_rollup": {"r01": "fail", "r02": "green"},
+    "window_running": {"r01": "fail", "r02": "green", "r06": "green"},
+    "agg_rollup": {"r01": "fail", "r02": "green", "r06": "green"},
     "agg_cube": {"r01": "fail", "r02": "green"},
     "agg_grouping_sets": {"r01": "fail", "r02": "green"},
     "time_bucket_rollup": {"r01": "fail", "r02": "green"},
     "agg_pivot": {"r01": "fail", "r02": "green"},
     "json_extract": {"r01": "fail", "r02": "green"},
-    "join_asof": {"r01": "green", "r02": "green"},
+    "join_asof": {"r01": "green", "r02": "green", "r06": "green"},
     "join_range": {"r01": "fail", "r02": "green"},
-    "set_except": {"r01": "green", "r02": "green"},
-    "dedup_exact": {"r01": "green", "r02": "green"},
+    "set_except": {"r01": "green", "r02": "green", "r06": "green"},
+    "dedup_exact": {"r01": "green", "r02": "green", "r06": "green"},
     "minhash_pairs": {"r01": "green", "r02": "green"},
-    "fuzzy_dedup": {"r01": "green", "r02": "green"},
+    "fuzzy_dedup": {"r01": "green", "r02": "green", "r06": "green"},
     "llm_prep_pipeline": {"r01": "green", "r02": "green"},
-    "lang_id": {"r01": "green", "r02": "green"},
-    "multimodal_features": {"r01": "green", "r02": "green"},
+    "lang_id": {"r01": "green", "r02": "green", "r06": "green"},
+    "multimodal_features": {"r01": "green", "r02": "green", "r06": "green"},
     "embedding_ann_lsh": {"r02": "green"},
     "embedding_near_dup": {"r02": "green"},
     "embedding_label_top_pairs": {"r02": "green"},
     "multimodal_meta": {"r02": "green"},
     "stream_stream_join": {"r02": "green"},
-    "stream_tumbling_agg": {"r02": "green"},
+    "stream_tumbling_agg": {"r02": "green", "r06": "green"},
     "stream_dedup": {"r02": "green"},
     "stream_session_window": {"r02": "green"},
     "stream_sliding_agg": {"r02": "green"},
     "stream_stateful_stats": {"r02": "green"},
-    "decontaminate": {"r02": "green"},
+    "decontaminate": {"r02": "green", "r06": "green"},
     "split_sample": {"r02": "green"},
     "text_governance": {"r02": "green"},
-    "sequence_pack": {"r02": "fail", "r03": "green"},  # HUGEINT cast fixed
+    "sequence_pack": {"r02": "fail", "r03": "green", "r06": "green"},  # HUGEINT cast fixed
     "stratified_sample": {"r02": "green"},
     "split_leakage": {"r02": "green"},
     "kmv_distinct": {"r02": "green", "r03": "green"},
@@ -129,13 +129,13 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "window_lag_lead": {"r01": "green"},
     "window_analytics": {"r01": "green"},
     "distinct_agg": {"r01": "green"},
-    "agg_percentiles": {"r01": "green"},
+    "agg_percentiles": {"r01": "green", "r06": "green"},
     "lang_stats": {"r01": "green"},
     "token_frequency": {"r01": "green"},
     "multimodal_resize": {"r03": "green"},
     "join_semi": {"r01": "green"},
     "ngram_jaccard": {"r01": "green"},
-    "text_stats": {"r01": "green"},
+    "text_stats": {"r01": "green", "r06": "green"},
     "correlated_subquery": {"r01": "green"},
     "embedding_quantize": {"r03": "green"},
     "stream_quality_gate": {"r03": "green"},
@@ -148,10 +148,10 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "dedup_components": {"r03": "green"},
     "simhash_fingerprint": {"r01": "green"},
     "doc_fingerprint": {"r01": "green"},
-    "embedding_topk": {"r01": "green"},
+    "embedding_topk": {"r01": "green", "r06": "green"},
     "token_count_bpe": {"r01": "green"},
     "window_topk": {"r01": "green"},
-    "embedding_ann_ivf": {"r01": "green"},
+    "embedding_ann_ivf": {"r01": "green", "r06": "green"},
     "sessionize_events": {"r03": "green"},
     "funnel_events": {"r03": "green"},
     "retention_cohorts": {"r03": "green"},
@@ -177,14 +177,14 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q3_shipping_priority": {"r03": "green"},
     "dedup_canonical": {"r03": "green"},
     "minhash_band_stats": {"r03": "green"},
-    "q5_region_revenue": {"r03": "green"},
+    "q5_region_revenue": {"r03": "green", "r06": "green"},
     "q18_top_buyers": {"r03": "green"},
     "knn_join": {"r03": "green"},
     "bigram_pmi": {"r03": "green"},
     "table_profile": {"r03": "green"},
     "cooccurrence_pairs": {"r03": "green"},
     "ann_recall": {"r03": "green"},
-    "join_salted": {"r03": "green"},
+    "join_salted": {"r03": "green", "r06": "green"},
     "head_coverage": {"r03": "green"},
     "cdc_latest": {"r03": "green"},
     "stream_cdc_latest": {"r03": "green"},
@@ -210,10 +210,10 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "image_phash": {"r04": "green"},
     "stream_topk": {"r04": "green"},
     "session_concurrency": {"r04": "green"},
-    "jaccard_pairs": {"r04": "green"},
+    "jaccard_pairs": {"r04": "green", "r06": "green"},
     "sliding_distinct": {"r04": "green"},
     "null_semantics": {"r04": "green"},
-    "bpe_merges": {"r04": "green"},
+    "bpe_merges": {"r04": "green", "r06": "green"},
     "pq_codes": {"r04": "green"},
     "pq_ann": {"r04": "green"},
     "skyline_parts": {"r04": "green"},
@@ -249,10 +249,10 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q17_small_quantity_revenue": {"r05": "green"},
     "q20_potential_promotion": {"r05": "green"},
     "q21_waiting_supplier": {"r05": "green"},
-    "dup_spans": {"r05": "green"},
+    "dup_spans": {"r05": "green", "r06": "green"},
     "stream_zscore": {"r05": "green"},
     "lexical_search": {"r05": "green"},
-    "ivf_pq": {"r05": "green"},
+    "ivf_pq": {"r05": "green", "r06": "green"},
     "link_prediction": {"r05": "green"},
     "image_dedup": {"r05": "green"},
     "user_ltv": {"r05": "green"},
@@ -266,7 +266,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "link_prediction_capped": {"r05": "green"},
     "audience_overlap": {"r05": "green"},
     "hll_distinct": {"r05": "green"},
-    "funnel_attribution": {"r05": "green"},
+    "funnel_attribution": {"r05": "green", "r06": "green"},
     "activity_streaks": {"r05": "green"},
     "seasonal_profile": {"r05": "green"},
     "migration_checksum": {"r05": "green"},
@@ -276,8 +276,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "unpivot_metrics": {"r05": "green"},
     "revenue_deciles": {"r05": "green"},
     "multimodal_tiles": {"r05": "green"},
-    "stream_attribution": {"r05": "green"},
-    "knn_graph": {"r05": "green"},
+    "stream_attribution": {"r05": "green", "r06": "green"},
+    "knn_graph": {"r05": "green", "r06": "green"},
     "ema_prices": {"r05": "green"},
     "percent_rank_report": {"r05": "green"},
     "dedup_recall": {"r05": "green"},
@@ -285,26 +285,26 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "langid_confusion": {"r05": "green"},
     "join_skew_stats": {"r05": "green"},
     "zorder_scan": {"r05": "green"},
-    "dedup_components_star": {"r05": "green"},
+    "dedup_components_star": {"r05": "green", "r06": "green"},
     "stream_checksum": {"r05": "green"},
     "exact_quantiles": {"r05": "green"},
     "id_gap_report": {"r05": "green"},
-    "hll_by_type": {"r05": "green"},
+    "hll_by_type": {"r05": "green", "r06": "green"},
     "join_asof_tolerance": {"r05": "green"},
     "window_frames": {"r05": "green"},
     # new in round 5, late session (head full -> DRIVER_BACKLOG, rule 1)
-    "stream_hll": {},
-    "source_dup_report": {},
+    "stream_hll": {"r06": "green"},
+    "source_dup_report": {"r06": "green"},
     # new in round 6 (head-listed by rule 1)
-    "dup_span_removal": {},
-    "bpe_encode": {},
-    "graph_ann_search": {},
-    "graph_ann_recall": {},
-    "stream_incremental_dedup": {},
-    "mmr_rerank": {},
-    "tokenizer_fertility": {},
-    "lm_quality_filter": {},
-    "bucketed_join": {},
+    "dup_span_removal": {"r06": "green"},
+    "bpe_encode": {"r06": "green"},
+    "graph_ann_search": {"r06": "green"},
+    "graph_ann_recall": {"r06": "green"},
+    "stream_incremental_dedup": {"r06": "green"},
+    "mmr_rerank": {"r06": "green"},
+    "tokenizer_fertility": {"r06": "green"},
+    "lm_quality_filter": {"r06": "green"},
+    "bucketed_join": {"r06": "green"},
     # new in round 6, late session (head full -> DRIVER_BACKLOG, rule 1)
     "hist_quantiles": {},
     "stream_hist_quantiles": {},
@@ -322,78 +322,54 @@ DRIVER_HEAD_CAP = 50
 # row is in DRIVER_HEAD or DRIVER_BACKLOG — nothing unwitnessed is ever
 # silently tail-listed.
 DRIVER_BACKLOG: list[str] = [
-    # round 6: the round-5 FIFO (stream_hll, source_dup_report) drained into
-    # DRIVER_HEAD below (VERDICT r05 ask #1).  Round-6 additions beyond the
-    # free head slots queue here (FIFO for the round-7 head).
+    # round 7: the round-6 FIFO (hist_quantiles, stream_hist_quantiles,
+    # hist_quantiles_by_type) drained into DRIVER_HEAD below (VERDICT r06
+    # ask #1).  Round-7 additions beyond the free head slots queue here
+    # (FIFO for the round-8 head).
+]
+
+# Round-7 head: the round-6 DRIVER_BACKLOG drained in FIFO order exactly as
+# written (VERDICT r06 ask #1) — restoring all-registered-driver-witnessed
+# once these three earn their rows.  New round-7 queries head-list by
+# rule 1; remaining slots go to family-coverage veterans (rule 2).
+DRIVER_HEAD = [
+    # -- round-6 backlog (FIFO)
     "hist_quantiles",
     "stream_hist_quantiles",
     "hist_quantiles_by_type",
-]
-
-# Round-6 head: the round-5 DRIVER_BACKLOG drained in FIFO order exactly as
-# written (VERDICT r05 ask #1) — completing 217/217 driver-witnessed.  The
-# remaining slots go to new round-6 queries (rule 1).
-DRIVER_HEAD = [
-    # -- round-5 backlog (FIFO)
-    "stream_hll",
-    "source_dup_report",
-    # -- rule 1b: materially rewritten in round 6 (ADVICE r05 fixes —
-    # grouped-HLL exact control now counts distinct KEYS like the
-    # ungrouped variant; attribution revenue coalesces to 0 for all-NULL
-    # channels to match the streaming twin's running-sum state)
-    "hll_by_type",
-    "funnel_attribution",
-    "stream_attribution",
-    # -- new in round 6 (rule 1: no driver row yet)
-    "dup_span_removal",
-    "bpe_encode",
-    "graph_ann_search",
-    "graph_ann_recall",
-    "stream_incremental_dedup",
-    "mmr_rerank",
-    "tokenizer_fertility",
-    "lm_quality_filter",
-    "bucketed_join",
+    # -- new in round 7 (rule 1: no driver row yet; entries are inserted
+    # here as each query lands, displacing rule-2 veterans below)
     # -- rule 2: remaining slots filled with veterans chosen for
     # operator-family coverage (all long-green; re-witnessing is free and
     # keeps the driver's 50-row window an explicit, policy-chosen set
     # rather than an implicit registration-order tail)
     "scan_project",
     "filter_pushdown",
-    "filter_memory",
     "computed_column",
-    "column_mapping",
     "anti_join_if_not_exists",
     "counter_merge",
     "ttl_arithmetic",
-    "dry_run_stats",
     "migrate_pipeline",
-    "limit_topk",
     "q1_pricing_summary",
-    "q5_region_revenue",
+    "q9_product_profit",
     "join_enrich",
-    "join_asof",
-    "join_salted",
-    "window_running",
-    "agg_rollup",
-    "agg_percentiles",
-    "set_except",
+    "join_asof_tolerance",
+    "window_frames",
+    "agg_grouping_sets",
+    "set_intersect_all",
     "dedup_exact",
     "fuzzy_dedup",
-    "jaccard_pairs",
+    "dup_span_removal",
     "dedup_components_star",
-    "embedding_topk",
-    "embedding_ann_ivf",
+    "embedding_near_dup",
     "ivf_pq",
-    "knn_graph",
-    "text_stats",
+    "graph_ann_search",
+    "mmr_rerank",
     "lang_id",
-    "bpe_merges",
+    "bpe_encode",
+    "lm_quality_filter",
     "decontaminate",
-    "dup_spans",
-    "sequence_pack",
-    "stream_tumbling_agg",
-    "multimodal_features",
+    "stream_incremental_dedup",
 ]
 
 
