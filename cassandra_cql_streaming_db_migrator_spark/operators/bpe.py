@@ -283,12 +283,22 @@ def bpe_encode_docs(
     order-sensitive poly fold of (id+1) mod 2^61-1 — the repo's
     fingerprint discipline, so downstream aggregates hash-check without
     hauling the id arrays around.
+
+    Out-of-vocabulary symbols: a character absent from ``base_vocab``
+    (the encode corpus differing from the train corpus — the normal
+    production case) maps to the reserved ``<unk>`` id
+    ``len(base_vocab) + len(merges)``, one past every assigned id, so
+    applying a trained tokenizer to a new corpus degrades per-symbol
+    instead of crashing the stage (ADVICE r06).  Merges never apply
+    across an unknown symbol because the merge pair literals are always
+    in-vocab strings.
     """
     ordered = [(l, r) for _, l, r, _ in sorted(merges)]
     vocab = {c: i for i, c in enumerate(base_vocab)}
     n_base = len(base_vocab)
     for rank, l, r, _ in sorted(merges):
         vocab[l + r] = n_base + rank
+    unk_id = n_base + len(merges)
 
     def encode_word(word: str) -> list[int]:
         syms = list(word)
@@ -305,7 +315,7 @@ def bpe_encode_docs(
                     res.append(syms[i])
                     i += 1
             syms = res
-        return [vocab[s] for s in syms]
+        return [vocab.get(s, unk_id) for s in syms]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, list[int]] = {}

@@ -1172,8 +1172,15 @@ def graph_beam_search(
         )
         fresh = score(nodes.join(F.broadcast(nbr_ids), id_col))
         # duplicates carry identical (id, cosine) rows — the same vector
-        # scored by the same fold — so the row-level dedup is exact
-        visited = visited.unionByName(fresh).dropDuplicates([id_col])
+        # scored by the same fold — so the row-level dedup is exact.
+        # materialized() per hop: visited feeds BOTH the next frontier
+        # (limit) and the next union, so without a barrier the unexecuted
+        # plan roughly doubles per hop (ADVICE r06) — same
+        # localCheckpoint-per-round discipline as bpe_train and
+        # connected_components.
+        visited = materialized(
+            visited.unionByName(fresh).dropDuplicates([id_col])
+        )
     return visited.orderBy(F.desc("cosine"), F.col(id_col).asc()).limit(k)
 
 
@@ -1224,9 +1231,15 @@ def mmr_rerank(
 
     import math
 
+    # zero-norm guard (ADVICE r06): a degenerate all-zero embedding gets a
+    # NULL cosine from the engine (0/0 guarded to NULL), and SQL's
+    # NULLS-LAST descending order excludes it from any top-k that has
+    # enough finite candidates — mirror that by dropping NULL-relevance
+    # rows from the pool instead of crashing on float(None).
     pool = [
         (r[id_col], float(r["cosine"]), [float(v) for v in r[vec_col]])
         for r in cands
+        if r["cosine"] is not None
     ]
     norms = {i: math.sqrt(fold_dot(v, v)) for i, _, v in pool}
     selected: list[tuple[int, int, float, float]] = []  # rank, id, rel, score
@@ -1239,7 +1252,12 @@ def mmr_rerank(
             maxsim = 0.0
             first = True
             for sid, sv in chosen:
-                sim = fold_dot(v, sv) / (norms[i] * norms[sid])
+                # zero-norm guard (ADVICE r06): a degenerate all-zero
+                # embedding has no direction, so its similarity to
+                # anything is taken as 0.0 (no diversity penalty) rather
+                # than raising ZeroDivisionError mid-greedy-loop.
+                denom = norms[i] * norms[sid]
+                sim = fold_dot(v, sv) / denom if denom != 0.0 else 0.0
                 if first or sim > maxsim:
                     maxsim, first = sim, False
             score = lam * rel - (1 - lam) * maxsim if chosen else lam * rel

@@ -1966,8 +1966,15 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between shuffling the fact table once per query and
     never: bucket on the PK at ingest, and every later equi-join on that
     key is a zipped per-bucket merge."""
-    from ..sinks.bucketing import read_bucketed, write_bucketed
+    from ..sinks.bucketing import (
+        gc_stale_pid_tables,
+        read_bucketed,
+        write_bucketed,
+    )
 
+    # reap table copies left by dead harness processes (ADVICE r06) —
+    # this process's own tables are overwritten in place per rep
+    gc_stale_pid_tables(spark, ["b_orders_", "b_lineitem_"])
     sfx = _bucket_table_suffix(sf_dir)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"

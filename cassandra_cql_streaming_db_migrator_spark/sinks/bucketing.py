@@ -42,6 +42,44 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def gc_stale_pid_tables(spark: SparkSession, prefixes: list[str]) -> int:
+    """Drop pid-suffixed managed tables left by DEAD processes.
+
+    Queries that need private managed tables in a shared warehouse
+    (bucketed_join, artifact stores) name them ``<prefix>..._<pid>``:
+    stable within a process (bench reps overwrite in place), private
+    across concurrent processes.  The cost is that a process never drops
+    its own tables — the lazy result frame may still be read after the
+    query function returns — so each CALL garbage-collects instead:
+    any matching table whose pid no longer exists is unreadable-by-owner
+    by definition and is dropped (ADVICE r06).  Returns the drop count.
+    """
+    import os
+    import re
+
+    dropped = 0
+    pat = re.compile(
+        r"^(?:"
+        + "|".join(re.escape(p) for p in prefixes)
+        + r")(?:.*_)?(\d+)$"
+    )
+    for t in spark.catalog.listTables():
+        m = pat.match(t.name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe, sends nothing
+        except ProcessLookupError:
+            spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+            dropped += 1
+        except PermissionError:
+            pass  # pid exists under another uid — leave its tables alone
+    return dropped
+
+
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read back with bucketing metadata intact (spark.table preserves the
     output partitioning; a raw parquet path read would not).

@@ -766,14 +766,26 @@ def read_documents_stream_chunked(
     spark: SparkSession,
     docs: DataFrame,
     n_chunks: int = 4,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """A batch documents frame re-exposed as a bounded MULTI-microbatch
     file stream: the frame is written as ``n_chunks`` parquet files into a
     scratch dir and read back with ``maxFilesPerTrigger=1``, so a drained
     run genuinely exercises per-microbatch arrival (the single-file
     fixture symlink of read_documents_stream yields one batch — fine for
-    aggregates, too coarse for an incremental-ingest proof)."""
-    d = tempfile.mkdtemp(prefix="stream_docs_chunks_")
+    aggregates, too coarse for an incremental-ingest proof).
+
+    The scratch dir is registered for removal at interpreter exit
+    (ADVICE r06 — chunks used to outlive the process); a caller that
+    fully drains the stream may reclaim it earlier via shutil.rmtree
+    on the returned frame's source path (streaming_incremental_dedup
+    does)."""
+    import atexit
+    import shutil
+
+    d = scratch_dir or tempfile.mkdtemp(prefix="stream_docs_chunks_")
+    if scratch_dir is None:
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     docs.repartition(n_chunks).write.mode("overwrite").parquet(d)
     schema = spark.read.parquet(d).schema
     return (
@@ -823,7 +835,10 @@ def streaming_incremental_dedup(
     corpus_grams = materialized(
         cross_gram_sets(corpus, "old", text_col, id_col)
     )
-    stream = read_documents_stream_chunked(spark, arrivals, n_chunks)
+    scratch = tempfile.mkdtemp(prefix="stream_docs_chunks_")
+    stream = read_documents_stream_chunked(
+        spark, arrivals, n_chunks, scratch_dir=scratch
+    )
 
     collected: list[pd.DataFrame] = []
 
@@ -847,6 +862,11 @@ def streaming_incremental_dedup(
         query.awaitTermination()
     finally:
         query.stop()
+        # fully drained (availableNow) and the results live in pandas —
+        # the chunk scratch dir is reclaimable immediately (ADVICE r06)
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
 
     schema = (
         f"{id_col}_new long, {id_col}_old long, "

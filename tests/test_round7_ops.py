@@ -1,0 +1,109 @@
+"""Round-7 batteries: the ADVICE r06 hardening fixes (BPE unknown-symbol
+degradation, MMR zero-norm guard, warehouse GC for pid-suffixed tables)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+
+
+# --- bpe_encode: out-of-vocabulary symbols (ADVICE r06 #1) ------------------
+
+def test_bpe_encode_unknown_symbol_maps_to_unk(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.bpe import (
+        bpe_encode_docs,
+    )
+
+    # tokenizer trained on {a, b} with one merge "ab"; encode corpus
+    # contains 'q', never seen at train time
+    base_vocab = ["a", "b"]
+    merges = [(0, "a", "b", 7)]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="ab q a"), Row(doc_id=2, text="qq")]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode_docs(df, merges, base_vocab).collect()
+    }
+    unk = len(base_vocab) + len(merges)  # one past every assigned id
+    # doc 1: "ab" -> merge id 2, "q" -> unk, "a" -> 0
+    assert out[1]["token_ids"] == [2, unk, 0]
+    assert out[1]["n_tokens"] == 3
+    # doc 2: both chars unknown — degrades, does not crash the stage
+    assert out[2]["token_ids"] == [unk, unk]
+
+
+def test_bpe_encode_unk_does_not_shift_known_ids(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.bpe import (
+        bpe_encode_docs,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text="b a")])
+    out = bpe_encode_docs(df, [], ["a", "b"]).collect()[0]
+    assert out["token_ids"] == [1, 0]
+
+
+# --- mmr_rerank: zero-norm guard (ADVICE r06 #3) ----------------------------
+
+def test_mmr_zero_norm_candidate_does_not_crash(spark):
+    from cassandra_cql_streaming_db_migrator_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # 6 unit-ish vectors plus one all-zero embedding; with k_candidates
+    # covering the whole frame the zero-norm row reaches the greedy loop
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 0.0]),  # degenerate
+        Row(vec_id=3, embedding=[0.5, 0.5]),
+        Row(vec_id=4, embedding=[0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows)
+    query = spark.createDataFrame([Row(embedding=[1.0, 0.0])])
+    out = mmr_rerank(emb, query, k=4, k_candidates=5).collect()
+    assert len(out) == 4
+    # rank 1 is the most relevant non-degenerate match
+    assert out[0]["rank"] == 1
+
+
+# --- warehouse GC for pid-suffixed tables (ADVICE r06 #4) -------------------
+
+def test_gc_stale_pid_tables_drops_dead_keeps_live(spark):
+    from cassandra_cql_streaming_db_migrator_spark.sinks.bucketing import (
+        gc_stale_pid_tables,
+    )
+
+    dead_pid = 2 ** 22 + 12345  # beyond pid_max default — never alive
+    live = f"b_orders_gc_test_{os.getpid()}"
+    dead = f"b_orders_gc_test_{dead_pid}"
+    df = spark.createDataFrame([Row(o_orderkey=1)])
+    for t in (live, dead):
+        df.write.mode("overwrite").format("parquet").saveAsTable(t)
+    try:
+        dropped = gc_stale_pid_tables(spark, ["b_orders_gc_test_"])
+        assert dropped >= 1
+        names = {t.name for t in spark.catalog.listTables()}
+        assert live in names
+        assert dead not in names
+    finally:
+        for t in (live, dead):
+            spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+
+
+def test_gc_ignores_unrelated_tables(spark):
+    from cassandra_cql_streaming_db_migrator_spark.sinks.bucketing import (
+        gc_stale_pid_tables,
+    )
+
+    other = "unrelated_gc_test_99999999"
+    spark.createDataFrame([Row(x=1)]).write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(other)
+    try:
+        gc_stale_pid_tables(spark, ["b_orders_gc_test_"])
+        names = {t.name for t in spark.catalog.listTables()}
+        assert other in names
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{other}`")
