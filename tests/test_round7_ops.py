@@ -92,6 +92,29 @@ def test_gc_stale_pid_tables_drops_dead_keeps_live(spark):
             spark.sql(f"DROP TABLE IF EXISTS `{t}`")
 
 
+def test_dagscheduler_accumulator_race_filter_attached(spark):
+    # bench-tail hygiene (VERDICT r06): the benign localCheckpoint/
+    # ContextCleaner accumulator race must not print ERROR lines into the
+    # driver-captured tail.  The filter is message-precise and scoped to
+    # the DAGScheduler logger — other DAGScheduler ERRORs still log.
+    jvm = spark.sparkContext._jvm
+    ctx = jvm.org.apache.logging.log4j.core.LoggerContext.getContext(False)
+    name = "org.apache.spark.scheduler.DAGScheduler"
+    logger_cfg = ctx.getConfiguration().getLoggerConfig(name)
+    assert logger_cfg.getName() == name  # dedicated config, not root
+    flt = logger_cfg.getFilter()
+    assert flt is not None
+    result = jvm.org.apache.logging.log4j.core.Filter.Result
+    level_error = jvm.org.apache.logging.log4j.Level.ERROR
+    suppressed = flt.filter(
+        None, level_error, None,
+        "Failed to update accumulator 5 (internal.metrics.x) for task 3.0",
+    )
+    kept = flt.filter(None, level_error, None, "Job 7 failed: collect")
+    assert str(suppressed) == "DENY"
+    assert str(kept) == "NEUTRAL"
+
+
 def test_gc_ignores_unrelated_tables(spark):
     from cassandra_cql_streaming_db_migrator_spark.sinks.bucketing import (
         gc_stale_pid_tables,
