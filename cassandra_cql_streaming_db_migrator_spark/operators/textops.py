@@ -515,8 +515,43 @@ def doc_trigram_counts(
     return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
-def trigram_lm_score(
+def _trigram_model_from_counts(doc_tris: DataFrame) -> DataFrame:
+    """The trigram LM model table (__tri, __p) from a per-doc trigram
+    count frame.  Charset-bounded (``|charset|^3`` rows max) however
+    large the corpus — the broadcastable/saveable trained structure."""
+    c3 = doc_tris.groupBy("__tri").agg(F.sum("__cnt").alias("__c3"))
+    # aggregate the prefix table straight off the materialized per-doc frame
+    # (deriving it from c3 would recompute the c3 aggregate in a second
+    # plan branch); the prefix of a packed trigram is an integer shift
+    c2 = doc_tris.groupBy(F.shiftright("__tri", 21).alias("__pre")).agg(
+        F.sum("__cnt").alias("__c2")
+    )
+    # both model tables are charset-bounded: broadcast the prefix table
+    return c3.join(
+        F.broadcast(c2), F.shiftright(c3["__tri"], 21) == c2["__pre"], "inner"
+    ).select(
+        "__tri", (F.col("__c3").cast("double") / F.col("__c2")).alias("__p")
+    )
+
+
+def trigram_lm_model(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """TRAIN the corpus trigram LM and return the model table (__tri, __p)
+    — the persistable artifact (sinks.artifacts): integer-exact counts in,
+    one double division out, so a parquet round trip reproduces scores
+    bit-for-bit when passed back via ``trigram_lm_score(df, model=...)``."""
+    doc_tris = materialized(
+        doc_trigram_counts(df, text_col=text_col, id_col=id_col)
+    )
+    return _trigram_model_from_counts(doc_tris)
+
+
+def trigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """In-corpus character-trigram LM fluency score: train trigram
     statistics over the whole corpus, then score each document by the mean
@@ -547,17 +582,8 @@ def trigram_lm_score(
     doc_tris = materialized(
         doc_trigram_counts(df, text_col=text_col, id_col=id_col)
     )
-    c3 = doc_tris.groupBy("__tri").agg(F.sum("__cnt").alias("__c3"))
-    # aggregate the prefix table straight off the materialized per-doc frame
-    # (deriving it from c3 would recompute the c3 aggregate in a second
-    # plan branch); the prefix of a packed trigram is an integer shift
-    c2 = doc_tris.groupBy(F.shiftright("__tri", 21).alias("__pre")).agg(
-        F.sum("__cnt").alias("__c2")
-    )
-    # both model tables are charset-bounded: broadcast the prefix table
-    model = c3.join(
-        F.broadcast(c2), F.shiftright(c3["__tri"], 21) == c2["__pre"], "inner"
-    ).select("__tri", (F.col("__c3").cast("double") / F.col("__c2")).alias("__p"))
+    if model is None:
+        model = _trigram_model_from_counts(doc_tris)
     scored = doc_tris.join(F.broadcast(model), "__tri")
     return (
         scored.groupBy(id_col)

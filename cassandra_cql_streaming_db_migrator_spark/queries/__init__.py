@@ -309,6 +309,11 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "hist_quantiles": {},
     "stream_hist_quantiles": {},
     "hist_quantiles_by_type": {},
+    # new in round 7 (head-listed by rule 1)
+    "ivf_pq_from_artifacts": {},
+    "graph_ann_from_artifacts": {},
+    "bpe_encode_from_artifacts": {},
+    "lm_score_from_artifacts": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -339,6 +344,10 @@ DRIVER_HEAD = [
     "hist_quantiles_by_type",
     # -- new in round 7 (rule 1: no driver row yet; entries are inserted
     # here as each query lands, displacing rule-2 veterans below)
+    "ivf_pq_from_artifacts",
+    "graph_ann_from_artifacts",
+    "bpe_encode_from_artifacts",
+    "lm_score_from_artifacts",
     # -- rule 2: remaining slots filled with veterans chosen for
     # operator-family coverage (all long-green; re-witnessing is free and
     # keeps the driver's 50-row window an explicit, policy-chosen set

@@ -1719,7 +1719,6 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference; an unrecognized fixture yields zero oracle rows (loud
     stale-pin failure)."""
     from ..operators.bpe import (
-        ENCODE_FP_MOD,
         base_char_vocab,
         bpe_encode_docs,
         bpe_train,
@@ -1729,7 +1728,15 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(word_census(docs), n_merges=20)
     vocab = base_char_vocab(docs)
-    encoded = bpe_encode_docs(docs, merges, vocab)
+    return _bpe_len_bucket_census(bpe_encode_docs(docs, merges, vocab))
+
+
+def _bpe_len_bucket_census(encoded: DataFrame) -> DataFrame:
+    """The word-length-bucket compression census shared by bpe_encode and
+    bpe_encode_from_artifacts — both must produce the identical report,
+    which is exactly the saved-tokenizer fidelity gate."""
+    from ..operators.bpe import ENCODE_FP_MOD
+
     return (
         encoded.groupBy(
             F.expr("n_words DIV 20").cast("long").alias("len_bucket")
@@ -2348,6 +2355,121 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi_topk(load_table(spark, sf_dir, "documents"), k=30)
 
 
+# ---------------------------------------------------------------------------
+# Trained-artifact persistence (VERDICT r06 ask #2): every *_from_artifacts
+# query is the BUILD-ONCE / SERVE-MANY form of its inline-training original
+# — train+save on first call (per fixture per process), then LOAD the saved
+# structure and serve from it.  Each shares its oracle SQL with the
+# original: the driver hash pass is therefore an end-to-end proof that the
+# parquet round trip of the trained structure is value-exact (the
+# bucketed_join write-then-read discipline applied to indexes and models).
+# The reference analog is its initialize-time build-once contract
+# (DataMigrationProcess.java:106-135: statements prepared and MVEL compiled
+# once per pipeline, never per row/run).
+
+
+def ivf_pq_from_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from the SAVED index: first call builds and persists
+    codes + coarse centroids + PQ codebooks (operators.clustering.
+    ivf_pq_build); every call after loads and serves — cell probe + ADC
+    over the integer code table, zero training.  Same oracle as ivf_pq:
+    load-then-serve must hash-equal train-then-serve."""
+    from ..operators.clustering import (
+        _query_vector,
+        ivf_pq_build,
+        ivf_pq_serve,
+    )
+    from ..sinks.artifacts import artifact_store, has_artifact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+    if not has_artifact(store, "ivfpq_codes"):
+        ivf_pq_build(emb, store, n_cells=8)
+    qv = _query_vector(emb, 0, "embedding", "vec_id", 4, 16)
+    return ivf_pq_serve(spark, store, qv, topk=10, n_probe=2)
+
+
+def graph_ann_from_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN served from the SAVED index: node table (id, cell,
+    embedding — the by-id-probe layout) and kNN edge table persisted on
+    first call, then the beam walk runs entirely over loaded frames.
+    Same oracle as graph_ann_search."""
+    from ..operators.caching import materialized
+    from ..operators.similarity import (
+        block_knn_edges,
+        graph_beam_search,
+        ivf_cell_assign,
+    )
+    from ..sinks.artifacts import (
+        artifact_store,
+        has_artifact,
+        load_artifact,
+        save_artifact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+    if not (
+        has_artifact(store, "graph_nodes")
+        and has_artifact(store, "graph_edges")
+    ):
+        nodes = materialized(ivf_cell_assign(emb, n_cells=16))
+        save_artifact(nodes, store, "graph_nodes")
+        save_artifact(block_knn_edges(nodes, k=3), store, "graph_edges")
+    nodes = load_artifact(spark, store, "graph_nodes")
+    edges = load_artifact(spark, store, "graph_edges")
+    query = emb.filter(F.col("vec_id") == 0)
+    return graph_beam_search(nodes, edges, query, k=10, beam=4, hops=3)
+
+
+def bpe_encode_from_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with a SAVED tokenizer: merges + base vocab persisted
+    on first call (the tokenizer file), then every encode loads the two
+    metadata-scale tables and runs the zero-shuffle Arrow kernel.  Same
+    pinned oracle as bpe_encode — a hash pass proves the saved tokenizer
+    reproduces every token id of every document."""
+    from ..operators.bpe import base_char_vocab, bpe_encode_docs, bpe_train, word_census
+    from ..sinks.artifacts import (
+        artifact_store,
+        has_artifact,
+        load_bpe_tokenizer,
+        save_bpe_tokenizer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = artifact_store(sf_dir)
+    if not (
+        has_artifact(store, "bpe_merges") and has_artifact(store, "bpe_vocab")
+    ):
+        merges = bpe_train(word_census(docs), n_merges=20)
+        vocab = base_char_vocab(docs)
+        save_bpe_tokenizer(spark, store, merges, vocab)
+    merges, vocab = load_bpe_tokenizer(spark, store)
+    return _bpe_len_bucket_census(bpe_encode_docs(docs, merges, vocab))
+
+
+def lm_score_from_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM scoring with a SAVED model: the charset-bounded
+    (__tri, __p) model table persisted on first call, then scoring joins
+    docs against the loaded broadcastable model — the CCNet serving shape
+    (score a new crawl against a FIXED reference LM).  Same oracle as
+    trigram_lm: doubles round-trip parquet bit-exactly."""
+    from ..operators.textops import trigram_lm_model, trigram_lm_score
+    from ..sinks.artifacts import (
+        artifact_store,
+        has_artifact,
+        load_artifact,
+        save_artifact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = artifact_store(sf_dir)
+    if not has_artifact(store, "trigram_lm_model"):
+        save_artifact(trigram_lm_model(docs), store, "trigram_lm_model")
+    model = load_artifact(spark, store, "trigram_lm_model")
+    return trigram_lm_score(docs, model=model)
+
+
 QUERIES = [
     QueryDef("multimodal_framesample", multimodal_framesample,
              _MULTIMODAL_FRAMESAMPLE_SQL,
@@ -2414,6 +2536,10 @@ QUERIES = [
              "graph-ANN read path: deterministic beam walk over the kNN "
              "graph (entry at quantizer ids, beam 4, 3 hops, id "
              "tie-breaks) — the walk itself hash-checks"),
+    QueryDef("graph_ann_from_artifacts", graph_ann_from_artifacts,
+             _GRAPH_ANN_SEARCH_SQL,
+             "graph-ANN served from the SAVED node+edge tables "
+             "(build-once/serve-many): beam walk over loaded frames"),
     QueryDef("graph_ann_recall", graph_ann_recall, _GRAPH_ANN_RECALL_SQL,
              "recall@10 of the graph beam walk vs exact cosine over the "
              "graph node universe (the per-index quality-gauge "
@@ -2447,6 +2573,10 @@ QUERIES = [
     QueryDef("trigram_lm", trigram_lm, _TRIGRAM_LM_SQL,
              "corpus-trained char-trigram LM fluency score per doc "
              "(mean conditional probability)"),
+    QueryDef("lm_score_from_artifacts", lm_score_from_artifacts,
+             _TRIGRAM_LM_SQL,
+             "trigram-LM scoring against the SAVED model table — the "
+             "score-a-new-crawl-against-a-fixed-LM serving shape"),
     QueryDef("pq_recall", pq_recall, _PQ_RECALL_SQL,
              "recall@10 of the PQ ADC path vs exact L2 ground truth"),
     QueryDef("ivf_pq_recall", ivf_pq_recall, _ivf_pq_recall_sql(),
@@ -2455,6 +2585,10 @@ QUERIES = [
     QueryDef("ivf_pq", ivf_pq, _ivf_pq_sql(),
              "composed IVF+PQ ANN (FAISS-IVFPQ shape): coarse cells prune "
              "the scan, ADC ranks from codes — hash-checkable end to end"),
+    QueryDef("ivf_pq_from_artifacts", ivf_pq_from_artifacts, _ivf_pq_sql(),
+             "IVF-PQ served from the SAVED index (build-once/serve-many): "
+             "load codes+centroids+codebooks, probe + ADC — load-then-serve "
+             "hash-equals train-then-serve"),
     QueryDef("pq_ann", pq_ann, _PQ_ANN_SQL,
              "PQ asymmetric-distance ANN top-k: codes + lookup tables, "
              "no per-row vector math"),
@@ -2477,6 +2611,10 @@ QUERIES = [
              "BPE apply path: distributed document encoding to token ids "
              "(tokenizer-as-closure Arrow kernel, zero-shuffle stage), "
              "length-bucket compression census with id fingerprints"),
+    QueryDef("bpe_encode_from_artifacts", bpe_encode_from_artifacts,
+             _BPE_ENCODE_SQL,
+             "BPE encoding with a SAVED tokenizer (merges+vocab tables): "
+             "the saved tokenizer reproduces every token id"),
     QueryDef("jaccard_pairs", jaccard_pairs, _JACCARD_PAIRS_SQL,
              "exact Jaccard set-similarity self-join via AllPairs prefix "
              "filtering (quadratic-definition oracle)"),
