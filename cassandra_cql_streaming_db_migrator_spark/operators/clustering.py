@@ -904,6 +904,24 @@ def _query_vector(df, query_id, vec_col, id_col, m, sub_dim):
     return [float(x) for x in qrow[0][0]]
 
 
+def _query_vectors(df, n_queries, vec_col, id_col, m, sub_dim):
+    """Batch twin of :func:`_query_vector`: ONE collect for the whole
+    query set (ids below ``n_queries``), not one round trip per query."""
+    rows = (
+        df.where(
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) >= m * sub_dim)
+        )
+        .where(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"ivf_pq_serve_batch: no query ids < {n_queries}")
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+
 def _probe_cells(qv, cell_ids, cvecs, n_probe, m, sub_dim):
     probe = sorted(
         (_full_dist(qv, cv, m, sub_dim), cid)
@@ -1001,9 +1019,14 @@ def ivf_pq_build(
         "cell",
         *[F.col(f"__cid{s}").alias(f"cid{s}") for s in range(m)],
     )
-    save_artifact(codes, store, "ivfpq_codes")
+    # Commit order matters (ADVICE r07): serve paths gate the rebuild on
+    # ``ivfpq_codes``, so it must be the LAST artifact to commit — a build
+    # that dies mid-save then leaves the gate open and the next call
+    # retrains instead of crashing in load_pq_codebooks on a half-built
+    # store.
     save_coarse_centroids(frame.sparkSession, store, cell_ids, cvecs)
     save_pq_codebooks(frame.sparkSession, store, cents)
+    save_artifact(codes, store, "ivfpq_codes")
 
 
 def ivf_pq_serve(
@@ -1039,6 +1062,75 @@ def ivf_pq_serve(
         .select(F.col(id_col), "cell", adc.alias("adc_dist"))
         .orderBy("adc_dist", id_col)
         .limit(topk)
+    )
+
+
+def ivf_pq_serve_batch(
+    spark: SparkSession,
+    store: str,
+    queries: list[tuple[object, list[float]]],
+    topk: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    m: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """SERVE a query SET from the saved index (VERDICT r07 ask #3 — the
+    thousand-queries-one-index shape the artifact store exists for): ONE
+    scan of the integer codes table regardless of query count.
+
+    Driver side (metadata-scale, like the single-query path): per query,
+    the ``n_probe`` closest cells and the m ADC lookup tables — |Q| x
+    n_probe rows of (query_id, cell, lut0..lut{m-1}) that BROADCAST into
+    the codes join.  Executor side, pure Catalyst: an equality join on
+    ``cell`` (each codes row meets only the queries probing its cell, so
+    the join output is bounded by codes x queries-per-cell, never
+    |Q| x corpus), the same element_at ADC fold as ``_adc_expr`` with the
+    LUT riding as a column, and a per-query top-k window with the single-
+    query path's exact total order (adc_dist, id) — so each query's rows
+    hash-equal what :func:`ivf_pq_serve` returns for it alone (pinned by
+    test).
+
+    Output: (query_id, id, cell, adc_dist, rn), rn = 1..topk per query.
+    """
+    from pyspark.sql import Row, Window
+
+    from ..sinks.artifacts import (
+        load_artifact,
+        load_coarse_centroids,
+        load_pq_codebooks,
+    )
+
+    cents = load_pq_codebooks(spark, store)
+    cell_ids, cvecs = load_coarse_centroids(spark, store)
+    probe_rows = []
+    for qid, qv in queries:
+        qv = [float(x) for x in qv]
+        luts = _adc_luts(qv, cents, m, sub_dim)
+        for cell in _probe_cells(qv, cell_ids, cvecs, n_probe, m, sub_dim):
+            probe_rows.append(
+                Row(
+                    query_id=qid,
+                    cell=int(cell),
+                    **{f"__lut{s}": luts[s] for s in range(m)},
+                )
+            )
+    codes = load_artifact(spark, store, "ivfpq_codes")
+    qid_type = "long" if isinstance(queries[0][0], int) else "string"
+    qdf = spark.createDataFrame(
+        probe_rows,
+        f"query_id {qid_type}, cell long, "
+        + ", ".join(f"__lut{s} array<double>" for s in range(m)),
+    )
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(F.col(f"__lut{s}"), F.col(f"cid{s}") + 1)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", id_col)
+    return (
+        codes.join(F.broadcast(qdf), "cell")
+        .select("query_id", F.col(id_col), "cell", adc.alias("adc_dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
     )
 
 
@@ -1144,6 +1236,125 @@ JOIN vass ON vass.vid = q0.vid
 JOIN probe ON probe.cell = vass.cell
 ORDER BY adc_dist, q0.vid
 LIMIT {topk}"""
+    )
+
+
+def ivf_pq_ann_batch_sql(
+    table: str = "embeddings",
+    n_queries: int = 8,
+    topk: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> str:
+    """Oracle twin of :func:`ivf_pq_serve_batch` (VERDICT r07 ask #3):
+    :func:`ivf_pq_ann_sql` generalized from one hardcoded query id to the
+    query set ``{id_col} < n_queries`` — the probe list and the final
+    top-k become per-query row_number windows with the single-query
+    version's exact total orders ((dist, cell) and (adc_dist, id)), so
+    each query's rows hash-equal its single-query oracle."""
+    guarded = (
+        f"(SELECT * FROM {table} WHERE {vec_col} IS NOT NULL "
+        f"AND len({vec_col}) >= {m * sub_dim})"
+    )
+    parts: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.extend(
+            _lloyd_cte_parts(
+                guarded, k, iterations, f"{vec_col}[{lo}:{hi}]", id_col,
+                prefix=f"q{s}",
+            )
+        )
+    qsubs = ", ".join(
+        f"list_transform({vec_col}[{s * sub_dim + 1}:{(s + 1) * sub_dim}], "
+        f"x -> CAST(x AS DOUBLE)) AS qs{s}"
+        for s in range(m)
+    )
+    parts.append(
+        f"qv AS (SELECT g.{id_col} AS query_id, {qsubs} FROM {guarded} g "
+        f"WHERE g.{id_col} < {n_queries})"
+    )
+    parts.append(
+        f"cents AS (SELECT {id_col} AS cell, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cv "
+        f"FROM {guarded} g WHERE g.{id_col} < {n_cells})"
+    )
+
+    def sub_fold(vec_expr, cent_expr, s):
+        off = s * sub_dim
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+            f"i -> ({vec_expr}[i] - {cent_expr}[{off} + i])"
+            f" * ({vec_expr}[i] - {cent_expr}[{off} + i])))"
+        )
+
+    vjoins = " ".join(
+        f"JOIN q{s}v v{s} ON v{s}.{id_col} = v0.{id_col}"
+        for s in range(1, m)
+    )
+    vdist = " + ".join(sub_fold(f"v{s}.e", "c.cv", s) for s in range(m))
+    parts.append(
+        f"""cdist AS (
+  SELECT v0.{id_col} AS vid, c.cell, {vdist} AS dist
+  FROM q0v v0 {vjoins} CROSS JOIN cents c
+)"""
+    )
+    parts.append(
+        """vass AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, cell) AS rn
+    FROM cdist) r
+  WHERE rn = 1
+)"""
+    )
+    qdist = " + ".join(sub_fold(f"qv.qs{s}", "c.cv", s) for s in range(m))
+    parts.append(
+        f"""probe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+    FROM (SELECT qv.query_id, c.cell, {qdist} AS dist
+          FROM cents c CROSS JOIN qv) d
+  ) p WHERE rn <= {n_probe}
+)"""
+    )
+    joins = " ".join(
+        f"JOIN q{s}af_ q{s} ON q{s}.vid = q0.vid" for s in range(1, m)
+    )
+    cjoins = " ".join(
+        f"JOIN q{s}c{iterations} cc{s} ON cc{s}.cid = q{s}.cid"
+        for s in range(m)
+    )
+    adc = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+        f"i -> (qv.qs{s}[i] - cc{s}.c[i]) * (qv.qs{s}[i] - cc{s}.c[i])))"
+        for s in range(m)
+    )
+    parts.append(
+        f"""scored AS (
+  SELECT qv.query_id, q0.vid, vass.cell, {adc} AS adc_dist
+  FROM q0af_ q0 {joins} {cjoins} CROSS JOIN qv
+  JOIN vass ON vass.vid = q0.vid
+  JOIN probe ON probe.query_id = qv.query_id AND probe.cell = vass.cell
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, vid AS {id_col}, cell, adc_dist, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist, vid) AS rn
+  FROM scored) r
+WHERE rn <= {topk}"""
     )
 
 

@@ -210,6 +210,49 @@ def lsh_ann_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def lsh_ann_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Approximate top-k PER QUERY over a query SET (VERDICT r07 ask #3:
+    production retrieval serves batches, not ``vec_id = 0``).  One corpus
+    bucketing pass regardless of query count: the bucketed query frame
+    rides as a BROADCAST, candidates are the bucket-equality join (cost ~
+    corpus rows x queries-per-bucket, never |Q| corpus scans), and the
+    per-query exact top-k is one window partitioned by query id —
+    deterministic total order (cosine DESC, id ASC), so the whole batch
+    hash-checks.
+
+    Output: (query_id, id, cosine, rn), rn = 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    bucketed = with_bucket_ids(embeddings, vec_col, n_bits, engine=engine)
+    q = F.broadcast(
+        with_bucket_ids(queries, vec_col, n_bits, engine=engine).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__query_vec"),
+            F.col("__bucket").alias("__qbucket"),
+        )
+    )
+    scored = bucketed.join(q, bucketed["__bucket"] == q["__qbucket"]).select(
+        "query_id",
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__query_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
 def _seq_fold_dots(mat_a, mat_b):
     """Pairwise dot products as the SAME sequential left-fold the HOF/SQL
     versions use — a python loop over dimensions, vectorized across rows:
@@ -1182,6 +1225,87 @@ def graph_beam_search(
             visited.unionByName(fresh).dropDuplicates([id_col])
         )
     return visited.orderBy(F.desc("cosine"), F.col(id_col).asc()).limit(k)
+
+
+def graph_beam_search_batch(
+    nodes: DataFrame,
+    edges: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 4,
+    hops: int = 3,
+    n_entry: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Beam walk PER QUERY over a query SET (VERDICT r07 ask #3) — the
+    batched twin of :func:`graph_beam_search`, same entry points, beam,
+    hop count, and total orders, with every walk state keyed by
+    (query_id, node id):
+
+      * the per-hop ``limit beam`` becomes a row_number window partitioned
+        by query id — the frontier CUT is per query, so each query's walk
+        is EXACTLY the walk the single-query operator takes (pinned by
+        test against per-query graph_beam_search runs);
+      * frontiers/neighbor sets stay metadata-scale — O(|Q| * beam *
+        degree) ids per hop — and ride broadcast joins; the node table is
+        only ever probed BY ID, and one probe serves all queries that
+        requested the node (the thousand-queries-one-index shape the
+        artifact store exists for);
+      * scoring is the same Catalyst sequential fold, so the batch
+        hash-checks against the unrolled per-query CTE oracle.
+
+    Output: (query_id, id, cosine, rn), rn = 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col(id_col).asc()
+    )
+    out_edges = edges.select(id_col, "nbr_id")
+    visited = (
+        nodes.where(F.col(id_col) < n_entry)
+        .crossJoin(q)
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+    )
+    for _ in range(hops):
+        frontier = (
+            visited.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", id_col)
+        )
+        nbr_ids = (
+            out_edges.join(F.broadcast(frontier), id_col)
+            .select("query_id", F.col("nbr_id").alias(id_col))
+            .distinct()
+        )
+        fresh = (
+            nodes.join(F.broadcast(nbr_ids), id_col)
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                id_col,
+                cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+            )
+        )
+        # identical (query_id, id) rows carry identical cosines (same
+        # vector, same fold), so the dedup is exact; materialized() per
+        # hop for the same plan-doubling reason as the single-query walk
+        visited = materialized(
+            visited.unionByName(fresh).dropDuplicates(["query_id", id_col])
+        )
+    return visited.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
 
 
 def mmr_rerank(

@@ -72,38 +72,38 @@ class QueryDef:
 # driver's CORRECTNESS_r{N}.json each round ("green" = rows+schema+hash all
 # true; "fail" = at least one false; absent = not in that round's head).
 DRIVER_HISTORY: dict[str, dict[str, str]] = {
-    "scan_project": {"r01": "green", "r02": "green", "r06": "green"},
-    "filter_pushdown": {"r01": "green", "r02": "green", "r06": "green"},
-    "filter_memory": {"r01": "green", "r02": "green", "r06": "green"},
-    "limit_topk": {"r01": "green", "r02": "green", "r06": "green"},
-    "computed_column": {"r01": "green", "r02": "green", "r06": "green"},
-    "column_mapping": {"r01": "green", "r02": "green", "r06": "green"},
-    "anti_join_if_not_exists": {"r01": "green", "r02": "green", "r06": "green"},
-    "counter_merge": {"r01": "fail", "r02": "green", "r06": "green"},
-    "ttl_arithmetic": {"r01": "green", "r02": "green", "r06": "green"},
-    "dry_run_stats": {"r01": "green", "r02": "green", "r06": "green"},
-    "migrate_pipeline": {"r01": "green", "r02": "green", "r06": "green"},
-    "q1_pricing_summary": {"r01": "fail", "r02": "green", "r03": "green", "r06": "green"},
-    "join_enrich": {"r01": "fail", "r02": "green", "r06": "green"},
+    "scan_project": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
+    "filter_pushdown": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
+    "filter_memory": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
+    "limit_topk": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
+    "computed_column": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
+    "column_mapping": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
+    "anti_join_if_not_exists": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
+    "counter_merge": {"r01": "fail", "r02": "green", "r06": "green", "r07": "green"},
+    "ttl_arithmetic": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
+    "dry_run_stats": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
+    "migrate_pipeline": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
+    "q1_pricing_summary": {"r01": "fail", "r02": "green", "r03": "green", "r06": "green", "r07": "green"},
+    "join_enrich": {"r01": "fail", "r02": "green", "r06": "green", "r07": "green"},
     "join_large": {"r01": "fail", "r02": "green"},
     "window_running": {"r01": "fail", "r02": "green", "r06": "green"},
     "agg_rollup": {"r01": "fail", "r02": "green", "r06": "green"},
     "agg_cube": {"r01": "fail", "r02": "green"},
-    "agg_grouping_sets": {"r01": "fail", "r02": "green"},
+    "agg_grouping_sets": {"r01": "fail", "r02": "green", "r07": "green"},
     "time_bucket_rollup": {"r01": "fail", "r02": "green"},
     "agg_pivot": {"r01": "fail", "r02": "green"},
     "json_extract": {"r01": "fail", "r02": "green"},
     "join_asof": {"r01": "green", "r02": "green", "r06": "green"},
     "join_range": {"r01": "fail", "r02": "green"},
     "set_except": {"r01": "green", "r02": "green", "r06": "green"},
-    "dedup_exact": {"r01": "green", "r02": "green", "r06": "green"},
+    "dedup_exact": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
     "minhash_pairs": {"r01": "green", "r02": "green"},
-    "fuzzy_dedup": {"r01": "green", "r02": "green", "r06": "green"},
+    "fuzzy_dedup": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
     "llm_prep_pipeline": {"r01": "green", "r02": "green"},
-    "lang_id": {"r01": "green", "r02": "green", "r06": "green"},
+    "lang_id": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
     "multimodal_features": {"r01": "green", "r02": "green", "r06": "green"},
     "embedding_ann_lsh": {"r02": "green"},
-    "embedding_near_dup": {"r02": "green"},
+    "embedding_near_dup": {"r02": "green", "r07": "green"},
     "embedding_label_top_pairs": {"r02": "green"},
     "multimodal_meta": {"r02": "green"},
     "stream_stream_join": {"r02": "green"},
@@ -112,7 +112,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_session_window": {"r02": "green"},
     "stream_sliding_agg": {"r02": "green"},
     "stream_stateful_stats": {"r02": "green"},
-    "decontaminate": {"r02": "green", "r06": "green"},
+    "decontaminate": {"r02": "green", "r06": "green", "r07": "green"},
     "split_sample": {"r02": "green"},
     "text_governance": {"r02": "green"},
     "sequence_pack": {"r02": "fail", "r03": "green", "r06": "green"},  # HUGEINT cast fixed
@@ -125,7 +125,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "set_union": {"r01": "green"},
     "set_intersect": {"r01": "green"},
     "set_except_all": {"r01": "green"},
-    "set_intersect_all": {"r01": "green"},
+    "set_intersect_all": {"r01": "green", "r07": "green"},
     "window_lag_lead": {"r01": "green"},
     "window_analytics": {"r01": "green"},
     "distinct_agg": {"r01": "green"},
@@ -177,8 +177,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "q3_shipping_priority": {"r03": "green"},
     "dedup_canonical": {"r03": "green"},
     "minhash_band_stats": {"r03": "green"},
-    "q5_region_revenue": {"r03": "green", "r06": "green"},
-    "q18_top_buyers": {"r03": "green"},
+    "q5_region_revenue": {"r03": "green", "r06": "green", "r07": "green"},
+    "q18_top_buyers": {"r03": "green", "r07": "green"},
     "knn_join": {"r03": "green"},
     "bigram_pmi": {"r03": "green"},
     "table_profile": {"r03": "green"},
@@ -189,8 +189,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "cdc_latest": {"r03": "green"},
     "stream_cdc_latest": {"r03": "green"},
     # new in round 3, third session (head full -> DRIVER_BACKLOG, rule 1)
-    "q7_nation_volume": {"r04": "green"},
-    "q15_top_supplier": {"r04": "green"},
+    "q7_nation_volume": {"r04": "green", "r07": "green"},
+    "q15_top_supplier": {"r04": "green", "r07": "green"},
     "mad_outliers": {"r04": "green"},
     "doc_chunks": {"r04": "green"},
     "cms_heavy_hitters": {"r04": "green"},
@@ -200,7 +200,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_heavy_hitters": {"r04": "green"},
     "multimodal_framesample": {"r04": "green"},
     # new in round 3, fourth session (head full -> DRIVER_BACKLOG, rule 1)
-    "q4_order_priority": {"r04": "green"},
+    "q4_order_priority": {"r04": "green", "r07": "green"},
     "q13_customer_distribution": {"r04": "green"},
     "q22_dormant_customers": {"r04": "green"},
     "weighted_sample": {"r04": "green"},
@@ -217,7 +217,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "pq_codes": {"r04": "green"},
     "pq_ann": {"r04": "green"},
     "skyline_parts": {"r04": "green"},
-    "data_expectations": {"r04": "green"},
+    "data_expectations": {"r04": "green", "r07": "green"},
     "entity_resolution": {"r04": "green"},
     "revenue_pareto": {"r04": "green"},
     "event_transitions": {"r04": "green"},
@@ -231,18 +231,18 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "zscore_anomalies": {"r04": "green"},
     "wow_growth": {"r04": "green"},
     "benford_audit": {"r04": "green"},
-    "keyset_page": {"r04": "green"},
+    "keyset_page": {"r04": "green", "r07": "green"},
     "funnel_timing": {"r04": "green"},
     "drift_report": {"r04": "green"},
-    "q10_returned_items": {"r04": "green"},
-    "q14_promo_share": {"r04": "green"},
-    "q19_banded_revenue": {"r04": "green"},
+    "q10_returned_items": {"r04": "green", "r07": "green"},
+    "q14_promo_share": {"r04": "green", "r07": "green"},
+    "q19_banded_revenue": {"r04": "green", "r07": "green"},
     "user_growth": {"r04": "green"},
     # new in round 4 (rule 1: 2 head slots, the rest queue in the backlog)
     "q2_min_cost_supplier": {"r04": "green"},
     "q6_forecast_revenue": {"r04": "green"},
     "q8_market_share": {"r05": "green"},
-    "q9_product_profit": {"r05": "green"},
+    "q9_product_profit": {"r05": "green", "r07": "green"},
     "q11_important_stock": {"r05": "green"},
     "q12_shipmode_priority": {"r05": "green"},
     "q16_parts_supplier": {"r05": "green"},
@@ -252,7 +252,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "dup_spans": {"r05": "green", "r06": "green"},
     "stream_zscore": {"r05": "green"},
     "lexical_search": {"r05": "green"},
-    "ivf_pq": {"r05": "green", "r06": "green"},
+    "ivf_pq": {"r05": "green", "r06": "green", "r07": "green"},
     "link_prediction": {"r05": "green"},
     "image_dedup": {"r05": "green"},
     "user_ltv": {"r05": "green"},
@@ -273,47 +273,52 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "exact_median": {"r05": "green"},
     "ivf_pq_recall": {"r05": "green"},
     "stream_enrich": {"r05": "green"},
-    "unpivot_metrics": {"r05": "green"},
+    "unpivot_metrics": {"r05": "green", "r07": "green"},
     "revenue_deciles": {"r05": "green"},
     "multimodal_tiles": {"r05": "green"},
     "stream_attribution": {"r05": "green", "r06": "green"},
     "knn_graph": {"r05": "green", "r06": "green"},
     "ema_prices": {"r05": "green"},
-    "percent_rank_report": {"r05": "green"},
+    "percent_rank_report": {"r05": "green", "r07": "green"},
     "dedup_recall": {"r05": "green"},
     "quality_curriculum": {"r05": "green"},
     "langid_confusion": {"r05": "green"},
     "join_skew_stats": {"r05": "green"},
     "zorder_scan": {"r05": "green"},
-    "dedup_components_star": {"r05": "green", "r06": "green"},
+    "dedup_components_star": {"r05": "green", "r06": "green", "r07": "green"},
     "stream_checksum": {"r05": "green"},
     "exact_quantiles": {"r05": "green"},
     "id_gap_report": {"r05": "green"},
     "hll_by_type": {"r05": "green", "r06": "green"},
-    "join_asof_tolerance": {"r05": "green"},
-    "window_frames": {"r05": "green"},
+    "join_asof_tolerance": {"r05": "green", "r07": "green"},
+    "window_frames": {"r05": "green", "r07": "green"},
     # new in round 5, late session (head full -> DRIVER_BACKLOG, rule 1)
     "stream_hll": {"r06": "green"},
     "source_dup_report": {"r06": "green"},
     # new in round 6 (head-listed by rule 1)
-    "dup_span_removal": {"r06": "green"},
-    "bpe_encode": {"r06": "green"},
-    "graph_ann_search": {"r06": "green"},
+    "dup_span_removal": {"r06": "green", "r07": "green"},
+    "bpe_encode": {"r06": "green", "r07": "green"},
+    "graph_ann_search": {"r06": "green", "r07": "green"},
     "graph_ann_recall": {"r06": "green"},
-    "stream_incremental_dedup": {"r06": "green"},
-    "mmr_rerank": {"r06": "green"},
+    "stream_incremental_dedup": {"r06": "green", "r07": "green"},
+    "mmr_rerank": {"r06": "green", "r07": "green"},
     "tokenizer_fertility": {"r06": "green"},
-    "lm_quality_filter": {"r06": "green"},
+    "lm_quality_filter": {"r06": "green", "r07": "green"},
     "bucketed_join": {"r06": "green"},
     # new in round 6, late session (head full -> DRIVER_BACKLOG, rule 1)
-    "hist_quantiles": {},
-    "stream_hist_quantiles": {},
-    "hist_quantiles_by_type": {},
+    "hist_quantiles": {"r07": "green"},
+    "stream_hist_quantiles": {"r07": "green"},
+    "hist_quantiles_by_type": {"r07": "green"},
     # new in round 7 (head-listed by rule 1)
-    "ivf_pq_from_artifacts": {},
-    "graph_ann_from_artifacts": {},
-    "bpe_encode_from_artifacts": {},
-    "lm_score_from_artifacts": {},
+    "ivf_pq_from_artifacts": {"r07": "green"},
+    "graph_ann_from_artifacts": {"r07": "green"},
+    "bpe_encode_from_artifacts": {"r07": "green"},
+    "lm_score_from_artifacts": {"r07": "green"},
+    # new in round 8 (head-listed by rule 1)
+    "ann_lsh_batch": {},
+    "ivf_pq_batch": {},
+    "graph_ann_batch": {},
+    "graph_ann_batch_recall": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -327,58 +332,76 @@ DRIVER_HEAD_CAP = 50
 # row is in DRIVER_HEAD or DRIVER_BACKLOG — nothing unwitnessed is ever
 # silently tail-listed.
 DRIVER_BACKLOG: list[str] = [
-    # round 7: the round-6 FIFO (hist_quantiles, stream_hist_quantiles,
-    # hist_quantiles_by_type) drained into DRIVER_HEAD below (VERDICT r06
-    # ask #1).  Round-7 additions beyond the free head slots queue here
-    # (FIFO for the round-8 head).
+    # round 8: backlog entered the round EMPTY (first time since round 3 —
+    # the round-6 FIFO drained in round 7 and earned its green rows, see
+    # CORRECTNESS_r07.json).  Round-8 additions beyond the free head slots
+    # queue here (FIFO for the round-9 head).
 ]
 
-# Round-7 head: the round-6 DRIVER_BACKLOG drained in FIFO order exactly as
-# written (VERDICT r06 ask #1) — restoring all-registered-driver-witnessed
-# once these three earn their rows.  New round-7 queries head-list by
-# rule 1; remaining slots go to family-coverage veterans (rule 2).
+# Round-8 head: backlog empty, every registered query has a green driver
+# row, so the head is pure rotation — new round-8 queries head-list by
+# rule 1 as they land; the veteran fill (rule 2) this round targets the
+# STALEST evidence: queries whose only green row is r01-r04 vintage and
+# which have never been re-witnessed, one per operator family where the
+# choice exists.
 DRIVER_HEAD = [
-    # -- round-6 backlog (FIFO)
-    "hist_quantiles",
-    "stream_hist_quantiles",
-    "hist_quantiles_by_type",
-    # -- new in round 7 (rule 1: no driver row yet; entries are inserted
+    # -- new in round 8 (rule 1: no driver row yet; entries are inserted
     # here as each query lands, displacing rule-2 veterans below)
-    "ivf_pq_from_artifacts",
-    "graph_ann_from_artifacts",
-    "bpe_encode_from_artifacts",
-    "lm_score_from_artifacts",
-    # -- rule 2: remaining slots filled with veterans chosen for
-    # operator-family coverage (all long-green; re-witnessing is free and
-    # keeps the driver's 50-row window an explicit, policy-chosen set
-    # rather than an implicit registration-order tail)
-    "scan_project",
-    "filter_pushdown",
-    "computed_column",
-    "anti_join_if_not_exists",
-    "counter_merge",
-    "ttl_arithmetic",
-    "migrate_pipeline",
-    "q1_pricing_summary",
-    "q9_product_profit",
-    "join_enrich",
-    "join_asof_tolerance",
-    "window_frames",
+    "ann_lsh_batch",
+    "ivf_pq_batch",
+    "graph_ann_batch",
+    "graph_ann_batch_recall",
+    # -- rule 2: stalest-evidence veterans (single green row, r01-r04)
+    "join_large",
+    "agg_cube",
     "agg_grouping_sets",
-    "set_intersect_all",
-    "dedup_exact",
-    "fuzzy_dedup",
-    "dup_span_removal",
-    "dedup_components_star",
-    "embedding_near_dup",
-    "ivf_pq",
-    "graph_ann_search",
-    "mmr_rerank",
-    "lang_id",
-    "bpe_encode",
-    "lm_quality_filter",
-    "decontaminate",
-    "stream_incremental_dedup",
+    "time_bucket_rollup",
+    "agg_pivot",
+    "json_extract",
+    "join_range",
+    "minhash_pairs",
+    "llm_prep_pipeline",
+    "embedding_ann_lsh",
+    "embedding_label_top_pairs",
+    "multimodal_meta",
+    "stream_stream_join",
+    "stream_dedup",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_stateful_stats",
+    "split_sample",
+    "text_governance",
+    "stratified_sample",
+    "split_leakage",
+    "kmv_distinct",
+    "scd2_history",
+    "pagerank_trade",
+    "time_gap_fill",
+    "set_union",
+    "set_intersect",
+    "set_except_all",
+    "window_lag_lead",
+    "window_analytics",
+    "distinct_agg",
+    "lang_stats",
+    "token_frequency",
+    "multimodal_resize",
+    "join_semi",
+    "ngram_jaccard",
+    "correlated_subquery",
+    "embedding_quantize",
+    "stream_quality_gate",
+    "repetition_stats",
+    "tfidf_terms",
+    "mixture_weights",
+    "length_histogram",
+    "trigram_lm",
+    "embedding_centroids",
+    "dedup_components",
+    # (simhash_fingerprint, doc_fingerprint, token_count_bpe, window_topk
+    # were the displaced rule-2 fill as the four round-8 batched-ANN
+    # queries head-listed; all four veterans stay strict-checked in the
+    # tail every round)
 ]
 
 

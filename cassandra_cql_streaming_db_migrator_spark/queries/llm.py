@@ -866,6 +866,38 @@ ORDER BY cosine DESC, b.vec_id ASC LIMIT 20
 """
 
 
+def ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN over a query SET (VERDICT r07 ask #3 — batched read paths):
+    top-10 per query for the 8 queries ``vec_id < 8``, one corpus
+    bucketing pass + a broadcast bucket equi-join + one per-query window
+    (operators.similarity.lsh_ann_batch) — never |Q| corpus scans."""
+    from ..operators.similarity import lsh_ann_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_ann_batch(emb, queries, k=10, n_bits=6)
+
+
+_ANN_LSH_BATCH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({_lsh_bucket_sql("embedding", 6)}) AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+      FROM b WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, b.vec_id,
+         {_dot_sql("b.embedding", "q.qv")}
+           / (sqrt({_dot_sql("b.embedding", "b.embedding")})
+              * sqrt({_dot_sql("q.qv", "q.qv")})) AS cosine
+  FROM b JOIN q ON b.bucket = q.qbucket)
+SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM s) r
+WHERE rn <= 10
+"""
+
+
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
@@ -1083,6 +1115,153 @@ WITH {_KNN_GRAPH_CTE},
 SELECT vec_id, cosine FROM v3 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
+def graph_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN beam walk over a query SET (VERDICT r07 ask #3): top-10
+    per query for the 4 queries ``vec_id < 4``, every per-hop frontier
+    cut a per-query window with the single-query walk's total order
+    (operators.similarity.graph_beam_search_batch) — one node-table probe
+    per hop serves all queries."""
+    from ..operators.similarity import graph_beam_search_batch
+
+    emb, nodes, edges = _graph_nodes_and_edges(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4)
+    return graph_beam_search_batch(
+        nodes, edges, queries, k=10, beam=4, hops=3
+    )
+
+
+def graph_ann_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-QUERY recall@10 of the batched beam walk vs exact cosine over
+    the graph's node universe — the quality gauge the batched read path
+    ships with (VERDICT r07 ask #3: 'per-query recall in the gauges'),
+    vs graph_ann_recall's single aggregate row.  The exact side is ONE
+    node pass: the 4-query frame broadcasts into a cross join and one
+    window ranks all queries at once."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.similarity import cosine, graph_beam_search_batch
+
+    emb, nodes, edges = _graph_nodes_and_edges(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4)
+    approx = graph_beam_search_batch(
+        nodes, edges, queries, k=10, beam=4, hops=3
+    ).select("query_id", "vec_id")
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+        )
+    )
+    w = _W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id").asc()
+    )
+    exact = (
+        nodes.crossJoin(q)
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        # left side must not carry the broadcast hint (build-left is
+        # unsupported for left-outer); the hits side is the small one
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(10).cast("long").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.expr(
+                "1000000 * coalesce(n_hit, CAST(0 AS BIGINT)) DIV 10"
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
+
+
+def _graph_beam_batch_cte(
+    hops: int = 3, beam: int = 4, n_entry: int = 16, n_queries: int = 4
+) -> str:
+    """Batched twin of :func:`_graph_beam_cte`: every walk state carries
+    query_id, and the per-hop beam cut is a per-query row_number window —
+    each query's CTE chain is exactly its single-query chain."""
+
+    def cos(x: str) -> str:
+        return (
+            f"{_dot_sql(x, 'q.qv')} / (sqrt({_dot_sql(x, x)})"
+            f" * sqrt({_dot_sql('q.qv', 'q.qv')}))"
+        )
+
+    parts = [
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv "
+        f"FROM embeddings WHERE vec_id < {n_queries})",
+        f"v0 AS (SELECT q.query_id, a.vec_id, {cos('a.embedding')} AS cosine\n"
+        f"       FROM assign a CROSS JOIN q WHERE a.vec_id < {n_entry})",
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f"b{h - 1} AS (SELECT query_id, vec_id FROM ("
+            f"SELECT query_id, vec_id, row_number() OVER ("
+            f"PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn "
+            f"FROM v{h - 1}) r WHERE rn <= {beam})"
+        )
+        parts.append(
+            f"n{h} AS (SELECT DISTINCT b.query_id, s.nbr_id AS vec_id "
+            f"FROM sel s JOIN b{h - 1} b USING (vec_id))"
+        )
+        parts.append(
+            f"s{h} AS (SELECT n.query_id, a.vec_id, {cos('a.embedding')} AS cosine\n"
+            f"       FROM assign a JOIN n{h} n USING (vec_id) "
+            f"JOIN q ON q.query_id = n.query_id)"
+        )
+        parts.append(
+            f"v{h} AS (SELECT * FROM v{h - 1} UNION SELECT * FROM s{h})"
+        )
+    return ",\n".join(parts)
+
+
+_GRAPH_ANN_BATCH_SQL = f"""
+WITH {_KNN_GRAPH_CTE},
+{_graph_beam_batch_cte()}
+SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM v3) r
+WHERE rn <= 10
+"""
+
+_GRAPH_ANN_BATCH_RECALL_SQL = f"""
+WITH {_KNN_GRAPH_CTE},
+{_graph_beam_batch_cte()},
+approx AS (SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM v3) r WHERE rn <= 10),
+exact AS (SELECT query_id, vec_id FROM (
+  SELECT q.query_id, a.vec_id, row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {_dot_sql("a.embedding", "q.qv")}
+                 / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+                    * sqrt({_dot_sql("q.qv", "q.qv")})) DESC,
+               a.vec_id ASC) AS rn
+  FROM assign a CROSS JOIN q) r WHERE rn <= 10),
+hits AS (
+  SELECT query_id, count(*) AS n_hit
+  FROM approx JOIN exact USING (query_id, vec_id) GROUP BY query_id)
+SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(1000000 * coalesce(h.n_hit, 0) // 10 AS BIGINT) AS recall_ppm
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
 _GRAPH_ANN_RECALL_SQL = f"""
 WITH {_KNN_GRAPH_CTE},
 {_graph_beam_cte()},
@@ -1125,8 +1304,17 @@ def _mmr_rerank_sql(k: int = 5, k_candidates: int = 20) -> str:
 
     parts = [
         "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
-        f"cand AS (SELECT vec_id, embedding, {cos('embedding', 'qv')} AS rel\n"
-        f"  FROM embeddings, q ORDER BY rel DESC, vec_id ASC LIMIT {k_candidates})",
+        # NULL-relevance rows (zero-norm embeddings: 0/0 -> NULL cosine)
+        # are dropped HERE, not left to NULLS-LAST ordering (ADVICE r07):
+        # the Python side filters its pool unconditionally, and ordering
+        # parity only holds when finite candidates >= k_candidates — an
+        # explicit IS NOT NULL makes both engines filter identically even
+        # on a degenerate-heavy pool.
+        f"cand AS (SELECT * FROM (\n"
+        f"    SELECT vec_id, embedding, {cos('embedding', 'qv')} AS rel\n"
+        f"    FROM embeddings, q)\n"
+        f"  WHERE rel IS NOT NULL"
+        f" ORDER BY rel DESC, vec_id ASC LIMIT {k_candidates})",
         "sel1 AS (SELECT 1 AS rank, vec_id, embedding, rel,\n"
         "  0.75 * rel AS mmr_score FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)",
     ]
@@ -2383,10 +2571,49 @@ def ivf_pq_from_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     store = artifact_store(sf_dir)
-    if not has_artifact(store, "ivfpq_codes"):
+    # Gate on ALL THREE artifacts (ADVICE r07): ivf_pq_build also commits
+    # ivfpq_codes last, so either defense alone would rebuild after a
+    # partial save instead of crashing in load_pq_codebooks.
+    if not all(
+        has_artifact(store, a)
+        for a in ("ivfpq_codes", "ivf_centroids", "pq_codebooks")
+    ):
         ivf_pq_build(emb, store, n_cells=8)
     qv = _query_vector(emb, 0, "embedding", "vec_id", 4, 16)
     return ivf_pq_serve(spark, store, qv, topk=10, n_probe=2)
+
+
+def ivf_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving a query SET from the SAVED index (VERDICT r07 ask
+    #3 — the thousand-queries-one-index shape): top-10 per query for the
+    8 queries ``vec_id < 8``, ONE scan of the integer codes table, the
+    |Q| x n_probe (query, cell, LUT) frame riding as a broadcast
+    (operators.clustering.ivf_pq_serve_batch).  Build gate shared with
+    ivf_pq_from_artifacts (all three artifacts, ADVICE r07)."""
+    from ..operators.clustering import (
+        _query_vectors,
+        ivf_pq_build,
+        ivf_pq_serve_batch,
+    )
+    from ..sinks.artifacts import artifact_store, has_artifact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+    if not all(
+        has_artifact(store, a)
+        for a in ("ivfpq_codes", "ivf_centroids", "pq_codebooks")
+    ):
+        ivf_pq_build(emb, store, n_cells=8)
+    queries = _query_vectors(emb, 8, "embedding", "vec_id", 4, 16)
+    return ivf_pq_serve_batch(spark, store, queries, topk=10, n_probe=2)
+
+
+def _ivf_pq_batch_sql() -> str:
+    from ..operators.clustering import ivf_pq_ann_batch_sql
+
+    return ivf_pq_ann_batch_sql(
+        n_queries=8, topk=10, n_cells=8, n_probe=2
+    )
 
 
 def graph_ann_from_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2544,6 +2771,16 @@ QUERIES = [
              "recall@10 of the graph beam walk vs exact cosine over the "
              "graph node universe (the per-index quality-gauge "
              "discipline)"),
+    QueryDef("graph_ann_batch", graph_ann_batch, _GRAPH_ANN_BATCH_SQL,
+             "graph-ANN beam walk over a query SET: per-query windowed "
+             "frontier cuts, one node probe per hop serves all queries"),
+    QueryDef("graph_ann_batch_recall", graph_ann_batch_recall,
+             _GRAPH_ANN_BATCH_RECALL_SQL,
+             "PER-QUERY recall@10 of the batched beam walk vs exact "
+             "cosine over the graph node universe"),
+    QueryDef("ann_lsh_batch", ann_lsh_batch, _ANN_LSH_BATCH_SQL,
+             "LSH ANN over a query SET: one bucketing pass, broadcast "
+             "bucket equi-join, per-query top-10 window"),
     QueryDef("knn_graph", knn_graph, _KNN_GRAPH_SQL,
              "IVF-blocked kNN-graph build: per-node top-3 cosine edges "
              "from the bounded cell kernel + reciprocal-edge marking"),
@@ -2589,6 +2826,9 @@ QUERIES = [
              "IVF-PQ served from the SAVED index (build-once/serve-many): "
              "load codes+centroids+codebooks, probe + ADC — load-then-serve "
              "hash-equals train-then-serve"),
+    QueryDef("ivf_pq_batch", ivf_pq_batch, _ivf_pq_batch_sql(),
+             "IVF-PQ serving a query SET from the SAVED index: one codes "
+             "scan, broadcast (query, cell, LUT) probes, per-query top-10"),
     QueryDef("pq_ann", pq_ann, _PQ_ANN_SQL,
              "PQ asymmetric-distance ANN top-k: codes + lookup tables, "
              "no per-row vector math"),

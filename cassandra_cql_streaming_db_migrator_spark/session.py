@@ -132,7 +132,19 @@ def _filter_accumulator_race(spark: SparkSession) -> None:
         result = jvm.org.apache.logging.log4j.core.Filter.Result
         regex_filter = jvm.org.apache.logging.log4j.core.filter.RegexFilter
         flt = regex_filter.createFilter(
-            ".*Failed to update accumulator.*",
+            # Match ONLY the freed-accumulator race (ADVICE r07): when the
+            # ContextCleaner already released the accumulator,
+            # AccumulatorContext.get(id) is empty and DAGScheduler logs the
+            # literal class-name fallback "(Unknown class)" — that fallback
+            # is the race's message-level signature.  A genuine accumulator
+            # failure (still registered, update threw) logs the real class
+            # name and keeps printing.  NOTE: the throwable's "non-existent
+            # accumulator" text is NOT usable here — log4j2's RegexFilter
+            # matches the formatted message only, never the throwable
+            # (verified against the spark-core 4.1.2 bytecode: the message
+            # is "Failed to update accumulator {id} ({class}) for task
+            # {partition}").
+            r".*Failed to update accumulator \d+ \(Unknown class\) for task.*",
             None,
             False,
             result.DENY,

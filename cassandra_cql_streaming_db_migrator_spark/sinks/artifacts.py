@@ -16,22 +16,37 @@ deterministic, so the value gate is free: load-then-serve must hash-equal
 train-then-serve, and the ``*_from_artifacts`` queries share their oracle
 SQL with the inline-training originals.
 
-Lifecycle discipline (the bucketing/warehouse rules, ADVICE r06): store
-dirs are pid-suffixed — stable within a process (bench reps reuse the
-built index; rep 1 trains, later reps serve at scan+score cost), private
-across concurrent processes — and every store open garbage-collects
-sibling dirs left by dead processes, plus registers its own dir for
-removal at interpreter exit.
+Lifecycle discipline (the bucketing/warehouse rules, ADVICE r06/r07):
+store dirs are keyed (fixture slug, CONTENT TOKEN, pid) —
+
+  * the content token hashes the fixture's parquet footprint (file names,
+    sizes, mtime_ns; a metadata-only stat scan, never a data read), so a
+    REGENERATED corpus changes the key and the serve path rebuilds — a
+    stale index can never be served silently (VERDICT r07 ask #4; the
+    staleness contract this docstring used to only promise);
+  * the pid suffix keeps concurrent processes private and makes the store
+    stable within a process (bench reps reuse the built index; rep 1
+    trains, later reps serve at scan+score cost).  Pid REUSE adopting a
+    dead same-pid store is safe by construction: adoption requires the
+    content token to match too, every trainer is deterministic (same
+    content -> value-identical artifacts), and half-written artifacts
+    never read as present (``_SUCCESS`` gating in has_artifact);
+  * every store open garbage-collects sibling dirs left by dead
+    processes, and registers its own dir for removal at interpreter exit
+    — unconditionally on first open per process (ADVICE r07: the old
+    dir-exists guard skipped registration exactly in the pid-reuse case).
 
 At 100 TB the store root is a durable prefix (object store / DFS) instead
-of /tmp and the pid suffix becomes a content/version key, but the
-contract is the same: the index is WRITTEN by the build pipeline and the
-read path only ever scans it.
+of /tmp, the pid suffix drops (builds coordinate through the content/
+version key alone), but the contract is the same: the index is WRITTEN by
+the build pipeline, keyed by corpus version, and the read path only ever
+scans it.
 """
 
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import re
 import shutil
@@ -40,9 +55,39 @@ from pyspark.sql import DataFrame, Row, SparkSession
 
 DEFAULT_ROOT = "/tmp/cassandra_cql_streaming_db_migrator_artifacts"
 
+# Stores this process has already registered for atexit cleanup — makes the
+# registration once-per-store without depending on dir non-existence.
+_REGISTERED_STORES: set[str] = set()
+
 
 def artifact_root() -> str:
     return os.environ.get("SPARK_GRAFT_ARTIFACTS", DEFAULT_ROOT)
+
+
+def fixture_content_token(sf_dir: str) -> str:
+    """Deterministic token of a fixture dir's parquet footprint: sorted
+    (relative name, size, mtime_ns) of every *.parquet file, one stat()
+    each — no data read, so opening a store costs O(files) metadata calls
+    even when the fixture is 100 TB.  Any regeneration (new mtime), schema
+    change or row-count change (new size), or added/dropped table (new
+    name set) changes the token and therefore the store key."""
+    h = hashlib.sha256()
+    try:
+        names = sorted(os.listdir(sf_dir))
+    except (FileNotFoundError, NotADirectoryError):
+        names = []
+    for n in names:
+        if not n.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, n)
+        if os.path.isdir(p):  # directory-style parquet (part files)
+            for sub in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, sub))
+                h.update(f"{n}/{sub}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        else:
+            st = os.stat(p)
+            h.update(f"{n}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:12]
 
 
 def _gc_stale_pid_dirs(root: str) -> int:
@@ -69,14 +114,17 @@ def _gc_stale_pid_dirs(root: str) -> int:
 
 def artifact_store(sf_dir: str) -> str:
     """Open (create) the artifact store for a fixture: returns the store
-    directory path.  Keyed on (fixture slug, pid); reaps dead siblings."""
+    directory path.  Keyed on (fixture slug, content token, pid) — see the
+    module docstring's staleness contract; reaps dead siblings."""
     root = artifact_root()
     os.makedirs(root, exist_ok=True)
     _gc_stale_pid_dirs(root)
     slug = re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_")
-    store = os.path.join(root, f"{slug}_{os.getpid()}")
-    if not os.path.isdir(store):
-        os.makedirs(store, exist_ok=True)
+    token = fixture_content_token(sf_dir)
+    store = os.path.join(root, f"{slug}_{token}_{os.getpid()}")
+    os.makedirs(store, exist_ok=True)
+    if store not in _REGISTERED_STORES:
+        _REGISTERED_STORES.add(store)
         atexit.register(shutil.rmtree, store, ignore_errors=True)
     return store
 

@@ -171,3 +171,80 @@ def test_store_is_fixture_and_pid_scoped(spark, store_root):
     b = artifact_store("/root/testdata/sf0.01")
     assert a != b
     assert a.endswith(f"_{os.getpid()}")
+
+
+# --- Content/version keying (VERDICT r07 ask #4, ADVICE r07) ---------------
+
+def _fake_fixture(tmp_path, name="fx"):
+    """A minimal fixture dir: one 'parquet' file whose bytes we control
+    (the token hashes stat metadata, never parquet internals)."""
+    d = tmp_path / name
+    d.mkdir()
+    (d / "documents.parquet").write_bytes(b"v1" * 16)
+    return str(d)
+
+
+def test_corpus_mutation_changes_store_key_and_forces_rebuild(
+    spark, store_root, tmp_path
+):
+    from cassandra_cql_streaming_db_migrator_spark.sinks.artifacts import (
+        artifact_store,
+        has_artifact,
+        save_artifact,
+    )
+
+    fx = _fake_fixture(tmp_path)
+    store1 = artifact_store(fx)
+    save_artifact(
+        spark.createDataFrame([(1,)], "x int"), store1, "trained_thing"
+    )
+    assert has_artifact(store1, "trained_thing")
+    # Same content -> same store -> the serve path reuses the artifact.
+    assert artifact_store(fx) == store1
+
+    # Regenerate the corpus: contents (and size) change -> new token ->
+    # a DIFFERENT store where the artifact is absent, so any *_from_
+    # artifacts gate sees has_artifact() False and rebuilds.  A stale
+    # index can never be served against the new corpus.
+    with open(os.path.join(fx, "documents.parquet"), "wb") as f:
+        f.write(b"v2-regenerated" * 16)
+    store2 = artifact_store(fx)
+    assert store2 != store1
+    assert not has_artifact(store2, "trained_thing")
+
+
+def test_content_token_is_metadata_only_and_deterministic(tmp_path):
+    from cassandra_cql_streaming_db_migrator_spark.sinks.artifacts import (
+        fixture_content_token,
+    )
+
+    fx = _fake_fixture(tmp_path)
+    t1 = fixture_content_token(fx)
+    t2 = fixture_content_token(fx)
+    assert t1 == t2 and len(t1) == 12
+    # Non-parquet files do not participate in the key (logs, checksums).
+    (tmp_path / "fx" / "notes.txt").write_text("ignored")
+    assert fixture_content_token(fx) == t1
+    # A new table (new parquet name) does.
+    (tmp_path / "fx" / "events.parquet").write_bytes(b"e")
+    assert fixture_content_token(fx) != t1
+
+
+def test_pid_reuse_adoption_still_registers_cleanup(store_root, tmp_path):
+    # ADVICE r07: when the store dir ALREADY exists (pid reuse after a
+    # dead process with the same pid), the open must still register the
+    # atexit cleanup — the old dir-exists guard skipped it.
+    from cassandra_cql_streaming_db_migrator_spark.sinks import artifacts
+
+    fx = _fake_fixture(tmp_path, "fxreuse")
+    token = artifacts.fixture_content_token(fx)
+    slug_store = os.path.join(
+        store_root,
+        artifacts.re.sub(r"[^0-9a-z]+", "_", fx.lower()).strip("_")
+        + f"_{token}_{os.getpid()}",
+    )
+    os.makedirs(slug_store)  # pre-existing: the pid-reuse shape
+    artifacts._REGISTERED_STORES.discard(slug_store)
+    opened = artifacts.artifact_store(fx)
+    assert opened == slug_store
+    assert slug_store in artifacts._REGISTERED_STORES

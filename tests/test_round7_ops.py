@@ -106,12 +106,23 @@ def test_dagscheduler_accumulator_race_filter_attached(spark):
     assert flt is not None
     result = jvm.org.apache.logging.log4j.core.Filter.Result
     level_error = jvm.org.apache.logging.log4j.Level.ERROR
+    # The race's message-level signature (ADVICE r07): the accumulator is
+    # already freed, so DAGScheduler's class-name lookup falls back to the
+    # literal "(Unknown class)".  A still-registered accumulator whose
+    # update failed logs its REAL class name — that genuine failure must
+    # keep printing.
     suppressed = flt.filter(
         None, level_error, None,
-        "Failed to update accumulator 5 (internal.metrics.x) for task 3.0",
+        "Failed to update accumulator 5 (Unknown class) for task 3.0",
+    )
+    kept_real = flt.filter(
+        None, level_error, None,
+        "Failed to update accumulator 5 "
+        "(org.apache.spark.util.LongAccumulator) for task 3.0",
     )
     kept = flt.filter(None, level_error, None, "Job 7 failed: collect")
     assert str(suppressed) == "DENY"
+    assert str(kept_real) == "NEUTRAL"
     assert str(kept) == "NEUTRAL"
 
 

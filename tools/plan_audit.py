@@ -296,6 +296,24 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # execute once and every hop join is a broadcast of <= beam*k ids
     "graph_ann_search": 21,
     "graph_ann_recall": 21,
+    # batched beam walk (reviewed r8): the single-query walk's 21 plus the
+    # per-hop frontier cut now being a per-query row_number WINDOW (one
+    # hash exchange on query_id per hop, re-printed per branch in identity
+    # mode) instead of a global limit.  At runtime the materialized hops
+    # execute once; every exchange past the graph build moves <= |Q| *
+    # (beam * degree + visited) rows — frontier metadata, never the corpus
+    "graph_ann_batch": 29,
+    # the batched walk plus the exact side's one cross-join window and the
+    # per-query hit/count aggregates — all |Q|-scale
+    "graph_ann_batch_recall": 33,
+    # artifact-served beam walk (reviewed r8): the inline build lineage is
+    # gone (21 -> 14) — what remains is the 3-hop frontier/neighbor join
+    # ladder over the LOADED node/edge parquet frames, whose scan lineage
+    # re-prints once per hop branch in identity mode, plus the first-call
+    # build guard's knn groupBy.  At runtime the loaded frames are plain
+    # parquet scans executed once and every hop join broadcasts <= beam*k
+    # candidate ids (bcast=58 in the audit row) — no data-scale exchange
+    "graph_ann_from_artifacts": 14,
     # prediction census + the doc_id join-back of truth to guess (both
     # doc-key partitioned) + the truth-class total rollup (class-count
     # metadata rows, broadcast back)
