@@ -319,6 +319,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "ivf_pq_batch": {},
     "graph_ann_batch": {},
     "graph_ann_batch_recall": {},
+    "stream_cdc_mirror": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -351,6 +352,7 @@ DRIVER_HEAD = [
     "ivf_pq_batch",
     "graph_ann_batch",
     "graph_ann_batch_recall",
+    "stream_cdc_mirror",
     # -- rule 2: stalest-evidence veterans (single green row, r01-r04)
     "join_large",
     "agg_cube",
@@ -397,10 +399,9 @@ DRIVER_HEAD = [
     "length_histogram",
     "trigram_lm",
     "embedding_centroids",
-    "dedup_components",
-    # (simhash_fingerprint, doc_fingerprint, token_count_bpe, window_topk
-    # were the displaced rule-2 fill as the four round-8 batched-ANN
-    # queries head-listed; all four veterans stay strict-checked in the
+    # (simhash_fingerprint, doc_fingerprint, token_count_bpe, window_topk,
+    # dedup_components were the displaced rule-2 fill as the round-8
+    # queries head-listed; all five veterans stay strict-checked in the
     # tail every round)
 ]
 

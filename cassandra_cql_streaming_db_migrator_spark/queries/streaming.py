@@ -707,6 +707,31 @@ def _stream_cdc_latest_sql() -> str:
     )
 
 
+def stream_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BUCKETED CDC mirror (streaming.stream.streaming_cdc_mirror,
+    VERDICT r07 ask #5): events arrive over 4 microbatches; foreachBatch
+    maintains an A/B-flipped bucketed managed target with broadcast-
+    anti/semi merge discipline (per-batch exchanges move only batch-scale
+    rows) and cross-batch last-writer-wins on the (ts, event_id) order
+    key.  The drained mirror equals batch cdc_latest row-for-row — the
+    shared oracle content-certifies the maintained table — and is
+    join-ready on user_id with zero mirror-side exchanges (plan pinned
+    by tests/test_cdc_mirror.py)."""
+    from ..sources.parquet import load_table
+    from ..streaming.stream import streaming_cdc_mirror
+
+    events = load_table(spark, sf_dir, "events")
+    return streaming_cdc_mirror(spark, events)
+
+
+def _stream_cdc_mirror_sql() -> str:
+    from ..operators.temporal import latest_by_key_sql
+
+    return latest_by_key_sql(
+        "events", "user_id", "ts", "event_id", ["event_type", "value"]
+    )
+
+
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE incremental dedup (streaming.stream.streaming_incremental_dedup):
     corpus signatures + gram sets precomputed once as materialized
@@ -822,6 +847,10 @@ QUERIES = [
              "T8/K1: streaming upsert VIEW — last writer per key wins, "
              "O(1) state, batch-parity oracle shared with cdc_latest",
              bench=False),
+    QueryDef("stream_cdc_mirror", stream_cdc_mirror, _stream_cdc_mirror_sql(),
+             "T8/K1: streaming BUCKETED CDC mirror — foreachBatch upsert "
+             "into an A/B-flipped bucketed table, batch-scale merge "
+             "exchanges, drained mirror hash-equals batch cdc_latest"),
     QueryDef("stream_scd2", stream_scd2, _stream_scd2_sql(),
              "T8: live SCD2 history maintenance (O(runs) state per key)",
              bench=False),

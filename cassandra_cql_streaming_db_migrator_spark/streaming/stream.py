@@ -876,3 +876,145 @@ def streaming_incremental_dedup(
     if not frames:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(pd.concat(frames, ignore_index=True), schema)
+
+
+def streaming_cdc_mirror(
+    spark: SparkSession,
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_cols: tuple[str, ...] = ("event_type", "value"),
+    n_chunks: int = 4,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """LIVE BUCKETED CDC MIRROR (VERDICT r07 ask #5) — the production
+    migration shape: the reference's upsert sink run CONTINUOUSLY
+    (DataMigrationProcess.java:294-325's last-writer-wins merge, fed by
+    T1's paged incremental read), with the target kept as a BUCKETED
+    managed table so the live mirror is join-ready with ZERO exchanges
+    on the mirror side (sinks.bucketing.write_bucketed; plan pinned by
+    test).
+
+    Maintenance discipline per microbatch — every exchange moves
+    O(|batch|) rows, never the standing mirror:
+
+      * the batch compacts to one row per key (the same count + max_by
+        aggregate as latest_by_key, plus the winning order key retained
+        as ``__max_ord`` for cross-batch comparison);
+      * UNTOUCHED mirror rows come from a BROADCAST anti-join on the
+        batch's keys — the bucketed mirror scan flows through with no
+        exchange;
+      * TOUCHED keys merge through a broadcast semi-join (mirror rows
+        for batch keys, <= |batch| of them) unioned with the batch
+        compact and re-aggregated: versions ADD, the frontier row is
+        max_by over ``__max_ord`` — so an out-of-order arrival can
+        never overwrite a newer mirror row (upsert semantics, not
+        append semantics);
+      * the merged frame lands in the ALTERNATE bucketed table (A/B
+        flip: a parquet table cannot be overwritten while it is read),
+        pid-scoped and reaped by gc_stale_pid_tables.
+
+    The one full-mirror cost is the bucketed WRITE's repartition — the
+    parquet simulation of an in-place upsert target.  At 100 TB the
+    swap is a merge-capable table format (or per-bucket file
+    replacement keyed by the batch's touched buckets): the read/merge
+    side above already touches only batch-scale rows, so the write is
+    the only piece that changes.
+
+    A fully-drained run equals the batch ``latest_by_key`` over the
+    same events row-for-row — the oracle IS the batch query's SQL, so
+    a driver hash pass content-certifies the mirror (the
+    stream_checksum discipline applied to a maintained TABLE instead
+    of a result frame).
+    """
+    from ..operators.timeseries import ord_key
+    from ..sinks.bucketing import (
+        gc_stale_pid_tables,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    pid = os.getpid()
+    names = [f"cdc_mirror_a_{pid}", f"cdc_mirror_b_{pid}"]
+    gc_stale_pid_tables(spark, ["cdc_mirror_a_", "cdc_mirror_b_"])
+    # a fresh run must not inherit this process's previous mirror: dropping
+    # both flip targets also evicts their cached file listings, which
+    # otherwise reference part files a later overwrite deletes
+    # (FAILED_READ_FILE on the second run in one session)
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS `{n}`")
+
+    def compact(mb: DataFrame) -> DataFrame:
+        base = mb.withColumn("__ord", ord_key(ts_col, tiebreak_col))
+        aggs = [
+            F.count(F.lit(1)).alias("n_versions"),
+            F.expr(f"max_by({ts_col}, __ord)").alias("last_ts"),
+        ]
+        for c in value_cols:
+            aggs.append(F.expr(f"max_by({c}, __ord)").alias(f"last_{c}"))
+        aggs.append(F.max("__ord").alias("__max_ord"))
+        return base.groupBy(key_col).agg(*aggs)
+
+    merge_aggs = [
+        F.sum("n_versions").alias("n_versions"),
+        F.expr("max_by(last_ts, __max_ord)").alias("last_ts"),
+        *[
+            F.expr(f"max_by(last_{c}, __max_ord)").alias(f"last_{c}")
+            for c in value_cols
+        ],
+        F.max("__max_ord").alias("__max_ord"),
+    ]
+
+    state = {"cur": None, "flip": 0}
+    scratch = tempfile.mkdtemp(prefix="stream_cdc_chunks_")
+    stream = read_documents_stream_chunked(
+        spark, events, n_chunks, scratch_dir=scratch
+    )
+
+    def upsert(mb_raw: DataFrame, epoch_id: int) -> None:
+        if mb_raw.isEmpty():
+            return
+        mb = compact(mb_raw)
+        if state["cur"] is None:
+            merged = mb
+        else:
+            current = read_bucketed(spark, state["cur"])
+            keys = mb.select(key_col)
+            untouched = current.join(F.broadcast(keys), key_col, "left_anti")
+            winners = (
+                current.join(F.broadcast(keys), key_col, "left_semi")
+                .unionByName(mb)
+                .groupBy(key_col)
+                .agg(*merge_aggs)
+            )
+            merged = untouched.unionByName(winners)
+        nxt = names[state["flip"]]
+        write_bucketed(merged, nxt, [key_col], n_buckets)
+        # the flip target alternates, so the table just written was last
+        # READ two batches ago — refresh its listing explicitly rather
+        # than trusting overwrite-side invalidation across the flip cycle
+        spark.catalog.refreshTable(nxt)
+        state["cur"] = nxt
+        state["flip"] ^= 1
+
+    query = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    out_cols = [key_col, "n_versions", "last_ts"] + [
+        f"last_{c}" for c in value_cols
+    ]
+    if state["cur"] is None:
+        # no batch arrived: an empty frame with the exact output schema
+        return compact(events.limit(0)).select(*out_cols)
+    return read_bucketed(spark, state["cur"]).select(*out_cols)
