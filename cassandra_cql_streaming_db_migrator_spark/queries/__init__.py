@@ -320,6 +320,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "graph_ann_batch": {},
     "graph_ann_batch_recall": {},
     "stream_cdc_mirror": {},
+    "dup_span_histogram": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -353,6 +354,11 @@ DRIVER_HEAD = [
     "graph_ann_batch",
     "graph_ann_batch_recall",
     "stream_cdc_mirror",
+    "dup_span_histogram",
+    # rule 1b: materially rewritten this round (merged-interval stats
+    # added to the row schema) — its r06/r07 greens witnessed code that
+    # no longer runs, so it re-head-lists
+    "dup_span_removal",
     # -- rule 2: stalest-evidence veterans (single green row, r01-r04)
     "join_large",
     "agg_cube",
@@ -397,12 +403,10 @@ DRIVER_HEAD = [
     "tfidf_terms",
     "mixture_weights",
     "length_histogram",
-    "trigram_lm",
-    "embedding_centroids",
     # (simhash_fingerprint, doc_fingerprint, token_count_bpe, window_topk,
-    # dedup_components were the displaced rule-2 fill as the round-8
-    # queries head-listed; all five veterans stay strict-checked in the
-    # tail every round)
+    # dedup_components, trigram_lm, embedding_centroids were the displaced
+    # rule-2 fill as the round-8 queries head-listed; all seven veterans
+    # stay strict-checked in the tail every round)
 ]
 
 

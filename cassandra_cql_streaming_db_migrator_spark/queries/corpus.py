@@ -24,6 +24,8 @@ from ..operators.corpus import (
     chunk_documents_sql,
     decontaminate,
     dup_span_census,
+    dup_span_length_histogram,
+    dup_span_length_histogram_sql,
     dup_span_removal,
     dup_span_removal_sql,
     dsir_importance,
@@ -657,6 +659,19 @@ def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_span_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level histogram of maximal MERGED duplicated-span lengths
+    (operators.corpus.dup_span_length_histogram, VERDICT r07 ask #7):
+    overlapping duplicated windows fold into maximal runs via a pure
+    Catalyst aggregate over each doc's starts array — the text is never
+    joined — and the census reports how long the excised substrings
+    actually are (Lee et al. remove maximal substrings, so span-length
+    mass is the removal's audit)."""
+    return dup_span_length_histogram(
+        load_table(spark, sf_dir, "documents"), span_len=_SPAN_LEN
+    )
+
+
 def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth in 100-doc prefix buckets
     (operators.textops.vocab_growth): cumulative tokens + cumulative
@@ -753,7 +768,14 @@ QUERIES = [
         "dup_span_removal", dup_span_removal_q,
         dup_span_removal_sql(span_len=_SPAN_LEN),
         "ExactSubstr span removal: duplicated 15-word windows excised, "
-        "cleaned corpus + removal census (string-keyed oracle)",
+        "cleaned corpus + removal census incl. merged-interval stats "
+        "(n_spans, max_span_len; string-keyed oracle)",
+    ),
+    QueryDef(
+        "dup_span_histogram", dup_span_histogram_q,
+        dup_span_length_histogram_sql(span_len=_SPAN_LEN),
+        "histogram of maximal merged duplicated-span lengths: Catalyst "
+        "fold over starts arrays, gaps-and-islands oracle",
     ),
     QueryDef(
         "weighted_sample",

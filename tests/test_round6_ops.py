@@ -237,3 +237,58 @@ def test_bucketed_join_plan_is_exchange_free_on_the_join(spark, sf_dir):
         ), plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_span_removal_merged_interval_stats(spark):
+    # (VERDICT r07 ask #7) maximal MERGED spans: overlapping duplicated
+    # windows fold into one run; disjoint runs count separately.
+    out = _removal(
+        spark,
+        [
+            # "a b c" (pos 0) and "b c d" (pos 1) both duplicated via doc
+            # 2: they overlap -> ONE merged span of length 4 covering
+            # words 0..3; "x y z" (pos 5) duplicated via doc 3 -> a
+            # second disjoint span of length 3
+            (1, "a b c d q x y z"),
+            (2, "a b c d"),
+            (3, "x y z"),
+            (4, "m n o p"),
+        ],
+    )
+    assert out[1]["n_spans"] == 2
+    assert out[1]["max_span_len"] == 4
+    assert out[1]["n_removed_words"] == 7  # 4 + 3
+    # fully-covered doc: one span spanning the whole doc
+    assert out[2]["n_spans"] == 1 and out[2]["max_span_len"] == 4
+    # untouched doc: zeroes, not NULLs
+    assert out[4]["n_spans"] == 0 and out[4]["max_span_len"] == 0
+
+
+def test_span_length_histogram_matches_removal_stats(spark):
+    from pyspark.sql import Row
+
+    from cassandra_cql_streaming_db_migrator_spark.operators.corpus import (
+        dup_span_length_histogram,
+        dup_span_removal,
+    )
+
+    rows = [
+        Row(doc_id=1, text="a b c d q x y z"),
+        Row(doc_id=2, text="a b c d"),
+        Row(doc_id=3, text="x y z"),
+        Row(doc_id=4, text="m n o p"),
+    ]
+    df = spark.createDataFrame(rows)
+    hist = {
+        r["span_words"]: r["n_spans"]
+        for r in dup_span_length_histogram(df, span_len=3).collect()
+    }
+    # spans: doc1 -> lengths 4 and 3; doc2 -> 4; doc3 -> 3
+    assert hist == {3: 2, 4: 2}
+    # cross-check: the histogram's span count equals the sum of the
+    # removal census's per-doc n_spans (same geometry, two plans)
+    total = sum(
+        r["n_spans"]
+        for r in dup_span_removal(df, span_len=3).collect()
+    )
+    assert total == sum(hist.values())

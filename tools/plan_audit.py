@@ -281,6 +281,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # aggregate, re-printed across ntile branches in identity mode) + the
     # distributed_ntile pair + the bucket rollup
     "lm_quality_filter": 6,
+    # span-key census (the one data-scale aggregate) + the dup-key join +
+    # the per-doc starts fold + the distinct-length histogram rollup —
+    # everything past the census moves duplicated-window rows only, and
+    # the corpus text is never joined (reviewed r8)
+    "dup_span_histogram": 4,
     # bin census (the one data-scale aggregate) + the bin table's
     # cumulative/total windows and percentile join — everything past the
     # census moves bin-count rows
