@@ -1029,6 +1029,56 @@ def ivf_pq_build(
     save_artifact(codes, store, "ivfpq_codes")
 
 
+def pq_encode_frame(
+    df: DataFrame,
+    cents: list[list[list[float]]],
+    cell_ids: list[int],
+    cvecs: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """ENCODE a frame with an EXISTING quantizer (VERDICT r07 ask #8 —
+    the live-ingest coding step): per-subspace nearest-codebook-centroid
+    codes plus the coarse IVF cell, all as Catalyst expressions over the
+    driver-held codebooks/centroids (the same argmin tie-break — lowest
+    cid on equal distance — as training's with_assignments, so coding new
+    rows with a saved quantizer is bit-identical to what training would
+    have assigned them).  No Python rows, no shuffle: one narrow
+    projection over the input."""
+    valid = df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= m * sub_dim)
+    ).select(
+        id_col,
+        *[
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                f"__sub{s}"
+            )
+            for s in range(m)
+        ],
+    )
+    for s in range(m):
+        c_lit = F.lit(cents[s]).cast("array<array<double>>")
+        vec = F.transform(F.col(f"__sub{s}"), lambda x: x.cast("double"))
+        dists = F.transform(c_lit, lambda c: _sq_dist(vec, c))
+        valid = valid.withColumn(f"__d{s}", dists).withColumn(
+            f"__cid{s}",
+            (
+                F.array_position(
+                    F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
+                )
+                - 1
+            ).cast("int"),
+        )
+    cell = _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
+    return valid.withColumn("cell", cell).select(
+        F.col(id_col),
+        "cell",
+        *[F.col(f"__cid{s}").alias(f"cid{s}") for s in range(m)],
+    )
+
+
 def ivf_pq_serve(
     spark: SparkSession,
     store: str,
@@ -1355,6 +1405,108 @@ FROM (
       PARTITION BY query_id ORDER BY adc_dist, vid) AS rn
   FROM scored) r
 WHERE rn <= {topk}"""
+    )
+
+
+def pq_codes_trained_on_sql(
+    table: str = "embeddings",
+    train_where: str = "vec_id % 10 <> 0",
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> str:
+    """Oracle twin of the live index-maintenance contract
+    (:func:`streaming_index_update` / VERDICT r07 ask #8): train the
+    quantizer on the ``train_where`` subset (the base corpus), CODE every
+    row of the full table with it — the Lloyd CTE chains run over the
+    training predicate, fresh per-subspace assignment CTEs rank ALL rows
+    against the trained codebooks with the same (distance, cid)
+    tie-break, and coarse cells come from the base-seeded centroids."""
+    g = (
+        f"{vec_col} IS NOT NULL AND len({vec_col}) >= {m * sub_dim}"
+    )
+    guarded_all = f"(SELECT * FROM {table} WHERE {g})"
+    guarded_train = f"(SELECT * FROM {table} WHERE ({train_where}) AND {g})"
+    parts: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.extend(
+            _lloyd_cte_parts(
+                guarded_train, k, iterations,
+                f"{vec_col}[{lo}:{hi}]", id_col, prefix=f"q{s}",
+            )
+        )
+    # code ALL rows against the trained codebooks, per subspace
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.append(
+            f"""fa{s} AS (
+  SELECT {id_col},
+         list_transform({vec_col}[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS e
+  FROM {guarded_all} g
+),
+fd{s} AS (
+  SELECT v.{id_col} AS vid, p.cid,
+         list_sum(list_transform(generate_series(1, {sub_dim}),
+                  i -> (v.e[i] - p.c[i]) * (v.e[i] - p.c[i]))) AS d
+  FROM fa{s} v, q{s}c{iterations} p
+),
+fc{s} AS (
+  SELECT vid, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+        FROM fd{s})
+  WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"cents AS (SELECT {id_col} AS cell, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cv "
+        f"FROM {guarded_train} g WHERE g.{id_col} < {n_cells})"
+    )
+
+    def sub_fold(vec_expr, cent_expr, s):
+        off = s * sub_dim
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+            f"i -> ({vec_expr}[i] - {cent_expr}[{off} + i])"
+            f" * ({vec_expr}[i] - {cent_expr}[{off} + i])))"
+        )
+
+    vdist = " + ".join(sub_fold(f"v{s}.e", "c.cv", s) for s in range(m))
+    vjoins = " ".join(
+        f"JOIN fa{s} v{s} ON v{s}.{id_col} = v0.{id_col}"
+        for s in range(1, m)
+    )
+    parts.append(
+        f"""cdist AS (
+  SELECT v0.{id_col} AS vid, c.cell, {vdist} AS dist
+  FROM fa0 v0 {vjoins} CROSS JOIN cents c
+),
+vass AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, cell) AS rn
+    FROM cdist) r
+  WHERE rn = 1
+)"""
+    )
+    cjoins = " ".join(
+        f"JOIN fc{s} c{s} ON c{s}.vid = fc0.vid" for s in range(1, m)
+    )
+    cid_cols = ", ".join(
+        f"CAST({'fc0' if s == 0 else f'c{s}'}.cid AS INTEGER) AS cid{s}"
+        for s in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT fc0.vid AS {id_col}, vass.cell, {cid_cols}
+FROM fc0 {cjoins} JOIN vass ON vass.vid = fc0.vid"""
     )
 
 

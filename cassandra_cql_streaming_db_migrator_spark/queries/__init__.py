@@ -321,6 +321,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "graph_ann_batch_recall": {},
     "stream_cdc_mirror": {},
     "dup_span_histogram": {},
+    "stream_index_update": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -355,6 +356,7 @@ DRIVER_HEAD = [
     "graph_ann_batch_recall",
     "stream_cdc_mirror",
     "dup_span_histogram",
+    "stream_index_update",
     # rule 1b: materially rewritten this round (merged-interval stats
     # added to the row schema) — its r06/r07 greens witnessed code that
     # no longer runs, so it re-head-lists
@@ -402,11 +404,10 @@ DRIVER_HEAD = [
     "repetition_stats",
     "tfidf_terms",
     "mixture_weights",
-    "length_histogram",
     # (simhash_fingerprint, doc_fingerprint, token_count_bpe, window_topk,
-    # dedup_components, trigram_lm, embedding_centroids were the displaced
-    # rule-2 fill as the round-8 queries head-listed; all seven veterans
-    # stay strict-checked in the tail every round)
+    # dedup_components, trigram_lm, embedding_centroids, length_histogram
+    # were the displaced rule-2 fill as the round-8 queries head-listed;
+    # all eight veterans stay strict-checked in the tail every round)
 ]
 
 

@@ -161,7 +161,10 @@ def load_artifact(spark: SparkSession, store: str, name: str) -> DataFrame:
 
 
 def save_pq_codebooks(
-    spark: SparkSession, store: str, cents: list[list[list[float]]]
+    spark: SparkSession,
+    store: str,
+    cents: list[list[list[float]]],
+    name: str = "pq_codebooks",
 ) -> None:
     rows = [
         Row(s=s, cid=c, vec=[float(x) for x in cents[s][c]])
@@ -171,14 +174,14 @@ def save_pq_codebooks(
     save_artifact(
         spark.createDataFrame(rows, "s int, cid int, vec array<double>"),
         store,
-        "pq_codebooks",
+        name,
     )
 
 
 def load_pq_codebooks(
-    spark: SparkSession, store: str
+    spark: SparkSession, store: str, name: str = "pq_codebooks"
 ) -> list[list[list[float]]]:
-    rows = load_artifact(spark, store, "pq_codebooks").collect()
+    rows = load_artifact(spark, store, name).collect()
     m = 1 + max(r["s"] for r in rows)
     cents: list[list[list[float]]] = [[] for _ in range(m)]
     for s in range(m):
@@ -192,6 +195,7 @@ def save_coarse_centroids(
     store: str,
     cell_ids: list[int],
     cvecs: list[list[float]],
+    name: str = "ivf_centroids",
 ) -> None:
     rows = [
         Row(cell_id=int(i), vec=[float(x) for x in v])
@@ -200,15 +204,15 @@ def save_coarse_centroids(
     save_artifact(
         spark.createDataFrame(rows, "cell_id long, vec array<double>"),
         store,
-        "ivf_centroids",
+        name,
     )
 
 
 def load_coarse_centroids(
-    spark: SparkSession, store: str
+    spark: SparkSession, store: str, name: str = "ivf_centroids"
 ) -> tuple[list[int], list[list[float]]]:
     rows = sorted(
-        load_artifact(spark, store, "ivf_centroids").collect(),
+        load_artifact(spark, store, name).collect(),
         key=lambda r: r["cell_id"],
     )
     return [int(r["cell_id"]) for r in rows], [list(r["vec"]) for r in rows]
