@@ -1151,6 +1151,20 @@ def ivf_pq_serve_batch(
         load_pq_codebooks,
     )
 
+    # validate BEFORE any schema inference (ADVICE r08 #5): an empty query
+    # set raised IndexError at queries[0], a bool qid is an int subclass
+    # and mapped to 'long', and mixed int/str ids built a schema that only
+    # failed later inside createDataFrame.
+    if not queries:
+        raise ValueError("ivf_pq_serve_batch: queries must be non-empty")
+    qid_types = {type(q[0]) for q in queries}
+    if not (qid_types <= {int} or qid_types <= {str}):
+        raise TypeError(
+            "ivf_pq_serve_batch: query ids must be all int or all str, "
+            f"got {sorted(t.__name__ for t in qid_types)}"
+        )
+    qid_type = "long" if qid_types <= {int} else "string"
+
     cents = load_pq_codebooks(spark, store)
     cell_ids, cvecs = load_coarse_centroids(spark, store)
     probe_rows = []
@@ -1166,7 +1180,6 @@ def ivf_pq_serve_batch(
                 )
             )
     codes = load_artifact(spark, store, "ivfpq_codes")
-    qid_type = "long" if isinstance(queries[0][0], int) else "string"
     qdf = spark.createDataFrame(
         probe_rows,
         f"query_id {qid_type}, cell long, "

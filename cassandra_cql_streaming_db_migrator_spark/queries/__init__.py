@@ -85,63 +85,63 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "migrate_pipeline": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
     "q1_pricing_summary": {"r01": "fail", "r02": "green", "r03": "green", "r06": "green", "r07": "green"},
     "join_enrich": {"r01": "fail", "r02": "green", "r06": "green", "r07": "green"},
-    "join_large": {"r01": "fail", "r02": "green"},
+    "join_large": {"r01": "fail", "r02": "green", "r08": "green"},
     "window_running": {"r01": "fail", "r02": "green", "r06": "green"},
     "agg_rollup": {"r01": "fail", "r02": "green", "r06": "green"},
-    "agg_cube": {"r01": "fail", "r02": "green"},
-    "agg_grouping_sets": {"r01": "fail", "r02": "green", "r07": "green"},
-    "time_bucket_rollup": {"r01": "fail", "r02": "green"},
-    "agg_pivot": {"r01": "fail", "r02": "green"},
-    "json_extract": {"r01": "fail", "r02": "green"},
+    "agg_cube": {"r01": "fail", "r02": "green", "r08": "green"},
+    "agg_grouping_sets": {"r01": "fail", "r02": "green", "r07": "green", "r08": "green"},
+    "time_bucket_rollup": {"r01": "fail", "r02": "green", "r08": "green"},
+    "agg_pivot": {"r01": "fail", "r02": "green", "r08": "green"},
+    "json_extract": {"r01": "fail", "r02": "green", "r08": "green"},
     "join_asof": {"r01": "green", "r02": "green", "r06": "green"},
-    "join_range": {"r01": "fail", "r02": "green"},
+    "join_range": {"r01": "fail", "r02": "green", "r08": "green"},
     "set_except": {"r01": "green", "r02": "green", "r06": "green"},
     "dedup_exact": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
-    "minhash_pairs": {"r01": "green", "r02": "green"},
+    "minhash_pairs": {"r01": "green", "r02": "green", "r08": "green"},
     "fuzzy_dedup": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
-    "llm_prep_pipeline": {"r01": "green", "r02": "green"},
+    "llm_prep_pipeline": {"r01": "green", "r02": "green", "r08": "green"},
     "lang_id": {"r01": "green", "r02": "green", "r06": "green", "r07": "green"},
     "multimodal_features": {"r01": "green", "r02": "green", "r06": "green"},
-    "embedding_ann_lsh": {"r02": "green"},
+    "embedding_ann_lsh": {"r02": "green", "r08": "green"},
     "embedding_near_dup": {"r02": "green", "r07": "green"},
-    "embedding_label_top_pairs": {"r02": "green"},
-    "multimodal_meta": {"r02": "green"},
-    "stream_stream_join": {"r02": "green"},
+    "embedding_label_top_pairs": {"r02": "green", "r08": "green"},
+    "multimodal_meta": {"r02": "green", "r08": "green"},
+    "stream_stream_join": {"r02": "green", "r08": "green"},
     "stream_tumbling_agg": {"r02": "green", "r06": "green"},
-    "stream_dedup": {"r02": "green"},
-    "stream_session_window": {"r02": "green"},
-    "stream_sliding_agg": {"r02": "green"},
-    "stream_stateful_stats": {"r02": "green"},
+    "stream_dedup": {"r02": "green", "r08": "green"},
+    "stream_session_window": {"r02": "green", "r08": "green"},
+    "stream_sliding_agg": {"r02": "green", "r08": "green"},
+    "stream_stateful_stats": {"r02": "green", "r08": "green"},
     "decontaminate": {"r02": "green", "r06": "green", "r07": "green"},
-    "split_sample": {"r02": "green"},
-    "text_governance": {"r02": "green"},
+    "split_sample": {"r02": "green", "r08": "green"},
+    "text_governance": {"r02": "green", "r08": "green"},
     "sequence_pack": {"r02": "fail", "r03": "green", "r06": "green"},  # HUGEINT cast fixed
-    "stratified_sample": {"r02": "green"},
-    "split_leakage": {"r02": "green"},
-    "kmv_distinct": {"r02": "green", "r03": "green"},
-    "scd2_history": {"r02": "green"},
-    "pagerank_trade": {"r02": "fail", "r03": "green"},  # HUGEINT cast fixed
-    "time_gap_fill": {"r02": "green", "r03": "green"},
-    "set_union": {"r01": "green"},
-    "set_intersect": {"r01": "green"},
-    "set_except_all": {"r01": "green"},
+    "stratified_sample": {"r02": "green", "r08": "green"},
+    "split_leakage": {"r02": "green", "r08": "green"},
+    "kmv_distinct": {"r02": "green", "r03": "green", "r08": "green"},
+    "scd2_history": {"r02": "green", "r08": "green"},
+    "pagerank_trade": {"r02": "fail", "r03": "green", "r08": "green"},  # HUGEINT cast fixed
+    "time_gap_fill": {"r02": "green", "r03": "green", "r08": "green"},
+    "set_union": {"r01": "green", "r08": "green"},
+    "set_intersect": {"r01": "green", "r08": "green"},
+    "set_except_all": {"r01": "green", "r08": "green"},
     "set_intersect_all": {"r01": "green", "r07": "green"},
-    "window_lag_lead": {"r01": "green"},
-    "window_analytics": {"r01": "green"},
-    "distinct_agg": {"r01": "green"},
+    "window_lag_lead": {"r01": "green", "r08": "green"},
+    "window_analytics": {"r01": "green", "r08": "green"},
+    "distinct_agg": {"r01": "green", "r08": "green"},
     "agg_percentiles": {"r01": "green", "r06": "green"},
-    "lang_stats": {"r01": "green"},
-    "token_frequency": {"r01": "green"},
-    "multimodal_resize": {"r03": "green"},
-    "join_semi": {"r01": "green"},
-    "ngram_jaccard": {"r01": "green"},
+    "lang_stats": {"r01": "green", "r08": "green"},
+    "token_frequency": {"r01": "green", "r08": "green"},
+    "multimodal_resize": {"r03": "green", "r08": "green"},
+    "join_semi": {"r01": "green", "r08": "green"},
+    "ngram_jaccard": {"r01": "green", "r08": "green"},
     "text_stats": {"r01": "green", "r06": "green"},
-    "correlated_subquery": {"r01": "green"},
-    "embedding_quantize": {"r03": "green"},
-    "stream_quality_gate": {"r03": "green"},
-    "repetition_stats": {"r03": "green"},
-    "tfidf_terms": {"r03": "green"},
-    "mixture_weights": {"r03": "green"},
+    "correlated_subquery": {"r01": "green", "r08": "green"},
+    "embedding_quantize": {"r03": "green", "r08": "green"},
+    "stream_quality_gate": {"r03": "green", "r08": "green"},
+    "repetition_stats": {"r03": "green", "r08": "green"},
+    "tfidf_terms": {"r03": "green", "r08": "green"},
+    "mixture_weights": {"r03": "green", "r08": "green"},
     "length_histogram": {"r03": "green"},
     "trigram_lm": {"r03": "green"},
     "embedding_centroids": {"r03": "green"},
@@ -296,7 +296,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_hll": {"r06": "green"},
     "source_dup_report": {"r06": "green"},
     # new in round 6 (head-listed by rule 1)
-    "dup_span_removal": {"r06": "green", "r07": "green"},
+    "dup_span_removal": {"r06": "green", "r07": "green", "r08": "green"},
     "bpe_encode": {"r06": "green", "r07": "green"},
     "graph_ann_search": {"r06": "green", "r07": "green"},
     "graph_ann_recall": {"r06": "green"},
@@ -315,13 +315,13 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "bpe_encode_from_artifacts": {"r07": "green"},
     "lm_score_from_artifacts": {"r07": "green"},
     # new in round 8 (head-listed by rule 1)
-    "ann_lsh_batch": {},
-    "ivf_pq_batch": {},
-    "graph_ann_batch": {},
-    "graph_ann_batch_recall": {},
-    "stream_cdc_mirror": {},
-    "dup_span_histogram": {},
-    "stream_index_update": {},
+    "ann_lsh_batch": {"r08": "green"},
+    "ivf_pq_batch": {"r08": "green"},
+    "graph_ann_batch": {"r08": "green"},
+    "graph_ann_batch_recall": {"r08": "green"},
+    "stream_cdc_mirror": {"r08": "green"},
+    "dup_span_histogram": {"r08": "green"},
+    "stream_index_update": {"r08": "green"},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -335,79 +335,90 @@ DRIVER_HEAD_CAP = 50
 # row is in DRIVER_HEAD or DRIVER_BACKLOG — nothing unwitnessed is ever
 # silently tail-listed.
 DRIVER_BACKLOG: list[str] = [
-    # round 8: backlog entered the round EMPTY (first time since round 3 —
-    # the round-6 FIFO drained in round 7 and earned its green rows, see
-    # CORRECTNESS_r07.json).  Round-8 additions beyond the free head slots
-    # queue here (FIFO for the round-9 head).
+    # round 9: backlog entered the round EMPTY again (the round-8 head's
+    # 50 entries all earned green rows in CORRECTNESS_r08.json, transcribed
+    # above).  Round-9 additions beyond the free head slots queue here
+    # (FIFO for the round-10 head).
 ]
 
-# Round-8 head: backlog empty, every registered query has a green driver
-# row, so the head is pure rotation — new round-8 queries head-list by
-# rule 1 as they land; the veteran fill (rule 2) this round targets the
-# STALEST evidence: queries whose only green row is r01-r04 vintage and
-# which have never been re-witnessed, one per operator family where the
-# choice exists.
+# Round-9 head: backlog empty, every registered query has a green driver
+# row, so the head is pure rotation — new round-9 queries head-list by
+# rule 1 as they land (displacing rule-2 veterans from the bottom); the
+# veteran fill (rule 2) targets the STALEST evidence: queries whose SINGLE
+# green row is r01-r04 vintage and which have never been re-witnessed
+# (verified against DRIVER_HISTORY above — the round-8 slip of listing an
+# already-re-witnessed veteran under this rationale, ADVICE r08 #3, is
+# fixed by deriving the fill from the history dict itself).  One swap is
+# deliberate and documented: the pq family (pq_ann, pq_codes, pq_recall)
+# is picked over three older-alphabet r04 names because pq_codes carries
+# the confirmed ~2x bench drift vs its r6 mark (VERDICT r08 "What's wrong"
+# #2) — a fresh driver witness at sf0.01 is direct evidence for the
+# plan re-read this round.
 DRIVER_HEAD = [
-    # -- new in round 8 (rule 1: no driver row yet; entries are inserted
-    # here as each query lands, displacing rule-2 veterans below)
+    # -- rule 1b: materially rewritten this round (VERDICT r08 ask #3 —
+    # the batched LSH/graph legs now SERVE from the artifact store:
+    # ann_lsh_batch probes the persisted lsh_buckets_b6 table instead of
+    # rebucketing the corpus per call, graph_ann_batch and its recall
+    # gauge walk the persisted graph_nodes/graph_edges instead of
+    # rebuilding inline) — their r08 greens witnessed plans that no
+    # longer run, so they re-head-list
     "ann_lsh_batch",
-    "ivf_pq_batch",
     "graph_ann_batch",
     "graph_ann_batch_recall",
-    "stream_cdc_mirror",
-    "dup_span_histogram",
-    "stream_index_update",
-    # rule 1b: materially rewritten this round (merged-interval stats
-    # added to the row schema) — its r06/r07 greens witnessed code that
-    # no longer runs, so it re-head-lists
-    "dup_span_removal",
-    # -- rule 2: stalest-evidence veterans (single green row, r01-r04)
-    "join_large",
-    "agg_cube",
-    "agg_grouping_sets",
-    "time_bucket_rollup",
-    "agg_pivot",
-    "json_extract",
-    "join_range",
-    "minhash_pairs",
-    "llm_prep_pipeline",
-    "embedding_ann_lsh",
-    "embedding_label_top_pairs",
-    "multimodal_meta",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_session_window",
-    "stream_sliding_agg",
-    "stream_stateful_stats",
-    "split_sample",
-    "text_governance",
-    "stratified_sample",
-    "split_leakage",
-    "kmv_distinct",
-    "scd2_history",
-    "pagerank_trade",
-    "time_gap_fill",
-    "set_union",
-    "set_intersect",
-    "set_except_all",
-    "window_lag_lead",
-    "window_analytics",
-    "distinct_agg",
-    "lang_stats",
-    "token_frequency",
-    "multimodal_resize",
-    "join_semi",
-    "ngram_jaccard",
-    "correlated_subquery",
-    "embedding_quantize",
-    "stream_quality_gate",
-    "repetition_stats",
-    "tfidf_terms",
-    "mixture_weights",
-    # (simhash_fingerprint, doc_fingerprint, token_count_bpe, window_topk,
-    # dedup_components, trigram_lm, embedding_centroids, length_histogram
-    # were the displaced rule-2 fill as the round-8 queries head-listed;
-    # all eight veterans stay strict-checked in the tail every round)
+    # -- rule 2: stalest-evidence veterans (single green row, r01 vintage)
+    "doc_fingerprint",
+    "simhash_fingerprint",
+    "token_count_bpe",
+    "window_topk",
+    # -- rule 2: stalest-evidence veterans (single green row, r03 vintage)
+    "agg_corr",
+    "ann_recall",
+    "bigram_pmi",
+    "bloom_join",
+    "cdc_latest",
+    "cooccurrence_pairs",
+    "dedup_canonical",
+    "dedup_components",
+    "embedding_centroids",
+    "funnel_events",
+    "head_coverage",
+    "inverted_index",
+    "kmeans_embeddings",
+    "knn_join",
+    "length_histogram",
+    "minhash_band_stats",
+    "mixture_rebalance",
+    "ngram_topk",
+    "ohlc_downsample",
+    "pii_stats",
+    "pit_enrich",
+    "q3_shipping_priority",
+    "quantiles_sampled",
+    "retention_cohorts",
+    "rolling_7d",
+    "sessionize_events",
+    "snapshot_diff",
+    "stream_cdc_latest",
+    "stream_funnel",
+    "stream_kmv",
+    "stream_ohlc",
+    "stream_scd2",
+    "table_profile",
+    "trade_degree_stats",
+    "trigram_lm",
+    "winsorize_values",
+    # -- rule 2: stalest-evidence veterans (single green row, r04 vintage;
+    # FIFO except the documented pq-family swap above)
+    "benford_audit",
+    "char_diversity",
+    "cms_heavy_hitters",
+    "dsir_weights",
+    "pq_ann",
+    "pq_codes",
+    "pq_recall",
+    # (debounce_events, doc_chunks, drift_report were the displaced
+    # rule-2 fill as the round-9 rule-1b entries above head-listed; all
+    # three veterans stay strict-checked in the tail every round)
 ]
 
 

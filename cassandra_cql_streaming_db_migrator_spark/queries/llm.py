@@ -867,15 +867,40 @@ ORDER BY cosine DESC, b.vec_id ASC LIMIT 20
 
 
 def ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH ANN over a query SET (VERDICT r07 ask #3 — batched read paths):
-    top-10 per query for the 8 queries ``vec_id < 8``, one corpus
-    bucketing pass + a broadcast bucket equi-join + one per-query window
-    (operators.similarity.lsh_ann_batch) — never |Q| corpus scans."""
-    from ..operators.similarity import lsh_ann_batch
+    """LSH ANN over a query SET, served from the SAVED bucket table
+    (VERDICT r07 ask #3 + r08 ask #3 — batching composed with the
+    artifact store): the corpus bucket table (vec_id, embedding,
+    __bucket) is built ONCE and persisted (``lsh_buckets_b6``); every
+    call after loads it and only bucket-hashes the |Q| query vectors
+    before the broadcast bucket equi-join + per-query top-10 window
+    (operators.similarity.lsh_ann_batch_bucketed) — never |Q| corpus
+    scans, and the corpus bucketing pass is gone from the per-call path.
+    The bucketing kernel is deterministic, so probing the saved table is
+    value-identical to rebucketing inline: the oracle is unchanged."""
+    from ..operators.similarity import (
+        lsh_ann_batch_bucketed,
+        with_bucket_ids,
+    )
+    from ..sinks.artifacts import (
+        artifact_store,
+        has_artifact,
+        load_artifact,
+        save_artifact,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+    if not has_artifact(store, "lsh_buckets_b6"):
+        save_artifact(
+            with_bucket_ids(emb, "embedding", n_bits=6).select(
+                "vec_id", "embedding", "__bucket"
+            ),
+            store,
+            "lsh_buckets_b6",
+        )
+    bucketed = load_artifact(spark, store, "lsh_buckets_b6")
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_ann_batch(emb, queries, k=10, n_bits=6)
+    return lsh_ann_batch_bucketed(bucketed, queries, k=10, n_bits=6)
 
 
 _ANN_LSH_BATCH_SQL = f"""
@@ -1017,16 +1042,51 @@ FROM sel s
 
 
 def _graph_nodes_and_edges(spark: SparkSession, sf_dir: str):
-    """Shared build for the graph-ANN read path: the deterministic
+    """Shared INLINE build for the graph-ANN read path: the deterministic
     IVF-blocked kNN graph (same construction knn_graph value-gates) with
     the node set materialized once — it feeds edge construction AND the
-    per-hop candidate probes."""
+    per-hop candidate probes.  The single-query graph_ann_search /
+    graph_ann_recall pair keeps this train-then-serve shape as the
+    inline-training originals; every OTHER graph read path serves from
+    the persisted graph via :func:`_graph_artifacts`."""
     from ..operators.caching import materialized
     from ..operators.similarity import block_knn_edges, ivf_cell_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
     nodes = materialized(ivf_cell_assign(emb, n_cells=16))
     edges = materialized(block_knn_edges(nodes, k=3))
+    return emb, nodes, edges
+
+
+def _graph_artifacts(spark: SparkSession, sf_dir: str):
+    """Build-or-LOAD the kNN graph from the artifact store (VERDICT r08
+    ask #3): first call persists ``graph_nodes``/``graph_edges`` (edges
+    committed last, the codes-last gate discipline — a crash between the
+    two writes leaves no _SUCCESS on the edge table, so has_artifact
+    routes the next call back to a full rebuild); every later call loads
+    and serves.  The build is deterministic and parquet round-trips
+    doubles bit-exactly, so serve-from-store is value-identical to the
+    inline build and the callers' oracles are unchanged."""
+    from ..operators.caching import materialized
+    from ..operators.similarity import block_knn_edges, ivf_cell_assign
+    from ..sinks.artifacts import (
+        artifact_store,
+        has_artifact,
+        load_artifact,
+        save_artifact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+    if not (
+        has_artifact(store, "graph_nodes")
+        and has_artifact(store, "graph_edges")
+    ):
+        nodes = materialized(ivf_cell_assign(emb, n_cells=16))
+        save_artifact(nodes, store, "graph_nodes")
+        save_artifact(block_knn_edges(nodes, k=3), store, "graph_edges")
+    nodes = load_artifact(spark, store, "graph_nodes")
+    edges = load_artifact(spark, store, "graph_edges")
     return emb, nodes, edges
 
 
@@ -1116,14 +1176,17 @@ SELECT vec_id, cosine FROM v3 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 def graph_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-ANN beam walk over a query SET (VERDICT r07 ask #3): top-10
-    per query for the 4 queries ``vec_id < 4``, every per-hop frontier
-    cut a per-query window with the single-query walk's total order
-    (operators.similarity.graph_beam_search_batch) — one node-table probe
-    per hop serves all queries."""
+    """Graph-ANN beam walk over a query SET, served from the SAVED graph
+    (VERDICT r07 ask #3 + r08 ask #3): top-10 per query for the 4
+    queries ``vec_id < 4``, walking the persisted ``graph_nodes``/
+    ``graph_edges`` artifacts (:func:`_graph_artifacts` — graph
+    construction is gone from the per-call path); every per-hop frontier
+    cut is a per-query window with the single-query walk's total order
+    (operators.similarity.graph_beam_search_batch) — one node-table
+    probe per hop serves all queries."""
     from ..operators.similarity import graph_beam_search_batch
 
-    emb, nodes, edges = _graph_nodes_and_edges(spark, sf_dir)
+    emb, nodes, edges = _graph_artifacts(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 4)
     return graph_beam_search_batch(
         nodes, edges, queries, k=10, beam=4, hops=3
@@ -1136,12 +1199,14 @@ def graph_ann_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships with (VERDICT r07 ask #3: 'per-query recall in the gauges'),
     vs graph_ann_recall's single aggregate row.  The exact side is ONE
     node pass: the 4-query frame broadcasts into a cross join and one
-    window ranks all queries at once."""
+    window ranks all queries at once.  Serves from the persisted graph
+    (:func:`_graph_artifacts`, VERDICT r08 ask #3) like graph_ann_batch —
+    the gauge must measure the plan production actually runs."""
     from pyspark.sql import Window as _W
 
     from ..operators.similarity import cosine, graph_beam_search_batch
 
-    emb, nodes, edges = _graph_nodes_and_edges(spark, sf_dir)
+    emb, nodes, edges = _graph_artifacts(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 4)
     approx = graph_beam_search_batch(
         nodes, edges, queries, k=10, beam=4, hops=3
@@ -2619,32 +2684,13 @@ def _ivf_pq_batch_sql() -> str:
 def graph_ann_from_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-ANN served from the SAVED index: node table (id, cell,
     embedding — the by-id-probe layout) and kNN edge table persisted on
-    first call, then the beam walk runs entirely over loaded frames.
-    Same oracle as graph_ann_search."""
-    from ..operators.caching import materialized
-    from ..operators.similarity import (
-        block_knn_edges,
-        graph_beam_search,
-        ivf_cell_assign,
-    )
-    from ..sinks.artifacts import (
-        artifact_store,
-        has_artifact,
-        load_artifact,
-        save_artifact,
-    )
+    first call, then the beam walk runs entirely over loaded frames
+    (build-or-load shared with the batched walks via
+    :func:`_graph_artifacts` since r9).  Same oracle as
+    graph_ann_search."""
+    from ..operators.similarity import graph_beam_search
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    store = artifact_store(sf_dir)
-    if not (
-        has_artifact(store, "graph_nodes")
-        and has_artifact(store, "graph_edges")
-    ):
-        nodes = materialized(ivf_cell_assign(emb, n_cells=16))
-        save_artifact(nodes, store, "graph_nodes")
-        save_artifact(block_knn_edges(nodes, k=3), store, "graph_edges")
-    nodes = load_artifact(spark, store, "graph_nodes")
-    edges = load_artifact(spark, store, "graph_edges")
+    emb, nodes, edges = _graph_artifacts(spark, sf_dir)
     query = emb.filter(F.col("vec_id") == 0)
     return graph_beam_search(nodes, edges, query, k=10, beam=4, hops=3)
 

@@ -70,7 +70,13 @@ def fixture_content_token(sf_dir: str) -> str:
     each — no data read, so opening a store costs O(files) metadata calls
     even when the fixture is 100 TB.  Any regeneration (new mtime), schema
     change or row-count change (new size), or added/dropped table (new
-    name set) changes the token and therefore the store key."""
+    name set) changes the token and therefore the store key.
+
+    Directory-style parquet entries are walked RECURSIVELY (ADVICE r08:
+    a one-level listdir statted nested partition dirs like ``key=.../``
+    as directories, whose mtime does not change when a part file inside
+    is rewritten in place — such a regeneration would have been missed
+    and a stale index served)."""
     h = hashlib.sha256()
     try:
         names = sorted(os.listdir(sf_dir))
@@ -81,9 +87,14 @@ def fixture_content_token(sf_dir: str) -> str:
             continue
         p = os.path.join(sf_dir, n)
         if os.path.isdir(p):  # directory-style parquet (part files)
-            for sub in sorted(os.listdir(p)):
-                st = os.stat(os.path.join(p, sub))
-                h.update(f"{n}/{sub}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+            for droot, dirs, files in os.walk(p):
+                dirs.sort()  # deterministic walk order
+                rel = os.path.relpath(droot, sf_dir)
+                for sub in sorted(files):
+                    st = os.stat(os.path.join(droot, sub))
+                    h.update(
+                        f"{rel}/{sub}:{st.st_size}:{st.st_mtime_ns}\n".encode()
+                    )
         else:
             st = os.stat(p)
             h.update(f"{n}:{st.st_size}:{st.st_mtime_ns}\n".encode())

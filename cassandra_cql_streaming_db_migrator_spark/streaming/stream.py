@@ -767,6 +767,7 @@ def read_documents_stream_chunked(
     docs: DataFrame,
     n_chunks: int = 4,
     scratch_dir: str | None = None,
+    chunk_col: str | None = None,
 ) -> DataFrame:
     """A batch documents frame re-exposed as a bounded MULTI-microbatch
     file stream: the frame is written as ``n_chunks`` parquet files into a
@@ -774,6 +775,15 @@ def read_documents_stream_chunked(
     run genuinely exercises per-microbatch arrival (the single-file
     fixture symlink of read_documents_stream yields one batch — fine for
     aggregates, too coarse for an incremental-ingest proof).
+
+    ``chunk_col`` pins the ARRIVAL ORDER (ADVICE r08 #4: hash
+    repartitioning cannot guarantee an out-of-order arrival actually
+    occurs, so tests of order-sensitive merge logic need a deterministic
+    ingest schedule): rows are written one file per distinct
+    ``chunk_col`` value in ascending value order, the column itself is
+    dropped, and every file's mtime is re-stamped seconds apart in that
+    order — FileStreamSource delivers files in (mtime, path) order, so
+    microbatch i holds exactly the rows with the i-th chunk value.
 
     The scratch dir is registered for removal at interpreter exit
     (ADVICE r06 — chunks used to outlive the process); a caller that
@@ -786,7 +796,31 @@ def read_documents_stream_chunked(
     d = scratch_dir or tempfile.mkdtemp(prefix="stream_docs_chunks_")
     if scratch_dir is None:
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-    docs.repartition(n_chunks).write.mode("overwrite").parquet(d)
+    if chunk_col is None:
+        docs.repartition(n_chunks).write.mode("overwrite").parquet(d)
+    else:
+        vals = sorted(
+            r[0] for r in docs.select(chunk_col).distinct().collect()
+        )
+        for i, v in enumerate(vals):
+            (
+                docs.where(F.col(chunk_col) == v)
+                .drop(chunk_col)
+                .coalesce(1)
+                .write.mode("append" if i else "overwrite")
+                .parquet(d)
+            )
+        # sequential write jobs already give ascending mtimes; re-stamp
+        # seconds apart so the source's timestamp ordering can never tie
+        parts = sorted(
+            (os.stat(os.path.join(d, f)).st_mtime_ns, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        t0 = parts[0][0]
+        for j, (_, f) in enumerate(parts):
+            ns = t0 + j * 10_000_000_000
+            os.utime(os.path.join(d, f), ns=(ns, ns))
     schema = spark.read.parquet(d).schema
     return (
         spark.readStream.schema(schema)
@@ -887,6 +921,7 @@ def streaming_cdc_mirror(
     value_cols: tuple[str, ...] = ("event_type", "value"),
     n_chunks: int = 4,
     n_buckets: int = 8,
+    chunk_col: str | None = None,
 ) -> DataFrame:
     """LIVE BUCKETED CDC MIRROR (VERDICT r07 ask #5) — the production
     migration shape: the reference's upsert sink run CONTINUOUSLY
@@ -966,13 +1001,24 @@ def streaming_cdc_mirror(
         F.max("__max_ord").alias("__max_ord"),
     ]
 
-    state = {"cur": None, "flip": 0}
+    state = {"cur": None, "flip": 0, "done_epochs": set()}
     scratch = tempfile.mkdtemp(prefix="stream_cdc_chunks_")
     stream = read_documents_stream_chunked(
-        spark, events, n_chunks, scratch_dir=scratch
+        spark, events, n_chunks, scratch_dir=scratch, chunk_col=chunk_col
     )
 
     def upsert(mb_raw: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE: a retried microbatch re-delivers
+        # the same epoch_id with the same rows, and re-merging it would
+        # double-count n_versions (the merge is additive).  Skipping
+        # already-processed epochs makes the upsert idempotent per epoch
+        # — the same fencing the reference's counter sink needs for
+        # replayed pages (ADVICE r08 #1).  (In-process memo suffices:
+        # this mirror's A/B tables are pid-scoped; a RESTARTED job gets
+        # fresh tables and a fresh checkpoint.)
+        if epoch_id in state["done_epochs"]:
+            return
+        state["done_epochs"].add(epoch_id)
         if mb_raw.isEmpty():
             return
         mb = compact(mb_raw)

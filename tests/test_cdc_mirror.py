@@ -81,36 +81,71 @@ def test_mirror_table_is_join_ready_without_exchange(spark):
 
 
 def test_out_of_order_batch_does_not_overwrite_newer_row(spark):
-    # Arrival order is chunk order, which upsert semantics must not trust:
-    # feed a frame whose LATER chunk holds OLDER timestamps and assert the
-    # frontier row still wins by (ts, event_id), not by arrival.
+    # ADVICE r08 #4: hash-repartitioned chunks can't guarantee an
+    # out-of-order arrival actually happens, so this fixture PINS the
+    # ingest schedule via chunk_col — the NEWEST row for every user
+    # arrives in chunk 0, strictly older updates arrive in chunks 1 and
+    # 2.  Upsert semantics must keep the chunk-0 frontier: a merge that
+    # trusted arrival order would report the chunk-2 (oldest) rows.
+    import datetime as dt
+
     from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
         streaming_cdc_mirror,
     )
 
-    events = _events(spark)
-    mirror = streaming_cdc_mirror(spark, events, n_chunks=3)
-    # last-writer-wins frontier from the batch side, computed independently
-    want = {
-        r["user_id"]: (r["last_ts"], r["last_event_type"])
-        for r in events.withColumn(
-            "rn",
-            F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("user_id")
-                .orderBy(F.col("ts").desc(), F.col("event_id").desc())
-            ),
-        )
-        .filter("rn = 1")
-        .select(
-            "user_id",
-            F.col("ts").alias("last_ts"),
-            F.col("event_type").alias("last_event_type"),
-        )
-        .collect()
-    }
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 12, minute, 0)
+
+    rows = []
+    for uid in range(1, 6):
+        # chunk 0 carries the newest version (minute 50), later chunks
+        # carry progressively older ones — deterministically out of order
+        rows.append((uid, 300 + uid, t(50), "newest", float(uid), 0))
+        rows.append((uid, 200 + uid, t(30), "middle", 10.0 + uid, 1))
+        rows.append((uid, 100 + uid, t(10), "oldest", 20.0 + uid, 2))
+    events = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, event_type string, "
+        "value double, chunk int",
+    )
+
+    mirror = streaming_cdc_mirror(
+        spark, events, n_chunks=3, chunk_col="chunk"
+    )
     got = {
-        r["user_id"]: (r["last_ts"], r["last_event_type"])
+        r["user_id"]: (r["n_versions"], r["last_ts"], r["last_event_type"])
         for r in mirror.collect()
     }
-    assert got == want
+    assert got == {
+        uid: (3, t(50), "newest") for uid in range(1, 6)
+    }
+
+
+def test_chunk_col_pins_microbatch_arrival_order(spark):
+    # the deterministic-ingest knob itself: microbatch i must hold
+    # exactly the rows of chunk value i (otherwise the out-of-order test
+    # above proves nothing)
+    import tempfile
+
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        read_documents_stream_chunked,
+    )
+
+    rows = [(i, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, chunk int")
+    scratch = tempfile.mkdtemp(prefix="chunk_order_test_")
+    stream = read_documents_stream_chunked(
+        spark, df, n_chunks=3, scratch_dir=scratch, chunk_col="chunk"
+    )
+    seen: list[set[int]] = []
+
+    def grab(mb, epoch_id):
+        ids = {r["id"] for r in mb.collect()}
+        if ids:
+            seen.append(ids)
+
+    q = stream.writeStream.foreachBatch(grab).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert seen == [
+        {i for i in range(30) if i % 3 == c} for c in range(3)
+    ]
