@@ -365,6 +365,10 @@ DRIVER_HEAD = [
     "ann_lsh_batch",
     "graph_ann_batch",
     "graph_ann_batch_recall",
+    # -- rule 1b: the mirror's WRITE is now touched-bucket file
+    # replacement (VERDICT r08 ask #5) — its r08 green witnessed the
+    # full-rewrite write path, so it re-head-lists
+    "stream_cdc_mirror",
     # -- rule 2: stalest-evidence veterans (single green row, r01 vintage)
     "doc_fingerprint",
     "simhash_fingerprint",
@@ -411,14 +415,14 @@ DRIVER_HEAD = [
     # FIFO except the documented pq-family swap above)
     "benford_audit",
     "char_diversity",
-    "cms_heavy_hitters",
     "dsir_weights",
     "pq_ann",
     "pq_codes",
     "pq_recall",
-    # (debounce_events, doc_chunks, drift_report were the displaced
-    # rule-2 fill as the round-9 rule-1b entries above head-listed; all
-    # three veterans stay strict-checked in the tail every round)
+    # (debounce_events, doc_chunks, drift_report, cms_heavy_hitters were
+    # the displaced rule-2 fill as the round-9 rule-1b entries above
+    # head-listed; all four veterans stay strict-checked in the tail
+    # every round)
 ]
 
 

@@ -90,3 +90,31 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     default since SPARK-28595, and only honored when every bucket is one
     file (which write_bucketed's repartition alignment guarantees)."""
     return spark.table(table)
+
+
+def table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem path of a managed table's data directory."""
+    from urllib.parse import urlparse
+
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED `{table}`").collect()
+    loc = next(r.data_type for r in rows if r.col_name == "Location")
+    parsed = urlparse(loc)
+    return parsed.path if parsed.scheme in ("", "file") else loc
+
+
+def bucket_files(location: str) -> dict[int, list[str]]:
+    """Map bucket id -> data file paths for a bucketed table directory.
+    Spark encodes the bucket id in the file name (``..._00042.c000...``,
+    the suffix BucketingUtils parses on read), so the mapping is pure
+    directory listing — no footer reads."""
+    import os
+    import re
+
+    out: dict[int, list[str]] = {}
+    for f in os.listdir(location):
+        m = re.match(r"part-\d+-.*_(\d{5})(?:\.|$)", f)
+        if m:
+            out.setdefault(int(m.group(1)), []).append(
+                os.path.join(location, f)
+            )
+    return out

@@ -950,12 +950,19 @@ def streaming_cdc_mirror(
         flip: a parquet table cannot be overwritten while it is read),
         pid-scoped and reaped by gc_stale_pid_tables.
 
-    The one full-mirror cost is the bucketed WRITE's repartition — the
-    parquet simulation of an in-place upsert target.  At 100 TB the
-    swap is a merge-capable table format (or per-bucket file
-    replacement keyed by the batch's touched buckets): the read/merge
-    side above already touches only batch-scale rows, so the write is
-    the only piece that changes.
+    The WRITE is touched-bucket file replacement (VERDICT r08 ask #5 —
+    the swap this docstring used to only name): write_bucketed aligns
+    one file per bucket, so the batch's keys hash (same murmur3 ``hash``
+    pmod as bucketBy) to a set of TOUCHED bucket ids; only those files
+    are read back for the merge, only the merged touched buckets are
+    written into the alternate table, and every untouched bucket file is
+    carried forward as a HARDLINK (zero data movement — and safe across
+    the flip cycle: an overwrite of the older table unlinks its name,
+    never the carried inode).  Per batch the whole maintenance loop —
+    read, merge, shuffle, write — is O(touched buckets), not O(mirror);
+    at 100 TB with fine-grained buckets touched ≈ batch keys.  The A/B
+    flip is retained for crash safety: the live table is never mutated,
+    ``state['cur']`` moves only after the alternate is fully built.
 
     A fully-drained run equals the batch ``latest_by_key`` over the
     same events row-for-row — the oracle IS the batch query's SQL, so
@@ -965,8 +972,10 @@ def streaming_cdc_mirror(
     """
     from ..operators.timeseries import ord_key
     from ..sinks.bucketing import (
+        bucket_files,
         gc_stale_pid_tables,
         read_bucketed,
+        table_location,
         write_bucketed,
     )
 
@@ -1022,24 +1031,71 @@ def streaming_cdc_mirror(
         if mb_raw.isEmpty():
             return
         mb = compact(mb_raw)
+        nxt = names[state["flip"]]
         if state["cur"] is None:
-            merged = mb
+            # first batch: every bucket is touched by definition
+            write_bucketed(mb, nxt, [key_col], n_buckets)
         else:
-            current = read_bucketed(spark, state["cur"])
+            # touched buckets: where the batch's keys hash (the same
+            # murmur3 `hash` pmod n write_bucketed's bucketBy uses) —
+            # |batch|-scale distinct, metadata-scale collect
+            touched = {
+                r[0]
+                for r in mb.select(
+                    F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets))
+                )
+                .distinct()
+                .collect()
+            }
+            cur_files = bucket_files(table_location(spark, state["cur"]))
+            touched_paths = [
+                p for b in touched for p in cur_files.get(b, [])
+            ]
+            schema = read_bucketed(spark, state["cur"]).schema
+            if touched_paths:
+                # read ONLY the touched bucket files — O(touched), and
+                # the only rows the merge can change live there
+                cur_touched = spark.read.schema(schema).parquet(
+                    *touched_paths
+                )
+            else:
+                cur_touched = spark.createDataFrame([], schema)
             keys = mb.select(key_col)
-            untouched = current.join(F.broadcast(keys), key_col, "left_anti")
+            untouched_in_touched = cur_touched.join(
+                F.broadcast(keys), key_col, "left_anti"
+            )
             winners = (
-                current.join(F.broadcast(keys), key_col, "left_semi")
+                cur_touched.join(F.broadcast(keys), key_col, "left_semi")
                 .unionByName(mb)
                 .groupBy(key_col)
                 .agg(*merge_aggs)
             )
-            merged = untouched.unionByName(winners)
-        nxt = names[state["flip"]]
-        write_bucketed(merged, nxt, [key_col], n_buckets)
+            write_bucketed(
+                untouched_in_touched.unionByName(winners),
+                nxt,
+                [key_col],
+                n_buckets,
+            )
+            # carry every UNTOUCHED bucket file forward as a hardlink:
+            # zero data movement, and the inode outlives the source
+            # table's later overwrite (unlink removes a name, not the
+            # carried link)
+            nxt_loc = table_location(spark, nxt)
+            for b, paths in cur_files.items():
+                if b in touched:
+                    continue
+                for p in paths:
+                    dst = os.path.join(nxt_loc, os.path.basename(p))
+                    try:
+                        os.link(p, dst)
+                    except OSError:  # cross-device fs: fall back to copy
+                        import shutil
+
+                        shutil.copy2(p, dst)
         # the flip target alternates, so the table just written was last
-        # READ two batches ago — refresh its listing explicitly rather
-        # than trusting overwrite-side invalidation across the flip cycle
+        # READ two batches ago — refresh its listing explicitly (it must
+        # also pick up the carried bucket files) rather than trusting
+        # overwrite-side invalidation across the flip cycle
         spark.catalog.refreshTable(nxt)
         state["cur"] = nxt
         state["flip"] ^= 1

@@ -149,3 +149,77 @@ def test_chunk_col_pins_microbatch_arrival_order(spark):
     assert seen == [
         {i for i in range(30) if i % 3 == c} for c in range(3)
     ]
+
+
+def test_untouched_bucket_files_are_carried_not_rewritten(spark):
+    # VERDICT r08 ask #5: the per-batch write must be O(touched buckets).
+    # Chunk 0 seeds 40 users; chunk 1 updates exactly 3 of them — so the
+    # batch-2 write may only produce files for the buckets those 3 keys
+    # hash to, and every other bucket file in the final table must be the
+    # SAME INODE as the file batch 1 wrote (hardlink carry-forward).
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from cassandra_cql_streaming_db_migrator_spark.sinks.bucketing import (
+        bucket_files,
+        table_location,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        streaming_cdc_mirror,
+    )
+
+    n_buckets = 16
+    updated = [1, 2, 3]
+
+    def t(minute):
+        return dt.datetime(2026, 2, 1, 9, minute, 0)
+
+    rows = [
+        (uid, uid, t(0), "seed", float(uid), 0) for uid in range(1, 41)
+    ] + [
+        (uid, 100 + uid, t(5), "update", 99.0, 1) for uid in updated
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, event_type string, "
+        "value double, chunk int",
+    )
+
+    mirror = streaming_cdc_mirror(
+        spark, events, n_chunks=2, n_buckets=n_buckets, chunk_col="chunk"
+    )
+    got = {r["user_id"]: (r["n_versions"], r["last_event_type"])
+           for r in mirror.collect()}
+    assert got == {
+        uid: ((2, "update") if uid in updated else (1, "seed"))
+        for uid in range(1, 41)
+    }
+
+    # batch 2 wrote table B carrying table A's untouched files
+    import re
+    tables = sorted(
+        t2.name for t2 in spark.catalog.listTables()
+        if re.match(r"cdc_mirror_[ab]_\d+$", t2.name)
+    )
+    assert len(tables) == 2
+    files_a = bucket_files(table_location(spark, tables[0]))
+    files_b = bucket_files(table_location(spark, tables[1]))
+
+    touched = {
+        r[0]
+        for r in spark.createDataFrame([(u,) for u in updated], "user_id long")
+        .select(F2.pmod(F2.hash("user_id"), F2.lit(n_buckets)))
+        .collect()
+    }
+    untouched_with_data = set(files_a) - touched
+    assert untouched_with_data, "fixture must leave some buckets untouched"
+    for b in untouched_with_data:
+        inodes_a = {os.stat(p).st_ino for p in files_a[b]}
+        inodes_b = {os.stat(p).st_ino for p in files_b[b]}
+        assert inodes_b == inodes_a, f"bucket {b} was rewritten"
+    for b in touched & set(files_b):
+        inodes_a = {os.stat(p).st_ino for p in files_a.get(b, [])}
+        inodes_b = {os.stat(p).st_ino for p in files_b[b]}
+        assert not (inodes_b & inodes_a), f"touched bucket {b} not rewritten"
