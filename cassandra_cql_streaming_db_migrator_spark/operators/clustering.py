@@ -1124,10 +1124,16 @@ def ivf_pq_serve_batch(
     id_col: str = "vec_id",
     m: int = 4,
     sub_dim: int = 16,
+    codes_name: str = "ivfpq_codes",
+    centroids_name: str = "ivf_centroids",
+    codebooks_name: str = "pq_codebooks",
 ) -> DataFrame:
     """SERVE a query SET from the saved index (VERDICT r07 ask #3 — the
     thousand-queries-one-index shape the artifact store exists for): ONE
-    scan of the integer codes table regardless of query count.
+    scan of the integer codes table regardless of query count.  The
+    ``*_name`` parameters point the serve at any artifact triple with
+    the shared layout — e.g. the streaming-maintained ``sidx_*`` index
+    (stream_index_search, VERDICT r08 ask #6).
 
     Driver side (metadata-scale, like the single-query path): per query,
     the ``n_probe`` closest cells and the m ADC lookup tables — |Q| x
@@ -1143,8 +1149,6 @@ def ivf_pq_serve_batch(
 
     Output: (query_id, id, cell, adc_dist, rn), rn = 1..topk per query.
     """
-    from pyspark.sql import Row, Window
-
     from ..sinks.artifacts import (
         load_artifact,
         load_coarse_centroids,
@@ -1165,8 +1169,38 @@ def ivf_pq_serve_batch(
         )
     qid_type = "long" if qid_types <= {int} else "string"
 
-    cents = load_pq_codebooks(spark, store)
-    cell_ids, cvecs = load_coarse_centroids(spark, store)
+    cents = load_pq_codebooks(spark, store, name=codebooks_name)
+    cell_ids, cvecs = load_coarse_centroids(spark, store, name=centroids_name)
+    codes = load_artifact(spark, store, codes_name)
+    return ivf_pq_adc_batch(
+        spark, codes, cents, cell_ids, cvecs, queries,
+        topk=topk, n_probe=n_probe, id_col=id_col, m=m, sub_dim=sub_dim,
+        qid_type=qid_type,
+    )
+
+
+def ivf_pq_adc_batch(
+    spark: SparkSession,
+    codes: DataFrame,
+    cents: list[list[list[float]]],
+    cell_ids: list[int],
+    cvecs: list[list[float]],
+    queries: list[tuple[object, list[float]]],
+    topk: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    m: int = 4,
+    sub_dim: int = 16,
+    qid_type: str = "long",
+) -> DataFrame:
+    """The executor-side core of :func:`ivf_pq_serve_batch` over an
+    ALREADY-LOADED codes frame and driver-held quantizer — lets callers
+    that maintain the index themselves (the streaming index's merged
+    base∪arrival frame, stream_index_search) reuse the exact serve plan:
+    broadcast (query, cell, LUT) probe frame, one codes scan, element_at
+    ADC fold, per-query top-k window."""
+    from pyspark.sql import Row, Window
+
     probe_rows = []
     for qid, qv in queries:
         qv = [float(x) for x in qv]
@@ -1179,7 +1213,6 @@ def ivf_pq_serve_batch(
                     **{f"__lut{s}": luts[s] for s in range(m)},
                 )
             )
-    codes = load_artifact(spark, store, "ivfpq_codes")
     qdf = spark.createDataFrame(
         probe_rows,
         f"query_id {qid_type}, cell long, "
@@ -1520,6 +1553,149 @@ vass AS (
         + f"""
 SELECT fc0.vid AS {id_col}, vass.cell, {cid_cols}
 FROM fc0 {cjoins} JOIN vass ON vass.vid = fc0.vid"""
+    )
+
+
+def ivf_pq_batch_trained_on_sql(
+    table: str = "embeddings",
+    train_where: str = "vec_id % 10 <> 0",
+    n_queries: int = 4,
+    topk: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> str:
+    """Oracle twin of the live-ingest -> batched-serve composition
+    (stream_index_search, VERDICT r08 ask #6): the batched ADC search of
+    :func:`ivf_pq_ann_batch_sql` run over an index whose quantizer
+    trained ONLY on the ``train_where`` subset while every row of the
+    table is coded and searchable — i.e. the contract the streaming
+    index maintains (train on base, code the union) carried through to
+    the read path.  Train/code CTEs are those of
+    :func:`pq_codes_trained_on_sql`; probe lists and the final top-k are
+    the batch version's per-query windows with the same total orders."""
+    g = f"{vec_col} IS NOT NULL AND len({vec_col}) >= {m * sub_dim}"
+    guarded_all = f"(SELECT * FROM {table} WHERE {g})"
+    guarded_train = f"(SELECT * FROM {table} WHERE ({train_where}) AND {g})"
+    parts: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.extend(
+            _lloyd_cte_parts(
+                guarded_train, k, iterations,
+                f"{vec_col}[{lo}:{hi}]", id_col, prefix=f"q{s}",
+            )
+        )
+    # code ALL rows against the base-trained codebooks, per subspace
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.append(
+            f"""fa{s} AS (
+  SELECT {id_col},
+         list_transform({vec_col}[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS e
+  FROM {guarded_all} g
+),
+fd{s} AS (
+  SELECT v.{id_col} AS vid, p.cid,
+         list_sum(list_transform(generate_series(1, {sub_dim}),
+                  i -> (v.e[i] - p.c[i]) * (v.e[i] - p.c[i]))) AS d
+  FROM fa{s} v, q{s}c{iterations} p
+),
+fc{s} AS (
+  SELECT vid, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+        FROM fd{s})
+  WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"cents AS (SELECT {id_col} AS cell, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cv "
+        f"FROM {guarded_train} g WHERE g.{id_col} < {n_cells})"
+    )
+
+    def sub_fold(vec_expr, cent_expr, s):
+        off = s * sub_dim
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+            f"i -> ({vec_expr}[i] - {cent_expr}[{off} + i])"
+            f" * ({vec_expr}[i] - {cent_expr}[{off} + i])))"
+        )
+
+    vdist = " + ".join(sub_fold(f"v{s}.e", "c.cv", s) for s in range(m))
+    vjoins = " ".join(
+        f"JOIN fa{s} v{s} ON v{s}.{id_col} = v0.{id_col}"
+        for s in range(1, m)
+    )
+    parts.append(
+        f"""cdist AS (
+  SELECT v0.{id_col} AS vid, c.cell, {vdist} AS dist
+  FROM fa0 v0 {vjoins} CROSS JOIN cents c
+),
+vass AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, cell) AS rn
+    FROM cdist) r
+  WHERE rn = 1
+)"""
+    )
+    qsubs = ", ".join(
+        f"list_transform({vec_col}[{s * sub_dim + 1}:{(s + 1) * sub_dim}], "
+        f"x -> CAST(x AS DOUBLE)) AS qs{s}"
+        for s in range(m)
+    )
+    parts.append(
+        f"qv AS (SELECT g.{id_col} AS query_id, {qsubs} FROM {guarded_all} g "
+        f"WHERE g.{id_col} < {n_queries})"
+    )
+    qdist = " + ".join(sub_fold(f"qv.qs{s}", "c.cv", s) for s in range(m))
+    parts.append(
+        f"""probe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+    FROM (SELECT qv.query_id, c.cell, {qdist} AS dist
+          FROM cents c CROSS JOIN qv) d
+  ) p WHERE rn <= {n_probe}
+)"""
+    )
+    cjoins = " ".join(
+        f"JOIN fc{s} c{s} ON c{s}.vid = fc0.vid" for s in range(1, m)
+    )
+    ccjoins = " ".join(
+        f"JOIN q{s}c{iterations} cc{s} ON cc{s}.cid = "
+        f"{'fc0' if s == 0 else f'c{s}'}.cid"
+        for s in range(m)
+    )
+    adc = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+        f"i -> (qv.qs{s}[i] - cc{s}.c[i]) * (qv.qs{s}[i] - cc{s}.c[i])))"
+        for s in range(m)
+    )
+    parts.append(
+        f"""scored AS (
+  SELECT qv.query_id, fc0.vid, vass.cell, {adc} AS adc_dist
+  FROM fc0 {cjoins} {ccjoins} CROSS JOIN qv
+  JOIN vass ON vass.vid = fc0.vid
+  JOIN probe ON probe.query_id = qv.query_id AND probe.cell = vass.cell
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, vid AS {id_col}, cell, adc_dist, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist, vid) AS rn
+  FROM scored) r
+WHERE rn <= {topk}"""
     )
 
 

@@ -322,6 +322,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_cdc_mirror": {"r08": "green"},
     "dup_span_histogram": {"r08": "green"},
     "stream_index_update": {"r08": "green"},
+    # new in round 9 (head-listed by rule 1)
+    "stream_index_search": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -355,6 +357,8 @@ DRIVER_BACKLOG: list[str] = [
 # #2) — a fresh driver witness at sf0.01 is direct evidence for the
 # plan re-read this round.
 DRIVER_HEAD = [
+    # -- new in round 9 (rule 1: no driver row yet)
+    "stream_index_search",
     # -- rule 1b: materially rewritten this round (VERDICT r08 ask #3 —
     # the batched LSH/graph legs now SERVE from the artifact store:
     # ann_lsh_batch probes the persisted lsh_buckets_b6 table instead of
@@ -413,16 +417,15 @@ DRIVER_HEAD = [
     "winsorize_values",
     # -- rule 2: stalest-evidence veterans (single green row, r04 vintage;
     # FIFO except the documented pq-family swap above)
-    "benford_audit",
     "char_diversity",
     "dsir_weights",
     "pq_ann",
     "pq_codes",
     "pq_recall",
-    # (debounce_events, doc_chunks, drift_report, cms_heavy_hitters were
-    # the displaced rule-2 fill as the round-9 rule-1b entries above
-    # head-listed; all four veterans stay strict-checked in the tail
-    # every round)
+    # (debounce_events, doc_chunks, drift_report, cms_heavy_hitters,
+    # benford_audit were the displaced rule-2 fill as the round-9
+    # rule-1/1b entries above head-listed; all five veterans stay
+    # strict-checked in the tail every round)
 ]
 
 

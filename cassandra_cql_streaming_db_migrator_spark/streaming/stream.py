@@ -1177,6 +1177,10 @@ def streaming_index_update(
         save_pq_codebooks,
     )
 
+    # an interrupted compaction swap must never read as a missing index
+    # (a retrain would be correct but wasteful — and the committed
+    # sidx_codes_next IS the complete merged index)
+    _finish_sidx_compaction(store)
     if not all(
         has_artifact(store, a)
         for a in ("sidx_codes", "sidx_centroids", "sidx_codebooks")
@@ -1244,3 +1248,69 @@ def streaming_index_update(
     if not state["first"]:
         merged = merged.unionByName(spark.read.parquet(arrival_path))
     return merged
+
+
+def _finish_sidx_compaction(store: str) -> None:
+    """Complete (or re-complete) an interrupted streaming-index
+    compaction swap: if the merged ``sidx_codes_next`` artifact is
+    COMMITTED (its _SUCCESS exists), it already contains everything —
+    base codes plus every arrival — so finishing is pure deletion +
+    rename, re-runnable from any crash point: drop the consumed
+    arrivals, drop the superseded base codes, promote next -> codes."""
+    import shutil
+
+    from ..sinks.artifacts import artifact_path, has_artifact
+
+    if not has_artifact(store, "sidx_codes_next"):
+        return
+    shutil.rmtree(
+        artifact_path(store, "sidx_arrival_codes"), ignore_errors=True
+    )
+    shutil.rmtree(artifact_path(store, "sidx_codes"), ignore_errors=True)
+    os.rename(
+        artifact_path(store, "sidx_codes_next"),
+        artifact_path(store, "sidx_codes"),
+    )
+
+
+def compact_streaming_index(
+    spark: SparkSession, store: str, id_col: str = "vec_id"
+) -> bool:
+    """Fold the streaming index's arrival codes into its base codes
+    (VERDICT r08 ask #6 — the rest of the production loop
+    :func:`streaming_index_update` models): the RocksDB-style occasional
+    maintenance pass that keeps the read side a single artifact scan
+    instead of an ever-growing union.  Returns True if a compaction ran.
+
+    The merge dedups by id (arrivals anti-join the base) so the whole
+    loop is IDEMPOTENT: coding with the saved quantizer is
+    deterministic, so a re-streamed arrival carries byte-identical
+    codes and folding it twice is a no-op — compaction after any
+    sequence of drains always yields exactly one code row per vector,
+    hash-equal to the current base∪arrivals union.  Crash safety: the
+    merged frame is committed as ``sidx_codes_next`` FIRST; the
+    delete+rename swap is finished by :func:`_finish_sidx_compaction`,
+    which both this function and :func:`streaming_index_update` run
+    up-front — an interruption anywhere leaves either the old state or
+    a committed next, never a half-index.
+
+    Scale shape: compaction reads O(index) once and writes O(index)
+    once — deliberately; it is the amortized cleanup that keeps the
+    PER-BATCH path at O(batch) forever (same contract as the CDC
+    mirror's touched-bucket writes vs its occasional re-bucketing)."""
+    from ..sinks.artifacts import has_artifact, load_artifact, save_artifact
+
+    _finish_sidx_compaction(store)
+    if not (
+        has_artifact(store, "sidx_codes")
+        and has_artifact(store, "sidx_arrival_codes")
+    ):
+        return False
+    base = load_artifact(spark, store, "sidx_codes")
+    arrivals = load_artifact(spark, store, "sidx_arrival_codes")
+    merged = base.unionByName(
+        arrivals.join(base.select(id_col), id_col, "left_anti")
+    )
+    save_artifact(merged, store, "sidx_codes_next")
+    _finish_sidx_compaction(store)
+    return True

@@ -166,3 +166,81 @@ def test_fixture_token_change_forces_streaming_index_retrain(
     assert not has_artifact(store2, "sidx_codes")
     assert not has_artifact(store2, "sidx_centroids")
     assert not has_artifact(store2, "sidx_codebooks")
+
+
+# ---------------------------------------------------------------------------
+# Compaction (VERDICT r08 ask #6): fold arrival codes into the base artifact
+# behind a crash-safe committed-next-then-swap, idempotently.
+
+
+def test_compaction_folds_arrivals_and_is_idempotent(spark, sf_dir, tmp_path):
+    from cassandra_cql_streaming_db_migrator_spark.sinks.artifacts import (
+        load_artifact,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        compact_streaming_index,
+    )
+
+    emb, base, arrivals = _splits(spark, sf_dir)
+    store = str(tmp_path / "sidx_store")
+    os.makedirs(store)
+    merged = streaming_index_update(
+        spark, base=base, arrivals=arrivals, store=store,
+        n_cells=N_CELLS, m=M, k=K, sub_dim=SUB_DIM,
+    )
+    want = _rows(merged)
+
+    assert compact_streaming_index(spark, store) is True
+    assert not has_artifact(store, "sidx_arrival_codes")
+    assert not has_artifact(store, "sidx_codes_next")
+    # the compacted base artifact hash-equals the pre-compaction union
+    assert _rows(load_artifact(spark, store, "sidx_codes")) == want
+    # nothing left to fold: second compact is a no-op
+    assert compact_streaming_index(spark, store) is False
+
+    # RE-STREAMED arrivals after a compaction must not duplicate rows in
+    # the compacted artifact: the anti-join-by-id merge makes re-folding
+    # byte-identical codes a no-op (the saved quantizer is deterministic)
+    streaming_index_update(
+        spark, base=base, arrivals=arrivals, store=store,
+        n_cells=N_CELLS, m=M, k=K, sub_dim=SUB_DIM,
+    )
+    assert compact_streaming_index(spark, store) is True
+    assert _rows(load_artifact(spark, store, "sidx_codes")) == want
+
+
+def test_interrupted_compaction_swap_recovers(spark, sf_dir, tmp_path):
+    # Crash window: sidx_codes_next committed, old sidx_codes already
+    # removed.  Both compact_streaming_index and streaming_index_update
+    # must finish the swap instead of treating the index as missing.
+    import shutil as _sh
+
+    from cassandra_cql_streaming_db_migrator_spark.sinks.artifacts import (
+        artifact_path,
+        load_artifact,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        compact_streaming_index,
+    )
+
+    emb, base, arrivals = _splits(spark, sf_dir)
+    store = str(tmp_path / "sidx_store")
+    os.makedirs(store)
+    merged = streaming_index_update(
+        spark, base=base, arrivals=arrivals, store=store,
+        n_cells=N_CELLS, m=M, k=K, sub_dim=SUB_DIM,
+    )
+    want = _rows(merged)
+    assert compact_streaming_index(spark, store) is True
+
+    # simulate the interruption: the committed compacted artifact exists
+    # under the next name, the live name is gone
+    _sh.move(
+        artifact_path(store, "sidx_codes"),
+        artifact_path(store, "sidx_codes_next"),
+    )
+    assert not has_artifact(store, "sidx_codes")
+    assert compact_streaming_index(spark, store) is False  # recovery path
+    assert has_artifact(store, "sidx_codes")
+    assert not has_artifact(store, "sidx_codes_next")
+    assert _rows(load_artifact(spark, store, "sidx_codes")) == want
