@@ -986,6 +986,8 @@ def ivf_pq_build(
     k: int = 4,
     sub_dim: int = 16,
     iterations: int = 2,
+    meta_cols: tuple[str, ...] = (),
+    codes_name: str = "ivfpq_codes",
 ) -> None:
     """BUILD the IVF-PQ index once and persist it (VERDICT r06 ask #2 —
     the reference's initialize-time build-once contract, DMP:106-135,
@@ -1019,14 +1021,22 @@ def ivf_pq_build(
         "cell",
         *[F.col(f"__cid{s}").alias(f"cid{s}") for s in range(m)],
     )
+    if meta_cols:
+        # attribute-payload index (filtered/hybrid search): metadata
+        # columns ride IN the codes table so a serve-time predicate
+        # pushes down into the index scan itself — one build-time join,
+        # zero serve-time joins
+        codes = codes.join(
+            df.select(id_col, *meta_cols), id_col
+        )
     # Commit order matters (ADVICE r07): serve paths gate the rebuild on
-    # ``ivfpq_codes``, so it must be the LAST artifact to commit — a build
-    # that dies mid-save then leaves the gate open and the next call
-    # retrains instead of crashing in load_pq_codebooks on a half-built
-    # store.
+    # the codes artifact, so it must be the LAST artifact to commit — a
+    # build that dies mid-save then leaves the gate open and the next
+    # call retrains instead of crashing in load_pq_codebooks on a
+    # half-built store.
     save_coarse_centroids(frame.sparkSession, store, cell_ids, cvecs)
     save_pq_codebooks(frame.sparkSession, store, cents)
-    save_artifact(codes, store, "ivfpq_codes")
+    save_artifact(codes, store, codes_name)
 
 
 def pq_encode_frame(
@@ -1347,13 +1357,20 @@ def ivf_pq_ann_batch_sql(
     k: int = 4,
     sub_dim: int = 16,
     iterations: int = 2,
+    corpus_where: str | None = None,
 ) -> str:
     """Oracle twin of :func:`ivf_pq_serve_batch` (VERDICT r07 ask #3):
     :func:`ivf_pq_ann_sql` generalized from one hardcoded query id to the
     query set ``{id_col} < n_queries`` — the probe list and the final
     top-k become per-query row_number windows with the single-query
     version's exact total orders ((dist, cell) and (adc_dist, id)), so
-    each query's rows hash-equal its single-query oracle."""
+    each query's rows hash-equal its single-query oracle.
+
+    ``corpus_where`` restricts the CANDIDATE side (filtered/hybrid
+    vector search, ann_filtered_batch): the predicate is applied to the
+    scored rows before the per-query window, exactly where the Spark
+    side applies its pushed-down codes-scan filter — probe lists and the
+    quantizer are unchanged."""
     guarded = (
         f"(SELECT * FROM {table} WHERE {vec_col} IS NOT NULL "
         f"AND len({vec_col}) >= {m * sub_dim})"
@@ -1433,12 +1450,18 @@ def ivf_pq_ann_batch_sql(
         f"i -> (qv.qs{s}[i] - cc{s}.c[i]) * (qv.qs{s}[i] - cc{s}.c[i])))"
         for s in range(m)
     )
+    flt_join = (
+        f"\n  JOIN (SELECT {id_col} AS __fid FROM {table} "
+        f"WHERE {corpus_where}) flt ON flt.__fid = q0.vid"
+        if corpus_where
+        else ""
+    )
     parts.append(
         f"""scored AS (
   SELECT qv.query_id, q0.vid, vass.cell, {adc} AS adc_dist
   FROM q0af_ q0 {joins} {cjoins} CROSS JOIN qv
   JOIN vass ON vass.vid = q0.vid
-  JOIN probe ON probe.query_id = qv.query_id AND probe.cell = vass.cell
+  JOIN probe ON probe.query_id = qv.query_id AND probe.cell = vass.cell{flt_join}
 )"""
     )
     return (
@@ -1696,6 +1719,153 @@ FROM (
       PARTITION BY query_id ORDER BY adc_dist, vid) AS rn
   FROM scored) r
 WHERE rn <= {topk}"""
+    )
+
+
+def coarse_cell_drift(
+    df: DataFrame,
+    base_where,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """INDEX-STALENESS gauge — the data-driven retrain trigger beside the
+    artifact store's corpus-version trigger (the content token answers
+    "did the corpus CHANGE", this answers "did it change ENOUGH to hurt
+    the index"): assign every row to its coarse IVF cell with the
+    BASE-trained quantizer and report per-cell occupancy drift between
+    the base corpus and the full (base ∪ arrivals) corpus, in exact ppm.
+    A cell whose share moved is a cell whose centroid no longer sits
+    where its data does — large total drift is the production signal to
+    retrain (bump the corpus version) rather than keep appending to the
+    streaming index.
+
+    One narrow projection + one n_cells-row aggregate; the share math is
+    pure integer (1e6 * n DIV total), so the report hash-checks.
+    Output: (cell, n_base, n_all, share_base_ppm, share_all_ppm,
+    share_drift_ppm), one row per occupied cell."""
+    base = df.where(base_where)
+    cell_ids, cvecs = _coarse_centroids(
+        base, n_cells, vec_col, id_col, m, sub_dim
+    )
+    valid = df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= m * sub_dim)
+    ).select(
+        id_col,
+        F.when(base_where, F.lit(1)).otherwise(F.lit(0)).alias("__is_base"),
+        *[
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                f"__sub{s}"
+            )
+            for s in range(m)
+        ],
+    )
+    per_cell = (
+        valid.withColumn("cell", _cell_assign_expr(cell_ids, cvecs, m, sub_dim))
+        .groupBy("cell")
+        .agg(
+            F.sum("__is_base").alias("n_base"),
+            F.count(F.lit(1)).alias("n_all"),
+        )
+    )
+    # grand totals as a 1-row aggregate broadcast back in — computed from
+    # the row frame directly (not from per_cell, whose exchange would
+    # re-print in the totals branch; and not a partitionless window — no
+    # SinglePartition sort anywhere)
+    totals = valid.agg(
+        F.sum("__is_base").alias("__tb"), F.count(F.lit(1)).alias("__ta")
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_all").cast("long").alias("n_all"),
+            F.expr("1000000 * n_base DIV __tb").alias("share_base_ppm"),
+            F.expr("1000000 * n_all DIV __ta").alias("share_all_ppm"),
+            F.expr(
+                "abs(1000000 * n_all DIV __ta - 1000000 * n_base DIV __tb)"
+            ).alias("share_drift_ppm"),
+        )
+    )
+
+
+def coarse_cell_drift_sql(
+    table: str = "embeddings",
+    train_where: str = "vec_id % 10 <> 0",
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    sub_dim: int = 16,
+) -> str:
+    """Oracle twin of :func:`coarse_cell_drift`: coarse assignment of
+    every row against the base-seeded centroids (the cdist/vass CTEs of
+    the trained-on family), then the integer-ppm occupancy comparison."""
+    g = f"{vec_col} IS NOT NULL AND len({vec_col}) >= {m * sub_dim}"
+    guarded_all = f"(SELECT * FROM {table} WHERE {g})"
+    guarded_train = f"(SELECT * FROM {table} WHERE ({train_where}) AND {g})"
+    parts: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.append(
+            f"""fa{s} AS (
+  SELECT {id_col},
+         list_transform({vec_col}[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS e
+  FROM {guarded_all} g
+)"""
+        )
+    parts.append(
+        f"cents AS (SELECT {id_col} AS cell, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cv "
+        f"FROM {guarded_train} g WHERE g.{id_col} < {n_cells})"
+    )
+
+    def sub_fold(vec_expr, cent_expr, s):
+        off = s * sub_dim
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+            f"i -> ({vec_expr}[i] - {cent_expr}[{off} + i])"
+            f" * ({vec_expr}[i] - {cent_expr}[{off} + i])))"
+        )
+
+    vdist = " + ".join(sub_fold(f"v{s}.e", "c.cv", s) for s in range(m))
+    vjoins = " ".join(
+        f"JOIN fa{s} v{s} ON v{s}.{id_col} = v0.{id_col}"
+        for s in range(1, m)
+    )
+    parts.append(
+        f"""cdist AS (
+  SELECT v0.{id_col} AS vid, c.cell, {vdist} AS dist
+  FROM fa0 v0 {vjoins} CROSS JOIN cents c
+),
+vass AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, cell) AS rn
+    FROM cdist) r
+  WHERE rn = 1
+),
+per AS (
+  SELECT cell,
+         sum(CASE WHEN ({train_where.replace(id_col, 'vid')}) THEN 1 ELSE 0 END) AS n_base,
+         count(*) AS n_all
+  FROM vass GROUP BY cell
+),
+tot AS (SELECT sum(n_base) AS tb, sum(n_all) AS ta FROM per)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT cell, CAST(n_base AS BIGINT) AS n_base, CAST(n_all AS BIGINT) AS n_all,
+       CAST(1000000 * n_base // tb AS BIGINT) AS share_base_ppm,
+       CAST(1000000 * n_all // ta AS BIGINT) AS share_all_ppm,
+       CAST(abs(1000000 * n_all // ta - 1000000 * n_base // tb) AS BIGINT)
+         AS share_drift_ppm
+FROM per, tot"""
     )
 
 

@@ -332,6 +332,90 @@ def simhash_from_hashes(hh: Column) -> Column:
     )
 
 
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance <= ``max_dist`` over the
+    53-bit SimHash, via banded Hamming LSH (Charikar's dedup read path —
+    the text-side sibling of the image pipeline's hamming_near_pairs):
+    the 53 bits split into exactly ``max_dist + 1`` bands (the pigeonhole
+    minimum — any pair within distance d differs in at most d bands, so
+    with d+1 bands at least one band matches exactly), making each band
+    as WIDE and therefore as selective as the guarantee allows; a plain
+    hash equi-join on (band, value) finds every qualifying pair — never
+    the quadratic all-pairs — and the exact XOR popcount verify rejects
+    band collisions.  Bands come from div/mod by powers of two (portable,
+    no shift builtins); values stay non-negative 53-bit longs, so XOR
+    never touches the sign bit on any engine.
+
+    Scale shape: max_dist+1 rows per doc shuffle once on the band key;
+    candidate volume is band-bucket collisions (wider bands = fewer).
+    A pair sharing several bands is emitted ONLY from its first matching
+    band (the standard LSH dedup trick: band i emits iff every band
+    below i differs) — no distinct pass, no extra shuffle.
+    Returns (doc_id_1, doc_id_2, dist), canonical id_1 < id_2.
+    """
+    n_bands = max_dist + 1
+    if not 1 <= n_bands <= 53:
+        raise ValueError(f"max_dist must be in [0, 52]; got {max_dist}")
+    width = (53 + n_bands - 1) // n_bands  # ceil: last band is narrower
+
+    def band_val(col, i):
+        shifted = (col / F.lit(2 ** (i * width)).cast("long")).cast("long")
+        if i == n_bands - 1:
+            return shifted
+        return shifted % F.lit(2**width).cast("long")
+
+    h = F.col(hash_col)
+    bands = fingerprints.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), band_val(h, i).alias("val")
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, hash_col, "bv.band", "bv.val")
+    a = bands.select(
+        F.col(id_col).alias("id_1"),
+        F.col(hash_col).alias("__ha"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_2"),
+        F.col(hash_col).alias("__hb"),
+        "band",
+        "val",
+    )
+    first_match = F.lit(True)
+    for i in range(n_bands - 1):
+        first_match = first_match & F.when(
+            F.col("band") > i,
+            band_val(F.col("__ha"), i) != band_val(F.col("__hb"), i),
+        ).otherwise(F.lit(True))
+    dist = F.bit_count(F.expr("__ha ^ __hb")).cast("int")
+    return (
+        a.join(b, on=["band", "val"])
+        .where(F.col("id_1") < F.col("id_2"))
+        .where(first_match)
+        .select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"),
+            dist.alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
 def simhash_column(text: Column, token_sep: str = " ") -> Column:
     """One-shot SimHash column (convenience; inlines token hashing into the
     53 bit-votes).  For whole-table fingerprinting prefer

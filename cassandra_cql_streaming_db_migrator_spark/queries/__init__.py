@@ -324,6 +324,9 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_index_update": {"r08": "green"},
     # new in round 9 (head-listed by rule 1)
     "stream_index_search": {},
+    "simhash_pairs": {},
+    "index_drift_report": {},
+    "ann_filtered_batch": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -359,6 +362,9 @@ DRIVER_BACKLOG: list[str] = [
 DRIVER_HEAD = [
     # -- new in round 9 (rule 1: no driver row yet)
     "stream_index_search",
+    "simhash_pairs",
+    "index_drift_report",
+    "ann_filtered_batch",
     # -- rule 1b: materially rewritten this round (VERDICT r08 ask #3 —
     # the batched LSH/graph legs now SERVE from the artifact store:
     # ann_lsh_batch probes the persisted lsh_buckets_b6 table instead of
@@ -414,18 +420,16 @@ DRIVER_HEAD = [
     "table_profile",
     "trade_degree_stats",
     "trigram_lm",
-    "winsorize_values",
     # -- rule 2: stalest-evidence veterans (single green row, r04 vintage;
     # FIFO except the documented pq-family swap above)
-    "char_diversity",
-    "dsir_weights",
     "pq_ann",
     "pq_codes",
     "pq_recall",
     # (debounce_events, doc_chunks, drift_report, cms_heavy_hitters,
-    # benford_audit were the displaced rule-2 fill as the round-9
-    # rule-1/1b entries above head-listed; all five veterans stay
-    # strict-checked in the tail every round)
+    # benford_audit, char_diversity, dsir_weights, winsorize_values were
+    # the displaced rule-2 fill as the round-9 rule-1/1b entries above
+    # head-listed; all eight veterans stay strict-checked in the tail
+    # every round)
 ]
 
 

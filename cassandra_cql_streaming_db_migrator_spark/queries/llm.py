@@ -550,6 +550,120 @@ SELECT doc_id,
 FROM th
 """
 
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS (Charikar/Manku et al. — the Google
+    web-dedup read path, carrying simhash_fingerprint to its decision):
+    banded Hamming LSH over the 53-bit fingerprints — two 27/26-bit
+    bands, the pigeonhole minimum for distance 1, so each band is as
+    selective as the completeness guarantee allows — finds every pair
+    within Hamming distance 1 via a plain band equi-join, exact XOR
+    popcount verify (operators.dedup.simhash_near_pairs).  The
+    quadratic-definition oracle proves the banding admits no misses
+    (the image_phash discipline applied to the text fingerprint)."""
+    from ..operators.dedup import simhash_fingerprints, simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(
+        simhash_fingerprints(docs), max_dist=1
+    )
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> {poly_hash_sql("t", SIMHASH_MOD)}) AS hh
+  FROM documents),
+fp AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 53), k ->
+      CASE WHEN list_sum(list_transform(hh, h ->
+             CASE WHEN (h // CAST(power(2, k) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM th)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
+def index_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness gauge (operators.clustering.coarse_cell_drift) —
+    the DATA-driven retrain trigger beside the store's corpus-version
+    token: per-cell occupancy drift of the base-trained coarse quantizer
+    between the base corpus (vec_id % 10 != 0, the streaming index's
+    training split) and the full corpus, in exact integer ppm.  Large
+    drift = centroids no longer sit where the data does = retrain (bump
+    the corpus version) instead of appending to the streaming index."""
+    from ..operators.clustering import coarse_cell_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return coarse_cell_drift(
+        emb, F.col("vec_id") % 10 != 0, n_cells=8
+    )
+
+
+def _index_drift_report_sql() -> str:
+    from ..operators.clustering import coarse_cell_drift_sql
+
+    return coarse_cell_drift_sql(
+        table="embeddings", train_where="vec_id % 10 <> 0", n_cells=8
+    )
+
+
+def ann_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED (hybrid) vector search over the saved IVF-PQ index — the
+    production 'top-k among rows WHERE <metadata predicate>' shape every
+    vector store serves: the codes artifact is built as an
+    ATTRIBUTE-PAYLOAD index (the label column rides in the code table,
+    ivf_pq_build meta_cols), so the serve-time predicate pushes down
+    into the index scan itself — zero serve-time joins, then the exact
+    ivf_pq_batch ADC plan (one filtered codes scan for the 8-query set,
+    broadcast probe frame, per-query top-10 windows).  Oracle: the
+    batched ADC CTEs with the same candidate predicate applied before
+    the per-query window."""
+    from ..operators.clustering import (
+        _query_vectors,
+        ivf_pq_adc_batch,
+        ivf_pq_build,
+    )
+    from ..sinks.artifacts import (
+        artifact_store,
+        has_artifact,
+        load_artifact,
+        load_coarse_centroids,
+        load_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+    if not all(
+        has_artifact(store, a)
+        for a in ("ivfpq_codes_labeled", "ivf_centroids", "pq_codebooks")
+    ):
+        ivf_pq_build(
+            emb, store, n_cells=8,
+            meta_cols=("label",), codes_name="ivfpq_codes_labeled",
+        )
+    cents = load_pq_codebooks(spark, store)
+    cell_ids, cvecs = load_coarse_centroids(spark, store)
+    codes = load_artifact(spark, store, "ivfpq_codes_labeled").where(
+        F.col("label") == 1
+    )
+    queries = _query_vectors(emb, 8, "embedding", "vec_id", 4, 16)
+    return ivf_pq_adc_batch(
+        spark, codes, cents, cell_ids, cvecs, queries, topk=10, n_probe=2
+    )
+
+
+def _ann_filtered_batch_sql() -> str:
+    from ..operators.clustering import ivf_pq_ann_batch_sql
+
+    return ivf_pq_ann_batch_sql(
+        n_queries=8, topk=10, n_cells=8, n_probe=2, corpus_where="label = 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard within blocks (lang x length bucket): the verify
 # stage that LSH candidates would feed at scale.
@@ -2773,6 +2887,9 @@ QUERIES = [
              "MinHash+LSH near-dup candidates, integer-exact oracle"),
     QueryDef("simhash_fingerprint", simhash_fingerprint, _SIMHASH_SQL,
              "53-bit SimHash fingerprints"),
+    QueryDef("simhash_pairs", simhash_pairs, _SIMHASH_PAIRS_SQL,
+             "SimHash near-dup pairs via banded Hamming LSH (4 bands, "
+             "Hamming <= 1), quadratic oracle proves zero misses"),
     QueryDef("dedup_recall", dedup_recall, _dedup_recall_sql(),
              "recall of the banded-LSH candidate stage vs exact gram-"
              "Jaccard ground truth — the dedup-path quality gauge",
@@ -2875,6 +2992,16 @@ QUERIES = [
     QueryDef("ivf_pq_batch", ivf_pq_batch, _ivf_pq_batch_sql(),
              "IVF-PQ serving a query SET from the SAVED index: one codes "
              "scan, broadcast (query, cell, LUT) probes, per-query top-10"),
+    QueryDef("ann_filtered_batch", ann_filtered_batch,
+             _ann_filtered_batch_sql(),
+             "filtered/hybrid vector search: metadata predicate pushed "
+             "into the attribute-payload codes scan, then the batched "
+             "ADC plan"),
+    QueryDef("index_drift_report", index_drift_report,
+             _index_drift_report_sql(),
+             "index-staleness gauge: per-cell occupancy drift of the "
+             "base-trained quantizer in exact ppm — the data-driven "
+             "retrain trigger"),
     QueryDef("pq_ann", pq_ann, _PQ_ANN_SQL,
              "PQ asymmetric-distance ANN top-k: codes + lookup tables, "
              "no per-row vector math"),
