@@ -327,6 +327,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "simhash_pairs": {},
     "index_drift_report": {},
     "ann_filtered_batch": {},
+    "stream_drift_monitor": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -365,6 +366,7 @@ DRIVER_HEAD = [
     "simhash_pairs",
     "index_drift_report",
     "ann_filtered_batch",
+    "stream_drift_monitor",
     # -- rule 1b: materially rewritten this round (VERDICT r08 ask #3 —
     # the batched LSH/graph legs now SERVE from the artifact store:
     # ann_lsh_batch probes the persisted lsh_buckets_b6 table instead of
@@ -419,17 +421,16 @@ DRIVER_HEAD = [
     "stream_scd2",
     "table_profile",
     "trade_degree_stats",
-    "trigram_lm",
     # -- rule 2: stalest-evidence veterans (single green row, r04 vintage;
     # FIFO except the documented pq-family swap above)
     "pq_ann",
     "pq_codes",
     "pq_recall",
     # (debounce_events, doc_chunks, drift_report, cms_heavy_hitters,
-    # benford_audit, char_diversity, dsir_weights, winsorize_values were
-    # the displaced rule-2 fill as the round-9 rule-1/1b entries above
-    # head-listed; all eight veterans stay strict-checked in the tail
-    # every round)
+    # benford_audit, char_diversity, dsir_weights, winsorize_values,
+    # trigram_lm were the displaced rule-2 fill as the round-9 rule-1/1b
+    # entries above head-listed; all nine veterans stay strict-checked
+    # in the tail every round)
 ]
 
 

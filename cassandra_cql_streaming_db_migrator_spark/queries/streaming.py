@@ -816,6 +816,94 @@ def _stream_index_search_sql() -> str:
     )
 
 
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE index-staleness monitoring — index_drift_report's streaming
+    twin, completing the retrain-trigger story (r9: the content token
+    answers 'did the corpus change', the drift gauge answers 'did it
+    change enough to hurt the index', and THIS keeps that answer current
+    while arrivals stream in): arrivals (vec_id % 10 == 0) are
+    coarse-assigned to the base-trained quantizer's cells per microbatch
+    by the same pure-Catalyst argmin, and the per-cell arrival counts
+    fold as a streaming aggregate — O(cells) state forever, count
+    addition IS the merge.  The drained arrival census joins the
+    batch-side base census into the exact integer-ppm drift report, so
+    the result row-for-row equals batch coarse_cell_drift over the full
+    corpus — the shared oracle."""
+    from ..operators.clustering import _cell_assign_expr, _coarse_centroids
+    from ..sources.parquet import load_table
+    from ..streaming.stream import read_documents_stream_chunked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_where = F.col("vec_id") % 10 != 0
+    base = emb.where(base_where)
+    m, sub_dim, n_cells = 4, 16, 8
+    cell_ids, cvecs = _coarse_centroids(
+        base, n_cells, "embedding", "vec_id", m, sub_dim
+    )
+
+    def with_cell(df: DataFrame) -> DataFrame:
+        valid = df.where(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") >= m * sub_dim)
+        ).select(
+            "vec_id",
+            *[
+                F.slice(F.col("embedding"), s * sub_dim + 1, sub_dim).alias(
+                    f"__sub{s}"
+                )
+                for s in range(m)
+            ],
+        )
+        return valid.withColumn(
+            "cell", _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
+        )
+
+    arrivals = read_documents_stream_chunked(
+        spark, emb.where(~base_where), n_chunks=4
+    )
+    live = (
+        with_cell(arrivals)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_arr"))
+    )
+    drained = run_to_memory(live, output_mode="complete")
+
+    base_counts = (
+        with_cell(base).groupBy("cell").agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    # both censuses are <= n_cells rows — the report FINISH is
+    # metadata-scale driver arithmetic (the mmr_rerank/centroids
+    # contract), and pure integer, so it hash-checks.  Every cell an
+    # arrival can land in holds its own centroid, which is a BASE row by
+    # construction, so driving off the base census loses no cell.
+    arr = {r["cell"]: r["n_arr"] for r in drained.collect()}
+    cells = {
+        r["cell"]: int(r["n_base"]) for r in base_counts.collect()
+    }
+    tb = sum(cells.values())
+    ta = tb + sum(arr.values())
+    rows = []
+    for cell in sorted(cells):
+        n_base = cells[cell]
+        n_all = n_base + int(arr.get(cell, 0))
+        sb = 1_000_000 * n_base // tb
+        sa = 1_000_000 * n_all // ta
+        rows.append((cell, n_base, n_all, sb, sa, abs(sa - sb)))
+    return spark.createDataFrame(
+        rows,
+        "cell long, n_base long, n_all long, share_base_ppm long, "
+        "share_all_ppm long, share_drift_ppm long",
+    )
+
+
+def _stream_drift_monitor_sql() -> str:
+    from ..operators.clustering import coarse_cell_drift_sql
+
+    return coarse_cell_drift_sql(
+        table="embeddings", train_where="vec_id % 10 <> 0", n_cells=8
+    )
+
+
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE incremental dedup (streaming.stream.streaming_incremental_dedup):
     corpus signatures + gram sets precomputed once as materialized
@@ -945,6 +1033,11 @@ QUERIES = [
              "end-to-end live-ingest -> batched-serve: the streaming-"
              "maintained index served by the ivf_pq_batch ADC plan; "
              "hash-equals a batch train-on-base rebuild's search"),
+    QueryDef("stream_drift_monitor", stream_drift_monitor,
+             _stream_drift_monitor_sql(),
+             "live index-staleness monitoring: per-cell arrival census "
+             "as an O(cells) streaming aggregate, drained report equals "
+             "batch coarse_cell_drift"),
     QueryDef("stream_scd2", stream_scd2, _stream_scd2_sql(),
              "T8: live SCD2 history maintenance (O(runs) state per key)",
              bench=False),
