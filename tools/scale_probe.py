@@ -115,6 +115,18 @@ PROBES: dict[str, tuple[float, str]] = {
     # -- round 9: live-ingest -> batched-serve composition
     "stream_index_search": (15.0, "linear: index maintenance + one "
                                   "codes scan for the query set"),
+    # -- round 9 second wave
+    # two 26/27-bit bands; candidate volume = band-bucket collisions,
+    # bounded by corpus x bucket occupancy (families constant per the
+    # fixture's rotation contract)
+    "simhash_pairs": (15.0, "near-linear: band-bucket collisions"),
+    # attribute-payload codes scan with the predicate pushed down, then
+    # the batched ADC plan — same shape as ivf_pq_batch
+    "ann_filtered_batch": (15.0, "linear: one filtered codes scan"),
+    # one narrow projection + one n_cells-row aggregate per side
+    "index_drift_report": (15.0, "linear: per-row assignment, "
+                                 "cell-scale finish"),
+    "stream_drift_monitor": (15.0, "linear: O(cells) streaming state"),
 }
 
 
