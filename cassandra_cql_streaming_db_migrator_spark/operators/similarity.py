@@ -800,6 +800,81 @@ def label_centroid_stats(
     )
 
 
+def bench_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-corpus-doc benchmark-contamination report by exact cosine
+    (semantic_decontaminate's kernel): the bench side rides into every
+    task as a dense float64 matrix (the knn_join broadcast contract —
+    eval suites are metadata-scale at any corpus size) and the corpus
+    streams through ONE Arrow kernel pass, each row emitting its bench
+    hit count, max cosine, and first (lowest-id) argmax bench id when
+    any bench neighbor clears ``threshold``.  ZERO shuffles: every doc
+    lives in exactly one batch, so no window or aggregate follows.
+
+    Numeric parity: the same sequential dimension fold as
+    _seq_fold_dots, so every cosine is bit-identical to the SQL oracle's
+    list fold; NaN (zero-norm) comparisons are False on both engines."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    brows = sorted(bench.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    id_field = corpus.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField("n_bench_hits", LongType(), True),
+            StructField("max_cosine", DoubleType(), True),
+            StructField("top_bench_id", id_field.dataType, True),
+        ]
+    )
+    if not brows:
+        return corpus.sparkSession.createDataFrame([], schema)
+    bids = np.array([r[0] for r in brows])
+    bmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in brows])
+    bnorms = np.sqrt(_seq_fold_dots(bmat, bmat))
+    dim = bmat.shape[1]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt(_seq_fold_dots(mat, mat))
+            acc = np.zeros((mat.shape[0], len(bids)), dtype=np.float64)
+            for d in range(dim):
+                acc = acc + mat[:, d][:, None] * bmat[:, d][None, :]
+            cos = acc / (norms[:, None] * bnorms[None, :])
+            with np.errstate(invalid="ignore"):
+                hits = cos >= threshold  # NaN compares False, as in SQL
+            n = hits.sum(axis=1)
+            keep = np.nonzero(n > 0)[0]
+            if not len(keep):
+                continue
+            masked = np.where(hits[keep], cos[keep], -np.inf)
+            top_j = masked.argmax(axis=1)  # first max -> lowest bench id
+            yield pd.DataFrame(
+                {
+                    id_col: cids[keep],
+                    "n_bench_hits": n[keep].astype(np.int64),
+                    "max_cosine": masked[np.arange(len(keep)), top_j],
+                    "top_bench_id": bids[top_j],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, schema)
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,

@@ -328,6 +328,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "index_drift_report": {},
     "ann_filtered_batch": {},
     "stream_drift_monitor": {},
+    "semantic_decontaminate": {},
+    "token_budget_plan": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -367,6 +369,8 @@ DRIVER_HEAD = [
     "index_drift_report",
     "ann_filtered_batch",
     "stream_drift_monitor",
+    "semantic_decontaminate",
+    "token_budget_plan",
     # -- rule 1b: materially rewritten this round (VERDICT r08 ask #3 —
     # the batched LSH/graph legs now SERVE from the artifact store:
     # ann_lsh_batch probes the persisted lsh_buckets_b6 table instead of
@@ -413,14 +417,12 @@ DRIVER_HEAD = [
     "retention_cohorts",
     "rolling_7d",
     "sessionize_events",
-    "snapshot_diff",
     "stream_cdc_latest",
     "stream_funnel",
     "stream_kmv",
     "stream_ohlc",
     "stream_scd2",
     "table_profile",
-    "trade_degree_stats",
     # -- rule 2: stalest-evidence veterans (single green row, r04 vintage;
     # FIFO except the documented pq-family swap above)
     "pq_ann",
@@ -428,9 +430,9 @@ DRIVER_HEAD = [
     "pq_recall",
     # (debounce_events, doc_chunks, drift_report, cms_heavy_hitters,
     # benford_audit, char_diversity, dsir_weights, winsorize_values,
-    # trigram_lm were the displaced rule-2 fill as the round-9 rule-1/1b
-    # entries above head-listed; all nine veterans stay strict-checked
-    # in the tail every round)
+    # trigram_lm, trade_degree_stats, snapshot_diff were the displaced
+    # rule-2 fill as the round-9 rule-1/1b entries above head-listed;
+    # all eleven veterans stay strict-checked in the tail every round)
 ]
 
 

@@ -89,6 +89,79 @@ FROM c JOIN b USING (gram)
 GROUP BY c.doc_id
 """
 
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-token BUDGET PLANNER — the allocation step between
+    `mixture_weights` (what the corpus IS) and `mixture_rebalance` (what
+    to keep): temperature-flattened multinomial sampling (alpha = 1/2,
+    the mBERT/XLM-R convention that upweights small sources) over
+    per-source token mass, allocated against a fixed training budget,
+    with per-source epoch counts in exact ppm — epochs_ppm > 1e6 means
+    the source REPEATS (upsampling), the number a data-mixing pipeline
+    needs before it schedules a single shard.
+
+    Everything is integer-exact: the temperature weight is
+    floor(sqrt(n_tokens)) (sqrt of an int64 < 2^53 is correctly rounded
+    on every engine, floor pins it), shares and epochs are integer ppm
+    divisions — so even the planner hash-checks.  One source-grain
+    aggregate is the only distributed work; the allocation itself is
+    source-count rows of driver integer arithmetic (the metadata-scale
+    finish contract — Python // on non-negative ints == DuckDB //)."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .collect()
+    )
+    weights = {r["source"]: math.isqrt(r["n_tokens"]) for r in per}
+    tw = sum(weights.values())
+    rows = []
+    for r in sorted(per, key=lambda r: r["source"]):
+        w = weights[r["source"]]
+        share = 1_000_000 * w // tw
+        alloc = _TOKEN_BUDGET * w // tw
+        rows.append(
+            (
+                r["source"],
+                r["n_docs"],
+                r["n_tokens"],
+                w,
+                share,
+                alloc,
+                1_000_000 * alloc // r["n_tokens"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "source string, n_docs long, n_tokens long, weight long, "
+        "target_share_ppm long, alloc_tokens long, epochs_ppm long",
+    )
+
+
+_TOKEN_BUDGET = 100_000
+
+_TOKEN_BUDGET_PLAN_SQL = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight FROM per),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w)
+SELECT source, n_docs, n_tokens, weight,
+       CAST(1000000 * weight // tw AS BIGINT) AS target_share_ppm,
+       CAST({_TOKEN_BUDGET} * weight // tw AS BIGINT) AS alloc_tokens,
+       CAST(1000000 * ({_TOKEN_BUDGET} * weight // tw) // n_tokens AS BIGINT)
+         AS epochs_ppm
+FROM w, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic split + domain mixing — per-row hash arithmetic, no shuffle.
 
@@ -813,6 +886,13 @@ QUERIES = [
         decontaminate_q,
         _DECONTAMINATE_SQL,
         "benchmark n-gram contamination sweep (broadcast benchmark grams)",
+    ),
+    QueryDef(
+        "token_budget_plan",
+        token_budget_plan,
+        _TOKEN_BUDGET_PLAN_SQL,
+        "training-token budget planner: sqrt-temperature mixture, integer "
+        "ppm shares + per-source epoch counts",
     ),
     QueryDef(
         "split_sample",

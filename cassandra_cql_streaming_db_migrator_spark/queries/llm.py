@@ -1549,6 +1549,53 @@ WHERE {_dot_sql("a.embedding", "b.embedding")}
 """
 
 
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space sibling
+    of the 8-gram `decontaminate` (paraphrased eval questions share no
+    8-gram but sit next to the benchmark in embedding space; modern
+    pipelines run BOTH screens): every corpus vector is scored against
+    the full benchmark slice (vec_id % 20 == 0, the eval stand-in) by
+    exact cosine — the bench side is metadata-scale and BROADCASTS, so
+    the corpus streams through one narrow pass, never shuffling for the
+    comparison — and docs with any bench neighbor above the threshold
+    are reported with their hit count, max cosine, and the top
+    contaminating bench id (ties to the lowest id) — straight out of the
+    Arrow kernel, ZERO shuffles (operators.similarity.
+    bench_contamination: each doc lives in one batch, so no window or
+    aggregate follows the scan).  Exact and fold-order-identical to the
+    oracle, so the report hash-checks; at 100 TB the bench side stays a
+    broadcast matrix (eval suites are thousands of rows) and the corpus
+    pass is the same single scan."""
+    from ..operators.similarity import bench_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bench_contamination(
+        corpus=emb.filter(F.col("vec_id") % 20 != 0),
+        bench=emb.filter(F.col("vec_id") % 20 == 0),
+        threshold=0.35,
+    )
+
+
+_SEMANTIC_DECONTAMINATE_SQL = f"""
+WITH s AS (
+  SELECT c.vec_id, b.vec_id AS bench_id,
+         {_dot_sql("c.embedding", "b.embedding")}
+           / (sqrt({_dot_sql("c.embedding", "c.embedding")})
+              * sqrt({_dot_sql("b.embedding", "b.embedding")})) AS cosine
+  FROM embeddings c JOIN embeddings b
+    ON c.vec_id % 20 <> 0 AND b.vec_id % 20 = 0),
+f AS (SELECT * FROM s WHERE cosine >= 0.35)
+SELECT vec_id, n_bench_hits, cosine AS max_cosine, bench_id AS top_bench_id
+FROM (
+  SELECT vec_id, bench_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, bench_id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_bench_hits
+  FROM f) r
+WHERE rn = 1
+"""
+
+
 _EMBEDDING_PAIRS_SQL = f"""
 WITH p AS (
   SELECT a.label, a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
@@ -2888,8 +2935,14 @@ QUERIES = [
     QueryDef("simhash_fingerprint", simhash_fingerprint, _SIMHASH_SQL,
              "53-bit SimHash fingerprints"),
     QueryDef("simhash_pairs", simhash_pairs, _SIMHASH_PAIRS_SQL,
-             "SimHash near-dup pairs via banded Hamming LSH (4 bands, "
-             "Hamming <= 1), quadratic oracle proves zero misses"),
+             "SimHash near-dup pairs via banded Hamming LSH (pigeonhole-"
+             "minimum bands, Hamming <= 1), quadratic oracle proves zero "
+             "misses"),
+    QueryDef("semantic_decontaminate", semantic_decontaminate,
+             _SEMANTIC_DECONTAMINATE_SQL,
+             "embedding-space benchmark decontamination: broadcast bench "
+             "slice, one corpus pass, per-doc hit count + top "
+             "contaminating bench id"),
     QueryDef("dedup_recall", dedup_recall, _dedup_recall_sql(),
              "recall of the banded-LSH candidate stage vs exact gram-"
              "Jaccard ground truth — the dedup-path quality gauge",

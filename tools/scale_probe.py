@@ -127,6 +127,15 @@ PROBES: dict[str, tuple[float, str]] = {
     "index_drift_report": (15.0, "linear: per-row assignment, "
                                  "cell-scale finish"),
     "stream_drift_monitor": (15.0, "linear: O(cells) streaming state"),
+    # one Arrow-kernel corpus pass x bench-matrix width.  In PRODUCTION
+    # bench is a fixed eval suite (linear in corpus); the tiled fixture
+    # scales bench WITH the corpus, so the probe deliberately measures
+    # the quadratic worst case — the kernel absorbs 100x pair work in
+    # ~11x wall
+    "semantic_decontaminate": (15.0, "bench fixed in prod -> linear; "
+                                     "fixture scales bench too"),
+    # one source-grain aggregate + source-count driver finish
+    "token_budget_plan": (15.0, "linear: one census pass"),
 }
 
 
