@@ -664,6 +664,105 @@ def _ann_filtered_batch_sql() -> str:
     )
 
 
+def ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of the FILTERED ADC path vs the exact L2
+    top-10 AMONG THE PREDICATE'S ROWS — the quality gauge every
+    approximate read path in this repo ships with (ann_recall /
+    pq_recall / ivf_pq_recall / graph_ann_batch_recall), applied to
+    hybrid search: filtering shrinks every probed cell, so the
+    cell-pruning loss can be WORSE under a predicate than over the full
+    corpus — exactly what this measures.  One exact pass: the 8-query
+    frame broadcasts into a cross join over the label=1 slice and one
+    window ranks all queries."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.clustering import _sq_dist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    valid = emb.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= 64)
+    )
+    approx = ann_filtered_batch(spark, sf_dir).select("query_id", "vec_id")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = F.broadcast(
+        valid.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), vec.alias("__qv")
+        )
+    )
+    w = _W.partitionBy("query_id").orderBy("d", F.col("vec_id").asc())
+    exact = (
+        valid.where(F.col("label") == 1)
+        .crossJoin(q)
+        .select(
+            "query_id",
+            "vec_id",
+            _sq_dist(vec, F.col("__qv")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        # exact is <= |Q| * 10 rows — broadcast it so the hit join never
+        # shuffles the approx side
+        approx.join(F.broadcast(exact), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        q.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(10).cast("long").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.expr(
+                "1000000 * coalesce(n_hit, CAST(0 AS BIGINT)) DIV 10"
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
+
+
+def _ann_filtered_recall_sql() -> str:
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(e.v)), "
+        "i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])))"
+    )
+    return f"""
+WITH approx AS (
+  SELECT query_id, vec_id FROM ({_ann_filtered_batch_sql()}) i
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings
+  WHERE vec_id < 8 AND embedding IS NOT NULL AND len(embedding) >= 64
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE label = 1 AND embedding IS NOT NULL AND len(embedding) >= 64
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {dist}, e.vec_id) AS rn
+    FROM e CROSS JOIN q) r
+  WHERE rn <= 10
+),
+hits AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM approx JOIN exact USING (query_id, vec_id)
+  GROUP BY query_id
+)
+SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+       coalesce(h.n_hit, 0) AS n_hit,
+       CAST(1000000 * coalesce(h.n_hit, 0) // 10 AS BIGINT) AS recall_ppm
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard within blocks (lang x length bucket): the verify
 # stage that LSH candidates would feed at scale.
@@ -3050,6 +3149,11 @@ QUERIES = [
              "filtered/hybrid vector search: metadata predicate pushed "
              "into the attribute-payload codes scan, then the batched "
              "ADC plan"),
+    QueryDef("ann_filtered_recall", ann_filtered_recall,
+             _ann_filtered_recall_sql(),
+             "per-query recall@10 of the filtered ADC path vs exact L2 "
+             "among the predicate's rows — cell pruning loses more "
+             "under a filter, this measures it"),
     QueryDef("index_drift_report", index_drift_report,
              _index_drift_report_sql(),
              "index-staleness gauge: per-cell occupancy drift of the "

@@ -136,6 +136,8 @@ PROBES: dict[str, tuple[float, str]] = {
                                      "fixture scales bench too"),
     # one source-grain aggregate + source-count driver finish
     "token_budget_plan": (15.0, "linear: one census pass"),
+    # one filtered serve pass + one exact pass over the predicate slice
+    "ann_filtered_recall": (15.0, "linear: serve + one exact pass"),
 }
 
 
