@@ -691,3 +691,54 @@ def image_tile_stats(
         ]
     )
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_bits: int = 53,
+) -> DataFrame:
+    """53-bit audio fingerprint from a REAL WAV decode (the audio member
+    of the fingerprint family: text SimHash / image average-hash / THIS):
+    RIFF-parse the payload, then bit k compares the sample at position
+    k*n//53 against the clip's mean — in the overflow-safe integer form
+    ``n * sample > total`` — so a re-encoded or re-tiled copy of the same
+    audio content lands at small Hamming distance.  Non-negative 53-bit
+    longs (the SimHash banding contract), so the SAME banded Hamming
+    machinery (operators.dedup.simhash_near_pairs) serves all three
+    modalities.  Non-WAV / corrupt / empty payloads drop out
+    (quarantine-not-crash).  One narrow Arrow kernel, no shuffle."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[id_col], StructField("audio_hash", LongType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                wav = _wav_parse(bytes(p or b""))
+                if wav is None:
+                    continue
+                data = np.frombuffer(wav[3], dtype=np.uint8).astype(np.int64)
+                n = len(data)
+                if n == 0:
+                    continue
+                total = int(data.sum())
+                h = 0
+                for k in range(n_bits):
+                    if n * int(data[k * n // n_bits]) > total:
+                        h |= 1 << k
+                ids.append(i)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "audio_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

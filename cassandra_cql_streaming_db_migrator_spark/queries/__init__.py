@@ -331,6 +331,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "semantic_decontaminate": {},
     "token_budget_plan": {},
     "ann_filtered_recall": {},
+    "audio_dedup": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -373,6 +374,7 @@ DRIVER_HEAD = [
     "semantic_decontaminate",
     "token_budget_plan",
     "ann_filtered_recall",
+    "audio_dedup",
     # -- rule 1b: materially rewritten this round (VERDICT r08 ask #3 —
     # the batched LSH/graph legs now SERVE from the artifact store:
     # ann_lsh_batch probes the persisted lsh_buckets_b6 table instead of
@@ -419,7 +421,6 @@ DRIVER_HEAD = [
     "retention_cohorts",
     "rolling_7d",
     "sessionize_events",
-    "stream_funnel",
     "stream_kmv",
     "stream_ohlc",
     "stream_scd2",
@@ -431,10 +432,10 @@ DRIVER_HEAD = [
     "pq_recall",
     # (debounce_events, doc_chunks, drift_report, cms_heavy_hitters,
     # benford_audit, char_diversity, dsir_weights, winsorize_values,
-    # trigram_lm, trade_degree_stats, snapshot_diff, stream_cdc_latest
-    # were the displaced rule-2 fill as the round-9 rule-1/1b entries
-    # above head-listed; all twelve veterans stay strict-checked in the
-    # tail every round)
+    # trigram_lm, trade_degree_stats, snapshot_diff, stream_cdc_latest,
+    # stream_funnel were the displaced rule-2 fill as the round-9
+    # rule-1/1b entries above head-listed; all thirteen veterans stay
+    # strict-checked in the tail every round)
 ]
 
 

@@ -1887,6 +1887,53 @@ FROM s
 """
 
 
+def audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs — the fingerprint family's third
+    modality (text simhash_pairs / image image_dedup / THIS): every WAV
+    payload (odd doc ids, the media contract) decodes through the real
+    RIFF parser into a 53-bit mean-threshold fingerprint
+    (operators.multimodal.audio_fingerprints), and the SAME banded
+    Hamming machinery as simhash_pairs finds every pair within distance
+    3 — one band equi-join, exact XOR popcount verify, zero all-pairs.
+    The oracle re-derives the fingerprints from the payload CONTRACT
+    (samples are the doc's ascii units tiled to 256 — the
+    multimodal_framesample discipline) and proves the banding admits no
+    misses quadratically."""
+    from ..operators.dedup import simhash_near_pairs
+    from ..operators.multimodal import audio_fingerprints
+
+    docs = attach_media_payload(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    return simhash_near_pairs(
+        audio_fingerprints(docs), hash_col="audio_hash", max_dist=3
+    )
+
+
+_AUDIO_DEDUP_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         list_transform(range(256), i ->
+           CAST(ascii(substring(text,
+                                CAST(i % length(text) AS INTEGER) + 1, 1))
+                AS BIGINT)) AS units
+  FROM documents WHERE doc_id % 2 = 1 AND length(text) > 0
+),
+t AS (SELECT doc_id, units, list_sum(units) AS total FROM u),
+fp AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 53), k ->
+      CASE WHEN 256 * units[CAST(k * 256 // 53 AS INTEGER) + 1] > total
+           THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END))
+      AS BIGINT) AS audio_hash
+  FROM t)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(bit_count(xor(a.audio_hash, b.audio_hash)) AS INTEGER) AS dist
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.audio_hash, b.audio_hash)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition quality signals.
 
@@ -3008,6 +3055,10 @@ QUERIES = [
              _MULTIMODAL_FRAMESAMPLE_SQL,
              "audio frame sampling: real WAV parse -> fixed windows -> "
              "per-frame integer stats (1-row-in N-rows-out, no shuffle)"),
+    QueryDef("audio_dedup", audio_dedup, _AUDIO_DEDUP_SQL,
+             "audio near-dup pairs: real WAV decode -> 53-bit "
+             "mean-threshold fingerprint -> the shared banded Hamming "
+             "machinery; quadratic oracle proves zero misses"),
     QueryDef("char_diversity", char_diversity, _char_diversity_sql(),
              "diversity quality gate: Simpson character index + "
              "type-token ratio, exact fixed-point"),

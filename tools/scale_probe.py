@@ -138,6 +138,9 @@ PROBES: dict[str, tuple[float, str]] = {
     "token_budget_plan": (15.0, "linear: one census pass"),
     # one filtered serve pass + one exact pass over the predicate slice
     "ann_filtered_recall": (15.0, "linear: serve + one exact pass"),
+    # WAV decode kernel + band join; fingerprint families constant per
+    # the fixture's rotation contract
+    "audio_dedup": (15.0, "near-linear: band-bucket collisions"),
 }
 
 
