@@ -904,6 +904,37 @@ def _stream_drift_monitor_sql() -> str:
     )
 
 
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE benchmark screening — semantic_decontaminate's streaming
+    twin, the shape a crawl pipeline actually runs it in (screen every
+    incoming batch against the FIXED eval suite before it enters the
+    corpus): the bench matrix is collected once and rides into the
+    stateless Arrow kernel (operators.similarity.bench_contamination)
+    that maps each microbatch — per-doc hit count / max cosine / top
+    contaminating bench id, rows appended as they are screened, ZERO
+    streaming state (each doc is decided alone against the broadcast
+    bench).  The corpus side streams in over 4 microbatches; the drained
+    append-mode output equals the batch screen row-for-row, so the
+    oracle IS semantic_decontaminate's SQL."""
+    from ..operators.similarity import bench_contamination
+    from ..sources.parquet import load_table
+    from ..streaming.stream import read_documents_stream_chunked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    arrivals = read_documents_stream_chunked(
+        spark, emb.filter(F.col("vec_id") % 20 != 0), n_chunks=4
+    )
+    screened = bench_contamination(arrivals, bench, threshold=0.35)
+    return run_to_memory(screened, output_mode="append")
+
+
+def _stream_decontaminate_sql() -> str:
+    from .llm import _SEMANTIC_DECONTAMINATE_SQL
+
+    return _SEMANTIC_DECONTAMINATE_SQL
+
+
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE incremental dedup (streaming.stream.streaming_incremental_dedup):
     corpus signatures + gram sets precomputed once as materialized
@@ -1038,6 +1069,11 @@ QUERIES = [
              "live index-staleness monitoring: per-cell arrival census "
              "as an O(cells) streaming aggregate, drained report equals "
              "batch coarse_cell_drift"),
+    QueryDef("stream_decontaminate", stream_decontaminate,
+             _stream_decontaminate_sql(),
+             "live benchmark screening: the bench matrix rides into a "
+             "stateless per-microbatch kernel; drained append output "
+             "equals the batch screen"),
     QueryDef("stream_scd2", stream_scd2, _stream_scd2_sql(),
              "T8: live SCD2 history maintenance (O(runs) state per key)",
              bench=False),

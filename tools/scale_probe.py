@@ -141,6 +141,10 @@ PROBES: dict[str, tuple[float, str]] = {
     # WAV decode kernel + band join; fingerprint families constant per
     # the fixture's rotation contract
     "audio_dedup": (15.0, "near-linear: band-bucket collisions"),
+    # stateless per-microbatch kernel; bench matrix fixed in prod
+    # (fixture scales it, giving the quadratic worst case like its
+    # batch twin)
+    "stream_decontaminate": (15.0, "bench fixed in prod -> linear"),
 }
 
 
