@@ -223,3 +223,68 @@ def test_untouched_bucket_files_are_carried_not_rewritten(spark):
         inodes_a = {os.stat(p).st_ino for p in files_a.get(b, [])}
         inodes_b = {os.stat(p).st_ino for p in files_b[b]}
         assert not (inodes_b & inodes_a), f"touched bucket {b} not rewritten"
+
+
+def test_untouched_bucket_survives_multiple_carries(spark):
+    # A bucket untouched by EVERY later batch must still be batch 1's
+    # inode after two carry-forwards (the hardlink chain survives the
+    # A/B flip overwriting its original table).
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from cassandra_cql_streaming_db_migrator_spark.sinks.bucketing import (
+        bucket_files,
+        table_location,
+    )
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        streaming_cdc_mirror,
+    )
+
+    n_buckets = 16
+
+    def t(minute):
+        return dt.datetime(2026, 3, 1, 8, minute, 0)
+
+    rows = [(uid, uid, t(0), "seed", 1.0, 0) for uid in range(1, 41)]
+    rows += [(1, 101, t(5), "u1", 2.0, 1)]
+    rows += [(2, 102, t(10), "u2", 3.0, 2)]
+    events = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, event_type string, "
+        "value double, chunk int",
+    )
+    mirror = streaming_cdc_mirror(
+        spark, events, n_chunks=3, n_buckets=n_buckets, chunk_col="chunk"
+    )
+    assert mirror.count() == 40
+
+    import re
+    tables = sorted(
+        t2.name for t2 in spark.catalog.listTables()
+        if re.match(r"cdc_mirror_[ab]_\d+$", t2.name)
+    )
+    # 3 batches over 2 alternating tables: batch 3 overwrote batch 1's
+    # table, and the LIVE table is batch 3's
+    live = bucket_files(table_location(spark, tables[0]))
+    touched = {
+        r[0]
+        for r in spark.createDataFrame([(1,), (2,)], "user_id long")
+        .select(F2.pmod(F2.hash("user_id"), F2.lit(n_buckets)))
+        .collect()
+    }
+    # the carried inodes must be hardlinks with the original still linked
+    # through the intermediate table (nlink >= 2) or sole survivors after
+    # its overwrite (nlink >= 1) — and crucially, READABLE and consistent
+    for b, paths in live.items():
+        if b in touched:
+            continue
+        for p in paths:
+            st = os.stat(p)
+            assert st.st_nlink >= 1
+    # consistency: the mirror equals the batch frontier
+    got = {r["user_id"]: r["last_event_type"] for r in mirror.collect()}
+    want = {uid: "seed" for uid in range(1, 41)}
+    want[1], want[2] = "u1", "u2"
+    assert got == want
