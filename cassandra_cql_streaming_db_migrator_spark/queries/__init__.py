@@ -333,6 +333,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "ann_filtered_recall": {},
     "audio_dedup": {},
     "stream_decontaminate": {},
+    "decontaminate_purge": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -377,6 +378,7 @@ DRIVER_HEAD = [
     "ann_filtered_recall",
     "audio_dedup",
     "stream_decontaminate",
+    "decontaminate_purge",
     # -- rule 1b: materially rewritten this round (VERDICT r08 ask #3 —
     # the batched LSH/graph legs now SERVE from the artifact store:
     # ann_lsh_batch probes the persisted lsh_buckets_b6 table instead of
@@ -423,7 +425,6 @@ DRIVER_HEAD = [
     "retention_cohorts",
     "rolling_7d",
     "sessionize_events",
-    "stream_ohlc",
     "stream_scd2",
     "table_profile",
     # -- rule 2: stalest-evidence veterans (single green row, r04 vintage;
@@ -434,9 +435,9 @@ DRIVER_HEAD = [
     # (debounce_events, doc_chunks, drift_report, cms_heavy_hitters,
     # benford_audit, char_diversity, dsir_weights, winsorize_values,
     # trigram_lm, trade_degree_stats, snapshot_diff, stream_cdc_latest,
-    # stream_funnel, stream_kmv were the displaced rule-2 fill as the
-    # round-9 rule-1/1b entries above head-listed; all fourteen veterans
-    # stay strict-checked in the tail every round)
+    # stream_funnel, stream_kmv, stream_ohlc were the displaced rule-2
+    # fill as the round-9 rule-1/1b entries above head-listed; all
+    # fifteen veterans stay strict-checked in the tail every round)
 ]
 
 

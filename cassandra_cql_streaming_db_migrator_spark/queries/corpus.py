@@ -89,6 +89,87 @@ FROM c JOIN b USING (gram)
 GROUP BY c.doc_id
 """
 
+def decontaminate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-gram contamination sweep carried to its GOVERNANCE DECISION
+    (the dup_span_removal discipline applied to decontamination): the
+    per-source purge report a pipeline acts on — how many docs each
+    source loses to the benchmark screen and what token mass survives.
+    The contaminated id set is the decontaminate operator's output
+    (benchmark grams broadcast, corpus never shuffles for the match);
+    it is result-scale, so it broadcasts back into the corpus census and
+    the report costs one source-grain aggregate on top of the screen.
+    Integer ppm, so the purge decision itself hash-checks."""
+    from ..operators.corpus import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    cont = decontaminate(corpus, bench, ngram_len=_NGRAM_LEN).select(
+        "doc_id", F.lit(1).alias("__hit")
+    )
+    flagged = corpus.join(F.broadcast(cont), "doc_id", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum(
+                F.when(
+                    F.col("__hit").isNull(),
+                    F.size(F.split(F.col("text"), " ")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            F.expr("1000000 * n_contaminated DIV n_docs").alias("drop_ppm"),
+            "tokens_kept",
+        )
+    )
+
+
+_DECONTAMINATE_PURGE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(len(ws) - {_NGRAM_LEN - 1}),
+             i -> array_to_string(
+                    array_slice(ws, CAST(i + 1 AS INTEGER),
+                                CAST(i + {_NGRAM_LEN} AS INTEGER)), ' ')
+         ))) AS gram
+  FROM w WHERE len(ws) >= {_NGRAM_LEN}
+),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+cont AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0) c
+  JOIN b USING (gram)
+),
+corpus AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+         CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM documents d LEFT JOIN cont USING (doc_id)
+  WHERE d.doc_id % 20 <> 0
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(hit) AS BIGINT) AS n_contaminated,
+       CAST(1000000 * sum(hit) // count(*) AS BIGINT) AS drop_ppm,
+       CAST(sum(CASE WHEN hit = 0 THEN n_toks ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM corpus GROUP BY source
+"""
+
+
 def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-token BUDGET PLANNER — the allocation step between
     `mixture_weights` (what the corpus IS) and `mixture_rebalance` (what
@@ -893,6 +974,13 @@ QUERIES = [
         _TOKEN_BUDGET_PLAN_SQL,
         "training-token budget planner: sqrt-temperature mixture, integer "
         "ppm shares + per-source epoch counts",
+    ),
+    QueryDef(
+        "decontaminate_purge",
+        decontaminate_purge,
+        _DECONTAMINATE_PURGE_SQL,
+        "the contamination sweep carried to its per-source purge "
+        "decision: drop ppm + surviving token mass",
     ),
     QueryDef(
         "split_sample",

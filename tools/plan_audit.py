@@ -64,6 +64,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     "cms_heavy_hitters": 3,
     # unigram census lineage re-printed by the top-k cut + corpus total
     "head_coverage": 3,
+    # semantic floor (reviewed r9): the screen's matched-gram per-doc
+    # count aggregate + the corpus gram-key frame's doc repartition +
+    # the final source-grain purge census (bench grams and the
+    # result-scale contaminated id set both ride broadcasts)
+    "decontaminate_purge": 3,
     # semantic floor: trigram-count aggregate + prefix-count aggregate +
     # final per-doc aggregate (model tables broadcast; per-doc counts are
     # a narrow Arrow kernel, no shuffle)

@@ -145,6 +145,9 @@ PROBES: dict[str, tuple[float, str]] = {
     # (fixture scales it, giving the quadratic worst case like its
     # batch twin)
     "stream_decontaminate": (15.0, "bench fixed in prod -> linear"),
+    # screen (broadcast bench grams, one match aggregate) + one
+    # source-grain census
+    "decontaminate_purge": (15.0, "linear: screen + source census"),
 }
 
 
