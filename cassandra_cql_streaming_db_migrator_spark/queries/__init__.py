@@ -334,6 +334,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "audio_dedup": {},
     "stream_decontaminate": {},
     "decontaminate_purge": {},
+    "ngram_novelty": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -379,6 +380,7 @@ DRIVER_HEAD = [
     "audio_dedup",
     "stream_decontaminate",
     "decontaminate_purge",
+    "ngram_novelty",
     # -- rule 1b: materially rewritten this round (VERDICT r08 ask #3 —
     # the batched LSH/graph legs now SERVE from the artifact store:
     # ann_lsh_batch probes the persisted lsh_buckets_b6 table instead of
@@ -425,7 +427,6 @@ DRIVER_HEAD = [
     "retention_cohorts",
     "rolling_7d",
     "sessionize_events",
-    "stream_scd2",
     "table_profile",
     # -- rule 2: stalest-evidence veterans (single green row, r04 vintage;
     # FIFO except the documented pq-family swap above)
@@ -435,9 +436,10 @@ DRIVER_HEAD = [
     # (debounce_events, doc_chunks, drift_report, cms_heavy_hitters,
     # benford_audit, char_diversity, dsir_weights, winsorize_values,
     # trigram_lm, trade_degree_stats, snapshot_diff, stream_cdc_latest,
-    # stream_funnel, stream_kmv, stream_ohlc were the displaced rule-2
-    # fill as the round-9 rule-1/1b entries above head-listed; all
-    # fifteen veterans stay strict-checked in the tail every round)
+    # stream_funnel, stream_kmv, stream_ohlc, stream_scd2 were the
+    # displaced rule-2 fill as the round-9 rule-1/1b entries above
+    # head-listed; all sixteen veterans stay strict-checked in the tail
+    # every round)
 ]
 
 

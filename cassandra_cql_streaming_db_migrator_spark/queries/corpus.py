@@ -170,6 +170,90 @@ FROM corpus GROUP BY source
 """
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset NOVELTY curve at the 8-gram level — vocab_growth's
+    first-seen decomposition applied to the dedup family's gram domain:
+    per ``bucket_docs``-sized doc-id prefix, how many distinct 8-grams
+    appear for the FIRST time (and the cumulative distinct-gram curve) —
+    the corpus-sizing diagnostic for long-range redundancy: a corpus
+    whose novelty curve flattens is re-crawling itself, the signal that
+    feeds the dedup budget before any pair is computed.
+
+    Scale shape: grams leave the Arrow kernel as packed 61-bit keys
+    (the dup_spans discipline; the string-keyed oracle certifies
+    collision-freedom), the ONE gram-scale shuffle is the min-first-doc
+    census, and every gram charges exactly one bucket — cumulative
+    novelty is a running sum over metadata-scale bucket rows, never a
+    running distinct set."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.corpus import _gram_key_frame
+
+    bucket_docs = 100
+    docs = load_table(spark, sf_dir, "documents")
+    keys = _gram_key_frame(docs, "text", "doc_id", _NGRAM_LEN)
+    bucket_of = lambda c: (c - (c % bucket_docs)).cast("long")
+    per_gram = keys.groupBy("gram_key").agg(
+        F.min("doc_id").alias("__first_doc")
+    )
+    new_b = per_gram.groupBy(
+        bucket_of(F.col("__first_doc")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("__new_grams"))
+    inc_b = keys.groupBy(bucket_of(F.col("doc_id")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_doc_grams")
+    )
+    w = _W.orderBy("bucket").rowsBetween(_W.unboundedPreceding, 0)
+    return (
+        inc_b.join(new_b, "bucket", "left")
+        .select(
+            "bucket",
+            "n_doc_grams",
+            F.coalesce("__new_grams", F.lit(0))
+            .cast("long")
+            .alias("n_new_grams"),
+        )
+        .withColumn("cum_grams", F.sum("n_new_grams").over(w))
+        .withColumn(
+            "novelty_ppm",
+            F.expr("1000000 * n_new_grams DIV n_doc_grams"),
+        )
+    )
+
+
+_NGRAM_NOVELTY_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(len(ws) - {_NGRAM_LEN - 1}),
+             i -> array_to_string(
+                    array_slice(ws, CAST(i + 1 AS INTEGER),
+                                CAST(i + {_NGRAM_LEN} AS INTEGER)), ' ')
+         ))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= {_NGRAM_LEN}
+),
+per_gram AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+nb AS (
+  SELECT first_doc - (first_doc % 100) AS bucket, count(*) AS new_grams
+  FROM per_gram GROUP BY 1
+),
+ib AS (
+  SELECT doc_id - (doc_id % 100) AS bucket, count(*) AS n_doc_grams
+  FROM g GROUP BY 1
+)
+SELECT CAST(ib.bucket AS BIGINT) AS bucket,
+       CAST(ib.n_doc_grams AS BIGINT) AS n_doc_grams,
+       CAST(coalesce(nb.new_grams, 0) AS BIGINT) AS n_new_grams,
+       CAST(sum(coalesce(nb.new_grams, 0)) OVER (
+         ORDER BY ib.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_grams,
+       CAST(1000000 * coalesce(nb.new_grams, 0) // ib.n_doc_grams AS BIGINT)
+         AS novelty_ppm
+FROM ib LEFT JOIN nb ON nb.bucket = ib.bucket
+"""
+
+
 def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-token BUDGET PLANNER — the allocation step between
     `mixture_weights` (what the corpus IS) and `mixture_rebalance` (what
@@ -981,6 +1065,13 @@ QUERIES = [
         _DECONTAMINATE_PURGE_SQL,
         "the contamination sweep carried to its per-source purge "
         "decision: drop ppm + surviving token mass",
+    ),
+    QueryDef(
+        "ngram_novelty",
+        ngram_novelty,
+        _NGRAM_NOVELTY_SQL,
+        "8-gram novelty curve: first-seen decomposition over packed gram "
+        "keys — the long-range-redundancy diagnostic",
     ),
     QueryDef(
         "split_sample",

@@ -177,6 +177,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # first-seen bucket rollup and the cumsum window move bucket-count
     # (metadata) rows
     "vocab_growth": 4,
+    # reviewed r9 — vocab_growth's exact shape on the gram domain: the
+    # gram-key census (min first doc) is the one gram-scale shuffle; the
+    # incidence census re-prints the kernel branch; first-seen rollup and
+    # cumsum move bucket-count (metadata) rows
+    "ngram_novelty": 4,
     # per-customer aggregate (1) + per quintile metric the distributed-
     # ntile pair (range exchange + partition-id hash exchange, x3 metrics
     # = 6; NO single-partition sort anywhere — VERDICT r04 #2) + the
@@ -373,6 +378,8 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     "head_coverage",
     # cumsum over first-seen bucket rollup (rows = corpus buckets)
     "vocab_growth",
+    # same first-seen cumsum shape at the 8-gram domain (rows = buckets)
+    "ngram_novelty",
     # Lorenz cumsum over per-nation revenue levels (rows = nations x
     # customer deciles — report-scale)
     "revenue_pareto",

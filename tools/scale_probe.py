@@ -148,6 +148,8 @@ PROBES: dict[str, tuple[float, str]] = {
     # screen (broadcast bench grams, one match aggregate) + one
     # source-grain census
     "decontaminate_purge": (15.0, "linear: screen + source census"),
+    # one gram-scale census shuffle; buckets are metadata
+    "ngram_novelty": (15.0, "linear: first-seen decomposition"),
 }
 
 
