@@ -335,6 +335,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_decontaminate": {},
     "decontaminate_purge": {},
     "ngram_novelty": {},
+    "stream_token_budget": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -381,6 +382,7 @@ DRIVER_HEAD = [
     "stream_decontaminate",
     "decontaminate_purge",
     "ngram_novelty",
+    "stream_token_budget",
     # -- rule 1b: materially rewritten this round (VERDICT r08 ask #3 —
     # the batched LSH/graph legs now SERVE from the artifact store:
     # ann_lsh_batch probes the persisted lsh_buckets_b6 table instead of
@@ -425,7 +427,6 @@ DRIVER_HEAD = [
     "q3_shipping_priority",
     "quantiles_sampled",
     "retention_cohorts",
-    "rolling_7d",
     "sessionize_events",
     "table_profile",
     # -- rule 2: stalest-evidence veterans (single green row, r04 vintage;
@@ -436,10 +437,10 @@ DRIVER_HEAD = [
     # (debounce_events, doc_chunks, drift_report, cms_heavy_hitters,
     # benford_audit, char_diversity, dsir_weights, winsorize_values,
     # trigram_lm, trade_degree_stats, snapshot_diff, stream_cdc_latest,
-    # stream_funnel, stream_kmv, stream_ohlc, stream_scd2 were the
-    # displaced rule-2 fill as the round-9 rule-1/1b entries above
-    # head-listed; all sixteen veterans stay strict-checked in the tail
-    # every round)
+    # stream_funnel, stream_kmv, stream_ohlc, stream_scd2, rolling_7d
+    # were the displaced rule-2 fill as the round-9 rule-1/1b entries
+    # above head-listed; all seventeen veterans stay strict-checked in
+    # the tail every round)
 ]
 
 

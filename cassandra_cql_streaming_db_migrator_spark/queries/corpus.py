@@ -271,8 +271,6 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is the only distributed work; the allocation itself is
     source-count rows of driver integer arithmetic (the metadata-scale
     finish contract — Python // on non-negative ints == DuckDB //)."""
-    import math
-
     docs = load_table(spark, sf_dir, "documents")
     per = (
         docs.groupBy("source")
@@ -284,6 +282,15 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    return _budget_plan_frame(spark, per)
+
+
+def _budget_plan_frame(spark: SparkSession, per) -> DataFrame:
+    """The planner finish shared by the batch and streaming census
+    (source-count rows of driver integer arithmetic): per is any
+    sequence of rows carrying (source, n_docs, n_tokens)."""
+    import math
+
     weights = {r["source"]: math.isqrt(r["n_tokens"]) for r in per}
     tw = sum(weights.values())
     rows = []

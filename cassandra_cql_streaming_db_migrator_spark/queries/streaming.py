@@ -935,6 +935,40 @@ def _stream_decontaminate_sql() -> str:
     return _SEMANTIC_DECONTAMINATE_SQL
 
 
+def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE training-token budget planning — token_budget_plan's
+    streaming twin: the per-source (doc count, token mass) census is
+    maintained as a streaming aggregate while documents arrive (count
+    and sum are the mergeable state — O(sources) rows forever), and the
+    drained census feeds the identical sqrt-temperature allocation
+    finish (the shared _budget_plan_frame).  The mixture a pipeline
+    schedules against stays current as the crawl grows; the drained
+    bounded run equals the batch planner row-for-row — shared oracle."""
+    from .corpus import _budget_plan_frame
+    from ..sources.parquet import load_table
+    from ..streaming.stream import read_documents_stream_chunked
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = read_documents_stream_chunked(spark, docs, n_chunks=4)
+    census = (
+        stream.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    drained = run_to_memory(census, output_mode="complete")
+    return _budget_plan_frame(spark, drained.collect())
+
+
+def _stream_token_budget_sql() -> str:
+    from .corpus import _TOKEN_BUDGET_PLAN_SQL
+
+    return _TOKEN_BUDGET_PLAN_SQL
+
+
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE incremental dedup (streaming.stream.streaming_incremental_dedup):
     corpus signatures + gram sets precomputed once as materialized
@@ -1074,6 +1108,11 @@ QUERIES = [
              "live benchmark screening: the bench matrix rides into a "
              "stateless per-microbatch kernel; drained append output "
              "equals the batch screen"),
+    QueryDef("stream_token_budget", stream_token_budget,
+             _stream_token_budget_sql(),
+             "live mixture planning: O(sources) streaming census + the "
+             "shared sqrt-temperature allocation finish; drained run "
+             "equals the batch planner"),
     QueryDef("stream_scd2", stream_scd2, _stream_scd2_sql(),
              "T8: live SCD2 history maintenance (O(runs) state per key)",
              bench=False),

@@ -150,6 +150,8 @@ PROBES: dict[str, tuple[float, str]] = {
     "decontaminate_purge": (15.0, "linear: screen + source census"),
     # one gram-scale census shuffle; buckets are metadata
     "ngram_novelty": (15.0, "linear: first-seen decomposition"),
+    # O(sources) streaming census + driver finish
+    "stream_token_budget": (15.0, "linear: mergeable source census"),
 }
 
 
