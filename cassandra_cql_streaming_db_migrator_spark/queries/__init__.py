@@ -142,51 +142,51 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "repetition_stats": {"r03": "green", "r08": "green"},
     "tfidf_terms": {"r03": "green", "r08": "green"},
     "mixture_weights": {"r03": "green", "r08": "green"},
-    "length_histogram": {"r03": "green"},
+    "length_histogram": {"r03": "green", "r09": "green"},
     "trigram_lm": {"r03": "green"},
-    "embedding_centroids": {"r03": "green"},
-    "dedup_components": {"r03": "green"},
-    "simhash_fingerprint": {"r01": "green"},
-    "doc_fingerprint": {"r01": "green"},
+    "embedding_centroids": {"r03": "green", "r09": "green"},
+    "dedup_components": {"r03": "green", "r09": "green"},
+    "simhash_fingerprint": {"r01": "green", "r09": "green"},
+    "doc_fingerprint": {"r01": "green", "r09": "green"},
     "embedding_topk": {"r01": "green", "r06": "green"},
-    "token_count_bpe": {"r01": "green"},
-    "window_topk": {"r01": "green"},
+    "token_count_bpe": {"r01": "green", "r09": "green"},
+    "window_topk": {"r01": "green", "r09": "green"},
     "embedding_ann_ivf": {"r01": "green", "r06": "green"},
-    "sessionize_events": {"r03": "green"},
-    "funnel_events": {"r03": "green"},
-    "retention_cohorts": {"r03": "green"},
+    "sessionize_events": {"r03": "green", "r09": "green"},
+    "funnel_events": {"r03": "green", "r09": "green"},
+    "retention_cohorts": {"r03": "green", "r09": "green"},
     "rolling_7d": {"r03": "green"},
-    "quantiles_sampled": {"r03": "green"},
+    "quantiles_sampled": {"r03": "green", "r09": "green"},
     "stream_kmv": {"r03": "green"},
-    "bloom_join": {"r03": "green"},
-    "mixture_rebalance": {"r03": "green"},
+    "bloom_join": {"r03": "green", "r09": "green"},
+    "mixture_rebalance": {"r03": "green", "r09": "green"},
     "snapshot_diff": {"r03": "green"},
-    "pit_enrich": {"r03": "green"},
-    "agg_corr": {"r03": "green"},
+    "pit_enrich": {"r03": "green", "r09": "green"},
+    "agg_corr": {"r03": "green", "r09": "green"},
     "stream_funnel": {"r03": "green"},
-    "kmeans_embeddings": {"r03": "green"},
+    "kmeans_embeddings": {"r03": "green", "r09": "green"},
     "stream_scd2": {"r03": "green"},
-    "inverted_index": {"r03": "green"},
+    "inverted_index": {"r03": "green", "r09": "green"},
     # new in round 3 (head-listed by rule 1)
-    "pii_stats": {"r03": "green"},
-    "ngram_topk": {"r03": "green"},
+    "pii_stats": {"r03": "green", "r09": "green"},
+    "ngram_topk": {"r03": "green", "r09": "green"},
     "trade_degree_stats": {"r03": "green"},
-    "ohlc_downsample": {"r03": "green"},
+    "ohlc_downsample": {"r03": "green", "r09": "green"},
     "winsorize_values": {"r03": "green"},
     "stream_ohlc": {"r03": "green"},
-    "q3_shipping_priority": {"r03": "green"},
-    "dedup_canonical": {"r03": "green"},
-    "minhash_band_stats": {"r03": "green"},
+    "q3_shipping_priority": {"r03": "green", "r09": "green"},
+    "dedup_canonical": {"r03": "green", "r09": "green"},
+    "minhash_band_stats": {"r03": "green", "r09": "green"},
     "q5_region_revenue": {"r03": "green", "r06": "green", "r07": "green"},
     "q18_top_buyers": {"r03": "green", "r07": "green"},
-    "knn_join": {"r03": "green"},
-    "bigram_pmi": {"r03": "green"},
-    "table_profile": {"r03": "green"},
-    "cooccurrence_pairs": {"r03": "green"},
-    "ann_recall": {"r03": "green"},
+    "knn_join": {"r03": "green", "r09": "green"},
+    "bigram_pmi": {"r03": "green", "r09": "green"},
+    "table_profile": {"r03": "green", "r09": "green"},
+    "cooccurrence_pairs": {"r03": "green", "r09": "green"},
+    "ann_recall": {"r03": "green", "r09": "green"},
     "join_salted": {"r03": "green", "r06": "green"},
-    "head_coverage": {"r03": "green"},
-    "cdc_latest": {"r03": "green"},
+    "head_coverage": {"r03": "green", "r09": "green"},
+    "cdc_latest": {"r03": "green", "r09": "green"},
     "stream_cdc_latest": {"r03": "green"},
     # new in round 3, third session (head full -> DRIVER_BACKLOG, rule 1)
     "q7_nation_volume": {"r04": "green", "r07": "green"},
@@ -214,8 +214,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "sliding_distinct": {"r04": "green"},
     "null_semantics": {"r04": "green"},
     "bpe_merges": {"r04": "green", "r06": "green"},
-    "pq_codes": {"r04": "green"},
-    "pq_ann": {"r04": "green"},
+    "pq_codes": {"r04": "green", "r09": "green"},
+    "pq_ann": {"r04": "green", "r09": "green"},
     "skyline_parts": {"r04": "green"},
     "data_expectations": {"r04": "green", "r07": "green"},
     "entity_resolution": {"r04": "green"},
@@ -224,7 +224,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "gini_by_nation": {"r04": "green"},
     "kmv_set_ops": {"r04": "green"},
     "stream_expectations": {"r04": "green"},
-    "pq_recall": {"r04": "green"},
+    "pq_recall": {"r04": "green", "r09": "green"},
     "twap_daily": {"r04": "green"},
     "debounce_events": {"r04": "green"},
     "user_features": {"r04": "green"},
@@ -315,27 +315,27 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "bpe_encode_from_artifacts": {"r07": "green"},
     "lm_score_from_artifacts": {"r07": "green"},
     # new in round 8 (head-listed by rule 1)
-    "ann_lsh_batch": {"r08": "green"},
+    "ann_lsh_batch": {"r08": "green", "r09": "green"},
     "ivf_pq_batch": {"r08": "green"},
-    "graph_ann_batch": {"r08": "green"},
-    "graph_ann_batch_recall": {"r08": "green"},
-    "stream_cdc_mirror": {"r08": "green"},
+    "graph_ann_batch": {"r08": "green", "r09": "green"},
+    "graph_ann_batch_recall": {"r08": "green", "r09": "green"},
+    "stream_cdc_mirror": {"r08": "green", "r09": "green"},
     "dup_span_histogram": {"r08": "green"},
     "stream_index_update": {"r08": "green"},
     # new in round 9 (head-listed by rule 1)
-    "stream_index_search": {},
-    "simhash_pairs": {},
-    "index_drift_report": {},
-    "ann_filtered_batch": {},
-    "stream_drift_monitor": {},
-    "semantic_decontaminate": {},
-    "token_budget_plan": {},
-    "ann_filtered_recall": {},
-    "audio_dedup": {},
-    "stream_decontaminate": {},
-    "decontaminate_purge": {},
-    "ngram_novelty": {},
-    "stream_token_budget": {},
+    "stream_index_search": {"r09": "green"},
+    "simhash_pairs": {"r09": "green"},
+    "index_drift_report": {"r09": "green"},
+    "ann_filtered_batch": {"r09": "green"},
+    "stream_drift_monitor": {"r09": "green"},
+    "semantic_decontaminate": {"r09": "green"},
+    "token_budget_plan": {"r09": "green"},
+    "ann_filtered_recall": {"r09": "green"},
+    "audio_dedup": {"r09": "green"},
+    "stream_decontaminate": {"r09": "green"},
+    "decontaminate_purge": {"r09": "green"},
+    "ngram_novelty": {"r09": "green"},
+    "stream_token_budget": {"r09": "green"},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -349,98 +349,78 @@ DRIVER_HEAD_CAP = 50
 # row is in DRIVER_HEAD or DRIVER_BACKLOG — nothing unwitnessed is ever
 # silently tail-listed.
 DRIVER_BACKLOG: list[str] = [
-    # round 9: backlog entered the round EMPTY again (the round-8 head's
-    # 50 entries all earned green rows in CORRECTNESS_r08.json, transcribed
-    # above).  Round-9 additions beyond the free head slots queue here
-    # (FIFO for the round-10 head).
+    # round 10: backlog entered the round EMPTY again (the round-9 head's
+    # 50 entries all earned green rows in CORRECTNESS_r09.json, transcribed
+    # above).  Round-10 additions beyond the free head slots queue here
+    # (FIFO for the round-11 head).
 ]
 
-# Round-9 head: backlog empty, every registered query has a green driver
-# row, so the head is pure rotation — new round-9 queries head-list by
-# rule 1 as they land (displacing rule-2 veterans from the bottom); the
-# veteran fill (rule 2) targets the STALEST evidence: queries whose SINGLE
-# green row is r01-r04 vintage and which have never been re-witnessed
-# (verified against DRIVER_HISTORY above — the round-8 slip of listing an
-# already-re-witnessed veteran under this rationale, ADVICE r08 #3, is
-# fixed by deriving the fill from the history dict itself).  One swap is
-# deliberate and documented: the pq family (pq_ann, pq_codes, pq_recall)
-# is picked over three older-alphabet r04 names because pq_codes carries
-# the confirmed ~2x bench drift vs its r6 mark (VERDICT r08 "What's wrong"
-# #2) — a fresh driver witness at sf0.01 is direct evidence for the
-# plan re-read this round.
+# Round-10 head: backlog empty, every registered query has a green driver
+# row (CORRECTNESS_r09 went 50/50), so the head is again pure rotation —
+# new round-10 queries head-list by rule 1 as they land (displacing rule-2
+# veterans from the bottom of this list); the veteran fill (rule 2) is
+# derived from DRIVER_HISTORY above exactly as r9 did it: queries whose
+# LAST driver witness is the stalest round, oldest vintage first,
+# alphabetical within a vintage.  That selects all 10 r03-last-witnessed
+# veterans, all 37 r04-last-witnessed veterans, and the first 3 of the
+# r05-last-witnessed group to top up to the cap of 50.  No discretionary
+# swaps this round (r9's pq-family swap paid off and closed that watch).
 DRIVER_HEAD = [
-    # -- new in round 9 (rule 1: no driver row yet)
-    "stream_index_search",
-    "simhash_pairs",
-    "index_drift_report",
-    "ann_filtered_batch",
-    "stream_drift_monitor",
-    "semantic_decontaminate",
-    "token_budget_plan",
-    "ann_filtered_recall",
-    "audio_dedup",
-    "stream_decontaminate",
-    "decontaminate_purge",
-    "ngram_novelty",
-    "stream_token_budget",
-    # -- rule 1b: materially rewritten this round (VERDICT r08 ask #3 —
-    # the batched LSH/graph legs now SERVE from the artifact store:
-    # ann_lsh_batch probes the persisted lsh_buckets_b6 table instead of
-    # rebucketing the corpus per call, graph_ann_batch and its recall
-    # gauge walk the persisted graph_nodes/graph_edges instead of
-    # rebuilding inline) — their r08 greens witnessed plans that no
-    # longer run, so they re-head-list
-    "ann_lsh_batch",
-    "graph_ann_batch",
-    "graph_ann_batch_recall",
-    # -- rule 1b: the mirror's WRITE is now touched-bucket file
-    # replacement (VERDICT r08 ask #5) — its r08 green witnessed the
-    # full-rewrite write path, so it re-head-lists
-    "stream_cdc_mirror",
-    # -- rule 2: stalest-evidence veterans (single green row, r01 vintage)
-    "doc_fingerprint",
-    "simhash_fingerprint",
-    "token_count_bpe",
-    "window_topk",
-    # -- rule 2: stalest-evidence veterans (single green row, r03 vintage)
-    "agg_corr",
-    "ann_recall",
-    "bigram_pmi",
-    "bloom_join",
-    "cdc_latest",
-    "cooccurrence_pairs",
-    "dedup_canonical",
-    "dedup_components",
-    "embedding_centroids",
-    "funnel_events",
-    "head_coverage",
-    "inverted_index",
-    "kmeans_embeddings",
-    "knn_join",
-    "length_histogram",
-    "minhash_band_stats",
-    "mixture_rebalance",
-    "ngram_topk",
-    "ohlc_downsample",
-    "pii_stats",
-    "pit_enrich",
-    "q3_shipping_priority",
-    "quantiles_sampled",
-    "retention_cohorts",
-    "sessionize_events",
-    "table_profile",
-    # -- rule 2: stalest-evidence veterans (single green row, r04 vintage;
-    # FIFO except the documented pq-family swap above)
-    "pq_ann",
-    "pq_codes",
-    "pq_recall",
-    # (debounce_events, doc_chunks, drift_report, cms_heavy_hitters,
-    # benford_audit, char_diversity, dsir_weights, winsorize_values,
-    # trigram_lm, trade_degree_stats, snapshot_diff, stream_cdc_latest,
-    # stream_funnel, stream_kmv, stream_ohlc, stream_scd2, rolling_7d
-    # were the displaced rule-2 fill as the round-9 rule-1/1b entries
-    # above head-listed; all seventeen veterans stay strict-checked in
-    # the tail every round)
+    # -- rule 2: stalest-evidence veterans (last witnessed r03)
+    "rolling_7d",
+    "snapshot_diff",
+    "stream_cdc_latest",
+    "stream_funnel",
+    "stream_kmv",
+    "stream_ohlc",
+    "stream_scd2",
+    "trade_degree_stats",
+    "trigram_lm",
+    "winsorize_values",
+    # -- rule 2: stalest-evidence veterans (last witnessed r04)
+    "benford_audit",
+    "char_diversity",
+    "cms_heavy_hitters",
+    "debounce_events",
+    "doc_chunks",
+    "drift_report",
+    "dsir_weights",
+    "embedding_scatter",
+    "entity_resolution",
+    "event_transitions",
+    "funnel_timing",
+    "fuzzy_key_match",
+    "gini_by_nation",
+    "image_phash",
+    "kmv_set_ops",
+    "mad_outliers",
+    "multimodal_framesample",
+    "null_semantics",
+    "q13_customer_distribution",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "revenue_pareto",
+    "semdedup",
+    "session_concurrency",
+    "skyline_parts",
+    "sliding_distinct",
+    "stream_expectations",
+    "stream_heavy_hitters",
+    "stream_topk",
+    "triangle_census",
+    "twap_daily",
+    "user_features",
+    "user_growth",
+    "weighted_sample",
+    "wow_growth",
+    "zscore_anomalies",
+    # -- rule 2: stalest-evidence veterans (last witnessed r05; first 3
+    # alphabetically — the remaining 35 r05-vintage names are next in
+    # line and stay strict-checked in the tail every round)
+    "activity_streaks",
+    "audience_overlap",
+    "basket_rules",
 ]
 
 
