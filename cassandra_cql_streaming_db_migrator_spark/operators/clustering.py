@@ -2057,3 +2057,181 @@ SELECT CAST(v.idx AS INTEGER) AS dim_idx,
 FROM {prev} v, sgn, mm
 ORDER BY dim_idx"""
     )
+
+
+# --------------------------------------------------------------------------
+# Drift-triggered index retraining (VERDICT r09 ask #2 — the ACTION half of
+# the drift gauges).  index_drift_report / stream_drift_monitor SENSE that
+# the base-trained quantizer no longer sits where the data does; this
+# operator DECIDES and EXECUTES: measure drift from the standing index's
+# own codes, and when it exceeds the declared threshold, retrain the
+# quantizer on the CURRENT corpus, re-code every row, and swap the artifact
+# triple via the committed-next-then-swap protocol of
+# streaming.compact_streaming_index (reference analog: the initialize-time
+# rebuild contract, DataMigrationProcess.java:106-135 — the reference
+# re-plans per run; a standing index must decide when to).
+
+
+def codes_cell_drift(codes: DataFrame, base_where) -> DataFrame:
+    """Per-cell occupancy drift read from the INDEX ITSELF: the codes
+    artifact already carries every row's coarse cell, so the staleness
+    gauge is one n_cells-row aggregate over small integers — no float
+    corpus pass (coarse_cell_drift's shape, minus the assignment work the
+    index already paid for).  ``base_where`` must be expressible over the
+    codes frame's columns (in practice: the id column).  Output schema is
+    coarse_cell_drift's exact 6 columns."""
+    flagged = codes.select(
+        "cell",
+        F.when(base_where, F.lit(1)).otherwise(F.lit(0)).alias("__is_base"),
+    )
+    per_cell = flagged.groupBy("cell").agg(
+        F.sum("__is_base").alias("n_base"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    totals = flagged.agg(
+        F.sum("__is_base").alias("__tb"), F.count(F.lit(1)).alias("__ta")
+    )
+    return per_cell.crossJoin(F.broadcast(totals)).select(
+        "cell",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_all").cast("long").alias("n_all"),
+        F.expr("1000000 * n_base DIV __tb").alias("share_base_ppm"),
+        F.expr("1000000 * n_all DIV __ta").alias("share_all_ppm"),
+        F.expr(
+            "abs(1000000 * n_all DIV __ta - 1000000 * n_base DIV __tb)"
+        ).alias("share_drift_ppm"),
+    )
+
+
+def build_index_triple(
+    spark: SparkSession,
+    corpus: DataFrame,
+    train: DataFrame,
+    store: str,
+    prefix: str,
+    staged: bool = False,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> None:
+    """Train the quantizer on ``train`` and code EVERY ``corpus`` row with
+    it — the train-on-base/code-the-union contract of
+    streaming_index_update, persisted as the ``{prefix}_*`` artifact
+    triple.  ``staged=True`` writes ``{prefix}_*_next`` names instead (the
+    retrain swap's staging area).  Commit order is the store's invariant:
+    centroids, codebooks, codes LAST (the codes artifact is the gate)."""
+    from ..sinks.artifacts import (
+        save_artifact,
+        save_coarse_centroids,
+        save_pq_codebooks,
+    )
+
+    suffix = "_next" if staged else ""
+    _, books = pq_train_assign(train, vec_col, id_col, m, k, sub_dim,
+                               iterations)
+    cell_ids, cvecs = _coarse_centroids(
+        train, n_cells, vec_col, id_col, m, sub_dim
+    )
+    save_coarse_centroids(
+        spark, store, cell_ids, cvecs, name=f"{prefix}_centroids{suffix}"
+    )
+    save_pq_codebooks(spark, store, books, name=f"{prefix}_codebooks{suffix}")
+    codes = pq_encode_frame(
+        corpus, books, cell_ids, cvecs, vec_col, id_col, m, sub_dim
+    )
+    save_artifact(codes, store, f"{prefix}_codes{suffix}")
+
+
+def finish_index_retrain(store: str, prefix: str) -> bool:
+    """Complete (or re-complete) an interrupted retrain swap — the
+    three-artifact generalization of streaming's
+    _finish_sidx_compaction: the staged ``{prefix}_codes_next`` commit
+    marker is the gate.  Gate OPEN: every staged part is promoted
+    (delete current, rename next -> current), codebooks and centroids
+    first and codes LAST so the gate stays open until the whole triple
+    is promoted — re-runnable from any crash point (an already-promoted
+    part simply has no ``_next`` dir left).  Gate CLOSED: any staged
+    centroids/codebooks are orphans of a build that died before its
+    gate commit — they are dropped and the standing triple is untouched.
+    Returns True iff a promotion ran."""
+    import os
+    import shutil
+
+    from ..sinks.artifacts import artifact_path, has_artifact
+
+    if not has_artifact(store, f"{prefix}_codes_next"):
+        for part in ("centroids", "codebooks"):
+            shutil.rmtree(
+                artifact_path(store, f"{prefix}_{part}_next"),
+                ignore_errors=True,
+            )
+        return False
+    for part in ("codebooks", "centroids", "codes"):
+        nxt = artifact_path(store, f"{prefix}_{part}_next")
+        if os.path.isdir(nxt):
+            cur = artifact_path(store, f"{prefix}_{part}")
+            shutil.rmtree(cur, ignore_errors=True)
+            os.rename(nxt, cur)
+    return True
+
+
+def index_retrain(
+    spark: SparkSession,
+    corpus: DataFrame,
+    base_where,
+    store: str,
+    threshold_ppm: int,
+    prefix: str = "rtr",
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+) -> tuple[bool, int]:
+    """The drift->retrain ACTION loop, end to end: ensure the standing
+    ``{prefix}_*`` index exists (train on the ``base_where`` rows, code
+    the full corpus — first run only), measure total occupancy drift
+    FROM ITS CODES (codes_cell_drift: one n_cells-row aggregate), and
+
+      * drift  > threshold_ppm: retrain the quantizer on the CURRENT
+        corpus, re-code every row, commit the staged ``{prefix}_*_next``
+        triple (codes-next last = the gate), then swap via
+        finish_index_retrain — a crash anywhere leaves either the old
+        standing triple or a committed next, never a half-index;
+      * drift <= threshold_ppm: the store is left byte-untouched and the
+        standing triple keeps serving.
+
+    Returns (retrained, total_drift_ppm).  ``base_where`` must be a
+    predicate over the id column (it flags base rows both in the corpus
+    and in the codes frame).  Scale shape: the decision costs one integer
+    scan of the codes artifact; the retrain costs one corpus pass — paid
+    only when the data has measurably moved, which is exactly the
+    economics the drift gauges exist to enforce."""
+    from ..sinks.artifacts import has_artifact, load_artifact
+
+    finish_index_retrain(store, prefix)
+    if not has_artifact(store, f"{prefix}_codes"):
+        build_index_triple(
+            spark, corpus, corpus.where(base_where), store, prefix,
+            n_cells=n_cells, vec_col=vec_col, id_col=id_col,
+            m=m, k=k, sub_dim=sub_dim,
+        )
+    codes = load_artifact(spark, store, f"{prefix}_codes")
+    drift_rows = codes_cell_drift(codes, base_where).agg(
+        F.sum("share_drift_ppm").alias("total")
+    ).collect()
+    total_drift = int(drift_rows[0]["total"] or 0)
+    if total_drift <= threshold_ppm:
+        return False, total_drift
+    build_index_triple(
+        spark, corpus, corpus, store, prefix, staged=True,
+        n_cells=n_cells, vec_col=vec_col, id_col=id_col,
+        m=m, k=k, sub_dim=sub_dim,
+    )
+    finish_index_retrain(store, prefix)
+    return True, total_drift

@@ -336,6 +336,9 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "decontaminate_purge": {"r09": "green"},
     "ngram_novelty": {"r09": "green"},
     "stream_token_budget": {"r09": "green"},
+    # new in round 10 (head-listed by rule 1)
+    "index_retrain": {},
+    "index_retrain_hold": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -366,6 +369,9 @@ DRIVER_BACKLOG: list[str] = [
 # r05-last-witnessed group to top up to the cap of 50.  No discretionary
 # swaps this round (r9's pq-family swap paid off and closed that watch).
 DRIVER_HEAD = [
+    # -- new in round 10 (rule 1: no driver row yet)
+    "index_retrain",
+    "index_retrain_hold",
     # -- rule 2: stalest-evidence veterans (last witnessed r03)
     "rolling_7d",
     "snapshot_diff",
@@ -419,8 +425,6 @@ DRIVER_HEAD = [
     # alphabetically — the remaining 35 r05-vintage names are next in
     # line and stay strict-checked in the tail every round)
     "activity_streaks",
-    "audience_overlap",
-    "basket_rules",
 ]
 
 

@@ -164,6 +164,28 @@ def load_artifact(spark: SparkSession, store: str, name: str) -> DataFrame:
     return spark.read.parquet(artifact_path(store, name))
 
 
+def clone_artifact(store: str, src: str, dst: str) -> str:
+    """Hardlink-copy an artifact to a new name in the same store —
+    O(files) metadata calls, zero data movement (parquet part files are
+    immutable once committed, the same property the CDC mirror's
+    untouched-bucket carry-forward leans on).  Used to seed a mutable
+    working index from a gated build-once artifact so a destructive
+    operator (index_retrain's swap) can run for real on every call while
+    the seed stays byte-identical.  Falls back to copy across devices."""
+    src_p, dst_p = artifact_path(store, src), artifact_path(store, dst)
+    shutil.rmtree(dst_p, ignore_errors=True)
+    os.makedirs(dst_p)
+    for f in os.listdir(src_p):
+        s, d = os.path.join(src_p, f), os.path.join(dst_p, f)
+        if not os.path.isfile(s):
+            continue
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+    return dst_p
+
+
 # --------------------------------------------------------------------------
 # Typed converters: driver-side trained structures <-> artifact frames.
 # All metadata-scale (codebooks: m*k rows; merges: n_merges rows; vocab:
