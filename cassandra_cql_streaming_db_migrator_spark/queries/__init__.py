@@ -339,6 +339,10 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     # new in round 10 (head-listed by rule 1)
     "index_retrain": {},
     "index_retrain_hold": {},
+    "lsh_filtered_batch": {},
+    "lsh_filtered_recall": {},
+    "graph_filtered_batch": {},
+    "graph_filtered_recall": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -372,6 +376,15 @@ DRIVER_HEAD = [
     # -- new in round 10 (rule 1: no driver row yet)
     "index_retrain",
     "index_retrain_hold",
+    "lsh_filtered_batch",
+    "lsh_filtered_recall",
+    "graph_filtered_batch",
+    "graph_filtered_recall",
+    # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
+    # the mirror's replay guard is now a PERSISTED epoch watermark
+    # committed beside the A/B cursor per batch; the r09 green witnessed
+    # the session-local-set guard, so it re-head-lists)
+    "stream_cdc_mirror",
     # -- rule 2: stalest-evidence veterans (last witnessed r03)
     "rolling_7d",
     "snapshot_diff",
@@ -417,14 +430,10 @@ DRIVER_HEAD = [
     "triangle_census",
     "twap_daily",
     "user_features",
-    "user_growth",
-    "weighted_sample",
-    "wow_growth",
-    "zscore_anomalies",
-    # -- rule 2: stalest-evidence veterans (last witnessed r05; first 3
-    # alphabetically — the remaining 35 r05-vintage names are next in
-    # line and stay strict-checked in the tail every round)
-    "activity_streaks",
+    # (user_growth, weighted_sample, wow_growth, zscore_anomalies and the
+    # r05 trio activity_streaks, audience_overlap, basket_rules were the
+    # displaced rule-2 fill as the round-10 rule-1/1b entries above
+    # head-listed; all seven stay strict-checked in the tail every round)
 ]
 
 

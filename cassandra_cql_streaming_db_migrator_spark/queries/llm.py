@@ -1229,21 +1229,14 @@ ORDER BY cosine DESC, b.vec_id ASC LIMIT 20
 """
 
 
-def ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH ANN over a query SET, served from the SAVED bucket table
-    (VERDICT r07 ask #3 + r08 ask #3 — batching composed with the
-    artifact store): the corpus bucket table (vec_id, embedding,
-    __bucket) is built ONCE and persisted (``lsh_buckets_b6``); every
-    call after loads it and only bucket-hashes the |Q| query vectors
-    before the broadcast bucket equi-join + per-query top-10 window
-    (operators.similarity.lsh_ann_batch_bucketed) — never |Q| corpus
-    scans, and the corpus bucketing pass is gone from the per-call path.
-    The bucketing kernel is deterministic, so probing the saved table is
-    value-identical to rebucketing inline: the oracle is unchanged."""
-    from ..operators.similarity import (
-        lsh_ann_batch_bucketed,
-        with_bucket_ids,
-    )
+def _lsh_bucket_artifact(spark: SparkSession, sf_dir: str):
+    """Build-or-LOAD the persisted LSH bucket table (``lsh_buckets_b6``)
+    — shared by the plain and the filtered probes.  ATTRIBUTE-PAYLOAD
+    (VERDICT r09 ask #3): the label rides beside the bucket id so a
+    filtered probe pushes its predicate into the bucket-table scan
+    itself; the unfiltered probe is unchanged (column pruning drops the
+    label from its scan)."""
+    from ..operators.similarity import with_bucket_ids
     from ..sinks.artifacts import (
         artifact_store,
         has_artifact,
@@ -1256,14 +1249,101 @@ def ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not has_artifact(store, "lsh_buckets_b6"):
         save_artifact(
             with_bucket_ids(emb, "embedding", n_bits=6).select(
-                "vec_id", "embedding", "__bucket"
+                "vec_id", "embedding", "label", "__bucket"
             ),
             store,
             "lsh_buckets_b6",
         )
-    bucketed = load_artifact(spark, store, "lsh_buckets_b6")
+    return emb, load_artifact(spark, store, "lsh_buckets_b6")
+
+
+def ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN over a query SET, served from the SAVED bucket table
+    (VERDICT r07 ask #3 + r08 ask #3 — batching composed with the
+    artifact store): the corpus bucket table (vec_id, embedding,
+    __bucket) is built ONCE and persisted (``lsh_buckets_b6``); every
+    call after loads it and only bucket-hashes the |Q| query vectors
+    before the broadcast bucket equi-join + per-query top-10 window
+    (operators.similarity.lsh_ann_batch_bucketed) — never |Q| corpus
+    scans, and the corpus bucketing pass is gone from the per-call path.
+    The bucketing kernel is deterministic, so probing the saved table is
+    value-identical to rebucketing inline: the oracle is unchanged."""
+    from ..operators.similarity import lsh_ann_batch_bucketed
+
+    emb, bucketed = _lsh_bucket_artifact(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8)
     return lsh_ann_batch_bucketed(bucketed, queries, k=10, n_bits=6)
+
+
+def lsh_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED (hybrid) vector search on the LSH leg (VERDICT r09 ask
+    #3 — the shape ann_filtered_batch proved on IVF-PQ, completed here):
+    the persisted bucket table is an attribute-payload index (label
+    rides beside the bucket id), so the serve-time predicate pushes INTO
+    the bucket-table scan — zero serve-time joins — then the exact
+    batched probe plan (broadcast query buckets, equi-join, per-query
+    top-10 window).  Candidates are label-filtered BEFORE the window, so
+    the top-k is a true 'top-k WHERE label' among the query's bucket."""
+    from ..operators.similarity import lsh_ann_batch_bucketed
+
+    emb, bucketed = _lsh_bucket_artifact(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_ann_batch_bucketed(
+        bucketed.where(F.col("label") == 1), queries, k=10, n_bits=6
+    )
+
+
+def lsh_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of the FILTERED LSH probe vs exact cosine
+    top-10 AMONG THE PREDICATE'S ROWS (ann_filtered_recall's discipline
+    on the LSH leg): filtering shrinks every bucket, so single-bucket
+    probing loses more under a predicate — exactly what this measures.
+    One exact pass: the 8-query frame broadcasts into a cross join over
+    the label=1 slice and one window ranks all queries."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.similarity import cosine
+
+    emb, _ = _lsh_bucket_artifact(spark, sf_dir)
+    approx = lsh_filtered_batch(spark, sf_dir).select("query_id", "vec_id")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+        )
+    )
+    w = _W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id").asc()
+    )
+    exact = (
+        emb.where(F.col("label") == 1)
+        .crossJoin(q)
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        approx.join(F.broadcast(exact), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        q.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(10).cast("long").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.expr(
+                "1000000 * coalesce(n_hit, CAST(0 AS BIGINT)) DIV 10"
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
 
 
 _ANN_LSH_BATCH_SQL = f"""
@@ -1283,6 +1363,59 @@ SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
                                ORDER BY cosine DESC, vec_id ASC) AS rn
   FROM s) r
 WHERE rn <= 10
+"""
+
+# Filtered twin: the candidate side carries the label predicate (applied
+# exactly where the Spark side's pushed-down bucket-table scan filter
+# lands — before the per-query window); queries stay unfiltered.
+_LSH_FILTERED_BATCH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, label,
+         ({_lsh_bucket_sql("embedding", 6)}) AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+      FROM b WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, b.vec_id,
+         {_dot_sql("b.embedding", "q.qv")}
+           / (sqrt({_dot_sql("b.embedding", "b.embedding")})
+              * sqrt({_dot_sql("q.qv", "q.qv")})) AS cosine
+  FROM b JOIN q ON b.bucket = q.qbucket
+  WHERE b.label = 1)
+SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM s) r
+WHERE rn <= 10
+"""
+
+_LSH_FILTERED_RECALL_SQL = f"""
+WITH approx AS (
+  SELECT query_id, vec_id FROM ({_LSH_FILTERED_BATCH_SQL}) i
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 8),
+e AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_dot_sql("e.embedding", "q.qv")}
+                        / (sqrt({_dot_sql("e.embedding", "e.embedding")})
+                           * sqrt({_dot_sql("q.qv", "q.qv")})) DESC,
+                      e.vec_id ASC) AS rn
+    FROM e CROSS JOIN q) r
+  WHERE rn <= 10
+),
+hits AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM approx JOIN exact USING (query_id, vec_id)
+  GROUP BY query_id
+)
+SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+       coalesce(h.n_hit, 0) AS n_hit,
+       CAST(1000000 * coalesce(h.n_hit, 0) // 10 AS BIGINT) AS recall_ppm
+FROM q LEFT JOIN hits h USING (query_id)
 """
 
 
@@ -1445,7 +1578,13 @@ def _graph_artifacts(spark: SparkSession, sf_dir: str):
         has_artifact(store, "graph_nodes")
         and has_artifact(store, "graph_edges")
     ):
-        nodes = materialized(ivf_cell_assign(emb, n_cells=16))
+        # attribute-payload node table (VERDICT r09 ask #3): the label
+        # rides in graph_nodes so filtered walks harvest with zero
+        # serve-time joins — unfiltered consumers are unchanged (column
+        # pruning drops it from their scans; values identical)
+        nodes = materialized(
+            ivf_cell_assign(emb, n_cells=16, meta_cols=("label",))
+        )
         save_artifact(nodes, store, "graph_nodes")
         save_artifact(block_knn_edges(nodes, k=3), store, "graph_edges")
     nodes = load_artifact(spark, store, "graph_nodes")
@@ -1615,6 +1754,82 @@ def graph_ann_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED (hybrid) vector search on the GRAPH leg (VERDICT r09 ask
+    #3 — ann_filtered_batch's shape completed on the third index
+    family): the persisted node table is attribute-payload (label rides
+    in ``graph_nodes``), the beam walk stays predicate-BLIND (filtering
+    the traversal would disconnect the graph — filtered-DiskANN's
+    harvest-side discipline), and the predicate filters the VISITED set
+    before the final per-query top-10 — zero serve-time joins, the
+    label is already on every scored walk state."""
+    from ..operators.similarity import graph_beam_search_batch
+
+    emb, nodes, edges = _graph_artifacts(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4)
+    return graph_beam_search_batch(
+        nodes, edges, queries, k=10, beam=4, hops=3,
+        meta_cols=("label",), harvest_where=F.col("label") == 1,
+    )
+
+
+def graph_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of the FILTERED beam walk vs exact cosine
+    top-10 among the predicate's rows of the graph's node universe
+    (ann_filtered_recall's discipline on the graph leg): the walk is
+    label-blind, so its beam spends hops on nodes the harvest then
+    drops — filtered recall can be much worse than the unfiltered
+    gauge, which is exactly what this measures."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.similarity import cosine, graph_beam_search_batch
+
+    emb, nodes, edges = _graph_artifacts(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4)
+    approx = graph_beam_search_batch(
+        nodes, edges, queries, k=10, beam=4, hops=3,
+        meta_cols=("label",), harvest_where=F.col("label") == 1,
+    ).select("query_id", "vec_id")
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+        )
+    )
+    w = _W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id").asc()
+    )
+    exact = (
+        nodes.where(F.col("label") == 1)
+        .crossJoin(q)
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        approx.join(F.broadcast(exact), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(10).cast("long").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.expr(
+                "1000000 * coalesce(n_hit, CAST(0 AS BIGINT)) DIV 10"
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
+
+
 def _graph_beam_batch_cte(
     hops: int = 3, beam: int = 4, n_entry: int = 16, n_queries: int = 4
 ) -> str:
@@ -1680,6 +1895,49 @@ exact AS (SELECT query_id, vec_id FROM (
                     * sqrt({_dot_sql("q.qv", "q.qv")})) DESC,
                a.vec_id ASC) AS rn
   FROM assign a CROSS JOIN q) r WHERE rn <= 10),
+hits AS (
+  SELECT query_id, count(*) AS n_hit
+  FROM approx JOIN exact USING (query_id, vec_id) GROUP BY query_id)
+SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(1000000 * coalesce(h.n_hit, 0) // 10 AS BIGINT) AS recall_ppm
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
+# Filtered twins (VERDICT r09 ask #3): the walk CTEs are unchanged
+# (traversal is predicate-blind); the label filters the harvested visited
+# set BEFORE the final per-query window — the oracle joins embeddings for
+# the label, the Spark side already carries it on every walk state.
+_GRAPH_FILTERED_BATCH_SQL = f"""
+WITH {_KNN_GRAPH_CTE},
+{_graph_beam_batch_cte()}
+SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT v.query_id, v.vec_id, v.cosine,
+         row_number() OVER (PARTITION BY v.query_id
+                            ORDER BY v.cosine DESC, v.vec_id ASC) AS rn
+  FROM v3 v JOIN embeddings e ON e.vec_id = v.vec_id
+  WHERE e.label = 1) r
+WHERE rn <= 10
+"""
+
+_GRAPH_FILTERED_RECALL_SQL = f"""
+WITH {_KNN_GRAPH_CTE},
+{_graph_beam_batch_cte()},
+approx AS (SELECT query_id, vec_id FROM (
+  SELECT v.query_id, v.vec_id,
+         row_number() OVER (PARTITION BY v.query_id
+                            ORDER BY v.cosine DESC, v.vec_id ASC) AS rn
+  FROM v3 v JOIN embeddings e ON e.vec_id = v.vec_id
+  WHERE e.label = 1) r WHERE rn <= 10),
+exact AS (SELECT query_id, vec_id FROM (
+  SELECT q.query_id, a.vec_id, row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {_dot_sql("a.embedding", "q.qv")}
+                 / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+                    * sqrt({_dot_sql("q.qv", "q.qv")})) DESC,
+               a.vec_id ASC) AS rn
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+  CROSS JOIN q WHERE e.label = 1) r WHERE rn <= 10),
 hits AS (
   SELECT query_id, count(*) AS n_hit
   FROM approx JOIN exact USING (query_id, vec_id) GROUP BY query_id)
@@ -3297,6 +3555,24 @@ QUERIES = [
     QueryDef("ann_lsh_batch", ann_lsh_batch, _ANN_LSH_BATCH_SQL,
              "LSH ANN over a query SET: one bucketing pass, broadcast "
              "bucket equi-join, per-query top-10 window"),
+    QueryDef("lsh_filtered_batch", lsh_filtered_batch,
+             _LSH_FILTERED_BATCH_SQL,
+             "filtered/hybrid LSH search: label predicate pushed into "
+             "the attribute-payload bucket-table scan, zero serve-time "
+             "joins, then the batched probe plan"),
+    QueryDef("lsh_filtered_recall", lsh_filtered_recall,
+             _LSH_FILTERED_RECALL_SQL,
+             "per-query recall@10 of the filtered LSH probe vs exact "
+             "cosine among the predicate's rows"),
+    QueryDef("graph_filtered_batch", graph_filtered_batch,
+             _GRAPH_FILTERED_BATCH_SQL,
+             "filtered/hybrid graph search: predicate-blind beam walk "
+             "over the attribute-payload node table, label harvest "
+             "before the final top-10 — zero serve-time joins"),
+    QueryDef("graph_filtered_recall", graph_filtered_recall,
+             _GRAPH_FILTERED_RECALL_SQL,
+             "per-query recall@10 of the filtered beam walk vs exact "
+             "cosine among the predicate's nodes"),
     QueryDef("knn_graph", knn_graph, _KNN_GRAPH_SQL,
              "IVF-blocked kNN-graph build: per-node top-3 cosine edges "
              "from the bounded cell kernel + reciprocal-edge marking"),

@@ -922,6 +922,7 @@ def streaming_cdc_mirror(
     n_chunks: int = 4,
     n_buckets: int = 8,
     chunk_col: str | None = None,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """LIVE BUCKETED CDC MIRROR (VERDICT r07 ask #5) — the production
     migration shape: the reference's upsert sink run CONTINUOUSLY
@@ -969,7 +970,25 @@ def streaming_cdc_mirror(
     a driver hash pass content-certifies the mirror (the
     stream_checksum discipline applied to a maintained TABLE instead
     of a result frame).
+
+    EPOCH WATERMARK (VERDICT r09 ask #4): with ``state_dir`` set, the
+    replay guard is PERSISTED — a one-row JSON watermark (last merged
+    epoch + the A/B cursor) committed atomically (tmp + rename) after
+    each alternate table is fully built, read back at stream start.  A
+    restarted stream resumes the cursor and skips every replayed epoch
+    at or below the watermark, so the additive n_versions merge stays
+    idempotent ACROSS the process boundary, not just within it (the
+    r09 guard was a session-local set).  Commit order is crash-safe: the
+    watermark moves only after its table exists, so a crash between
+    table build and watermark commit replays the epoch against the OLD
+    cursor and rebuilds the same alternate — never a double merge.  If
+    the watermark's table is gone (dead-pid reap / fresh warehouse) the
+    run falls back to a fresh build: the mirror's tables are pid-scoped,
+    so durable resume is same-process by design; the watermark protocol
+    itself is storage-agnostic.
     """
+    import json
+
     from ..operators.timeseries import ord_key
     from ..sinks.bucketing import (
         bucket_files,
@@ -982,12 +1001,28 @@ def streaming_cdc_mirror(
     pid = os.getpid()
     names = [f"cdc_mirror_a_{pid}", f"cdc_mirror_b_{pid}"]
     gc_stale_pid_tables(spark, ["cdc_mirror_a_", "cdc_mirror_b_"])
-    # a fresh run must not inherit this process's previous mirror: dropping
-    # both flip targets also evicts their cached file listings, which
-    # otherwise reference part files a later overwrite deletes
-    # (FAILED_READ_FILE on the second run in one session)
-    for n in names:
-        spark.sql(f"DROP TABLE IF EXISTS `{n}`")
+
+    wm_path = (
+        os.path.join(state_dir, "cdc_epoch_watermark.json")
+        if state_dir
+        else None
+    )
+    wm = None
+    if wm_path and os.path.isfile(wm_path):
+        with open(wm_path) as f:
+            loaded = json.load(f)
+        # resume only if the watermark's table survived (same process or
+        # a live warehouse); otherwise the watermark is stale metadata
+        if loaded.get("cur") and spark.catalog.tableExists(loaded["cur"]):
+            wm = loaded
+    if wm is None:
+        # fresh run: must not inherit this process's previous mirror —
+        # dropping both flip targets also evicts their cached file
+        # listings, which otherwise reference part files a later
+        # overwrite deletes (FAILED_READ_FILE on the second run in one
+        # session)
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS `{n}`")
 
     def compact(mb: DataFrame) -> DataFrame:
         base = mb.withColumn("__ord", ord_key(ts_col, tiebreak_col))
@@ -1010,24 +1045,45 @@ def streaming_cdc_mirror(
         F.max("__max_ord").alias("__max_ord"),
     ]
 
-    state = {"cur": None, "flip": 0, "done_epochs": set()}
+    if wm is None:
+        state = {"cur": None, "flip": 0, "last_epoch": -1}
+    else:
+        state = {
+            "cur": wm["cur"],
+            "flip": int(wm["flip"]),
+            "last_epoch": int(wm["last_epoch"]),
+        }
     scratch = tempfile.mkdtemp(prefix="stream_cdc_chunks_")
     stream = read_documents_stream_chunked(
         spark, events, n_chunks, scratch_dir=scratch, chunk_col=chunk_col
     )
 
+    def commit_watermark(epoch_id: int, cur: str, flip: int) -> None:
+        # atomic one-row commit beside the A/B cursor: tmp + rename, so a
+        # reader never sees a torn watermark and a crash leaves either
+        # the old epoch or the new one — the same
+        # committed-next-then-swap discipline as the index artifacts
+        if wm_path is None:
+            return
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"last_epoch": epoch_id, "cur": cur, "flip": flip}, f
+            )
+        os.replace(tmp, wm_path)
+
     def upsert(mb_raw: DataFrame, epoch_id: int) -> None:
         # foreachBatch is AT-LEAST-ONCE: a retried microbatch re-delivers
         # the same epoch_id with the same rows, and re-merging it would
-        # double-count n_versions (the merge is additive).  Skipping
-        # already-processed epochs makes the upsert idempotent per epoch
-        # — the same fencing the reference's counter sink needs for
-        # replayed pages (ADVICE r08 #1).  (In-process memo suffices:
-        # this mirror's A/B tables are pid-scoped; a RESTARTED job gets
-        # fresh tables and a fresh checkpoint.)
-        if epoch_id in state["done_epochs"]:
+        # double-count n_versions (the merge is additive).  Epoch ids are
+        # monotonic, so a single last-merged watermark fences BOTH the
+        # in-run retry and (when persisted via state_dir) the
+        # restart-replay-from-zero — the same fencing the reference's
+        # counter sink needs for replayed pages (ADVICE r08 #1 /
+        # VERDICT r09 ask #4).
+        if epoch_id <= state["last_epoch"]:
             return
-        state["done_epochs"].add(epoch_id)
         if mb_raw.isEmpty():
             return
         mb = compact(mb_raw)
@@ -1097,8 +1153,13 @@ def streaming_cdc_mirror(
         # also pick up the carried bucket files) rather than trusting
         # overwrite-side invalidation across the flip cycle
         spark.catalog.refreshTable(nxt)
+        # watermark commits AFTER the alternate is fully built (crash
+        # before this line replays the epoch against the old cursor and
+        # rebuilds the same table — never a double merge)
+        commit_watermark(epoch_id, nxt, state["flip"] ^ 1)
         state["cur"] = nxt
         state["flip"] ^= 1
+        state["last_epoch"] = epoch_id
 
     query = (
         stream.writeStream.foreachBatch(upsert)

@@ -288,3 +288,80 @@ def test_untouched_bucket_survives_multiple_carries(spark):
     want = {uid: "seed" for uid in range(1, 41)}
     want[1], want[2] = "u1", "u2"
     assert got == want
+
+
+def test_epoch_watermark_survives_restart(spark, tmp_path):
+    # VERDICT r09 ask #4: replay idempotence across the PROCESS boundary.
+    # Run the mirror with a persisted state dir, then rerun with the same
+    # state dir — a restarted stream replays every epoch from zero, and
+    # the persisted watermark must fence them all: the additive
+    # n_versions merge cannot double-count and the mirror content is
+    # byte-unchanged.
+    import datetime as dt
+    import json
+    import os
+
+    from cassandra_cql_streaming_db_migrator_spark.streaming.stream import (
+        streaming_cdc_mirror,
+    )
+
+    def t(minute):
+        return dt.datetime(2026, 3, 1, 8, minute, 0)
+
+    rows = []
+    for uid in range(1, 8):
+        rows.append((uid, 300 + uid, t(50), "newest", float(uid), 0))
+        rows.append((uid, 200 + uid, t(30), "middle", 10.0 + uid, 1))
+        rows.append((uid, 100 + uid, t(10), "oldest", 20.0 + uid, 2))
+    events = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, event_type string, "
+        "value double, chunk int",
+    )
+    sd = str(tmp_path / "cdc_state")
+
+    first = sorted(
+        map(
+            tuple,
+            streaming_cdc_mirror(
+                spark, events, n_chunks=3, chunk_col="chunk", state_dir=sd
+            ).collect(),
+        )
+    )
+    wm_file = os.path.join(sd, "cdc_epoch_watermark.json")
+    with open(wm_file) as f:
+        wm = json.load(f)
+    assert wm["last_epoch"] == 2  # three chunks -> epochs 0..2 merged
+    assert wm["cur"].startswith("cdc_mirror_")
+    wm_stat = os.stat(wm_file)
+
+    # "restart": a fresh run against the same state dir replays epochs
+    # 0..2; all are <= the watermark, so nothing merges and nothing moves
+    second = sorted(
+        map(
+            tuple,
+            streaming_cdc_mirror(
+                spark, events, n_chunks=3, chunk_col="chunk", state_dir=sd
+            ).collect(),
+        )
+    )
+    assert second == first  # n_versions still 3 per key, frontier intact
+    assert {r[1] for r in second} == {3}  # and NOT doubled to 6
+    after = os.stat(wm_file)
+    assert (after.st_mtime_ns, after.st_ino) == (
+        wm_stat.st_mtime_ns,
+        wm_stat.st_ino,
+    )  # the watermark itself was not rewritten — zero replay work
+
+    # stale watermark (its table is gone) must fall back to a fresh
+    # build, not crash or serve nothing
+    spark.sql(f"DROP TABLE IF EXISTS `{wm['cur']}`")
+    third = sorted(
+        map(
+            tuple,
+            streaming_cdc_mirror(
+                spark, events, n_chunks=3, chunk_col="chunk", state_dir=sd
+            ).collect(),
+        )
+    )
+    assert third == first

@@ -329,6 +329,18 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # parquet scans executed once and every hop join broadcasts <= beam*k
     # candidate ids (bcast=58 in the audit row) — no data-scale exchange
     "graph_ann_from_artifacts": 14,
+    # filtered batched walk served from artifacts (reviewed r10): the
+    # artifact-served hop ladder (graph_ann_from_artifacts' 14) plus the
+    # batched walk's per-hop per-query row_number window (one query_id
+    # hash exchange per hop, re-printed per branch in identity mode —
+    # graph_ann_batch's delta); the label harvest is a plain column
+    # filter on the visited frame, NO extra exchange.  At runtime the
+    # loaded frames scan once and every hop join broadcasts <= |Q| *
+    # beam * degree ids — frontier metadata, never the corpus
+    "graph_filtered_batch": 22,
+    # the filtered walk plus the exact side's one cross-join window and
+    # the per-query hit/count aggregates — all |Q|-scale
+    "graph_filtered_recall": 23,
     # prediction census + the doc_id join-back of truth to guess (both
     # doc-key partitioned) + the truth-class total rollup (class-count
     # metadata rows, broadcast back)

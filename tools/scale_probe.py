@@ -152,6 +152,23 @@ PROBES: dict[str, tuple[float, str]] = {
     "ngram_novelty": (15.0, "linear: first-seen decomposition"),
     # O(sources) streaming census + driver finish
     "stream_token_budget": (15.0, "linear: mergeable source census"),
+    # -- round 10
+    # drift decision is an integer codes scan; the retrain branch pays
+    # one corpus train+code pass per call (the real swap runs per call
+    # by design — clone seam), so linear overall
+    "index_retrain": (15.0, "linear: codes-scan decision + one "
+                            "train/code pass"),
+    "index_retrain_hold": (15.0, "linear: codes-scan decision + serve"),
+    # ann_lsh_batch's shape with the label predicate pushed into the
+    # bucket-table scan — candidates can only SHRINK under the filter
+    "lsh_filtered_batch": (15.0, "linear: filtered bucket-join"),
+    "lsh_filtered_recall": (15.0, "linear: probe + one exact pass "
+                                  "over the predicate slice"),
+    # graph build dominates like graph_ann_batch (fixed cells); the
+    # harvest filter adds no exchange
+    "graph_filtered_batch": (120.0, "graph build dominates (fixed "
+                                    "cells)"),
+    "graph_filtered_recall": (120.0, "graph build + one exact pass"),
 }
 
 
