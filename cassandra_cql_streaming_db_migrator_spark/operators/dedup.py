@@ -361,25 +361,15 @@ def simhash_near_pairs(
     n_bands = max_dist + 1
     if not 1 <= n_bands <= 53:
         raise ValueError(f"max_dist must be in [0, 52]; got {max_dist}")
-    width = (53 + n_bands - 1) // n_bands  # ceil: last band is narrower
 
-    def band_val(col, i):
-        shifted = (col / F.lit(2 ** (i * width)).cast("long")).cast("long")
-        if i == n_bands - 1:
-            return shifted
-        return shifted % F.lit(2**width).cast("long")
-
-    h = F.col(hash_col)
     bands = fingerprints.select(
         F.col(id_col),
         F.col(hash_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"), band_val(h, i).alias("val")
-                    )
-                    for i in range(n_bands)
+                    F.struct(F.lit(i).alias("band"), val.alias("val"))
+                    for i, val in _simhash_band_exprs(hash_col, n_bands)
                 ]
             )
         ).alias("bv"),
@@ -396,11 +386,13 @@ def simhash_near_pairs(
         "band",
         "val",
     )
+    a_band = dict(_simhash_band_exprs("__ha", n_bands))
+    b_band = dict(_simhash_band_exprs("__hb", n_bands))
     first_match = F.lit(True)
     for i in range(n_bands - 1):
         first_match = first_match & F.when(
             F.col("band") > i,
-            band_val(F.col("__ha"), i) != band_val(F.col("__hb"), i),
+            a_band[i] != b_band[i],
         ).otherwise(F.lit(True))
     dist = F.bit_count(F.expr("__ha ^ __hb")).cast("int")
     return (
@@ -414,6 +406,148 @@ def simhash_near_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def _simhash_band_exprs(hash_col: str, n_bands: int):
+    """The 53-bit fingerprint's band decomposition shared by the pair
+    join, the diagnostic, and the capped fallback: ``n_bands`` div/mod
+    slices of width ceil(53 / n_bands) (the last band narrower).
+    Returns a list of (band_index, value_column) pairs."""
+    width = (53 + n_bands - 1) // n_bands
+    h = F.col(hash_col)
+    out = []
+    for i in range(n_bands):
+        shifted = (h / F.lit(2 ** (i * width)).cast("long")).cast("long")
+        val = (
+            shifted
+            if i == n_bands - 1
+            else shifted % F.lit(2**width).cast("long")
+        )
+        out.append((i, val))
+    return out
+
+
+def simhash_band_stats(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    n_bands: int = 2,
+) -> DataFrame:
+    """Per-band bucket diagnostics over the SimHash banding —
+    ``lsh_band_stats``'s sibling on the Hamming-LSH side (VERDICT r09
+    watch #1: size the band-collision risk BEFORE it bites): bucket
+    count, docs bucketed, the LARGEST bucket, and the implied candidate
+    count Σ b·(b-1)/2 per band.  The bucket self-join is quadratic in
+    the hottest bucket, so ``max_bucket`` / ``candidate_pairs`` are
+    exactly the numbers that decide between the pigeonhole-minimum
+    banding, a narrower-band scheme, and the capped fallback
+    (:func:`simhash_near_pairs_capped`) on a new corpus.
+
+    Shape: one shuffle on (band, value), then a metadata-scale per-band
+    rollup.  Integer-only output:
+    (band_idx, n_buckets, n_docs, max_bucket, candidate_pairs)."""
+    bands = fingerprints.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), val.alias("val")
+                    )
+                    for i, val in _simhash_band_exprs(hash_col, n_bands)
+                ]
+            )
+        ).alias("bv")
+    ).select("bv.band", "bv.val")
+    buckets = bands.groupBy("band", "val").agg(F.count(F.lit(1)).alias("b"))
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("b").alias("n_docs"),
+        F.max("b").alias("max_bucket"),
+        F.sum(F.expr("b * (b - 1) DIV 2")).alias("candidate_pairs"),
+    ).select(
+        F.col("band").cast("int").alias("band_idx"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+        F.col("candidate_pairs").cast("long").alias("candidate_pairs"),
+    )
+
+
+def simhash_near_pairs_capped(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_dist: int = 1,
+    bucket_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """The DENSE-BUCKET fallback for :func:`simhash_near_pairs` (VERDICT
+    r09 watch #1): band buckets larger than ``bucket_cap`` are EXCLUDED
+    from the candidate self-join — bounding the join's output at
+    cap² per bucket no matter how pathologically the corpus clusters in
+    simhash space — and reported in an OVERFLOW CENSUS instead of
+    silently truncated.  A qualifying pair whose only matching band
+    overflowed is missed; the census (band, value, bucket size) is
+    exactly what quantifies that recall risk, and when every qualifying
+    pair also matches in a non-overflowing band (the common regime:
+    distance-d pairs match in a band wherever their differing bits
+    are NOT), the capped result is value-identical to the uncapped one
+    (pytest-pinned on a crafted dense fixture).
+
+    Emission uses a pair-distinct pass rather than the first-matching-
+    band trick — with buckets dropping out, "first matching band" is no
+    longer well-defined across engines.  Returns (pairs, overflow):
+    pairs = (doc_id_1, doc_id_2, dist) with id_1 < id_2;
+    overflow = (band, val, bucket_size)."""
+    n_bands = max_dist + 1
+    if not 1 <= n_bands <= 53:
+        raise ValueError(f"max_dist must be in [0, 52]; got {max_dist}")
+    bands = fingerprints.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), val.alias("val"))
+                    for i, val in _simhash_band_exprs(hash_col, n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, hash_col, "bv.band", "bv.val")
+    sizes = bands.groupBy("band", "val").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    overflow = sizes.where(F.col("bucket_size") > bucket_cap).select(
+        "band", "val", F.col("bucket_size").cast("long").alias("bucket_size")
+    )
+    # keep only rows of non-overflowing buckets: the size table is
+    # bucket-cardinality (metadata next to the corpus) and the join is on
+    # the same (band, val) key the bucket shuffle already produced
+    kept = bands.join(
+        sizes.where(F.col("bucket_size") <= bucket_cap).select("band", "val"),
+        ["band", "val"],
+    )
+    a = kept.select(
+        F.col(id_col).alias("id_1"), F.col(hash_col).alias("__ha"),
+        "band", "val",
+    )
+    b = kept.select(
+        F.col(id_col).alias("id_2"), F.col(hash_col).alias("__hb"),
+        "band", "val",
+    )
+    dist = F.bit_count(F.expr("__ha ^ __hb")).cast("int")
+    pairs = (
+        a.join(b, on=["band", "val"])
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", dist.alias("dist"))
+        .where(F.col("dist") <= max_dist)
+        .dropDuplicates(["id_1", "id_2"])
+        .select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"),
+            "dist",
+        )
+    )
+    return pairs, overflow
 
 
 def simhash_column(text: Column, token_sep: str = " ") -> Column:

@@ -343,6 +343,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "lsh_filtered_recall": {},
     "graph_filtered_batch": {},
     "graph_filtered_recall": {},
+    "simhash_band_stats": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -380,6 +381,7 @@ DRIVER_HEAD = [
     "lsh_filtered_recall",
     "graph_filtered_batch",
     "graph_filtered_recall",
+    "simhash_band_stats",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -429,11 +431,11 @@ DRIVER_HEAD = [
     "stream_topk",
     "triangle_census",
     "twap_daily",
-    "user_features",
-    # (user_growth, weighted_sample, wow_growth, zscore_anomalies and the
-    # r05 trio activity_streaks, audience_overlap, basket_rules were the
-    # displaced rule-2 fill as the round-10 rule-1/1b entries above
-    # head-listed; all seven stay strict-checked in the tail every round)
+    # (user_features, user_growth, weighted_sample, wow_growth,
+    # zscore_anomalies and the r05 trio activity_streaks,
+    # audience_overlap, basket_rules were the displaced rule-2 fill as
+    # the round-10 rule-1/1b entries above head-listed; all eight stay
+    # strict-checked in the tail every round)
 ]
 
 

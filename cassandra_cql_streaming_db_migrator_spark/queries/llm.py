@@ -568,8 +568,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_PAIRS_SQL = f"""
-WITH th AS (
+_SIMHASH_FP_CTE = f"""th AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '), t -> {poly_hash_sql("t", SIMHASH_MOD)}) AS hh
   FROM documents),
@@ -579,11 +578,78 @@ fp AS (
       CASE WHEN list_sum(list_transform(hh, h ->
              CASE WHEN (h // CAST(power(2, k) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
            THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)) AS BIGINT) AS simhash
-  FROM th)
+  FROM th)"""
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_FP_CTE}
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
+def simhash_band_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding DECISION table for the SimHash dedup engine (VERDICT r09
+    watch #1 — size the band-collision risk before it bites): per-band
+    bucket census (operators.dedup.simhash_band_stats, lsh_band_stats'
+    Hamming sibling) over the corpus fingerprints for TWO schemes — the
+    production pigeonhole-minimum 2-band/27-bit banding simhash_pairs
+    runs, and the 4-band/14-bit scheme (audio_dedup's dist-3 banding,
+    and the narrower-band alternative for a clustering corpus).
+    ``max_bucket`` / ``candidate_pairs`` per band are exactly what
+    decides between the minimum banding and the capped fallback
+    (simhash_near_pairs_capped) on a new corpus.  One fingerprint pass
+    feeds both schemes."""
+    from ..operators.caching import materialized
+    from ..operators.dedup import simhash_band_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = materialized(simhash_fingerprints(docs))
+    out = []
+    for n_bands in (2, 4):
+        out.append(
+            simhash_band_stats(fp, n_bands=n_bands).select(
+                F.lit(n_bands).cast("int").alias("n_bands"),
+                "band_idx", "n_buckets", "n_docs", "max_bucket",
+                "candidate_pairs",
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+def _simhash_band_stats_sql() -> str:
+    def band_val(n_bands: int, i: int) -> str:
+        width = (53 + n_bands - 1) // n_bands
+        shifted = f"(simhash // {2 ** (i * width)})"
+        if i == n_bands - 1:
+            return shifted
+        return f"({shifted} % {2 ** width})"
+
+    selects = []
+    for n_bands in (2, 4):
+        for i in range(n_bands):
+            selects.append(
+                f"SELECT {n_bands} AS n_bands, {i} AS band_idx, "
+                f"{band_val(n_bands, i)} AS val FROM fp"
+            )
+    bands = "\n  UNION ALL ".join(selects)
+    return f"""
+WITH {_SIMHASH_FP_CTE},
+bands AS (
+  {bands}
+),
+buckets AS (
+  SELECT n_bands, band_idx, val, count(*) AS b
+  FROM bands GROUP BY n_bands, band_idx, val
+)
+SELECT CAST(n_bands AS INTEGER) AS n_bands,
+       CAST(band_idx AS INTEGER) AS band_idx,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(b) AS BIGINT) AS n_docs,
+       CAST(max(b) AS BIGINT) AS max_bucket,
+       CAST(sum(b * (b - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY n_bands, band_idx
 """
 
 
@@ -3496,6 +3562,11 @@ QUERIES = [
              "SimHash near-dup pairs via banded Hamming LSH (pigeonhole-"
              "minimum bands, Hamming <= 1), quadratic oracle proves zero "
              "misses"),
+    QueryDef("simhash_band_stats", simhash_band_stats_q,
+             _simhash_band_stats_sql(),
+             "banding decision table: per-band bucket census (max bucket "
+             "+ implied candidate pairs) for the 2-band production and "
+             "4-band alternative simhash schemes"),
     QueryDef("semantic_decontaminate", semantic_decontaminate,
              _SEMANTIC_DECONTAMINATE_SQL,
              "embedding-space benchmark decontamination: broadcast bench "

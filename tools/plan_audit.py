@@ -341,6 +341,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # the filtered walk plus the exact side's one cross-join window and
     # the per-query hit/count aggregates — all |Q|-scale
     "graph_filtered_recall": 23,
+    # two band schemes x (bucket census + per-band rollup), the
+    # fingerprint kernel's id repartition re-printed per scheme branch
+    # in identity mode; at runtime the materialized fingerprints compute
+    # once and every post-census exchange moves bucket-cardinality rows
+    "simhash_band_stats": 6,
     # prediction census + the doc_id join-back of truth to guess (both
     # doc-key partitioned) + the truth-class total rollup (class-count
     # metadata rows, broadcast back)

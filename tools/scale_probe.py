@@ -169,6 +169,9 @@ PROBES: dict[str, tuple[float, str]] = {
     "graph_filtered_batch": (120.0, "graph build dominates (fixed "
                                     "cells)"),
     "graph_filtered_recall": (120.0, "graph build + one exact pass"),
+    # one fingerprint pass + two bucket-cardinality censuses
+    "simhash_band_stats": (15.0, "linear: fingerprint pass + bucket "
+                                 "census"),
 }
 
 
