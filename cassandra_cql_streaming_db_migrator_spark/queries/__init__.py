@@ -344,6 +344,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "graph_filtered_batch": {},
     "graph_filtered_recall": {},
     "simhash_band_stats": {},
+    "multimodal_dup_census": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -382,6 +383,7 @@ DRIVER_HEAD = [
     "graph_filtered_batch",
     "graph_filtered_recall",
     "simhash_band_stats",
+    "multimodal_dup_census",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -430,11 +432,10 @@ DRIVER_HEAD = [
     "stream_heavy_hitters",
     "stream_topk",
     "triangle_census",
-    "twap_daily",
-    # (user_features, user_growth, weighted_sample, wow_growth,
-    # zscore_anomalies and the r05 trio activity_streaks,
+    # (twap_daily, user_features, user_growth, weighted_sample,
+    # wow_growth, zscore_anomalies and the r05 trio activity_streaks,
     # audience_overlap, basket_rules were the displaced rule-2 fill as
-    # the round-10 rule-1/1b entries above head-listed; all eight stay
+    # the round-10 rule-1/1b entries above head-listed; all nine stay
     # strict-checked in the tail every round)
 ]
 

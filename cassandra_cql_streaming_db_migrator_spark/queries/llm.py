@@ -2408,6 +2408,194 @@ WHERE bit_count(xor(a.audio_hash, b.audio_hash)) <= 3
 """
 
 
+def multimodal_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODALITY duplicate census (VERDICT r09 ask #6) — the
+    governance view a multimodal corpus pipeline reads: the three
+    fingerprint pipelines (text simhash_pairs / image image_dedup /
+    audio audio_dedup) each carried to components with the min-id
+    canonical rule, then ONE per-(modality, source) drop report in
+    source_dup_report's shape: items in the modality's universe, items
+    a keep-list would drop (non-canonical component members), drop ppm.
+    A source hot in one modality but not the others is a scraping
+    artifact; hot in all three is a mirror — the distinction only the
+    union census shows.  All three pair stages are banded (never
+    all-pairs); the census itself is three source-grain rollups."""
+    from ..operators.caching import materialized
+    from ..operators.dedup import connected_components, simhash_near_pairs
+    from ..operators.multimodal import audio_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+
+    def dropped_of(comps):
+        return comps.where(
+            F.col("component_id") != F.col("doc_id")
+        ).select("doc_id")
+
+    def census(members, dropped, modality):
+        totals = (
+            members.join(src, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        drops = (
+            dropped.join(src, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+        )
+        return totals.join(F.broadcast(drops), "source", "left").select(
+            F.lit(modality).alias("modality"),
+            "source",
+            F.col("n_items").cast("long").alias("n_items"),
+            F.coalesce(
+                F.col("__nd").cast("long"), F.lit(0).cast("long")
+            ).alias("n_dropped"),
+            F.expr(
+                "1000000 * coalesce(__nd, CAST(0 AS BIGINT)) DIV n_items"
+            ).cast("long").alias("drop_ppm"),
+        )
+
+    tfp = materialized(simhash_fingerprints(docs))
+    tcomps = connected_components(
+        simhash_near_pairs(tfp, max_dist=1), "doc_id_1", "doc_id_2"
+    )
+    ih = materialized(
+        image_avg_hashes(
+            attach_media_payload(docs.where(F.col("doc_id") % 2 == 0))
+        )
+    )
+    icomps = connected_components(
+        hamming_near_pairs(ih, max_dist=3), "id_a", "id_b", id_col="doc_id"
+    )
+    ah = materialized(
+        audio_fingerprints(
+            attach_media_payload(docs.where(F.col("doc_id") % 2 == 1))
+        )
+    )
+    acomps = connected_components(
+        simhash_near_pairs(ah, hash_col="audio_hash", max_dist=3),
+        "doc_id_1",
+        "doc_id_2",
+    )
+    return (
+        census(tfp.select("doc_id"), dropped_of(tcomps), "text")
+        .unionByName(census(ih.select("doc_id"), dropped_of(icomps), "image"))
+        .unionByName(census(ah.select("doc_id"), dropped_of(acomps), "audio"))
+    )
+
+
+def _mm_cc_census_sql(prefix: str, modality: str) -> tuple[str, str]:
+    """Reachability components + per-source census CTEs for one modality
+    (the image_dedup oracle's recursive pattern, prefixed to coexist
+    three times in one WITH RECURSIVE).  Expects ``{prefix}_p`` (pairs
+    as columns a, b) and ``{prefix}_univ`` (doc_id universe) in scope.
+    Returns (cte_block, final_select)."""
+    p = prefix
+    ctes = f"""{p}_e AS (SELECT a, b FROM {p}_p UNION SELECT b, a FROM {p}_p),
+{p}_r AS (
+  SELECT a AS node, a AS peer FROM {p}_e
+  UNION
+  SELECT r.node, e.b FROM {p}_r r JOIN {p}_e e ON r.peer = e.a
+),
+{p}_c AS (SELECT node AS doc_id, min(peer) AS cid FROM {p}_r GROUP BY node),
+{p}_drop AS (SELECT doc_id FROM {p}_c WHERE cid <> doc_id),
+{p}_tot AS (
+  SELECT d.source, count(*) AS n_items
+  FROM {p}_univ u JOIN documents d USING (doc_id) GROUP BY d.source),
+{p}_dr AS (
+  SELECT d.source, count(*) AS nd
+  FROM {p}_drop JOIN documents d USING (doc_id) GROUP BY d.source)"""
+    sel = f"""SELECT '{modality}' AS modality, t.source,
+       CAST(t.n_items AS BIGINT) AS n_items,
+       CAST(coalesce(dr.nd, 0) AS BIGINT) AS n_dropped,
+       CAST(1000000 * coalesce(dr.nd, 0) // t.n_items AS BIGINT) AS drop_ppm
+FROM {p}_tot t LEFT JOIN {p}_dr dr USING (source)"""
+    return ctes, sel
+
+
+def _multimodal_dup_census_sql() -> str:
+    t_fp = f"""t_th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> {poly_hash_sql("t", SIMHASH_MOD)}) AS hh
+  FROM documents),
+t_univ AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 53), k ->
+      CASE WHEN list_sum(list_transform(hh, h ->
+             CASE WHEN (h // CAST(power(2, k) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM t_th),
+t_p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM t_univ a JOIN t_univ b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1)"""
+    i_h = """i_u AS (
+  SELECT doc_id,
+         list_transform(range(256), i ->
+           CAST(ascii(substring(text,
+                                CAST(i % length(text) AS INTEGER) + 1, 1))
+                AS BIGINT)) AS units
+  FROM documents WHERE doc_id % 2 = 0 AND length(text) > 0
+),
+i_b AS (
+  SELECT doc_id,
+         list_transform(range(64), k ->
+           units[CAST((k // 8) * 32 + (k % 8) * 2 AS INTEGER) + 1]
+         + units[CAST((k // 8) * 32 + (k % 8) * 2 AS INTEGER) + 2]
+         + units[CAST((k // 8) * 32 + (k % 8) * 2 + 16 AS INTEGER) + 1]
+         + units[CAST((k // 8) * 32 + (k % 8) * 2 + 16 AS INTEGER) + 2]
+         ) AS blocks,
+         list_aggregate(units, 'sum') AS total
+  FROM i_u
+),
+i_univ AS (
+  SELECT doc_id,
+         CAST(list_aggregate(list_transform(range(32), k ->
+           CASE WHEN 64 * blocks[CAST(k AS INTEGER) + 33] > total
+                THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END),
+           'sum') AS BIGINT) AS hash_hi,
+         CAST(list_aggregate(list_transform(range(32), k ->
+           CASE WHEN 64 * blocks[CAST(k AS INTEGER) + 1] > total
+                THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END),
+           'sum') AS BIGINT) AS hash_lo
+  FROM i_b
+),
+i_p AS (
+  SELECT a.doc_id AS a, c.doc_id AS b
+  FROM i_univ a JOIN i_univ c ON a.doc_id < c.doc_id
+  WHERE bit_count(xor(a.hash_hi, c.hash_hi))
+      + bit_count(xor(a.hash_lo, c.hash_lo)) <= 3)"""
+    a_fp = """a_u AS (
+  SELECT doc_id,
+         list_transform(range(256), i ->
+           CAST(ascii(substring(text,
+                                CAST(i % length(text) AS INTEGER) + 1, 1))
+                AS BIGINT)) AS units
+  FROM documents WHERE doc_id % 2 = 1 AND length(text) > 0
+),
+a_t AS (SELECT doc_id, units, list_sum(units) AS total FROM a_u),
+a_univ AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 53), k ->
+      CASE WHEN 256 * units[CAST(k * 256 // 53 AS INTEGER) + 1] > total
+           THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END))
+      AS BIGINT) AS audio_hash
+  FROM a_t),
+a_p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM a_univ a JOIN a_univ b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.audio_hash, b.audio_hash)) <= 3)"""
+    t_ctes, t_sel = _mm_cc_census_sql("t", "text")
+    i_ctes, i_sel = _mm_cc_census_sql("i", "image")
+    a_ctes, a_sel = _mm_cc_census_sql("a", "audio")
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join([t_fp, t_ctes, i_h, i_ctes, a_fp, a_ctes])
+        + "\n"
+        + "\nUNION ALL\n".join([t_sel, i_sel, a_sel])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition quality signals.
 
@@ -3533,6 +3721,11 @@ QUERIES = [
              "audio near-dup pairs: real WAV decode -> 53-bit "
              "mean-threshold fingerprint -> the shared banded Hamming "
              "machinery; quadratic oracle proves zero misses"),
+    QueryDef("multimodal_dup_census", multimodal_dup_census,
+             _multimodal_dup_census_sql(),
+             "cross-modality duplicate census: text/image/audio "
+             "fingerprint components folded into one per-(modality, "
+             "source) drop report"),
     QueryDef("char_diversity", char_diversity, _char_diversity_sql(),
              "diversity quality gate: Simpson character index + "
              "type-token ratio, exact fixed-point"),

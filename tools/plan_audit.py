@@ -346,6 +346,13 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # in identity mode; at runtime the materialized fingerprints compute
     # once and every post-census exchange moves bucket-cardinality rows
     "simhash_band_stats": 6,
+    # three modality pipelines in one plan (reviewed r10): per modality
+    # the banded pair join's band shuffle + the converged component
+    # labels' census joins (CC rounds ran eagerly, label-scale — the
+    # source_dup_report contract x3) + the three source-grain rollups;
+    # every exchange past the band joins moves component- or
+    # source-cardinality rows
+    "multimodal_dup_census": 13,
     # prediction census + the doc_id join-back of truth to guess (both
     # doc-key partitioned) + the truth-class total rollup (class-count
     # metadata rows, broadcast back)

@@ -172,6 +172,10 @@ PROBES: dict[str, tuple[float, str]] = {
     # one fingerprint pass + two bucket-cardinality censuses
     "simhash_band_stats": (15.0, "linear: fingerprint pass + bucket "
                                  "census"),
+    # three banded pair stages (never all-pairs) + source rollups;
+    # band-collision growth bounded like simhash_pairs/audio_dedup
+    "multimodal_dup_census": (15.0, "near-linear: banded candidates "
+                                    "x3 modalities + CC"),
 }
 
 
