@@ -345,6 +345,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "graph_filtered_recall": {},
     "simhash_band_stats": {},
     "multimodal_dup_census": {},
+    "hybrid_search_rrf": {},
+    "stream_index_retrain": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -384,6 +386,8 @@ DRIVER_HEAD = [
     "graph_filtered_recall",
     "simhash_band_stats",
     "multimodal_dup_census",
+    "hybrid_search_rrf",
+    "stream_index_retrain",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -430,12 +434,10 @@ DRIVER_HEAD = [
     "sliding_distinct",
     "stream_expectations",
     "stream_heavy_hitters",
-    "stream_topk",
-    "triangle_census",
-    # (twap_daily, user_features, user_growth, weighted_sample,
+    # (stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
     # wow_growth, zscore_anomalies and the r05 trio activity_streaks,
     # audience_overlap, basket_rules were the displaced rule-2 fill as
-    # the round-10 rule-1/1b entries above head-listed; all nine stay
+    # the round-10 rule-1/1b entries above head-listed; all eleven stay
     # strict-checked in the tail every round)
 ]
 

@@ -1254,6 +1254,92 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 20
 """
 
 
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al. 2009
+    — the fusion every production RAG stack runs over its lexical and
+    vector legs): the BM25-shaped integer-ppm lexical top-20
+    (operators.textops.lexical_topk, lexical_search's scorer) and the
+    exact cosine top-20 (embedding_topk's leg; documents and embeddings
+    share the id space in the fixture) fuse by
+
+        rrf_ppm(d) = 1e6 DIV (60 + lex_rank) + 1e6 DIV (60 + vec_rank)
+
+    with a missing leg contributing 0 — RRF's standard k=60 constant in
+    the repo's exact-integer fixed point, so the fused ranking itself
+    hash-checks (no float score normalization, the property RRF is
+    chosen for in production).  Scale shape: both legs end in k-row
+    frames, so ranking and fusion are metadata-scale; the corpus is
+    touched once per leg (and the vector leg swaps for any of the
+    repo's ANN serve paths at scale — same contract)."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.textops import lexical_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = lexical_topk(docs, ["spark", "window", "join"], k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(_W.orderBy(F.desc("score_ppm"), F.col("doc_id").asc()))
+        .alias("lex_rank"),
+    )
+    vec = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(_W.orderBy(F.desc("cosine"), F.col("vec_id").asc()))
+        .alias("vec_rank"),
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+        (
+            F.coalesce(
+                F.expr("1000000 DIV (60 + lex_rank)"), F.lit(0).cast("long")
+            )
+            + F.coalesce(
+                F.expr("1000000 DIV (60 + vec_rank)"), F.lit(0).cast("long")
+            )
+        ).cast("long").alias("rrf_ppm"),
+    )
+    return fused.orderBy(F.desc("rrf_ppm"), F.col("doc_id").asc()).limit(10)
+
+
+def _hybrid_search_rrf_sql() -> str:
+    from ..operators.textops import lexical_topk_sql
+
+    lex = lexical_topk_sql(["spark", "window", "join"], k=20)
+    return f"""
+WITH lex AS ({lex}),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS lex_rank
+  FROM lex),
+vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id,
+         {_dot_sql("embedding", "qv")}
+           / (sqrt({_dot_sql("embedding", "embedding")})
+              * sqrt({_dot_sql("qv", "qv")})) AS cosine
+  FROM embeddings, vq
+  ORDER BY cosine DESC, vec_id ASC LIMIT 20),
+vecr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS vec_rank
+  FROM vec),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         CAST(coalesce(l.lex_rank, 0) AS INTEGER) AS lex_rank,
+         CAST(coalesce(v.vec_rank, 0) AS INTEGER) AS vec_rank,
+         CAST(coalesce(1000000 // (60 + l.lex_rank), 0)
+            + coalesce(1000000 // (60 + v.vec_rank), 0) AS BIGINT)
+           AS rrf_ppm
+  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+SELECT doc_id, lex_rank, vec_rank, rrf_ppm
+FROM fused ORDER BY rrf_ppm DESC, doc_id ASC LIMIT 10
+"""
+
+
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
@@ -3794,6 +3880,11 @@ QUERIES = [
              "whole-doc polynomial fingerprint"),
     QueryDef("embedding_topk", embedding_topk, _EMBEDDING_TOPK_SQL,
              "brute-force cosine top-k (bit-exact doubles)"),
+    QueryDef("hybrid_search_rrf", hybrid_search_rrf,
+             _hybrid_search_rrf_sql(),
+             "hybrid retrieval: BM25-shaped lexical top-20 + exact "
+             "cosine top-20 fused by integer-ppm Reciprocal Rank "
+             "Fusion (k=60)"),
     QueryDef("mmr_rerank", mmr_rerank_q, _mmr_rerank_sql(),
              "diversity-aware MMR re-ranking over exact top-20 candidates "
              "(dyadic lambda=0.75, 5 greedy rounds, unrolled-CTE oracle)"),

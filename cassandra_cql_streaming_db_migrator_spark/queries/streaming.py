@@ -912,6 +912,103 @@ def _stream_drift_monitor_sql() -> str:
     )
 
 
+def stream_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE self-maintaining-index loop in one query (round 10 —
+    composing r8's live maintenance, r9's drift sensing, and r10's
+    retrain action): drifted arrivals (the +4.0-shifted rows) stream
+    into a base-trained index per microbatch (streaming_index_update on
+    a dedicated ``strbase`` prefix — the shared sidx state is never
+    touched), the drift gauge reads the MAINTAINED codes
+    (codes_cell_drift over base∪arrival codes, one n_cells-row integer
+    aggregate), and the measured ~15% drift exceeds the 50k-ppm
+    threshold — so the quantizer retrains on the full drifted corpus,
+    re-codes, commits the staged ``strlive`` triple and swaps via
+    finish_index_retrain, and the 4-query batch serves from the
+    RETRAINED index.  Hash-equal to a batch build trained on the full
+    corpus (the oracle's Lloyd CTEs over the drifted-corpus derived
+    table) — a driver pass proves sense->decide->retrain->serve end to
+    end over a stream-maintained index."""
+    from ..operators.clustering import (
+        _query_vectors,
+        build_index_triple,
+        codes_cell_drift,
+        finish_index_retrain,
+        ivf_pq_adc_batch,
+        ivf_pq_serve_batch,
+    )
+    from ..sinks.artifacts import (
+        artifact_store,
+        has_artifact,
+        load_coarse_centroids,
+        load_pq_codebooks,
+    )
+    from ..streaming.stream import streaming_index_update
+    from .llm import _drifted_corpus
+
+    corpus = _drifted_corpus(spark, sf_dir)
+    base_where = F.col("vec_id") % 10 != 0
+    store = artifact_store(sf_dir)
+    merged = streaming_index_update(
+        spark,
+        base=corpus.where(base_where),
+        arrivals=corpus.where(F.col("vec_id") % 10 == 0),
+        store=store,
+        prefix="strbase",
+    )
+    drift_rows = codes_cell_drift(merged, base_where).agg(
+        F.sum("share_drift_ppm").alias("total")
+    ).collect()
+    total_drift = int(drift_rows[0]["total"] or 0)
+    retrained = total_drift > 50_000
+    queries = _query_vectors(corpus, 4, "embedding", "vec_id", 4, 16)
+    if retrained:
+        # the fixture's engineered drift always lands here: retrain on
+        # the CURRENT corpus via the staged-triple swap protocol
+        # (build-once gated — the retrained quantizer is deterministic)
+        if not has_artifact(store, "strlive_codes"):
+            build_index_triple(
+                spark, corpus, corpus, store, "strlive", staged=True
+            )
+            finish_index_retrain(store, "strlive")
+        serve = ivf_pq_serve_batch(
+            spark, store, queries, topk=10, n_probe=2,
+            codes_name="strlive_codes",
+            centroids_name="strlive_centroids",
+            codebooks_name="strlive_codebooks",
+        )
+    else:
+        # below threshold: keep serving the streaming-maintained index
+        # (base-trained quantizer over the merged base∪arrival codes)
+        cents = load_pq_codebooks(spark, store, name="strbase_codebooks")
+        cell_ids, cvecs = load_coarse_centroids(
+            spark, store, name="strbase_centroids"
+        )
+        serve = ivf_pq_adc_batch(
+            spark, merged, cents, cell_ids, cvecs, queries,
+            topk=10, n_probe=2,
+        )
+    return serve.select(
+        "*",
+        F.lit(total_drift).cast("long").alias("drift_ppm"),
+        F.lit(bool(retrained)).alias("retrained"),
+    )
+
+
+def _stream_index_retrain_sql() -> str:
+    from ..operators.clustering import ivf_pq_ann_batch_sql
+    from .llm import _DRIFTED_CORPUS_SQL, _retrain_drift_scalar_sql
+
+    serve = ivf_pq_ann_batch_sql(
+        table=_DRIFTED_CORPUS_SQL, n_queries=4, topk=10, n_cells=8,
+        n_probe=2,
+    )
+    return f"""
+SELECT r.query_id, r.vec_id, r.cell, r.adc_dist, r.rn,
+       d.total AS drift_ppm, d.total > 50000 AS retrained
+FROM ({serve}) r, {_retrain_drift_scalar_sql()} d
+"""
+
+
 def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE benchmark screening — semantic_decontaminate's streaming
     twin, the shape a crawl pipeline actually runs it in (screen every
@@ -1111,6 +1208,11 @@ QUERIES = [
              "live index-staleness monitoring: per-cell arrival census "
              "as an O(cells) streaming aggregate, drained report equals "
              "batch coarse_cell_drift"),
+    QueryDef("stream_index_retrain", stream_index_retrain,
+             _stream_index_retrain_sql(),
+             "the whole self-maintaining-index loop: stream-maintained "
+             "codes -> drift gauge -> threshold retrain via staged swap "
+             "-> batched serve from the retrained index"),
     QueryDef("stream_decontaminate", stream_decontaminate,
              _stream_decontaminate_sql(),
              "live benchmark screening: the bench matrix rides into a "

@@ -1195,6 +1195,7 @@ def streaming_index_update(
     k: int = 4,
     sub_dim: int = 16,
     n_chunks: int = 4,
+    prefix: str = "sidx",
 ) -> DataFrame:
     """LIVE INDEX MAINTENANCE (VERDICT r07 ask #8 — artifacts x
     streaming, the crawl-ingest production loop): the quantizer trains
@@ -1240,11 +1241,15 @@ def streaming_index_update(
 
     # an interrupted compaction swap must never read as a missing index
     # (a retrain would be correct but wasteful — and the committed
-    # sidx_codes_next IS the complete merged index)
-    _finish_sidx_compaction(store)
+    # codes_next IS the complete merged index).  ``prefix`` names the
+    # artifact triple (default the sidx_* streaming index) so a caller
+    # can maintain an independent index — e.g. stream_index_retrain's
+    # drifted-corpus loop — without touching the shared sidx state.
+    _finish_sidx_compaction(store, prefix)
     if not all(
         has_artifact(store, a)
-        for a in ("sidx_codes", "sidx_centroids", "sidx_codebooks")
+        for a in (f"{prefix}_codes", f"{prefix}_centroids",
+                  f"{prefix}_codebooks")
     ):
         frame, cents = pq_train_assign(
             base, vec_col, id_col, m, k, sub_dim
@@ -1253,9 +1258,9 @@ def streaming_index_update(
             base, n_cells, vec_col, id_col, m, sub_dim
         )
         save_coarse_centroids(
-            spark, store, cell_ids, cvecs, name="sidx_centroids"
+            spark, store, cell_ids, cvecs, name=f"{prefix}_centroids"
         )
-        save_pq_codebooks(spark, store, cents, name="sidx_codebooks")
+        save_pq_codebooks(spark, store, cents, name=f"{prefix}_codebooks")
         from ..operators.clustering import _cell_assign_expr
 
         codes = frame.withColumn(
@@ -1265,13 +1270,13 @@ def streaming_index_update(
             "cell",
             *[F.col(f"__cid{s}").alias(f"cid{s}") for s in range(m)],
         )
-        save_artifact(codes, store, "sidx_codes")  # gated artifact LAST
+        save_artifact(codes, store, f"{prefix}_codes")  # gated artifact LAST
 
-    cents = load_pq_codebooks(spark, store, name="sidx_codebooks")
+    cents = load_pq_codebooks(spark, store, name=f"{prefix}_codebooks")
     cell_ids, cvecs = load_coarse_centroids(
-        spark, store, name="sidx_centroids"
+        spark, store, name=f"{prefix}_centroids"
     )
-    arrival_path = artifact_path(store, "sidx_arrival_codes")
+    arrival_path = artifact_path(store, f"{prefix}_arrival_codes")
 
     scratch = tempfile.mkdtemp(prefix="stream_index_chunks_")
     stream = read_documents_stream_chunked(
@@ -1305,13 +1310,13 @@ def streaming_index_update(
 
         shutil.rmtree(scratch, ignore_errors=True)
 
-    merged = load_artifact(spark, store, "sidx_codes")
+    merged = load_artifact(spark, store, f"{prefix}_codes")
     if not state["first"]:
         merged = merged.unionByName(spark.read.parquet(arrival_path))
     return merged
 
 
-def _finish_sidx_compaction(store: str) -> None:
+def _finish_sidx_compaction(store: str, prefix: str = "sidx") -> None:
     """Complete (or re-complete) an interrupted streaming-index
     compaction swap: if the merged ``sidx_codes_next`` artifact is
     COMMITTED (its _SUCCESS exists), it already contains everything —
@@ -1322,20 +1327,21 @@ def _finish_sidx_compaction(store: str) -> None:
 
     from ..sinks.artifacts import artifact_path, has_artifact
 
-    if not has_artifact(store, "sidx_codes_next"):
+    if not has_artifact(store, f"{prefix}_codes_next"):
         return
     shutil.rmtree(
-        artifact_path(store, "sidx_arrival_codes"), ignore_errors=True
+        artifact_path(store, f"{prefix}_arrival_codes"), ignore_errors=True
     )
-    shutil.rmtree(artifact_path(store, "sidx_codes"), ignore_errors=True)
+    shutil.rmtree(artifact_path(store, f"{prefix}_codes"), ignore_errors=True)
     os.rename(
-        artifact_path(store, "sidx_codes_next"),
-        artifact_path(store, "sidx_codes"),
+        artifact_path(store, f"{prefix}_codes_next"),
+        artifact_path(store, f"{prefix}_codes"),
     )
 
 
 def compact_streaming_index(
-    spark: SparkSession, store: str, id_col: str = "vec_id"
+    spark: SparkSession, store: str, id_col: str = "vec_id",
+    prefix: str = "sidx",
 ) -> bool:
     """Fold the streaming index's arrival codes into its base codes
     (VERDICT r08 ask #6 — the rest of the production loop
@@ -1361,17 +1367,17 @@ def compact_streaming_index(
     mirror's touched-bucket writes vs its occasional re-bucketing)."""
     from ..sinks.artifacts import has_artifact, load_artifact, save_artifact
 
-    _finish_sidx_compaction(store)
+    _finish_sidx_compaction(store, prefix)
     if not (
-        has_artifact(store, "sidx_codes")
-        and has_artifact(store, "sidx_arrival_codes")
+        has_artifact(store, f"{prefix}_codes")
+        and has_artifact(store, f"{prefix}_arrival_codes")
     ):
         return False
-    base = load_artifact(spark, store, "sidx_codes")
-    arrivals = load_artifact(spark, store, "sidx_arrival_codes")
+    base = load_artifact(spark, store, f"{prefix}_codes")
+    arrivals = load_artifact(spark, store, f"{prefix}_arrival_codes")
     merged = base.unionByName(
         arrivals.join(base.select(id_col), id_col, "left_anti")
     )
-    save_artifact(merged, store, "sidx_codes_next")
-    _finish_sidx_compaction(store)
+    save_artifact(merged, store, f"{prefix}_codes_next")
+    _finish_sidx_compaction(store, prefix)
     return True

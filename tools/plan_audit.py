@@ -353,6 +353,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # every exchange past the band joins moves component- or
     # source-cardinality rows
     "multimodal_dup_census": 13,
+    # semantic floor: the lexical leg's vocabulary-filtered tf aggregate
+    # + its per-doc score aggregate + the k-row full-outer fusion join —
+    # both rank windows run over 20-row TakeOrdered frames
+    "hybrid_search_rrf": 3,
     # prediction census + the doc_id join-back of truth to guess (both
     # doc-key partitioned) + the truth-class total rollup (class-count
     # metadata rows, broadcast back)
@@ -394,6 +398,9 @@ DEFAULT_ALLOWANCE = 2
 # scale single-partition ntile sort) must be machine-caught (VERDICT r04
 # ask #3).
 GLOBAL_WINDOW_ALLOWED: set[str] = {
+    # both rank windows run over k=20-row TakeOrdered leg results —
+    # bounded by construction before the window executes
+    "hybrid_search_rrf",
     # cumsum over the distinct-partition offsets table (rows = distinct
     # part_col values)
     "weighted_sample",

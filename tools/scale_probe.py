@@ -176,6 +176,13 @@ PROBES: dict[str, tuple[float, str]] = {
     # band-collision growth bounded like simhash_pairs/audio_dedup
     "multimodal_dup_census": (15.0, "near-linear: banded candidates "
                                     "x3 modalities + CC"),
+    # one vocabulary-filtered corpus pass + one cosine pass; fusion is
+    # k-row
+    "hybrid_search_rrf": (15.0, "linear: two corpus passes, k-row "
+                                "fusion"),
+    # streaming drain (linear) + gated retrain + one codes-scan serve
+    "stream_index_retrain": (15.0, "linear: drain + train/code pass + "
+                                   "codes-scan serve"),
 }
 
 
