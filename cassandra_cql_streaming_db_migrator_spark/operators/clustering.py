@@ -1592,6 +1592,7 @@ def ivf_pq_batch_trained_on_sql(
     k: int = 4,
     sub_dim: int = 16,
     iterations: int = 2,
+    serve_where: str | None = None,
 ) -> str:
     """Oracle twin of the live-ingest -> batched-serve composition
     (stream_index_search, VERDICT r08 ask #6): the batched ADC search of
@@ -1601,7 +1602,15 @@ def ivf_pq_batch_trained_on_sql(
     index maintains (train on base, code the union) carried through to
     the read path.  Train/code CTEs are those of
     :func:`pq_codes_trained_on_sql`; probe lists and the final top-k are
-    the batch version's per-query windows with the same total orders."""
+    the batch version's per-query windows with the same total orders.
+
+    ``serve_where`` (round 10 — stream_index_delete's oracle leg)
+    filters the CODED rows before ranking: a predicate over the scored
+    CTE's scope (qualify the id as ``fc0.vid``), modelling a serve view
+    that excludes rows — the tombstone anti-join — while train, code,
+    and query CTEs see the full table.  Deleted ids can therefore never
+    rank, and survivors below them move up, exactly the anti-join's
+    semantics.  None (the default) leaves the SQL text unchanged."""
     g = f"{vec_col} IS NOT NULL AND len({vec_col}) >= {m * sub_dim}"
     guarded_all = f"(SELECT * FROM {table} WHERE {g})"
     guarded_train = f"(SELECT * FROM {table} WHERE ({train_where}) AND {g})"
@@ -1701,12 +1710,13 @@ vass AS (
         f"i -> (qv.qs{s}[i] - cc{s}.c[i]) * (qv.qs{s}[i] - cc{s}.c[i])))"
         for s in range(m)
     )
+    guard = f"\n  WHERE ({serve_where})" if serve_where else ""
     parts.append(
         f"""scored AS (
   SELECT qv.query_id, fc0.vid, vass.cell, {adc} AS adc_dist
   FROM fc0 {cjoins} {ccjoins} CROSS JOIN qv
   JOIN vass ON vass.vid = fc0.vid
-  JOIN probe ON probe.query_id = qv.query_id AND probe.cell = vass.cell
+  JOIN probe ON probe.query_id = qv.query_id AND probe.cell = vass.cell{guard}
 )"""
     )
     return (

@@ -347,6 +347,9 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "multimodal_dup_census": {},
     "hybrid_search_rrf": {},
     "stream_index_retrain": {},
+    "stream_index_delete": {},
+    "stream_index_delete_recall": {},
+    "index_tombstone_purge": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -388,6 +391,9 @@ DRIVER_HEAD = [
     "multimodal_dup_census",
     "hybrid_search_rrf",
     "stream_index_retrain",
+    "stream_index_delete",
+    "stream_index_delete_recall",
+    "index_tombstone_purge",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -431,14 +437,12 @@ DRIVER_HEAD = [
     "semdedup",
     "session_concurrency",
     "skyline_parts",
-    "sliding_distinct",
-    "stream_expectations",
-    "stream_heavy_hitters",
     # (stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
-    # wow_growth, zscore_anomalies and the r05 trio activity_streaks,
-    # audience_overlap, basket_rules were the displaced rule-2 fill as
-    # the round-10 rule-1/1b entries above head-listed; all eleven stay
-    # strict-checked in the tail every round)
+    # wow_growth, zscore_anomalies, the r05 trio activity_streaks,
+    # audience_overlap, basket_rules, and then sliding_distinct,
+    # stream_expectations, stream_heavy_hitters were the displaced
+    # rule-2 fill as the round-10 rule-1/1b entries above head-listed;
+    # all fourteen stay strict-checked in the tail every round)
 ]
 
 

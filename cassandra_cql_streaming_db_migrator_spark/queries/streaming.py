@@ -1009,6 +1009,279 @@ FROM ({serve}) r, {_retrain_drift_scalar_sql()} d
 """
 
 
+def _index_cdc_changes(emb: DataFrame) -> DataFrame:
+    """The op-typed CDC fixture the delete-aware index queries share:
+    upserts are the arrival rows (vec_id % 10 = 0, the siblings'
+    base/arrival split), deletes are every vec_id % 7 = 0 — a set that
+    deliberately straddles all three classes (base rows like 7 and 21,
+    arrival rows like 70 and 140, and id 0, which is both an arrival
+    and a query vector), so the drained view exercises delete-before-
+    upsert, delete-of-base, and delete-of-never-upserted in one run."""
+    ups = (
+        emb.where(F.col("vec_id") % 10 == 0)
+        .withColumn("op", F.lit("u"))
+    )
+    dels = (
+        emb.where(F.col("vec_id") % 7 == 0)
+        .withColumn("op", F.lit("d"))
+    )
+    return ups.unionByName(dels)
+
+
+def stream_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming index takes DELETES — the last CRUD letter (r8
+    update, r9 end-to-end search, r10 drift-triggered retrain; a
+    production vector store also erases: right-to-erasure, retractions,
+    decontamination purges).  Base (vec_id % 10 != 0) trains and
+    persists the quantizer; an op-typed CDC stream (upserts = arrival
+    rows, deletes = vec_id % 7 = 0) drains over 4 microbatches on the
+    dedicated ``sidxd`` prefix — upsert batches code-and-append with the
+    saved quantizer, delete batches append id-only tombstones
+    (streaming.stream.streaming_index_cdc).  The serve view is
+    (base ∪ arrivals) ANTI JOIN tombstones — tombstone wins regardless
+    of microbatch placement, so the drained view is order-free and
+    replay-idempotent — and a 4-query ADC batch serves from it: deleted
+    ids can never rank, survivors below them move up.  The oracle is the
+    train-on-base / code-the-union batched ADC with the delete predicate
+    excluded before ranking (ivf_pq_batch_trained_on_sql serve_where)."""
+    from ..operators.clustering import _query_vectors, ivf_pq_adc_batch
+    from ..sinks.artifacts import (
+        artifact_store,
+        load_coarse_centroids,
+        load_pq_codebooks,
+    )
+    from ..sources.parquet import load_table
+    from ..streaming.stream import streaming_index_cdc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+    served = streaming_index_cdc(
+        spark,
+        base=emb.where(F.col("vec_id") % 10 != 0),
+        changes=_index_cdc_changes(emb),
+        store=store,
+        prefix="sidxd",
+    )
+    cents = load_pq_codebooks(spark, store, name="sidxd_codebooks")
+    cell_ids, cvecs = load_coarse_centroids(
+        spark, store, name="sidxd_centroids"
+    )
+    queries = _query_vectors(emb, 4, "embedding", "vec_id", 4, 16)
+    return ivf_pq_adc_batch(
+        spark, served, cents, cell_ids, cvecs, queries, topk=10, n_probe=2
+    )
+
+
+def _stream_index_delete_sql() -> str:
+    from ..operators.clustering import ivf_pq_batch_trained_on_sql
+
+    return ivf_pq_batch_trained_on_sql(
+        table="embeddings",
+        train_where="vec_id % 10 <> 0",
+        n_queries=4,
+        topk=10,
+        n_cells=8,
+        n_probe=2,
+        serve_where="fc0.vid % 7 <> 0",
+    )
+
+
+def stream_index_delete_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of the tombstone-aware serve vs the exact L2
+    top-10 AMONG SURVIVORS — the quality gauge every approximate read
+    path in this repo ships with, applied to deletes: removing rows
+    thins every probed cell, so cell-pruning loss can shift under
+    deletion exactly as it does under a predicate (ann_filtered_recall),
+    and this measures it.  One exact pass: the 4-query frame broadcasts
+    into a cross join over the surviving rows (vec_id % 7 != 0) and one
+    window ranks all queries."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.clustering import _sq_dist
+    from ..sources.parquet import load_table
+
+    approx = stream_index_delete(spark, sf_dir).select("query_id", "vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    valid = emb.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= 64)
+    )
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = F.broadcast(
+        valid.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), vec.alias("__qv")
+        )
+    )
+    w = _W.partitionBy("query_id").orderBy("d", F.col("vec_id").asc())
+    exact = (
+        valid.where(F.col("vec_id") % 7 != 0)
+        .crossJoin(q)
+        .select(
+            "query_id",
+            "vec_id",
+            _sq_dist(vec, F.col("__qv")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        approx.join(F.broadcast(exact), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        q.select("query_id")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(10).cast("long").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.expr(
+                "1000000 * coalesce(n_hit, CAST(0 AS BIGINT)) DIV 10"
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
+
+
+def _stream_index_delete_recall_sql() -> str:
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(e.v)), "
+        "i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])))"
+    )
+    return f"""
+WITH approx AS (
+  SELECT query_id, vec_id FROM ({_stream_index_delete_sql()}) i
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings
+  WHERE vec_id < 4 AND embedding IS NOT NULL AND len(embedding) >= 64
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  WHERE vec_id % 7 <> 0 AND embedding IS NOT NULL AND len(embedding) >= 64
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {dist}, e.vec_id) AS rn
+    FROM e CROSS JOIN q) r
+  WHERE rn <= 10
+),
+hits AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM approx JOIN exact USING (query_id, vec_id)
+  GROUP BY query_id
+)
+SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+       coalesce(h.n_hit, 0) AS n_hit,
+       CAST(1000000 * coalesce(h.n_hit, 0) // 10 AS BIGINT) AS recall_ppm
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
+def index_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PHYSICAL purge behind stream_index_delete's logical
+    tombstones, reported as a per-cell census: drain the same op-typed
+    CDC stream, then run the compaction that folds arrivals AND
+    anti-joins tombstones out inside one committed swap
+    (compact_streaming_index — crash anywhere replays the finish from
+    the committed next, so deletes and the artifact drop are atomic
+    together).  Output per cell: rows folded (base ∪ arrivals), rows
+    purged (tombstoned ids the index actually held), rows remaining in
+    the compacted artifact — the governance view an erasure pipeline
+    reads to prove deletion happened.
+
+    Rerun-deterministic by the clone seam (index_retrain's discipline):
+    the quantizer + base codes build ONCE gated under ``sidxp0`` and are
+    hardlink-cloned to the working ``sidxp`` prefix per call, so the
+    destructive compaction genuinely executes every run against
+    byte-identical inputs."""
+    from ..sinks.artifacts import (
+        artifact_store,
+        clone_artifact,
+        load_artifact,
+    )
+    from ..sources.parquet import load_table
+    from ..streaming.stream import (
+        compact_streaming_index,
+        streaming_index_cdc,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    # build-once under the gated prefix (no arrivals drained here — this
+    # call just guarantees the triple exists), then clone the mutable
+    # parts to the working prefix so every run starts from the same bytes
+    from ..streaming.stream import _ensure_index_artifacts
+
+    _ensure_index_artifacts(
+        spark, base, store, "embedding", "vec_id", 8, 4, 4, 16, "sidxp0"
+    )
+    for part in ("codes", "centroids", "codebooks"):
+        clone_artifact(store, f"sidxp0_{part}", f"sidxp_{part}")
+    streaming_index_cdc(
+        spark,
+        base=base,
+        changes=_index_cdc_changes(emb),
+        store=store,
+        prefix="sidxp",
+    )
+    folded = load_artifact(spark, store, "sidxp_codes").unionByName(
+        load_artifact(spark, store, "sidxp_arrival_codes")
+    )
+    tombs = load_artifact(spark, store, "sidxp_tombstones").distinct()
+    # MATERIALIZE the pre-compaction censuses before the swap deletes and
+    # replaces the artifacts they scan (lazy frames would read the
+    # compacted state — or a removed path).  Both are <= n_cells rows,
+    # the metadata-scale collect contract.
+    pre = {
+        r["cell"]: int(r["n"])
+        for r in folded.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    purged = {
+        r["cell"]: int(r["n"])
+        for r in folded.join(F.broadcast(tombs), "vec_id", "semi")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    compact_streaming_index(spark, store, prefix="sidxp")
+    post = {
+        r["cell"]: int(r["n"])
+        for r in load_artifact(spark, store, "sidxp_codes")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = [
+        (cell, pre[cell], purged.get(cell, 0), post.get(cell, 0))
+        for cell in sorted(pre)
+    ]
+    return spark.createDataFrame(
+        rows, "cell long, n_folded long, n_purged long, n_after long"
+    )
+
+
+def _index_tombstone_purge_sql() -> str:
+    from ..operators.clustering import pq_codes_trained_on_sql
+
+    codes = pq_codes_trained_on_sql(
+        table="embeddings", train_where="vec_id % 10 <> 0", n_cells=8
+    )
+    return f"""
+WITH codes AS ({codes})
+SELECT cell,
+       CAST(count(*) AS BIGINT) AS n_folded,
+       CAST(count(*) FILTER (WHERE vec_id % 7 = 0) AS BIGINT) AS n_purged,
+       CAST(count(*) FILTER (WHERE vec_id % 7 <> 0) AS BIGINT) AS n_after
+FROM codes GROUP BY cell
+"""
+
+
 def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE benchmark screening — semantic_decontaminate's streaming
     twin, the shape a crawl pipeline actually runs it in (screen every
@@ -1213,6 +1486,22 @@ QUERIES = [
              "the whole self-maintaining-index loop: stream-maintained "
              "codes -> drift gauge -> threshold retrain via staged swap "
              "-> batched serve from the retrained index"),
+    QueryDef("stream_index_delete", stream_index_delete,
+             _stream_index_delete_sql(),
+             "the streaming index takes deletes: op-typed CDC stream, "
+             "per-batch code-appends + id tombstones, serve view = "
+             "(base ∪ arrivals) anti-join tombstones — tombstone wins, "
+             "order-free, replay-idempotent"),
+    QueryDef("stream_index_delete_recall", stream_index_delete_recall,
+             _stream_index_delete_recall_sql(),
+             "per-query recall@10 of the tombstone-aware serve vs the "
+             "exact top-10 among survivors — the delete-path quality "
+             "gauge"),
+    QueryDef("index_tombstone_purge", index_tombstone_purge,
+             _index_tombstone_purge_sql(),
+             "the physical purge: compaction folds arrivals AND "
+             "anti-joins tombstones inside one committed swap; per-cell "
+             "folded/purged/remaining census — the erasure audit view"),
     QueryDef("stream_decontaminate", stream_decontaminate,
              _stream_decontaminate_sql(),
              "live benchmark screening: the bench matrix rides into a "

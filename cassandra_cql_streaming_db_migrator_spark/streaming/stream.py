@@ -1183,6 +1183,76 @@ def streaming_cdc_mirror(
     return read_bucketed(spark, state["cur"]).select(*out_cols)
 
 
+def _ensure_index_artifacts(
+    spark: SparkSession,
+    base: DataFrame,
+    store: str,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    m: int,
+    k: int,
+    sub_dim: int,
+    prefix: str,
+) -> tuple:
+    """Train-once guard shared by the streaming index maintainers
+    (:func:`streaming_index_update` and :func:`streaming_index_cdc`):
+    finish any interrupted compaction swap — an interrupted swap must
+    never read as a missing index (a retrain would be correct but
+    wasteful, and the committed ``codes_next`` IS the complete merged
+    index) — then build the ``{prefix}_`` artifact triple if absent
+    (coarse centroids, PQ codebooks, base codes; the gated codes
+    artifact commits LAST) and return the loaded quantizer as
+    ``(codebooks, cell_ids, cell_vecs)``.  ``prefix`` names the triple
+    (default the sidx_* streaming index) so a caller can maintain an
+    independent index — e.g. stream_index_retrain's drifted-corpus
+    loop — without touching the shared sidx state."""
+    from ..operators.clustering import (
+        _cell_assign_expr,
+        _coarse_centroids,
+        pq_train_assign,
+    )
+    from ..sinks.artifacts import (
+        has_artifact,
+        load_coarse_centroids,
+        load_pq_codebooks,
+        save_artifact,
+        save_coarse_centroids,
+        save_pq_codebooks,
+    )
+
+    _finish_sidx_compaction(store, prefix)
+    if not all(
+        has_artifact(store, a)
+        for a in (f"{prefix}_codes", f"{prefix}_centroids",
+                  f"{prefix}_codebooks")
+    ):
+        frame, cents = pq_train_assign(
+            base, vec_col, id_col, m, k, sub_dim
+        )
+        cell_ids, cvecs = _coarse_centroids(
+            base, n_cells, vec_col, id_col, m, sub_dim
+        )
+        save_coarse_centroids(
+            spark, store, cell_ids, cvecs, name=f"{prefix}_centroids"
+        )
+        save_pq_codebooks(spark, store, cents, name=f"{prefix}_codebooks")
+        codes = frame.withColumn(
+            "cell", _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
+        ).select(
+            F.col(id_col),
+            "cell",
+            *[F.col(f"__cid{s}").alias(f"cid{s}") for s in range(m)],
+        )
+        save_artifact(codes, store, f"{prefix}_codes")  # gated artifact LAST
+
+    cents = load_pq_codebooks(spark, store, name=f"{prefix}_codebooks")
+    cell_ids, cvecs = load_coarse_centroids(
+        spark, store, name=f"{prefix}_centroids"
+    )
+    return cents, cell_ids, cvecs
+
+
 def streaming_index_update(
     spark: SparkSession,
     base: DataFrame,
@@ -1223,58 +1293,11 @@ def streaming_index_update(
     metadata loads (codebooks m*k rows, centroids n_cells rows) happen
     once per run, not per batch.
     """
-    from ..operators.clustering import (
-        _coarse_centroids,
-        pq_encode_frame,
-        pq_train_assign,
-    )
-    from ..sinks.artifacts import (
-        artifact_path,
-        has_artifact,
-        load_artifact,
-        load_coarse_centroids,
-        load_pq_codebooks,
-        save_artifact,
-        save_coarse_centroids,
-        save_pq_codebooks,
-    )
+    from ..operators.clustering import pq_encode_frame
+    from ..sinks.artifacts import artifact_path, load_artifact
 
-    # an interrupted compaction swap must never read as a missing index
-    # (a retrain would be correct but wasteful — and the committed
-    # codes_next IS the complete merged index).  ``prefix`` names the
-    # artifact triple (default the sidx_* streaming index) so a caller
-    # can maintain an independent index — e.g. stream_index_retrain's
-    # drifted-corpus loop — without touching the shared sidx state.
-    _finish_sidx_compaction(store, prefix)
-    if not all(
-        has_artifact(store, a)
-        for a in (f"{prefix}_codes", f"{prefix}_centroids",
-                  f"{prefix}_codebooks")
-    ):
-        frame, cents = pq_train_assign(
-            base, vec_col, id_col, m, k, sub_dim
-        )
-        cell_ids, cvecs = _coarse_centroids(
-            base, n_cells, vec_col, id_col, m, sub_dim
-        )
-        save_coarse_centroids(
-            spark, store, cell_ids, cvecs, name=f"{prefix}_centroids"
-        )
-        save_pq_codebooks(spark, store, cents, name=f"{prefix}_codebooks")
-        from ..operators.clustering import _cell_assign_expr
-
-        codes = frame.withColumn(
-            "cell", _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
-        ).select(
-            F.col(id_col),
-            "cell",
-            *[F.col(f"__cid{s}").alias(f"cid{s}") for s in range(m)],
-        )
-        save_artifact(codes, store, f"{prefix}_codes")  # gated artifact LAST
-
-    cents = load_pq_codebooks(spark, store, name=f"{prefix}_codebooks")
-    cell_ids, cvecs = load_coarse_centroids(
-        spark, store, name=f"{prefix}_centroids"
+    cents, cell_ids, cvecs = _ensure_index_artifacts(
+        spark, base, store, vec_col, id_col, n_cells, m, k, sub_dim, prefix
     )
     arrival_path = artifact_path(store, f"{prefix}_arrival_codes")
 
@@ -1316,6 +1339,115 @@ def streaming_index_update(
     return merged
 
 
+def streaming_index_cdc(
+    spark: SparkSession,
+    base: DataFrame,
+    changes: DataFrame,
+    store: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    n_chunks: int = 4,
+    prefix: str = "sidxd",
+    op_col: str = "op",
+    chunk_col: str | None = None,
+) -> DataFrame:
+    """DELETE-AWARE live index maintenance — the last CRUD letter the
+    streaming index was missing (r8 built update, r9 the end-to-end
+    search, r10 the drift-triggered retrain; a production vector store
+    also takes DELETES: right-to-erasure, decontamination purges, doc
+    retractions).  ``changes`` is an op-typed CDC stream: rows with
+    ``op='u'`` carry a vector and are coarse-assigned + PQ-coded with
+    the SAVED base-trained quantizer and appended to the arrival-codes
+    artifact (exactly :func:`streaming_index_update`'s write shape);
+    rows with ``op='d'`` carry only an id and append to the
+    ``{prefix}_tombstones`` artifact.  The drained serve view is
+    ``(base codes ∪ arrival codes) ANTI JOIN tombstones``.
+
+    Semantics: TOMBSTONE WINS, order-free — a delete suppresses the id
+    whether it arrived before or after the upsert, in the same batch or
+    another, so the drained view never depends on microbatch placement
+    and an at-least-once redelivery of either row kind is a no-op
+    (re-coded upserts are byte-identical under the deterministic
+    quantizer; duplicate tombstones dedup in the anti-join).  Deleting
+    an id the index never held is a no-op by the same anti-join.  The
+    tombstone is a LOGICAL delete: the physical purge is compaction's
+    job (:func:`compact_streaming_index` applies tombstones while
+    folding arrivals and drops the consumed artifact in the same
+    committed swap), keeping the per-batch path append-only.
+
+    Reference analog: the K1 upsert sink is the reference's only
+    mutation class (DataMigrationProcess.java:294-325 — Cassandra
+    upserts); deletes complete the CDC triple its LWT/IF-NOT-EXISTS
+    variants bracket from the other side.
+
+    Scale shape: per microbatch the work is one narrow projection over
+    the batch's upserts (m argmins + the cell argmin as expressions)
+    plus two O(batch) appends — no corpus pass, no shuffle; tombstones
+    are id-only rows, so the delete side is as wide as a key.  The
+    serve-view anti-join broadcasts at tombstone scale."""
+    from ..operators.clustering import pq_encode_frame
+    from ..sinks.artifacts import artifact_path, load_artifact
+
+    cents, cell_ids, cvecs = _ensure_index_artifacts(
+        spark, base, store, vec_col, id_col, n_cells, m, k, sub_dim, prefix
+    )
+    arrival_path = artifact_path(store, f"{prefix}_arrival_codes")
+    tomb_path = artifact_path(store, f"{prefix}_tombstones")
+
+    scratch = tempfile.mkdtemp(prefix="stream_index_cdc_")
+    # chunk_col pins the ARRIVAL ORDER for order-sensitivity tests (the
+    # ADVICE r08 #4 discipline): tombstone-wins must hold whichever side
+    # of the delete the upsert lands on, and only a pinned schedule can
+    # prove both placements actually occurred
+    stream = read_documents_stream_chunked(
+        spark, changes, n_chunks, scratch_dir=scratch, chunk_col=chunk_col
+    )
+    # first-batch-overwrites per artifact: a rerun in the same process
+    # must not double-append last run's changes (the update path's rerun
+    # contract, tracked per op kind because either may appear first)
+    state = {"first_u": True, "first_d": True}
+
+    def apply_batch(mb_df: DataFrame, epoch_id: int) -> None:
+        ups = mb_df.where(F.col(op_col) == "u").drop(op_col)
+        dels = mb_df.where(F.col(op_col) == "d").select(F.col(id_col))
+        if not ups.isEmpty():
+            encoded = pq_encode_frame(
+                ups, cents, cell_ids, cvecs, vec_col, id_col, m, sub_dim
+            )
+            mode = "overwrite" if state["first_u"] else "append"
+            encoded.write.mode(mode).parquet(arrival_path)
+            state["first_u"] = False
+        if not dels.isEmpty():
+            mode = "overwrite" if state["first_d"] else "append"
+            dels.write.mode(mode).parquet(tomb_path)
+            state["first_d"] = False
+
+    query = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    merged = load_artifact(spark, store, f"{prefix}_codes")
+    if not state["first_u"]:
+        merged = merged.unionByName(spark.read.parquet(arrival_path))
+    if not state["first_d"]:
+        tombs = spark.read.parquet(tomb_path)
+        merged = merged.join(tombs, id_col, "left_anti")
+    return merged
+
+
 def _finish_sidx_compaction(store: str, prefix: str = "sidx") -> None:
     """Complete (or re-complete) an interrupted streaming-index
     compaction swap: if the merged ``sidx_codes_next`` artifact is
@@ -1331,6 +1463,14 @@ def _finish_sidx_compaction(store: str, prefix: str = "sidx") -> None:
         return
     shutil.rmtree(
         artifact_path(store, f"{prefix}_arrival_codes"), ignore_errors=True
+    )
+    # tombstones are consumed by the same swap: a committed codes_next is
+    # always built with them already anti-joined out (compaction applies
+    # both folds in one commit), so dropping them here loses nothing —
+    # and flows that never write tombstones rmtree a path that does not
+    # exist (no-op)
+    shutil.rmtree(
+        artifact_path(store, f"{prefix}_tombstones"), ignore_errors=True
     )
     shutil.rmtree(artifact_path(store, f"{prefix}_codes"), ignore_errors=True)
     os.rename(
@@ -1364,20 +1504,39 @@ def compact_streaming_index(
     Scale shape: compaction reads O(index) once and writes O(index)
     once — deliberately; it is the amortized cleanup that keeps the
     PER-BATCH path at O(batch) forever (same contract as the CDC
-    mirror's touched-bucket writes vs its occasional re-bucketing)."""
+    mirror's touched-bucket writes vs its occasional re-bucketing).
+
+    Tombstone purge (round 10): if :func:`streaming_index_cdc` left a
+    ``{prefix}_tombstones`` artifact, the fold also anti-joins it out —
+    the logical deletes become physical in the same committed swap that
+    consumes the tombstone artifact, so compaction runs whenever there
+    are arrivals OR tombstones to fold."""
     from ..sinks.artifacts import has_artifact, load_artifact, save_artifact
 
     _finish_sidx_compaction(store, prefix)
+    have_arrivals = has_artifact(store, f"{prefix}_arrival_codes")
+    have_tombs = has_artifact(store, f"{prefix}_tombstones")
     if not (
         has_artifact(store, f"{prefix}_codes")
-        and has_artifact(store, f"{prefix}_arrival_codes")
+        and (have_arrivals or have_tombs)
     ):
         return False
-    base = load_artifact(spark, store, f"{prefix}_codes")
-    arrivals = load_artifact(spark, store, f"{prefix}_arrival_codes")
-    merged = base.unionByName(
-        arrivals.join(base.select(id_col), id_col, "left_anti")
-    )
+    merged = load_artifact(spark, store, f"{prefix}_codes")
+    if have_arrivals:
+        arrivals = load_artifact(spark, store, f"{prefix}_arrival_codes")
+        merged = merged.unionByName(
+            arrivals.join(merged.select(id_col), id_col, "left_anti")
+        )
+    if have_tombs:
+        # the PHYSICAL purge of streaming_index_cdc's logical deletes:
+        # tombstoned rows leave the folded index inside the same
+        # committed swap that drops the consumed tombstone artifact —
+        # either both happened or neither (crash anywhere replays
+        # _finish_sidx_compaction from the committed next)
+        tombs = load_artifact(spark, store, f"{prefix}_tombstones")
+        merged = merged.join(
+            tombs.select(id_col).distinct(), id_col, "left_anti"
+        )
     save_artifact(merged, store, f"{prefix}_codes_next")
     _finish_sidx_compaction(store, prefix)
     return True

@@ -183,6 +183,17 @@ PROBES: dict[str, tuple[float, str]] = {
     # streaming drain (linear) + gated retrain + one codes-scan serve
     "stream_index_retrain": (15.0, "linear: drain + train/code pass + "
                                    "codes-scan serve"),
+    # op-typed drain (O(batch) appends) + one tombstone-anti-joined
+    # codes scan for the query set — stream_index_search's shape plus
+    # an id-scale anti-join
+    "stream_index_delete": (15.0, "linear: drain + one anti-joined "
+                                  "codes scan"),
+    # the delete serve + one exact pass over the survivors
+    "stream_index_delete_recall": (15.0, "linear: serve + one exact "
+                                         "pass"),
+    # drain + O(index) compaction read/write + n_cells-row censuses
+    "index_tombstone_purge": (15.0, "linear: drain + one fold "
+                                    "read/write"),
 }
 
 
