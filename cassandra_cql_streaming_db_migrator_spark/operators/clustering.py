@@ -1879,6 +1879,203 @@ FROM per, tot"""
     )
 
 
+def pq_distortion_report(
+    df: DataFrame,
+    base_where,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """PQ DISTORTION gauge — the retrain trigger's second axis.
+    Occupancy drift (:func:`coarse_cell_drift`) answers "did the data
+    MOVE between cells"; this answers "do the codebooks still FIT the
+    data": per-cell mean PQ quantization (reconstruction) error of the
+    BASE-trained codebooks — the sum over subspaces of the squared L2
+    distance to each row's nearest codebook centroid, i.e. exactly the
+    error the ADC serve path pays — compared between the base corpus and
+    the full corpus.  A cell whose occupancy is steady but whose
+    distortion grew is the failure mode occupancy drift cannot see:
+    arrivals land in the right cell but far from every centroid (the
+    standing index still FINDS them, just ranks them badly), and the fix
+    is the same index_retrain action.
+
+    Exactness: per-row distortion is deterministic double arithmetic on
+    identical operands (the same per-subspace distances the coding
+    argmin already compares), integer-quantized at 1e6 per row —
+    floor(d*1e6 + 0.5) — then summed exactly and averaged by integer
+    division, so the report hash-checks.
+
+    Scale shape: one narrow projection over the corpus (the
+    pq_encode_frame expressions plus an array_min fold per subspace —
+    no extra pass, no shuffle beyond the n_cells-row aggregate); the
+    codebooks/centroids are driver-held metadata.  Output: (cell,
+    n_base, n_all, mean_dist_base_u, mean_dist_all_u, dist_drift_u),
+    one row per occupied cell, micro-units."""
+    base = df.where(base_where)
+    _, cents = pq_train_assign(base, vec_col, id_col, m, k, sub_dim)
+    cell_ids, cvecs = _coarse_centroids(
+        base, n_cells, vec_col, id_col, m, sub_dim
+    )
+    valid = df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= m * sub_dim)
+    ).select(
+        id_col,
+        F.when(base_where, F.lit(1)).otherwise(F.lit(0)).alias("__is_base"),
+        *[
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                f"__sub{s}"
+            )
+            for s in range(m)
+        ],
+    )
+    for s in range(m):
+        c_lit = F.lit(cents[s]).cast("array<array<double>>")
+        vec = F.transform(F.col(f"__sub{s}"), lambda x: x.cast("double"))
+        valid = valid.withColumn(
+            f"__d{s}", F.transform(c_lit, lambda c: _sq_dist(vec, c))
+        )
+    dist = F.array_min(F.col("__d0"))
+    for s in range(1, m):
+        dist = dist + F.array_min(F.col(f"__d{s}"))
+    q = F.floor(dist * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    per = (
+        valid.withColumn(
+            "cell", _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
+        )
+        .select("cell", "__is_base", q.alias("__q"))
+        .groupBy("cell")
+        .agg(
+            F.sum("__is_base").cast("long").alias("n_base"),
+            F.count(F.lit(1)).cast("long").alias("n_all"),
+            F.sum(F.col("__q") * F.col("__is_base")).alias("__sum_base"),
+            F.sum("__q").alias("__sum_all"),
+        )
+    )
+    return per.select(
+        "cell",
+        "n_base",
+        "n_all",
+        F.expr("__sum_base div n_base").alias("mean_dist_base_u"),
+        F.expr("__sum_all div n_all").alias("mean_dist_all_u"),
+        F.expr(
+            "abs(__sum_all div n_all - __sum_base div n_base)"
+        ).alias("dist_drift_u"),
+    )
+
+
+def pq_distortion_report_sql(
+    table: str = "embeddings",
+    train_where: str = "vec_id % 10 <> 0",
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> str:
+    """Oracle twin of :func:`pq_distortion_report`: the trained-on-base
+    Lloyd CTE chains give the codebooks, a min-distance aggregate per
+    subspace gives each row's quantization error (the same per-(vid,
+    cid) distances the coding CTEs rank), the base-seeded cdist/vass
+    CTEs give the coarse cell, and the census quantizes at 1e6 with
+    exact HUGEINT sums and integer division."""
+    g = f"{vec_col} IS NOT NULL AND len({vec_col}) >= {m * sub_dim}"
+    guarded_all = f"(SELECT * FROM {table} WHERE {g})"
+    guarded_train = f"(SELECT * FROM {table} WHERE ({train_where}) AND {g})"
+    parts: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.extend(
+            _lloyd_cte_parts(
+                guarded_train, k, iterations,
+                f"{vec_col}[{lo}:{hi}]", id_col, prefix=f"q{s}",
+            )
+        )
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.append(
+            f"""fa{s} AS (
+  SELECT {id_col},
+         list_transform({vec_col}[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS e
+  FROM {guarded_all} g
+),
+fm{s} AS (
+  SELECT v.{id_col} AS vid, min(
+         list_sum(list_transform(generate_series(1, {sub_dim}),
+                  i -> (v.e[i] - p.c[i]) * (v.e[i] - p.c[i])))) AS md
+  FROM fa{s} v, q{s}c{iterations} p
+  GROUP BY v.{id_col}
+)"""
+        )
+    parts.append(
+        f"cents AS (SELECT {id_col} AS cell, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cv "
+        f"FROM {guarded_train} g WHERE g.{id_col} < {n_cells})"
+    )
+
+    def sub_fold(vec_expr, cent_expr, s):
+        off = s * sub_dim
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+            f"i -> ({vec_expr}[i] - {cent_expr}[{off} + i])"
+            f" * ({vec_expr}[i] - {cent_expr}[{off} + i])))"
+        )
+
+    vdist = " + ".join(sub_fold(f"v{s}.e", "c.cv", s) for s in range(m))
+    vjoins = " ".join(
+        f"JOIN fa{s} v{s} ON v{s}.{id_col} = v0.{id_col}"
+        for s in range(1, m)
+    )
+    mjoins = " ".join(
+        f"JOIN fm{s} m{s} ON m{s}.vid = m0.vid" for s in range(1, m)
+    )
+    msum = " + ".join(f"m{s}.md" if s else "m0.md" for s in range(m))
+    parts.append(
+        f"""cdist AS (
+  SELECT v0.{id_col} AS vid, c.cell, {vdist} AS dist
+  FROM fa0 v0 {vjoins} CROSS JOIN cents c
+),
+vass AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, cell) AS rn
+    FROM cdist) r
+  WHERE rn = 1
+),
+rowq AS (
+  SELECT m0.vid,
+         CAST(floor(({msum}) * 1000000.0 + 0.5) AS HUGEINT) AS q,
+         CASE WHEN ({train_where.replace(id_col, 'm0.vid')})
+              THEN 1 ELSE 0 END AS is_base
+  FROM fm0 m0 {mjoins}
+),
+per AS (
+  SELECT v.cell,
+         sum(r.is_base) AS n_base,
+         count(*) AS n_all,
+         sum(r.q * r.is_base) AS sum_base,
+         sum(r.q) AS sum_all
+  FROM rowq r JOIN vass v ON v.vid = r.vid
+  GROUP BY v.cell
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT cell, CAST(n_base AS BIGINT) AS n_base, CAST(n_all AS BIGINT) AS n_all,
+       CAST(sum_base // n_base AS BIGINT) AS mean_dist_base_u,
+       CAST(sum_all // n_all AS BIGINT) AS mean_dist_all_u,
+       CAST(abs(sum_all // n_all - sum_base // n_base) AS BIGINT)
+         AS dist_drift_u
+FROM per"""
+    )
+
+
 def pca_power_iteration(
     df: DataFrame,
     vec_col: str = "embedding",

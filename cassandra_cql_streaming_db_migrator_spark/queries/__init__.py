@@ -350,6 +350,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_index_delete": {},
     "stream_index_delete_recall": {},
     "index_tombstone_purge": {},
+    "cluster_balanced_sample": {},
+    "index_distortion_report": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -394,6 +396,8 @@ DRIVER_HEAD = [
     "stream_index_delete",
     "stream_index_delete_recall",
     "index_tombstone_purge",
+    "cluster_balanced_sample",
+    "index_distortion_report",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -435,14 +439,13 @@ DRIVER_HEAD = [
     "q6_forecast_revenue",
     "revenue_pareto",
     "semdedup",
-    "session_concurrency",
-    "skyline_parts",
     # (stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
     # wow_growth, zscore_anomalies, the r05 trio activity_streaks,
     # audience_overlap, basket_rules, and then sliding_distinct,
-    # stream_expectations, stream_heavy_hitters were the displaced
-    # rule-2 fill as the round-10 rule-1/1b entries above head-listed;
-    # all fourteen stay strict-checked in the tail every round)
+    # stream_expectations, stream_heavy_hitters, skyline_parts,
+    # session_concurrency were the displaced rule-2 fill as the
+    # round-10 rule-1/1b entries above head-listed; all sixteen stay
+    # strict-checked in the tail every round)
 ]
 
 

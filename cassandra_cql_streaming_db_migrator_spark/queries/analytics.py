@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.aggregates import decimal_sum
 from ..operators.bloom import bloom_semi_join
 from ..operators.clustering import (
+    kmeans_assignments,
     kmeans_lloyd,
     kmeans_lloyd_sql,
     semdedup,
@@ -981,6 +982,78 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(load_table(spark, sf_dir, "embeddings"))
+
+
+# Cluster-balanced (diversity-flattening) subsampling: the cluster-curation
+# step between semdedup (drop near-identical vectors) and mixture planning
+# (weight whole sources) — head TOPICS are capped, tail topics survive
+# whole, so the kept set's topic distribution flattens without touching
+# source labels.  Cap chosen so the fixture exercises both branches at
+# every SF (cluster populations measured 49-71 at sf0.001/sf0.01: the
+# sub-60 clusters survive whole, the rest truncate at the cap).
+
+_CBAL_CAP = 60
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-flattening subsample over the embedding corpus: k-means
+    (the deterministic Lloyd loop kmeans_embeddings pins) assigns every
+    vector a topic cluster, then up to _CBAL_CAP vectors per cluster are
+    kept by salted-polynomial-hash rank (sample_per_group — reproducible
+    across runs, engines, and partitionings; no RNG).  Output rows are
+    the kept vectors with their cluster, rank, and the cluster's full
+    population — the audit columns a curation pipeline needs to see HOW
+    MUCH each topic was flattened.
+
+    Scale shape: Lloyd is 1 shuffle per round with driver-held k x dim
+    centroids; the sampler is one shuffle on cluster_id + a per-cluster
+    window where rows past the cap never materialize downstream; the
+    population census is k rows, broadcast back."""
+    from ..operators.corpus import sample_per_group
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(emb)
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_in_cluster")
+    )
+    sampled = sample_per_group(
+        assigned.select("vec_id", "cluster_id"),
+        ["cluster_id"],
+        _CBAL_CAP,
+        id_col="vec_id",
+        salt="#cbal",
+    )
+    return sampled.join(F.broadcast(sizes), "cluster_id").select(
+        "vec_id",
+        F.col("cluster_id").cast("int"),
+        "sample_rank",
+        "n_in_cluster",
+    )
+
+
+def _cluster_balanced_sample_sql() -> str:
+    from ..functions.hashing import poly_hash_sql
+    from ..operators.clustering import _lloyd_cte_parts
+
+    parts = _lloyd_cte_parts("embeddings", 8, 2, "embedding", "vec_id")
+    ph = poly_hash_sql("CAST(vid AS VARCHAR) || '#cbal'")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+siz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_in_cluster
+        FROM af_ GROUP BY cid),
+r AS (
+  SELECT vid, cid,
+         CAST(row_number() OVER (PARTITION BY cid ORDER BY {ph}, vid)
+              AS INTEGER) AS sample_rank
+  FROM af_
+)
+SELECT r.vid AS vec_id, CAST(r.cid AS INTEGER) AS cluster_id,
+       r.sample_rank, s.n_in_cluster
+FROM r JOIN siz s ON s.cid = r.cid
+WHERE r.sample_rank <= {_CBAL_CAP}"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2223,6 +2296,13 @@ QUERIES = [
         "semdedup", semdedup_embeddings, semdedup_sql(),
         "semantic dedup: k-means blocking + within-cluster cosine "
         "pruning (SemDeDup recipe)",
+    ),
+    QueryDef(
+        "cluster_balanced_sample", cluster_balanced_sample,
+        _cluster_balanced_sample_sql(),
+        "diversity-flattening subsample: cap kept vectors per k-means "
+        "topic cluster by salted-hash rank — head topics truncate, tail "
+        "topics survive whole",
     ),
     QueryDef(
         "inverted_index", inverted_index, build_inverted_index_sql(),

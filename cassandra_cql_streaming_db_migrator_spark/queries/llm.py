@@ -677,6 +677,34 @@ def _index_drift_report_sql() -> str:
     )
 
 
+def index_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain trigger's SECOND axis (operators.clustering.
+    pq_distortion_report): index_drift_report's occupancy gauge answers
+    'did the data MOVE between cells'; this answers 'do the base-trained
+    codebooks still FIT the data' — per-cell mean PQ reconstruction
+    error (the exact error the ADC serve path pays), base corpus vs full
+    corpus, in integer micro-units.  A cell with steady occupancy but
+    growing distortion is the staleness mode the occupancy gauge cannot
+    see: arrivals land in the right cell but far from every codebook
+    centroid, so the index still FINDS them and ranks them badly.  Same
+    fixture split as the drift family (train on vec_id % 10 != 0), same
+    one-narrow-pass + n_cells-row-aggregate shape."""
+    from ..operators.clustering import pq_distortion_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_distortion_report(
+        emb, F.col("vec_id") % 10 != 0, n_cells=8
+    )
+
+
+def _index_distortion_report_sql() -> str:
+    from ..operators.clustering import pq_distortion_report_sql
+
+    return pq_distortion_report_sql(
+        table="embeddings", train_where="vec_id % 10 <> 0", n_cells=8
+    )
+
+
 def ann_filtered_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED (hybrid) vector search over the saved IVF-PQ index — the
     production 'top-k among rows WHERE <metadata predicate>' shape every
@@ -3991,6 +4019,12 @@ QUERIES = [
              "index-staleness gauge: per-cell occupancy drift of the "
              "base-trained quantizer in exact ppm — the data-driven "
              "retrain trigger"),
+    QueryDef("index_distortion_report", index_distortion_report,
+             _index_distortion_report_sql(),
+             "the retrain trigger's second axis: per-cell mean PQ "
+             "reconstruction error of the base-trained codebooks, base "
+             "vs full corpus, integer micro-units — catches staleness "
+             "occupancy drift cannot see"),
     QueryDef("index_retrain", index_retrain_q, _index_retrain_sql(),
              "drift->retrain ACTION loop, retrain branch: measured drift "
              "exceeds the threshold, so the quantizer retrains on the "

@@ -194,6 +194,13 @@ PROBES: dict[str, tuple[float, str]] = {
     # drain + O(index) compaction read/write + n_cells-row censuses
     "index_tombstone_purge": (15.0, "linear: drain + one fold "
                                     "read/write"),
+    # Lloyd rounds (1 shuffle each, driver-held centroids) + one
+    # cluster_id window; rows past the cap never materialize
+    "cluster_balanced_sample": (15.0, "linear: Lloyd passes + one "
+                                      "per-cluster window"),
+    # PQ train passes + one narrow corpus projection + n_cells-row agg
+    "index_distortion_report": (15.0, "linear: train + one distortion "
+                                      "pass"),
 }
 
 
