@@ -352,6 +352,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "index_tombstone_purge": {},
     "cluster_balanced_sample": {},
     "index_distortion_report": {},
+    "contamination_erasure": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -398,6 +399,7 @@ DRIVER_HEAD = [
     "index_tombstone_purge",
     "cluster_balanced_sample",
     "index_distortion_report",
+    "contamination_erasure",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -438,14 +440,13 @@ DRIVER_HEAD = [
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "revenue_pareto",
-    "semdedup",
     # (stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
     # wow_growth, zscore_anomalies, the r05 trio activity_streaks,
     # audience_overlap, basket_rules, and then sliding_distinct,
     # stream_expectations, stream_heavy_hitters, skyline_parts,
-    # session_concurrency were the displaced rule-2 fill as the
-    # round-10 rule-1/1b entries above head-listed; all sixteen stay
-    # strict-checked in the tail every round)
+    # session_concurrency, semdedup were the displaced rule-2 fill as
+    # the round-10 rule-1/1b entries above head-listed; all seventeen
+    # stay strict-checked in the tail every round)
 ]
 
 

@@ -1282,6 +1282,107 @@ FROM codes GROUP BY cell
 """
 
 
+def contamination_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETECTOR-DRIVEN ERASURE, end to end — the reason a vector store
+    needs deletes at all, composed from four proven pieces: the semantic
+    contamination screen finds the corpus vectors sitting next to the
+    benchmark (bench_contamination, semantic_decontaminate's kernel),
+    those ids stream into the live index as CDC DELETES alongside the
+    normal upsert arrivals (streaming_index_cdc on the dedicated
+    ``sidxe`` prefix), compaction makes the erasure physical inside one
+    committed swap (compact_streaming_index's tombstone fold), and the
+    4-query ADC batch then serves FROM THE PURGED ARTIFACT — proving the
+    contaminated vectors can no longer rank.  ``n_erased`` rides every
+    row as a checked column binding the screen to the purge (every
+    screened id is a coded corpus row, so erased count == screen count).
+    Rerun-deterministic by the clone seam: the gated ``sidxe0`` triple
+    hardlink-clones to the working prefix per call, so the destructive
+    compaction genuinely executes every run.  The oracle re-derives the
+    whole loop: train-on-base / code-the-union batched ADC with the
+    screen's id set excluded before ranking (serve_where NOT IN the
+    contamination CTE)."""
+    from ..operators.clustering import _query_vectors, ivf_pq_adc_batch
+    from ..operators.similarity import bench_contamination
+    from ..sinks.artifacts import (
+        artifact_store,
+        clone_artifact,
+        load_artifact,
+        load_coarse_centroids,
+        load_pq_codebooks,
+    )
+    from ..sources.parquet import load_table
+    from ..streaming.stream import (
+        _ensure_index_artifacts,
+        compact_streaming_index,
+        streaming_index_cdc,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+    cont = bench_contamination(
+        corpus=emb.filter(F.col("vec_id") % 20 != 0),
+        bench=emb.filter(F.col("vec_id") % 20 == 0),
+        threshold=0.35,
+    ).select("vec_id")
+    # the screen's output is result-scale: the semi-join below broadcasts
+    # it back into the corpus to build the delete rows
+    dels = emb.join(F.broadcast(cont), "vec_id", "semi").withColumn(
+        "op", F.lit("d")
+    )
+    ups = emb.where(F.col("vec_id") % 10 == 0).withColumn("op", F.lit("u"))
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    _ensure_index_artifacts(
+        spark, base, store, "embedding", "vec_id", 8, 4, 4, 16, "sidxe0"
+    )
+    for part in ("codes", "centroids", "codebooks"):
+        clone_artifact(store, f"sidxe0_{part}", f"sidxe_{part}")
+    streaming_index_cdc(
+        spark,
+        base=base,
+        changes=ups.unionByName(dels),
+        store=store,
+        prefix="sidxe",
+    )
+    n_erased = cont.count()
+    compact_streaming_index(spark, store, prefix="sidxe")
+    codes = load_artifact(spark, store, "sidxe_codes")
+    cents = load_pq_codebooks(spark, store, name="sidxe_codebooks")
+    cell_ids, cvecs = load_coarse_centroids(
+        spark, store, name="sidxe_centroids"
+    )
+    queries = _query_vectors(emb, 4, "embedding", "vec_id", 4, 16)
+    serve = ivf_pq_adc_batch(
+        spark, codes, cents, cell_ids, cvecs, queries, topk=10, n_probe=2
+    )
+    return serve.select(
+        "*", F.lit(n_erased).cast("long").alias("n_erased")
+    )
+
+
+def _contamination_erasure_sql() -> str:
+    from ..operators.clustering import ivf_pq_batch_trained_on_sql
+    from .llm import _SEMANTIC_DECONTAMINATE_SQL
+
+    serve = ivf_pq_batch_trained_on_sql(
+        table="embeddings",
+        train_where="vec_id % 10 <> 0",
+        n_queries=4,
+        topk=10,
+        n_cells=8,
+        n_probe=2,
+        serve_where=(
+            "fc0.vid NOT IN (SELECT vec_id FROM "
+            f"({_SEMANTIC_DECONTAMINATE_SQL}) cont)"
+        ),
+    )
+    return f"""
+SELECT r.query_id, r.vec_id, r.cell, r.adc_dist, r.rn, d.n_erased
+FROM ({serve}) r CROSS JOIN
+     (SELECT CAST(count(*) AS BIGINT) AS n_erased
+      FROM ({_SEMANTIC_DECONTAMINATE_SQL}) c) d
+"""
+
+
 def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE benchmark screening — semantic_decontaminate's streaming
     twin, the shape a crawl pipeline actually runs it in (screen every
@@ -1502,6 +1603,11 @@ QUERIES = [
              "the physical purge: compaction folds arrivals AND "
              "anti-joins tombstones inside one committed swap; per-cell "
              "folded/purged/remaining census — the erasure audit view"),
+    QueryDef("contamination_erasure", contamination_erasure,
+             _contamination_erasure_sql(),
+             "detector-driven erasure end to end: semantic screen -> "
+             "CDC deletes -> tombstone purge -> serve from the purged "
+             "artifact; contaminated vectors can no longer rank"),
     QueryDef("stream_decontaminate", stream_decontaminate,
              _stream_decontaminate_sql(),
              "live benchmark screening: the bench matrix rides into a "

@@ -201,6 +201,11 @@ PROBES: dict[str, tuple[float, str]] = {
     # PQ train passes + one narrow corpus projection + n_cells-row agg
     "index_distortion_report": (15.0, "linear: train + one distortion "
                                       "pass"),
+    # screen kernel (one corpus pass, bench broadcast; fixture scales
+    # bench too — semantic_decontaminate's documented worst case) +
+    # drain + O(index) compaction + one codes-scan serve
+    "contamination_erasure": (15.0, "screen pass + drain + one fold; "
+                                    "bench fixed in prod"),
 }
 
 
