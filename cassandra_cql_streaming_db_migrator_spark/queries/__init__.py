@@ -353,6 +353,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "cluster_balanced_sample": {},
     "index_distortion_report": {},
     "contamination_erasure": {},
+    "stream_cluster_sample": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -400,6 +401,7 @@ DRIVER_HEAD = [
     "cluster_balanced_sample",
     "index_distortion_report",
     "contamination_erasure",
+    "stream_cluster_sample",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -439,14 +441,13 @@ DRIVER_HEAD = [
     "q22_dormant_customers",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
-    "revenue_pareto",
     # (stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
     # wow_growth, zscore_anomalies, the r05 trio activity_streaks,
     # audience_overlap, basket_rules, and then sliding_distinct,
     # stream_expectations, stream_heavy_hitters, skyline_parts,
-    # session_concurrency, semdedup were the displaced rule-2 fill as
-    # the round-10 rule-1/1b entries above head-listed; all seventeen
-    # stay strict-checked in the tail every round)
+    # session_concurrency, semdedup, revenue_pareto were the displaced
+    # rule-2 fill as the round-10 rule-1/1b entries above head-listed;
+    # all eighteen stay strict-checked in the tail every round)
 ]
 
 

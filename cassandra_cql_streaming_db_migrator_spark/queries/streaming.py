@@ -1282,6 +1282,113 @@ FROM codes GROUP BY cell
 """
 
 
+_SCS_CAP = 60
+
+
+def stream_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_balanced_sample's STREAMING twin — the diversity sampler
+    kept current as the corpus streams in: topic centroids train
+    batch-side on the BASE split (vec_id % 10 != 0 — the per-corpus-
+    version training discipline every streaming index query uses), the
+    full corpus then streams through per-microbatch coarse assignment
+    (pure-Catalyst argmin against the driver-held centroids) plus the
+    batch sampler's exact salted poly_hash, and a bounded per-cluster
+    GroupState keeps the cap smallest (hash, id) pairs — KMV's
+    mergeable-state shape, O(k x cap) forever
+    (streaming.stream.streaming_cluster_sample_state).  The drained
+    sample row-for-row equals the batch ranker over base-trained
+    assignments: k-min of a union is k-min of merged sets, so microbatch
+    placement cannot change what survives."""
+    from pyspark.sql import Window as _W
+
+    from ..functions.hashing import poly_hash
+    from ..operators.clustering import _assign, _lloyd_centroids
+    from ..sources.parquet import load_table
+    from ..streaming.stream import (
+        read_documents_stream_chunked,
+        streaming_cluster_sample_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    valid = emb.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    cents = _lloyd_centroids(
+        valid.where(F.col("vec_id") % 10 != 0), 8, 2, "embedding", "vec_id"
+    )
+    stream = read_documents_stream_chunked(spark, valid, n_chunks=4)
+    hv = poly_hash(
+        F.concat(F.col("vec_id").cast("string"), F.lit("#scs"))
+    )
+    rows = _assign(stream, cents, "embedding").select(
+        F.col("__cid").alias("cluster_id"), hv.alias("hv"), "vec_id"
+    )
+    sketch = run_to_memory(
+        streaming_cluster_sample_state(rows, cap=_SCS_CAP),
+        output_mode="update",
+    )
+    # one row per (cluster, microbatch) lands in the sink: keep each
+    # cluster's final revision (stream_kmv's discipline), then explode
+    # the ordered sample back to ranked rows — position IS the rank
+    w = _W.partitionBy("cluster_id")
+    final = sketch.withColumn("__mx", F.max("rev").over(w)).where(
+        F.col("rev") == F.col("__mx")
+    )
+    return final.select(
+        "cluster_id",
+        F.col("n_seen").alias("n_in_cluster"),
+        F.posexplode("ids").alias("__pos", "vec_id"),
+    ).select(
+        "vec_id",
+        F.col("cluster_id").cast("int"),
+        (F.col("__pos") + 1).cast("int").alias("sample_rank"),
+        "n_in_cluster",
+    )
+
+
+def _stream_cluster_sample_sql() -> str:
+    from ..functions.hashing import poly_hash_sql
+    from ..operators.clustering import _lloyd_cte_parts
+
+    parts = _lloyd_cte_parts(
+        "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)",
+        8, 2, "embedding", "vec_id",
+    )
+    ph = poly_hash_sql("CAST(vid AS VARCHAR) || '#scs'")
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(v.e)), "
+        "i -> (v.e[i] - p.c[i]) * (v.e[i] - p.c[i])))"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+fa AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+fd AS (SELECT v.vec_id AS vid, p.cid, {dist} AS d FROM fa v, c2 p),
+fass AS (
+  SELECT vid, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+        FROM fd)
+  WHERE rn = 1
+),
+siz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_in_cluster
+        FROM fass GROUP BY cid),
+r AS (
+  SELECT vid, cid,
+         CAST(row_number() OVER (PARTITION BY cid ORDER BY {ph}, vid)
+              AS INTEGER) AS sample_rank
+  FROM fass
+)
+SELECT r.vid AS vec_id, CAST(r.cid AS INTEGER) AS cluster_id,
+       r.sample_rank, s.n_in_cluster
+FROM r JOIN siz s ON s.cid = r.cid
+WHERE r.sample_rank <= {_SCS_CAP}"""
+    )
+
+
 def contamination_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DETECTOR-DRIVEN ERASURE, end to end — the reason a vector store
     needs deletes at all, composed from four proven pieces: the semantic
@@ -1608,6 +1715,11 @@ QUERIES = [
              "detector-driven erasure end to end: semantic screen -> "
              "CDC deletes -> tombstone purge -> serve from the purged "
              "artifact; contaminated vectors can no longer rank"),
+    QueryDef("stream_cluster_sample", stream_cluster_sample,
+             _stream_cluster_sample_sql(),
+             "the diversity sampler as a stream: per-cluster bounded "
+             "(hash, id)-min state — KMV's mergeable shape, O(k x cap) "
+             "forever; drained sample equals the batch ranker"),
     QueryDef("stream_decontaminate", stream_decontaminate,
              _stream_decontaminate_sql(),
              "live benchmark screening: the bench matrix rides into a "

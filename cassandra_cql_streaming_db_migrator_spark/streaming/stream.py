@@ -284,6 +284,65 @@ def streaming_kmv_state(
     )
 
 
+def streaming_cluster_sample_state(
+    rows: DataFrame, cap: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Streaming per-cluster bounded sample: GroupState holds, per
+    cluster, the ``cap`` SMALLEST (salted-hash, id) pairs ever seen plus
+    a row count — KMV's exact state shape (k-min of a union = k-min of
+    merged sets, so per-microbatch updates fold into what the batch
+    ranker would compute) applied to diversity sampling instead of
+    cardinality: the retained pairs ARE the cluster's salted-hash-rank
+    sample, kept current as the corpus streams in, from O(k x cap) state
+    forever.  Input rows carry (cluster_id, hv, id) with the hash
+    computed UPSTREAM as a Catalyst column (the batch sampler's exact
+    poly_hash), so the kernel only maintains the bounded min-set.
+    Emits the ordered sample arrays + the running population per
+    revision; the caller keeps each cluster's final revision and
+    explodes ranks batch-side."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    out_schema = (
+        "cluster_id int, n_seen long, hs array<bigint>, "
+        "ids array<bigint>, rev long"
+    )
+    state_schema = "rev long, n long, hs array<bigint>, ids array<bigint>"
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            rev, n = state.get[0], state.get[1]
+            items = list(zip(state.get[2], state.get[3]))
+        else:
+            rev, n, items = 0, 0, []
+        for pdf in pdf_iter:
+            hv = pdf["hv"].to_numpy().astype("int64")
+            ids = pdf[id_col].to_numpy().astype("int64")
+            n += len(ids)
+            items.extend(zip((int(h) for h in hv), (int(i) for i in ids)))
+            if len(items) > cap:
+                items = sorted(items)[:cap]
+        items = sorted(items)[:cap]
+        rev += 1
+        state.update(
+            (rev, n, [h for h, _ in items], [i for _, i in items])
+        )
+        yield pd.DataFrame(
+            {
+                "cluster_id": [key[0]],
+                "n_seen": [n],
+                "hs": [[h for h, _ in items]],
+                "ids": [[i for _, i in items]],
+                "rev": [rev],
+            }
+        )
+
+    return rows.groupBy("cluster_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_funnel_state(
     events: DataFrame,
     key_col: str,

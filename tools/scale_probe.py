@@ -206,6 +206,10 @@ PROBES: dict[str, tuple[float, str]] = {
     # drain + O(index) compaction + one codes-scan serve
     "contamination_erasure": (15.0, "screen pass + drain + one fold; "
                                     "bench fixed in prod"),
+    # Lloyd train on base + per-batch assignment projection + O(k*cap)
+    # state; the drained explode is sample-scale
+    "stream_cluster_sample": (15.0, "linear: train + per-batch "
+                                    "assignment, bounded state"),
 }
 
 
