@@ -1879,6 +1879,50 @@ FROM per, tot"""
     )
 
 
+def distortion_frame(
+    df: DataFrame,
+    cents: list[list[list[float]]],
+    cell_ids: list[int],
+    cvecs: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Per-row PQ quantization error against a DRIVER-HELD quantizer:
+    (id, cell, __q) where __q = floor(1e6 * sum over subspaces of the
+    squared L2 distance to the nearest codebook centroid + 0.5) — the
+    exact error the ADC serve path pays, integer-quantized so downstream
+    sums are exact.  Pure Catalyst (the pq_encode_frame expressions plus
+    an array_min fold per subspace), so it runs identically on batch and
+    STREAMING frames — :func:`pq_distortion_report` aggregates it
+    batch-side, stream_distortion_monitor folds it per microbatch."""
+    valid = df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= m * sub_dim)
+    ).select(
+        id_col,
+        *[
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                f"__sub{s}"
+            )
+            for s in range(m)
+        ],
+    )
+    for s in range(m):
+        c_lit = F.lit(cents[s]).cast("array<array<double>>")
+        vec = F.transform(F.col(f"__sub{s}"), lambda x: x.cast("double"))
+        valid = valid.withColumn(
+            f"__d{s}", F.transform(c_lit, lambda c: _sq_dist(vec, c))
+        )
+    dist = F.array_min(F.col("__d0"))
+    for s in range(1, m):
+        dist = dist + F.array_min(F.col(f"__d{s}"))
+    q = F.floor(dist * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    return valid.withColumn(
+        "cell", _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
+    ).select(id_col, "cell", q.alias("__q"))
+
+
 def pq_distortion_report(
     df: DataFrame,
     base_where,
@@ -1919,33 +1963,15 @@ def pq_distortion_report(
     cell_ids, cvecs = _coarse_centroids(
         base, n_cells, vec_col, id_col, m, sub_dim
     )
-    valid = df.where(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= m * sub_dim)
-    ).select(
-        id_col,
-        F.when(base_where, F.lit(1)).otherwise(F.lit(0)).alias("__is_base"),
-        *[
-            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
-                f"__sub{s}"
-            )
-            for s in range(m)
-        ],
-    )
-    for s in range(m):
-        c_lit = F.lit(cents[s]).cast("array<array<double>>")
-        vec = F.transform(F.col(f"__sub{s}"), lambda x: x.cast("double"))
-        valid = valid.withColumn(
-            f"__d{s}", F.transform(c_lit, lambda c: _sq_dist(vec, c))
-        )
-    dist = F.array_min(F.col("__d0"))
-    for s in range(1, m):
-        dist = dist + F.array_min(F.col(f"__d{s}"))
-    q = F.floor(dist * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
     per = (
-        valid.withColumn(
-            "cell", _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
+        distortion_frame(
+            df, cents, cell_ids, cvecs, vec_col, id_col, m, sub_dim
         )
-        .select("cell", "__is_base", q.alias("__q"))
+        .withColumn(
+            "__is_base",
+            F.when(base_where, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select("cell", "__is_base", "__q")
         .groupBy("cell")
         .agg(
             F.sum("__is_base").cast("long").alias("n_base"),

@@ -912,6 +912,96 @@ def _stream_drift_monitor_sql() -> str:
     )
 
 
+def stream_distortion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE codebook-fit monitoring — index_distortion_report's streaming
+    twin, completing the two-axis retrain trigger the way
+    stream_drift_monitor completed the occupancy axis (occupancy answers
+    'did the data move between cells', distortion answers 'do the
+    codebooks still fit the data INSIDE each cell'; both now have a
+    batch gauge and a live monitor): arrivals (vec_id % 10 == 0) run
+    through the base-trained distortion projection per microbatch
+    (operators.clustering.distortion_frame — pure Catalyst, the exact
+    ADC error integer-quantized at 1e6) and fold as a per-cell (count,
+    exact sum) streaming aggregate — O(cells) state forever, count and
+    sum ARE the merge.  The drained arrival census joins the batch-side
+    base census into the same integer report as the batch gauge, so the
+    result row-for-row equals pq_distortion_report over the full corpus
+    — the shared oracle."""
+    from ..operators.clustering import (
+        _coarse_centroids,
+        distortion_frame,
+        pq_train_assign,
+    )
+    from ..sources.parquet import load_table
+    from ..streaming.stream import read_documents_stream_chunked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_where = F.col("vec_id") % 10 != 0
+    base = emb.where(base_where)
+    m, k, sub_dim, n_cells = 4, 4, 16, 8
+    _, cents = pq_train_assign(base, "embedding", "vec_id", m, k, sub_dim)
+    cell_ids, cvecs = _coarse_centroids(
+        base, n_cells, "embedding", "vec_id", m, sub_dim
+    )
+
+    arrivals = read_documents_stream_chunked(
+        spark, emb.where(~base_where), n_chunks=4
+    )
+    live = (
+        distortion_frame(
+            arrivals, cents, cell_ids, cvecs, "embedding", "vec_id",
+            m, sub_dim,
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_arr"),
+            F.sum("__q").alias("sum_arr"),
+        )
+    )
+    drained = run_to_memory(live, output_mode="complete")
+
+    base_per = (
+        distortion_frame(
+            base, cents, cell_ids, cvecs, "embedding", "vec_id", m, sub_dim
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum("__q").alias("sum_base"),
+        )
+    )
+    # both censuses are <= n_cells rows — the report FINISH is
+    # metadata-scale driver arithmetic, pure integer, so it hash-checks.
+    # Every cell an arrival can land in holds its own centroid, which is
+    # a BASE row by construction, so driving off the base census loses
+    # no cell (stream_drift_monitor's argument).
+    arr = {
+        r["cell"]: (int(r["n_arr"]), int(r["sum_arr"]))
+        for r in drained.collect()
+    }
+    rows = []
+    for r in sorted(base_per.collect(), key=lambda r: r["cell"]):
+        cell, nb, sb = r["cell"], int(r["n_base"]), int(r["sum_base"])
+        na, sa = arr.get(cell, (0, 0))
+        n_all, s_all = nb + na, sb + sa
+        mb = sb // nb
+        ma = s_all // n_all
+        rows.append((cell, nb, n_all, mb, ma, abs(ma - mb)))
+    return spark.createDataFrame(
+        rows,
+        "cell long, n_base long, n_all long, mean_dist_base_u long, "
+        "mean_dist_all_u long, dist_drift_u long",
+    )
+
+
+def _stream_distortion_monitor_sql() -> str:
+    from ..operators.clustering import pq_distortion_report_sql
+
+    return pq_distortion_report_sql(
+        table="embeddings", train_where="vec_id % 10 <> 0", n_cells=8
+    )
+
+
 def stream_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE self-maintaining-index loop in one query (round 10 —
     composing r8's live maintenance, r9's drift sensing, and r10's
@@ -1689,6 +1779,11 @@ QUERIES = [
              "live index-staleness monitoring: per-cell arrival census "
              "as an O(cells) streaming aggregate, drained report equals "
              "batch coarse_cell_drift"),
+    QueryDef("stream_distortion_monitor", stream_distortion_monitor,
+             _stream_distortion_monitor_sql(),
+             "live codebook-fit monitoring: per-cell (count, exact-sum) "
+             "distortion census as an O(cells) streaming aggregate; "
+             "drained report equals batch pq_distortion_report"),
     QueryDef("stream_index_retrain", stream_index_retrain,
              _stream_index_retrain_sql(),
              "the whole self-maintaining-index loop: stream-maintained "

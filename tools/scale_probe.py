@@ -210,6 +210,10 @@ PROBES: dict[str, tuple[float, str]] = {
     # state; the drained explode is sample-scale
     "stream_cluster_sample": (15.0, "linear: train + per-batch "
                                     "assignment, bounded state"),
+    # PQ train on base + per-batch distortion projection + O(cells)
+    # streaming (count, sum) state
+    "stream_distortion_monitor": (15.0, "linear: train + per-batch "
+                                        "projection, O(cells) state"),
 }
 
 
