@@ -1477,6 +1477,160 @@ WHERE rn <= {topk}"""
     )
 
 
+def ivf_pq_probe_curve_sql(
+    table: str = "embeddings",
+    n_queries: int = 4,
+    topk: int = 10,
+    n_cells: int = 8,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    sub_dim: int = 16,
+    iterations: int = 2,
+) -> str:
+    """Oracle twin of the n_probe TUNING CURVE: one shared train/assign
+    stack (the batch oracle's CTEs), the probe list ranked WITHOUT a
+    threshold (``prank``), then every probe budget in ``probes``
+    evaluated from the same scored frame by thresholding the cell rank —
+    per budget: hits against the exact top-k (computed from the SAME
+    per-subspace distance folds, so both engines sum subspaces in the
+    same order), mean recall in exact ppm, and the candidate volume the
+    budget scans (the cost side of the curve)."""
+    guarded = (
+        f"(SELECT * FROM {table} WHERE {vec_col} IS NOT NULL "
+        f"AND len({vec_col}) >= {m * sub_dim})"
+    )
+    parts: list[str] = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        parts.extend(
+            _lloyd_cte_parts(
+                guarded, k, iterations, f"{vec_col}[{lo}:{hi}]", id_col,
+                prefix=f"q{s}",
+            )
+        )
+    qsubs = ", ".join(
+        f"list_transform({vec_col}[{s * sub_dim + 1}:{(s + 1) * sub_dim}], "
+        f"x -> CAST(x AS DOUBLE)) AS qs{s}"
+        for s in range(m)
+    )
+    parts.append(
+        f"qv AS (SELECT g.{id_col} AS query_id, {qsubs} FROM {guarded} g "
+        f"WHERE g.{id_col} < {n_queries})"
+    )
+    parts.append(
+        f"cents AS (SELECT {id_col} AS cell, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cv "
+        f"FROM {guarded} g WHERE g.{id_col} < {n_cells})"
+    )
+
+    def sub_fold(vec_expr, cent_expr, s):
+        off = s * sub_dim
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+            f"i -> ({vec_expr}[i] - {cent_expr}[{off} + i])"
+            f" * ({vec_expr}[i] - {cent_expr}[{off} + i])))"
+        )
+
+    vjoins = " ".join(
+        f"JOIN q{s}v v{s} ON v{s}.{id_col} = v0.{id_col}"
+        for s in range(1, m)
+    )
+    vdist = " + ".join(sub_fold(f"v{s}.e", "c.cv", s) for s in range(m))
+    parts.append(
+        f"""cdist AS (
+  SELECT v0.{id_col} AS vid, c.cell, {vdist} AS dist
+  FROM q0v v0 {vjoins} CROSS JOIN cents c
+),
+vass AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, cell) AS rn
+    FROM cdist) r
+  WHERE rn = 1
+)"""
+    )
+    qdist = " + ".join(sub_fold(f"qv.qs{s}", "c.cv", s) for s in range(m))
+    parts.append(
+        f"""prank AS (
+  SELECT query_id, cell,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, cell)
+           AS crank
+  FROM (SELECT qv.query_id, c.cell, {qdist} AS dist
+        FROM cents c CROSS JOIN qv) d
+)"""
+    )
+    joins = " ".join(
+        f"JOIN q{s}af_ q{s} ON q{s}.vid = q0.vid" for s in range(1, m)
+    )
+    cjoins = " ".join(
+        f"JOIN q{s}c{iterations} cc{s} ON cc{s}.cid = q{s}.cid"
+        for s in range(m)
+    )
+    adc = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+        f"i -> (qv.qs{s}[i] - cc{s}.c[i]) * (qv.qs{s}[i] - cc{s}.c[i])))"
+        for s in range(m)
+    )
+    parts.append(
+        f"""scoredall AS (
+  SELECT qv.query_id, q0.vid, prank.crank, {adc} AS adc_dist
+  FROM q0af_ q0 {joins} {cjoins} CROSS JOIN qv
+  JOIN vass ON vass.vid = q0.vid
+  JOIN prank ON prank.query_id = qv.query_id AND prank.cell = vass.cell
+)"""
+    )
+    # exact leg from the SAME per-subspace folds (subspace-sum order on
+    # both engines); the query side is already sliced, so the fold is
+    # built directly rather than through sub_fold's offset indexing
+    edist = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+        f"i -> (v{s}.e[i] - qv.qs{s}[i]) * (v{s}.e[i] - qv.qs{s}[i])))"
+        for s in range(m)
+    )
+    parts.append(
+        f"""exact AS (
+  SELECT query_id, vid FROM (
+    SELECT qv.query_id, v0.{id_col} AS vid, {edist} AS d,
+           row_number() OVER (PARTITION BY qv.query_id
+                              ORDER BY {edist}, v0.{id_col}) AS rn
+    FROM q0v v0 {vjoins} CROSS JOIN qv) r
+  WHERE rn <= {topk}
+),
+ps AS (SELECT unnest([{", ".join(str(p) for p in probes)}]) AS p),
+appr AS (
+  SELECT ps.p, s.query_id, s.vid,
+         row_number() OVER (PARTITION BY ps.p, s.query_id
+                            ORDER BY s.adc_dist, s.vid) AS rn
+  FROM scoredall s JOIN ps ON s.crank <= ps.p
+),
+cand AS (
+  SELECT ps.p, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM scoredall s JOIN ps ON s.crank <= ps.p GROUP BY ps.p
+),
+hits AS (
+  SELECT a.p, CAST(count(*) AS BIGINT) AS n_hits
+  FROM appr a JOIN exact e ON a.query_id = e.query_id AND a.vid = e.vid
+  WHERE a.rn <= {topk}
+  GROUP BY a.p
+)"""
+    )
+    denom = n_queries * topk
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(ps.p AS BIGINT) AS n_probe,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(1000000 * coalesce(h.n_hits, 0) // {denom} AS BIGINT)
+         AS mean_recall_ppm,
+       c.n_candidates
+FROM ps LEFT JOIN hits h ON h.p = ps.p JOIN cand c ON c.p = ps.p"""
+    )
+
+
 def pq_codes_trained_on_sql(
     table: str = "embeddings",
     train_where: str = "vec_id % 10 <> 0",

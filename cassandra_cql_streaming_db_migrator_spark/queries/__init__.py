@@ -355,6 +355,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "contamination_erasure": {},
     "stream_cluster_sample": {},
     "stream_distortion_monitor": {},
+    "ivf_pq_probe_curve": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -404,6 +405,7 @@ DRIVER_HEAD = [
     "contamination_erasure",
     "stream_cluster_sample",
     "stream_distortion_monitor",
+    "ivf_pq_probe_curve",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -441,15 +443,14 @@ DRIVER_HEAD = [
     "null_semantics",
     "q13_customer_distribution",
     "q22_dormant_customers",
-    "q2_min_cost_supplier",
     # (stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
     # wow_growth, zscore_anomalies, the r05 trio activity_streaks,
     # audience_overlap, basket_rules, and then sliding_distinct,
     # stream_expectations, stream_heavy_hitters, skyline_parts,
     # session_concurrency, semdedup, revenue_pareto,
-    # q6_forecast_revenue were the displaced rule-2 fill as the
-    # round-10 rule-1/1b entries above head-listed; all nineteen stay
-    # strict-checked in the tail every round)
+    # q6_forecast_revenue, q2_min_cost_supplier were the displaced
+    # rule-2 fill as the round-10 rule-1/1b entries above head-listed;
+    # all twenty stay strict-checked in the tail every round)
 ]
 
 

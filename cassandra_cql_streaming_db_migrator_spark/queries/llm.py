@@ -3764,6 +3764,125 @@ def _ivf_pq_batch_sql() -> str:
     )
 
 
+def ivf_pq_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n_probe TUNING CURVE — the speed/recall tradeoff table an
+    index operator reads to SET n_probe, which every fixed-n_probe serve
+    query here assumes was already chosen: for each probe budget in
+    (1, 2, 4, 8), the saved full-corpus IVF-PQ index serves the 4-query
+    batch (the exact ivf_pq_batch ADC plan per budget) and the row
+    reports mean recall@10 vs the exact neighbors in exact ppm AND the
+    candidate volume that budget scans (the cost axis: candidates grow
+    with probed cells, recall saturates at the ADC distortion ceiling —
+    probing all 8 cells still misranks what quantization blurred).
+    Exact side computed with the SAME per-subspace distance folds as the
+    oracle so both engines sum subspaces in the same order.  All counts
+    are metadata-scale collects (n_cells census, per-budget hit counts);
+    the corpus work is one codes scan per budget plus one exact pass."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.clustering import (
+        _probe_cells,
+        _query_vectors,
+        _sq_dist,
+        ivf_pq_adc_batch,
+        ivf_pq_build,
+    )
+    from ..sinks.artifacts import (
+        artifact_store,
+        has_artifact,
+        load_artifact,
+        load_coarse_centroids,
+        load_pq_codebooks,
+    )
+
+    m, sub_dim, n_cells, topk, n_q = 4, 16, 8, 10, 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+    if not all(
+        has_artifact(store, a)
+        for a in ("ivfpq_codes", "ivf_centroids", "pq_codebooks")
+    ):
+        ivf_pq_build(emb, store, n_cells=n_cells)
+    codes = load_artifact(spark, store, "ivfpq_codes")
+    cents = load_pq_codebooks(spark, store)
+    cell_ids, cvecs = load_coarse_centroids(spark, store)
+    queries = _query_vectors(emb, n_q, "embedding", "vec_id", m, sub_dim)
+
+    # exact top-k per query by the subspace-sum distance (broadcast
+    # query frame carrying pre-sliced subspace arrays)
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    int(qid),
+                    *[
+                        [float(x) for x in qv[s * sub_dim:(s + 1) * sub_dim]]
+                        for s in range(m)
+                    ],
+                )
+                for qid, qv in queries
+            ],
+            "query_id long, "
+            + ", ".join(f"__qs{s} array<double>" for s in range(m)),
+        )
+    )
+    valid = emb.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= m * sub_dim)
+    )
+    d = F.lit(0.0)
+    for s in range(m):
+        sub = F.transform(
+            F.slice(F.col("embedding"), s * sub_dim + 1, sub_dim),
+            lambda x: x.cast("double"),
+        )
+        d = d + _sq_dist(sub, F.col(f"__qs{s}"))
+    w = _W.partitionBy("query_id").orderBy("d", F.col("vec_id").asc())
+    exact = (
+        valid.crossJoin(qdf)
+        .select("query_id", "vec_id", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "vec_id")
+    )
+    from ..operators.caching import materialized
+
+    exact = materialized(exact)
+
+    census = {
+        r["cell"]: int(r["n"])
+        for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = []
+    for p in (1, 2, 4, 8):
+        serve = ivf_pq_adc_batch(
+            spark, codes, cents, cell_ids, cvecs, queries,
+            topk=topk, n_probe=p,
+        ).select("query_id", "vec_id")
+        n_hits = serve.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
+        n_cand = sum(
+            census.get(int(c), 0)
+            for _, qv in queries
+            for c in _probe_cells(qv, cell_ids, cvecs, p, m, sub_dim)
+        )
+        rows.append(
+            (p, n_hits, 1_000_000 * n_hits // (n_q * topk), n_cand)
+        )
+    return spark.createDataFrame(
+        rows,
+        "n_probe long, n_hits long, mean_recall_ppm long, "
+        "n_candidates long",
+    )
+
+
+def _ivf_pq_probe_curve_sql() -> str:
+    from ..operators.clustering import ivf_pq_probe_curve_sql
+
+    return ivf_pq_probe_curve_sql(
+        n_queries=4, topk=10, n_cells=8, probes=(1, 2, 4, 8)
+    )
+
+
 def graph_ann_from_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-ANN served from the SAVED index: node table (id, cell,
     embedding — the by-id-probe layout) and kNN edge table persisted on
@@ -4001,6 +4120,11 @@ QUERIES = [
              "IVF-PQ served from the SAVED index (build-once/serve-many): "
              "load codes+centroids+codebooks, probe + ADC — load-then-serve "
              "hash-equals train-then-serve"),
+    QueryDef("ivf_pq_probe_curve", ivf_pq_probe_curve,
+             _ivf_pq_probe_curve_sql(),
+             "the n_probe tuning curve: per probe budget, mean recall@10 "
+             "in exact ppm + candidate volume scanned — the speed/recall "
+             "table that sets n_probe"),
     QueryDef("ivf_pq_batch", ivf_pq_batch, _ivf_pq_batch_sql(),
              "IVF-PQ serving a query SET from the SAVED index: one codes "
              "scan, broadcast (query, cell, LUT) probes, per-query top-10"),

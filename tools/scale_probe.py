@@ -214,6 +214,10 @@ PROBES: dict[str, tuple[float, str]] = {
     # streaming (count, sum) state
     "stream_distortion_monitor": (15.0, "linear: train + per-batch "
                                         "projection, O(cells) state"),
+    # saved-index serve per budget (one codes scan each) + one exact
+    # pass; probing all cells scans the whole code table — still linear
+    "ivf_pq_probe_curve": (15.0, "linear: 4 codes scans + one exact "
+                                 "pass"),
 }
 
 
