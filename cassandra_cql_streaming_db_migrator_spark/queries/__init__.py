@@ -356,6 +356,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_cluster_sample": {},
     "stream_distortion_monitor": {},
     "ivf_pq_probe_curve": {},
+    "semdedup_threshold_curve": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -406,6 +407,7 @@ DRIVER_HEAD = [
     "stream_cluster_sample",
     "stream_distortion_monitor",
     "ivf_pq_probe_curve",
+    "semdedup_threshold_curve",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -442,15 +444,15 @@ DRIVER_HEAD = [
     "multimodal_framesample",
     "null_semantics",
     "q13_customer_distribution",
-    "q22_dormant_customers",
     # (stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
     # wow_growth, zscore_anomalies, the r05 trio activity_streaks,
     # audience_overlap, basket_rules, and then sliding_distinct,
     # stream_expectations, stream_heavy_hitters, skyline_parts,
     # session_concurrency, semdedup, revenue_pareto,
-    # q6_forecast_revenue, q2_min_cost_supplier were the displaced
-    # rule-2 fill as the round-10 rule-1/1b entries above head-listed;
-    # all twenty stay strict-checked in the tail every round)
+    # q6_forecast_revenue, q2_min_cost_supplier,
+    # q22_dormant_customers were the displaced rule-2 fill as the
+    # round-10 rule-1/1b entries above head-listed; all twenty-one stay
+    # strict-checked in the tail every round)
 ]
 
 

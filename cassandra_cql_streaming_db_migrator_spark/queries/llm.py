@@ -2235,6 +2235,92 @@ WHERE {_dot_sql("a.embedding", "b.embedding")}
            * sqrt({_dot_sql("b.embedding", "b.embedding")})) >= 0.35
 """
 
+# Threshold sweep for the SemDeDup decision: how aggressive to set the
+# cosine cutoff is THE knob of semantic dedup — too low melts distinct
+# documents together, too high keeps paraphrase mirrors.  The curve is
+# computed from ONE pair pass at the loosest threshold; each row is a
+# tighter cutoff's pair count, dropped-doc count (SemDeDup's drop rule:
+# any vector with a >= threshold neighbor of LOWER id — no component
+# pass needed), and drop rate against the whole corpus.
+
+_SEMDEDUP_CURVE_TS = (0.25, 0.35, 0.5, 0.7)
+
+
+def semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-aggressiveness TUNING TABLE (ivf_pq_probe_curve's
+    discipline applied to the dedup family): sweep the SemDeDup cosine
+    threshold over one blocked pair pass — pairs computed once at the
+    loosest cutoff (the bounded within-label kernel of
+    embedding_near_dup), every tighter threshold evaluated by filtering
+    the SAME pair frame — and report, per threshold, surviving pair
+    count, docs the drop rule would remove, and drop ppm vs the corpus.
+    The curve a curation pipeline reads BEFORE running semdedup at one
+    frozen threshold.  All counts are pair-frame-scale driver collects;
+    the corpus is touched exactly once."""
+    from ..operators.caching import materialized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo = min(_SEMDEDUP_CURVE_TS)
+    pairs = materialized(
+        block_near_dup_pairs(emb, "label", threshold=lo).select(
+            "vec_id_2", "cosine"
+        )
+    )
+    n_corpus = (
+        emb.where(
+            F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        ).count()
+    )
+    rows = []
+    for t in _SEMDEDUP_CURVE_TS:
+        at = pairs.where(F.col("cosine") >= t)
+        n_pairs = at.count()
+        n_dropped = at.select("vec_id_2").distinct().count()
+        rows.append(
+            (
+                # round, not int(): 0.7 * 1e6 is 699999.99... in doubles
+                round(t * 1_000_000),
+                n_pairs,
+                n_dropped,
+                1_000_000 * n_dropped // n_corpus,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "threshold_ppm long, n_pairs long, n_dropped long, drop_ppm long",
+    )
+
+
+def _semdedup_threshold_curve_sql() -> str:
+    lo = min(_SEMDEDUP_CURVE_TS)
+    ts = ", ".join(str(round(t * 1_000_000)) for t in _SEMDEDUP_CURVE_TS)
+    return f"""
+WITH p AS (
+  SELECT b.vec_id AS vec_id_2,
+         {_dot_sql("a.embedding", "b.embedding")}
+           / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+              * sqrt({_dot_sql("b.embedding", "b.embedding")})) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_dot_sql("a.embedding", "b.embedding")}
+          / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+             * sqrt({_dot_sql("b.embedding", "b.embedding")})) >= {lo}
+),
+ts AS (SELECT unnest([{ts}]) AS t),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+)
+SELECT CAST(ts.t AS BIGINT) AS threshold_ppm,
+       CAST(count(p.vec_id_2) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p.vec_id_2) AS BIGINT) AS n_dropped,
+       CAST(1000000 * count(DISTINCT p.vec_id_2) // tot.n AS BIGINT)
+         AS drop_ppm
+FROM ts CROSS JOIN tot
+LEFT JOIN p ON p.cosine >= ts.t / 1000000.0
+GROUP BY ts.t, tot.n
+"""
+
 
 def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC benchmark decontamination — the embedding-space sibling
@@ -4086,6 +4172,11 @@ QUERIES = [
              "hyperplane-LSH approximate top-k (scale path; rows-only)"),
     QueryDef("embedding_near_dup", embedding_near_dup, _EMBEDDING_NEAR_DUP_SQL,
              "embedding-cosine near-dup pairs above threshold"),
+    QueryDef("semdedup_threshold_curve", semdedup_threshold_curve,
+             _semdedup_threshold_curve_sql(),
+             "the dedup-aggressiveness tuning table: one pair pass, "
+             "every threshold's pair count / dropped docs / drop ppm "
+             "from the same frame"),
     QueryDef("embedding_label_top_pairs", embedding_label_top_pairs, _EMBEDDING_PAIRS_SQL,
              "top-3 cosine pairs per label block"),
     QueryDef("multimodal_meta", multimodal_meta, _MULTIMODAL_META_SQL,

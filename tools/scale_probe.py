@@ -218,6 +218,11 @@ PROBES: dict[str, tuple[float, str]] = {
     # pass; probing all cells scans the whole code table — still linear
     "ivf_pq_probe_curve": (15.0, "linear: 4 codes scans + one exact "
                                  "pass"),
+    # one blocked pair kernel at the loosest threshold; every tighter
+    # cutoff filters the SAME pair frame (within-block quadratic like
+    # semdedup — fixed label blocks grow 10x in the tiled fixture)
+    "semdedup_threshold_curve": (120.0, "quadratic within label blocks "
+                                        "(semdedup's documented trade)"),
 }
 
 
