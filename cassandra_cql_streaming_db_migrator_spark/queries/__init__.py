@@ -357,6 +357,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_distortion_monitor": {},
     "ivf_pq_probe_curve": {},
     "semdedup_threshold_curve": {},
+    "curation_funnel": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -408,6 +409,7 @@ DRIVER_HEAD = [
     "stream_distortion_monitor",
     "ivf_pq_probe_curve",
     "semdedup_threshold_curve",
+    "curation_funnel",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -443,15 +445,14 @@ DRIVER_HEAD = [
     "mad_outliers",
     "multimodal_framesample",
     "null_semantics",
-    "q13_customer_distribution",
     # (stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
     # wow_growth, zscore_anomalies, the r05 trio activity_streaks,
     # audience_overlap, basket_rules, and then sliding_distinct,
     # stream_expectations, stream_heavy_hitters, skyline_parts,
     # session_concurrency, semdedup, revenue_pareto,
-    # q6_forecast_revenue, q2_min_cost_supplier,
-    # q22_dormant_customers were the displaced rule-2 fill as the
-    # round-10 rule-1/1b entries above head-listed; all twenty-one stay
+    # q6_forecast_revenue, q2_min_cost_supplier, q22_dormant_customers,
+    # q13_customer_distribution were the displaced rule-2 fill as the
+    # round-10 rule-1/1b entries above head-listed; all twenty-two stay
     # strict-checked in the tail every round)
 ]
 

@@ -445,6 +445,230 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# The curation funnel: the whole pipeline's survival table.  Stage drop
+# sets are computed corpus-wide by the EXISTING operators (dedup
+# decisions are made once, not re-derived per stage — standard practice
+# since the filters are independent) and applied cumulatively:
+# raw -> exact dedup -> fuzzy dedup -> decontaminate -> quality gate.
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE summary table a curation team maintains — docs and token mass
+    surviving each pipeline stage, cumulative: the training corpus
+    (doc_id % 20 != 0, the decontamination split) loses exact duplicates
+    (non-first doc per identical text), then fuzzy near-dup non-
+    canonicals (minhash components, largest-n_chars canonical — the
+    dedup_canonical rule, decided corpus-wide), then benchmark-
+    contaminated docs (the 8-gram screen), then quality failures (the
+    Gopher-style gate of text_governance, applied to the PII-redacted
+    normalized raw text).  Each row: stage, docs left, whitespace-token
+    mass left, and the stage's incremental drop in exact ppm — the
+    number every 'how much data survives curation' meeting asks for.
+
+    Scale shape: four drop sets from the proven operators (each banded /
+    broadcast / one-pass — nothing new executes), one flag join at
+    corpus grain, five filtered aggregates; the funnel itself is 5
+    driver rows."""
+    from ..operators.dedup import (
+        canonical_per_component,
+        connected_components,
+    )
+    from .llm import fuzzy_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+
+    from pyspark.sql import Window as _W
+
+    e_drop = (
+        corpus.withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("text").orderBy(F.col("doc_id").asc())
+            ),
+        )
+        .where(F.col("__rn") > 1)
+        .select("doc_id")
+    )
+    pairs = fuzzy_dedup_pairs(docs, "text", "doc_id")
+    comps = connected_components(pairs, "doc_id_1", "doc_id_2")
+    keep = canonical_per_component(comps, docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    f_drop = comps.select("doc_id").join(keep, "doc_id", "left_anti")
+    c_drop = decontaminate(corpus, bench, ngram_len=_NGRAM_LEN).select(
+        "doc_id"
+    )
+    norm = normalize_text(redact_pii(F.col("text")))
+    gated = corpus.select("doc_id", norm.alias("norm_text")).select(
+        "doc_id", *quality_metrics(F.col("norm_text"))
+    )
+    q_drop = gated.where(
+        ~quality_keep(
+            F.col("n_words"),
+            F.col("mean_word_len"),
+            F.col("frac_unique_words"),
+            F.col("symbol_ratio"),
+        )
+    ).select("doc_id")
+
+    flagged = (
+        corpus.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("__toks"),
+        )
+        .join(e_drop.withColumn("__de", F.lit(1)), "doc_id", "left")
+        .join(f_drop.withColumn("__df", F.lit(1)), "doc_id", "left")
+        .join(c_drop.withColumn("__dc", F.lit(1)), "doc_id", "left")
+        .join(q_drop.withColumn("__dq", F.lit(1)), "doc_id", "left")
+    )
+    stages = [
+        ("raw", None),
+        ("exact_dedup", ["__de"]),
+        ("fuzzy_dedup", ["__de", "__df"]),
+        ("decontaminate", ["__de", "__df", "__dc"]),
+        ("quality", ["__de", "__df", "__dc", "__dq"]),
+    ]
+    # one aggregate computes every stage: conditional sums over the flag
+    # frame (single corpus pass), the funnel finish is 5 driver rows
+    aggs = []
+    for i, (_, flags) in enumerate(stages):
+        cond = F.lit(True)
+        for fl in flags or []:
+            cond = cond & F.col(fl).isNull()
+        aggs.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias(f"__n{i}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col("__toks")).otherwise(F.lit(0)))
+            .cast("long").alias(f"__t{i}")
+        )
+    r = flagged.agg(*aggs).collect()[0]
+    rows = []
+    for i, (name, _) in enumerate(stages):
+        n, t = int(r[f"__n{i}"]), int(r[f"__t{i}"])
+        if i == 0:
+            ppm = 0
+        else:
+            prev = int(r[f"__n{i - 1}"])
+            ppm = 1_000_000 * (prev - n) // prev
+        rows.append((i, name, n, t, ppm))
+    return spark.createDataFrame(
+        rows,
+        "stage long, stage_name string, n_docs long, n_tokens long, "
+        "stage_drop_ppm long",
+    )
+
+
+def _curation_funnel_sql() -> str:
+    from .llm import _dedup_components_sql
+
+    return f"""
+WITH comps AS (SELECT * FROM ({_dedup_components_sql()}) x),
+edrop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY text
+                                      ORDER BY doc_id) AS rn
+    FROM documents WHERE doc_id % 20 <> 0) e
+  WHERE rn > 1
+),
+fdrop AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+    FROM comps c JOIN documents d USING (doc_id)) j
+  WHERE rk > 1
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(len(ws) - {_NGRAM_LEN - 1}),
+             i -> array_to_string(
+                    array_slice(ws, CAST(i + 1 AS INTEGER),
+                                CAST(i + {_NGRAM_LEN} AS INTEGER)), ' ')
+         ))) AS gram
+  FROM w WHERE len(ws) >= {_NGRAM_LEN}
+),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+cdrop AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0) c
+  JOIN bg USING (gram)
+),
+nrm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(
+             regexp_replace(regexp_replace(text, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                            '{_IPV4_SQL}', '<IP>', 'g')),
+             '\\s+', ' ', 'g')) AS norm_text
+  FROM documents WHERE doc_id % 20 <> 0
+),
+qm AS (
+  SELECT doc_id,
+         len(string_split(norm_text, ' ')) AS n_words,
+         round(CAST(length(norm_text) - (len(string_split(norm_text, ' ')) - 1)
+                    AS DOUBLE) / len(string_split(norm_text, ' ')), 6)
+           AS mean_word_len,
+         round(CAST(len(list_distinct(string_split(norm_text, ' ')))
+                    AS DOUBLE) / len(string_split(norm_text, ' ')), 6)
+           AS frac_unique_words,
+         round(CAST(length(regexp_replace(norm_text, '[a-z0-9 ]', '', 'g'))
+                    AS DOUBLE) / length(norm_text), 6) AS symbol_ratio
+  FROM nrm
+),
+qdrop AS (
+  SELECT doc_id FROM qm
+  WHERE NOT (n_words >= 8 AND n_words <= 100000
+             AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+             AND frac_unique_words >= 0.2 AND symbol_ratio <= 0.3)
+),
+base AS (
+  SELECT d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+         CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS de,
+         CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS df,
+         CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dc,
+         CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dq
+  FROM documents d
+  LEFT JOIN edrop e ON e.doc_id = d.doc_id
+  LEFT JOIN fdrop f ON f.doc_id = d.doc_id
+  LEFT JOIN cdrop c ON c.doc_id = d.doc_id
+  LEFT JOIN qdrop q ON q.doc_id = d.doc_id
+  WHERE d.doc_id % 20 <> 0
+),
+funnel AS (
+  SELECT 0 AS stage, 'raw' AS stage_name,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM base
+  UNION ALL
+  SELECT 1, 'exact_dedup', CAST(count(*) AS BIGINT),
+         CAST(sum(n_toks) AS BIGINT) FROM base WHERE de = 0
+  UNION ALL
+  SELECT 2, 'fuzzy_dedup', CAST(count(*) AS BIGINT),
+         CAST(sum(n_toks) AS BIGINT) FROM base WHERE de = 0 AND df = 0
+  UNION ALL
+  SELECT 3, 'decontaminate', CAST(count(*) AS BIGINT),
+         CAST(sum(n_toks) AS BIGINT) FROM base
+  WHERE de = 0 AND df = 0 AND dc = 0
+  UNION ALL
+  SELECT 4, 'quality', CAST(count(*) AS BIGINT),
+         CAST(sum(n_toks) AS BIGINT) FROM base
+  WHERE de = 0 AND df = 0 AND dc = 0 AND dq = 0
+)
+SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_docs, n_tokens,
+       CAST(coalesce(
+         1000000 * (lag(n_docs) OVER (ORDER BY stage) - n_docs)
+           // lag(n_docs) OVER (ORDER BY stage), 0) AS BIGINT)
+         AS stage_drop_ppm
+FROM funnel
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing: per-partition running token offsets -> chunk ids.
 
 _PACK_BUDGET = 512
@@ -998,6 +1222,12 @@ QUERIES = [
         "quality_curriculum", quality_curriculum, _QUALITY_CURRICULUM_SQL,
         "easy-to-hard curriculum phases by quality-score distributed_ntile "
         "(corpus-scale, no single-partition sort)",
+    ),
+    QueryDef(
+        "curation_funnel", curation_funnel, _curation_funnel_sql(),
+        "the whole pipeline's survival table: raw -> exact dedup -> "
+        "fuzzy dedup -> decontaminate -> quality, docs + token mass + "
+        "per-stage drop ppm, cumulative",
     ),
     QueryDef(
         "vocab_growth", vocab_growth_q, vocab_growth_sql(),

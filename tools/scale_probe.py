@@ -223,6 +223,10 @@ PROBES: dict[str, tuple[float, str]] = {
     # semdedup — fixed label blocks grow 10x in the tiled fixture)
     "semdedup_threshold_curve": (120.0, "quadratic within label blocks "
                                         "(semdedup's documented trade)"),
+    # four proven drop-set pipelines (banded pairs + CC, gram screen,
+    # per-row gate, text-hash window) + one flag join + one aggregate
+    "curation_funnel": (15.0, "linear: existing drop sets + one flag "
+                              "join"),
 }
 
 
