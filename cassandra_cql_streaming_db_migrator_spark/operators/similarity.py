@@ -1519,3 +1519,254 @@ def mmr_rerank(
         selected,
         f"rank int, {id_col} {id_type}, relevance double, mmr_score double",
     )
+
+
+def contrastive_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_pos: int = 1,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair construction: for every anchor, its
+    nearest SAME-label neighbors (the positives, self excluded) and its
+    nearest DIFFERENT-label neighbors (the hard negatives) in one exact
+    pass — the (anchor, positive, hard-negative) triplet miner behind
+    contrastive embedding training (SimCSE/DPR-style), where negatives
+    that score HIGH despite carrying the wrong label are exactly the
+    pairs worth training on.
+
+    Distributed shape: ``knn_join``'s economics with a label mask — the
+    anchor set rides to every task as a dense float64 matrix plus a label
+    vector (broadcast contract), the corpus streams through the Arrow
+    kernel ONCE for both roles, and each batch emits only its local
+    top-k per (anchor, role).  The global exact cut is a window over
+    |batches| * |A| * (k_pos + k_neg) candidate rows — metadata-scale.
+    No corpus shuffle; the only exchange is the candidate aggregation.
+
+    Numeric parity: per-pair cosine is the same sequential dimension fold
+    as ``knn_join`` (bit-identical to the DuckDB list_reduce fold);
+    batch-local cuts use the global total order (cosine desc, neighbor id
+    asc) with an exact >=-threshold guard; zero-norm vectors (NaN cosine)
+    are excluded by contract on both engines.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, IntegerType, StringType, StructField, StructType
+
+    arows = anchors.select(id_col, label_col, vec_col).collect()
+    id_field = corpus.schema[id_col]
+    schema = StructType(
+        [
+            StructField("anchor_id", id_field.dataType, True),
+            StructField("role", StringType(), True),
+            StructField("neighbor_id", id_field.dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    if not arows:
+        return corpus.sparkSession.createDataFrame(
+            [], schema.add(StructField("rn", IntegerType(), False))
+        )
+    arows.sort(key=lambda r: r[0])
+    aids = np.array([r[0] for r in arows])
+    alabels = np.array([r[1] for r in arows])
+    amat = np.stack([np.asarray(r[2], dtype=np.float64) for r in arows])
+    anorms = np.sqrt(_seq_fold_dots(amat, amat))
+    na, dim = amat.shape
+    role_k = (("pos", k_pos), ("neg", k_neg))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            clabels = pdf[label_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt(_seq_fold_dots(mat, mat))
+            acc = np.zeros((mat.shape[0], na), dtype=np.float64)
+            for d in range(dim):
+                acc = acc + mat[:, d][:, None] * amat[:, d][None, :]
+            cos = acc / (norms[:, None] * anorms[None, :])
+            out_a, out_r, out_c, out_s = [], [], [], []
+            for j in range(na):
+                cj = cos[:, j]
+                same = clabels == alabels[j]
+                not_nan = ~np.isnan(cj)
+                for role, k in role_k:
+                    if role == "pos":
+                        cand0 = np.nonzero(not_nan & same & (cids != aids[j]))[0]
+                    else:
+                        cand0 = np.nonzero(not_nan & ~same)[0]
+                    if len(cand0) > k:
+                        thresh = -np.partition(-cj[cand0], k - 1)[k - 1]
+                        cand = cand0[cj[cand0] >= thresh]
+                    else:
+                        cand = cand0
+                    top = cand[np.lexsort((cids[cand], -cj[cand]))][:k]
+                    out_a.append(np.full(len(top), aids[j]))
+                    out_r.extend([role] * len(top))
+                    out_c.append(cids[top])
+                    out_s.append(cj[top])
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.concatenate(out_a),
+                    "role": out_r,
+                    "neighbor_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    candidates = corpus.select(id_col, label_col, vec_col).mapInPandas(
+        score, schema
+    )
+    w = Window.partitionBy("anchor_id", "role").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("role") == "pos") & (F.col("rn") <= k_pos)
+            | (F.col("role") == "neg") & (F.col("rn") <= k_neg)
+        )
+        .select("anchor_id", "role", "rn", "neighbor_id", "cosine")
+    )
+
+
+def prefix_dim_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation tuning table: recall@k of
+    brute-force search over each PREFIX of the embedding (first d dims,
+    MRL's nesting — Kusupati et al. 2022) against the full-dimension
+    exact top-k.  The table that answers "how many dims can serve-time
+    search drop" BEFORE committing a truncated index layout — the
+    ivf_pq_probe_curve / semdedup_threshold_curve discipline applied to
+    the dimension axis.
+
+    Distributed shape: ONE corpus pass scores EVERY truncation level —
+    a truncated dot is a prefix of the sequential dimension fold, so the
+    kernel snapshots its running accumulators (dot + both squared norms)
+    at each requested d instead of rescanning; each batch emits its
+    local top-k per (query, dim).  The global cut is a window over
+    |batches| * |Q| * |dims| * k rows, and the recall join + census are
+    |Q| * |dims| * k — metadata-scale.  No corpus shuffle.
+
+    Numeric parity: the prefix-snapshot trick is exactly why the oracle
+    matches bit-for-bit — the SQL side folds over the SLICED list
+    (cv[1:d]), which performs the same adds in the same order as the
+    kernel's first d iterations.  Zero-norm prefixes (NaN cosine)
+    excluded by contract on both engines.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    assert sorted(dims) == list(dims), "dims must be ascending"
+    full_dim = dims[-1]
+    qrows = queries.select(id_col, vec_col).collect()
+    id_field = corpus.schema[id_col]
+    schema = StructType(
+        [
+            StructField("query_id", id_field.dataType, True),
+            StructField("dim", IntegerType(), True),
+            StructField("neighbor_id", id_field.dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            "dim int, n_hits long, n_exact long, recall_ppm long",
+        )
+    qrows.sort(key=lambda r: r[0])
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    nq = qmat.shape[0]
+    assert qmat.shape[1] == full_dim, (
+        f"dims[-1]={full_dim} must equal the embedding dim {qmat.shape[1]}"
+    )
+    dimset = set(dims)
+    # query-side prefix norms, same sequential fold as the kernel below
+    qn_at = {}
+    qacc = np.zeros(nq, dtype=np.float64)
+    for d in range(full_dim):
+        qacc = qacc + qmat[:, d] * qmat[:, d]
+        if d + 1 in dimset:
+            qn_at[d + 1] = np.sqrt(qacc)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nb = mat.shape[0]
+            acc = np.zeros((nb, nq), dtype=np.float64)
+            cacc = np.zeros(nb, dtype=np.float64)
+            out_q, out_d, out_c, out_s = [], [], [], []
+            for d in range(full_dim):
+                acc = acc + mat[:, d][:, None] * qmat[:, d][None, :]
+                cacc = cacc + mat[:, d] * mat[:, d]
+                if d + 1 not in dimset:
+                    continue
+                cos = acc / (np.sqrt(cacc)[:, None] * qn_at[d + 1][None, :])
+                for j in range(nq):
+                    cj = cos[:, j]
+                    valid = np.nonzero(~np.isnan(cj))[0]
+                    if len(valid) > k:
+                        thresh = -np.partition(-cj[valid], k - 1)[k - 1]
+                        cand = valid[cj[valid] >= thresh]
+                    else:
+                        cand = valid
+                    top = cand[np.lexsort((cids[cand], -cj[cand]))][:k]
+                    out_q.append(np.full(len(top), qids[j]))
+                    out_d.append(np.full(len(top), d + 1, dtype=np.int32))
+                    out_c.append(cids[top])
+                    out_s.append(cj[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "dim": np.concatenate(out_d),
+                    "neighbor_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    # |Q| * |dims| * k rows feeding THREE consumers (exact leg, hit join,
+    # exact-count census) — materialize so the kernel pass runs once
+    topk = materialized(
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "dim", "neighbor_id")
+    )
+    exact = (
+        topk.filter(F.col("dim") == full_dim)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    flagged = topk.join(exact, ["query_id", "neighbor_id"], "left")
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        flagged.groupBy("dim")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            "n_hits",
+            "n_exact",
+            F.expr("1000000 * n_hits DIV n_exact").alias("recall_ppm"),
+        )
+        .orderBy("dim")
+    )

@@ -358,6 +358,10 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "ivf_pq_probe_curve": {},
     "semdedup_threshold_curve": {},
     "curation_funnel": {},
+    "contrastive_triplets": {},
+    "dim_truncation_recall": {},
+    "retrieval_eval": {},
+    "retrieval_eval_ann": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -410,6 +414,10 @@ DRIVER_HEAD = [
     "ivf_pq_probe_curve",
     "semdedup_threshold_curve",
     "curation_funnel",
+    "contrastive_triplets",
+    "dim_truncation_recall",
+    "retrieval_eval",
+    "retrieval_eval_ann",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -441,11 +449,11 @@ DRIVER_HEAD = [
     "fuzzy_key_match",
     "gini_by_nation",
     "image_phash",
-    "kmv_set_ops",
-    "mad_outliers",
-    "multimodal_framesample",
-    "null_semantics",
-    # (stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
+    # (kmv_set_ops, mad_outliers, multimodal_framesample and
+    # null_semantics displaced by the four late-round-10 rule-1 entries
+    # contrastive_triplets / dim_truncation_recall / retrieval_eval /
+    # retrieval_eval_ann; they rejoin the r04-vintage pool for the
+    # round-11 rule-2 fill.  stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
     # wow_growth, zscore_anomalies, the r05 trio activity_streaks,
     # audience_overlap, basket_rules, and then sliding_distinct,
     # stream_expectations, stream_heavy_hitters, skyline_parts,

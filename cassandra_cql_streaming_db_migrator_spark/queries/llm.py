@@ -33,11 +33,13 @@ from ..operators.multimodal import (
 from ..operators.similarity import (
     block_near_dup_pairs,
     block_top_pairs,
+    contrastive_topk,
     cosine_topk,
     ivf_ann_topk,
     knn_join,
     label_centroid_stats,
     lsh_ann_topk,
+    prefix_dim_recall,
 )
 from ..operators.clustering import (
     embedding_scatter,
@@ -3770,6 +3772,190 @@ LEFT JOIN h_cnt ON h_cnt.qid = e_cnt.qid
 
 
 # ---------------------------------------------------------------------------
+# Retrieval evaluation harness: ranked-list quality vs LABEL relevance —
+# the metric family the recall gauges deliberately don't cover.  ann_recall/
+# pq_recall/ivf_pq_recall measure how well an INDEX approximates exact
+# search; this measures how well the EMBEDDING SPACE ranks relevant items
+# (same label = relevant), over the exact top-10 — first-relevant rank,
+# reciprocal rank, precision@10, hit@10, all in exact integer fixed point
+# (1/rank and n/10 as 1e6 DIV k — no float sums, so the table hash-checks).
+# Shape: knn_join's one-pass kernel gives |Q| x 10 rows; both label joins
+# broadcast that k-row frame against the narrow (id, label) projection, and
+# the per-query aggregate is metadata-scale.
+
+
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    topk = knn_join(corpus, queries, k=10).select("query_id", "neighbor_id", "rn")
+    lab = emb.select("vec_id", "label")
+    with_nlab = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlab")
+    ).join(F.broadcast(topk), "neighbor_id")
+    with_both = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    ).join(F.broadcast(with_nlab), "query_id")
+    rel = F.col("nlab") == F.col("qlab")
+    agg = with_both.groupBy("query_id").agg(
+        F.coalesce(F.min(F.when(rel, F.col("rn"))), F.lit(0)).alias("first_rank"),
+        F.count(F.when(rel, F.lit(1))).alias("n_rel_at_10"),
+    )
+    return agg.select(
+        "query_id",
+        F.col("first_rank").cast("int").alias("first_rank"),
+        F.expr(
+            "CASE WHEN first_rank > 0 THEN 1000000 DIV first_rank "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("rr_ppm"),
+        "n_rel_at_10",
+        F.expr("1000000 * n_rel_at_10 DIV 10").alias("prec10_ppm"),
+        (F.col("n_rel_at_10") > 0).alias("hit10"),
+    )
+
+
+_RETRIEVAL_EVAL_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS cid, label AS clab, embedding AS cv
+      FROM embeddings WHERE vec_id % 50 <> 0),
+ranked AS (
+  SELECT qid, qlab, cid, clab,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY {_dot_sql("cv", "qv")}
+                              / (sqrt({_dot_sql("cv", "cv")})
+                                 * sqrt({_dot_sql("qv", "qv")})) DESC,
+                              cid ASC) AS rn
+  FROM q, c
+  WHERE NOT isnan({_dot_sql("cv", "qv")}
+    / (sqrt({_dot_sql("cv", "cv")}) * sqrt({_dot_sql("qv", "qv")})))),
+agg AS (
+  SELECT qid,
+         coalesce(min(CASE WHEN clab = qlab THEN rn END), 0) AS first_rank,
+         CAST(count(CASE WHEN clab = qlab THEN 1 END) AS BIGINT)
+           AS n_rel_at_10
+  FROM ranked WHERE rn <= 10 GROUP BY qid)
+SELECT qid AS query_id,
+       CAST(first_rank AS INTEGER) AS first_rank,
+       CAST(CASE WHEN first_rank > 0 THEN 1000000 // first_rank
+                 ELSE 0 END AS BIGINT) AS rr_ppm,
+       n_rel_at_10,
+       1000000 * n_rel_at_10 // 10 AS prec10_ppm,
+       n_rel_at_10 > 0 AS hit10
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair construction: every 50th vector is an anchor;
+# one exact corpus pass mines its nearest same-label positive and its 3
+# nearest different-label hard negatives — the (anchor, positive, negative)
+# triplet table contrastive embedding training consumes, where a negative
+# scoring HIGH despite the wrong label is precisely the pair worth
+# training on.  Reference analog: the anti-join existence-probe shape
+# (IfNotExistsFilter, INEF:56-58) — a masked nearest-neighbor probe is the
+# same "relate each row to a keyed reference set" contract, here by
+# similarity instead of key equality.
+
+
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    return contrastive_topk(emb, anchors, k_pos=1, k_neg=3)
+
+
+_CONTRASTIVE_TRIPLETS_SQL = f"""
+WITH a AS (SELECT vec_id AS aid, label AS alab, embedding AS av
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS cid, label AS clab, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT aid, alab, cid, clab,
+         {_dot_sql("cv", "av")}
+           / (sqrt({_dot_sql("cv", "cv")}) * sqrt({_dot_sql("av", "av")}))
+           AS cosine
+  FROM a, c),
+pos AS (
+  SELECT aid, 'pos' AS role, cid, cosine,
+         row_number() OVER (PARTITION BY aid
+                            ORDER BY cosine DESC, cid ASC) AS rn
+  FROM scored WHERE NOT isnan(cosine) AND clab = alab AND cid <> aid),
+neg AS (
+  SELECT aid, 'neg' AS role, cid, cosine,
+         row_number() OVER (PARTITION BY aid
+                            ORDER BY cosine DESC, cid ASC) AS rn
+  FROM scored WHERE NOT isnan(cosine) AND clab <> alab)
+SELECT aid AS anchor_id, role, CAST(rn AS INTEGER) AS rn,
+       cid AS neighbor_id, cosine
+FROM (SELECT * FROM pos WHERE rn <= 1
+      UNION ALL
+      SELECT * FROM neg WHERE rn <= 3)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-truncation tuning table: recall@10 of search over
+# each embedding PREFIX (first 8/16/32/64 dims) vs the full-dim exact
+# top-10 — "how many dims can serve-time search drop" measured before a
+# truncated index layout is committed (the probe-curve/threshold-curve
+# discipline applied to the dimension axis).  One corpus pass scores every
+# truncation level: a truncated dot is a prefix of the sequential fold, so
+# the kernel snapshots its running accumulators instead of rescanning.
+
+_DIM_RECALL_DIMS = (8, 16, 32, 64)
+
+
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return prefix_dim_recall(corpus, queries, dims=_DIM_RECALL_DIMS, k=10)
+
+
+def _dim_truncation_recall_sql() -> str:
+    legs = []
+    for d in _DIM_RECALL_DIMS:
+        cv, qv = f"(cv[1:{d}])", f"(qv[1:{d}])"
+        legs.append(f"""top{d} AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, cid ASC) AS rn
+    FROM (
+      SELECT qid, cid,
+             {_dot_sql(cv, qv)}
+               / (sqrt({_dot_sql(cv, cv)}) * sqrt({_dot_sql(qv, qv)}))
+               AS cosine
+      FROM q, c)
+    WHERE NOT isnan(cosine)) WHERE rn <= 10)""")
+    cand = "\n  UNION ALL\n  ".join(
+        f"SELECT {d} AS dim, qid, cid FROM top{d}" for d in _DIM_RECALL_DIMS
+    )
+    full = _DIM_RECALL_DIMS[-1]
+    hits = "CAST(sum(CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    legs_sql = ",\n".join(legs)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id % 50 <> 0),
+{legs_sql},
+cand AS (
+  {cand}),
+exact AS (SELECT qid, cid FROM top{full}),
+tot AS (SELECT count(*) AS n_exact FROM exact)
+SELECT CAST(cand.dim AS INTEGER) AS dim,
+       {hits} AS n_hits,
+       n_exact,
+       1000000 * {hits} // n_exact AS recall_ppm
+FROM cand
+LEFT JOIN exact e ON e.qid = cand.qid AND e.cid = cand.cid
+CROSS JOIN tot
+GROUP BY cand.dim, n_exact
+ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # Collocation mining: top bigrams by PMI lift against unigram independence.
 
 
@@ -3848,6 +4034,110 @@ def _ivf_pq_batch_sql() -> str:
     return ivf_pq_ann_batch_sql(
         n_queries=8, topk=10, n_cells=8, n_probe=2
     )
+
+
+def retrieval_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retrieval_eval's metrics over the SERVED index path — the
+    end-to-end task-quality number a production store actually ships:
+    the saved IVF-PQ index serves the 8-query batch (ivf_pq_batch's
+    exact plan, topk=11), the query's own row is excluded and the
+    survivors re-ranked (a query vector is in the corpus, so without
+    the exclusion every first_rank would trivially be 1), and the same
+    integer-exact first-rank / MRR / precision@10 / hit@10 table is
+    computed with label match as relevance.  Read next to
+    `retrieval_eval` (exact top-10) and `ivf_pq_recall` (index vs
+    exact): recall says how much of the exact list the index returns;
+    THIS says what the loss costs on the task the list is for.  Scale
+    shape: one codes scan for the whole batch, |Q| x 11 rows onward."""
+    from ..operators.clustering import (
+        _query_vectors,
+        ivf_pq_build,
+        ivf_pq_serve_batch,
+    )
+    from ..sinks.artifacts import artifact_store, has_artifact
+    from pyspark.sql import Window as _W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+    if not all(
+        has_artifact(store, a)
+        for a in ("ivfpq_codes", "ivf_centroids", "pq_codebooks")
+    ):
+        ivf_pq_build(emb, store, n_cells=8)
+    queries = _query_vectors(emb, 8, "embedding", "vec_id", 4, 16)
+    served = ivf_pq_serve_batch(spark, store, queries, topk=11, n_probe=2)
+    reranked = (
+        served.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rn2",
+            F.row_number().over(
+                _W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+            ),
+        )
+        .filter(F.col("rn2") <= 10)
+        .select("query_id", "vec_id", "rn2")
+    )
+    lab = emb.select("vec_id", "label")
+    with_nlab = lab.withColumnRenamed("label", "nlab").join(
+        F.broadcast(reranked), "vec_id"
+    )
+    with_both = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    ).join(F.broadcast(with_nlab), "query_id")
+    rel = F.col("nlab") == F.col("qlab")
+    agg = with_both.groupBy("query_id").agg(
+        F.coalesce(F.min(F.when(rel, F.col("rn2"))), F.lit(0)).alias(
+            "first_rank"
+        ),
+        F.count(F.when(rel, F.lit(1))).alias("n_rel_at_10"),
+    )
+    return agg.select(
+        "query_id",
+        F.col("first_rank").cast("int").alias("first_rank"),
+        F.expr(
+            "CASE WHEN first_rank > 0 THEN 1000000 DIV first_rank "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("rr_ppm"),
+        "n_rel_at_10",
+        F.expr("1000000 * n_rel_at_10 DIV 10").alias("prec10_ppm"),
+        (F.col("n_rel_at_10") > 0).alias("hit10"),
+    )
+
+
+def _retrieval_eval_ann_sql() -> str:
+    from ..operators.clustering import ivf_pq_ann_batch_sql
+
+    served = ivf_pq_ann_batch_sql(n_queries=8, topk=11, n_cells=8, n_probe=2)
+    return f"""
+WITH served AS ({served}),
+reranked AS (
+  SELECT query_id, vec_id, rn2 FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, vec_id) AS rn2
+    FROM served WHERE vec_id <> query_id) r
+  WHERE rn2 <= 10),
+lab AS (SELECT vec_id, label FROM embeddings),
+j AS (
+  SELECT t.query_id, t.rn2, nl.label AS nlab, ql.label AS qlab
+  FROM reranked t
+  JOIN lab nl ON nl.vec_id = t.vec_id
+  JOIN lab ql ON ql.vec_id = t.query_id),
+agg AS (
+  SELECT query_id,
+         coalesce(min(CASE WHEN nlab = qlab THEN rn2 END), 0) AS first_rank,
+         CAST(count(CASE WHEN nlab = qlab THEN 1 END) AS BIGINT)
+           AS n_rel_at_10
+  FROM j GROUP BY query_id)
+SELECT query_id,
+       CAST(first_rank AS INTEGER) AS first_rank,
+       CAST(CASE WHEN first_rank > 0 THEN 1000000 // first_rank
+                 ELSE 0 END AS BIGINT) AS rr_ppm,
+       n_rel_at_10,
+       1000000 * n_rel_at_10 // 10 AS prec10_ppm,
+       n_rel_at_10 > 0 AS hit10
+FROM agg
+"""
 
 
 def ivf_pq_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4061,6 +4351,25 @@ QUERIES = [
     QueryDef("ann_recall", ann_recall_q, _ann_recall_sql(),
              "recall@5 of LSH ANN vs exact k-NN ground truth, per query "
              "(deterministic approximate path, fixed-point recall)"),
+    QueryDef("retrieval_eval_ann", retrieval_eval_ann,
+             _retrieval_eval_ann_sql(),
+             "the label-relevance metrics over the SERVED IVF-PQ path "
+             "(self excluded, re-ranked): what index pruning loss costs "
+             "on the task, not just vs the exact list"),
+    QueryDef("retrieval_eval", retrieval_eval, _RETRIEVAL_EVAL_SQL,
+             "label-relevance ranking metrics over the exact top-10: "
+             "first-relevant rank, MRR, precision@10, hit@10 in exact "
+             "integer ppm — embedding-space quality, not index quality"),
+    QueryDef("contrastive_triplets", contrastive_triplets,
+             _CONTRASTIVE_TRIPLETS_SQL,
+             "contrastive training-pair mining: per anchor the nearest "
+             "same-label positive + 3 nearest different-label hard "
+             "negatives, one masked exact corpus pass"),
+    QueryDef("dim_truncation_recall", dim_truncation_recall,
+             _dim_truncation_recall_sql(),
+             "Matryoshka tuning table: recall@10 of each embedding-prefix "
+             "search (8/16/32/64 dims) vs full-dim exact, one prefix-fold "
+             "corpus pass for the whole curve"),
     QueryDef("ngram_topk", ngram_topk, _ngram_topk_sql(),
              "corpus-wide top-k word bigrams (one shuffle, top-k never "
              "full-sorts)"),

@@ -387,6 +387,12 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # + the island rollup; textual count includes the persisted ranked
     # frame's cached-lineage re-print (the rfm_segments double-count note)
     "id_gap_report": 6,
+    # the materialized topk frame (kernel + ONE window exchange at
+    # runtime) feeds three branches (hit join left side, exact leg,
+    # exact-count census) -> window lineage prints x3; + the dim census
+    # aggregate.  Runtime: 1 window exchange + broadcast hit join +
+    # |dims|-row aggregate — candidates are |Q| x |dims| x k rows
+    "dim_truncation_recall": 6,
 }
 DEFAULT_ALLOWANCE = 2
 

@@ -227,6 +227,25 @@ PROBES: dict[str, tuple[float, str]] = {
     # per-row gate, text-hash window) + one flag join + one aggregate
     "curation_funnel": (15.0, "linear: existing drop sets + one flag "
                               "join"),
+    # one masked exact corpus pass; pair work = corpus x anchors, and the
+    # fixture's anchor set (vec_id % 50) grows WITH the corpus -> up to
+    # 100x kernel work on 10x data (production anchors are a fixed
+    # training/eval set -> linear there)
+    "contrastive_triplets": (120.0, "quadratic in fixture (anchor set "
+                                    "scales with corpus; fixed in prod)"),
+    # same anchor-scaling regime; all 4 truncation levels share ONE
+    # prefix-fold corpus pass, so the curve costs one knn_join, not four
+    "dim_truncation_recall": (120.0, "quadratic in fixture (anchor set "
+                                     "scales with corpus; fixed in "
+                                     "prod)"),
+    # knn_join pass + two broadcast label joins + per-query aggregate;
+    # same anchor-scaling caveat as contrastive_triplets
+    "retrieval_eval": (120.0, "quadratic in fixture (anchor set scales "
+                              "with corpus; fixed in prod)"),
+    # ivf_pq_batch's one-codes-scan serve (fixed 8-query set) + k-row
+    # re-rank + broadcast label joins
+    "retrieval_eval_ann": (15.0, "linear: one codes scan serves the "
+                                 "set"),
 }
 
 
