@@ -3893,6 +3893,249 @@ FROM (SELECT * FROM pos WHERE rn <= 1
 
 
 # ---------------------------------------------------------------------------
+# LSH n_bits tuning curve — the knob-sweep table the LSH leg was missing
+# (ivf_pq_probe_curve tunes n_probe, semdedup_threshold_curve tunes the
+# dedup cutoff; ann_recall measures ONE n_bits).  Per n_bits in (4, 6, 8):
+# aggregate recall@5 vs the exact k-NN ground truth AND the candidate
+# volume the bucket join scores (the cost axis — halving bits doubles
+# expected bucket occupancy).  ONE bucketing pass serves every level:
+# bucket bit b is the sign of plane b's projection, so the b-bit bucket is
+# the 8-bit bucket masked to its low b bits — the prefix trick of
+# dim_truncation_recall applied to the hash axis.  The oracle computes
+# each level's bucket directly from the frozen-LCG plane formula; masked
+# join and direct join are bit-identical by construction.
+
+_LSH_CURVE_BITS = (4, 6, 8)
+
+
+def lsh_nbits_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from ..operators.caching import materialized
+    from ..operators.similarity import cosine, with_bucket_ids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb.filter(F.col("vec_id") % 100 != 0)
+    max_bits = _LSH_CURVE_BITS[-1]
+    bc = materialized(
+        with_bucket_ids(corpus, "embedding", max_bits).select(
+            "vec_id", "embedding", "__bucket"
+        )
+    )
+    bq = materialized(
+        with_bucket_ids(queries, "embedding", max_bits).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+            F.col("__bucket").alias("__qbucket"),
+        )
+    )
+    levels = None
+    for nb in _LSH_CURVE_BITS:
+        mask = (1 << nb) - 1
+        cand = (
+            bc.join(
+                F.broadcast(
+                    bq.withColumn(
+                        "__qb", F.col("__qbucket").bitwiseAND(F.lit(mask))
+                    )
+                ),
+                bc["__bucket"].bitwiseAND(F.lit(mask)) == F.col("__qb"),
+            )
+            .select(
+                F.lit(nb).alias("n_bits"),
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+            )
+            .filter(~F.isnan("cosine"))
+        )
+        levels = cand if levels is None else levels.unionAll(cand)
+    cands = materialized(levels)
+    ncand = cands.groupBy("n_bits").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    w = _W.partitionBy("n_bits", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ann = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("n_bits", "query_id", "neighbor_id")
+    )
+    exact = materialized(
+        knn_join(corpus, queries, 5).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        ann.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("n_bits")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    return (
+        ncand.join(hits, "n_bits")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_bits",
+            "n_candidates",
+            "n_hits",
+            "n_exact",
+            F.expr("1000000 * n_hits DIV n_exact").alias("recall_ppm"),
+        )
+        .orderBy("n_bits")
+    )
+
+
+def _lsh_nbits_curve_sql() -> str:
+    legs = []
+    for nb in _LSH_CURVE_BITS:
+        legs.append(f"""cand{nb} AS (
+  SELECT {nb} AS n_bits, qid, cid, cosine FROM (
+    SELECT q2.qid, c2.cid,
+           {_dot_sql("c2.cv", "q2.qv")}
+             / (sqrt({_dot_sql("c2.cv", "c2.cv")})
+                * sqrt({_dot_sql("q2.qv", "q2.qv")})) AS cosine
+    FROM (SELECT qid, qv, ({_lsh_bucket_sql("qv", nb)}) AS b FROM q) q2
+    JOIN (SELECT cid, cv, ({_lsh_bucket_sql("cv", nb)}) AS b FROM c) c2
+      ON c2.b = q2.b) s
+  WHERE NOT isnan(cosine))""")
+    legs_sql = ",\n".join(legs)
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT * FROM cand{nb}" for nb in _LSH_CURVE_BITS
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id % 100 <> 0),
+{legs_sql},
+cands AS (
+  {union}),
+ncand AS (SELECT n_bits, count(*) AS n_candidates FROM cands
+          GROUP BY n_bits),
+ann AS (
+  SELECT n_bits, qid, cid FROM (
+    SELECT n_bits, qid, cid,
+           row_number() OVER (PARTITION BY n_bits, qid
+                              ORDER BY cosine DESC, cid ASC) AS rn
+    FROM cands) r
+  WHERE rn <= 5),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, cid ASC) AS rn
+    FROM (
+      SELECT qid, cid,
+             {_dot_sql("cv", "qv")}
+               / (sqrt({_dot_sql("cv", "cv")}) * sqrt({_dot_sql("qv", "qv")}))
+               AS cosine
+      FROM q, c) s
+    WHERE NOT isnan(cosine)) r
+  WHERE rn <= 5),
+tot AS (SELECT count(*) AS n_exact FROM exact),
+hits AS (
+  SELECT ann.n_bits,
+         CAST(sum(CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM ann LEFT JOIN exact e ON e.qid = ann.qid AND e.cid = ann.cid
+  GROUP BY ann.n_bits)
+SELECT CAST(ncand.n_bits AS INTEGER) AS n_bits, n_candidates, n_hits,
+       n_exact, 1000000 * n_hits // n_exact AS recall_ppm
+FROM ncand JOIN hits ON hits.n_bits = ncand.n_bits
+CROSS JOIN tot
+ORDER BY n_bits
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding separability gauge, read off the contrastive miner: per label,
+# the margin cos(nearest same-label) - cos(nearest different-label) over
+# the anchor set — the number that says whether the space is trainable at
+# all (wide positive margins) and WHICH labels are entangled (negative
+# margins: the anchor's nearest wrong-label vector outscores its nearest
+# right-label one).  Margins are floor-quantized to integer ppm per anchor
+# and only ever summed/min/maxed — no division, so Spark's truncating DIV
+# vs DuckDB's flooring // on negative values never comes into play.
+
+
+def embedding_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    trip = contrastive_topk(emb, anchors, k_pos=1, k_neg=1)
+    pos = trip.filter(F.col("role") == "pos").select(
+        "anchor_id", F.col("cosine").alias("pos_cos")
+    )
+    neg = trip.filter(F.col("role") == "neg").select(
+        "anchor_id", F.col("cosine").alias("neg_cos")
+    )
+    m = pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        F.floor((F.col("pos_cos") - F.col("neg_cos")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("margin_ppm"),
+    )
+    lab = emb.select(F.col("vec_id").alias("anchor_id"), "label")
+    return (
+        lab.join(F.broadcast(m), "anchor_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.sum((F.col("margin_ppm") < 0).cast("long")).alias(
+                "n_negative_margin"
+            ),
+            F.sum("margin_ppm").alias("sum_margin_ppm"),
+            F.min("margin_ppm").alias("min_margin_ppm"),
+            F.max("margin_ppm").alias("max_margin_ppm"),
+        )
+    )
+
+
+_EMBEDDING_MARGIN_STATS_SQL = f"""
+WITH a AS (SELECT vec_id AS aid, label AS alab, embedding AS av
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS cid, label AS clab, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT aid, alab, cid, clab,
+         {_dot_sql("cv", "av")}
+           / (sqrt({_dot_sql("cv", "cv")}) * sqrt({_dot_sql("av", "av")}))
+           AS cosine
+  FROM a, c),
+pos AS (
+  SELECT aid, cosine,
+         row_number() OVER (PARTITION BY aid
+                            ORDER BY cosine DESC, cid ASC) AS rn
+  FROM scored WHERE NOT isnan(cosine) AND clab = alab AND cid <> aid),
+neg AS (
+  SELECT aid, cosine,
+         row_number() OVER (PARTITION BY aid
+                            ORDER BY cosine DESC, cid ASC) AS rn
+  FROM scored WHERE NOT isnan(cosine) AND clab <> alab),
+m AS (
+  SELECT p.aid,
+         CAST(floor((p.cosine - n.cosine) * 1000000.0) AS BIGINT)
+           AS margin_ppm
+  FROM (SELECT aid, cosine FROM pos WHERE rn = 1) p
+  JOIN (SELECT aid, cosine FROM neg WHERE rn = 1) n ON n.aid = p.aid)
+SELECT label,
+       count(*) AS n_anchors,
+       CAST(sum(CASE WHEN margin_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative_margin,
+       CAST(sum(margin_ppm) AS BIGINT) AS sum_margin_ppm,
+       min(margin_ppm) AS min_margin_ppm,
+       max(margin_ppm) AS max_margin_ppm
+FROM m JOIN embeddings e ON e.vec_id = m.aid
+GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka dimension-truncation tuning table: recall@10 of search over
 # each embedding PREFIX (first 8/16/32/64 dims) vs the full-dim exact
 # top-10 — "how many dims can serve-time search drop" measured before a
@@ -4365,6 +4608,16 @@ QUERIES = [
              "contrastive training-pair mining: per anchor the nearest "
              "same-label positive + 3 nearest different-label hard "
              "negatives, one masked exact corpus pass"),
+    QueryDef("lsh_nbits_curve", lsh_nbits_curve, _lsh_nbits_curve_sql(),
+             "LSH n_bits tuning table: recall@5 + candidate volume per "
+             "bit width (4/6/8), one masked bucketing pass serves every "
+             "level — the probe-curve discipline on the LSH leg"),
+    QueryDef("embedding_margin_stats", embedding_margin_stats,
+             _EMBEDDING_MARGIN_STATS_SQL,
+             "per-label separability margins (nearest-positive minus "
+             "nearest-negative cosine, integer ppm) read off the "
+             "contrastive miner — is the space trainable, which labels "
+             "are entangled"),
     QueryDef("dim_truncation_recall", dim_truncation_recall,
              _dim_truncation_recall_sql(),
              "Matryoshka tuning table: recall@10 of each embedding-prefix "

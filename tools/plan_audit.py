@@ -393,6 +393,17 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # aggregate.  Runtime: 1 window exchange + broadcast hit join +
     # |dims|-row aggregate — candidates are |Q| x |dims| x k rows
     "dim_truncation_recall": 6,
+    # the contrastive kernel's ONE window exchange prints per role branch
+    # (pos + neg consumers of the same materialized triplet frame) + the
+    # per-label aggregate.  Runtime: 1 window + broadcast joins + 1 agg
+    # over |A| rows
+    "embedding_margin_stats": 3,
+    # the materialized candidate union feeds three consumers (volume
+    # census, top-k window, hit join) and the materialized exact leg two
+    # -> their single runtime exchanges re-print per branch; + the n_bits
+    # censuses.  Runtime: 1 candidate window + 2 metadata-scale aggs +
+    # broadcast joins; candidates are the bucket join's output only
+    "lsh_nbits_curve": 7,
 }
 DEFAULT_ALLOWANCE = 2
 

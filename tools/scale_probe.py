@@ -246,6 +246,17 @@ PROBES: dict[str, tuple[float, str]] = {
     # re-rank + broadcast label joins
     "retrieval_eval_ann": (15.0, "linear: one codes scan serves the "
                                  "set"),
+    # one contrastive kernel pass (corpus x anchors), margins + per-label
+    # aggregate are anchor-scale
+    "embedding_margin_stats": (120.0, "quadratic in fixture (anchor set "
+                                      "scales with corpus; fixed in "
+                                      "prod)"),
+    # bucket-join candidates = sum_b q_occ x c_occ: queries AND corpus
+    # grow 10x in the fixture -> up to 100x pair volume (production
+    # query sets are fixed -> linear in occupancy); exact leg is the
+    # knn_join pass under the same caveat
+    "lsh_nbits_curve": (120.0, "quadratic in fixture (query set scales "
+                               "with corpus; fixed in prod)"),
 }
 
 
