@@ -368,3 +368,62 @@ WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.node_a AND e.v = c.node_b)
 ORDER BY n_common DESC, node_a, node_b
 LIMIT {k}
 """
+
+
+def label_propagation_fixed_rounds(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "a",
+    dst: str = "b",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for a FIXED
+    number of rounds over an undirected graph given as a symmetrized
+    edge list: every node starts labeled with its own id; each round,
+    every node simultaneously takes the most frequent label among its
+    neighbors' PREVIOUS-round labels, ties broken by smallest label;
+    nodes with no edges keep their label.  Fixing the round count and
+    the tie order makes the whole algorithm deterministic — communities
+    are oracle-checkable as unrolled CTEs, the same property the
+    repo's CC / PageRank iterations are built on.
+
+    Iterative-lineage discipline (same as connected_components /
+    pagerank_fixed_point): the edge list is hash-partitioned on the
+    label-lookup key and localCheckpoint-ed once, labels re-checkpoint
+    each round — every round's plan is one join + one count aggregate +
+    one window over materialized blocks, and only the label table (|V|
+    rows) moves.  Returns ``(node, lab)``.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .repartition(F.col("b"))
+        .localCheckpoint()
+    )
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("cnt").desc(), F.col("lab").asc()
+    )
+    for _ in range(rounds):
+        d = (
+            e.join(labels, e["b"] == labels["node"])
+            .groupBy("a", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        win = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(win, "node", "left")
+            .select("node", F.coalesce("new_lab", "lab").alias("lab"))
+            .localCheckpoint()
+        )
+    return labels

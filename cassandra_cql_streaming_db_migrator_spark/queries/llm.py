@@ -1719,6 +1719,86 @@ FROM sel s
 """
 
 
+# ---------------------------------------------------------------------------
+# Community detection by synchronous label propagation (Raghavan et al.
+# 2007) over the SAME IVF-blocked kNN graph knn_graph value-gates — the
+# clustering signal between connected components (too coarse: one bridge
+# edge merges topics) and k-means (needs k): communities emerge from edge
+# density alone.  Deterministic by construction: synchronous rounds (all
+# nodes update from the PREVIOUS round's labels), the new label is the
+# most frequent among neighbors with ties broken by smallest label, and
+# isolated nodes keep their own — so a fixed round count is exactly
+# reproducible on any engine, and the oracle unrolls the rounds as CTEs.
+# Scale shape: the graph builds once (one cell groupBy, bounded per-cell
+# kernels); each round is ONE label-scale aggregate + window + join —
+# dedup_components' eager-round discipline (rounds run via materialized(),
+# keeping every plan shallow).
+
+_LPA_ROUNDS = 4
+
+
+def knn_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation_fixed_rounds
+    from ..operators.similarity import block_knn_edges, ivf_cell_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_cell_assign(emb, n_cells=16)
+    edges = block_knn_edges(assigned, k=3).select("vec_id", "nbr_id")
+    und = edges.union(
+        edges.select(
+            F.col("nbr_id").alias("vec_id"), F.col("vec_id").alias("nbr_id")
+        )
+    ).distinct()
+    labels = label_propagation_fixed_rounds(
+        assigned.select("vec_id"), und,
+        node_col="vec_id", src="vec_id", dst="nbr_id", rounds=_LPA_ROUNDS,
+    )
+    final = labels.select(
+        F.col("node").alias("vec_id"), F.col("lab").alias("community")
+    )
+    census = final.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return final.join(F.broadcast(census), "community").select(
+        "vec_id", "community", "n_members"
+    )
+
+
+def _knn_lpa_sql() -> str:
+    parts = [
+        """und AS (
+       SELECT vec_id AS a, nbr_id AS b FROM sel
+       UNION
+       SELECT nbr_id, vec_id FROM sel)""",
+        "l0 AS (SELECT vec_id AS node, vec_id AS lab FROM assign)",
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(f"""d{r} AS (
+       SELECT u.a AS node, l.lab, count(*) AS cnt
+       FROM und u JOIN l{r - 1} l ON l.node = u.b
+       GROUP BY u.a, l.lab),
+     w{r} AS (
+       SELECT node, lab AS new_lab FROM (
+         SELECT node, lab,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, lab ASC) AS rn
+         FROM d{r}) x WHERE rn = 1),
+     l{r} AS (
+       SELECT p.node, coalesce(w.new_lab, p.lab) AS lab
+       FROM l{r - 1} p LEFT JOIN w{r} w ON w.node = p.node)""")
+    rounds_sql = ",\n     ".join(parts)
+    return f"""
+WITH {_KNN_GRAPH_CTE},
+     {rounds_sql},
+     final AS (SELECT node AS vec_id, lab AS community
+               FROM l{_LPA_ROUNDS}),
+     census AS (SELECT community, count(*) AS n_members
+                FROM final GROUP BY community)
+SELECT f.vec_id, f.community, c.n_members
+FROM final f JOIN census c ON c.community = f.community
+"""
+
+
 def _graph_nodes_and_edges(spark: SparkSession, sf_dir: str):
     """Shared INLINE build for the graph-ANN read path: the deterministic
     IVF-blocked kNN graph (same construction knn_graph value-gates) with
@@ -4608,6 +4688,10 @@ QUERIES = [
              "contrastive training-pair mining: per anchor the nearest "
              "same-label positive + 3 nearest different-label hard "
              "negatives, one masked exact corpus pass"),
+    QueryDef("knn_lpa_communities", knn_lpa_communities, _knn_lpa_sql(),
+             "synchronous label-propagation communities (4 rounds, "
+             "min-label ties) over the audited IVF-blocked kNN graph — "
+             "density-driven clustering between CC and k-means"),
     QueryDef("lsh_nbits_curve", lsh_nbits_curve, _lsh_nbits_curve_sql(),
              "LSH n_bits tuning table: recall@5 + candidate volume per "
              "bit width (4/6/8), one masked bucketing pass serves every "

@@ -257,6 +257,11 @@ PROBES: dict[str, tuple[float, str]] = {
     # knn_join pass under the same caveat
     "lsh_nbits_curve": (120.0, "quadratic in fixture (query set scales "
                                "with corpus; fixed in prod)"),
+    # IVF-blocked kNN graph build dominates (within-cell pair kernels,
+    # fixed cell count — knn_graph's regime); each LPA round is one
+    # label-scale join + aggregate over the checkpointed edge list
+    "knn_lpa_communities": (120.0, "graph build quadratic within cells "
+                                   "(fixed cell count); rounds linear"),
 }
 
 
