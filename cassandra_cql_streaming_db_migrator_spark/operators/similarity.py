@@ -1296,6 +1296,27 @@ def graph_beam_search(
     double fold as every other cosine in the engine, so Spark and the
     oracle agree bit-for-bit.
     """
+    visited = graph_beam_visited(
+        nodes, edges, query, beam=beam, hops=hops, n_entry=n_entry,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return visited.orderBy(F.desc("cosine"), F.col(id_col).asc()).limit(k)
+
+
+def graph_beam_visited(
+    nodes: DataFrame,
+    edges: DataFrame,
+    query: DataFrame,
+    beam: int = 4,
+    hops: int = 3,
+    n_entry: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The beam walk's VISITED set (``(id, cosine)`` for every node the
+    walk scored) — :func:`graph_beam_search` is its top-k; the beam-width
+    tuning curve reads it directly because |visited| IS the walk's cost
+    axis (node fetches + scores)."""
     q = F.broadcast(query.select(F.col(vec_col).alias("__qv")))
 
     def score(cand_nodes: DataFrame) -> DataFrame:
@@ -1328,7 +1349,7 @@ def graph_beam_search(
         visited = materialized(
             visited.unionByName(fresh).dropDuplicates([id_col])
         )
-    return visited.orderBy(F.desc("cosine"), F.col(id_col).asc()).limit(k)
+    return visited
 
 
 def graph_beam_search_batch(

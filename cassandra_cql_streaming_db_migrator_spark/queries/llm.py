@@ -1897,38 +1897,44 @@ def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _graph_beam_cte(hops: int = 3, beam: int = 4, n_entry: int = 16) -> str:
+def _graph_beam_cte(
+    hops: int = 3, beam: int = 4, n_entry: int = 16, prefix: str = ""
+) -> str:
     """The beam walk unrolled as chained CTEs over the shared graph CTE
     prefix (requires assign/sel from _KNN_GRAPH_CTE in scope): v{h} is
     the visited set after hop h; UNION dedups revisited nodes exactly
-    because identical vectors score through the identical fold."""
+    because identical vectors score through the identical fold.
+    ``prefix`` namespaces every CTE (q, v*, b*, n*, s*) so several walks
+    — e.g. the beam-width curve's — coexist in one WITH."""
+    p = prefix
 
     def cos(x: str) -> str:
         return (
-            f"{_dot_sql(x, 'q.qv')} / (sqrt({_dot_sql(x, x)})"
-            f" * sqrt({_dot_sql('q.qv', 'q.qv')}))"
+            f"{_dot_sql(x, f'{p}q.qv')} / (sqrt({_dot_sql(x, x)})"
+            f" * sqrt({_dot_sql(f'{p}q.qv', f'{p}q.qv')}))"
         )
 
     parts = [
-        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
-        f"v0 AS (SELECT a.vec_id, {cos('a.embedding')} AS cosine\n"
-        f"       FROM assign a, q WHERE a.vec_id < {n_entry})",
+        f"{p}q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"{p}v0 AS (SELECT a.vec_id, {cos('a.embedding')} AS cosine\n"
+        f"       FROM assign a, {p}q WHERE a.vec_id < {n_entry})",
     ]
     for h in range(1, hops + 1):
         parts.append(
-            f"b{h - 1} AS (SELECT vec_id FROM v{h - 1} "
+            f"{p}b{h - 1} AS (SELECT vec_id FROM {p}v{h - 1} "
             f"ORDER BY cosine DESC, vec_id ASC LIMIT {beam})"
         )
         parts.append(
-            f"n{h} AS (SELECT DISTINCT s.nbr_id AS vec_id "
-            f"FROM sel s JOIN b{h - 1} USING (vec_id))"
+            f"{p}n{h} AS (SELECT DISTINCT s.nbr_id AS vec_id "
+            f"FROM sel s JOIN {p}b{h - 1} USING (vec_id))"
         )
         parts.append(
-            f"s{h} AS (SELECT a.vec_id, {cos('a.embedding')} AS cosine\n"
-            f"       FROM assign a JOIN n{h} USING (vec_id), q)"
+            f"{p}s{h} AS (SELECT a.vec_id, {cos('a.embedding')} AS cosine\n"
+            f"       FROM assign a JOIN {p}n{h} USING (vec_id), {p}q)"
         )
         parts.append(
-            f"v{h} AS (SELECT * FROM v{h - 1} UNION SELECT * FROM s{h})"
+            f"{p}v{h} AS (SELECT * FROM {p}v{h - 1} "
+            f"UNION SELECT * FROM {p}s{h})"
         )
     return ",\n".join(parts)
 
@@ -1938,6 +1944,113 @@ WITH {_KNN_GRAPH_CTE},
 {_graph_beam_cte()}
 SELECT vec_id, cosine FROM v3 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Beam-width tuning curve — the graph leg's knob table, completing the
+# tuning-curve trilogy across all three ANN legs (ivf_pq_probe_curve tunes
+# n_probe, lsh_nbits_curve tunes n_bits, THIS tunes beam): per beam width
+# (1, 2, 4), recall@10 of the walk vs exact cosine over the node universe
+# AND the visited-set size — the walk's cost axis (every visited node is
+# one point-lookup fetch + one score).  The graph builds once; each walk
+# is metadata-scale frontiers.
+
+_BEAM_CURVE_WIDTHS = (1, 2, 4)
+
+
+def graph_beam_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.caching import materialized
+    from ..operators.similarity import cosine, graph_beam_visited
+
+    emb, nodes, edges = _graph_nodes_and_edges(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == 0)
+    q = F.broadcast(query.select(F.col("embedding").alias("__qv")))
+    exact = materialized(
+        nodes.crossJoin(q)
+        .select(
+            "vec_id",
+            cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    out = None
+    for b in _BEAM_CURVE_WIDTHS:
+        visited = graph_beam_visited(nodes, edges, query, beam=b, hops=3)
+        top = (
+            visited.orderBy(F.desc("cosine"), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id")
+        )
+        nvis = visited.agg(F.count(F.lit(1)).alias("n_visited"))
+        hits = top.join(F.broadcast(exact), "vec_id", "left").agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits")
+        )
+        row = (
+            nvis.crossJoin(hits)
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(b).cast("int").alias("beam"),
+                "n_visited",
+                "n_hits",
+                "n_exact",
+                F.expr("1000000 * n_hits DIV n_exact").alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("beam")
+
+
+def _graph_beam_curve_sql() -> str:
+    walks = ",\n".join(
+        _graph_beam_cte(hops=3, beam=b, prefix=f"w{b}")
+        for b in _BEAM_CURVE_WIDTHS
+    )
+    cand = "\n  UNION ALL\n  ".join(
+        f"SELECT {b} AS beam, vec_id FROM (SELECT vec_id FROM w{b}v3 "
+        f"ORDER BY cosine DESC, vec_id ASC LIMIT 10) t{b}"
+        for b in _BEAM_CURVE_WIDTHS
+    )
+    vis = "\n  UNION ALL\n  ".join(
+        f"SELECT {b} AS beam, count(*) AS n_visited FROM w{b}v3"
+        for b in _BEAM_CURVE_WIDTHS
+    )
+    return f"""
+WITH {_KNN_GRAPH_CTE},
+{walks},
+eq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT a.vec_id,
+           {_dot_sql("a.embedding", "q.qv")}
+             / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+                * sqrt({_dot_sql("q.qv", "q.qv")})) AS cosine
+    FROM assign a, eq q) s
+  ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+tot AS (SELECT count(*) AS n_exact FROM exact),
+cand AS (
+  {cand}),
+vis AS (
+  {vis}),
+hits AS (
+  SELECT beam,
+         CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM cand LEFT JOIN exact e ON e.vec_id = cand.vec_id
+  GROUP BY beam)
+SELECT CAST(v.beam AS INTEGER) AS beam,
+       CAST(v.n_visited AS BIGINT) AS n_visited,
+       h.n_hits, n_exact,
+       1000000 * h.n_hits // n_exact AS recall_ppm
+FROM vis v JOIN hits h ON h.beam = v.beam
+CROSS JOIN tot
+ORDER BY beam
+"""
+
 
 def graph_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-ANN beam walk over a query SET, served from the SAVED graph
@@ -4688,6 +4801,10 @@ QUERIES = [
              "contrastive training-pair mining: per anchor the nearest "
              "same-label positive + 3 nearest different-label hard "
              "negatives, one masked exact corpus pass"),
+    QueryDef("graph_beam_curve", graph_beam_curve, _graph_beam_curve_sql(),
+             "beam-width tuning table for the graph-ANN walk: recall@10 "
+             "+ visited-set cost per beam (1/2/4) — completes the "
+             "tuning-curve trilogy across the three index legs"),
     QueryDef("knn_lpa_communities", knn_lpa_communities, _knn_lpa_sql(),
              "synchronous label-propagation communities (4 rounds, "
              "min-label ties) over the audited IVF-blocked kNN graph — "

@@ -404,6 +404,13 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # censuses.  Runtime: 1 candidate window + 2 metadata-scale aggs +
     # broadcast joins; candidates are the bucket join's output only
     "lsh_nbits_curve": 7,
+    # THREE beam-walk hop ladders (one per beam width — each is
+    # graph_ann_search's 21-count shape: per-cell knn kernel groupBy +
+    # per-hop frontier/neighbor joins, re-printed per hop in identity
+    # mode) + the exact leg + per-beam visited/hit censuses.  Runtime:
+    # the graph builds once, each walk executes its hops once over
+    # checkpoint blocks, and every census is metadata-scale
+    "graph_beam_curve": 129,
 }
 DEFAULT_ALLOWANCE = 2
 

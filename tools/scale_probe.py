@@ -262,6 +262,11 @@ PROBES: dict[str, tuple[float, str]] = {
     # label-scale join + aggregate over the checkpointed edge list
     "knn_lpa_communities": (120.0, "graph build quadratic within cells "
                                    "(fixed cell count); rounds linear"),
+    # three walks over the once-built graph: build dominates (knn_graph's
+    # within-cell regime); walk cost is the visited census it reports
+    "graph_beam_curve": (120.0, "graph build quadratic within cells "
+                                "(fixed cell count); walks metadata-"
+                                "scale"),
 }
 
 
