@@ -1764,7 +1764,10 @@ def knn_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_lpa_sql() -> str:
+def _knn_lpa_cte() -> str:
+    """Graph prefix + the unrolled LPA rounds, ending in ``final``
+    (vec_id, community) — shared by the community query and its purity
+    gauge so the graded communities are the audited communities."""
     parts = [
         """und AS (
        SELECT vec_id AS a, nbr_id AS b FROM sel
@@ -1787,16 +1790,102 @@ def _knn_lpa_sql() -> str:
        SELECT p.node, coalesce(w.new_lab, p.lab) AS lab
        FROM l{r - 1} p LEFT JOIN w{r} w ON w.node = p.node)""")
     rounds_sql = ",\n     ".join(parts)
-    return f"""
-WITH {_KNN_GRAPH_CTE},
+    return f"""{_KNN_GRAPH_CTE},
      {rounds_sql},
      final AS (SELECT node AS vec_id, lab AS community
-               FROM l{_LPA_ROUNDS}),
+               FROM l{_LPA_ROUNDS})"""
+
+
+def _knn_lpa_sql() -> str:
+    return f"""
+WITH {_knn_lpa_cte()},
      census AS (SELECT community, count(*) AS n_members
                 FROM final GROUP BY community)
 SELECT f.vec_id, f.community, c.n_members
 FROM final f JOIN census c ON c.community = f.community
 """
+
+
+def community_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality gauge for the LPA communities — the discipline
+    every approximate path here ships with (ann_recall for LSH,
+    pq_recall for PQ, now purity for community detection): per
+    community, its size, the majority ground-truth label (ties to the
+    smallest label), that label's count, and purity = majority/size in
+    exact integer ppm.  A pure community rediscovered a label cluster
+    from edge density alone; a low-purity one spans labels (a bridge the
+    fixed rounds didn't separate).  All metadata-scale past the LPA run:
+    one (community, label) census + one window + one size join."""
+    from ..operators.graph import label_propagation_fixed_rounds
+    from ..operators.similarity import block_knn_edges, ivf_cell_assign
+    from pyspark.sql import Window as _W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_cell_assign(emb, n_cells=16)
+    edges = block_knn_edges(assigned, k=3).select("vec_id", "nbr_id")
+    und = edges.union(
+        edges.select(
+            F.col("nbr_id").alias("vec_id"), F.col("vec_id").alias("nbr_id")
+        )
+    ).distinct()
+    comm = label_propagation_fixed_rounds(
+        assigned.select("vec_id"), und,
+        node_col="vec_id", src="vec_id", dst="nbr_id", rounds=_LPA_ROUNDS,
+    ).select(F.col("node").alias("vec_id"), F.col("lab").alias("community"))
+    lab = emb.select("vec_id", "label")
+    joined = lab.join(F.broadcast(comm), "vec_id")
+    by_label = joined.groupBy("community", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = _W.partitionBy("community").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    top = (
+        by_label.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "community",
+            F.col("label").alias("top_label"),
+            F.col("cnt").alias("top_label_count"),
+        )
+    )
+    sizes = joined.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return sizes.join(top, "community").select(
+        "community",
+        "n_members",
+        "top_label",
+        "top_label_count",
+        F.expr("1000000 * top_label_count DIV n_members").alias("purity_ppm"),
+    )
+
+
+_COMMUNITY_PURITY_SQL_TAIL = """
+     lbl AS (
+       SELECT f.community, e.label, count(*) AS cnt
+       FROM final f JOIN embeddings e ON e.vec_id = f.vec_id
+       GROUP BY f.community, e.label),
+     top AS (
+       SELECT community, label AS top_label, cnt AS top_label_count
+       FROM (
+         SELECT community, label, cnt,
+                row_number() OVER (PARTITION BY community
+                                   ORDER BY cnt DESC, label ASC) AS rn
+         FROM lbl) x WHERE rn = 1),
+     sizes AS (SELECT community, CAST(sum(cnt) AS BIGINT) AS n_members
+               FROM lbl GROUP BY community)
+SELECT s.community, s.n_members, t.top_label,
+       CAST(t.top_label_count AS BIGINT) AS top_label_count,
+       1000000 * CAST(t.top_label_count AS BIGINT) // s.n_members
+         AS purity_ppm
+FROM sizes s JOIN top t ON t.community = s.community
+"""
+
+
+def _community_purity_sql() -> str:
+    return f"""
+WITH {_knn_lpa_cte()},{_COMMUNITY_PURITY_SQL_TAIL}"""
 
 
 def _graph_nodes_and_edges(spark: SparkSession, sf_dir: str):
@@ -4801,6 +4890,10 @@ QUERIES = [
              "contrastive training-pair mining: per anchor the nearest "
              "same-label positive + 3 nearest different-label hard "
              "negatives, one masked exact corpus pass"),
+    QueryDef("community_label_purity", community_label_purity,
+             _community_purity_sql(),
+             "per-community majority-label purity in exact ppm — the "
+             "quality gauge for LPA communities vs ground-truth labels"),
     QueryDef("graph_beam_curve", graph_beam_curve, _graph_beam_curve_sql(),
              "beam-width tuning table for the graph-ANN walk: recall@10 "
              "+ visited-set cost per beam (1/2/4) — completes the "

@@ -411,6 +411,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # the graph builds once, each walk executes its hops once over
     # checkpoint blocks, and every census is metadata-scale
     "graph_beam_curve": 129,
+    # (community, label) census + majority window + the size rollup
+    # (computed from the same census); the LPA rounds themselves are
+    # checkpoint-truncated (audited under knn_lpa_communities).  Runtime:
+    # all three exchanges move community-cardinality rows
+    "community_label_purity": 3,
 }
 DEFAULT_ALLOWANCE = 2
 
