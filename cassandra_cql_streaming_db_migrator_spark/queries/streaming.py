@@ -1002,6 +1002,157 @@ def _stream_distortion_monitor_sql() -> str:
     )
 
 
+# per label, the first _MARGIN_REF_PER_LABEL base vectors (by id) form the
+# frozen reference set — O(labels x R) rows by design, so the reference
+# matrix rides into the kernel under the bench_contamination broadcast
+# contract at any corpus size
+_MARGIN_REF_PER_LABEL = 20
+
+
+def stream_margin_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE embedding-separability monitoring — embedding_margin_stats'
+    streaming twin, and the THIRD retrain trigger: stream_drift_monitor
+    watches the index's occupancy, stream_distortion_monitor watches its
+    codebooks, and THIS watches the ENCODER — are arriving vectors still
+    separable by label against a frozen per-label reference set, or has
+    the upstream embedding model (or the data) drifted until wrong-label
+    references outscore right-label ones?
+
+    Per microbatch, each arrival scores against the reference matrix in
+    a STATELESS Arrow kernel (the bench_contamination shape: the
+    reference is labels x R rows by construction, driver-held, one
+    sequential-fold pass per batch, zero shuffles) emitting
+    (label, margin_ppm) with margin = max same-label cosine minus max
+    different-label cosine, floor-quantized to integer ppm; the single
+    stateful operator is a per-label (count, negatives, sum, min, max)
+    aggregate — O(labels) state forever, every component mergeable.
+    Margins are independent per arrival, so the drained result equals
+    the batch computation whatever the microbatch placement — the SQL
+    oracle computes the same census over the arrival split directly."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.parquet import load_table
+    from ..streaming.stream import read_documents_stream_chunked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_where = F.col("vec_id") % 10 != 0
+    from pyspark.sql import Window as _W
+
+    ref_rows = (
+        emb.where(base_where)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("label").orderBy(F.col("vec_id").asc())
+            ),
+        )
+        .where(F.col("__rn") <= _MARGIN_REF_PER_LABEL)
+        .select("label", "embedding")
+        .collect()
+    )
+    rlabels = np.array([r[0] for r in ref_rows])
+    rmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in ref_rows])
+    # reference norms via the same sequential fold as the kernel below
+    nr, dim = rmat.shape
+    racc = np.zeros(nr, dtype=np.float64)
+    for d in range(dim):
+        racc = racc + rmat[:, d] * rmat[:, d]
+    rnorm = np.sqrt(racc)
+    # zero-norm references can never win a max (their cosine is NaN on
+    # both engines); drop them from the matrix once, here
+    keep = rnorm > 0.0
+    rlabels, rmat, rnorm = rlabels[keep], rmat[keep], rnorm[keep]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            alab = pdf["label"].to_numpy()
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nb = mat.shape[0]
+            acc = np.zeros((nb, rmat.shape[0]), dtype=np.float64)
+            nacc = np.zeros(nb, dtype=np.float64)
+            for d in range(dim):
+                acc = acc + mat[:, d][:, None] * rmat[:, d][None, :]
+                nacc = nacc + mat[:, d] * mat[:, d]
+            cos = acc / (np.sqrt(nacc)[:, None] * rnorm[None, :])
+            out_l, out_m = [], []
+            for i in range(nb):
+                same = rlabels == alab[i]
+                ci = cos[i]
+                pos_c = ci[same & ~np.isnan(ci)]
+                neg_c = ci[~same & ~np.isnan(ci)]
+                if not len(pos_c) or not len(neg_c):
+                    continue
+                margin = float(np.max(pos_c)) - float(np.max(neg_c))
+                out_l.append(int(alab[i]))
+                out_m.append(int(np.floor(margin * 1000000.0)))
+            yield pd.DataFrame(
+                {"label": pd.array(out_l, dtype="int32"),
+                 "margin_ppm": pd.array(out_m, dtype="int64")}
+            )
+
+    arrivals = read_documents_stream_chunked(
+        spark, emb.where(~base_where), n_chunks=4
+    )
+    margins = arrivals.select("label", "embedding").mapInPandas(
+        score, "label int, margin_ppm long"
+    )
+    live = margins.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.sum((F.col("margin_ppm") < 0).cast("long")).alias(
+            "n_negative_margin"
+        ),
+        F.sum("margin_ppm").alias("sum_margin_ppm"),
+        F.min("margin_ppm").alias("min_margin_ppm"),
+        F.max("margin_ppm").alias("max_margin_ppm"),
+    )
+    return run_to_memory(live, output_mode="complete")
+
+
+def _stream_margin_monitor_sql() -> str:
+    from .llm import _dot_sql
+
+    return f"""
+WITH ref AS (
+  SELECT label AS rlab, embedding AS rv FROM (
+    SELECT label, embedding,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY vec_id ASC) AS rn
+    FROM embeddings WHERE vec_id % 10 <> 0) r
+  WHERE rn <= {_MARGIN_REF_PER_LABEL}),
+arr AS (SELECT vec_id, label AS alab, embedding AS av FROM embeddings
+        WHERE vec_id % 10 = 0),
+scored AS (
+  SELECT a.vec_id, a.alab, r.rlab,
+         {_dot_sql("r.rv", "a.av")}
+           / (sqrt({_dot_sql("r.rv", "r.rv")}) * sqrt({_dot_sql("a.av", "a.av")}))
+           AS cosine
+  FROM arr a CROSS JOIN ref r),
+per AS (
+  SELECT vec_id, alab,
+         max(CASE WHEN rlab = alab AND NOT isnan(cosine) THEN cosine END)
+           AS pos_cos,
+         max(CASE WHEN rlab <> alab AND NOT isnan(cosine) THEN cosine END)
+           AS neg_cos
+  FROM scored GROUP BY vec_id, alab),
+m AS (
+  SELECT alab AS label,
+         CAST(floor((pos_cos - neg_cos) * 1000000.0) AS BIGINT)
+           AS margin_ppm
+  FROM per WHERE pos_cos IS NOT NULL AND neg_cos IS NOT NULL)
+SELECT label,
+       count(*) AS n_arrivals,
+       CAST(sum(CASE WHEN margin_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative_margin,
+       CAST(sum(margin_ppm) AS BIGINT) AS sum_margin_ppm,
+       min(margin_ppm) AS min_margin_ppm,
+       max(margin_ppm) AS max_margin_ppm
+FROM m GROUP BY label
+"""
+
+
 def stream_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE self-maintaining-index loop in one query (round 10 —
     composing r8's live maintenance, r9's drift sensing, and r10's
@@ -1784,6 +1935,11 @@ QUERIES = [
              "live codebook-fit monitoring: per-cell (count, exact-sum) "
              "distortion census as an O(cells) streaming aggregate; "
              "drained report equals batch pq_distortion_report"),
+    QueryDef("stream_margin_monitor", stream_margin_monitor,
+             _stream_margin_monitor_sql(),
+             "live embedding-separability monitoring (the ENCODER's "
+             "retrain trigger): per-arrival label margins vs a frozen "
+             "per-label reference set, O(labels) streaming state"),
     QueryDef("stream_index_retrain", stream_index_retrain,
              _stream_index_retrain_sql(),
              "the whole self-maintaining-index loop: stream-maintained "

@@ -267,6 +267,10 @@ PROBES: dict[str, tuple[float, str]] = {
     "graph_beam_curve": (120.0, "graph build quadratic within cells "
                                 "(fixed cell count); walks metadata-"
                                 "scale"),
+    # fixed labels x R reference matrix; per-batch kernel is linear in
+    # arrivals, state O(labels)
+    "stream_margin_monitor": (15.0, "linear: bounded reference, "
+                                    "per-batch kernel, O(labels) state"),
 }
 
 
