@@ -335,6 +335,105 @@ FROM w, tot
 
 
 # ---------------------------------------------------------------------------
+# Mixture TEMPERATURE tuning curve — the probe/threshold/bits/beam-curve
+# discipline applied to the planner's knob: token_budget_plan fixes
+# alpha = 1/2 (the mBERT/XLM-R convention); this sweeps alpha over
+# {1, 1/2, 1/4, 0} and shows what each temperature BUYS — how far shares
+# flatten toward uniform and how hard small sources upsample
+# (epochs_ppm) — the table read before freezing one alpha.  Weights stay
+# integer-exact per alpha: n_tokens (alpha=1), isqrt (1/2), nested isqrt
+# (1/4 — floor(sqrt(floor(sqrt(n)))), a deterministic integer definition
+# both engines compute identically), and 1 (alpha=0, uniform).  ONE
+# source-grain aggregate is the only distributed work; all four curve
+# legs are source-count rows of driver integer arithmetic (the
+# _budget_plan_frame finish contract).
+
+_TEMP_CURVE_ALPHAS = (100, 50, 25, 0)  # alpha in percent
+
+
+def mixture_temperature_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .collect()
+    )
+
+    def weigh(n: int, alpha_pct: int) -> int:
+        if alpha_pct == 100:
+            return n
+        if alpha_pct == 50:
+            return math.isqrt(n)
+        if alpha_pct == 25:
+            return math.isqrt(math.isqrt(n))
+        return 1
+
+    rows = []
+    for a in _TEMP_CURVE_ALPHAS:
+        weights = {r["source"]: weigh(r["n_tokens"], a) for r in per}
+        tw = sum(weights.values())
+        for r in sorted(per, key=lambda r: r["source"]):
+            w = weights[r["source"]]
+            alloc = _TOKEN_BUDGET * w // tw
+            rows.append(
+                (
+                    a,
+                    r["source"],
+                    r["n_docs"],
+                    r["n_tokens"],
+                    w,
+                    1_000_000 * w // tw,
+                    alloc,
+                    1_000_000 * alloc // r["n_tokens"],
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "alpha_pct int, source string, n_docs long, n_tokens long, "
+        "weight long, target_share_ppm long, alloc_tokens long, "
+        "epochs_ppm long",
+    )
+
+
+def _mixture_temperature_curve_sql() -> str:
+    wexprs = {
+        100: "n_tokens",
+        50: "CAST(floor(sqrt(n_tokens)) AS BIGINT)",
+        25: "CAST(floor(sqrt(CAST(floor(sqrt(n_tokens)) AS BIGINT))) "
+            "AS BIGINT)",
+        0: "CAST(1 AS BIGINT)",
+    }
+    legs = []
+    for a in _TEMP_CURVE_ALPHAS:
+        legs.append(f"""SELECT {a} AS alpha_pct, source, n_docs, n_tokens,
+       weight,
+       CAST(1000000 * weight // tw AS BIGINT) AS target_share_ppm,
+       CAST({_TOKEN_BUDGET} * weight // tw AS BIGINT) AS alloc_tokens,
+       CAST(1000000 * ({_TOKEN_BUDGET} * weight // tw) // n_tokens
+            AS BIGINT) AS epochs_ppm
+FROM (SELECT source, n_docs, n_tokens, {wexprs[a]} AS weight,
+             CAST(sum({wexprs[a]}) OVER () AS BIGINT) AS tw
+      FROM per) x{a}""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source)
+SELECT CAST(alpha_pct AS INTEGER) AS alpha_pct, source, n_docs, n_tokens,
+       weight, target_share_ppm, alloc_tokens, epochs_ppm
+FROM ({union}) u
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic split + domain mixing — per-row hash arithmetic, no shuffle.
 
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
@@ -1295,6 +1394,14 @@ QUERIES = [
         _TOKEN_BUDGET_PLAN_SQL,
         "training-token budget planner: sqrt-temperature mixture, integer "
         "ppm shares + per-source epoch counts",
+    ),
+    QueryDef(
+        "mixture_temperature_curve",
+        mixture_temperature_curve,
+        _mixture_temperature_curve_sql(),
+        "alpha sweep (1, 1/2, 1/4, 0) of the token planner: what each "
+        "temperature buys in share flattening and upsampling epochs — "
+        "the tuning table read before freezing one alpha",
     ),
     QueryDef(
         "decontaminate_purge",

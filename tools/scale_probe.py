@@ -271,6 +271,10 @@ PROBES: dict[str, tuple[float, str]] = {
     # arrivals, state O(labels)
     "stream_margin_monitor": (15.0, "linear: bounded reference, "
                                     "per-batch kernel, O(labels) state"),
+    # ONE source-grain aggregate; all four alpha legs are source-count
+    # rows of driver integer arithmetic
+    "mixture_temperature_curve": (15.0, "linear: one census, "
+                                        "metadata-scale finish"),
 }
 
 
