@@ -1547,6 +1547,90 @@ SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
 WHERE rn <= 10
 """
 
+def retrieval_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retrieval_eval's metrics over the LSH serve path — the task-eval
+    trilogy's third leg (exact: retrieval_eval; IVF-PQ:
+    retrieval_eval_ann; LSH: here): the persisted bucket table serves
+    the 8-query batch with the query ids themselves EXCLUDED from the
+    candidate scan (a pushed bucket-table filter, the
+    lsh_filtered_batch shape — so no self-rank and no post-serve
+    re-rank), then the same integer-exact first-rank / MRR /
+    precision@10 / hit@10 table with label match as relevance.  A
+    bucket can hold fewer than 10 survivors — precision@10 keeps the
+    /10 denominator by design (an under-filled probe IS a quality
+    miss), the number that makes the three legs comparable."""
+    from ..operators.similarity import lsh_ann_batch_bucketed
+
+    emb, bucketed = _lsh_bucket_artifact(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    topk = lsh_ann_batch_bucketed(
+        bucketed.where(F.col("vec_id") >= 8), queries, k=10, n_bits=6
+    ).select("query_id", "vec_id", "rn")
+    lab = emb.select("vec_id", "label")
+    with_nlab = lab.withColumnRenamed("label", "nlab").join(
+        F.broadcast(topk), "vec_id"
+    )
+    with_both = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    ).join(F.broadcast(with_nlab), "query_id")
+    rel = F.col("nlab") == F.col("qlab")
+    agg = with_both.groupBy("query_id").agg(
+        F.coalesce(F.min(F.when(rel, F.col("rn"))), F.lit(0)).alias(
+            "first_rank"
+        ),
+        F.count(F.when(rel, F.lit(1))).alias("n_rel_at_10"),
+    )
+    return agg.select(
+        "query_id",
+        F.col("first_rank").cast("int").alias("first_rank"),
+        F.expr(
+            "CASE WHEN first_rank > 0 THEN 1000000 DIV first_rank "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("rr_ppm"),
+        "n_rel_at_10",
+        F.expr("1000000 * n_rel_at_10 DIV 10").alias("prec10_ppm"),
+        (F.col("n_rel_at_10") > 0).alias("hit10"),
+    )
+
+
+_RETRIEVAL_EVAL_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding,
+         ({_lsh_bucket_sql("embedding", 6)}) AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qv,
+             bucket AS qbucket
+      FROM b WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, q.qlab, b.vec_id, b.label AS nlab,
+         {_dot_sql("b.embedding", "q.qv")}
+           / (sqrt({_dot_sql("b.embedding", "b.embedding")})
+              * sqrt({_dot_sql("q.qv", "q.qv")})) AS cosine
+  FROM b JOIN q ON b.bucket = q.qbucket
+  WHERE b.vec_id >= 8),
+ranked AS (
+  SELECT query_id, qlab, nlab, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM s) r
+  WHERE rn <= 10),
+agg AS (
+  SELECT query_id,
+         coalesce(min(CASE WHEN nlab = qlab THEN rn END), 0) AS first_rank,
+         CAST(count(CASE WHEN nlab = qlab THEN 1 END) AS BIGINT)
+           AS n_rel_at_10
+  FROM ranked GROUP BY query_id)
+SELECT query_id,
+       CAST(first_rank AS INTEGER) AS first_rank,
+       CAST(CASE WHEN first_rank > 0 THEN 1000000 // first_rank
+                 ELSE 0 END AS BIGINT) AS rr_ppm,
+       n_rel_at_10,
+       1000000 * n_rel_at_10 // 10 AS prec10_ppm,
+       n_rel_at_10 > 0 AS hit10
+FROM agg
+"""
+
+
 # Filtered twin: the candidate side carries the label predicate (applied
 # exactly where the Spark side's pushed-down bucket-table scan filter
 # lands — before the per-query window); queries stay unfiltered.
@@ -4876,6 +4960,11 @@ QUERIES = [
     QueryDef("ann_recall", ann_recall_q, _ann_recall_sql(),
              "recall@5 of LSH ANN vs exact k-NN ground truth, per query "
              "(deterministic approximate path, fixed-point recall)"),
+    QueryDef("retrieval_eval_lsh", retrieval_eval_lsh,
+             _RETRIEVAL_EVAL_LSH_SQL,
+             "the label-relevance metrics over the LSH serve path "
+             "(query ids excluded by a pushed bucket-table filter) — "
+             "the task-eval trilogy's third leg"),
     QueryDef("retrieval_eval_ann", retrieval_eval_ann,
              _retrieval_eval_ann_sql(),
              "the label-relevance metrics over the SERVED IVF-PQ path "

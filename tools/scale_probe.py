@@ -275,6 +275,10 @@ PROBES: dict[str, tuple[float, str]] = {
     # rows of driver integer arithmetic
     "mixture_temperature_curve": (15.0, "linear: one census, "
                                         "metadata-scale finish"),
+    # saved-bucket-table probe (one filtered scan + broadcast equi-join)
+    # + k-row label joins
+    "retrieval_eval_lsh": (15.0, "linear: one bucket-table scan serves "
+                                 "the set"),
 }
 
 
