@@ -370,6 +370,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_margin_monitor": {},
     "mixture_temperature_curve": {},
     "retrieval_eval_lsh": {},
+    "retrieval_eval_graph": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -434,6 +435,7 @@ DRIVER_HEAD = [
     "stream_margin_monitor",
     "mixture_temperature_curve",
     "retrieval_eval_lsh",
+    "retrieval_eval_graph",
     # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
     # the mirror's replay guard is now a PERSISTED epoch watermark
     # committed beside the A/B cursor per batch; the r09 green witnessed
@@ -456,17 +458,17 @@ DRIVER_HEAD = [
     "cms_heavy_hitters",
     "debounce_events",
     "doc_chunks",
-    "drift_report",
-    # (dsir_weights, embedding_scatter, entity_resolution,
+    # (drift_report, dsir_weights, embedding_scatter, entity_resolution,
     # event_transitions, funnel_timing, fuzzy_key_match, gini_by_nation,
     # image_phash, kmv_set_ops, mad_outliers, multimodal_framesample and
-    # null_semantics displaced by the twelve late-round-10 rule-1
+    # null_semantics displaced by the thirteen late-round-10 rule-1
     # entries contrastive_triplets / dim_truncation_recall /
     # retrieval_eval / retrieval_eval_ann / embedding_margin_stats /
     # lsh_nbits_curve / knn_lpa_communities / graph_beam_curve /
     # community_label_purity / stream_margin_monitor /
-    # mixture_temperature_curve / retrieval_eval_lsh; they rejoin the
-    # r04-vintage pool for the round-11 rule-2 fill.
+    # mixture_temperature_curve / retrieval_eval_lsh /
+    # retrieval_eval_graph; they rejoin the r04-vintage pool for the
+    # round-11 rule-2 fill.
     # stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
     # wow_growth, zscore_anomalies, the r05 trio activity_streaks,
     # audience_overlap, basket_rules, and then sliding_distinct,

@@ -2453,6 +2453,83 @@ FROM q LEFT JOIN hits h USING (query_id)
 """
 
 
+def retrieval_eval_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retrieval_eval's metrics over the GRAPH serve path — the fourth
+    and final leg of the task-eval family (exact / IVF-PQ / LSH /
+    graph): the persisted graph serves the 4-query batch, the query's
+    own row is excluded HARVEST-SIDE (graph_beam_search_batch's
+    harvest_where — the traversal stays self-inclusive, since removing
+    a node from the walk would change every frontier; filtered-DiskANN's
+    discipline applied to self-exclusion), then the identical
+    integer-ppm metric table with label match as relevance."""
+    from ..operators.similarity import graph_beam_search_batch
+
+    emb, nodes, edges = _graph_artifacts(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4)
+    topk = graph_beam_search_batch(
+        nodes, edges, queries, k=10, beam=4, hops=3,
+        harvest_where=F.col("vec_id") != F.col("query_id"),
+    ).select("query_id", "vec_id", "rn")
+    lab = emb.select("vec_id", "label")
+    with_nlab = lab.withColumnRenamed("label", "nlab").join(
+        F.broadcast(topk), "vec_id"
+    )
+    with_both = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    ).join(F.broadcast(with_nlab), "query_id")
+    rel = F.col("nlab") == F.col("qlab")
+    agg = with_both.groupBy("query_id").agg(
+        F.coalesce(F.min(F.when(rel, F.col("rn"))), F.lit(0)).alias(
+            "first_rank"
+        ),
+        F.count(F.when(rel, F.lit(1))).alias("n_rel_at_10"),
+    )
+    return agg.select(
+        "query_id",
+        F.col("first_rank").cast("int").alias("first_rank"),
+        F.expr(
+            "CASE WHEN first_rank > 0 THEN 1000000 DIV first_rank "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("rr_ppm"),
+        "n_rel_at_10",
+        F.expr("1000000 * n_rel_at_10 DIV 10").alias("prec10_ppm"),
+        (F.col("n_rel_at_10") > 0).alias("hit10"),
+    )
+
+
+_RETRIEVAL_EVAL_GRAPH_SQL = f"""
+WITH {_KNN_GRAPH_CTE},
+{_graph_beam_batch_cte()},
+ranked AS (
+  SELECT query_id, vec_id, rn FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM v3 WHERE vec_id <> query_id) r
+  WHERE rn <= 10),
+lab AS (SELECT vec_id, label FROM embeddings),
+j AS (
+  SELECT t.query_id, t.rn, nl.label AS nlab, ql.label AS qlab
+  FROM ranked t
+  JOIN lab nl ON nl.vec_id = t.vec_id
+  JOIN lab ql ON ql.vec_id = t.query_id),
+agg AS (
+  SELECT query_id,
+         coalesce(min(CASE WHEN nlab = qlab THEN rn END), 0) AS first_rank,
+         CAST(count(CASE WHEN nlab = qlab THEN 1 END) AS BIGINT)
+           AS n_rel_at_10
+  FROM j GROUP BY query_id)
+SELECT query_id,
+       CAST(first_rank AS INTEGER) AS first_rank,
+       CAST(CASE WHEN first_rank > 0 THEN 1000000 // first_rank
+                 ELSE 0 END AS BIGINT) AS rr_ppm,
+       n_rel_at_10,
+       1000000 * n_rel_at_10 // 10 AS prec10_ppm,
+       n_rel_at_10 > 0 AS hit10
+FROM agg
+"""
+
+
 # Filtered twins (VERDICT r09 ask #3): the walk CTEs are unchanged
 # (traversal is predicate-blind); the label filters the harvested visited
 # set BEFORE the final per-query window — the oracle joins embeddings for
@@ -4960,6 +5037,11 @@ QUERIES = [
     QueryDef("ann_recall", ann_recall_q, _ann_recall_sql(),
              "recall@5 of LSH ANN vs exact k-NN ground truth, per query "
              "(deterministic approximate path, fixed-point recall)"),
+    QueryDef("retrieval_eval_graph", retrieval_eval_graph,
+             _RETRIEVAL_EVAL_GRAPH_SQL,
+             "the label-relevance metrics over the graph walk (self "
+             "excluded harvest-side) — the task-eval family's fourth "
+             "and final serve leg"),
     QueryDef("retrieval_eval_lsh", retrieval_eval_lsh,
              _RETRIEVAL_EVAL_LSH_SQL,
              "the label-relevance metrics over the LSH serve path "

@@ -416,6 +416,11 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # checkpoint-truncated (audited under knn_lpa_communities).  Runtime:
     # all three exchanges move community-cardinality rows
     "community_label_purity": 3,
+    # the persisted-graph hop ladder (graph_ann_batch's shape, identity-
+    # mode re-prints) + the harvest-side self-exclusion window + the
+    # broadcast label joins + the per-query metric aggregate — every
+    # exchange past the walk moves |Q| x k rows
+    "retrieval_eval_graph": 23,
 }
 DEFAULT_ALLOWANCE = 2
 

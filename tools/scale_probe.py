@@ -279,6 +279,12 @@ PROBES: dict[str, tuple[float, str]] = {
     # + k-row label joins
     "retrieval_eval_lsh": (15.0, "linear: one bucket-table scan serves "
                                  "the set"),
+    # persisted-graph walk (metadata-scale frontiers) + k-row label
+    # joins; graph build amortized into the artifact (graph_ann_batch's
+    # regime)
+    "retrieval_eval_graph": (120.0, "graph build quadratic within cells "
+                                    "(fixed cell count); walk metadata-"
+                                    "scale"),
 }
 
 
