@@ -906,16 +906,21 @@ def _query_vector(df, query_id, vec_col, id_col, m, sub_dim):
 
 def _query_vectors(df, n_queries, vec_col, id_col, m, sub_dim):
     """Batch twin of :func:`_query_vector`: ONE collect for the whole
-    query set (ids below ``n_queries``), not one round trip per query."""
-    rows = (
+    query set (ids below ``n_queries``), not one round trip per query.
+    Bounded by contract (VERDICT r10 ask #5): the set ships to every
+    task as probe frames, so past the declared bound this raises a
+    typed error instead of OOMing the driver."""
+    from .driverside import collect_bounded
+
+    rows = collect_bounded(
         df.where(
             F.col(vec_col).isNotNull()
             & (F.size(F.col(vec_col)) >= m * sub_dim)
         )
         .where(F.col(id_col) < n_queries)
         .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
+        .orderBy(id_col),
+        what="ANN serve-batch query set",
     )
     if not rows:
         raise ValueError(f"ivf_pq_serve_batch: no query ids < {n_queries}")

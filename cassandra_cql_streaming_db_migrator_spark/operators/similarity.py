@@ -827,7 +827,16 @@ def bench_contamination(
         StructType,
     )
 
-    brows = sorted(bench.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    from .driverside import collect_bounded
+
+    # bounded by contract: the bench suite is a curated eval set, never
+    # corpus-scale (collect_bounded raises a typed error past the bound)
+    brows = sorted(
+        collect_bounded(
+            bench.select(id_col, vec_col), what="decontaminate bench suite"
+        ),
+        key=lambda r: r[0],
+    )
     id_field = corpus.schema[id_col]
     schema = StructType(
         [
@@ -916,7 +925,15 @@ def knn_join(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    qrows = queries.select(id_col, vec_col).collect()
+    from .driverside import collect_bounded
+
+    # bounded by contract: the query set is metadata-scale (it rides to
+    # every task as a dense matrix); past the bound this raises rather
+    # than OOMing the driver — callers with a legitimately growing input
+    # belong on contrastive_topk's chunked-anchor pattern
+    qrows = collect_bounded(
+        queries.select(id_col, vec_col), what="knn_join query set"
+    )
     id_field = corpus.schema[id_col]
     schema = StructType(
         [
@@ -1550,6 +1567,7 @@ def contrastive_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_anchor_rows: int | None = None,
 ) -> DataFrame:
     """Contrastive training-pair construction: for every anchor, its
     nearest SAME-label neighbors (the positives, self excluded) and its
@@ -1567,6 +1585,18 @@ def contrastive_topk(
     |batches| * |A| * (k_pos + k_neg) candidate rows — metadata-scale.
     No corpus shuffle; the only exchange is the candidate aggregation.
 
+    CHUNKED-ANCHOR PATH (VERDICT r10 ask #6): the anchor set is the one
+    "small side" here that legitimately grows with the corpus (a
+    ``vec_id % 50`` mining rule is 2% of everything), so past
+    ``max_anchor_rows`` (default ``DEFAULT_MAX_BROADCAST_ROWS``) the
+    operator does NOT collect it whole — it pages through the anchors in
+    id-ordered keyset blocks of that size, runs the identical kernel per
+    block, and unions the per-block candidates before the single global
+    window cut.  Same exact result (blocks partition the anchors and the
+    cut is per-anchor), |blocks| corpus passes instead of an unbounded
+    driver matrix — the caller chooses the memory/pass trade by setting
+    the bound.
+
     Numeric parity: per-pair cosine is the same sequential dimension fold
     as ``knn_join`` (bit-identical to the DuckDB list_reduce fold);
     batch-local cuts use the global total order (cosine desc, neighbor id
@@ -1577,7 +1607,11 @@ def contrastive_topk(
     from pyspark.sql import Window
     from pyspark.sql.types import DoubleType, IntegerType, StringType, StructField, StructType
 
-    arows = anchors.select(id_col, label_col, vec_col).collect()
+    from .driverside import DEFAULT_MAX_BROADCAST_ROWS
+
+    if max_anchor_rows is None:
+        max_anchor_rows = DEFAULT_MAX_BROADCAST_ROWS
+    anchor_sel = anchors.select(id_col, label_col, vec_col)
     id_field = corpus.schema[id_col]
     schema = StructType(
         [
@@ -1587,62 +1621,112 @@ def contrastive_topk(
             StructField("cosine", DoubleType(), True),
         ]
     )
-    if not arows:
-        return corpus.sparkSession.createDataFrame(
-            [], schema.add(StructField("rn", IntegerType(), False))
-        )
-    arows.sort(key=lambda r: r[0])
-    aids = np.array([r[0] for r in arows])
-    alabels = np.array([r[1] for r in arows])
-    amat = np.stack([np.asarray(r[2], dtype=np.float64) for r in arows])
-    anorms = np.sqrt(_seq_fold_dots(amat, amat))
-    na, dim = amat.shape
+    # empty-path schema in the SAME field order as the non-empty select
+    # (rn third) — ADVICE r10 #1: a positional consumer must see one order
+    out_schema = StructType(
+        [
+            schema["anchor_id"],
+            schema["role"],
+            StructField("rn", IntegerType(), False),
+            schema["neighbor_id"],
+            schema["cosine"],
+        ]
+    )
+    n_anchors = anchor_sel.count()
+    if n_anchors == 0:
+        return corpus.sparkSession.createDataFrame([], out_schema)
     role_k = (("pos", k_pos), ("neg", k_neg))
 
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cids = pdf[id_col].to_numpy()
-            clabels = pdf[label_col].to_numpy()
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.sqrt(_seq_fold_dots(mat, mat))
-            acc = np.zeros((mat.shape[0], na), dtype=np.float64)
-            for d in range(dim):
-                acc = acc + mat[:, d][:, None] * amat[:, d][None, :]
-            cos = acc / (norms[:, None] * anorms[None, :])
-            out_a, out_r, out_c, out_s = [], [], [], []
-            for j in range(na):
-                cj = cos[:, j]
-                same = clabels == alabels[j]
-                not_nan = ~np.isnan(cj)
-                for role, k in role_k:
-                    if role == "pos":
-                        cand0 = np.nonzero(not_nan & same & (cids != aids[j]))[0]
-                    else:
-                        cand0 = np.nonzero(not_nan & ~same)[0]
-                    if len(cand0) > k:
-                        thresh = -np.partition(-cj[cand0], k - 1)[k - 1]
-                        cand = cand0[cj[cand0] >= thresh]
-                    else:
-                        cand = cand0
-                    top = cand[np.lexsort((cids[cand], -cj[cand]))][:k]
-                    out_a.append(np.full(len(top), aids[j]))
-                    out_r.extend([role] * len(top))
-                    out_c.append(cids[top])
-                    out_s.append(cj[top])
-            yield pd.DataFrame(
-                {
-                    "anchor_id": np.concatenate(out_a),
-                    "role": out_r,
-                    "neighbor_id": np.concatenate(out_c),
-                    "cosine": np.concatenate(out_s),
-                }
-            )
+    def block_candidates(arows):
+        """The broadcast kernel over ONE anchor block: |block| anchors
+        ride to every task; one corpus pass emits batch-local top-k
+        candidates per (anchor, role)."""
+        arows.sort(key=lambda r: r[0])
+        aids = np.array([r[0] for r in arows])
+        alabels = np.array([r[1] for r in arows])
+        amat = np.stack([np.asarray(r[2], dtype=np.float64) for r in arows])
+        anorms = np.sqrt(_seq_fold_dots(amat, amat))
+        na, dim = amat.shape
 
-    candidates = corpus.select(id_col, label_col, vec_col).mapInPandas(
-        score, schema
-    )
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cids = pdf[id_col].to_numpy()
+                clabels = pdf[label_col].to_numpy()
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                norms = np.sqrt(_seq_fold_dots(mat, mat))
+                acc = np.zeros((mat.shape[0], na), dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + mat[:, d][:, None] * amat[:, d][None, :]
+                cos = acc / (norms[:, None] * anorms[None, :])
+                out_a, out_r, out_c, out_s = [], [], [], []
+                for j in range(na):
+                    cj = cos[:, j]
+                    same = clabels == alabels[j]
+                    not_nan = ~np.isnan(cj)
+                    for role, k in role_k:
+                        if role == "pos":
+                            cand0 = np.nonzero(
+                                not_nan & same & (cids != aids[j])
+                            )[0]
+                        else:
+                            cand0 = np.nonzero(not_nan & ~same)[0]
+                        if len(cand0) > k:
+                            thresh = -np.partition(-cj[cand0], k - 1)[k - 1]
+                            cand = cand0[cj[cand0] >= thresh]
+                        else:
+                            cand = cand0
+                        top = cand[np.lexsort((cids[cand], -cj[cand]))][:k]
+                        out_a.append(np.full(len(top), aids[j]))
+                        out_r.extend([role] * len(top))
+                        out_c.append(cids[top])
+                        out_s.append(cj[top])
+                yield pd.DataFrame(
+                    {
+                        "anchor_id": np.concatenate(out_a),
+                        "role": out_r,
+                        "neighbor_id": np.concatenate(out_c),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+        return corpus.select(id_col, label_col, vec_col).mapInPandas(
+            score, schema
+        )
+
+    if n_anchors <= max_anchor_rows:
+        # broadcast path: one collect, one corpus pass (today's plan)
+        candidates = block_candidates(anchor_sel.collect())
+    else:
+        # chunked-anchor path: id-ordered keyset pagination — each block
+        # is a bounded collect (orderBy + limit = TakeOrdered, never a
+        # full driver materialization) and one corpus pass; blocks
+        # partition the anchor set, so the per-anchor window cut below
+        # is exact regardless of blocking
+        candidates = None
+        last_id = None
+        while True:
+            blk_df = anchor_sel
+            if last_id is not None:
+                blk_df = blk_df.where(F.col(id_col) > last_id)
+            blk = (
+                blk_df.orderBy(F.col(id_col).asc())
+                .limit(max_anchor_rows)
+                .collect()
+            )
+            if not blk:
+                break
+            blk_cands = block_candidates(blk)
+            candidates = (
+                blk_cands
+                if candidates is None
+                else candidates.unionByName(blk_cands)
+            )
+            last_id = blk[-1][0]
+            if len(blk) < max_anchor_rows:
+                break
+
     w = Window.partitionBy("anchor_id", "role").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -1692,7 +1776,12 @@ def prefix_dim_recall(
 
     assert sorted(dims) == list(dims), "dims must be ascending"
     full_dim = dims[-1]
-    qrows = queries.select(id_col, vec_col).collect()
+    from .driverside import collect_bounded
+
+    # bounded by contract (the knn_join query-set rule)
+    qrows = collect_bounded(
+        queries.select(id_col, vec_col), what="prefix_dim_recall query set"
+    )
     id_field = corpus.schema[id_col]
     schema = StructType(
         [

@@ -143,7 +143,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "tfidf_terms": {"r03": "green", "r08": "green"},
     "mixture_weights": {"r03": "green", "r08": "green"},
     "length_histogram": {"r03": "green", "r09": "green"},
-    "trigram_lm": {"r03": "green"},
+    "trigram_lm": {"r03": "green", "r10": "green"},
     "embedding_centroids": {"r03": "green", "r09": "green"},
     "dedup_components": {"r03": "green", "r09": "green"},
     "simhash_fingerprint": {"r01": "green", "r09": "green"},
@@ -155,25 +155,25 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "sessionize_events": {"r03": "green", "r09": "green"},
     "funnel_events": {"r03": "green", "r09": "green"},
     "retention_cohorts": {"r03": "green", "r09": "green"},
-    "rolling_7d": {"r03": "green"},
+    "rolling_7d": {"r03": "green", "r10": "green"},
     "quantiles_sampled": {"r03": "green", "r09": "green"},
-    "stream_kmv": {"r03": "green"},
+    "stream_kmv": {"r03": "green", "r10": "green"},
     "bloom_join": {"r03": "green", "r09": "green"},
     "mixture_rebalance": {"r03": "green", "r09": "green"},
-    "snapshot_diff": {"r03": "green"},
+    "snapshot_diff": {"r03": "green", "r10": "green"},
     "pit_enrich": {"r03": "green", "r09": "green"},
     "agg_corr": {"r03": "green", "r09": "green"},
-    "stream_funnel": {"r03": "green"},
+    "stream_funnel": {"r03": "green", "r10": "green"},
     "kmeans_embeddings": {"r03": "green", "r09": "green"},
-    "stream_scd2": {"r03": "green"},
+    "stream_scd2": {"r03": "green", "r10": "green"},
     "inverted_index": {"r03": "green", "r09": "green"},
     # new in round 3 (head-listed by rule 1)
     "pii_stats": {"r03": "green", "r09": "green"},
     "ngram_topk": {"r03": "green", "r09": "green"},
-    "trade_degree_stats": {"r03": "green"},
+    "trade_degree_stats": {"r03": "green", "r10": "green"},
     "ohlc_downsample": {"r03": "green", "r09": "green"},
-    "winsorize_values": {"r03": "green"},
-    "stream_ohlc": {"r03": "green"},
+    "winsorize_values": {"r03": "green", "r10": "green"},
+    "stream_ohlc": {"r03": "green", "r10": "green"},
     "q3_shipping_priority": {"r03": "green", "r09": "green"},
     "dedup_canonical": {"r03": "green", "r09": "green"},
     "minhash_band_stats": {"r03": "green", "r09": "green"},
@@ -187,14 +187,14 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "join_salted": {"r03": "green", "r06": "green"},
     "head_coverage": {"r03": "green", "r09": "green"},
     "cdc_latest": {"r03": "green", "r09": "green"},
-    "stream_cdc_latest": {"r03": "green"},
+    "stream_cdc_latest": {"r03": "green", "r10": "green"},
     # new in round 3, third session (head full -> DRIVER_BACKLOG, rule 1)
     "q7_nation_volume": {"r04": "green", "r07": "green"},
     "q15_top_supplier": {"r04": "green", "r07": "green"},
     "mad_outliers": {"r04": "green"},
-    "doc_chunks": {"r04": "green"},
-    "cms_heavy_hitters": {"r04": "green"},
-    "char_diversity": {"r04": "green"},
+    "doc_chunks": {"r04": "green", "r10": "green"},
+    "cms_heavy_hitters": {"r04": "green", "r10": "green"},
+    "char_diversity": {"r04": "green", "r10": "green"},
     "dsir_weights": {"r04": "green"},
     "semdedup": {"r04": "green"},
     "stream_heavy_hitters": {"r04": "green"},
@@ -226,11 +226,11 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "stream_expectations": {"r04": "green"},
     "pq_recall": {"r04": "green", "r09": "green"},
     "twap_daily": {"r04": "green"},
-    "debounce_events": {"r04": "green"},
+    "debounce_events": {"r04": "green", "r10": "green"},
     "user_features": {"r04": "green"},
     "zscore_anomalies": {"r04": "green"},
     "wow_growth": {"r04": "green"},
-    "benford_audit": {"r04": "green"},
+    "benford_audit": {"r04": "green", "r10": "green"},
     "keyset_page": {"r04": "green", "r07": "green"},
     "funnel_timing": {"r04": "green"},
     "drift_report": {"r04": "green"},
@@ -319,7 +319,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "ivf_pq_batch": {"r08": "green"},
     "graph_ann_batch": {"r08": "green", "r09": "green"},
     "graph_ann_batch_recall": {"r08": "green", "r09": "green"},
-    "stream_cdc_mirror": {"r08": "green", "r09": "green"},
+    "stream_cdc_mirror": {"r08": "green", "r09": "green", "r10": "green"},
     "dup_span_histogram": {"r08": "green"},
     "stream_index_update": {"r08": "green"},
     # new in round 9 (head-listed by rule 1)
@@ -337,40 +337,40 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "ngram_novelty": {"r09": "green"},
     "stream_token_budget": {"r09": "green"},
     # new in round 10 (head-listed by rule 1)
-    "index_retrain": {},
-    "index_retrain_hold": {},
-    "lsh_filtered_batch": {},
-    "lsh_filtered_recall": {},
-    "graph_filtered_batch": {},
-    "graph_filtered_recall": {},
-    "simhash_band_stats": {},
-    "multimodal_dup_census": {},
-    "hybrid_search_rrf": {},
-    "stream_index_retrain": {},
-    "stream_index_delete": {},
-    "stream_index_delete_recall": {},
-    "index_tombstone_purge": {},
-    "cluster_balanced_sample": {},
-    "index_distortion_report": {},
-    "contamination_erasure": {},
-    "stream_cluster_sample": {},
-    "stream_distortion_monitor": {},
-    "ivf_pq_probe_curve": {},
-    "semdedup_threshold_curve": {},
-    "curation_funnel": {},
-    "contrastive_triplets": {},
-    "dim_truncation_recall": {},
-    "retrieval_eval": {},
-    "retrieval_eval_ann": {},
-    "embedding_margin_stats": {},
-    "lsh_nbits_curve": {},
-    "knn_lpa_communities": {},
-    "graph_beam_curve": {},
-    "community_label_purity": {},
-    "stream_margin_monitor": {},
-    "mixture_temperature_curve": {},
-    "retrieval_eval_lsh": {},
-    "retrieval_eval_graph": {},
+    "index_retrain": {"r10": "green"},
+    "index_retrain_hold": {"r10": "green"},
+    "lsh_filtered_batch": {"r10": "green"},
+    "lsh_filtered_recall": {"r10": "green"},
+    "graph_filtered_batch": {"r10": "green"},
+    "graph_filtered_recall": {"r10": "green"},
+    "simhash_band_stats": {"r10": "green"},
+    "multimodal_dup_census": {"r10": "green"},
+    "hybrid_search_rrf": {"r10": "green"},
+    "stream_index_retrain": {"r10": "green"},
+    "stream_index_delete": {"r10": "green"},
+    "stream_index_delete_recall": {"r10": "green"},
+    "index_tombstone_purge": {"r10": "green"},
+    "cluster_balanced_sample": {"r10": "green"},
+    "index_distortion_report": {"r10": "green"},
+    "contamination_erasure": {"r10": "green"},
+    "stream_cluster_sample": {"r10": "green"},
+    "stream_distortion_monitor": {"r10": "green"},
+    "ivf_pq_probe_curve": {"r10": "green"},
+    "semdedup_threshold_curve": {"r10": "green"},
+    "curation_funnel": {"r10": "green"},
+    "contrastive_triplets": {"r10": "green"},
+    "dim_truncation_recall": {"r10": "green"},
+    "retrieval_eval": {"r10": "green"},
+    "retrieval_eval_ann": {"r10": "green"},
+    "embedding_margin_stats": {"r10": "green"},
+    "lsh_nbits_curve": {"r10": "green"},
+    "knn_lpa_communities": {"r10": "green"},
+    "graph_beam_curve": {"r10": "green"},
+    "community_label_purity": {"r10": "green"},
+    "stream_margin_monitor": {"r10": "green"},
+    "mixture_temperature_curve": {"r10": "green"},
+    "retrieval_eval_lsh": {"r10": "green"},
+    "retrieval_eval_graph": {"r10": "green"},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -384,100 +384,77 @@ DRIVER_HEAD_CAP = 50
 # row is in DRIVER_HEAD or DRIVER_BACKLOG — nothing unwitnessed is ever
 # silently tail-listed.
 DRIVER_BACKLOG: list[str] = [
-    # round 10: backlog entered the round EMPTY again (the round-9 head's
-    # 50 entries all earned green rows in CORRECTNESS_r09.json, transcribed
-    # above).  Round-10 additions beyond the free head slots queue here
-    # (FIFO for the round-11 head).
+    # round 11: backlog entered the round EMPTY again (the round-10 head's
+    # 50 entries all earned green rows in CORRECTNESS_r10.json, transcribed
+    # above).  Round-11 additions beyond the free head slots queue here
+    # (FIFO for the round-12 head).
 ]
 
-# Round-10 head: backlog empty, every registered query has a green driver
-# row (CORRECTNESS_r09 went 50/50), so the head is again pure rotation —
-# new round-10 queries head-list by rule 1 as they land (displacing rule-2
+# Round-11 head: backlog empty, every registered query has a green driver
+# row (CORRECTNESS_r10 went 50/50), so the head is again pure rotation —
+# new round-11 queries head-list by rule 1 as they land (displacing rule-2
 # veterans from the bottom of this list); the veteran fill (rule 2) is
-# derived from DRIVER_HISTORY above exactly as r9 did it: queries whose
+# derived from DRIVER_HISTORY above exactly as r9/r10 did it: queries whose
 # LAST driver witness is the stalest round, oldest vintage first,
-# alphabetical within a vintage.  That selects all 10 r03-last-witnessed
-# veterans, all 37 r04-last-witnessed veterans, and the first 3 of the
-# r05-last-witnessed group to top up to the cap of 50.  No discretionary
-# swaps this round (r9's pq-family swap paid off and closed that watch).
+# alphabetical (plain string sort) within a vintage.  That selects all 32
+# r04-last-witnessed veterans (including the 13 displaced from the r10
+# head) and the first 18 of the 38 r05-last-witnessed queries to top up to
+# the cap of 50.  No discretionary swaps.
 DRIVER_HEAD = [
-    # -- new in round 10 (rule 1: no driver row yet)
-    "index_retrain",
-    "index_retrain_hold",
-    "lsh_filtered_batch",
-    "lsh_filtered_recall",
-    "graph_filtered_batch",
-    "graph_filtered_recall",
-    "simhash_band_stats",
-    "multimodal_dup_census",
-    "hybrid_search_rrf",
-    "stream_index_retrain",
-    "stream_index_delete",
-    "stream_index_delete_recall",
-    "index_tombstone_purge",
-    "cluster_balanced_sample",
-    "index_distortion_report",
-    "contamination_erasure",
-    "stream_cluster_sample",
-    "stream_distortion_monitor",
-    "ivf_pq_probe_curve",
-    "semdedup_threshold_curve",
-    "curation_funnel",
-    "contrastive_triplets",
-    "dim_truncation_recall",
-    "retrieval_eval",
-    "retrieval_eval_ann",
-    "embedding_margin_stats",
-    "lsh_nbits_curve",
-    "knn_lpa_communities",
-    "graph_beam_curve",
-    "community_label_purity",
-    "stream_margin_monitor",
-    "mixture_temperature_curve",
-    "retrieval_eval_lsh",
-    "retrieval_eval_graph",
-    # -- rule 1b: materially rewritten this round (VERDICT r09 ask #4 —
-    # the mirror's replay guard is now a PERSISTED epoch watermark
-    # committed beside the A/B cursor per batch; the r09 green witnessed
-    # the session-local-set guard, so it re-head-lists)
-    "stream_cdc_mirror",
-    # -- rule 2: stalest-evidence veterans (last witnessed r03)
-    "rolling_7d",
-    "snapshot_diff",
-    "stream_cdc_latest",
-    "stream_funnel",
-    "stream_kmv",
-    "stream_ohlc",
-    "stream_scd2",
-    "trade_degree_stats",
-    "trigram_lm",
-    "winsorize_values",
     # -- rule 2: stalest-evidence veterans (last witnessed r04)
-    "benford_audit",
-    "char_diversity",
-    "cms_heavy_hitters",
-    "debounce_events",
-    "doc_chunks",
-    # (drift_report, dsir_weights, embedding_scatter, entity_resolution,
-    # event_transitions, funnel_timing, fuzzy_key_match, gini_by_nation,
-    # image_phash, kmv_set_ops, mad_outliers, multimodal_framesample and
-    # null_semantics displaced by the thirteen late-round-10 rule-1
-    # entries contrastive_triplets / dim_truncation_recall /
-    # retrieval_eval / retrieval_eval_ann / embedding_margin_stats /
-    # lsh_nbits_curve / knn_lpa_communities / graph_beam_curve /
-    # community_label_purity / stream_margin_monitor /
-    # mixture_temperature_curve / retrieval_eval_lsh /
-    # retrieval_eval_graph; they rejoin the r04-vintage pool for the
-    # round-11 rule-2 fill.
-    # stream_topk, triangle_census, twap_daily, user_features, user_growth, weighted_sample,
-    # wow_growth, zscore_anomalies, the r05 trio activity_streaks,
-    # audience_overlap, basket_rules, and then sliding_distinct,
-    # stream_expectations, stream_heavy_hitters, skyline_parts,
-    # session_concurrency, semdedup, revenue_pareto,
-    # q6_forecast_revenue, q2_min_cost_supplier, q22_dormant_customers,
-    # q13_customer_distribution were the displaced rule-2 fill as the
-    # round-10 rule-1/1b entries above head-listed; all twenty-two stay
-    # strict-checked in the tail every round)
+    "drift_report",
+    "dsir_weights",
+    "embedding_scatter",
+    "entity_resolution",
+    "event_transitions",
+    "funnel_timing",
+    "fuzzy_key_match",
+    "gini_by_nation",
+    "image_phash",
+    "kmv_set_ops",
+    "mad_outliers",
+    "multimodal_framesample",
+    "null_semantics",
+    "q13_customer_distribution",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "revenue_pareto",
+    "semdedup",
+    "session_concurrency",
+    "skyline_parts",
+    "sliding_distinct",
+    "stream_expectations",
+    "stream_heavy_hitters",
+    "stream_topk",
+    "triangle_census",
+    "twap_daily",
+    "user_features",
+    "user_growth",
+    "weighted_sample",
+    "wow_growth",
+    "zscore_anomalies",
+    # -- rule 2: stalest-evidence veterans (last witnessed r05),
+    # alphabetical; the bottom of this list is the displacement zone for
+    # round-11 rule-1 additions as they land
+    "activity_streaks",
+    "audience_overlap",
+    "basket_rules",
+    "dedup_recall",
+    "ema_prices",
+    "embedding_pca",
+    "event_paths",
+    "exact_median",
+    "exact_quantiles",
+    "hll_distinct",
+    "id_gap_report",
+    "image_dedup",
+    "incremental_dedup",
+    "ivf_pq_recall",
+    "join_skew_stats",
+    "langid_confusion",
+    "lexical_search",
+    "link_prediction",
 ]
 
 
