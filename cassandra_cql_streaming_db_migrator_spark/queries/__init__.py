@@ -371,6 +371,8 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "mixture_temperature_curve": {"r10": "green"},
     "retrieval_eval_lsh": {"r10": "green"},
     "retrieval_eval_graph": {"r10": "green"},
+    # new in round 11 (head-listed by rule 1)
+    "serve_leg_planner": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -401,6 +403,8 @@ DRIVER_BACKLOG: list[str] = [
 # head) and the first 18 of the 38 r05-last-witnessed queries to top up to
 # the cap of 50.  No discretionary swaps.
 DRIVER_HEAD = [
+    # -- new in round 11 (rule 1: no driver row yet)
+    "serve_leg_planner",
     # -- rule 2: stalest-evidence veterans (last witnessed r04)
     "drift_report",
     "dsir_weights",
@@ -454,7 +458,9 @@ DRIVER_HEAD = [
     "join_skew_stats",
     "langid_confusion",
     "lexical_search",
-    "link_prediction",
+    # (link_prediction displaced by the round-11 rule-1 entry
+    # serve_leg_planner; rejoins the r05-vintage pool for the round-12
+    # rule-2 fill and stays strict-checked in the tail every round)
 ]
 
 

@@ -5007,6 +5007,209 @@ def lm_score_from_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_lm_score(docs, model=model)
 
 
+# ---------------------------------------------------------------------------
+# Serve-leg planner (VERDICT r10 ask #7): the task-eval harness taken to its
+# DECISION — the r10 census->action pattern (index_retrain turned drift
+# reports into a retrain) applied to serving strategy.  Reads the four
+# retrieval_eval_* metric tables plus the three tuning curves and emits one
+# row per serve leg (exact / ivf_pq / lsh / graph): the cheapest knob
+# setting meeting the declared recall floor, the leg's task-quality
+# aggregates, and the planner's pick — among floor-meeting legs, the lowest
+# serve cost (candidates scanned / nodes visited), task MRR as tiebreaker,
+# falling back to exact brute force when no index leg clears the floor.
+
+#: Declared recall floor for the planner (curve recall@k, ppm).  At the
+#: fixture scales the graph and IVF legs clear it and LSH does not, so the
+#: decision table exercises both branches.
+_SERVE_PLANNER_FLOOR_PPM = 300_000
+
+
+def serve_leg_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per serve leg: (leg, knob, knob_value, curve_recall_ppm,
+    curve_cost, floor_met, n_queries, mean_rr_ppm, mean_prec10_ppm,
+    hit_rate_ppm, chosen).  Per-leg knob pick: the floor-meeting curve
+    row with the lowest cost (ties: smaller knob); legs missing the
+    floor keep their best-recall row with floor_met=false.  The exact
+    leg is the always-eligible baseline at corpus-scan cost.  All inputs
+    are the already-metadata-scale eval/curve tables; the planner itself
+    is a 4-row window — serve cost is the underlying legs', shared
+    through the content-token artifact store."""
+    from pyspark.sql import Window as _W
+
+    floor = _SERVE_PLANNER_FLOOR_PPM
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def leg_metrics(leg: str, ev: DataFrame) -> DataFrame:
+        return ev.agg(
+            F.lit(leg).alias("leg"),
+            F.count(F.lit(1)).alias("n_queries"),
+            F.expr("sum(rr_ppm) DIV count(*)").alias("mean_rr_ppm"),
+            F.expr("sum(prec10_ppm) DIV count(*)").alias("mean_prec10_ppm"),
+            F.expr(
+                "1000000 * sum(CASE WHEN hit10 THEN 1 ELSE 0 END) "
+                "DIV count(*)"
+            ).alias("hit_rate_ppm"),
+        )
+
+    evals = (
+        leg_metrics("exact", retrieval_eval(spark, sf_dir))
+        .unionByName(leg_metrics("ivf_pq", retrieval_eval_ann(spark, sf_dir)))
+        .unionByName(leg_metrics("lsh", retrieval_eval_lsh(spark, sf_dir)))
+        .unionByName(leg_metrics("graph", retrieval_eval_graph(spark, sf_dir)))
+    )
+
+    exact_cost = (
+        emb.where(
+            (F.col("vec_id") % 50 != 0)
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") > 0)
+        )
+        .agg(F.count(F.lit(1)).alias("curve_cost"))
+        .select(
+            F.lit("exact").alias("leg"),
+            F.lit("none").alias("knob"),
+            F.lit(0).cast("int").alias("knob_value"),
+            F.lit(1_000_000).cast("long").alias("curve_recall_ppm"),
+            F.col("curve_cost").cast("long"),
+        )
+    )
+    curves = (
+        exact_cost.unionByName(
+            ivf_pq_probe_curve(spark, sf_dir).select(
+                F.lit("ivf_pq").alias("leg"),
+                F.lit("n_probe").alias("knob"),
+                F.col("n_probe").cast("int").alias("knob_value"),
+                F.col("mean_recall_ppm").cast("long").alias("curve_recall_ppm"),
+                F.col("n_candidates").cast("long").alias("curve_cost"),
+            )
+        )
+        .unionByName(
+            lsh_nbits_curve(spark, sf_dir).select(
+                F.lit("lsh").alias("leg"),
+                F.lit("n_bits").alias("knob"),
+                F.col("n_bits").cast("int").alias("knob_value"),
+                F.col("recall_ppm").cast("long").alias("curve_recall_ppm"),
+                F.col("n_candidates").cast("long").alias("curve_cost"),
+            )
+        )
+        .unionByName(
+            graph_beam_curve(spark, sf_dir).select(
+                F.lit("graph").alias("leg"),
+                F.lit("beam").alias("knob"),
+                F.col("beam").cast("int").alias("knob_value"),
+                F.col("recall_ppm").cast("long").alias("curve_recall_ppm"),
+                F.col("n_visited").cast("long").alias("curve_cost"),
+            )
+        )
+    )
+    meets = F.col("curve_recall_ppm") >= floor
+    pick_w = _W.partitionBy("leg").orderBy(
+        F.when(meets, F.lit(0)).otherwise(F.lit(1)).asc(),
+        F.when(meets, F.col("curve_cost"))
+        .otherwise(-F.col("curve_recall_ppm"))
+        .asc(),
+        F.col("knob_value").asc(),
+    )
+    picks = (
+        curves.withColumn("__rn", F.row_number().over(pick_w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "leg", "knob", "knob_value", "curve_recall_ppm", "curve_cost",
+            meets.alias("floor_met"),
+        )
+    )
+    joined = picks.join(evals, "leg")
+    choose_w = _W.orderBy(
+        F.col("floor_met").desc(),
+        F.col("curve_cost").asc(),
+        F.col("mean_rr_ppm").desc(),
+        F.col("leg").asc(),
+    )
+    return (
+        joined.withColumn("__cn", F.row_number().over(choose_w))
+        .select(
+            "leg", "knob", "knob_value", "curve_recall_ppm", "curve_cost",
+            "floor_met", "n_queries", "mean_rr_ppm", "mean_prec10_ppm",
+            "hit_rate_ppm", (F.col("__cn") == 1).alias("chosen"),
+        )
+        .orderBy("leg")
+    )
+
+
+def _serve_leg_planner_sql() -> str:
+    from ..operators.clustering import ivf_pq_probe_curve_sql
+
+    floor = _SERVE_PLANNER_FLOOR_PPM
+    legs_eval = [
+        ("exact", _RETRIEVAL_EVAL_SQL),
+        ("ivf_pq", _retrieval_eval_ann_sql()),
+        ("lsh", _RETRIEVAL_EVAL_LSH_SQL),
+        ("graph", _RETRIEVAL_EVAL_GRAPH_SQL),
+    ]
+    ev_ctes = ",\n".join(
+        f"ev_{leg} AS ({sql})" for leg, sql in legs_eval
+    )
+    ev_union = "\n  UNION ALL\n  ".join(
+        f"SELECT '{leg}' AS leg, COUNT(*) AS n_queries,\n"
+        f"         CAST(SUM(rr_ppm) AS BIGINT) // COUNT(*) AS mean_rr_ppm,\n"
+        f"         CAST(SUM(prec10_ppm) AS BIGINT) // COUNT(*)"
+        f" AS mean_prec10_ppm,\n"
+        f"         1000000 * CAST(SUM(CASE WHEN hit10 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) // COUNT(*) AS hit_rate_ppm\n"
+        f"  FROM ev_{leg}"
+        for leg, _ in legs_eval
+    )
+    cv_ivf = ivf_pq_probe_curve_sql(
+        n_queries=4, topk=10, n_cells=8, probes=(1, 2, 4, 8)
+    )
+    return f"""
+WITH {ev_ctes},
+cv_ivf AS ({cv_ivf}),
+cv_lsh AS ({_lsh_nbits_curve_sql()}),
+cv_graph AS ({_graph_beam_curve_sql()}),
+evals AS (
+  {ev_union}),
+curves AS (
+  SELECT 'exact' AS leg, 'none' AS knob, CAST(0 AS INTEGER) AS knob_value,
+         CAST(1000000 AS BIGINT) AS curve_recall_ppm,
+         (SELECT count(*) FROM embeddings
+          WHERE vec_id % 50 <> 0 AND embedding IS NOT NULL
+            AND len(embedding) > 0) AS curve_cost
+  UNION ALL
+  SELECT 'ivf_pq', 'n_probe', CAST(n_probe AS INTEGER),
+         CAST(mean_recall_ppm AS BIGINT), CAST(n_candidates AS BIGINT)
+  FROM cv_ivf
+  UNION ALL
+  SELECT 'lsh', 'n_bits', CAST(n_bits AS INTEGER),
+         CAST(recall_ppm AS BIGINT), CAST(n_candidates AS BIGINT)
+  FROM cv_lsh
+  UNION ALL
+  SELECT 'graph', 'beam', CAST(beam AS INTEGER),
+         CAST(recall_ppm AS BIGINT), CAST(n_visited AS BIGINT)
+  FROM cv_graph),
+picks AS (
+  SELECT leg, knob, knob_value, curve_recall_ppm, curve_cost,
+         curve_recall_ppm >= {floor} AS floor_met
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY leg ORDER BY
+             CASE WHEN curve_recall_ppm >= {floor} THEN 0 ELSE 1 END,
+             CASE WHEN curve_recall_ppm >= {floor} THEN curve_cost
+                  ELSE -curve_recall_ppm END,
+             knob_value) AS rn
+    FROM curves) c
+  WHERE rn = 1),
+joined AS (
+  SELECT p.*, e.n_queries, e.mean_rr_ppm, e.mean_prec10_ppm, e.hit_rate_ppm
+  FROM picks p JOIN evals e USING (leg))
+SELECT leg, knob, knob_value, curve_recall_ppm, curve_cost, floor_met,
+       n_queries, mean_rr_ppm, mean_prec10_ppm, hit_rate_ppm,
+       row_number() OVER (ORDER BY floor_met DESC, curve_cost ASC,
+                          mean_rr_ppm DESC, leg ASC) = 1 AS chosen
+FROM joined
+ORDER BY leg
+"""
+
+
 QUERIES = [
     QueryDef("multimodal_framesample", multimodal_framesample,
              _MULTIMODAL_FRAMESAMPLE_SQL,
@@ -5056,6 +5259,12 @@ QUERIES = [
              "label-relevance ranking metrics over the exact top-10: "
              "first-relevant rank, MRR, precision@10, hit@10 in exact "
              "integer ppm — embedding-space quality, not index quality"),
+    QueryDef("serve_leg_planner", serve_leg_planner,
+             _serve_leg_planner_sql(),
+             "the task-eval harness taken to its decision: per serve leg "
+             "the cheapest knob meeting the declared recall floor + task "
+             "metrics, and the planner's pick (cheapest floor-meeting "
+             "leg, exact brute force as fallback)"),
     QueryDef("contrastive_triplets", contrastive_triplets,
              _CONTRASTIVE_TRIPLETS_SQL,
              "contrastive training-pair mining: per anchor the nearest "
