@@ -1917,7 +1917,11 @@ def community_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         node_col="vec_id", src="vec_id", dst="nbr_id", rounds=_LPA_ROUNDS,
     ).select(F.col("node").alias("vec_id"), F.col("lab").alias("community"))
     lab = emb.select("vec_id", "label")
-    joined = lab.join(F.broadcast(comm), "vec_id")
+    # plain shuffle join (ADVICE r10 #2): comm is |V| rows — one per
+    # vector — so broadcasting it is a corpus-scale driver ship-out at
+    # large SF; F.broadcast is reserved for the genuinely
+    # community-cardinality frames (top, sizes) below
+    joined = lab.join(comm, "vec_id")
     by_label = joined.groupBy("community", "label").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -1936,7 +1940,7 @@ def community_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = joined.groupBy("community").agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    return sizes.join(top, "community").select(
+    return sizes.join(F.broadcast(top), "community").select(
         "community",
         "n_members",
         "top_label",

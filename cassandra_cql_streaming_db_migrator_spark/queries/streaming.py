@@ -1077,7 +1077,7 @@ def stream_margin_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 acc = acc + mat[:, d][:, None] * rmat[:, d][None, :]
                 nacc = nacc + mat[:, d] * mat[:, d]
             cos = acc / (np.sqrt(nacc)[:, None] * rnorm[None, :])
-            out_l, out_m = [], []
+            keep_rows, out_m = [], []
             for i in range(nb):
                 same = rlabels == alab[i]
                 ci = cos[i]
@@ -1086,18 +1086,31 @@ def stream_margin_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not len(pos_c) or not len(neg_c):
                     continue
                 margin = float(np.max(pos_c)) - float(np.max(neg_c))
-                out_l.append(int(alab[i]))
+                keep_rows.append(i)
                 out_m.append(int(np.floor(margin * 1000000.0)))
+            # the label rides through with its NATIVE dtype (ADVICE r10
+            # #3): slice the incoming Series instead of re-casting to
+            # int, so a string/decimal label column degrades to the same
+            # census rather than crashing the kernel
             yield pd.DataFrame(
-                {"label": pd.array(out_l, dtype="int32"),
+                {"label": pdf["label"].iloc[keep_rows].reset_index(drop=True),
                  "margin_ppm": pd.array(out_m, dtype="int64")}
             )
 
     arrivals = read_documents_stream_chunked(
         spark, emb.where(~base_where), n_chunks=4
     )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # output label field type derived from the input schema, not assumed
+    out_schema = StructType(
+        [
+            StructField("label", emb.schema["label"].dataType, True),
+            StructField("margin_ppm", LongType(), True),
+        ]
+    )
     margins = arrivals.select("label", "embedding").mapInPandas(
-        score, "label int, margin_ppm long"
+        score, out_schema
     )
     live = margins.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_arrivals"),
