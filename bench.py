@@ -58,8 +58,18 @@ def main() -> int:
     )
     from cassandra_cql_streaming_db_migrator_spark.sources.parquet import load_table
 
+    # repartition to the full task parallelism so EVERY python worker
+    # spawns and imports numpy during warmup — a limit() collapses to one
+    # partition and warms ONE of 32 workers, leaving the first timed
+    # Arrow-kernel query to pay 31 worker spawns; under host scheduling
+    # jitter that cold-pool cost measured 4-25 s of pure noise on the
+    # minhash family (round-11 adjudication of the r10 bench regression)
     run_query_to_noop(
-        simhash_fingerprints(load_table(spark, sf_dir, "documents").limit(3000))
+        simhash_fingerprints(
+            load_table(spark, sf_dir, "documents")
+            .limit(3200)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
     )
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
