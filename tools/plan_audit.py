@@ -421,6 +421,13 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # broadcast label joins + the per-query metric aggregate — every
     # exchange past the walk moves |Q| x k rows
     "retrieval_eval_graph": 23,
+    # COMPOSITION of the seven audited eval/curve plans: graph_beam_curve
+    # (129) + retrieval_eval_graph's walk (23) + lsh_nbits_curve (7) +
+    # the probe curve, the exact/ANN/LSH eval legs and the planner's own
+    # leg-table joins make up the rest.  Runtime: each component executes
+    # exactly as its own audited entry; everything the planner ADDS is
+    # 4-row (per-leg picks + the choose window)
+    "serve_leg_planner": 180,
 }
 DEFAULT_ALLOWANCE = 2
 
@@ -459,6 +466,9 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     "drift_report",
     # Benford digit table (9 rows)
     "benford_audit",
+    # the planner's choose window orders the 4-row per-leg table (one
+    # row per serve leg by construction)
+    "serve_leg_planner",
     # week-over-week deltas over week-count rows
     "wow_growth",
     # mixture quota tables (domain-cardinality rows)

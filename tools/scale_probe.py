@@ -285,6 +285,11 @@ PROBES: dict[str, tuple[float, str]] = {
     "retrieval_eval_graph": (120.0, "graph build quadratic within cells "
                                     "(fixed cell count); walk metadata-"
                                     "scale"),
+    # composes the four eval legs + three curves (all probed above); the
+    # planner itself is a 4-row window — inherits the exact-leg /
+    # graph-build regimes of its inputs (measured 2.23x on 10x data)
+    "serve_leg_planner": (120.0, "composition of the probed eval/curve "
+                                 "queries; planner itself 4 rows"),
 }
 
 
