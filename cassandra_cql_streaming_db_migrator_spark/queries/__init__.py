@@ -373,6 +373,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "retrieval_eval_graph": {"r10": "green"},
     # new in round 11 (head-listed by rule 1)
     "serve_leg_planner": {},
+    "planned_serve_batch": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -405,6 +406,7 @@ DRIVER_BACKLOG: list[str] = [
 DRIVER_HEAD = [
     # -- new in round 11 (rule 1: no driver row yet)
     "serve_leg_planner",
+    "planned_serve_batch",
     # -- rule 2: stalest-evidence veterans (last witnessed r04)
     "drift_report",
     "dsir_weights",
@@ -457,10 +459,10 @@ DRIVER_HEAD = [
     "ivf_pq_recall",
     "join_skew_stats",
     "langid_confusion",
-    "lexical_search",
-    # (link_prediction displaced by the round-11 rule-1 entry
-    # serve_leg_planner; rejoins the r05-vintage pool for the round-12
-    # rule-2 fill and stays strict-checked in the tail every round)
+    # (link_prediction and lexical_search displaced by the round-11
+    # rule-1 entries serve_leg_planner and planned_serve_batch; they
+    # rejoin the r05-vintage pool for the round-12 rule-2 fill and stay
+    # strict-checked in the tail every round)
 ]
 
 

@@ -5214,6 +5214,192 @@ ORDER BY leg
 """
 
 
+# ---------------------------------------------------------------------------
+# Planned serve (the decision APPLIED): serve_leg_planner picks (leg, knob);
+# this query executes that pick — census -> decision -> ACTION, the full
+# index_retrain arc on the serving side.  The oracle cannot know the pick
+# ahead of time, so it enumerates every (leg, knob) variant the curves
+# sweep (graph beams 1/2/4, IVF probes 1/2/4/8, LSH bits 4/6/8, exact) as
+# independent nested-scope serve queries and joins them against the
+# planner's chosen row — fully general across the knob domain, no pinned
+# decision.
+
+_PLANNED_SERVE_K = 10
+_PLANNED_SERVE_NQ = 4
+
+
+def planned_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the 4-query batch with the planner-chosen leg at its picked
+    knob: (leg, knob_value, query_id, vec_id, rn).  The planner collect
+    is 4 rows (metadata-scale by construction); the serve is the chosen
+    leg's own audited batch plan over the FULL corpus (a production
+    serve has no eval-style self-exclusion).  Every leg the planner can
+    choose is implemented; which one runs is data-dependent."""
+    from ..operators.clustering import (
+        _query_vectors,
+        ivf_pq_build,
+        ivf_pq_serve_batch,
+    )
+    from ..operators.similarity import (
+        cosine,
+        graph_beam_search_batch,
+        lsh_ann_batch_bucketed,
+        with_bucket_ids,
+    )
+    from ..sinks.artifacts import artifact_store, has_artifact
+    from pyspark.sql import Window as _W
+
+    k, nq = _PLANNED_SERVE_K, _PLANNED_SERVE_NQ
+    emb = load_table(spark, sf_dir, "embeddings")
+    chosen = next(
+        r for r in serve_leg_planner(spark, sf_dir).collect() if r["chosen"]
+    )
+    leg, knob = chosen["leg"], int(chosen["knob_value"])
+    qdf = emb.filter(F.col("vec_id") < nq)
+    if leg == "graph":
+        _, nodes, edges = _graph_artifacts(spark, sf_dir)
+        served = graph_beam_search_batch(
+            nodes, edges, qdf, k=k, beam=knob, hops=3
+        ).select("query_id", "vec_id", "rn")
+    elif leg == "ivf_pq":
+        store = artifact_store(sf_dir)
+        if not all(
+            has_artifact(store, a)
+            for a in ("ivfpq_codes", "ivf_centroids", "pq_codebooks")
+        ):
+            ivf_pq_build(emb, store, n_cells=8)
+        queries = _query_vectors(emb, nq, "embedding", "vec_id", 4, 16)
+        served = ivf_pq_serve_batch(
+            spark, store, queries, topk=k, n_probe=knob
+        ).select("query_id", "vec_id", "rn")
+    elif leg == "lsh":
+        served = lsh_ann_batch_bucketed(
+            with_bucket_ids(emb, "embedding", knob), qdf, k=k, n_bits=knob
+        ).select("query_id", "vec_id", "rn")
+    else:  # exact brute force — the planner's fallback
+        q = F.broadcast(
+            qdf.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("__qv"),
+            )
+        )
+        w = _W.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.col("vec_id").asc()
+        )
+        served = (
+            emb.crossJoin(q)
+            .select(
+                "query_id",
+                "vec_id",
+                cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+            )
+            .where(~F.isnan("cosine"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id", "rn")
+        )
+    return served.select(
+        F.lit(leg).alias("leg"),
+        F.lit(knob).cast("int").alias("knob_value"),
+        "query_id",
+        "vec_id",
+        F.col("rn").cast("int").alias("rn"),
+    ).orderBy("query_id", "rn")
+
+
+def _planned_serve_batch_sql() -> str:
+    from ..operators.clustering import ivf_pq_ann_batch_sql
+
+    k, nq = _PLANNED_SERVE_K, _PLANNED_SERVE_NQ
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"{_dot_sql(x, y)} / (sqrt({_dot_sql(x, x)})"
+            f" * sqrt({_dot_sql(y, y)}))"
+        )
+
+    serves: list[tuple[str, int, str]] = []
+    for b in _BEAM_CURVE_WIDTHS:
+        serves.append(
+            (
+                "graph",
+                b,
+                f"""(
+WITH {_KNN_GRAPH_CTE},
+{_graph_beam_batch_cte(hops=3, beam=b, n_queries=nq)}
+SELECT query_id, vec_id, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM v3) r
+WHERE rn <= {k})""",
+            )
+        )
+    for p in (1, 2, 4, 8):
+        inner = ivf_pq_ann_batch_sql(n_queries=nq, topk=k, n_probe=p)
+        serves.append(
+            (
+                "ivf_pq",
+                p,
+                f"(SELECT query_id, vec_id, rn FROM ({inner}) iv{p})",
+            )
+        )
+    for nb in _LSH_CURVE_BITS:
+        serves.append(
+            (
+                "lsh",
+                nb,
+                f"""(
+WITH b AS (
+  SELECT vec_id, embedding,
+         ({_lsh_bucket_sql("embedding", nb)}) AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+      FROM b WHERE vec_id < {nq}),
+s AS (
+  SELECT q.query_id, b.vec_id, {cos("b.embedding", "q.qv")} AS cosine
+  FROM b JOIN q ON b.bucket = q.qbucket)
+SELECT query_id, vec_id, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM s) r
+WHERE rn <= {k})""",
+            )
+        )
+    serves.append(
+        (
+            "exact",
+            0,
+            f"""(
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {nq}),
+s AS (
+  SELECT q.query_id, c.vec_id, {cos("c.embedding", "q.qv")} AS cosine
+  FROM embeddings c CROSS JOIN q
+  WHERE NOT isnan({cos("c.embedding", "q.qv")}))
+SELECT query_id, vec_id, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM s) r
+WHERE rn <= {k})""",
+        )
+    )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT '{leg}' AS leg, CAST({knob} AS INTEGER) AS knob_value, "
+        f"query_id, vec_id, rn FROM {sub} t{i}"
+        for i, (leg, knob, sub) in enumerate(serves)
+    )
+    return f"""
+WITH planner AS ({_serve_leg_planner_sql()}),
+choice AS (SELECT leg, knob_value FROM planner WHERE chosen),
+served AS (
+  {union})
+SELECT s.leg, s.knob_value, s.query_id, s.vec_id, s.rn
+FROM served s
+JOIN choice c ON c.leg = s.leg AND c.knob_value = s.knob_value
+"""
+
+
 QUERIES = [
     QueryDef("multimodal_framesample", multimodal_framesample,
              _MULTIMODAL_FRAMESAMPLE_SQL,
@@ -5269,6 +5455,12 @@ QUERIES = [
              "the cheapest knob meeting the declared recall floor + task "
              "metrics, and the planner's pick (cheapest floor-meeting "
              "leg, exact brute force as fallback)"),
+    QueryDef("planned_serve_batch", planned_serve_batch,
+             _planned_serve_batch_sql(),
+             "the planner's decision APPLIED: serve the query batch with "
+             "the chosen leg at its picked knob; oracle enumerates every "
+             "knob variant and joins against the chosen row — no pinned "
+             "decision"),
     QueryDef("contrastive_triplets", contrastive_triplets,
              _CONTRASTIVE_TRIPLETS_SQL,
              "contrastive training-pair mining: per anchor the nearest "

@@ -428,6 +428,12 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # exactly as its own audited entry; everything the planner ADDS is
     # 4-row (per-leg picks + the choose window)
     "serve_leg_planner": 180,
+    # the planner collect (audited above as its own query) + ONE leg's
+    # audited batch serve; the fixture decision is the graph leg, whose
+    # hop-ladder identity-mode re-prints carry retrieval_eval_graph's
+    # 23-count shape.  Runtime: one walk, every post-walk exchange
+    # |Q| x k rows
+    "planned_serve_batch": 23,
 }
 DEFAULT_ALLOWANCE = 2
 

@@ -290,6 +290,10 @@ PROBES: dict[str, tuple[float, str]] = {
     # graph-build regimes of its inputs (measured 2.23x on 10x data)
     "serve_leg_planner": (120.0, "composition of the probed eval/curve "
                                  "queries; planner itself 4 rows"),
+    # the planner (probed above) + ONE leg's audited batch serve; the
+    # chosen graph leg's build dominates (measured 1.88x on 10x data)
+    "planned_serve_batch": (120.0, "planner + one audited batch serve; "
+                                   "graph-build regime when graph wins"),
 }
 
 
