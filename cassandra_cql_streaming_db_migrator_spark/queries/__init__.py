@@ -374,6 +374,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     # new in round 11 (head-listed by rule 1)
     "serve_leg_planner": {},
     "planned_serve_batch": {},
+    "pii_redact": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -407,6 +408,7 @@ DRIVER_HEAD = [
     # -- new in round 11 (rule 1: no driver row yet)
     "serve_leg_planner",
     "planned_serve_batch",
+    "pii_redact",
     # -- rule 2: stalest-evidence veterans (last witnessed r04)
     "drift_report",
     "dsir_weights",
@@ -458,11 +460,10 @@ DRIVER_HEAD = [
     "incremental_dedup",
     "ivf_pq_recall",
     "join_skew_stats",
-    "langid_confusion",
-    # (link_prediction and lexical_search displaced by the round-11
-    # rule-1 entries serve_leg_planner and planned_serve_batch; they
-    # rejoin the r05-vintage pool for the round-12 rule-2 fill and stay
-    # strict-checked in the tail every round)
+    # (link_prediction, lexical_search and langid_confusion displaced by
+    # the round-11 rule-1 entries serve_leg_planner, planned_serve_batch
+    # and pii_redact; they rejoin the r05-vintage pool for the round-12
+    # rule-2 fill and stay strict-checked in the tail every round)
 ]
 
 

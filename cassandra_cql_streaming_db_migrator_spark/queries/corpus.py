@@ -1005,9 +1005,11 @@ FROM q LEFT JOIN kept k ON q.source = k.source
 # email, every 5th an IP) so the counting is provably exercised.
 
 
-def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    seeded = docs.withColumn(
+def _pii_seeded(docs: DataFrame) -> DataFrame:
+    """The deterministic synthetic-PII seeding shared by pii_stats and
+    pii_redact (the fixture text carries no natural PII): every third doc
+    gets an email, every fifth an IPv4, both id-derived."""
+    return docs.withColumn(
         "text2",
         F.concat(
             F.when(
@@ -1029,6 +1031,10 @@ def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
         ),
     )
+
+
+def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeded = _pii_seeded(load_table(spark, sf_dir, "documents"))
     n_email = F.regexp_count(F.col("text2"), F.lit(EMAIL_PATTERN))
     n_ip = F.regexp_count(F.col("text2"), F.lit(IPV4_PATTERN))
     return seeded.groupBy("source").agg(
@@ -1036,6 +1042,52 @@ def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((n_email > 0).cast("long")).alias("n_email_docs"),
         F.sum((n_ip > 0).cast("long")).alias("n_ip_docs"),
         F.sum(n_email + n_ip).alias("n_pii_matches"),
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pii_stats taken to its ACTION (the census->action discipline
+    applied to governance): REDACT the detected PII — emails to
+    ``<EMAIL>``, IPv4s to ``<IP>`` — and emit the per-source erasure
+    proof a compliance pipeline reads: docs, matches replaced per kind,
+    character mass before/after (every replacement moves it, so the
+    sums witness the transform byte-exactly), and the RESIDUAL count of
+    docs still matching either pattern after redaction — the column
+    that must read zero, decontaminate_purge's prove-deletion-happened
+    discipline on the text plane.
+
+    Reference analog: computed-column rewrite before the sink (P3,
+    DataMigrationProcess.java:283-292) — a per-row pure transform, which
+    is exactly why it scales: one narrow projection, one source-grain
+    aggregate, no shuffle beyond the census.
+
+    Both engines replace ALL matches (Spark regexp_replace is global;
+    the oracle passes DuckDB's 'g' flag) in the same order (emails
+    first, then IPs — the replacement tokens cannot create new
+    matches)."""
+    seeded = _pii_seeded(load_table(spark, sf_dir, "documents"))
+    n_email = F.regexp_count(F.col("text2"), F.lit(EMAIL_PATTERN))
+    n_ip = F.regexp_count(F.col("text2"), F.lit(IPV4_PATTERN))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text2"), EMAIL_PATTERN, "<EMAIL>"),
+        IPV4_PATTERN,
+        "<IP>",
+    )
+    redacted = seeded.select(
+        "source", "text2", n_email.alias("ne"), n_ip.alias("ni"),
+        red.alias("red"),
+    )
+    residual = (
+        (F.regexp_count(F.col("red"), F.lit(EMAIL_PATTERN)) > 0)
+        | (F.regexp_count(F.col("red"), F.lit(IPV4_PATTERN)) > 0)
+    ).cast("long")
+    return redacted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ne").alias("emails_redacted"),
+        F.sum("ni").alias("ips_redacted"),
+        F.sum(F.length("text2")).alias("chars_before"),
+        F.sum(F.length("red")).alias("chars_after"),
+        F.sum(residual).alias("n_residual_docs"),
     )
 
 
@@ -1062,6 +1114,40 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
        CAST(sum(ne + ni) AS BIGINT) AS n_pii_matches
 FROM m
+GROUP BY source
+"""
+
+
+_PII_REDACT_SQL = f"""
+WITH s AS (
+  SELECT source,
+         (CASE WHEN doc_id % 3 = 0
+               THEN 'mail user' || CAST(doc_id % 100 AS VARCHAR)
+                    || '@example.com ' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN 'from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.1 ' ELSE '' END)
+         || text AS text2
+  FROM documents
+),
+r AS (
+  SELECT source, text2,
+         len(regexp_extract_all(text2, '{_EMAIL_SQL}')) AS ne,
+         len(regexp_extract_all(text2, '{_IPV4_SQL}')) AS ni,
+         regexp_replace(
+           regexp_replace(text2, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+           '{_IPV4_SQL}', '<IP>', 'g') AS red
+  FROM s
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(ne) AS BIGINT) AS emails_redacted,
+       CAST(sum(ni) AS BIGINT) AS ips_redacted,
+       CAST(sum(len(text2)) AS BIGINT) AS chars_before,
+       CAST(sum(len(red)) AS BIGINT) AS chars_after,
+       CAST(sum(CASE WHEN len(regexp_extract_all(red, '{_EMAIL_SQL}')) > 0
+                       OR len(regexp_extract_all(red, '{_IPV4_SQL}')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_residual_docs
+FROM r
 GROUP BY source
 """
 
@@ -1377,6 +1463,12 @@ QUERIES = [
     QueryDef(
         "pii_stats", pii_stats, _PII_STATS_SQL,
         "per-source PII incidence audit (emails / IPv4, match counts)",
+    ),
+    QueryDef(
+        "pii_redact", pii_redact, _PII_REDACT_SQL,
+        "pii_stats taken to its action: global email/IP redaction with "
+        "the per-source erasure proof (char mass before/after, residual "
+        "matches must be zero)",
     ),
     QueryDef(
         "mixture_rebalance", mixture_rebalance, _mixture_rebalance_sql(),

@@ -294,6 +294,8 @@ PROBES: dict[str, tuple[float, str]] = {
     # chosen graph leg's build dominates (measured 1.88x on 10x data)
     "planned_serve_batch": (120.0, "planner + one audited batch serve; "
                                    "graph-build regime when graph wins"),
+    # one narrow per-row regexp projection + one source-grain aggregate
+    "pii_redact": (15.0, "linear: per-row transform, census finish"),
 }
 
 
