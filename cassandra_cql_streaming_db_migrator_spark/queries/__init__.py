@@ -375,6 +375,7 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "serve_leg_planner": {},
     "planned_serve_batch": {},
     "pii_redact": {},
+    "shard_manifest": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -409,6 +410,7 @@ DRIVER_HEAD = [
     "serve_leg_planner",
     "planned_serve_batch",
     "pii_redact",
+    "shard_manifest",
     # -- rule 2: stalest-evidence veterans (last witnessed r04)
     "drift_report",
     "dsir_weights",
@@ -459,10 +461,10 @@ DRIVER_HEAD = [
     "image_dedup",
     "incremental_dedup",
     "ivf_pq_recall",
-    "join_skew_stats",
-    # (link_prediction, lexical_search and langid_confusion displaced by
-    # the round-11 rule-1 entries serve_leg_planner, planned_serve_batch
-    # and pii_redact; they rejoin the r05-vintage pool for the round-12
+    # (link_prediction, lexical_search, langid_confusion and
+    # join_skew_stats displaced by the round-11 rule-1 entries
+    # serve_leg_planner, planned_serve_batch, pii_redact and
+    # shard_manifest; they rejoin the r05-vintage pool for the round-12
     # rule-2 fill and stay strict-checked in the tail every round)
 ]
 

@@ -806,6 +806,111 @@ GROUP BY pack_part, chunk_id
 
 
 # ---------------------------------------------------------------------------
+# Shard manifest — the step AFTER sequence_pack: assign the packed chunks to
+# fixed-token-budget output shards and emit the manifest a training loader
+# reads (shard -> chunks/docs/token mass/which pack parts it spans).
+# HIERARCHICAL on purpose (the 100 TB shape): within-part chunk offsets are
+# a PARTITIONED window (distributed — chunk grain is corpus-derived and too
+# big for one partition at scale), part base offsets are a parts-scale
+# cumsum (16 rows), and the global offset is their sum.  A chunk is
+# assigned to the shard its START offset lands in — manifest semantics, not
+# bin packing (a chunk never splits).
+
+_SHARD_BUDGET = 4 * _PACK_BUDGET  # ~4 packed chunks per output shard
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per output shard: chunk count, doc count, token mass, and the
+    span of pack parts it draws from.  Built from sequence_pack's chunk
+    table by the hierarchical offset trick above — no global window ever
+    sees chunk-grain rows."""
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = pack_sequences(
+        docs,
+        token_count=F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_PATTERN)),
+        part_col=F.col("doc_id") % _PACK_PARTS,
+        order_col="doc_id",
+        budget=_PACK_BUDGET,
+    )
+    w_in = (
+        _W.partitionBy("pack_part")
+        .orderBy("chunk_id")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    within = chunks.withColumn(
+        "__off_in",
+        F.sum("chunk_tokens").over(w_in) - F.col("chunk_tokens"),
+    )
+    totals = chunks.groupBy("pack_part").agg(
+        F.sum("chunk_tokens").alias("__part_tokens")
+    )
+    w_parts = (
+        _W.orderBy("pack_part")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    base = totals.withColumn(
+        "__base",
+        F.sum("__part_tokens").over(w_parts) - F.col("__part_tokens"),
+    ).select("pack_part", "__base")
+    placed = within.join(F.broadcast(base), "pack_part").withColumn(
+        "shard_id",
+        ((F.col("__base") + F.col("__off_in")) / _SHARD_BUDGET)
+        .cast("long"),
+    )
+    return placed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("chunk_tokens").alias("shard_tokens"),
+        F.min("pack_part").alias("first_part"),
+        F.max("pack_part").alias("last_part"),
+    )
+
+
+_SHARD_MANIFEST_SQL = f"""
+WITH t AS (
+  SELECT doc_id % {_PACK_PARTS} AS pack_part, doc_id,
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT pack_part, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY pack_part ORDER BY doc_id)
+           - n_tokens AS off
+  FROM t
+),
+chunks AS (
+  SELECT pack_part, CAST(off // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
+         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+  FROM o
+  GROUP BY pack_part, chunk_id
+),
+within AS (
+  SELECT *,
+         sum(chunk_tokens) OVER (PARTITION BY pack_part ORDER BY chunk_id)
+           - chunk_tokens AS off_in
+  FROM chunks
+),
+base AS (
+  SELECT pack_part,
+         sum(part_tokens) OVER (ORDER BY pack_part) - part_tokens AS base
+  FROM (SELECT pack_part, sum(chunk_tokens) AS part_tokens
+        FROM chunks GROUP BY pack_part) pt
+)
+SELECT CAST((b.base + w.off_in) // {_SHARD_BUDGET} AS BIGINT) AS shard_id,
+       count(*) AS n_chunks,
+       CAST(sum(w.n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(w.chunk_tokens) AS BIGINT) AS shard_tokens,
+       min(w.pack_part) AS first_part,
+       max(w.pack_part) AS last_part
+FROM within w JOIN base b USING (pack_part)
+GROUP BY shard_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding int8 quantization stats — the compression pass before an ANN
 # index stores the corpus.  Per-row pure; oracle reproduces the sequential
 # double fold exactly via list_reduce.
@@ -1469,6 +1574,13 @@ QUERIES = [
         "pii_stats taken to its action: global email/IP redaction with "
         "the per-source erasure proof (char mass before/after, residual "
         "matches must be zero)",
+    ),
+    QueryDef(
+        "shard_manifest", shard_manifest, _SHARD_MANIFEST_SQL,
+        "training-shard manifest over the packed chunks: hierarchical "
+        "offsets (partitioned within-part window + parts-scale base) "
+        "assign chunks to fixed-token shards without a global "
+        "chunk-grain window",
     ),
     QueryDef(
         "mixture_rebalance", mixture_rebalance, _mixture_rebalance_sql(),

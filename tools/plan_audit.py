@@ -434,6 +434,10 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # 23-count shape.  Runtime: one walk, every post-walk exchange
     # |Q| x k rows
     "planned_serve_batch": 23,
+    # pack census (doc->chunk aggregate), within-part window exchange,
+    # parts-scale base cumsum, shard rollup — each moves chunk-grain or
+    # parts-grain rows, never doc grain past the first aggregate
+    "shard_manifest": 4,
 }
 DEFAULT_ALLOWANCE = 2
 
@@ -475,6 +479,10 @@ GLOBAL_WINDOW_ALLOWED: set[str] = {
     # the planner's choose window orders the 4-row per-leg table (one
     # row per serve leg by construction)
     "serve_leg_planner",
+    # part base offsets: cumsum over the 16-row per-part totals table
+    # (parts-scale by construction; the chunk-grain cumsum is the
+    # PARTITIONED within-part window)
+    "shard_manifest",
     # week-over-week deltas over week-count rows
     "wow_growth",
     # mixture quota tables (domain-cardinality rows)

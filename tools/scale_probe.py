@@ -296,6 +296,10 @@ PROBES: dict[str, tuple[float, str]] = {
                                    "graph-build regime when graph wins"),
     # one narrow per-row regexp projection + one source-grain aggregate
     "pii_redact": (15.0, "linear: per-row transform, census finish"),
+    # two-level pack: partitioned within-part window + parts-scale base;
+    # no global chunk-grain window by construction
+    "shard_manifest": (15.0, "linear: hierarchical cumsum, no global "
+                             "chunk window"),
 }
 
 
