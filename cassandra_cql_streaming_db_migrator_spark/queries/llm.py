@@ -5037,11 +5037,32 @@ def serve_leg_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg is the always-eligible baseline at corpus-scan cost.  All inputs
     are the already-metadata-scale eval/curve tables; the planner itself
     is a 4-row window — serve cost is the underlying legs', shared
-    through the content-token artifact store."""
+    through the content-token artifact store.
+
+    The seven component tables PERSIST as ``metric_*`` artifacts under
+    the content-token key on first computation — a planner READS metric
+    tables, it does not re-run the eval harness per decision (the
+    build-once/serve-many discipline applied to the eval plane).  Every
+    metric column is integer/boolean/string, so the parquet round-trip
+    is value-exact and the first call hash-equals every later one."""
     from pyspark.sql import Window as _W
+
+    from ..sinks.artifacts import (
+        artifact_store,
+        has_artifact,
+        load_artifact,
+        save_artifact,
+    )
 
     floor = _SERVE_PLANNER_FLOOR_PPM
     emb = load_table(spark, sf_dir, "embeddings")
+    store = artifact_store(sf_dir)
+
+    def metric_table(name: str, compute) -> DataFrame:
+        art = f"metric_{name}"
+        if not has_artifact(store, art):
+            save_artifact(compute(spark, sf_dir), store, art)
+        return load_artifact(spark, store, art)
 
     def leg_metrics(leg: str, ev: DataFrame) -> DataFrame:
         return ev.agg(
@@ -5056,10 +5077,23 @@ def serve_leg_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     evals = (
-        leg_metrics("exact", retrieval_eval(spark, sf_dir))
-        .unionByName(leg_metrics("ivf_pq", retrieval_eval_ann(spark, sf_dir)))
-        .unionByName(leg_metrics("lsh", retrieval_eval_lsh(spark, sf_dir)))
-        .unionByName(leg_metrics("graph", retrieval_eval_graph(spark, sf_dir)))
+        leg_metrics("exact", metric_table("retrieval_eval", retrieval_eval))
+        .unionByName(
+            leg_metrics(
+                "ivf_pq", metric_table("retrieval_eval_ann", retrieval_eval_ann)
+            )
+        )
+        .unionByName(
+            leg_metrics(
+                "lsh", metric_table("retrieval_eval_lsh", retrieval_eval_lsh)
+            )
+        )
+        .unionByName(
+            leg_metrics(
+                "graph",
+                metric_table("retrieval_eval_graph", retrieval_eval_graph),
+            )
+        )
     )
 
     exact_cost = (
@@ -5079,7 +5113,7 @@ def serve_leg_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     curves = (
         exact_cost.unionByName(
-            ivf_pq_probe_curve(spark, sf_dir).select(
+            metric_table("ivf_pq_probe_curve", ivf_pq_probe_curve).select(
                 F.lit("ivf_pq").alias("leg"),
                 F.lit("n_probe").alias("knob"),
                 F.col("n_probe").cast("int").alias("knob_value"),
@@ -5088,7 +5122,7 @@ def serve_leg_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            lsh_nbits_curve(spark, sf_dir).select(
+            metric_table("lsh_nbits_curve", lsh_nbits_curve).select(
                 F.lit("lsh").alias("leg"),
                 F.lit("n_bits").alias("knob"),
                 F.col("n_bits").cast("int").alias("knob_value"),
@@ -5097,7 +5131,7 @@ def serve_leg_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            graph_beam_curve(spark, sf_dir).select(
+            metric_table("graph_beam_curve", graph_beam_curve).select(
                 F.lit("graph").alias("leg"),
                 F.lit("beam").alias("knob"),
                 F.col("beam").cast("int").alias("knob_value"),
