@@ -51,6 +51,14 @@ def build_session(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pin the Python worker pool: reuse=true is the Spark default but is
+        # load-bearing here (bench/driver sweeps interleave JVM-only and
+        # Arrow-kernel queries; a reaped pool would re-pay worker fork +
+        # numpy import per Arrow query).  The idle pool is unbounded and
+        # idleTimeout is 0 (no reaping) by default in Spark 4.1 — made
+        # explicit so a packaging change can't silently regress it
+        # (VERDICT r11 ask #2: host-window sensitivity of the worker path).
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config(
