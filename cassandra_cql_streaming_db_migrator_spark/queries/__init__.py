@@ -191,56 +191,56 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     # new in round 3, third session (head full -> DRIVER_BACKLOG, rule 1)
     "q7_nation_volume": {"r04": "green", "r07": "green"},
     "q15_top_supplier": {"r04": "green", "r07": "green"},
-    "mad_outliers": {"r04": "green"},
+    "mad_outliers": {"r04": "green", "r11": "green"},
     "doc_chunks": {"r04": "green", "r10": "green"},
     "cms_heavy_hitters": {"r04": "green", "r10": "green"},
     "char_diversity": {"r04": "green", "r10": "green"},
-    "dsir_weights": {"r04": "green"},
-    "semdedup": {"r04": "green"},
-    "stream_heavy_hitters": {"r04": "green"},
-    "multimodal_framesample": {"r04": "green"},
+    "dsir_weights": {"r04": "green", "r11": "green"},
+    "semdedup": {"r04": "green", "r11": "green"},
+    "stream_heavy_hitters": {"r04": "green", "r11": "green"},
+    "multimodal_framesample": {"r04": "green", "r11": "green"},
     # new in round 3, fourth session (head full -> DRIVER_BACKLOG, rule 1)
     "q4_order_priority": {"r04": "green", "r07": "green"},
-    "q13_customer_distribution": {"r04": "green"},
-    "q22_dormant_customers": {"r04": "green"},
-    "weighted_sample": {"r04": "green"},
-    "embedding_scatter": {"r04": "green"},
-    "fuzzy_key_match": {"r04": "green"},
-    "triangle_census": {"r04": "green"},
-    "image_phash": {"r04": "green"},
-    "stream_topk": {"r04": "green"},
-    "session_concurrency": {"r04": "green"},
+    "q13_customer_distribution": {"r04": "green", "r11": "green"},
+    "q22_dormant_customers": {"r04": "green", "r11": "green"},
+    "weighted_sample": {"r04": "green", "r11": "green"},
+    "embedding_scatter": {"r04": "green", "r11": "green"},
+    "fuzzy_key_match": {"r04": "green", "r11": "green"},
+    "triangle_census": {"r04": "green", "r11": "green"},
+    "image_phash": {"r04": "green", "r11": "green"},
+    "stream_topk": {"r04": "green", "r11": "green"},
+    "session_concurrency": {"r04": "green", "r11": "green"},
     "jaccard_pairs": {"r04": "green", "r06": "green"},
-    "sliding_distinct": {"r04": "green"},
-    "null_semantics": {"r04": "green"},
+    "sliding_distinct": {"r04": "green", "r11": "green"},
+    "null_semantics": {"r04": "green", "r11": "green"},
     "bpe_merges": {"r04": "green", "r06": "green"},
     "pq_codes": {"r04": "green", "r09": "green"},
     "pq_ann": {"r04": "green", "r09": "green"},
-    "skyline_parts": {"r04": "green"},
+    "skyline_parts": {"r04": "green", "r11": "green"},
     "data_expectations": {"r04": "green", "r07": "green"},
-    "entity_resolution": {"r04": "green"},
-    "revenue_pareto": {"r04": "green"},
-    "event_transitions": {"r04": "green"},
-    "gini_by_nation": {"r04": "green"},
-    "kmv_set_ops": {"r04": "green"},
-    "stream_expectations": {"r04": "green"},
+    "entity_resolution": {"r04": "green", "r11": "green"},
+    "revenue_pareto": {"r04": "green", "r11": "green"},
+    "event_transitions": {"r04": "green", "r11": "green"},
+    "gini_by_nation": {"r04": "green", "r11": "green"},
+    "kmv_set_ops": {"r04": "green", "r11": "green"},
+    "stream_expectations": {"r04": "green", "r11": "green"},
     "pq_recall": {"r04": "green", "r09": "green"},
-    "twap_daily": {"r04": "green"},
+    "twap_daily": {"r04": "green", "r11": "green"},
     "debounce_events": {"r04": "green", "r10": "green"},
-    "user_features": {"r04": "green"},
-    "zscore_anomalies": {"r04": "green"},
-    "wow_growth": {"r04": "green"},
+    "user_features": {"r04": "green", "r11": "green"},
+    "zscore_anomalies": {"r04": "green", "r11": "green"},
+    "wow_growth": {"r04": "green", "r11": "green"},
     "benford_audit": {"r04": "green", "r10": "green"},
     "keyset_page": {"r04": "green", "r07": "green"},
-    "funnel_timing": {"r04": "green"},
-    "drift_report": {"r04": "green"},
+    "funnel_timing": {"r04": "green", "r11": "green"},
+    "drift_report": {"r04": "green", "r11": "green"},
     "q10_returned_items": {"r04": "green", "r07": "green"},
     "q14_promo_share": {"r04": "green", "r07": "green"},
     "q19_banded_revenue": {"r04": "green", "r07": "green"},
-    "user_growth": {"r04": "green"},
+    "user_growth": {"r04": "green", "r11": "green"},
     # new in round 4 (rule 1: 2 head slots, the rest queue in the backlog)
-    "q2_min_cost_supplier": {"r04": "green"},
-    "q6_forecast_revenue": {"r04": "green"},
+    "q2_min_cost_supplier": {"r04": "green", "r11": "green"},
+    "q6_forecast_revenue": {"r04": "green", "r11": "green"},
     "q8_market_share": {"r05": "green"},
     "q9_product_profit": {"r05": "green", "r07": "green"},
     "q11_important_stock": {"r05": "green"},
@@ -254,41 +254,41 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "lexical_search": {"r05": "green"},
     "ivf_pq": {"r05": "green", "r06": "green", "r07": "green"},
     "link_prediction": {"r05": "green"},
-    "image_dedup": {"r05": "green"},
+    "image_dedup": {"r05": "green", "r11": "green"},
     "user_ltv": {"r05": "green"},
-    "event_paths": {"r05": "green"},
-    "incremental_dedup": {"r05": "green"},
+    "event_paths": {"r05": "green", "r11": "green"},
+    "incremental_dedup": {"r05": "green", "r11": "green"},
     "vocab_growth": {"r05": "green"},
     "rfm_segments": {"r05": "green"},
-    "basket_rules": {"r05": "green"},
-    "embedding_pca": {"r05": "green"},
+    "basket_rules": {"r05": "green", "r11": "green"},
+    "embedding_pca": {"r05": "green", "r11": "green"},
     # new in round 5 (head-listed by rule 1)
     "link_prediction_capped": {"r05": "green"},
-    "audience_overlap": {"r05": "green"},
-    "hll_distinct": {"r05": "green"},
+    "audience_overlap": {"r05": "green", "r11": "green"},
+    "hll_distinct": {"r05": "green", "r11": "green"},
     "funnel_attribution": {"r05": "green", "r06": "green"},
-    "activity_streaks": {"r05": "green"},
+    "activity_streaks": {"r05": "green", "r11": "green"},
     "seasonal_profile": {"r05": "green"},
     "migration_checksum": {"r05": "green"},
-    "exact_median": {"r05": "green"},
-    "ivf_pq_recall": {"r05": "green"},
+    "exact_median": {"r05": "green", "r11": "green"},
+    "ivf_pq_recall": {"r05": "green", "r11": "green"},
     "stream_enrich": {"r05": "green"},
     "unpivot_metrics": {"r05": "green", "r07": "green"},
     "revenue_deciles": {"r05": "green"},
     "multimodal_tiles": {"r05": "green"},
     "stream_attribution": {"r05": "green", "r06": "green"},
     "knn_graph": {"r05": "green", "r06": "green"},
-    "ema_prices": {"r05": "green"},
+    "ema_prices": {"r05": "green", "r11": "green"},
     "percent_rank_report": {"r05": "green", "r07": "green"},
-    "dedup_recall": {"r05": "green"},
+    "dedup_recall": {"r05": "green", "r11": "green"},
     "quality_curriculum": {"r05": "green"},
     "langid_confusion": {"r05": "green"},
     "join_skew_stats": {"r05": "green"},
     "zorder_scan": {"r05": "green"},
     "dedup_components_star": {"r05": "green", "r06": "green", "r07": "green"},
     "stream_checksum": {"r05": "green"},
-    "exact_quantiles": {"r05": "green"},
-    "id_gap_report": {"r05": "green"},
+    "exact_quantiles": {"r05": "green", "r11": "green"},
+    "id_gap_report": {"r05": "green", "r11": "green"},
     "hll_by_type": {"r05": "green", "r06": "green"},
     "join_asof_tolerance": {"r05": "green", "r07": "green"},
     "window_frames": {"r05": "green", "r07": "green"},
@@ -372,10 +372,14 @@ DRIVER_HISTORY: dict[str, dict[str, str]] = {
     "retrieval_eval_lsh": {"r10": "green"},
     "retrieval_eval_graph": {"r10": "green"},
     # new in round 11 (head-listed by rule 1)
-    "serve_leg_planner": {},
-    "planned_serve_batch": {},
-    "pii_redact": {},
-    "shard_manifest": {},
+    "serve_leg_planner": {"r11": "green"},
+    "planned_serve_batch": {"r11": "green"},
+    "pii_redact": {"r11": "green"},
+    "shard_manifest": {"r11": "green"},
+    # new in round 12 (head-listed by rule 1)
+    "maintenance_planner": {},
+    "maintenance_applied": {},
+    "stream_pii_redact": {},
 }
 
 DRIVER_HEAD_CAP = 50
@@ -389,83 +393,90 @@ DRIVER_HEAD_CAP = 50
 # row is in DRIVER_HEAD or DRIVER_BACKLOG — nothing unwitnessed is ever
 # silently tail-listed.
 DRIVER_BACKLOG: list[str] = [
-    # round 11: backlog entered the round EMPTY again (the round-10 head's
-    # 50 entries all earned green rows in CORRECTNESS_r10.json, transcribed
-    # above).  Round-11 additions beyond the free head slots queue here
-    # (FIFO for the round-12 head).
+    # round 12: backlog entered the round EMPTY again (the round-11 head's
+    # 50 entries all earned green rows in CORRECTNESS_r11.json, transcribed
+    # above).  Round-12 additions beyond the free head slots queue here
+    # (FIFO for the round-13 head).
 ]
 
-# Round-11 head: backlog empty, every registered query has a green driver
-# row (CORRECTNESS_r10 went 50/50), so the head is again pure rotation —
-# new round-11 queries head-list by rule 1 as they land (displacing rule-2
+# Round-12 head: backlog empty, every registered query has a green driver
+# row (CORRECTNESS_r11 went 50/50), so the head is again pure rotation —
+# new round-12 queries head-list by rule 1 as they land (displacing rule-2
 # veterans from the bottom of this list); the veteran fill (rule 2) is
-# derived from DRIVER_HISTORY above exactly as r9/r10 did it: queries whose
+# derived from DRIVER_HISTORY above exactly as r9-r11 did it: queries whose
 # LAST driver witness is the stalest round, oldest vintage first,
-# alphabetical (plain string sort) within a vintage.  That selects all 32
-# r04-last-witnessed veterans (including the 13 displaced from the r10
-# head) and the first 18 of the 38 r05-last-witnessed queries to top up to
-# the cap of 50.  No discretionary swaps.
+# alphabetical (plain string sort) within a vintage.  That selects all 24
+# remaining r05-last-witnessed veterans (including the 4 displaced from the
+# r11 head), all 24 r06-last-witnessed, and the first 2 of the 48
+# r07-last-witnessed queries to top up to the cap of 50.  No discretionary
+# swaps.
 DRIVER_HEAD = [
-    # -- new in round 11 (rule 1: no driver row yet)
-    "serve_leg_planner",
-    "planned_serve_batch",
-    "pii_redact",
-    "shard_manifest",
-    # -- rule 2: stalest-evidence veterans (last witnessed r04)
-    "drift_report",
-    "dsir_weights",
-    "embedding_scatter",
-    "entity_resolution",
-    "event_transitions",
-    "funnel_timing",
-    "fuzzy_key_match",
-    "gini_by_nation",
-    "image_phash",
-    "kmv_set_ops",
-    "mad_outliers",
-    "multimodal_framesample",
-    "null_semantics",
-    "q13_customer_distribution",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "revenue_pareto",
-    "semdedup",
-    "session_concurrency",
-    "skyline_parts",
-    "sliding_distinct",
-    "stream_expectations",
-    "stream_heavy_hitters",
-    "stream_topk",
-    "triangle_census",
-    "twap_daily",
-    "user_features",
-    "user_growth",
-    "weighted_sample",
-    "wow_growth",
-    "zscore_anomalies",
-    # -- rule 2: stalest-evidence veterans (last witnessed r05),
-    # alphabetical; the bottom of this list is the displacement zone for
-    # round-11 rule-1 additions as they land
-    "activity_streaks",
-    "audience_overlap",
-    "basket_rules",
-    "dedup_recall",
-    "ema_prices",
-    "embedding_pca",
-    "event_paths",
-    "exact_median",
-    "exact_quantiles",
-    "hll_distinct",
-    "id_gap_report",
-    "image_dedup",
-    "incremental_dedup",
-    "ivf_pq_recall",
-    # (link_prediction, lexical_search, langid_confusion and
-    # join_skew_stats displaced by the round-11 rule-1 entries
-    # serve_leg_planner, planned_serve_batch, pii_redact and
-    # shard_manifest; they rejoin the r05-vintage pool for the round-12
-    # rule-2 fill and stay strict-checked in the tail every round)
+    # -- new in round 12 (rule 1: no driver row yet)
+    "maintenance_planner",
+    "maintenance_applied",
+    "stream_pii_redact",
+    # -- materially rewritten in round 12 (rule 1b: PII-redaction stage
+    # composed into the curation path, VERDICT r11 ask #5 — old green
+    # rows are evidence about code that no longer runs)
+    "llm_prep_pipeline",
+    "curation_funnel",
+    # -- rule 2: stalest-evidence veterans (last witnessed r05)
+    "join_skew_stats",
+    "langid_confusion",
+    "lexical_search",
+    "link_prediction",
+    "link_prediction_capped",
+    "migration_checksum",
+    "multimodal_tiles",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q8_market_share",
+    "quality_curriculum",
+    "revenue_deciles",
+    "rfm_segments",
+    "seasonal_profile",
+    "stream_checksum",
+    "stream_enrich",
+    "stream_zscore",
+    "user_ltv",
+    "vocab_growth",
+    "zorder_scan",
+    # -- rule 2: stalest-evidence veterans (last witnessed r06)
+    "agg_percentiles",
+    "agg_rollup",
+    "bpe_merges",
+    "bucketed_join",
+    "dup_spans",
+    "embedding_ann_ivf",
+    "embedding_topk",
+    "funnel_attribution",
+    "graph_ann_recall",
+    "hll_by_type",
+    "jaccard_pairs",
+    "join_asof",
+    "join_salted",
+    "knn_graph",
+    "multimodal_features",
+    "sequence_pack",
+    "set_except",
+    "source_dup_report",
+    "stream_attribution",
+    "stream_hll",
+    "stream_tumbling_agg",
+    # -- the bottom of this list is the displacement zone for round-12
+    # rule-1 additions as they land
+    # (anti_join_if_not_exists, bpe_encode [r07 vintage] displaced by the
+    # round-12 rule-1 entries maintenance_planner and maintenance_applied;
+    # tokenizer_fertility, window_running [r06 vintage] displaced by the
+    # rule-1b re-listings llm_prep_pipeline and curation_funnel;
+    # text_stats [r06 vintage] displaced by the rule-1 entry
+    # stream_pii_redact; all five rejoin their vintage pools for the
+    # round-13 rule-2 fill and stay strict-checked in the tail every
+    # round)
 ]
 
 

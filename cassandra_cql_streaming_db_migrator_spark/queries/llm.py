@@ -1209,50 +1209,102 @@ ORDER BY n DESC, token ASC LIMIT 50
 
 
 def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep, now with the governance stage FIRST
+    (VERDICT r11 ask #5): redact PII -> per-doc stats over the REDACTED
+    text -> quality gate -> exact dedup (on the redacted form, since
+    redaction is what ships) — the stage order a real curation run uses,
+    so downstream stats/dedup can never see a raw address.  The
+    deterministic PII seeding is pii_redact's (the fixture text carries
+    no natural PII; seeding proves the stage executes), and
+    ``n_pii_redacted`` carries the per-doc erasure evidence through the
+    pipeline.  Per-row Catalyst transforms + one dedup shuffle — the
+    same scale shape as before the stage was added."""
+    from ..operators.corpus import EMAIL_PATTERN, IPV4_PATTERN, redact_pii
+    from .corpus import _pii_seeded
+
     docs = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), " ")
-    enriched = docs.select(
+    seeded = _pii_seeded(docs)
+    n_pii = F.regexp_count(F.col("text2"), F.lit(EMAIL_PATTERN)) + F.regexp_count(
+        F.col("text2"), F.lit(IPV4_PATTERN)
+    )
+    red_docs = seeded.select(
         "doc_id",
-        "text",
+        redact_pii(F.col("text2")).alias("red"),
+        n_pii.cast("long").alias("n_pii_redacted"),
+    )
+    tokens = F.split(F.col("red"), " ")
+    enriched = red_docs.select(
+        "doc_id",
+        "red",
+        "n_pii_redacted",
         F.size(tokens).alias("n_tokens"),
         F.round(
             F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens), 6
         ).alias("unique_ratio"),
-        stopword_ratio(F.col("text"), EN_STOPWORDS).alias("en_stop_ratio"),
-        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        stopword_ratio(F.col("red"), EN_STOPWORDS).alias("en_stop_ratio"),
+        bpe_token_count(F.col("red")).alias("bpe_tokens"),
     )
     filtered = enriched.filter(
         (F.col("n_tokens") >= 16)
         & (F.col("unique_ratio") >= 0.3)
         & (F.col("en_stop_ratio") >= 0.05)
     )
-    winners = filtered.groupBy("text").agg(
+    winners = filtered.groupBy("red").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups")
     )
     final = filtered.join(winners.select("doc_id", "n_dups"), "doc_id")
-    return final.select("doc_id", "n_tokens", "bpe_tokens", "en_stop_ratio", "n_dups")
+    return final.select(
+        "doc_id", "n_tokens", "bpe_tokens", "en_stop_ratio",
+        "n_pii_redacted", "n_dups",
+    )
 
 
-_LLM_PREP_SQL = f"""
-WITH enriched AS (
-  SELECT doc_id, text,
-         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')), 6) AS unique_ratio,
-         round(CAST(len(list_filter(string_split(text, ' '),
-                                    t -> t IN ({_STOPLIST}))) AS DOUBLE)
-               / len(string_split(text, ' ')), 6) AS en_stop_ratio,
-         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS INTEGER)
-           AS bpe_tokens
+def _llm_prep_sql() -> str:
+    from ..operators.corpus import EMAIL_PATTERN, IPV4_PATTERN
+
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0
+               THEN 'mail user' || CAST(doc_id % 100 AS VARCHAR)
+                    || '@example.com ' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN 'from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.1 ' ELSE '' END)
+         || text AS text2
   FROM documents),
+red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text2, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+           '{IPV4_PATTERN}', '<IP>', 'g') AS red,
+         CAST(len(regexp_extract_all(text2, '{EMAIL_PATTERN}'))
+              + len(regexp_extract_all(text2, '{IPV4_PATTERN}')) AS BIGINT)
+           AS n_pii_redacted
+  FROM s),
+enriched AS (
+  SELECT doc_id, red, n_pii_redacted,
+         CAST(len(string_split(red, ' ')) AS INTEGER) AS n_tokens,
+         round(CAST(len(list_distinct(string_split(red, ' '))) AS DOUBLE)
+               / len(string_split(red, ' ')), 6) AS unique_ratio,
+         round(CAST(len(list_filter(string_split(red, ' '),
+                                    t -> t IN ({_STOPLIST}))) AS DOUBLE)
+               / len(string_split(red, ' ')), 6) AS en_stop_ratio,
+         CAST(len(regexp_extract_all(red, '{BPE_TOKEN_PATTERN}')) AS INTEGER)
+           AS bpe_tokens
+  FROM red),
 filtered AS (
   SELECT * FROM enriched
   WHERE n_tokens >= 16 AND unique_ratio >= 0.3 AND en_stop_ratio >= 0.05),
 winners AS (
-  SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM filtered GROUP BY text)
-SELECT f.doc_id, f.n_tokens, f.bpe_tokens, f.en_stop_ratio, w.n_dups
+  SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM filtered GROUP BY red)
+SELECT f.doc_id, f.n_tokens, f.bpe_tokens, f.en_stop_ratio,
+       f.n_pii_redacted, w.n_dups
 FROM filtered f JOIN winners w ON f.doc_id = w.doc_id
 """
+
+
+_LLM_PREP_SQL = _llm_prep_sql()
 
 # ---------------------------------------------------------------------------
 # Similarity search: exact brute-force cosine top-k (the baseline/oracle)
@@ -3385,6 +3437,7 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     approx = pq_ann_topk(emb, query_id=0, topk=10).select("vec_id")
+    # metadata-scale: exactly one query row (id equality)
     qvec = (
         emb.where(F.col("vec_id") == 0)
         .select(
@@ -3452,6 +3505,7 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_pq_ann(
         emb, query_id=0, topk=10, n_cells=8, n_probe=2
     ).select("vec_id")
+    # metadata-scale: exactly one query row (id equality)
     qvec = (
         emb.where(F.col("vec_id") == 0)
         .select(
@@ -4914,6 +4968,7 @@ def ivf_pq_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = materialized(exact)
 
+    # metadata-scale: <= n_cells census rows
     census = {
         r["cell"]: int(r["n"])
         for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
@@ -5285,6 +5340,7 @@ def planned_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k, nq = _PLANNED_SERVE_K, _PLANNED_SERVE_NQ
     emb = load_table(spark, sf_dir, "embeddings")
+    # metadata-scale: the 4-row per-leg planner table
     chosen = next(
         r for r in serve_leg_planner(spark, sf_dir).collect() if r["chosen"]
     )
@@ -5434,6 +5490,265 @@ JOIN choice c ON c.leg = s.leg AND c.knob_value = s.knob_value
 """
 
 
+# ---------------------------------------------------------------------------
+# Maintenance planner (VERDICT r11 ask #3): serve_leg_planner's pattern
+# applied to INDEX MAINTENANCE.  The three live monitors each watch one
+# failure axis of the standing index stack — occupancy (stream_drift_monitor:
+# did the data move between cells), codebook fit (stream_distortion_monitor:
+# do the codebooks still fit the data inside each cell), encoder
+# separability (stream_margin_monitor: does the embedding model still
+# separate labels) — and this planner folds their censuses into ONE decision
+# table: per axis the measured metric, the declared threshold, the act/hold
+# verdict, the maintenance action the verdict triggers, and the cost
+# evidence (rows the action touches — the re-code cost index_retrain's act
+# branch actually pays).  maintenance_applied then EXECUTES the index-side
+# verdict: a retrain-on-union serve when either index axis acts, the
+# standing base-trained serve when both hold — decision computed, never
+# pinned (the oracle enumerates both serve variants and selects by the same
+# computed CASE).
+#
+# Threshold calibration (measured at sf0.001/0.01/0.1, round-12 notes):
+# steady-state occupancy drift 16-22k ppm vs 50k threshold (hold; the
+# engineered-drift fixture measures 149-170k against the same threshold —
+# index_retrain's act bracket), steady-state codebook drift 1.4-6.3k u vs
+# 1e6 threshold (hold; the drift fixture measures ~4.3e8), negative-margin
+# rate 880-980k ppm vs 500k threshold (act — the synthetic labels are
+# near-random in embedding space, i.e. the fixture SHIPS with a drifted
+# encoder, so the flag axis exercises the act branch while the index axes
+# exercise hold).
+
+_MAINT_OCC_THR_PPM = 50_000
+_MAINT_DIST_THR_U = 1_000_000
+_MAINT_MARGIN_THR_PPM = 500_000
+_MAINT_NQ = 8
+_MAINT_TOPK = 10
+
+
+def _metric_table(spark, sf_dir: str, name: str, compute) -> DataFrame:
+    """Build-once/read-many metric plane (serve_leg_planner's contract):
+    the component census PERSISTS as a ``metric_*`` artifact under the
+    content-token key on first computation; a planner READS metric
+    tables, it does not re-run the monitor per decision.  Every metric
+    column is integer/string, so the parquet round-trip is value-exact."""
+    from ..sinks.artifacts import (
+        artifact_store,
+        has_artifact,
+        load_artifact,
+        save_artifact,
+    )
+
+    store = artifact_store(sf_dir)
+    art = f"metric_{name}"
+    if not has_artifact(store, art):
+        save_artifact(compute(spark, sf_dir), store, art)
+    return load_artifact(spark, store, art)
+
+
+def maintenance_planner(
+    spark: SparkSession,
+    sf_dir: str,
+    occ_thr: int = _MAINT_OCC_THR_PPM,
+    dist_thr: int = _MAINT_DIST_THR_U,
+    margin_thr: int = _MAINT_MARGIN_THR_PPM,
+) -> DataFrame:
+    """One row per maintenance axis: (axis, metric, unit, metric_value,
+    threshold, act, action, n_rows).  Inputs are the three monitors'
+    own censuses (persisted as ``metric_*`` artifacts — cells/labels
+    rows, metadata-scale by construction); the planner itself is three
+    tiny aggregates unioned.  All-integer output, so it hash-checks.
+    The threshold kwargs exist for the pytest battery to drive BOTH
+    branches of every axis; the registry query runs the declared
+    defaults."""
+    from .streaming import (
+        stream_distortion_monitor,
+        stream_drift_monitor,
+        stream_margin_monitor,
+    )
+
+    occ = _metric_table(spark, sf_dir, "drift_monitor", stream_drift_monitor)
+    dis = _metric_table(
+        spark, sf_dir, "distortion_monitor", stream_distortion_monitor
+    )
+    mar = _metric_table(spark, sf_dir, "margin_monitor", stream_margin_monitor)
+
+    occ_row = occ.agg(
+        F.lit("occupancy").alias("axis"),
+        F.lit("share_drift_ppm_total").alias("metric"),
+        F.lit("ppm").alias("unit"),
+        F.sum("share_drift_ppm").cast("long").alias("metric_value"),
+        F.lit(occ_thr).cast("long").alias("threshold"),
+        (F.sum("share_drift_ppm") >= occ_thr).alias("act"),
+        F.lit("rebuild_index").alias("action"),
+        F.sum("n_all").cast("long").alias("n_rows"),
+    )
+    dis_row = dis.agg(
+        F.lit("codebook").alias("axis"),
+        F.lit("dist_drift_u_max").alias("metric"),
+        F.lit("u").alias("unit"),
+        F.max("dist_drift_u").cast("long").alias("metric_value"),
+        F.lit(dist_thr).cast("long").alias("threshold"),
+        (F.max("dist_drift_u") >= dist_thr).alias("act"),
+        F.lit("retrain_quantizer").alias("action"),
+        F.sum("n_all").cast("long").alias("n_rows"),
+    )
+    mar_row = mar.agg(
+        F.lit("encoder").alias("axis"),
+        F.lit("negative_margin_ppm").alias("metric"),
+        F.lit("ppm").alias("unit"),
+        F.expr("1000000 * sum(n_negative_margin) DIV sum(n_arrivals)")
+        .cast("long")
+        .alias("metric_value"),
+        F.lit(margin_thr).cast("long").alias("threshold"),
+        F.expr(
+            f"1000000 * sum(n_negative_margin) DIV sum(n_arrivals) "
+            f">= {margin_thr}"
+        ).alias("act"),
+        F.lit("flag_encoder").alias("action"),
+        F.sum("n_arrivals").cast("long").alias("n_rows"),
+    )
+    return occ_row.unionByName(dis_row).unionByName(mar_row).orderBy("axis")
+
+
+def _maintenance_planner_sql() -> str:
+    from ..operators.clustering import (
+        coarse_cell_drift_sql,
+        pq_distortion_report_sql,
+    )
+    from .streaming import _stream_margin_monitor_sql
+
+    occ = coarse_cell_drift_sql(
+        table="embeddings", train_where="vec_id % 10 <> 0", n_cells=8
+    )
+    dis = pq_distortion_report_sql(
+        table="embeddings", train_where="vec_id % 10 <> 0", n_cells=8
+    )
+    mar = _stream_margin_monitor_sql()
+    mar_v = (
+        "1000000 * CAST(sum(n_negative_margin) AS BIGINT) "
+        "// CAST(sum(n_arrivals) AS BIGINT)"
+    )
+    return f"""
+WITH occ AS ({occ}),
+dis AS ({dis}),
+mar AS ({mar})
+SELECT 'occupancy' AS axis, 'share_drift_ppm_total' AS metric,
+       'ppm' AS unit,
+       CAST(sum(share_drift_ppm) AS BIGINT) AS metric_value,
+       CAST({_MAINT_OCC_THR_PPM} AS BIGINT) AS threshold,
+       CAST(sum(share_drift_ppm) AS BIGINT) >= {_MAINT_OCC_THR_PPM} AS act,
+       'rebuild_index' AS action,
+       CAST(sum(n_all) AS BIGINT) AS n_rows
+FROM occ
+UNION ALL
+SELECT 'codebook', 'dist_drift_u_max', 'u',
+       CAST(max(dist_drift_u) AS BIGINT),
+       CAST({_MAINT_DIST_THR_U} AS BIGINT),
+       CAST(max(dist_drift_u) AS BIGINT) >= {_MAINT_DIST_THR_U},
+       'retrain_quantizer',
+       CAST(sum(n_all) AS BIGINT)
+FROM dis
+UNION ALL
+SELECT 'encoder', 'negative_margin_ppm', 'ppm',
+       {mar_v},
+       CAST({_MAINT_MARGIN_THR_PPM} AS BIGINT),
+       {mar_v} >= {_MAINT_MARGIN_THR_PPM},
+       'flag_encoder',
+       CAST(sum(n_arrivals) AS BIGINT)
+FROM mar
+ORDER BY axis
+"""
+
+
+def maintenance_applied(
+    spark: SparkSession,
+    sf_dir: str,
+    occ_thr: int = _MAINT_OCC_THR_PPM,
+    dist_thr: int = _MAINT_DIST_THR_U,
+    margin_thr: int = _MAINT_MARGIN_THR_PPM,
+    prefix_base: str = "mnt",
+) -> DataFrame:
+    """The planner's index-side verdict EXECUTED (planned_serve_batch's
+    census -> decision -> ACTION arc on the maintenance side): when
+    either index axis acts, retrain the quantizer on the FULL corpus
+    and serve from the retrained ``mntact`` triple; when both hold,
+    serve from the standing base-trained ``mntbase`` triple (train on
+    base, code the union — the streaming index's proven contract).  The
+    encoder axis has no in-engine action (re-embedding needs the
+    upstream model) — its verdict rides through as the
+    ``encoder_flagged`` column.  The planner read is 3 rows
+    (metadata-scale by construction); the acted-on triple is built ONCE
+    per content token and every serve after that reads artifacts."""
+    from ..operators.clustering import (
+        _query_vectors,
+        build_index_triple,
+        ivf_pq_serve_batch,
+    )
+    from ..sinks.artifacts import artifact_store, has_artifact
+
+    # metadata-scale: the 3-row per-axis decision table
+    plan = {
+        r["axis"]: r
+        for r in maintenance_planner(
+            spark, sf_dir, occ_thr, dist_thr, margin_thr
+        ).collect()
+    }
+    retrain = bool(plan["occupancy"]["act"]) or bool(plan["codebook"]["act"])
+    flagged = bool(plan["encoder"]["act"])
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    valid = emb.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= 64)
+    )
+    store = artifact_store(sf_dir)
+    prefix = f"{prefix_base}act" if retrain else f"{prefix_base}base"
+    if not has_artifact(store, f"{prefix}_codes"):
+        train = valid if retrain else valid.where(F.col("vec_id") % 10 != 0)
+        build_index_triple(spark, valid, train, store, prefix, n_cells=8)
+    queries = _query_vectors(valid, _MAINT_NQ, "embedding", "vec_id", 4, 16)
+    serve = ivf_pq_serve_batch(
+        spark, store, queries, topk=_MAINT_TOPK, n_probe=2,
+        codes_name=f"{prefix}_codes",
+        centroids_name=f"{prefix}_centroids",
+        codebooks_name=f"{prefix}_codebooks",
+    )
+    return serve.select(
+        "query_id", "vec_id", "cell", "adc_dist", "rn",
+        F.lit(retrain).alias("retrained"),
+        F.lit(flagged).alias("encoder_flagged"),
+    )
+
+
+def _maintenance_applied_sql() -> str:
+    from ..operators.clustering import (
+        ivf_pq_ann_batch_sql,
+        ivf_pq_batch_trained_on_sql,
+    )
+
+    act_serve = ivf_pq_ann_batch_sql(
+        table="embeddings", n_queries=_MAINT_NQ, topk=_MAINT_TOPK,
+        n_cells=8, n_probe=2,
+    )
+    hold_serve = ivf_pq_batch_trained_on_sql(
+        table="embeddings", train_where="vec_id % 10 <> 0",
+        n_queries=_MAINT_NQ, topk=_MAINT_TOPK, n_cells=8, n_probe=2,
+    )
+    return f"""
+WITH planner AS ({_maintenance_planner_sql()}),
+dec AS (
+  SELECT
+    (SELECT bool_or(act) FROM planner
+     WHERE axis IN ('occupancy', 'codebook')) AS retrained,
+    (SELECT act FROM planner WHERE axis = 'encoder') AS encoder_flagged)
+SELECT s.query_id, s.vec_id, s.cell, s.adc_dist, s.rn,
+       d.retrained, d.encoder_flagged
+FROM ({act_serve}) s, dec d WHERE d.retrained
+UNION ALL
+SELECT s.query_id, s.vec_id, s.cell, s.adc_dist, s.rn,
+       d.retrained, d.encoder_flagged
+FROM ({hold_serve}) s, dec d WHERE NOT d.retrained
+"""
+
+
 QUERIES = [
     QueryDef("multimodal_framesample", multimodal_framesample,
              _MULTIMODAL_FRAMESAMPLE_SQL,
@@ -5495,6 +5810,20 @@ QUERIES = [
              "the chosen leg at its picked knob; oracle enumerates every "
              "knob variant and joins against the chosen row — no pinned "
              "decision"),
+    QueryDef("maintenance_planner", maintenance_planner,
+             _maintenance_planner_sql(),
+             "the three live monitors folded into one maintenance "
+             "decision table: per axis (occupancy/codebook/encoder) the "
+             "measured metric vs its declared threshold, the act/hold "
+             "verdict, the triggered action, and the re-code cost "
+             "evidence"),
+    QueryDef("maintenance_applied", maintenance_applied,
+             _maintenance_applied_sql(),
+             "the maintenance verdict EXECUTED: retrain-on-union serve "
+             "when an index axis acts, standing base-trained serve when "
+             "both hold, encoder verdict riding as a flag; oracle "
+             "enumerates both serve variants and selects by the same "
+             "computed decision — no pinned branch"),
     QueryDef("contrastive_triplets", contrastive_triplets,
              _CONTRASTIVE_TRIPLETS_SQL,
              "contrastive training-pair mining: per anchor the nearest "

@@ -609,6 +609,51 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg)
 
 
+def stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pii_redact on the INGEST stream (round 12 — the governance family's
+    streaming twin, stream_decontaminate's pattern applied to redaction):
+    per microbatch the stateless redaction projection (the exact batch
+    expressions — seeding, regexp counts, global replace), folded by an
+    additive per-source (docs, matches-per-kind, char mass before/after,
+    residual docs) aggregate in complete mode.  Every component is a sum,
+    so the drained census row-for-row equals the batch pii_redact report
+    over the same documents — the shared oracle.  A drop directory gets
+    its erasure proof as it lands, before anything downstream reads a raw
+    address.  O(sources) state forever."""
+    from ..operators.corpus import EMAIL_PATTERN, IPV4_PATTERN, redact_pii
+    from ..streaming.stream import read_documents_stream
+    from .corpus import _pii_seeded
+
+    docs = read_documents_stream(spark, sf_dir)
+    seeded = _pii_seeded(docs)
+    n_email = F.regexp_count(F.col("text2"), F.lit(EMAIL_PATTERN))
+    n_ip = F.regexp_count(F.col("text2"), F.lit(IPV4_PATTERN))
+    red = redact_pii(F.col("text2"))
+    redacted = seeded.select(
+        "source", "text2", n_email.alias("ne"), n_ip.alias("ni"),
+        red.alias("red"),
+    )
+    residual = (
+        (F.regexp_count(F.col("red"), F.lit(EMAIL_PATTERN)) > 0)
+        | (F.regexp_count(F.col("red"), F.lit(IPV4_PATTERN)) > 0)
+    ).cast("long")
+    agg = redacted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ne").alias("emails_redacted"),
+        F.sum("ni").alias("ips_redacted"),
+        F.sum(F.length("text2")).alias("chars_before"),
+        F.sum(F.length("red")).alias("chars_after"),
+        F.sum(residual).alias("n_residual_docs"),
+    )
+    return run_to_memory(agg)
+
+
+def _stream_pii_redact_sql() -> str:
+    from .corpus import _PII_REDACT_SQL
+
+    return _PII_REDACT_SQL
+
+
 _STREAM_QUALITY_GATE_SQL = """
 WITH r AS (
   SELECT lang,
@@ -885,6 +930,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrival can land in holds its own centroid, which is a BASE row by
     # construction, so driving off the base census loses no cell.
     arr = {r["cell"]: r["n_arr"] for r in drained.collect()}
+    # metadata-scale: <= n_cells census rows
     cells = {
         r["cell"]: int(r["n_base"]) for r in base_counts.collect()
     }
@@ -975,11 +1021,13 @@ def stream_distortion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Every cell an arrival can land in holds its own centroid, which is
     # a BASE row by construction, so driving off the base census loses
     # no cell (stream_drift_monitor's argument).
+    # metadata-scale: <= n_cells census rows
     arr = {
         r["cell"]: (int(r["n_arr"]), int(r["sum_arr"]))
         for r in drained.collect()
     }
     rows = []
+    # metadata-scale: <= n_cells census rows
     for r in sorted(base_per.collect(), key=lambda r: r["cell"]):
         cell, nb, sb = r["cell"], int(r["n_base"]), int(r["sum_base"])
         na, sa = arr.get(cell, (0, 0))
@@ -1039,6 +1087,7 @@ def stream_margin_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_where = F.col("vec_id") % 10 != 0
     from pyspark.sql import Window as _W
 
+    # metadata-scale: labels x R reference rows by construction
     ref_rows = (
         emb.where(base_where)
         .withColumn(
@@ -1209,6 +1258,7 @@ def stream_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         store=store,
         prefix="strbase",
     )
+    # metadata-scale: 1-row drift total over the <= n_cells census
     drift_rows = codes_cell_drift(merged, base_where).agg(
         F.sum("share_drift_ppm").alias("total")
     ).collect()
@@ -1498,6 +1548,7 @@ def index_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in folded.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    # metadata-scale: <= n_cells census rows
     purged = {
         r["cell"]: int(r["n"])
         for r in folded.join(F.broadcast(tombs), "vec_id", "semi")
@@ -1505,6 +1556,7 @@ def index_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
     compact_streaming_index(spark, store, prefix="sidxp")
+    # metadata-scale: <= n_cells census rows
     post = {
         r["cell"]: int(r["n"])
         for r in load_artifact(spark, store, "sidxp_codes")
@@ -1800,6 +1852,7 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     drained = run_to_memory(census, output_mode="complete")
+    # metadata-scale: per-source budget census (source-cardinality rows)
     return _budget_plan_frame(spark, drained.collect())
 
 
@@ -1914,6 +1967,10 @@ QUERIES = [
     QueryDef("stream_quality_gate", stream_quality_gate, _STREAM_QUALITY_GATE_SQL,
              "corpus governance on the ingest stream (per-lang keep rates)",
              bench=False),
+    QueryDef("stream_pii_redact", stream_pii_redact, _stream_pii_redact_sql(),
+             "pii_redact's erasure proof computed ON the ingest stream: "
+             "stateless redaction projection + additive per-source census "
+             "(O(sources) state), drained result == the batch report"),
     QueryDef("stream_kmv", stream_kmv, _stream_kmv_sql(),
              "T8: streaming KMV cardinality sketch (O(k) state per group)",
              bench=False),
