@@ -88,6 +88,7 @@ def build_bloom_distributed(
                 (p / 64).cast("int").alias("w"), (p % 64).cast("int").alias("b")
             )
         )
+    # metadata-scale: distinct (word, bit) probe rows of the dim side
     rows = (
         dim.where(F.col(dim_key).isNotNull())
         .select(F.explode(F.array(*probes)).alias("pb"))

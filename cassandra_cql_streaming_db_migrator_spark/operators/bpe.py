@@ -141,6 +141,7 @@ def bpe_train(
     (pinned by test against each other and an independent reference)."""
     n_words = word_counts.count()
     if n_words <= local_threshold:
+        # metadata-scale: <= local_threshold word rows (guarded above)
         census = [
             (r["word"], int(r["n"]))
             for r in word_counts.select("word", "n").collect()
@@ -240,6 +241,7 @@ def base_char_vocab(df: DataFrame, text_col: str = "text") -> list[str]:
     aggregate to <= alphabet-size rows (map-side combine makes the char
     explode cheap; at byte-level production scale the vocab is fixed
     0..255 and this pass disappears)."""
+    # metadata-scale: <= alphabet-size distinct chars
     rows = (
         df.select(F.explode(F.split(F.col(text_col), "")).alias("c"))
         .where(F.col("c") != "")

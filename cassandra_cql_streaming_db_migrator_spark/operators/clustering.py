@@ -574,6 +574,7 @@ def pq_train_assign(
             )
         )
         new: dict[tuple[int, int], dict[int, float]] = {}
+        # metadata-scale: m x k per-dim codebook sums
         for r in flat.collect():
             new.setdefault((r["__s"], r["__cid"]), {})[r["__sp"]] = (
                 float(r["__sum"]) / r["__n"] / Q
@@ -696,6 +697,7 @@ def pq_ann_topk(
     frame, cents = pq_train_assign(
         df, vec_col, id_col, m, k, sub_dim, iterations
     )
+    # metadata-scale: exactly one query row (id equality)
     qrow = (
         df.where(F.col(id_col) == query_id)
         .select(
@@ -876,6 +878,7 @@ def _coarse_centroids(df, n_cells, vec_col, id_col, m, sub_dim):
     guarded = df.where(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= m * sub_dim)
     )
+    # metadata-scale: n_cells seed rows by construction
     crows = (
         guarded.where(F.col(id_col) < n_cells)
         .select(id_col, vec_col)
@@ -890,6 +893,7 @@ def _coarse_centroids(df, n_cells, vec_col, id_col, m, sub_dim):
 
 
 def _query_vector(df, query_id, vec_col, id_col, m, sub_dim):
+    # metadata-scale: exactly one query row (id equality)
     qrow = (
         df.where(
             F.col(vec_col).isNotNull()
@@ -2318,6 +2322,7 @@ def pca_power_iteration(
         for j in dims
         if i <= j
     ]
+    # metadata-scale: 1-row moment barrier
     row = base.agg(*aggs).collect()[0]  # 1-row moment barrier (metadata)
     n = row["n"]
     s = [int(row[f"s{d}"]) for d in dims]
@@ -2614,6 +2619,7 @@ def index_retrain(
             m=m, k=k, sub_dim=sub_dim,
         )
     codes = load_artifact(spark, store, f"{prefix}_codes")
+    # metadata-scale: 1-row drift total over the <= n_cells census
     drift_rows = codes_cell_drift(codes, base_where).agg(
         F.sum("share_drift_ppm").alias("total")
     ).collect()

@@ -537,6 +537,7 @@ def ivf_ann_topk(
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    # metadata-scale: n_cells seed rows by construction
     cent_rows = (
         embeddings.filter(F.col(id_col) < n_cells)
         .select(id_col, vec_col)
@@ -1117,6 +1118,7 @@ def ivf_cell_assign(
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
+    # metadata-scale: n_cells seed rows by construction
     cent_rows = (
         embeddings.filter(
             (F.col(id_col) < n_cells)
@@ -1497,6 +1499,7 @@ def mmr_rerank(
     Returns (rank, id, relevance, mmr_score); rank 1's score is its
     relevance times ``lam`` (empty selected set contributes no penalty).
     """
+    # metadata-scale: k_candidates top-k rows (cosine_topk limit)
     cands = (
         cosine_topk(
             embeddings, query, k_candidates, id_col, vec_col, engine="hof"
@@ -1697,13 +1700,28 @@ def contrastive_topk(
 
     if n_anchors <= max_anchor_rows:
         # broadcast path: one collect, one corpus pass (today's plan)
+        # metadata-scale: anchors <= max_anchor_rows here (bound checked above)
         candidates = block_candidates(anchor_sel.collect())
     else:
         # chunked-anchor path: id-ordered keyset pagination — each block
         # is a bounded collect (orderBy + limit = TakeOrdered, never a
         # full driver materialization) and one corpus pass; blocks
         # partition the anchor set, so the per-anchor window cut below
-        # is exact regardless of blocking
+        # is exact regardless of blocking.
+        #
+        # Keyset pagination advances with strict `id > last_id`, so a
+        # duplicate anchor id straddling a block boundary would be
+        # silently dropped (the broadcast path keeps duplicates) —
+        # unique anchor ids are a PRECONDITION of this path, enforced
+        # here with one aggregate job (ADVICE r11 #2).
+        n_distinct = anchor_sel.select(id_col).distinct().count()
+        if n_distinct != n_anchors:
+            raise ValueError(
+                f"contrastive_topk: chunked-anchor path requires unique "
+                f"anchor {id_col}s ({n_anchors} rows, {n_distinct} "
+                f"distinct) — dedupe the anchor frame or raise "
+                f"max_anchor_rows to use the broadcast path"
+            )
         candidates = None
         last_id = None
         while True:
@@ -1717,7 +1735,15 @@ def contrastive_topk(
             )
             if not blk:
                 break
-            blk_cands = block_candidates(blk)
+            # EAGER localCheckpoint per block (ADVICE r11 #1): execute
+            # the block's corpus pass NOW and keep only its candidate
+            # rows (block-manager storage, lineage truncated), so the
+            # per-block numpy matrices captured in the kernel closure
+            # are released before the next block is collected — driver
+            # and task-closure footprint stay O(one block), not
+            # O(total anchors), which is the whole point of chunking.
+            # |blocks| corpus passes either way (documented trade).
+            blk_cands = block_candidates(blk).localCheckpoint(eager=True)
             candidates = (
                 blk_cands
                 if candidates is None

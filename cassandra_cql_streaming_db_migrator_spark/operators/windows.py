@@ -111,6 +111,7 @@ def distributed_rank_with_total(
         df.repartitionByRange(p, *order)
         .withColumn("__pid", F.spark_partition_id())
     )
+    # metadata-scale: one row per range partition (p rows)
     counts = {
         r["__pid"]: r["n"]
         for r in ranged.groupBy("__pid")

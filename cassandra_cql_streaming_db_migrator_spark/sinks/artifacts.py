@@ -214,6 +214,7 @@ def save_pq_codebooks(
 def load_pq_codebooks(
     spark: SparkSession, store: str, name: str = "pq_codebooks"
 ) -> list[list[list[float]]]:
+    # metadata-scale: m x k codebook rows
     rows = load_artifact(spark, store, name).collect()
     m = 1 + max(r["s"] for r in rows)
     cents: list[list[list[float]]] = [[] for _ in range(m)]
@@ -244,6 +245,7 @@ def save_coarse_centroids(
 def load_coarse_centroids(
     spark: SparkSession, store: str, name: str = "ivf_centroids"
 ) -> tuple[list[int], list[list[float]]]:
+    # metadata-scale: n_cells coarse-centroid rows
     rows = sorted(
         load_artifact(spark, store, name).collect(),
         key=lambda r: r["cell_id"],
@@ -280,6 +282,7 @@ def load_bpe_tokenizer(
 ) -> tuple[list[tuple[int, str, str, int]], list[str]]:
     merges = [
         (r["rank"], r["left"], r["right"], r["pair_count"])
+        # metadata-scale: merge table (n_merges rows by construction)
         for r in sorted(
             load_artifact(spark, store, "bpe_merges").collect(),
             key=lambda r: r["rank"],
@@ -287,6 +290,7 @@ def load_bpe_tokenizer(
     ]
     vocab = [
         r["symbol"]
+        # metadata-scale: vocab table (|alphabet| + n_merges rows)
         for r in sorted(
             load_artifact(spark, store, "bpe_vocab").collect(),
             key=lambda r: r["sym_id"],

@@ -96,6 +96,7 @@ def table_location(spark: SparkSession, table: str) -> str:
     """Filesystem path of a managed table's data directory."""
     from urllib.parse import urlparse
 
+    # metadata-scale: DESCRIBE output (catalog rows, not data)
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED `{table}`").collect()
     loc = next(r.data_type for r in rows if r.col_name == "Location")
     parsed = urlparse(loc)

@@ -248,6 +248,7 @@ def upsert_parquet_partitioned(
     if existing is None:
         batch.write.partitionBy(partition_col).mode("overwrite").parquet(target_path)
         return
+    # metadata-scale: distinct partition keys of one microbatch
     parts = [r[0] for r in batch.select(partition_col).distinct().collect()]
     affected = existing.filter(F.col(partition_col).isin(parts))
     survivors = affected.join(

@@ -858,6 +858,7 @@ def read_documents_stream_chunked(
     if chunk_col is None:
         docs.repartition(n_chunks).write.mode("overwrite").parquet(d)
     else:
+        # metadata-scale: distinct chunk keys (n_chunks values by construction)
         vals = sorted(
             r[0] for r in docs.select(chunk_col).distinct().collect()
         )
@@ -1335,12 +1336,20 @@ def _load_ingest_watermark(store: str, prefix: str) -> tuple[int, set[str]]:
     wm_path = _ingest_wm_path(store, prefix)
     if not os.path.isfile(wm_path):
         return -1, set()
-    with open(wm_path) as f:
-        wm = json.load(f)
-    arts = set(wm.get("artifacts", []))
+    try:
+        with open(wm_path) as f:
+            wm = json.load(f)
+        last_epoch = int(wm["last_epoch"])
+        arts = set(wm.get("artifacts", []))
+    except (OSError, ValueError, KeyError, TypeError):
+        # a torn/zero-length/garbled watermark (power loss before the
+        # tmp-file fsync landed) is stale metadata, not a crash loop:
+        # fall back to the fresh-build path exactly like an orphaned
+        # watermark (ADVICE r11 #5)
+        return -1, set()
     if not arts or not all(has_artifact(store, a) for a in arts):
         return -1, set()
-    return int(wm["last_epoch"]), arts
+    return last_epoch, arts
 
 
 def _commit_ingest_watermark(
@@ -1359,7 +1368,39 @@ def _commit_ingest_watermark(
         json.dump(
             {"last_epoch": epoch_id, "artifacts": sorted(artifacts)}, f
         )
+        # fsync BEFORE the rename: os.replace is atomic in the namespace
+        # but not durable — a power loss could land the rename while the
+        # tmp file's bytes were still unflushed, leaving a zero-length
+        # watermark (ADVICE r11 #5; the loader also tolerates that torn
+        # state by falling back to a fresh build)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, wm_path)
+
+
+def _warn_if_fully_fenced(op: str, prefix: str, state: dict) -> None:
+    """A drain where EVERY epoch hit the replay fence applied nothing —
+    correct for a true replay (restart of the same arrival set), but if
+    the caller fed genuinely NEW data without compacting first, epochs
+    restart at 0, land <= the live watermark, and the new rows are
+    silently skipped (ADVICE r11 #4).  The fence cannot tell the two
+    apart (epoch ids are the only identity a checkpoint-free drain has),
+    so the contract is: run an ingest-compact cycle between drains of
+    DISTINCT arrival sets — compaction consumes the watermark, re-arming
+    the fence — and this warning makes a violated contract visible
+    instead of silent."""
+    if state["fenced"] and not state["applied"]:
+        import warnings
+
+        warnings.warn(
+            f"{op}: all {state['fenced']} non-empty epochs were fenced by "
+            f"the live '{prefix}' ingest watermark (last_epoch="
+            f"{state['last_epoch']}) — nothing was applied.  If this "
+            "drain carried NEW arrivals (not a replay), compact the "
+            "index first: compaction consumes the watermark and re-arms "
+            "the fence for the next arrival set.",
+            stacklevel=3,
+        )
 
 
 def _apply_epoch_append(df: DataFrame, path: str, epoch_id: int) -> None:
@@ -1473,10 +1514,12 @@ def streaming_index_update(
             os.unlink(_ingest_wm_path(store, prefix))
         except FileNotFoundError:
             pass
-    state = {"last_epoch": last_epoch, "artifacts": arts}
+    state = {"last_epoch": last_epoch, "artifacts": arts,
+             "fenced": 0, "applied": 0}
 
     def code_batch(mb_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= state["last_epoch"]:
+            state["fenced"] += 1
             return  # replayed epoch: already committed, zero work
         if mb_df.isEmpty():
             return
@@ -1489,6 +1532,7 @@ def streaming_index_update(
             store, prefix, epoch_id, state["artifacts"]
         )
         state["last_epoch"] = epoch_id
+        state["applied"] += 1
 
     query = (
         stream.writeStream.foreachBatch(code_batch)
@@ -1503,6 +1547,7 @@ def streaming_index_update(
 
         shutil.rmtree(scratch, ignore_errors=True)
 
+    _warn_if_fully_fenced("streaming_index_update", prefix, state)
     merged = load_artifact(spark, store, f"{prefix}_codes")
     if has_artifact(store, f"{prefix}_arrival_codes"):
         merged = merged.unionByName(spark.read.parquet(arrival_path))
@@ -1593,10 +1638,12 @@ def streaming_index_cdc(
             os.unlink(_ingest_wm_path(store, prefix))
         except FileNotFoundError:
             pass
-    state = {"last_epoch": last_epoch, "artifacts": arts}
+    state = {"last_epoch": last_epoch, "artifacts": arts,
+             "fenced": 0, "applied": 0}
 
     def apply_batch(mb_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= state["last_epoch"]:
+            state["fenced"] += 1
             return  # replayed epoch: already committed, zero work
         ups = mb_df.where(F.col(op_col) == "u").drop(op_col)
         dels = mb_df.where(F.col(op_col) == "d").select(F.col(id_col))
@@ -1617,6 +1664,7 @@ def streaming_index_cdc(
                 store, prefix, epoch_id, state["artifacts"]
             )
             state["last_epoch"] = epoch_id
+            state["applied"] += 1
 
     query = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -1631,6 +1679,7 @@ def streaming_index_cdc(
 
         shutil.rmtree(scratch, ignore_errors=True)
 
+    _warn_if_fully_fenced("streaming_index_cdc", prefix, state)
     merged = load_artifact(spark, store, f"{prefix}_codes")
     if has_artifact(store, f"{prefix}_arrival_codes"):
         merged = merged.unionByName(spark.read.parquet(arrival_path))

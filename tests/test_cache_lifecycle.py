@@ -40,6 +40,44 @@ def test_no_persist_in_package_source():
     assert hits == []
 
 
+def test_collect_discipline_audit_green():
+    """VERDICT r11 ask #7: every .collect() site in package code is (a)
+    the bounded primitive itself, (b) structurally .limit()-bounded in
+    its own chain, or (c) carries a metadata-scale accounting comment —
+    enforced by plan_audit, asserted green here."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(PKG))
+    from tools.plan_audit import collect_discipline_audit
+
+    assert collect_discipline_audit() == 0
+
+
+def test_collect_discipline_audit_is_a_real_tripwire(tmp_path):
+    """The audit must actually FLAG an unaccounted collect — run it over
+    a scratch package tree containing one naked .collect() and assert
+    only it is caught (the negative control that keeps the gate
+    honest)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(PKG))
+    from tools.plan_audit import collect_discipline_audit
+
+    fake_pkg = tmp_path / "cassandra_cql_streaming_db_migrator_spark"
+    (fake_pkg / "operators").mkdir(parents=True)
+    (fake_pkg / "bad.py").write_text("rows = df.select('x').collect()\n")
+    (fake_pkg / "ok_limit.py").write_text(
+        "rows = df.limit(5).collect()\n"
+    )
+    (fake_pkg / "ok_marked.py").write_text(
+        "# metadata-scale: n_cells rows\nrows = census.collect()\n"
+    )
+    (fake_pkg / "operators" / "driverside.py").write_text(
+        "rows = df.collect()\n"  # the primitive itself is exempt
+    )
+    assert collect_discipline_audit(str(fake_pkg)) == 1
+
+
 def _resident_rdd_blocks(spark):
     """RDDs currently holding storage blocks (cached or checkpointed)."""
     return list(spark.sparkContext._jsc.sc().getRDDStorageInfo())

@@ -294,6 +294,25 @@ PROBES: dict[str, tuple[float, str]] = {
     # chosen graph leg's build dominates (measured 1.88x on 10x data)
     "planned_serve_batch": (120.0, "planner + one audited batch serve; "
                                    "graph-build regime when graph wins"),
+    # -- round 12: the heavy-family sf1 record (VERDICT r11 ask #4) —
+    # -- probes for the expensive bench queries that lacked entries
+    # banded LSH candidates -> iterative min-label; constant dup-family
+    # size in the tiled fixture, rounds bounded by component diameter
+    "dedup_components": (15.0, "linear: constant dup-family size, "
+                               "bounded CC rounds"),
+    "dedup_components_star": (15.0, "linear: constant dup-family size, "
+                                    "star-contraction rounds"),
+    # components + the per-component canonical window (component-scale)
+    "dedup_canonical": (15.0, "linear: constant dup-family size"),
+    # batch-side band probe against the standing corpus: candidates only
+    "incremental_dedup": (15.0, "linear: candidates only"),
+    # IVF-PQ serve (one codes scan) + the exact control pass (fixed
+    # query set -> one masked corpus pass)
+    "ivf_pq_recall": (15.0, "linear: one codes scan + one exact pass"),
+    # within-cluster pair kernel, fixed cluster count (the documented
+    # blocking trade — semdedup_threshold_curve's regime)
+    "semdedup": (120.0, "quadratic within clusters (fixed cluster "
+                        "count)"),
     # one narrow per-row regexp projection + one source-grain aggregate
     "pii_redact": (15.0, "linear: per-row transform, census finish"),
     # two-level pack: partitioned within-part window + parts-scale base;
