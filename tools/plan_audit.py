@@ -438,6 +438,12 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     # parts-scale base cumsum, shard rollup — each moves chunk-grain or
     # parts-grain rows, never doc grain past the first aggregate
     "shard_manifest": 4,
+    # three per-axis aggregates (occupancy / codebook / encoder) unioned —
+    # one partial/final exchange each, every one over a loaded metric_*
+    # artifact of <= n_cells or <= labels rows (metadata-scale inputs by
+    # construction; the monitor drains happen at build time, not in this
+    # plan)
+    "maintenance_planner": 3,
 }
 DEFAULT_ALLOWANCE = 2
 
