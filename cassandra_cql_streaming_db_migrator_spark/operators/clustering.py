@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions import sqlexpr
 from .caching import materialized
 
 Q = 1e10  # per-element quantization for centroid sums
@@ -47,13 +49,16 @@ def _sq_dist(vec, cent):
 
 
 def _assign(valid: DataFrame, cents: list[list[float]], vec_col: str) -> DataFrame:
-    c_lit = F.lit(cents).cast("array<array<double>>")
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dists = F.transform(c_lit, lambda c: _sq_dist(vec, c))
-    return valid.withColumn("__d", dists).withColumn(
+    # single-parse SQL build (sqlexpr module docstring): the DSL twin of
+    # this tree costs ~0.5 s of py4j round trips per construction, repeated
+    # every Lloyd iteration of every rep; the string parses in ~2 ms and
+    # renders the identical expressions
+    vec = sqlexpr.to_double_arr(sqlexpr.ident(vec_col))
+    dists = f"transform({sqlexpr.arr_arr_d(cents)}, c -> {sqlexpr.sq_dist(vec, 'c')})"
+    return valid.withColumn("__d", F.expr(dists)).withColumn(
         # first position of the min -> ties break to the lowest cluster id
         "__cid",
-        (F.array_position(F.col("__d"), F.array_min("__d")) - 1).cast("int"),
+        F.expr("CAST(array_position(__d, array_min(__d)) - 1 AS INT)"),
     )
 
 
@@ -523,18 +528,20 @@ def pq_train_assign(
     kk = len(seed_rows)
 
     def with_assignments(frame):
+        # single-parse SQL build (sqlexpr module docstring): identical
+        # expressions to the DSL twin, ~2 ms instead of ~1 s per build
         for s in range(m):
-            c_lit = F.lit(cents[s]).cast("array<array<double>>")
-            vec = F.transform(F.col(f"__sub{s}"), lambda x: x.cast("double"))
-            dists = F.transform(c_lit, lambda c: _sq_dist(vec, c))
-            frame = frame.withColumn(f"__d{s}", dists).withColumn(
+            vec = sqlexpr.to_double_arr(f"`__sub{s}`")
+            dists = (
+                f"transform({sqlexpr.arr_arr_d(cents[s])}, "
+                f"c -> {sqlexpr.sq_dist(vec, 'c')})"
+            )
+            frame = frame.withColumn(f"__d{s}", F.expr(dists)).withColumn(
                 f"__cid{s}",
-                (
-                    F.array_position(
-                        F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
-                    )
-                    - 1
-                ).cast("int"),
+                F.expr(
+                    f"CAST(array_position(`__d{s}`, array_min(`__d{s}`)) - 1 "
+                    "AS INT)"
+                ),
             )
         return frame
 
@@ -721,11 +728,7 @@ def pq_ann_topk(
                 acc = acc + (a - b) * (a - b)
             lut.append(acc)
         luts.append(lut)
-    dist = F.lit(0.0)
-    for s in range(m):
-        dist = dist + F.element_at(
-            F.lit(luts[s]).cast("array<double>"), F.col(f"__cid{s}") + 1
-        )
+    dist = _adc_expr(luts, m, cid_col="__cid{s}")
     return (
         frame.select(F.col(id_col), dist.alias("adc_dist"))
         .orderBy("adc_dist", id_col)
@@ -941,22 +944,35 @@ def _probe_cells(qv, cell_ids, cvecs, n_probe, m, sub_dim):
 
 def _cell_assign_expr(cell_ids, cvecs, m, sub_dim):
     """Corpus-side coarse assignment over the __sub{s} slice columns:
-    same per-subspace fold, as Catalyst expressions."""
-    cell_dists = []
-    for cv in cvecs:
-        d = None
-        for s in range(m):
-            cslice = F.lit(cv[s * sub_dim:(s + 1) * sub_dim]).cast(
-                "array<double>"
-            )
-            sub = F.transform(F.col(f"__sub{s}"), lambda x: x.cast("double"))
-            ds = _sq_dist(sub, cslice)
-            d = ds if d is None else d + ds
-        cell_dists.append(d)
-    darr = F.array(*cell_dists)
-    cell_idx = F.array_position(darr, F.array_min(darr)) - 1
-    return F.element_at(
-        F.lit(cell_ids).cast("array<long>"), cell_idx.cast("int") + 1
+    same per-subspace fold, as Catalyst expressions.
+
+    Rendered as ONE SQL string (sqlexpr module docstring): the DSL twin of
+    this n_cells x m fold forest cost ~1.5 s of py4j construction per
+    build; the string parses in ~2 ms and produces the identical values —
+    per-subspace left folds summed left-associatively per cell, argmin by
+    first position.
+
+    The per-cell distances are VECTORIZED over cells — one ``transform``
+    over the literal array of all n_cells subspace slices per subspace,
+    then elementwise ``zip_with`` sums — instead of one fold forest per
+    cell.  Identical arithmetic (each element evaluates the same fold, the
+    zip_with chain adds in the same ds0+ds1+ds2+ds3 order) at ~1/n_cells
+    the expression-tree size, which matters because streaming twins
+    re-analyze this tree every microbatch (parity asserted on the full
+    fixture by tests/test_sqlexpr_parity.py)."""
+    per_sub = []
+    for s in range(m):
+        slices = sqlexpr.arr_arr_d(
+            [cv[s * sub_dim:(s + 1) * sub_dim] for cv in cvecs]
+        )
+        sub = sqlexpr.to_double_arr(f"`__sub{s}`")
+        per_sub.append(f"transform({slices}, c -> {sqlexpr.sq_dist(sub, 'c')})")
+    darr = per_sub[0]
+    for s in range(1, m):
+        darr = f"zip_with({darr}, {per_sub[s]}, (p, q) -> p + q)"
+    return F.expr(
+        f"element_at({sqlexpr.arr_l(cell_ids)}, "
+        f"CAST(array_position({darr}, array_min({darr})) - 1 AS INT) + 1)"
     )
 
 
@@ -976,13 +992,15 @@ def _adc_luts(qv, cents, m, sub_dim):
 
 
 def _adc_expr(luts, m, cid_col: str = "cid{s}"):
-    adc = F.lit(0.0)
-    for s in range(m):
-        adc = adc + F.element_at(
-            F.lit(luts[s]).cast("array<double>"),
-            F.col(cid_col.format(s=s)) + 1,
+    # single-parse SQL build: identical left-associative sum from 0.0D
+    return F.expr(
+        "0.0D + "
+        + " + ".join(
+            f"element_at({sqlexpr.arr_d(luts[s])}, "
+            f"`{cid_col.format(s=s)}` + 1)"
+            for s in range(m)
         )
-    return adc
+    )
 
 
 def ivf_pq_build(
@@ -1078,17 +1096,18 @@ def pq_encode_frame(
         ],
     )
     for s in range(m):
-        c_lit = F.lit(cents[s]).cast("array<array<double>>")
-        vec = F.transform(F.col(f"__sub{s}"), lambda x: x.cast("double"))
-        dists = F.transform(c_lit, lambda c: _sq_dist(vec, c))
-        valid = valid.withColumn(f"__d{s}", dists).withColumn(
+        # single-parse SQL build (sqlexpr module docstring)
+        vec = sqlexpr.to_double_arr(f"`__sub{s}`")
+        dists = (
+            f"transform({sqlexpr.arr_arr_d(cents[s])}, "
+            f"c -> {sqlexpr.sq_dist(vec, 'c')})"
+        )
+        valid = valid.withColumn(f"__d{s}", F.expr(dists)).withColumn(
             f"__cid{s}",
-            (
-                F.array_position(
-                    F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))
-                )
-                - 1
-            ).cast("int"),
+            F.expr(
+                f"CAST(array_position(`__d{s}`, array_min(`__d{s}`)) - 1 "
+                "AS INT)"
+            ),
         )
     cell = _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
     return valid.withColumn("cell", cell).select(
@@ -2072,15 +2091,19 @@ def distortion_frame(
         ],
     )
     for s in range(m):
-        c_lit = F.lit(cents[s]).cast("array<array<double>>")
-        vec = F.transform(F.col(f"__sub{s}"), lambda x: x.cast("double"))
+        # single-parse SQL build (sqlexpr module docstring): this tree cost
+        # 2.0-2.3 s of py4j construction per build (measured), repeated per
+        # rep and per streaming-plan rebuild; the string parses in ~2 ms
+        vec = sqlexpr.to_double_arr(f"`__sub{s}`")
         valid = valid.withColumn(
-            f"__d{s}", F.transform(c_lit, lambda c: _sq_dist(vec, c))
+            f"__d{s}",
+            F.expr(
+                f"transform({sqlexpr.arr_arr_d(cents[s])}, "
+                f"c -> {sqlexpr.sq_dist(vec, 'c')})"
+            ),
         )
-    dist = F.array_min(F.col("__d0"))
-    for s in range(1, m):
-        dist = dist + F.array_min(F.col(f"__d{s}"))
-    q = F.floor(dist * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    dist = " + ".join(f"array_min(`__d{s}`)" for s in range(m))
+    q = F.expr(f"CAST(floor(({dist}) * 1000000.0D + 0.5D) AS BIGINT)")
     return valid.withColumn(
         "cell", _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
     ).select(id_col, "cell", q.alias("__q"))

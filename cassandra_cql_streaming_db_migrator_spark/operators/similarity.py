@@ -24,9 +24,25 @@ from pyspark.sql import functions as F
 from .caching import materialized
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot_sql(a: str, b: str) -> str:
+    """The :func:`_dot` fold as SQL text — identical tree, parsed JVM-side
+    in one call instead of ~6 py4j lambda round trips (sqlexpr module
+    docstring; parity pinned by tests/test_sqlexpr_parity.py).  Lambda
+    variables are prefixed so a caller's column name can never shadow
+    them."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(_lx, _ly) -> CAST(_lx AS DOUBLE) * CAST(_ly AS DOUBLE)), "
+        "0.0D, (_lacc, _lv) -> _lacc + _lv)"
+    )
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
     """Sequential left-fold dot product in double precision (deterministic:
-    same operand order -> same bits on any engine)."""
+    same operand order -> same bits on any engine).  Pass COLUMN NAMES
+    (strings) on hot paths: the string form builds via one SQL parse."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(f"`{a}`", f"`{b}`"))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -34,7 +50,13 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        qa, qb = f"`{a}`", f"`{b}`"
+        return F.expr(
+            f"{_dot_sql(qa, qb)} / "
+            f"(sqrt({_dot_sql(qa, qa)}) * sqrt({_dot_sql(qb, qb)}))"
+        )
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
@@ -58,7 +80,7 @@ def cosine_topk(
         q = F.broadcast(query.select(F.col(vec_col).alias("__query_vec")))
         scored = embeddings.crossJoin(q).select(
             F.col(id_col),
-            cosine(F.col(vec_col), F.col("__query_vec")).alias("cosine"),
+            cosine(vec_col, "__query_vec").alias("cosine"),
         )
         return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
@@ -114,8 +136,33 @@ def _plane_component(b: int, i: Column) -> Column:
     return seed.cast("double") / F.lit(float(_LCG_M)) * 2.0 - 1.0
 
 
-def bucket_id(vec: Column, n_bits: int = 8) -> Column:
-    """B-bit LSH bucket: bit b = sign of dot(plane_b, vec)."""
+def bucket_id(vec: Column | str, n_bits: int = 8) -> Column:
+    """B-bit LSH bucket: bit b = sign of dot(plane_b, vec).
+
+    String form (column name) renders the whole n_bits-projection tree as
+    ONE SQL parse — the DSL twin costs ~2 py4j lambda builds per bit
+    (~0.5 s at 16 bits, rebuilt per query and per nbits-curve point);
+    identical integer/double arithmetic, parity pinned by
+    tests/test_sqlexpr_parity.py."""
+    if isinstance(vec, str):
+        v = f"`{vec}`"
+        bits = []
+        for b in range(n_bits):
+            plane = (
+                f"CAST(({_LCG_A}L * ({b * 4096}L + CAST(_li AS BIGINT)) "
+                f"+ {_LCG_C}L) % {_LCG_M}L AS DOUBLE) "
+                f"/ {float(_LCG_M)!r}D * 2.0D - 1.0D"
+            )
+            proj = (
+                f"aggregate(zip_with({v}, sequence(0, size({v}) - 1), "
+                f"(_lx, _li) -> CAST(_lx AS DOUBLE) * ({plane})), "
+                "0.0D, (_lacc, _lv) -> _lacc + _lv)"
+            )
+            bits.append(
+                f"CASE WHEN {proj} > 0.0D THEN {1 << b}L ELSE 0L END"
+            )
+        return F.expr("CAST(0 AS BIGINT) + " + " + ".join(bits))
+
     def weigh(b: int):
         return lambda x, i: x.cast("double") * _plane_component(b, i)
 
@@ -158,7 +205,7 @@ def with_bucket_ids(
     dimension fold as the HOF twin (bit-identical signs); ``hof`` is the
     pure-Catalyst expression."""
     if engine == "hof":
-        return df.withColumn(out_col, bucket_id(F.col(vec_col), n_bits))
+        return df.withColumn(out_col, bucket_id(vec_col, n_bits))
 
     import numpy as np
     import pandas as pd
@@ -205,7 +252,7 @@ def lsh_ann_topk(
     )
     candidates = bucketed.join(q, bucketed["__bucket"] == q["__qbucket"])
     scored = candidates.select(
-        F.col(id_col), cosine(F.col(vec_col), F.col("__query_vec")).alias("cosine")
+        F.col(id_col), cosine(vec_col, "__query_vec").alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
@@ -264,7 +311,7 @@ def lsh_ann_batch_bucketed(
     scored = bucketed.join(q, bucketed["__bucket"] == q["__qbucket"]).select(
         "query_id",
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__query_vec")).alias("cosine"),
+        cosine(vec_col, "__query_vec").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -355,7 +402,7 @@ def block_top_pairs(
             F.col(block_col),
             F.col(id_col),
             F.col(vec_col),
-            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("__norm"),
+            F.sqrt(_dot(vec_col, vec_col)).alias("__norm"),
         )
         a = normed.select(
             F.col(block_col),
@@ -374,7 +421,7 @@ def block_top_pairs(
             F.col(block_col),
             F.col("id_1").alias(f"{id_col}_1"),
             F.col("id_2").alias(f"{id_col}_2"),
-            (_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias(
+            (_dot("v1", "v2") / (F.col("n1") * F.col("n2"))).alias(
                 "cosine"
             ),
         )
@@ -624,7 +671,7 @@ def cosine_pairs(
     scored = joined.select(
         F.col("id_1").alias(f"{id_col}_1"),
         F.col("id_2").alias(f"{id_col}_2"),
-        cosine(F.col("v1"), F.col("v2")).alias("cosine"),
+        cosine("v1", "v2").alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= F.lit(threshold))
 
@@ -794,7 +841,7 @@ def label_centroid_stats(
     return stats.join(F.broadcast(cent_arr), label_col).select(
         F.col(label_col),
         F.col("n_vecs"),
-        F.sqrt(_dot(F.col("__cent"), F.col("__cent"))).alias("centroid_norm"),
+        F.sqrt(_dot("__cent", "__cent")).alias("centroid_norm"),
         (F.col("__ss").cast("double") / F.col("n_vecs") / F.lit(1e10)).alias(
             "mean_sq_dist"
         ),
@@ -1060,7 +1107,7 @@ def ann_recall(
         .select(
             F.col("__qid").alias("query_id"),
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+            cosine(vec_col, "__qv").alias("cosine"),
         )
         # zero-norm vectors excluded, matching knn_join's exact side and
         # the oracle's NOT isnan(cosine)
@@ -1341,7 +1388,7 @@ def graph_beam_visited(
     def score(cand_nodes: DataFrame) -> DataFrame:
         return cand_nodes.crossJoin(q).select(
             id_col,
-            cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+            cosine(vec_col, "__qv").alias("cosine"),
         )
 
     out_edges = edges.select(id_col, "nbr_id")
@@ -1429,7 +1476,7 @@ def graph_beam_search_batch(
             "query_id",
             id_col,
             *meta_cols,
-            cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+            cosine(vec_col, "__qv").alias("cosine"),
         )
     )
     for _ in range(hops):
@@ -1450,7 +1497,7 @@ def graph_beam_search_batch(
                 "query_id",
                 id_col,
                 *meta_cols,
-                cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+                cosine(vec_col, "__qv").alias("cosine"),
             )
         )
         # identical (query_id, id) rows carry identical cosines (same

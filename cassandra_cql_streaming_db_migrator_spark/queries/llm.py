@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import sqlexpr
 from ..functions.hashing import MINHASH_P, MINHASH_PERMS, SIMHASH_MOD, poly_hash_sql
 from ..operators.dedup import (
     connected_components,
@@ -792,7 +793,11 @@ def ann_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            _sq_dist(vec, F.col("__qv")).alias("d"),
+            F.expr(
+                sqlexpr.sq_dist(
+                    sqlexpr.to_double_arr("`embedding`"), "`__qv`"
+                )
+            ).alias("d"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
@@ -1555,7 +1560,7 @@ def lsh_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+            cosine("embedding", "__qv").alias("cosine"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
@@ -2113,7 +2118,7 @@ def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.crossJoin(q)
         .select(
             "vec_id",
-            cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+            cosine("embedding", "__qv").alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col("vec_id").asc())
         .limit(10)
@@ -2198,7 +2203,7 @@ def graph_beam_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.crossJoin(q)
         .select(
             "vec_id",
-            cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+            cosine("embedding", "__qv").alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col("vec_id").asc())
         .limit(10)
@@ -2331,7 +2336,7 @@ def graph_ann_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+            cosine("embedding", "__qv").alias("cosine"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
@@ -2409,7 +2414,7 @@ def graph_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+            cosine("embedding", "__qv").alias("cosine"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
@@ -3447,12 +3452,17 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]["q"]
     )
-    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # single-parse SQL build (sqlexpr module docstring): F.lit of the
+    # 64-dim query vector alone cost ~0.45 s of py4j round trips per rep
     exact = (
         emb.where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
         .select(
             "vec_id",
-            _sq_dist(vec, F.lit(qvec).cast("array<double>")).alias("d"),
+            F.expr(
+                sqlexpr.sq_dist(
+                    sqlexpr.to_double_arr("`embedding`"), sqlexpr.arr_d(qvec)
+                )
+            ).alias("d"),
         )
         .orderBy("d", "vec_id")
         .limit(10)
@@ -3515,12 +3525,17 @@ def ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]["q"]
     )
-    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # single-parse SQL build (sqlexpr module docstring): F.lit of the
+    # 64-dim query vector alone cost ~0.45 s of py4j round trips per rep
     exact = (
         emb.where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
         .select(
             "vec_id",
-            _sq_dist(vec, F.lit(qvec).cast("array<double>")).alias("d"),
+            F.expr(
+                sqlexpr.sq_dist(
+                    sqlexpr.to_double_arr("`embedding`"), sqlexpr.arr_d(qvec)
+                )
+            ).alias("d"),
         )
         .orderBy("d", "vec_id")
         .limit(10)
@@ -4447,7 +4462,7 @@ def lsh_nbits_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(nb).alias("n_bits"),
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
-                cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+                cosine("embedding", "__qv").alias("cosine"),
             )
             .filter(~F.isnan("cosine"))
         )
@@ -4949,13 +4964,19 @@ def ivf_pq_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid = emb.where(
         F.col("embedding").isNotNull() & (F.size("embedding") >= m * sub_dim)
     )
-    d = F.lit(0.0)
-    for s in range(m):
-        sub = F.transform(
-            F.slice(F.col("embedding"), s * sub_dim + 1, sub_dim),
-            lambda x: x.cast("double"),
+    # single-parse SQL build: identical left-associative sum from 0.0D
+    d = F.expr(
+        "0.0D + "
+        + " + ".join(
+            sqlexpr.sq_dist(
+                sqlexpr.to_double_arr(
+                    f"slice(`embedding`, {s * sub_dim + 1}, {sub_dim})"
+                ),
+                f"`__qs{s}`",
+            )
+            for s in range(m)
         )
-        d = d + _sq_dist(sub, F.col(f"__qs{s}"))
+    )
     w = _W.partitionBy("query_id").orderBy("d", F.col("vec_id").asc())
     exact = (
         valid.crossJoin(qdf)
@@ -5381,7 +5402,7 @@ def planned_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "query_id",
                 "vec_id",
-                cosine(F.col("embedding"), F.col("__qv")).alias("cosine"),
+                cosine("embedding", "__qv").alias("cosine"),
             )
             .where(~F.isnan("cosine"))
             .withColumn("rn", F.row_number().over(w))

@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
+from ..functions import sqlexpr
+
 from ..streaming.stream import (
     latest_by_key_agg,
     ohlc_window_agg,
@@ -919,7 +921,8 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_arr"))
     )
-    drained = run_to_memory(live, output_mode="complete")
+    # state is <= n_cells rows by construction -> n_cells state partitions
+    drained = run_to_memory(live, output_mode="complete", state_partitions=n_cells)
 
     base_counts = (
         with_cell(base).groupBy("cell").agg(F.count(F.lit(1)).alias("n_base"))
@@ -1004,7 +1007,8 @@ def stream_distortion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__q").alias("sum_arr"),
         )
     )
-    drained = run_to_memory(live, output_mode="complete")
+    # state is <= n_cells rows by construction -> n_cells state partitions
+    drained = run_to_memory(live, output_mode="complete", state_partitions=n_cells)
 
     base_per = (
         distortion_frame(
@@ -1170,7 +1174,8 @@ def stream_margin_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("margin_ppm").alias("min_margin_ppm"),
         F.max("margin_ppm").alias("max_margin_ppm"),
     )
-    return run_to_memory(live, output_mode="complete")
+    # state is O(labels) rows by design -> label-scale state partitions
+    return run_to_memory(live, output_mode="complete", state_partitions=8)
 
 
 def _stream_margin_monitor_sql() -> str:
@@ -1422,7 +1427,11 @@ def stream_index_delete_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            _sq_dist(vec, F.col("__qv")).alias("d"),
+            F.expr(
+                sqlexpr.sq_dist(
+                    sqlexpr.to_double_arr("`embedding`"), "`__qv`"
+                )
+            ).alias("d"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
@@ -1851,7 +1860,8 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
-    drained = run_to_memory(census, output_mode="complete")
+    # state is per-source (source-cardinality rows, bounded by design)
+    drained = run_to_memory(census, output_mode="complete", state_partitions=8)
     # metadata-scale: per-source budget census (source-cardinality rows)
     return _budget_plan_frame(spark, drained.collect())
 

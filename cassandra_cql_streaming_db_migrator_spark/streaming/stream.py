@@ -598,21 +598,50 @@ def stream_stream_interval_join(
     return l.join(r.withColumnRenamed(key, "__rkey"), cond, "inner").drop("__rkey")
 
 
-def run_to_memory(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    agg: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drive a bounded streaming aggregate to completion (availableNow) into
-    a memory sink and return the result as a batch DataFrame."""
+    a memory sink and return the result as a batch DataFrame.
+
+    ``state_partitions`` right-sizes the stateful operator: a streaming
+    aggregate creates one state-store instance (tasks, delta files, fsyncs
+    — per MICROBATCH) per shuffle partition, so an aggregate whose state is
+    metadata-scale by construction (n_cells / labels / n_sources rows)
+    should carry ~that many state partitions, not the session default
+    sized for data-scale shuffles.  Callers pass their declared key-space
+    bound; map-side parallelism (the data-scale part at 100 TB) is
+    unaffected — partial aggregation happens on input partitions either
+    way.  Measured at sf0.1: a 4-microbatch, 8-cell drain dropped from
+    ~12 s to ~5 s (32 -> 8 state partitions; see OPTIMIZATION_r12.md).
+    The session conf is set around the drain (the streaming query clones
+    the session on its own thread shortly after ``start()``, so the value
+    must hold until termination) and restored in a ``finally``; drains are
+    single-threaded per query, and the restored value makes the window
+    invisible to the next query."""
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    query = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = agg.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        query.awaitTermination()
+        query = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return agg.sparkSession.table(name)
 
 
