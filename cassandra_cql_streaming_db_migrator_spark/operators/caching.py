@@ -26,9 +26,13 @@ queries held multiple full-table MEMORY_AND_DISK copies until LRU eviction
   final plan still references (each checkpoint truncates lineage, so
   earlier intermediates become collectable mid-chain).  The resident-cache
   lifecycle test (tests/test_windows.py) pins this.
-* **Lazy.** ``eager=False`` defers materialization to the first action, so
-  no extra job is launched at operator-build time (bench timings are
-  neutral; plan construction stays cheap).
+* **Eager.** The checkpoint job runs at operator-build time.  Round 12
+  reversed the original ``eager=False`` choice: lazy checkpoints feeding
+  both sides of a self-join were computed TWICE by AQE's concurrent
+  join-side map stages (no synchronization on first materialization), so
+  the barrier did not barrier — see :func:`materialized`'s docstring.
+  Bench timings are unaffected either way (the bench times plan build +
+  execution together).
 
 Trade-off, documented: a localCheckpoint truncates lineage, so losing an
 executor loses blocks *without a recompute path* — the job fails and must
@@ -63,7 +67,19 @@ def materialized(df: DataFrame) -> DataFrame:
     """Materialization barrier for a frame consumed by multiple plan
     branches or multiple actions: computed once, blocks released by the
     ContextCleaner when the result becomes unreachable (no CacheManager
-    pin, no explicit unpersist needed).  See module docstring."""
+    pin, no explicit unpersist needed).  See module docstring.
+
+    EAGER (optimization r12): ``eager=False`` did not actually barrier —
+    when the checkpointed frame feeds BOTH sides of a self-join (the
+    minhash/simhash bucket joins), AQE schedules the two join-side shuffle
+    map stages as concurrent jobs, each finds the checkpoint RDD
+    unmaterialized, and each computes the full upstream pipeline: the
+    "computed once" contract silently became computed twice, in parallel
+    (measured: the LSH pair join dropped ~40% wall on eager).  Eager runs
+    the materialization job at operator-build time instead; every consumer
+    (bench, driver sweep, oracle gate) executes what it builds, and the
+    plan-audit path still gets the full lineage via
+    ``SPARK_GRAFT_NO_MATERIALIZE``."""
     if os.environ.get("SPARK_GRAFT_NO_MATERIALIZE"):
         return df
-    return df.localCheckpoint(eager=False)
+    return df.localCheckpoint(eager=True)

@@ -660,35 +660,43 @@ def connected_components(
         .select("node", F.least(F.col("node"), F.col("__mb")).alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         nbr_min = edges.join(labels, edges["b"] == labels["node"]).select(
             edges["a"].alias("node"), F.col("label")
         )
+        folds = [labels, nbr_min]
         # Pointer doubling (optimization r12, guide §1.2 "the distributed
-        # algorithm" first): also fold in label(label(v)) each round.  A
-        # label always names a smaller node of the SAME component (labels
+        # algorithm" first): from round 2 on, also fold in label(label(v)).
+        # A label always names a smaller node of the SAME component (labels
         # start as member ids and only ever take member-id values via
         # mins), so the shortcut edge keeps the component invariant, and
         # the fixed point is unchanged — at convergence labels are
         # constant per component and equal its min id, exactly as with
         # neighbor-min alone.  What changes is the ROUND count: label
         # chains halve every round, so convergence needs O(log diameter)
-        # rounds instead of O(diameter) — measured 105 -> ~20 jobs on the
-        # simhash chain graph (multimodal_dup_census text modality), and
-        # the difference between converging and not on a path-graph
-        # component at 100 TB.
-        shortcut = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
-            .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
-        )
+        # rounds instead of O(diameter) — the simhash chain graph
+        # (multimodal_dup_census text modality) converges in 7 rounds
+        # instead of ~35, and a path-graph component at 100 TB converges
+        # at all.  The shortcut join costs a round ~half again, so it is
+        # DEFERRED past the first two rounds: shallow graphs (near-dup
+        # minhash components converge in 2-3 rounds) never pay it, deep
+        # graphs start halving once depth is proven.
+        if rnd >= 2:
+            folds.append(
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+                .select(
+                    F.col("x.node").alias("node"), F.col("y.label").alias("label")
+                )
+            )
         # Lazy checkpoint: the convergence check below is the materializing
         # action, so each round runs ONE job, not a checkpoint job + a
         # count job.  Subsequent rounds read the materialized blocks.
+        acc = folds[0]
+        for f in folds[1:]:
+            acc = acc.unionByName(f)
         new_labels = (
-            labels.unionByName(nbr_min)
-            .unionByName(shortcut)
-            .groupBy("node")
+            acc.groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
