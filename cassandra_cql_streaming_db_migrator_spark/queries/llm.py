@@ -2210,9 +2210,23 @@ def graph_beam_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.lit(1).alias("hit"))
     )
     tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    # the per-width beam walks are independent driver-paced hop loops —
+    # overlap them from a thread pool (guide §2.6) so one width's hop jobs
+    # back-fill the others' driver gaps; the curve rows are then composed
+    # in width order exactly as the sequential loop did
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_BEAM_CURVE_WIDTHS)) as pool:
+        visited_by_width = list(
+            pool.map(
+                lambda b: graph_beam_visited(
+                    nodes, edges, query, beam=b, hops=3
+                ),
+                _BEAM_CURVE_WIDTHS,
+            )
+        )
     out = None
-    for b in _BEAM_CURVE_WIDTHS:
-        visited = graph_beam_visited(nodes, edges, query, beam=b, hops=3)
+    for b, visited in zip(_BEAM_CURVE_WIDTHS, visited_by_width):
         top = (
             visited.orderBy(F.desc("cosine"), F.col("vec_id").asc())
             .limit(10)
@@ -3161,28 +3175,55 @@ def multimodal_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("drop_ppm"),
         )
 
-    tfp = materialized(simhash_fingerprints(docs))
-    tcomps = connected_components(
-        simhash_near_pairs(tfp, max_dist=1), "doc_id_1", "doc_id_2"
-    )
-    ih = materialized(
-        image_avg_hashes(
-            attach_media_payload(docs.where(F.col("doc_id") % 2 == 0))
+    # The three modality pipelines are INDEPENDENT (disjoint fingerprint
+    # kernels, separate component loops) and each spends most of its wall
+    # in a driver-paced CC round loop that leaves executors idle between
+    # rounds — so overlap them from a thread pool (guide §2.6 "overlap
+    # independent jobs"): one modality's round jobs back-fill the others'
+    # driver gaps.  Composition and values are unchanged; only when the
+    # work runs moves.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def text_leg():
+        tfp = materialized(simhash_fingerprints(docs))
+        comps = connected_components(
+            simhash_near_pairs(tfp, max_dist=1), "doc_id_1", "doc_id_2"
         )
-    )
-    icomps = connected_components(
-        hamming_near_pairs(ih, max_dist=3), "id_a", "id_b", id_col="doc_id"
-    )
-    ah = materialized(
-        audio_fingerprints(
-            attach_media_payload(docs.where(F.col("doc_id") % 2 == 1))
+        return tfp, comps
+
+    def image_leg():
+        ih = materialized(
+            image_avg_hashes(
+                attach_media_payload(docs.where(F.col("doc_id") % 2 == 0))
+            )
         )
-    )
-    acomps = connected_components(
-        simhash_near_pairs(ah, hash_col="audio_hash", max_dist=3),
-        "doc_id_1",
-        "doc_id_2",
-    )
+        comps = connected_components(
+            hamming_near_pairs(ih, max_dist=3), "id_a", "id_b", id_col="doc_id"
+        )
+        return ih, comps
+
+    def audio_leg():
+        ah = materialized(
+            audio_fingerprints(
+                attach_media_payload(docs.where(F.col("doc_id") % 2 == 1))
+            )
+        )
+        comps = connected_components(
+            simhash_near_pairs(ah, hash_col="audio_hash", max_dist=3),
+            "doc_id_1",
+            "doc_id_2",
+        )
+        return ah, comps
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        ft, fi, fa = (
+            pool.submit(text_leg),
+            pool.submit(image_leg),
+            pool.submit(audio_leg),
+        )
+        tfp, tcomps = ft.result()
+        ih, icomps = fi.result()
+        ah, acomps = fa.result()
     return (
         census(tfp.select("doc_id"), dropped_of(tcomps), "text")
         .unionByName(census(ih.select("doc_id"), dropped_of(icomps), "image"))

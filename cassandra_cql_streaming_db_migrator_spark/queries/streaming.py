@@ -335,9 +335,11 @@ def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream import streaming_hll_state
 
     events = read_events_stream(spark, sf_dir)
+    # state is per event TYPE (small enum by design) -> type-scale partitions
     sk = run_to_memory(
         streaming_hll_state(events, "event_type", "user_id"),
         output_mode="update",
+        state_partitions=8,
     )
     w = Window.partitionBy("event_type")
     return (
@@ -1638,9 +1640,11 @@ def stream_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = _assign(stream, cents, "embedding").select(
         F.col("__cid").alias("cluster_id"), hv.alias("hv"), "vec_id"
     )
+    # state is one row per cluster (k=8 by construction)
     sketch = run_to_memory(
         streaming_cluster_sample_state(rows, cap=_SCS_CAP),
         output_mode="update",
+        state_partitions=8,
     )
     # one row per (cluster, microbatch) lands in the sink: keep each
     # cluster's final revision (stream_kmv's discipline), then explode
@@ -1915,7 +1919,8 @@ def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    drained = run_to_memory(hist, output_mode="complete")
+    # state is the sparse fixed-bin table (O(bins) by design)
+    drained = run_to_memory(hist, output_mode="complete", state_partitions=8)
     return histogram_quantile_finish(drained, bin_cents=1000)
 
 
