@@ -127,13 +127,16 @@ def _band_signature_cols(bands: int) -> list:
     with '-' (shared by the pair join and the bucket diagnostics, so both
     see identical buckets)."""
     rows_per_band = len(MINHASH_PERMS) // bands
+    # single-parse SQL build (functions.sqlexpr rationale): these columns
+    # are rebuilt per query AND per streaming probe microbatch
     return [
-        F.concat_ws(
-            "-",
-            *[
-                F.col("sig")[j].cast("string")
+        F.expr(
+            "concat_ws('-', "
+            + ", ".join(
+                f"CAST(sig[{j}] AS STRING)"
                 for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ],
+            )
+            + ")"
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
@@ -215,7 +218,10 @@ def minhash_lsh_pairs(
         .select("id_1", "id_2", "sig_1", "sig_2")
         .dropDuplicates(["id_1", "id_2"])
     )
-    matches = F.size(F.filter(F.zip_with("sig_1", "sig_2", lambda x, y: x == y), lambda v: v))
+    matches = F.expr(
+        "size(filter(zip_with(sig_1, sig_2, (_lx, _ly) -> _lx = _ly), "
+        "_lv -> _lv))"
+    )
     return pairs.select(
         F.col("id_1").alias(f"{id_col}_1"),
         F.col("id_2").alias(f"{id_col}_2"),
@@ -953,9 +959,9 @@ def minhash_join(
         .select("id_new", "id_old", "sig_new", "sig_old")
         .dropDuplicates(["id_new", "id_old"])
     )
-    matches = F.size(
-        F.filter(F.zip_with("sig_new", "sig_old", lambda x, y: x == y),
-                 lambda v: v)
+    matches = F.expr(
+        "size(filter(zip_with(sig_new, sig_old, (_lx, _ly) -> _lx = _ly), "
+        "_lv -> _lv))"
     )
     cand = cand.select(
         "id_new",
