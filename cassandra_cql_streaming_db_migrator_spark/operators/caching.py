@@ -82,4 +82,10 @@ def materialized(df: DataFrame) -> DataFrame:
     ``SPARK_GRAFT_NO_MATERIALIZE``."""
     if os.environ.get("SPARK_GRAFT_NO_MATERIALIZE"):
         return df
+    # measurement knob (tools/ab_compare.py): the r12 eager flip fixed the
+    # self-join double compute but serializes a driver-paced job per
+    # barrier; the lazy variant stays A/B-able so regressions can be
+    # attributed (OPTIMIZATION_r13.md).  Production default stays eager.
+    if os.environ.get("SPARK_GRAFT_MATERIALIZE_LAZY"):
+        return df.localCheckpoint(eager=False)
     return df.localCheckpoint(eager=True)
