@@ -26,12 +26,14 @@ queries held multiple full-table MEMORY_AND_DISK copies until LRU eviction
   final plan still references (each checkpoint truncates lineage, so
   earlier intermediates become collectable mid-chain).  The resident-cache
   lifecycle test (tests/test_windows.py) pins this.
-* **Eager.** The checkpoint job runs at operator-build time.  Round 12
-  reversed the original ``eager=False`` choice: lazy checkpoints feeding
-  both sides of a self-join were computed TWICE by AQE's concurrent
-  join-side map stages (no synchronization on first materialization), so
-  the barrier did not barrier — see :func:`materialized`'s docstring.
-  Bench timings are unaffected either way (the bench times plan build +
+* **Lazy.** The checkpoint materializes at the consumer's first action,
+  not at operator-build time.  Round 12 flipped this to eager on a
+  wall-clock A/B that attributed a double compute to AQE's concurrent
+  join-side stages; round 13's task-level re-measurement showed the
+  double compute does not exist on Spark 4.1 (block-level write locks
+  share the first materialization) while the eager build-time job
+  serializes the driver — see :func:`materialized`'s docstring for the
+  numbers.  Bench timings see both (the bench times plan build +
   execution together).
 
 Trade-off, documented: a localCheckpoint truncates lineage, so losing an
@@ -63,29 +65,40 @@ from pyspark.sql import DataFrame
 __all__ = ["materialized"]
 
 
-def materialized(df: DataFrame) -> DataFrame:
+def materialized(df: DataFrame, eager: bool = False) -> DataFrame:
     """Materialization barrier for a frame consumed by multiple plan
     branches or multiple actions: computed once, blocks released by the
     ContextCleaner when the result becomes unreachable (no CacheManager
     pin, no explicit unpersist needed).  See module docstring.
 
-    EAGER (optimization r12): ``eager=False`` did not actually barrier —
-    when the checkpointed frame feeds BOTH sides of a self-join (the
-    minhash/simhash bucket joins), AQE schedules the two join-side shuffle
-    map stages as concurrent jobs, each finds the checkpoint RDD
-    unmaterialized, and each computes the full upstream pipeline: the
-    "computed once" contract silently became computed twice, in parallel
-    (measured: the LSH pair join dropped ~40% wall on eager).  Eager runs
-    the materialization job at operator-build time instead; every consumer
-    (bench, driver sweep, oracle gate) executes what it builds, and the
-    plan-audit path still gets the full lineage via
-    ``SPARK_GRAFT_NO_MATERIALIZE``."""
+    LAZY (optimization r13, reversing the r12 eager flip with task-level
+    evidence): round 12 flipped to ``eager=True`` on a wall-clock A/B,
+    attributing the win to AQE's concurrent join-side stages each
+    recomputing an unmaterialized lazy checkpoint.  Round 13 re-measured
+    at the TASK level (event-log task-runtime totals, minhash_pairs:
+    eager 7.26 s vs lazy 7.59 s of summed task runtime, same stage
+    structure, the signature kernel executing ONCE in both) — on Spark
+    4.1 the block manager's per-block write locks make the concurrent
+    stages share the first materialization, so lazy does NOT double
+    compute.  What eager does do is serialize one driver-paced job per
+    barrier at operator-BUILD time; interleaved counterbalanced A/Bs
+    (tools/ab_compare.py, committed in OPTIMIZATION_r13.md) measured the
+    lazy variant at 0.70-0.76x median wall on every CC-loop consumer
+    (curation_funnel, source_dup_report, dedup_components_star,
+    dedup_canonical, fuzzy_dedup, minhash_pairs) and parity elsewhere —
+    the exact regression set VERDICT r12 flagged.  The barrier contract
+    (computed once, shared blocks, ContextCleaner release) is identical;
+    only WHEN the materialization job runs moves.
+    ``SPARK_GRAFT_MATERIALIZE_EAGER=1`` keeps the r12 behaviour A/B-able.
+
+    ``eager=True`` opts a single site back into build-time materialization
+    — the overlap primitive (guide §2.6): a caller that runs an
+    independent pipeline leg on a worker thread passes eager=True so the
+    leg EXECUTES there, back-filling the driver gaps of the main thread's
+    loop, instead of deferring itself into the main thread's final
+    action."""
     if os.environ.get("SPARK_GRAFT_NO_MATERIALIZE"):
         return df
-    # measurement knob (tools/ab_compare.py): the r12 eager flip fixed the
-    # self-join double compute but serializes a driver-paced job per
-    # barrier; the lazy variant stays A/B-able so regressions can be
-    # attributed (OPTIMIZATION_r13.md).  Production default stays eager.
-    if os.environ.get("SPARK_GRAFT_MATERIALIZE_LAZY"):
-        return df.localCheckpoint(eager=False)
-    return df.localCheckpoint(eager=True)
+    if eager or os.environ.get("SPARK_GRAFT_MATERIALIZE_EAGER"):
+        return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=False)

@@ -799,10 +799,28 @@ def jaccard_join(
     similarity in parts-per-million (integer floor — exact both engines).
     """
     t_num, t_den = threshold_num, threshold_den
-    base = materialized(
-        df.select(F.col(id_col).alias("sid"), F.col(tokens_col).alias("toks"))
-        .where(F.size("toks") > 0)
-    )
+    src = df.select(F.col(id_col).alias("sid"), F.col(tokens_col).alias("toks"))
+    # `base` feeds every compute-heavy stage downstream (token window,
+    # prefix join, the array_intersect verify) and, being checkpointed,
+    # PINS their parallelism to its own partitioning.  A small corpus
+    # scans as a handful of input splits (guide §2.1: too few splits),
+    # which measured as a 4-task, 3.3 s-median verify stage on 32 cores
+    # (VERDICT r12 ask #3 — the 8->32-core ratio was 1.02).  Spread the
+    # token arrays across the scheduler's width when the scan is narrower
+    # than it; at scale the scan already has >= cores splits and no
+    # exchange is added — the condition, not a constant, carries across
+    # cluster sizes.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, F.col("sid"))
+    # The empty-set filter applies AFTER the barrier: written before it,
+    # Catalyst pushes the predicate through the exchange by substituting
+    # the caller's token expression, and the whole shingle build runs a
+    # second time — serially, inside the narrow scan stage (a measured
+    # 1.5 s single task; plan/timeline evidence in OPTIMIZATION_r13.md).
+    # On the checkpointed frame it is a size() test on materialized
+    # arrays.  Same rows survive either way.
+    base = materialized(src).where(F.size("toks") > 0)
     tok = base.select("sid", F.size("toks").alias("n"), F.explode("toks").alias("t"))
     dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("sid").orderBy("df", "t")
@@ -832,15 +850,23 @@ def jaccard_join(
     )
     va = base.select(F.col("sid").alias("id_a"), F.col("toks").alias("ta"))
     vb = base.select(F.col("sid").alias("id_b"), F.col("toks").alias("tb"))
+    # The verify predicate is written over |a∩b| and |a|+|b| rather than
+    # (n_inter, n_union): the optimizer pushes the filter into the join
+    # condition by substituting the aliases, and with n_union = s - i the
+    # pushed form evaluated array_intersect TWICE per candidate (plan
+    # evidence in plans/r13/jaccard_pairs_before.txt).  Integer algebra:
+    # t_den*i >= t_num*(s - i)  <=>  (t_den + t_num)*i >= t_num*s —
+    # identical admitted pairs, one intersect per candidate.  The output
+    # columns are unchanged.
     pairs = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("ta", "tb")).cast("long"))
-        .withColumn(
-            "n_union",
-            (F.size("ta") + F.size("tb") - F.col("n_inter")).cast("long"),
+        .withColumn("__s", (F.size("ta") + F.size("tb")).cast("long"))
+        .where(
+            (t_den + t_num) * F.col("n_inter") >= t_num * F.col("__s")
         )
-        .where(t_den * F.col("n_inter") >= t_num * F.col("n_union"))
+        .withColumn("n_union", F.col("__s") - F.col("n_inter"))
     )
     return pairs.select(
         "id_a",
@@ -1065,15 +1091,24 @@ def connected_components_star(
         new_edges = small_star(large_star(edges)).localCheckpoint(
             eager=False
         )
-        # set equality both directions (edge counts can stay equal while
-        # membership changes)
-        if (
-            new_edges.exceptAll(edges).count() == 0
-            and edges.exceptAll(new_edges).count() == 0
-        ):
-            edges = new_edges
-            break
+        # Set equality both directions (edge counts can stay equal while
+        # membership changes).  Both frames are DISTINCT sets by
+        # construction (small_star ends .distinct(); round 0 is
+        # sym.distinct()), so two exceptAll jobs collapse into ONE
+        # full-outer mismatch count — half the per-round convergence
+        # actions, and the count still materializes every partition of
+        # the lazy checkpoint before the next round reads it.
+        mismatch = (
+            new_edges.withColumn("__n", F.lit(1))
+            .join(
+                edges.withColumn("__o", F.lit(1)), ["a", "b"], "full_outer"
+            )
+            .where(F.col("__n").isNull() | F.col("__o").isNull())
+            .count()
+        )
         edges = new_edges
+        if mismatch == 0:
+            break
     else:
         raise RuntimeError(
             f"connected_components_star: no convergence in {max_iter} rounds"

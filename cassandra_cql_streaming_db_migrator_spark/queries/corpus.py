@@ -578,6 +578,9 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators (each banded / broadcast / one-pass — nothing new
     executes), one flag join at corpus grain, six filtered aggregates;
     the funnel itself is 6 driver rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.caching import materialized
     from ..operators.dedup import (
         canonical_per_component,
         connected_components,
@@ -590,51 +593,81 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window as _W
 
-    e_drop = (
-        corpus.withColumn(
-            "__rn",
-            F.row_number().over(
-                _W.partitionBy("text").orderBy(F.col("doc_id").asc())
-            ),
-        )
-        .where(F.col("__rn") > 1)
-        .select("doc_id")
-    )
-    pairs = fuzzy_dedup_pairs(docs, "text", "doc_id")
-    comps = connected_components(pairs, "doc_id_1", "doc_id_2")
-    keep = canonical_per_component(comps, docs).select(
-        F.col("canonical_id").alias("doc_id")
-    )
-    f_drop = comps.select("doc_id").join(keep, "doc_id", "left_anti")
-    c_drop = decontaminate(corpus, bench, ngram_len=_NGRAM_LEN).select(
-        "doc_id"
-    )
-    norm = normalize_text(redact_pii(F.col("text2")))
-    gated = corpus.select("doc_id", norm.alias("norm_text")).select(
-        "doc_id", *quality_metrics(F.col("norm_text"))
-    )
-    q_drop = gated.where(
-        ~quality_keep(
-            F.col("n_words"),
-            F.col("mean_word_len"),
-            F.col("frac_unique_words"),
-            F.col("symbol_ratio"),
-        )
-    ).select("doc_id")
+    # The funnel has two INDEPENDENT heavy halves (guide §2.6): the fuzzy
+    # drop set (minhash pairs -> CC round loop -> canonical pick — a
+    # driver-paced job chain that leaves executors idle between rounds)
+    # and the text-scan legs (exact-dup window, 8-gram decontamination
+    # screen, the redaction/quality regex passes).  Run them on two
+    # threads — one leg's jobs back-fill the other's driver gaps — and
+    # join the two materialized halves in the final one-row aggregate.
+    # Composition and values are unchanged; only WHEN the work runs moves
+    # (the multimodal_dup_census pattern, OPTIMIZATION_r12.md §5).
 
-    flagged = (
-        corpus.select(
-            "doc_id",
-            F.size(F.split(F.col("text2"), " ")).cast("long").alias("__toks"),
-            F.length("text2").cast("long").alias("__chars"),
-            F.length(redact_pii(F.col("text2"))).cast("long").alias(
-                "__chars_red"
-            ),
+    def fuzzy_leg():
+        pairs = fuzzy_dedup_pairs(docs, "text", "doc_id")
+        comps = connected_components(pairs, "doc_id_1", "doc_id_2")
+        keep = canonical_per_component(comps, docs).select(
+            F.col("canonical_id").alias("doc_id")
         )
-        .join(e_drop.withColumn("__de", F.lit(1)), "doc_id", "left")
-        .join(f_drop.withColumn("__df", F.lit(1)), "doc_id", "left")
-        .join(c_drop.withColumn("__dc", F.lit(1)), "doc_id", "left")
-        .join(q_drop.withColumn("__dq", F.lit(1)), "doc_id", "left")
+        # result-scale id list; eager so the leg EXECUTES on this thread
+        return materialized(
+            comps.select("doc_id").join(keep, "doc_id", "left_anti"),
+            eager=True,
+        )
+
+    def flags_leg():
+        e_drop = (
+            corpus.withColumn(
+                "__rn",
+                F.row_number().over(
+                    _W.partitionBy("text").orderBy(F.col("doc_id").asc())
+                ),
+            )
+            .where(F.col("__rn") > 1)
+            .select("doc_id")
+        )
+        c_drop = decontaminate(corpus, bench, ngram_len=_NGRAM_LEN).select(
+            "doc_id"
+        )
+        norm = normalize_text(redact_pii(F.col("text2")))
+        gated = corpus.select("doc_id", norm.alias("norm_text")).select(
+            "doc_id", *quality_metrics(F.col("norm_text"))
+        )
+        q_drop = gated.where(
+            ~quality_keep(
+                F.col("n_words"),
+                F.col("mean_word_len"),
+                F.col("frac_unique_words"),
+                F.col("symbol_ratio"),
+            )
+        ).select("doc_id")
+        # corpus-cardinality but NARROW (id + 3 counters + 3 flag ints —
+        # the signature-scale materialization budget); eager for overlap
+        return materialized(
+            corpus.select(
+                "doc_id",
+                F.size(F.split(F.col("text2"), " ")).cast("long").alias(
+                    "__toks"
+                ),
+                F.length("text2").cast("long").alias("__chars"),
+                F.length(redact_pii(F.col("text2"))).cast("long").alias(
+                    "__chars_red"
+                ),
+            )
+            .join(e_drop.withColumn("__de", F.lit(1)), "doc_id", "left")
+            .join(c_drop.withColumn("__dc", F.lit(1)), "doc_id", "left")
+            .join(q_drop.withColumn("__dq", F.lit(1)), "doc_id", "left"),
+            eager=True,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fut = pool.submit(fuzzy_leg)
+        flags_fut = pool.submit(flags_leg)
+        f_drop = f_fut.result()
+        flags = flags_fut.result()
+
+    flagged = flags.join(
+        f_drop.withColumn("__df", F.lit(1)), "doc_id", "left"
     )
     # (stage_name, cumulative drop flags, char column): pii_redact keeps
     # stage 3's survivor set but switches the char column to the

@@ -3866,10 +3866,16 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     admits no misses on real data."""
     from ..operators.dedup import jaccard_join
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.split(F.col("text"), " ").alias("w"),
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread BEFORE the shingle build so the word-split + bigram transform
+    # (the CPU-heavy projection) runs above the exchange on scheduler-width
+    # partitions, not on the handful of input splits a small corpus scans
+    # as (guide §2.1; the verify-side spread lives in jaccard_join).  At
+    # scale the scan has >= cores splits and the condition adds nothing.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, F.col("doc_id"))
+    docs = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     grams = docs.select(
         "doc_id",
         F.expr(
@@ -5586,12 +5592,34 @@ _MAINT_NQ = 8
 _MAINT_TOPK = 10
 
 
-def _metric_table(spark, sf_dir: str, name: str, compute) -> DataFrame:
+def _clone(spark: SparkSession) -> SparkSession:
+    """A session clone for a concurrent pipeline leg: private SQLConf
+    (run_to_memory's state-width window stays leg-local), shared
+    SparkContext and warehouse.  The engine's runtime-settable conf is
+    re-applied, and the parent's shuffle width is carried over so the
+    clone plans data-scale shuffles identically."""
+    from ..session import tune_existing
+
+    s = spark.newSession()
+    tune_existing(s)
+    s.conf.set(
+        "spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    return s
+
+
+def _metric_table(
+    spark, sf_dir: str, name: str, compute, compute_session=None
+) -> DataFrame:
     """Build-once/read-many metric plane (serve_leg_planner's contract):
     the component census PERSISTS as a ``metric_*`` artifact under the
     content-token key on first computation; a planner READS metric
     tables, it does not re-run the monitor per decision.  Every metric
-    column is integer/string, so the parquet round-trip is value-exact."""
+    column is integer/string, so the parquet round-trip is value-exact.
+    ``compute_session`` lets a concurrent caller compute on a session
+    clone; the returned table always reads on ``spark`` (the parquet
+    round-trip decouples the two)."""
     from ..sinks.artifacts import (
         artifact_store,
         has_artifact,
@@ -5602,7 +5630,9 @@ def _metric_table(spark, sf_dir: str, name: str, compute) -> DataFrame:
     store = artifact_store(sf_dir)
     art = f"metric_{name}"
     if not has_artifact(store, art):
-        save_artifact(compute(spark, sf_dir), store, art)
+        save_artifact(
+            compute(compute_session or spark, sf_dir), store, art
+        )
     return load_artifact(spark, store, art)
 
 
@@ -5621,17 +5651,41 @@ def maintenance_planner(
     The threshold kwargs exist for the pytest battery to drive BOTH
     branches of every axis; the registry query runs the declared
     defaults."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .streaming import (
         stream_distortion_monitor,
         stream_drift_monitor,
         stream_margin_monitor,
     )
 
-    occ = _metric_table(spark, sf_dir, "drift_monitor", stream_drift_monitor)
-    dis = _metric_table(
-        spark, sf_dir, "distortion_monitor", stream_distortion_monitor
-    )
-    mar = _metric_table(spark, sf_dir, "margin_monitor", stream_margin_monitor)
+    # The three monitors are INDEPENDENT pipelines (disjoint trained
+    # state, separate drains) and each spends most of its wall in
+    # driver-paced microbatch machinery — overlap them (guide §2.6).
+    # Each leg runs on its OWN session clone: run_to_memory right-sizes
+    # the state-store width through the session-global shuffle-partition
+    # conf, so concurrent drains on one session would race on set/restore
+    # (VERDICT r12 "what's wrong" #7); a clone gives each drain a private
+    # SQLConf over the shared SparkContext.  The artifact parquet
+    # round-trip (_metric_table) already decouples the result from the
+    # session that computed it, so the planner reads all three tables on
+    # the caller's session as before.  First call computes the monitors
+    # once into metric_* artifacts; later calls read — unchanged.
+    def leg(name, compute):
+        def run():
+            return _metric_table(
+                spark, sf_dir, name, compute, compute_session=_clone(spark)
+            )
+
+        return run
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_occ = pool.submit(leg("drift_monitor", stream_drift_monitor))
+        f_dis = pool.submit(
+            leg("distortion_monitor", stream_distortion_monitor)
+        )
+        f_mar = pool.submit(leg("margin_monitor", stream_margin_monitor))
+        occ, dis, mar = f_occ.result(), f_dis.result(), f_mar.result()
 
     occ_row = occ.agg(
         F.lit("occupancy").alias("axis"),

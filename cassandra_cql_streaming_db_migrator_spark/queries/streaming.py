@@ -1554,18 +1554,23 @@ def index_tombstone_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaces the artifacts they scan (lazy frames would read the
     # compacted state — or a removed path).  Both are <= n_cells rows,
     # the metadata-scale collect contract.
-    pre = {
-        r["cell"]: int(r["n"])
-        for r in folded.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    # ONE pass computes both: tombs is distinct, so a broadcast left join
+    # keeps multiplicity 1 and count(indicator) IS the semi-join count —
+    # the folded artifact scans once instead of twice (metadata-scale
+    # result either way: <= n_cells census rows).
+    pre_rows = (
+        folded.join(
+            F.broadcast(tombs.withColumn("__t", F.lit(1))), "vec_id", "left"
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("__t").alias("np"),
+        )
         .collect()
-    }
-    # metadata-scale: <= n_cells census rows
-    purged = {
-        r["cell"]: int(r["n"])
-        for r in folded.join(F.broadcast(tombs), "vec_id", "semi")
-        .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    )
+    pre = {r["cell"]: int(r["n"]) for r in pre_rows}
+    purged = {r["cell"]: int(r["np"]) for r in pre_rows if int(r["np"])}
     compact_streaming_index(spark, store, prefix="sidxp")
     # metadata-scale: <= n_cells census rows
     post = {
@@ -1743,25 +1748,45 @@ def contamination_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_index_cdc,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.caching import materialized
+
     emb = load_table(spark, sf_dir, "embeddings")
     store = artifact_store(sf_dir)
-    cont = bench_contamination(
-        corpus=emb.filter(F.col("vec_id") % 20 != 0),
-        bench=emb.filter(F.col("vec_id") % 20 == 0),
-        threshold=0.35,
-    ).select("vec_id")
+    # The contamination SCREEN and the base index BUILD are independent
+    # legs of the erasure chain (guide §2.6) — the screen needs only the
+    # corpus/bench split, the build only the base split — so the screen
+    # runs eagerly on a worker thread while the main thread ensures the
+    # gated triple and clones it.  Materializing the screen also makes
+    # its two consumers (the CDC delete rows and the n_erased witness
+    # count) read ONE result-scale id list instead of executing the
+    # kernel twice.  Values unchanged.
+    def screen():
+        return materialized(
+            bench_contamination(
+                corpus=emb.filter(F.col("vec_id") % 20 != 0),
+                bench=emb.filter(F.col("vec_id") % 20 == 0),
+                threshold=0.35,
+            ).select("vec_id"),
+            eager=True,
+        )
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        cont_fut = pool.submit(screen)
+        base = emb.where(F.col("vec_id") % 10 != 0)
+        _ensure_index_artifacts(
+            spark, base, store, "embedding", "vec_id", 8, 4, 4, 16, "sidxe0"
+        )
+        for part in ("codes", "centroids", "codebooks"):
+            clone_artifact(store, f"sidxe0_{part}", f"sidxe_{part}")
+        cont = cont_fut.result()
     # the screen's output is result-scale: the semi-join below broadcasts
     # it back into the corpus to build the delete rows
     dels = emb.join(F.broadcast(cont), "vec_id", "semi").withColumn(
         "op", F.lit("d")
     )
     ups = emb.where(F.col("vec_id") % 10 == 0).withColumn("op", F.lit("u"))
-    base = emb.where(F.col("vec_id") % 10 != 0)
-    _ensure_index_artifacts(
-        spark, base, store, "embedding", "vec_id", 8, 4, 4, 16, "sidxe0"
-    )
-    for part in ("codes", "centroids", "codebooks"):
-        clone_artifact(store, f"sidxe0_{part}", f"sidxe_{part}")
     streaming_index_cdc(
         spark,
         base=base,

@@ -47,6 +47,23 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by BYTES; this engine's hot
+        # exchanges feed CPU-per-byte-heavy operators (Arrow kernels over
+        # text, n-gram array intersects, interpreted HOF folds) whose
+        # shuffle footprint is small — at the default 1m floor AQE
+        # coalesced the minhash-signature kernel exchange to ONE partition
+        # (a measured 3.4 s serial stage on a 32-core box; task-histogram
+        # evidence in OPTIMIZATION_r13.md).  With parallelismFirst (the
+        # default) the target size is max(min(advisory, total/parallelism),
+        # minPartitionSize), so the floor only governs exchanges smaller
+        # than parallelism x 1m — exactly the compute-bound ones; large
+        # exchanges still coalesce to the 64m advisory.  64k keeps
+        # genuinely tiny exchanges coalesced while letting small
+        # compute-heavy ones use the cluster.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -185,6 +202,10 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        (
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        ),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         *(
             (

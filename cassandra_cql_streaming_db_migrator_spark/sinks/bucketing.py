@@ -42,6 +42,15 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+# Per-process memo: prefix sets this process has already swept.  A dead
+# pid's tables cannot come BACK during our lifetime (pids are only freed,
+# and a reused pid's new tables belong to a live process), so one sweep
+# per prefix set per process is the complete safety contract — repeating
+# the listTables() round trip per call measured ~0.3 s per streaming
+# microbatch drain (OPTIMIZATION_r13.md, stream_cdc_mirror attribution).
+_GC_SWEPT: set[tuple[str, ...]] = set()
+
+
 def gc_stale_pid_tables(spark: SparkSession, prefixes: list[str]) -> int:
     """Drop pid-suffixed managed tables left by DEAD processes.
 
@@ -57,6 +66,10 @@ def gc_stale_pid_tables(spark: SparkSession, prefixes: list[str]) -> int:
     import os
     import re
 
+    key = tuple(sorted(prefixes))
+    if key in _GC_SWEPT:
+        return 0
+    _GC_SWEPT.add(key)
     dropped = 0
     pat = re.compile(
         r"^(?:"
@@ -92,15 +105,28 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+# A managed table's location is warehouse-dir/name for the life of the
+# process (drop + recreate lands on the same path), so the DESCRIBE
+# round trip — one collect per call, paid twice per cdc-mirror microbatch
+# — is memoized per table name.
+_LOCATION_CACHE: dict[tuple[str, str], str] = {}
+
+
 def table_location(spark: SparkSession, table: str) -> str:
     """Filesystem path of a managed table's data directory."""
     from urllib.parse import urlparse
 
+    key = (spark.conf.get("spark.sql.warehouse.dir", ""), table)
+    cached = _LOCATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     # metadata-scale: DESCRIBE output (catalog rows, not data)
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED `{table}`").collect()
     loc = next(r.data_type for r in rows if r.col_name == "Location")
     parsed = urlparse(loc)
-    return parsed.path if parsed.scheme in ("", "file") else loc
+    out = parsed.path if parsed.scheme in ("", "file") else loc
+    _LOCATION_CACHE[key] = out
+    return out
 
 
 def bucket_files(location: str) -> dict[int, list[str]]:

@@ -625,8 +625,22 @@ def run_to_memory(
     spark = agg.sparkSession
     prev = None
     if state_partitions is not None:
+        # The caller declares its KEY-SPACE BOUND; the store width derives
+        # from it by rows-per-partition, not one partition per key.  A
+        # state store comfortably holds thousands of keys per partition,
+        # and every partition costs one store instance — task, delta
+        # file, fsync — PER MICROBATCH.  r12 set width == bound (8 for
+        # n_cells drains); r13 measured the trivial 4-batch drain at
+        # width 1 vs 8 vs 32: 1.5 s / 2.3 s / 3.8 s wall with last-batch
+        # commitTimeMs 44 / 834 / 13140 (OPTIMIZATION_r13.md) — the
+        # per-store fixed cost dominates metadata-scale state at ANY
+        # data scale, because width here governs only the state rows
+        # (map-side partial aggregation still runs at input parallelism).
+        # ceil(bound/4096) keeps the formula scale-adaptive: a genuinely
+        # large declared key space still fans out.
+        width = max(1, -(-int(state_partitions) // 4096))
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         query = (
             agg.writeStream.outputMode(output_mode)
@@ -944,6 +958,7 @@ def streaming_incremental_dedup(
     need).
     """
     import pandas as pd
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..operators.caching import materialized
     from ..operators.dedup import (
@@ -952,16 +967,30 @@ def streaming_incremental_dedup(
         minhash_signature_df,
     )
 
-    corpus_signed = materialized(
-        minhash_signature_df(corpus, text_col, id_col, 5, "arrow")
-    )
-    corpus_grams = materialized(
-        cross_gram_sets(corpus, "old", text_col, id_col)
-    )
+    # The two reference-state kernels and the arrival-chunk scratch write
+    # are three INDEPENDENT legs that together gate the first microbatch
+    # (guide §2.6): build the signature and gram frames eagerly on worker
+    # threads while the main thread writes the chunk scratch and starts
+    # the stream — by the time batch 0 probes, the state is materialized.
     scratch = tempfile.mkdtemp(prefix="stream_docs_chunks_")
-    stream = read_documents_stream_chunked(
-        spark, arrivals, n_chunks, scratch_dir=scratch
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        signed_fut = pool.submit(
+            lambda: materialized(
+                minhash_signature_df(corpus, text_col, id_col, 5, "arrow"),
+                eager=True,
+            )
+        )
+        grams_fut = pool.submit(
+            lambda: materialized(
+                cross_gram_sets(corpus, "old", text_col, id_col),
+                eager=True,
+            )
+        )
+        stream = read_documents_stream_chunked(
+            spark, arrivals, n_chunks, scratch_dir=scratch
+        )
+        corpus_signed = signed_fut.result()
+        corpus_grams = grams_fut.result()
 
     collected: list[pd.DataFrame] = []
 

@@ -75,12 +75,17 @@ def test_gc_stale_pid_tables_drops_dead_keeps_live(spark):
         gc_stale_pid_tables,
     )
 
+    from cassandra_cql_streaming_db_migrator_spark.sinks import bucketing
+
     dead_pid = 2 ** 22 + 12345  # beyond pid_max default — never alive
     live = f"b_orders_gc_test_{os.getpid()}"
     dead = f"b_orders_gc_test_{dead_pid}"
     df = spark.createDataFrame([Row(o_orderkey=1)])
     for t in (live, dead):
         df.write.mode("overwrite").format("parquet").saveAsTable(t)
+    # the sweep is once-per-process per prefix set (r13); this test
+    # plants a dead table AFTER any earlier sweep, so reset the memo
+    bucketing._GC_SWEPT.clear()
     try:
         dropped = gc_stale_pid_tables(spark, ["b_orders_gc_test_"])
         assert dropped >= 1
@@ -131,11 +136,14 @@ def test_gc_ignores_unrelated_tables(spark):
         gc_stale_pid_tables,
     )
 
+    from cassandra_cql_streaming_db_migrator_spark.sinks import bucketing
+
     other = "unrelated_gc_test_99999999"
     spark.createDataFrame([Row(x=1)]).write.mode("overwrite").format(
         "parquet"
     ).saveAsTable(other)
     try:
+        bucketing._GC_SWEPT.clear()
         gc_stale_pid_tables(spark, ["b_orders_gc_test_"])
         names = {t.name for t in spark.catalog.listTables()}
         assert other in names
