@@ -784,7 +784,18 @@ GROUP BY l_returnflag
 
 
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..sources.parquet import spread_input
+
+    # the five decimal(28,10) sums are interpreted (non-codegen) per-row
+    # work that otherwise runs entirely inside the single-row-group scan
+    # task (profiled: one 3.4 s job; guide §2.5) — spread first, narrow
+    # projection so the exchange carries 3 columns
+    li = spread_input(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey"
+        ),
+        "l_orderkey",
+    )
     dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(

@@ -5032,9 +5032,12 @@ def ivf_pq_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= topk)
         .select("query_id", "vec_id")
     )
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.caching import materialized
 
-    exact = materialized(exact)
+    # eager: the four probe legs below consume it concurrently
+    exact = materialized(exact, eager=True)
 
     # metadata-scale: <= n_cells census rows
     census = {
@@ -5042,21 +5045,27 @@ def ivf_pq_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    rows = []
-    for p in (1, 2, 4, 8):
+
+    # the four probe budgets are INDEPENDENT serves over the same loaded
+    # index and the same materialized exact set — overlap them (guide
+    # §2.6, the graph_beam_curve pattern); pool.map preserves row order
+    def leg(p: int):
         serve = ivf_pq_adc_batch(
             spark, codes, cents, cell_ids, cvecs, queries,
             topk=topk, n_probe=p,
         ).select("query_id", "vec_id")
-        n_hits = serve.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
+        n_hits = serve.join(
+            F.broadcast(exact), ["query_id", "vec_id"]
+        ).count()
         n_cand = sum(
             census.get(int(c), 0)
             for _, qv in queries
             for c in _probe_cells(qv, cell_ids, cvecs, p, m, sub_dim)
         )
-        rows.append(
-            (p, n_hits, 1_000_000 * n_hits // (n_q * topk), n_cand)
-        )
+        return (p, n_hits, 1_000_000 * n_hits // (n_q * topk), n_cand)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        rows = list(pool.map(leg, (1, 2, 4, 8)))
     return spark.createDataFrame(
         rows,
         "n_probe long, n_hits long, mean_recall_ppm long, "

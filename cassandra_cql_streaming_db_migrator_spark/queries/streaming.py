@@ -890,13 +890,22 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.parquet import load_table
     from ..streaming.stream import read_documents_stream_chunked
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load_table(spark, sf_dir, "embeddings")
     base_where = F.col("vec_id") % 10 != 0
     base = emb.where(base_where)
     m, sub_dim, n_cells = 4, 16, 8
-    cell_ids, cvecs = _coarse_centroids(
-        base, n_cells, "embedding", "vec_id", m, sub_dim
-    )
+    # quantizer training (driver-paced collects) and the arrival-chunk
+    # scratch write are independent legs — overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _arr_fut = _pool.submit(
+            read_documents_stream_chunked, spark, emb.where(~base_where), 4
+        )
+        cell_ids, cvecs = _coarse_centroids(
+            base, n_cells, "embedding", "vec_id", m, sub_dim
+        )
+        arrivals = _arr_fut.result()
 
     def with_cell(df: DataFrame) -> DataFrame:
         valid = df.where(
@@ -915,9 +924,6 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell", _cell_assign_expr(cell_ids, cvecs, m, sub_dim)
         )
 
-    arrivals = read_documents_stream_chunked(
-        spark, emb.where(~base_where), n_chunks=4
-    )
     live = (
         with_cell(arrivals)
         .groupBy("cell")
@@ -986,18 +992,23 @@ def stream_distortion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.parquet import load_table
     from ..streaming.stream import read_documents_stream_chunked
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load_table(spark, sf_dir, "embeddings")
     base_where = F.col("vec_id") % 10 != 0
     base = emb.where(base_where)
     m, k, sub_dim, n_cells = 4, 4, 16, 8
-    _, cents = pq_train_assign(base, "embedding", "vec_id", m, k, sub_dim)
-    cell_ids, cvecs = _coarse_centroids(
-        base, n_cells, "embedding", "vec_id", m, sub_dim
-    )
-
-    arrivals = read_documents_stream_chunked(
-        spark, emb.where(~base_where), n_chunks=4
-    )
+    # codebook/centroid training (driver-paced collects) overlaps the
+    # arrival-chunk scratch write (guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _arr_fut = _pool.submit(
+            read_documents_stream_chunked, spark, emb.where(~base_where), 4
+        )
+        _, cents = pq_train_assign(base, "embedding", "vec_id", m, k, sub_dim)
+        cell_ids, cvecs = _coarse_centroids(
+            base, n_cells, "embedding", "vec_id", m, sub_dim
+        )
+        arrivals = _arr_fut.result()
     live = (
         distortion_frame(
             arrivals, cents, cell_ids, cvecs, "embedding", "vec_id",
@@ -1089,10 +1100,18 @@ def stream_margin_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.parquet import load_table
     from ..streaming.stream import read_documents_stream_chunked
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load_table(spark, sf_dir, "embeddings")
     base_where = F.col("vec_id") % 10 != 0
     from pyspark.sql import Window as _W
 
+    # the reference-matrix collect and the arrival-chunk scratch write
+    # are independent legs — overlap them (guide §2.6)
+    _pool = ThreadPoolExecutor(max_workers=1)
+    _arr_fut = _pool.submit(
+        read_documents_stream_chunked, spark, emb.where(~base_where), 4
+    )
     # metadata-scale: labels x R reference rows by construction
     ref_rows = (
         emb.where(base_where)
@@ -1152,9 +1171,8 @@ def stream_margin_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "margin_ppm": pd.array(out_m, dtype="int64")}
             )
 
-    arrivals = read_documents_stream_chunked(
-        spark, emb.where(~base_where), n_chunks=4
-    )
+    arrivals = _arr_fut.result()
+    _pool.shutdown()
     from pyspark.sql.types import LongType, StructField, StructType
 
     # output label field type derived from the input schema, not assumed
@@ -1631,14 +1649,22 @@ def stream_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_cluster_sample_state,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load_table(spark, sf_dir, "embeddings")
     valid = emb.where(
         F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     )
-    cents = _lloyd_centroids(
-        valid.where(F.col("vec_id") % 10 != 0), 8, 2, "embedding", "vec_id"
-    )
-    stream = read_documents_stream_chunked(spark, valid, n_chunks=4)
+    # Lloyd training (driver-paced collects) overlaps the corpus-chunk
+    # scratch write (guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _stream_fut = _pool.submit(
+            read_documents_stream_chunked, spark, valid, 4
+        )
+        cents = _lloyd_centroids(
+            valid.where(F.col("vec_id") % 10 != 0), 8, 2, "embedding", "vec_id"
+        )
+        stream = _stream_fut.result()
     hv = poly_hash(
         F.concat(F.col("vec_id").cast("string"), F.lit("#scs"))
     )

@@ -75,3 +75,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for the SQL surface)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_input(df: DataFrame, key) -> DataFrame:
+    """Conditional post-scan spread — guide §2.5 "input skew: one huge
+    unsplittable file".  The fixture tables are single-row-group parquet
+    files, so every scan is ONE unsplittable task no matter the core
+    count; a scan-stage aggregate (partial aggregation runs inside the
+    scan task) is then serial.  When the scan yields fewer splits than
+    the scheduler's width, hash-repartition on a deterministic
+    high-cardinality key (never ``rand()`` — SPARK-38388) so per-row work
+    downstream parallelizes; at scale the input has >= cores splits and
+    this is the identity.  Only worth applying where the scan-stage
+    compute dominates (measured per query); an exchange is never free."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, F.col(key) if isinstance(key, str) else key)
+    return df
