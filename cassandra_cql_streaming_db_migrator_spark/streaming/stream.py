@@ -1203,12 +1203,12 @@ def streaming_cdc_mirror(
         if epoch_id <= state["last_epoch"]:
             return
         # touched buckets: where the batch's keys hash (the same murmur3
-        # `hash` pmod n write_bucketed's bucketBy uses) — |batch|-scale
-        # distinct, metadata-scale collect.  Computed from the RAW batch
-        # (same key set as the compact, so the same buckets) and doubling
-        # as the emptiness probe: one metadata job per microbatch where
-        # isEmpty + touched used to cost two (r13; the per-batch fixed
-        # cost IS this query's wall).
+        # `hash` pmod n write_bucketed's bucketBy uses).  Computed from
+        # the RAW batch (same key set as the compact, so the same
+        # buckets) and doubling as the emptiness probe: one metadata job
+        # per microbatch where isEmpty + touched used to cost two (r13;
+        # the per-batch fixed cost IS this query's wall).
+        # metadata-scale: <= n_buckets distinct rows after the pmod
         touched = {
             r[0]
             for r in mb_raw.select(

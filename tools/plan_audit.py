@@ -117,8 +117,13 @@ SHUFFLE_ALLOWANCE: dict[str, int] = {
     "session_concurrency": 3,
     # semantic floor: token df aggregate (1) + per-set prefix-rank window
     # (1) + prefix-token candidate join (1) + candidate distinct (1);
-    # the verify join rides the candidates' partitioning
-    "jaccard_pairs": 5,
+    # the verify join rides the candidates' partitioning.  r13 adds the
+    # CONDITIONAL narrow-scan spread (guide §2.5 — fires only when the
+    # scan yields fewer splits than the scheduler, i.e. on the
+    # single-row-group fixture, never at scale); in this audit's
+    # full-lineage mode the spread exchange prints once per textual copy
+    # of the checkpointed base (tok + both verify sides)
+    "jaccard_pairs": 8,
     # local frontier is narrow; the remaining exchanges are the candidate
     # distinct, the level aggregate, the metadata-scale suffix window's
     # single partition, and the multiplicity join/groupBy
