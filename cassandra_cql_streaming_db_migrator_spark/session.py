@@ -57,12 +57,19 @@ def build_session(
         # default) the target size is max(min(advisory, total/parallelism),
         # minPartitionSize), so the floor only governs exchanges smaller
         # than parallelism x 1m — exactly the compute-bound ones; large
-        # exchanges still coalesce to the 64m advisory.  64k keeps
-        # genuinely tiny exchanges coalesced while letting small
-        # compute-heavy ones use the cluster.
+        # exchanges still coalesce to the 64m advisory.  The floor value
+        # was re-measured interleaved at 64k vs 256k vs 1m (r13): 1m
+        # serializes the Arrow-kernel exchanges (minhash 2.8x, fuzzy 2.3x,
+        # jaccard 1.9x slower), while 64k over-splits the genuinely tiny
+        # per-round exchanges of driver-paced loops (CC / pagerank /
+        # census read 1.1-1.35x slower at 64k than 256k: more tasks per
+        # round x many rounds).  256k keeps both: kernel exchanges are
+        # larger than parallelism x 256k so parallelismFirst governs them
+        # identically, and sub-256k loop exchanges coalesce back to one
+        # task.  Evidence: OPTIMIZATION_r13.md (floor A/Bs).
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
@@ -204,7 +211,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         (
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
         ),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         *(

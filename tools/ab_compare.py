@@ -45,12 +45,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--a", default="", help="variant A env (default: none)")
-    ap.add_argument("--b", required=True, help="variant B env KEY=VAL[,..]")
+    ap.add_argument("--b", default="", help="variant B env KEY=VAL[,..]")
+    ap.add_argument("--conf-a", default="", help="variant A SQL conf KEY=VAL[,..]")
+    ap.add_argument("--conf-b", default="", help="variant B SQL conf KEY=VAL[,..]")
     ap.add_argument("--reps", type=int, default=4, help="reps PER VARIANT")
     ap.add_argument("--json", default=None, help="write full samples here")
     args = ap.parse_args()
 
     env_a, env_b = parse_env(args.a), parse_env(args.b)
+    conf_a, conf_b = parse_env(args.conf_a), parse_env(args.conf_b)
+    if not (env_b or conf_b):
+        ap.error("need --b and/or --conf-b")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session(app_name="ab_compare")
     qs = all_queries()
@@ -73,11 +78,15 @@ def main() -> int:
 
     for step, variant in enumerate(order):
         env = env_a if variant == "A" else env_b
+        conf = conf_a if variant == "A" else conf_b
         for name in args.queries:
             saved = {k: os.environ.get(k) for k in {**env_a, **env_b}}
+            saved_conf = {k: spark.conf.get(k) for k in {**conf_a, **conf_b}}
             for k in saved:
                 os.environ.pop(k, None)
             os.environ.update(env)
+            for k, v in conf.items():
+                spark.conf.set(k, v)
             try:
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
@@ -90,11 +99,14 @@ def main() -> int:
                         os.environ.pop(k, None)
                     else:
                         os.environ[k] = v
+                for k, v in saved_conf.items():
+                    spark.conf.set(k, v)
         t0 = time.perf_counter()
         ctl.write.format("noop").mode("overwrite").save()
         controls.append(time.perf_counter() - t0)
 
     report = {"sf_dir": sf_dir, "env_a": env_a, "env_b": env_b,
+              "conf_a": conf_a, "conf_b": conf_b,
               "order": order, "jvm_control_sec": [round(c, 3) for c in controls],
               "queries": {}}
     for name in args.queries:
