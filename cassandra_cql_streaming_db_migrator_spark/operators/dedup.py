@@ -660,17 +660,32 @@ def connected_components(
     # The symmetric edge list contains every node on the `a` side, so one
     # aggregation both enumerates the node set and applies the first
     # propagation — two fewer driver-loop jobs than init-to-self + round.
+    # Lazy checkpoint: round 0's convergence count is the materializing
+    # action (one fewer driver-paced job before the loop).
     labels = (
         edges.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("__mb"))
         .select("node", F.least(F.col("node"), F.col("__mb")).alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    label_t = labels.schema["label"].dataType
     for rnd in range(max_iter):
-        nbr_min = edges.join(labels, edges["b"] == labels["node"]).select(
-            edges["a"].alias("node"), F.col("label")
+        # Labels are monotone non-increasing (every fold includes the old
+        # label, and the aggregate is a min), so "no node changed" is
+        # exactly "no node's new min is BELOW its old label" — checkable
+        # on the round's own aggregate by carrying the old label through
+        # the union as a third column (one row per node: `labels` is
+        # node-unique, the other folds carry null).  That removes the
+        # old-vs-new join the convergence count used to pay per round.
+        old = labels.select(
+            "node", "label", F.col("label").alias("__orig")
         )
-        folds = [labels, nbr_min]
+        nbr_min = edges.join(labels, edges["b"] == labels["node"]).select(
+            edges["a"].alias("node"),
+            F.col("label"),
+            F.lit(None).cast(label_t).alias("__orig"),
+        )
+        folds = [old, nbr_min]
         # Pointer doubling (optimization r12, guide §1.2 "the distributed
         # algorithm" first): from round 2 on, also fold in label(label(v)).
         # A label always names a smaller node of the SAME component (labels
@@ -692,7 +707,9 @@ def connected_components(
                 labels.alias("x")
                 .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
                 .select(
-                    F.col("x.node").alias("node"), F.col("y.label").alias("label")
+                    F.col("x.node").alias("node"),
+                    F.col("y.label").alias("label"),
+                    F.lit(None).cast(label_t).alias("__orig"),
                 )
             )
         # Lazy checkpoint: the convergence check below is the materializing
@@ -701,21 +718,19 @@ def connected_components(
         acc = folds[0]
         for f in folds[1:]:
             acc = acc.unionByName(f)
-        new_labels = (
+        new_full = (
             acc.groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max("__orig").alias("__orig"),
+            )
             .localCheckpoint(eager=False)
         )
         # Full count (no limit-1 short-circuit): every partition of
-        # new_labels must compute so the lazy checkpoint materializes
+        # new_full must compute so the lazy checkpoint materializes
         # completely before the next round reads it.
-        changed = (
-            new_labels.withColumnRenamed("label", "new")
-            .join(labels, "node")
-            .where(F.col("new") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.where(F.col("label") < F.col("__orig")).count()
+        labels = new_full.select("node", "label")
         if changed == 0:
             break
     else:

@@ -1707,26 +1707,48 @@ def streaming_index_cdc(
         if epoch_id <= state["last_epoch"]:
             state["fenced"] += 1
             return  # replayed epoch: already committed, zero work
-        ups = mb_df.where(F.col(op_col) == "u").drop(op_col)
-        dels = mb_df.where(F.col(op_col) == "d").select(F.col(id_col))
-        wrote = False
-        if not ups.isEmpty():
+        # ONE metadata job decides which op sides this batch carries (the
+        # two isEmpty probes cost two driver-paced jobs per microbatch),
+        # and the two applies are independent writes to different paths —
+        # run them overlapped (guide §2.6); the watermark still commits
+        # only after BOTH are on disk, preserving the replay contract.
+        ops = {
+            r[0]: r[1]
+            for r in mb_df.groupBy(op_col).count().collect()
+        }
+        legs = []
+        if ops.get("u"):
+            ups = mb_df.where(F.col(op_col) == "u").drop(op_col)
             encoded = pq_encode_frame(
                 ups, cents, cell_ids, cvecs, vec_col, id_col, m, sub_dim
             )
-            _apply_epoch_append(encoded, arrival_path, epoch_id)
-            state["artifacts"].add(f"{prefix}_arrival_codes")
-            wrote = True
-        if not dels.isEmpty():
-            _apply_epoch_append(dels, tomb_path, epoch_id)
-            state["artifacts"].add(f"{prefix}_tombstones")
-            wrote = True
-        if wrote:
-            _commit_ingest_watermark(
-                store, prefix, epoch_id, state["artifacts"]
+            legs.append(
+                (f"{prefix}_arrival_codes", encoded, arrival_path)
             )
-            state["last_epoch"] = epoch_id
-            state["applied"] += 1
+        if ops.get("d"):
+            dels = mb_df.where(F.col(op_col) == "d").select(F.col(id_col))
+            legs.append((f"{prefix}_tombstones", dels, tomb_path))
+        if not legs:
+            return
+        if len(legs) == 1:
+            _apply_epoch_append(legs[0][1], legs[0][2], epoch_id)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(_apply_epoch_append, df, path, epoch_id)
+                    for _, df, path in legs
+                ]
+                for f in futs:
+                    f.result()
+        for art, _, _ in legs:
+            state["artifacts"].add(art)
+        _commit_ingest_watermark(
+            store, prefix, epoch_id, state["artifacts"]
+        )
+        state["last_epoch"] = epoch_id
+        state["applied"] += 1
 
     query = (
         stream.writeStream.foreachBatch(apply_batch)
