@@ -1089,16 +1089,31 @@ def dsir_importance(
     """Per-``group_col`` importance report against the ``target`` row
     predicate: ``n_docs``, fixed-point score sum, and how many docs score
     above parity (1e6 = average-token likeness to the target)."""
+    from .caching import materialized
+
     tokens = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
-    tok = df.select(
-        F.col(id_col),
-        F.col(group_col),
-        target.cast("boolean").alias("__tgt"),
-        F.explode(tokens).alias("__w"),
-    ).withColumn("__b", poly_hash(F.col("__w")) % F.lit(n_buckets))
-    census = tok.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__c"),
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__t"),
+    # ONE tokenize/explode pass: the raw token stream used to feed two
+    # plan legs (bucket census -> weights, then the per-doc score join),
+    # so the explode + poly_hash pipeline executed twice.  Pre-aggregate
+    # to (doc, bucket, n) — at most n_buckets rows per doc, a compact
+    # barrier — and derive BOTH the census and the scores from it; the
+    # integer arithmetic is unchanged (sum over token instances ==
+    # sum(wfp * n) with count(1) == sum(n)).
+    tokb = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            target.cast("boolean").alias("__tgt"),
+            F.explode(tokens).alias("__w"),
+        )
+        .withColumn("__b", poly_hash(F.col("__w")) % F.lit(n_buckets))
+        .groupBy(id_col, group_col, "__tgt", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tokb = materialized(tokb)
+    census = tokb.groupBy("__b").agg(
+        F.sum("__n").alias("__c"),
+        F.sum(F.when(F.col("__tgt"), F.col("__n")).otherwise(0)).alias("__t"),
     )
     totals = census.agg(
         F.sum("__c").alias("__ctot"), F.sum("__t").alias("__ttot")
@@ -1111,11 +1126,11 @@ def dsir_importance(
         ).alias("__wfp"),
     )
     per_doc = (
-        tok.join(F.broadcast(weights), "__b")
+        tokb.join(F.broadcast(weights), "__b")
         .groupBy(id_col)
         .agg(
             F.first(group_col).alias(group_col),
-            F.expr("sum(__wfp) div count(1)").alias("__score"),
+            F.expr("sum(__wfp * __n) div sum(__n)").alias("__score"),
         )
     )
     return per_doc.groupBy(group_col).agg(

@@ -924,7 +924,10 @@ def read_documents_stream_chunked(
         for j, (_, f) in enumerate(parts):
             ns = t0 + j * 10_000_000_000
             os.utime(os.path.join(d, f), ns=(ns, ns))
-    schema = spark.read.parquet(d).schema
+    # the written files carry exactly the caller frame's schema (minus a
+    # dropped chunk_col) — deriving it from the frame skips a per-drain
+    # parquet listing + footer read on the driver
+    schema = (docs.drop(chunk_col) if chunk_col is not None else docs).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
